@@ -1,0 +1,649 @@
+"""Relational core queries — joins (OP-J*), aggregations (OP-A*),
+set ops (OP-O*), over the driver's star schema (SURVEY.md §2.3/2.4/2.6).
+
+Every query is declarative DataFrame API so Catalyst drives pushdown /
+pruning / join strategy; dims go through ``broadcast()`` hints where the
+size is known-bounded at any scale factor.
+
+Float policy for oracle parity (SURVEY.md §7 hard-part 7): sums of
+doubles are rounded (2dp money, 4dp averages) in BOTH the Spark plan
+and the DuckDB oracle, making the order-insensitive value hash stable
+against FP re-association across partitions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources.tables import load_table
+from .registry import register
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# ---------------------------------------------------------------------------
+# Flagship — M1 minimum slice: OP-S3 + OP-J7 + OP-P18 + OP-A6 + OP-O1
+# ---------------------------------------------------------------------------
+
+@register(
+    "flagship_segment_revenue",
+    oracle="""
+    SELECT c.c_mktsegment AS mktsegment,
+           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           COUNT(*) AS n_items,
+           ROUND(AVG(l.l_quantity), 4) AS avg_qty
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    WHERE o.o_orderdate >= TIMESTAMP '1996-06-01 00:00:00'
+    GROUP BY c.c_mktsegment
+    """,
+)
+def flagship_segment_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-market-segment revenue rollup — the Spark shape of the
+    reference's per-sector TTM aggregation (SURVEY.md §7 M1).
+
+    lineitem⋈orders shuffles on orderkey; customer is the smaller side
+    and AQE broadcast-converts it at bench SF. The date filter reaches
+    the parquet scan as a pushed predicate.
+    """
+    lineitem = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("1996-06-01 00:00:00").cast("timestamp"))
+    customer = _t(spark, sf_dir, "customer")
+    return (
+        lineitem
+        .join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
+        .groupBy(F.col("c_mktsegment").alias("mktsegment"))
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+             .alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# OP-J7 — 5-way star join through the dimension chain
+# ---------------------------------------------------------------------------
+
+@register(
+    "j7_star_region_revenue",
+    oracle="""
+    SELECT r.r_name AS region_name,
+           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           COUNT(*) AS n_items
+    FROM lineitem l
+    JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    JOIN region r   ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name
+    """,
+)
+def j7_star_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star join: facts shuffle once on orderkey; nation/region are
+    fixed-size dims → explicit broadcast (safe at 100 TB)."""
+    l = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("r_name").alias("region_name"))
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+             .alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# OP-J5 / OP-J6 — semi / anti joins
+# ---------------------------------------------------------------------------
+
+@register(
+    "j5_semi_customers_with_open_orders",
+    oracle="""
+    SELECT c_custkey, c_name, c_mktsegment
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'O')
+    """,
+)
+def j5_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "O")
+    return (c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+            .select("c_custkey", "c_name", "c_mktsegment"))
+
+
+@register(
+    "j6_anti_customers_without_orders",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def j6_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's skipped-tickers analysis (list entries with no
+    data file, fetch_data.py:277-279) as a left-anti join."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return (c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+            .select("c_custkey", "c_name"))
+
+
+# ---------------------------------------------------------------------------
+# OP-J8 — outer join with default-fill
+# ---------------------------------------------------------------------------
+
+@register(
+    "j8_outer_customer_order_stats",
+    oracle="""
+    SELECT c.c_custkey,
+           COUNT(o.o_orderkey) AS n_orders,
+           ROUND(COALESCE(SUM(o.o_totalprice), 0.0), 2) AS total_spend
+    FROM customer c
+    LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_custkey
+    """,
+)
+def j8_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer + zero-fill — the reference's absent-row default
+    semantics (OP-E4, fetch_data.py:225-227)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return (
+        c.join(o, o.o_custkey == c.c_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.round(F.coalesce(F.sum("o_totalprice"), F.lit(0.0)), 2)
+             .alias("total_spend"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# OP-J9 — range (theta) join: tier assignment
+# ---------------------------------------------------------------------------
+
+_TIERS = [  # (tier_name, lo, hi) — mirrors the market-cap tiering F:105,118-121
+    ("small", 0.0, 50_000.0),
+    ("mid", 50_000.0, 150_000.0),
+    ("large", 150_000.0, 300_000.0),
+    ("mega", 300_000.0, 1e18),
+]
+
+_TIERS_SQL = "VALUES " + ", ".join(
+    f"('{t}', {lo}, {hi})" for t, lo, hi in _TIERS)
+
+
+@register(
+    "j9_range_join_price_tiers",
+    oracle=f"""
+    WITH tiers(tier_name, lo, hi) AS ({_TIERS_SQL})
+    SELECT t.tier_name,
+           COUNT(*) AS n_orders,
+           ROUND(SUM(o.o_totalprice), 2) AS tier_value
+    FROM orders o
+    JOIN tiers t ON o.o_totalprice >= t.lo AND o.o_totalprice < t.hi
+    GROUP BY t.tier_name
+    """,
+)
+def j9_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-equi join against a tiny tier dim — broadcast nested loop by
+    construction (the only sane physical plan for theta joins; the dim
+    side is O(1) so this holds at any scale)."""
+    o = _t(spark, sf_dir, "orders")
+    tiers = spark.createDataFrame(_TIERS, "tier_name string, lo double, hi double")
+    return (
+        o.join(F.broadcast(tiers),
+               (o.o_totalprice >= tiers.lo) & (o.o_totalprice < tiers.hi))
+        .groupBy("tier_name")
+        .agg(F.count(F.lit(1)).alias("n_orders"),
+             F.round(F.sum("o_totalprice"), 2).alias("tier_value"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# OP-J1 / OP-J2 — ordered alias-precedence lookup
+# ---------------------------------------------------------------------------
+
+@register(
+    "j1_alias_precedence_lookup",
+    oracle="""
+    WITH aliases(line_item, priority) AS (VALUES ('R', 0), ('A', 1), ('N', 2)),
+    ranked AS (
+      SELECT l.l_orderkey, l.l_extendedprice, l.l_returnflag,
+             ROW_NUMBER() OVER (PARTITION BY l.l_orderkey
+                                ORDER BY a.priority, l.l_linenumber) AS rn
+      FROM lineitem l JOIN aliases a ON l.l_returnflag = a.line_item
+    )
+    SELECT l_orderkey, l_returnflag AS resolved_flag,
+           l_extendedprice AS resolved_price
+    FROM ranked WHERE rn = 1
+    """,
+)
+def j1_alias_precedence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OP-J1 — the reference's ``safe_get_row`` alias-order scan
+    (fetch_data.py:20-27) as an ordered-coalesce: broadcast alias dim +
+    row_number over (priority, stable tiebreak). SURVEY.md §7 hard-part
+    2: never ``first()`` without a sort."""
+    from ..operators.joins import resolve_alias
+    l = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_extendedprice",
+        F.col("l_returnflag").alias("line_item"))
+    aliases = spark.createDataFrame(
+        [("R", 0), ("A", 1), ("N", 2)], "line_item string, priority int")
+    aliases = aliases.withColumn("canonical", F.lit("flag"))
+    resolved = resolve_alias(
+        l, aliases, group_cols=["l_orderkey"], item_col="line_item",
+        value_col="l_extendedprice", order_col="l_linenumber")
+    return resolved.select(
+        "l_orderkey",
+        F.col("line_item").alias("resolved_flag"),
+        F.col("l_extendedprice").alias("resolved_price"))
+
+
+@register(
+    "j2_guarded_alias_lookup",
+    oracle="""
+    WITH aliases(line_item, priority) AS (VALUES ('R', 0), ('A', 1), ('N', 2)),
+    ranked AS (
+      SELECT l.l_orderkey, l.l_extendedprice,
+             ROW_NUMBER() OVER (PARTITION BY l.l_orderkey
+                                ORDER BY a.priority, l.l_linenumber) AS rn
+      FROM lineitem l JOIN aliases a ON l.l_returnflag = a.line_item
+      WHERE l.l_quantity > 25
+    )
+    SELECT o.o_orderkey, COALESCE(r.l_extendedprice, 0.0) AS resolved_price
+    FROM orders o LEFT JOIN ranked r
+      ON r.l_orderkey = o.o_orderkey AND r.rn = 1
+    """,
+)
+def j2_guarded_alias(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OP-J2 — alias precedence with a validity guard applied per
+    candidate *before* precedence (fetch_data.py:211-216), empty → 0
+    (OP-E4)."""
+    from ..operators.joins import resolve_alias
+    l = _t(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 25).select(
+        "l_orderkey", "l_linenumber", "l_extendedprice",
+        F.col("l_returnflag").alias("line_item"))
+    aliases = spark.createDataFrame(
+        [("R", 0), ("A", 1), ("N", 2)], "line_item string, priority int")
+    aliases = aliases.withColumn("canonical", F.lit("flag"))
+    resolved = resolve_alias(
+        l, aliases, group_cols=["l_orderkey"], item_col="line_item",
+        value_col="l_extendedprice", order_col="l_linenumber")
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.join(resolved, o.o_orderkey == resolved.l_orderkey, "left")
+        .select(
+            "o_orderkey",
+            F.coalesce(F.col("l_extendedprice"), F.lit(0.0))
+             .alias("resolved_price"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# OP-J11 — gated cross join
+# ---------------------------------------------------------------------------
+
+@register(
+    "j11_cross_region_pairs",
+    oracle="""
+    SELECT a.r_name AS r1, b.r_name AS r2
+    FROM region a CROSS JOIN region b
+    WHERE a.r_regionkey < b.r_regionkey
+    """,
+)
+def j11_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross join gated to a fixed-size dim (SURVEY.md §7 hard-part 8:
+    crossJoin only on provably bounded inputs)."""
+    r = _t(spark, sf_dir, "region")
+    a = r.select(F.col("r_regionkey").alias("k1"), F.col("r_name").alias("r1"))
+    b = r.select(F.col("r_regionkey").alias("k2"), F.col("r_name").alias("r2"))
+    return (a.crossJoin(F.broadcast(b))
+            .filter(F.col("k1") < F.col("k2"))
+            .select("r1", "r2"))
+
+
+# ---------------------------------------------------------------------------
+# OP-A1 — TTM top-4-recent sum; OP-A2 latest row; OP-A3 last non-null
+# ---------------------------------------------------------------------------
+
+@register(
+    "a1_ttm_recent4_spend",
+    oracle="""
+    WITH ranked AS (
+      SELECT o_custkey, o_totalprice,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+      FROM orders
+    )
+    SELECT c.c_custkey,
+           ROUND(COALESCE(SUM(r.o_totalprice) FILTER (WHERE r.rn <= 4), 0.0), 2)
+             AS ttm_spend
+    FROM customer c LEFT JOIN ranked r ON r.o_custkey = c.c_custkey
+    GROUP BY c.c_custkey
+    """,
+)
+def a1_ttm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OP-A1 — the reference's TTM kernel (``iloc[:4].fillna(0).sum()``,
+    fetch_data.py:29-36) over orders: 4 most-recent orders per customer,
+    empty → 0 via outer join (hard-part 3)."""
+    from ..operators.aggregates import ttm_top_k_sum
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    ttm = ttm_top_k_sum(o, ["o_custkey"], "o_orderdate", "o_totalprice",
+                        k=4, tiebreak_col="o_orderkey", out_col="ttm_raw")
+    return (
+        c.join(ttm, ttm.o_custkey == c.c_custkey, "left")
+        .select("c_custkey",
+                F.round(F.coalesce(F.col("ttm_raw"), F.lit(0.0)), 2)
+                 .alias("ttm_spend"))
+    )
+
+
+@register(
+    "a2_latest_order_per_customer",
+    oracle="""
+    WITH ranked AS (
+      SELECT o_custkey, o_orderkey, o_totalprice, o_orderdate,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+      FROM orders
+    )
+    SELECT o_custkey, o_orderkey AS latest_orderkey,
+           o_totalprice AS latest_price, o_orderdate AS latest_date
+    FROM ranked WHERE rn = 1
+    """,
+)
+def a2_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OP-A2 — ``iloc[:, 0]`` latest-column selection (fetch_data.py:198)
+    as a deterministic row_number window."""
+    from ..operators.aggregates import latest_row
+    o = _t(spark, sf_dir, "orders")
+    return latest_row(o, ["o_custkey"], "o_orderdate", "o_orderkey").select(
+        "o_custkey",
+        F.col("o_orderkey").alias("latest_orderkey"),
+        F.col("o_totalprice").alias("latest_price"),
+        F.col("o_orderdate").alias("latest_date"))
+
+
+@register(
+    "a3_last_non_null_value",
+    oracle="""
+    WITH marked AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN event_type <> 'error' THEN value END AS v
+      FROM events
+    ),
+    filled AS (
+      SELECT user_id,
+             LAST_VALUE(v IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+             ) AS last_ok_value
+      FROM marked
+    )
+    SELECT DISTINCT user_id, last_ok_value FROM filled
+    """,
+)
+def a3_last_non_null(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OP-A3 — last non-null close (fetch_data.py:156-160): per user,
+    the value of the latest non-error event."""
+    from ..operators.aggregates import last_non_null
+    e = _t(spark, sf_dir, "events").withColumn(
+        "v", F.when(F.col("event_type") != "error", F.col("value")))
+    return last_non_null(e, ["user_id"], "ts", "v",
+                         tiebreak_col="event_id",
+                         out_col="last_ok_value")
+
+
+# ---------------------------------------------------------------------------
+# OP-A4…A8 — distinct union, tallies, grouped aggs, count distinct, rollup
+# ---------------------------------------------------------------------------
+
+@register(
+    "a4_distinct_union_nations",
+    oracle="""
+    SELECT DISTINCT nationkey FROM (
+      SELECT c_nationkey AS nationkey FROM customer
+      UNION ALL
+      SELECT s_nationkey AS nationkey FROM supplier
+    )
+    """,
+)
+def a4_distinct_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OP-A4 — the reference's ``set.update`` across lists
+    (fetch_data.py:282,296) = union-all + distinct."""
+    c = _t(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nationkey"))
+    s = _t(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nationkey"))
+    return c.unionByName(s).distinct()
+
+
+@register(
+    "a5_conditional_tally",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(*) AS total,
+           CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_open,
+           CAST(SUM(CASE WHEN o_totalprice > 100000 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_big
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def a5_tally(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OP-A5 — success/total tallies (fetch_data.py:305-306,315,321)."""
+    o = _t(spark, sf_dir, "orders")
+    return (o.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("total"),
+        F.sum(F.when(F.col("o_orderstatus") == "O", 1).otherwise(0))
+         .alias("n_open"),
+        F.sum(F.when(F.col("o_totalprice") > 100000, 1).otherwise(0))
+         .alias("n_big")))
+
+
+@register(
+    "a6_segment_stats",
+    oracle="""
+    SELECT c_mktsegment,
+           COUNT(*) AS n_customers,
+           ROUND(AVG(c_acctbal), 4) AS avg_bal,
+           ROUND(MIN(c_acctbal), 2) AS min_bal,
+           ROUND(MAX(c_acctbal), 2) AS max_bal,
+           ROUND(SUM(c_acctbal), 2) AS sum_bal
+    FROM customer GROUP BY c_mktsegment
+    """,
+)
+def a6_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OP-A6 — per-sector stats (the snapshot's ``sector_type`` group
+    column generalized): hash agg, partial+final map-side combine."""
+    c = _t(spark, sf_dir, "customer")
+    return (c.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.round(F.avg("c_acctbal"), 4).alias("avg_bal"),
+        F.round(F.min("c_acctbal"), 2).alias("min_bal"),
+        F.round(F.max("c_acctbal"), 2).alias("max_bal"),
+        F.round(F.sum("c_acctbal"), 2).alias("sum_bal")))
+
+
+@register(
+    "a7_count_distinct_users",
+    oracle="""
+    SELECT event_type,
+           COUNT(DISTINCT user_id) AS n_users,
+           COUNT(*) AS n_events
+    FROM events GROUP BY event_type
+    """,
+)
+def a7_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "events")
+    return (o.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.count(F.lit(1)).alias("n_events")))
+
+
+@register(
+    "a8_rollup_region_nation",
+    oracle="""
+    SELECT r.r_name AS region_name, n.n_name AS nation_name,
+           COUNT(*) AS n_customers,
+           CAST(GROUPING(r.r_name) AS INT) AS g_region,
+           CAST(GROUPING(n.n_name) AS INT) AS g_nation
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY ROLLUP (r.r_name, n.n_name)
+    """,
+)
+def a8_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OP-A8 — subtotal hierarchy (list→sector→ticker analogue)."""
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select(F.col("r_name").alias("region_name"),
+                F.col("n_name").alias("nation_name"))
+        .rollup("region_name", "nation_name")
+        .agg(F.count(F.lit(1)).alias("n_customers"),
+             F.grouping("region_name").cast("int").alias("g_region"),
+             F.grouping("nation_name").cast("int").alias("g_nation"))
+    )
+
+
+@register(
+    "a9_manifest_rebuild_exploded",
+    oracle="""
+    SELECT c_mktsegment AS list_name,
+           ROW_NUMBER() OVER (PARTITION BY c_mktsegment ORDER BY c_custkey)
+             AS position,
+           c_name AS member
+    FROM customer
+    """,
+)
+def a9_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OP-A9 — manifest map-of-arrays rebuild (fetch_data.py:318-319),
+    compared in exploded relational form (SURVEY.md §1.1.8): the nested
+    doc itself is built by ``sinks.write_manifest`` from exactly this
+    relation via collect_list + map_from_entries + to_json."""
+    c = _t(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy("c_custkey")
+    return c.select(
+        F.col("c_mktsegment").alias("list_name"),
+        F.row_number().over(w).alias("position"),
+        F.col("c_name").alias("member"))
+
+
+# ---------------------------------------------------------------------------
+# OP-O1…O5 — sorts / limits / top-k; set operations
+# ---------------------------------------------------------------------------
+
+@register(
+    "o1_global_topk_orders",
+    oracle="""
+    SELECT o_orderkey, o_totalprice
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 100
+    """,
+)
+def o1_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OP-O1 — global top-k compiles to TakeOrderedAndProject (no full
+    sort); unique-key tiebreak keeps the selected set deterministic."""
+    o = _t(spark, sf_dir, "orders")
+    return (o.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+            .select("o_orderkey", "o_totalprice").limit(100))
+
+
+@register(
+    "o2_pergroup_topk_orders",
+    oracle="""
+    WITH ranked AS (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+      FROM orders
+    )
+    SELECT o_custkey, o_orderkey, o_totalprice, rnk
+    FROM ranked WHERE rnk <= 3
+    """,
+)
+def o2_pergroup_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OP-O2 — per-group top-k (the TTM ``iloc[:4]`` idiom, F:35)."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey"))
+    return (o.withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= 3)
+            .select("o_custkey", "o_orderkey", "o_totalprice", "rnk"))
+
+
+@register(
+    "o3_union_high_low_orders",
+    oracle="""
+    SELECT o_orderkey, 'high' AS bucket FROM orders WHERE o_totalprice > 200000
+    UNION ALL
+    SELECT o_orderkey, 'urgent' AS bucket FROM orders
+    WHERE o_orderpriority = '1-URGENT'
+    """,
+)
+def o3_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OP-O3 — bag union (an order can appear in both buckets)."""
+    o = _t(spark, sf_dir, "orders")
+    hi = (o.filter(F.col("o_totalprice") > 200000)
+          .select("o_orderkey", F.lit("high").alias("bucket")))
+    ur = (o.filter(F.col("o_orderpriority") == "1-URGENT")
+          .select("o_orderkey", F.lit("urgent").alias("bucket")))
+    return hi.unionByName(ur)
+
+
+@register(
+    "o4_except_inactive_customers",
+    oracle="""
+    SELECT c_custkey FROM customer
+    EXCEPT
+    SELECT o_custkey AS c_custkey FROM orders WHERE o_orderstatus = 'O'
+    """,
+)
+def o4_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer").select("c_custkey")
+    o = (_t(spark, sf_dir, "orders")
+         .filter(F.col("o_orderstatus") == "O")
+         .select(F.col("o_custkey").alias("c_custkey")))
+    return c.exceptAll(o.distinct()).distinct()
+
+
+@register(
+    "o5_intersect_nations",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer
+    INTERSECT
+    SELECT s_nationkey AS nationkey FROM supplier
+    """,
+)
+def o5_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nationkey"))
+    s = _t(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nationkey"))
+    return c.intersect(s)

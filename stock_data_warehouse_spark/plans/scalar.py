@@ -1,0 +1,299 @@
+"""Scalar-layer queries — OP-P1…P18 exercised over the driver tables
+(SURVEY.md §2.2, §2.7). All native Column expressions inside
+whole-stage codegen; the reference's interpreted pandas kernels become
+JVM-side vectorized expressions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.tables import load_table
+from .registry import register
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+@register(
+    "p_string_pack",
+    oracle="""
+    SELECT p_partkey,
+           UPPER(TRIM(p_name)) AS name_u,
+           REPLACE(p_name, ' ', '-') AS name_norm,
+           p_brand || '=X' AS fx_pair,
+           SUBSTRING(p_type, 1, 4) AS type_prefix,
+           LENGTH(p_name) AS name_len,
+           LPAD(CAST(p_size AS VARCHAR), 4, '0') AS size_padded,
+           SPLIT_PART(p_name, ' ', 1) AS first_word
+    FROM part
+    WHERE p_name LIKE '%widget%'
+    """,
+)
+def p_string_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OP-P1/P2/P14 + §2.7 string surface: normalization (F:130),
+    canonicalize (F:294), template concat (F:43)."""
+    p = _t(spark, sf_dir, "part").filter(F.col("p_name").like("%widget%"))
+    return p.select(
+        "p_partkey",
+        F.upper(F.trim("p_name")).alias("name_u"),
+        F.translate("p_name", " ", "-").alias("name_norm"),
+        F.concat(F.col("p_brand"), F.lit("=X")).alias("fx_pair"),
+        F.substring("p_type", 1, 4).alias("type_prefix"),
+        F.length("p_name").alias("name_len"),
+        F.lpad(F.col("p_size").cast("string"), 4, "0").alias("size_padded"),
+        F.split("p_name", " ").getItem(0).alias("first_word"),
+    )
+
+
+@register(
+    "p3_p4_coalesce_validity",
+    oracle="""
+    SELECT event_id,
+           ROUND(COALESCE(
+             CASE WHEN value > 100 THEN value END,
+             CASE WHEN value > 50 THEN value * 2 END,
+             1.0), 2) AS effective_value
+    FROM events
+    """,
+)
+def p3_p4_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OP-P3/P4 — the price coalesce cascade with validity guards
+    (F:142-165): first valid candidate wins, literal default last."""
+    e = _t(spark, sf_dir, "events")
+    v = F.col("value")
+    return e.select(
+        "event_id",
+        F.round(F.coalesce(
+            F.when(v > 100, v),
+            F.when(v > 50, v * 2),
+            F.lit(1.0)), 2).alias("effective_value"),
+    )
+
+
+@register(
+    "p5_p6_guarded_ratio_cascade",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey, o_totalprice,
+             CASE WHEN o_totalprice IS NOT NULL AND o_custkey IS NOT NULL
+                       AND o_custkey > 0
+                  THEN o_totalprice / o_custkey ELSE 0.0 END AS implied
+      FROM orders
+    )
+    SELECT o_orderkey,
+           ROUND(CASE WHEN implied <> 0 THEN implied
+                      ELSE COALESCE(o_totalprice * 0.01, 3.0) END, 2)
+             AS derived_rate
+    FROM base
+    """,
+)
+def p5_p6_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OP-P5/P6 — guarded division (pe/peg, F:84-89) + fallback cascade
+    (F:91-96), shapes reused from functions.scalars."""
+    from ..functions.scalars import guarded_ratio, fallback_cascade
+    o = _t(spark, sf_dir, "orders")
+    implied = guarded_ratio(F.col("o_totalprice"), F.col("o_custkey"))
+    return o.select(
+        "o_orderkey",
+        F.round(fallback_cascade(implied, F.col("o_totalprice") * 0.01), 2)
+         .alias("derived_rate"),
+    )
+
+
+@register(
+    "p7_p9_p10_arith_pack",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           ABS(l_extendedprice - 30000) AS abs_dev,
+           ROUND(l_discount * 100, 2) AS discount_pct,
+           ROUND(l_extendedprice * (1 + l_tax), 2) AS gross
+    FROM lineitem
+    """,
+)
+def p7_p9_p10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OP-P7 (abs, F:182), OP-P9 (×100 scaling, F:94,241,243 — incl. the
+    dividend-yield double-scaling quirk replicated verbatim), OP-P10
+    (round 2, F:108)."""
+    l = _t(spark, sf_dir, "lineitem")
+    return l.select(
+        "l_orderkey", "l_linenumber",
+        F.abs(F.col("l_extendedprice") - 30000).alias("abs_dev"),
+        F.round(F.col("l_discount") * 100, 2).alias("discount_pct"),
+        F.round(F.col("l_extendedprice") * (1 + F.col("l_tax")), 2)
+         .alias("gross"),
+    )
+
+
+@register(
+    "p11_clamp_growth_style",
+    oracle="""
+    WITH cfg(segment, max_v, min_v, cyclical) AS (VALUES
+      ('BUILDING',   8000.0, 500.0, TRUE),
+      ('AUTOMOBILE', 6000.0, 0.0,   FALSE),
+      ('MACHINERY',  7000.0, 250.0, TRUE)),
+    joined AS (
+      SELECT c.c_custkey, c.c_acctbal,
+             COALESCE(g.max_v, 5000.0) AS max_v,
+             COALESCE(g.min_v, 100.0) AS min_v,
+             COALESCE(g.cyclical, FALSE) AS cyclical
+      FROM customer c LEFT JOIN cfg g ON c.c_mktsegment = g.segment
+    )
+    SELECT c_custkey,
+           ROUND(CASE WHEN c_acctbal < min_v THEN
+                        CASE WHEN cyclical THEN 300.0 ELSE min_v END
+                      WHEN c_acctbal > max_v THEN max_v
+                      ELSE c_acctbal END, 2) AS clamped_bal
+    FROM joined
+    """,
+)
+def p11_clamp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OP-P11 + OP-J4 — per-group config clamp with cyclical override
+    (F:98-106) and default-config fallback (F:82), as a broadcast config
+    join + when-chain."""
+    c = _t(spark, sf_dir, "customer")
+    cfg = spark.createDataFrame(
+        [("BUILDING", 8000.0, 500.0, True),
+         ("AUTOMOBILE", 6000.0, 0.0, False),
+         ("MACHINERY", 7000.0, 250.0, True)],
+        "segment string, max_v double, min_v double, cyclical boolean")
+    j = (c.join(F.broadcast(cfg), c.c_mktsegment == cfg.segment, "left")
+         .select(
+             "c_custkey", "c_acctbal",
+             F.coalesce("max_v", F.lit(5000.0)).alias("max_v"),
+             F.coalesce("min_v", F.lit(100.0)).alias("min_v"),
+             F.coalesce("cyclical", F.lit(False)).alias("cyclical")))
+    bal, mn, mx = F.col("c_acctbal"), F.col("min_v"), F.col("max_v")
+    clamped = (F.when(bal < mn, F.when(F.col("cyclical"), 300.0).otherwise(mn))
+               .when(bal > mx, mx)
+               .otherwise(bal))
+    return j.select("c_custkey", F.round(clamped, 2).alias("clamped_bal"))
+
+
+@register(
+    "p12_tiered_clamp_beta_style",
+    oracle="""
+    SELECT s_suppkey,
+           CASE
+             WHEN s_acctbal IS NULL THEN 1.0
+             WHEN s_acctbal < 500 THEN
+               CASE WHEN s_nationkey IN (1, 2, 3) THEN 1.2 ELSE 0.8 END
+             WHEN s_suppkey > 7 AND s_acctbal > 4000 THEN 4000.0
+             WHEN s_suppkey > 3 AND s_suppkey <= 7 AND s_acctbal > 4500
+               THEN 4500.0
+             WHEN s_acctbal > 4800 THEN 4800.0
+             ELSE ROUND(s_acctbal, 2)
+           END AS sane_bal
+    FROM supplier
+    """,
+)
+def p12_tiered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OP-P12 — the sanitize_beta tier ladder (F:110-124) shape: null
+    default, low-band override by category, tier caps, global cap."""
+    s = _t(spark, sf_dir, "supplier")
+    bal, key = F.col("s_acctbal"), F.col("s_suppkey")
+    sane = (
+        F.when(bal.isNull(), F.lit(1.0))
+        .when(bal < 500,
+              F.when(F.col("s_nationkey").isin(1, 2, 3), 1.2).otherwise(0.8))
+        .when((key > 7) & (bal > 4000), F.lit(4000.0))
+        .when((key > 3) & (key <= 7) & (bal > 4500), F.lit(4500.0))
+        .when(bal > 4800, F.lit(4800.0))
+        .otherwise(F.round(bal, 2))
+    )
+    return s.select("s_suppkey", sane.alias("sane_bal"))
+
+
+@register(
+    "p13_rule_classifier",
+    oracle="""
+    SELECT p_partkey,
+           CASE
+             WHEN p_type LIKE '%ECONOMY%' OR p_name LIKE '%cheap%'
+               THEN 'Value'
+             WHEN p_type LIKE '%PREMIUM%' THEN 'Premium'
+             WHEN p_name LIKE '%widget%' AND p_size > 30 THEN 'BigWidget'
+             WHEN p_brand LIKE '%Brand#1%' THEN 'House'
+             ELSE 'General'
+           END AS category
+    FROM part
+    """,
+)
+def p13_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OP-P13 — ordered substring classifier with precedence + 'General'
+    default (determine_sector, F:53-66): first match wins."""
+    p = _t(spark, sf_dir, "part")
+    cat = (
+        F.when(F.col("p_type").contains("ECONOMY")
+               | F.col("p_name").contains("cheap"), "Value")
+        .when(F.col("p_type").contains("PREMIUM"), "Premium")
+        .when(F.col("p_name").contains("widget") & (F.col("p_size") > 30),
+              "BigWidget")
+        .when(F.col("p_brand").contains("Brand#1"), "House")
+        .otherwise("General")
+    )
+    return p.select("p_partkey", cat.alias("category"))
+
+
+@register(
+    "p17_json_extraction",
+    oracle="""
+    SELECT event_type,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                AS BIGINT) AS sum_k,
+           COUNT(*) AS n
+    FROM events
+    WHERE json_extract_string(props, '$.k') IS NOT NULL
+    GROUP BY event_type
+    """,
+)
+def p17_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OP-P17 — JSON-in-string field extraction (events.props), the
+    semi-structured ``info.get`` pattern (F:137) made relational."""
+    e = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return (e.withColumn("k", k)
+            .filter(F.col("k").isNotNull())
+            .groupBy("event_type")
+            .agg(F.sum("k").alias("sum_k"), F.count(F.lit(1)).alias("n")))
+
+
+@register(
+    "p18_date_math_pack",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(YEAR(o_orderdate) AS INT) AS order_year,
+           CAST(MONTH(o_orderdate) AS INT) AS order_month,
+           CAST(DATE_DIFF('day', CAST(o_orderdate AS DATE), DATE '1998-12-31')
+                AS INT) AS days_to_eoy,
+           CAST(o_orderdate AS DATE) AS order_date,
+           CAST(FLOOR(o_totalprice / 1000) AS BIGINT) AS price_k,
+           CAST(CEIL(o_totalprice / 1000) AS BIGINT) AS price_k_up,
+           ROUND(SQRT(o_totalprice), 6) AS price_sqrt,
+           ROUND(LN(o_totalprice + 1), 6) AS price_ln,
+           ROUND(POW(o_totalprice, 0.5) + GREATEST(o_totalprice, 100000.0)
+                 - LEAST(o_totalprice, 100000.0), 6) AS mixed
+    FROM orders
+    """,
+)
+def p18_date_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OP-P18 — date/math scalar pack (§2.7 surface; anchors F:105,108,
+    272). Everything stays in whole-stage codegen."""
+    o = _t(spark, sf_dir, "orders")
+    price = F.col("o_totalprice")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("order_year"),
+        F.month("o_orderdate").alias("order_month"),
+        F.datediff(F.lit("1998-12-31").cast("date"),
+                   F.col("o_orderdate").cast("date")).alias("days_to_eoy"),
+        F.col("o_orderdate").cast("date").alias("order_date"),
+        F.floor(price / 1000).alias("price_k"),
+        F.ceil(price / 1000).alias("price_k_up"),
+        F.round(F.sqrt(price), 6).alias("price_sqrt"),
+        F.round(F.log(price + 1), 6).alias("price_ln"),
+        F.round(F.pow(price, 0.5) + F.greatest(price, F.lit(100000.0))
+                - F.least(price, F.lit(100000.0)), 6).alias("mixed"),
+    )

@@ -1,0 +1,62 @@
+"""SparkSession factory tuned for the engine.
+
+The defaults encode the 100 TB posture from SURVEY.md §6/§7:
+
+- **AQE on** — runtime coalescing of shuffle partitions, skew-join
+  splitting, and dynamic broadcast conversion replace hand-tuned
+  partition counts when the data distribution surprises us.
+- **UTC session timezone** — the reference stamps records with
+  ``gmtime`` (fetch_data.py:272); every timestamp comparison against
+  the DuckDB oracle assumes UTC.
+- **Arrow enabled** — any pandas_udf / applyInPandas path moves data in
+  Arrow batches, never pickled rows.
+- ``spark.sql.shuffle.partitions`` defaults to a small-local value but
+  is explicitly a knob: on a real cluster it should be ~2-3× total
+  cores, and AQE coalesces the excess.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+_DEFAULTS: dict[str, str] = {
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # Files: keep scan partitions big enough to amortize task overhead
+    # locally; at cluster scale 128m (default) is right for 100 TB.
+    "spark.sql.files.maxPartitionBytes": "134217728",
+    # Broadcast threshold: dims (region/nation/supplier/fx/sector_config)
+    # are tiny; 64 MB leaves headroom without risking driver OOM.
+    "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+    "spark.sql.shuffle.partitions": "32",
+    # Parquet pushdown is on by default; pin it so a config drift can't
+    # silently disable the scan-level filtering the plans rely on.
+    "spark.sql.parquet.filterPushdown": "true",
+    "spark.ui.enabled": "false",
+    "spark.driver.memory": "8g",
+}
+
+
+def get_spark(app_name: str = "stock-data-warehouse-spark",
+              master: str | None = None,
+              extra_conf: dict[str, str] | None = None) -> SparkSession:
+    """Create (or fetch) the engine's SparkSession.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` (env, else ``*``)
+    so tests, bench, and the driver all share one entry point.
+    """
+    if master is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+        master = f"local[{cpus}]"
+    builder = SparkSession.builder.appName(app_name).master(master)
+    conf = dict(_DEFAULTS)
+    if extra_conf:
+        conf.update(extra_conf)
+    for k, v in conf.items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()

@@ -1,0 +1,41 @@
+"""Parquet scans over the driver's tables (OP-S3, SURVEY.md §2.1).
+
+The warehouse-native storage is Parquet (columnar at rest, SURVEY.md
+§1.3). Scans are plain ``spark.read.parquet`` so Catalyst gets schema
+pruning + predicate pushdown for free — callers express filters and
+projections declaratively and the parquet reader sees them as
+``PushedFilters`` / ``ReadSchema``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+# The driver's star schema + stream + LLM-pipeline tables (TESTDATA.md).
+TABLES = (
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+)
+
+# Dimension tables small enough to broadcast at any scale factor: the
+# TPC-H dims region/nation are fixed-size; supplier/part grow with SF
+# but stay far below fact-table scale. At 100 TB only region/nation are
+# guaranteed broadcast-safe; the rest rely on AQE's size estimate.
+BROADCAST_SAFE = frozenset({"region", "nation"})
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Scan one table. Projection/filter pruning happens downstream."""
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def load_tables(spark: SparkSession, sf_dir: str,
+                names: tuple[str, ...] = TABLES) -> dict[str, DataFrame]:
+    return {n: load_table(spark, sf_dir, n) for n in names}
+
+
+def register_views(spark: SparkSession, sf_dir: str,
+                   names: tuple[str, ...] = TABLES) -> None:
+    """Register the tables as temp views so ``spark.sql`` works too."""
+    for n in names:
+        load_table(spark, sf_dir, n).createOrReplaceTempView(n)
