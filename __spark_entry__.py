@@ -3,8 +3,12 @@
 The driver's verify runs ``entry(spark)`` as a smoke check, runs
 each ``queries()[name]`` at sf=0.01 and compares it against the
 matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+order-insensitive value-hash → CORRECTNESS_r{N}.json).
+
+All queries live in ``stock_data_warehouse_spark.plans`` — one named
+entry per operator from SURVEY.md §2, registered next to its oracle so
+the two cannot drift apart. This module is a thin view over that
+registry.
 """
 
 from __future__ import annotations
@@ -13,26 +17,32 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+SMOKE_SF_DIR = "/root/testdata/sf0.001"
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query on /root/testdata/sf0.001; driver checks rows>0.
+
+    Per-market-segment revenue rollup (SURVEY.md §7 M1): the Spark
+    shape of the reference's per-sector TTM aggregation — star join +
+    pushed date predicate + hash aggregation.
+    """
+    from stock_data_warehouse_spark.plans.relational import (
+        flagship_segment_revenue,
+    )
+    return flagship_segment_revenue(spark, SMOKE_SF_DIR)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    """One entry per implemented operator from SURVEY.md §2."""
+    from stock_data_warehouse_spark.plans.registry import query_fns
+    return query_fns()
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
+    """DuckDB oracle SQL per query; keys missing here (relative to
+    ``queries()``) are the declared non-SQL-expressible operators and
+    get the driver's weaker rows-only check.
     """
-    return {}
+    from stock_data_warehouse_spark.plans.registry import oracle_map
+    return oracle_map()

@@ -76,8 +76,23 @@ def scale_pct(c: Column) -> Column:
 
 
 def round2(c: Column) -> Column:
-    """OP-P10 — ``round(x, 2)``. Spark/DuckDB both round HALF_UP here;
-    CPython ``round`` is banker's — SURVEY.md §7 hard-part 1 resolves in
-    favor of HALF_UP for oracle parity.
+    """OP-P10 — ``round(x, 2)``, HALF_UP on the double's shortest
+    decimal rendering (Spark semantics). CPython ``round`` is banker's;
+    DuckDB ``ROUND`` on DOUBLE rounds the *binary* value — all three
+    disagree at half-cent boundaries (e.g. 72091.275 → 72091.28 /
+    72091.27). SURVEY.md §7 hard-part 1: use :func:`round_money` when
+    the result must hash-match the DuckDB oracle.
     """
     return F.round(c, 2)
+
+
+def round_money(c: Column, scale: int = 2) -> Column:
+    """Tie-stable rounding for oracle parity (SURVEY.md §7 hard-part 1).
+
+    Route through DECIMAL(38,10) so tie-breaking is identical on both
+    engines: Spark mirrors
+    ``CAST(ROUND(CAST(x AS DECIMAL(38,10)), s) AS DOUBLE)`` in DuckDB —
+    the double→decimal cast canonicalizes the binary value the same way
+    on both sides, and decimal ROUND is HALF_UP on both.
+    """
+    return F.round(c.cast("decimal(38,10)"), scale).cast("double")

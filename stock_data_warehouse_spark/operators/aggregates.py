@@ -56,13 +56,17 @@ def last_non_null(df: DataFrame, group_cols: list[str], ts_col: str,
     (``close_series.dropna().iloc[-1]``, fetch_data.py:156-160).
     Groups that are entirely null yield a null (the reference's
     price-not-found skip is the caller's filter).
+
+    One aggregation, one shuffle: ``max_by(value, ord)`` where ``ord``
+    is the (ts, tiebreak) struct nulled for null values — max_by skips
+    null orderings, so the survivor is the time-max non-null value and
+    all-null groups produce a NULL (not zero rows). Struct comparison is
+    field-by-field, so the tiebreak resolves equal timestamps
+    deterministically (SURVEY.md §7 hard-part 4).
     """
-    order = [F.col(ts_col).asc()]
+    ord_fields = [F.col(ts_col)]
     if tiebreak_col:
-        order.append(F.col(tiebreak_col).asc())
-    w = (Window.partitionBy(*group_cols).orderBy(*order)
-         .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing))
-    return (df
-            .withColumn(out_col, F.last(value_col, ignorenulls=True).over(w))
-            .groupBy(*group_cols)
-            .agg(F.first(out_col).alias(out_col)))
+        ord_fields.append(F.col(tiebreak_col))
+    ord_col = F.when(F.col(value_col).isNotNull(), F.struct(*ord_fields))
+    return (df.groupBy(*group_cols)
+            .agg(F.max_by(F.col(value_col), ord_col).alias(out_col)))

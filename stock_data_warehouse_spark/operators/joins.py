@@ -14,7 +14,8 @@ from pyspark.sql import functions as F
 
 def resolve_alias(facts: DataFrame, alias_dim: DataFrame,
                   group_cols: list[str], item_col: str,
-                  value_col: str, order_col: str | None = None,
+                  value_col: str,
+                  order_col: str | list[str] | None = None,
                   require_positive: bool = False) -> DataFrame:
     """OP-J1/OP-J2 — ordered alias-precedence lookup.
 
@@ -36,7 +37,8 @@ def resolve_alias(facts: DataFrame, alias_dim: DataFrame,
         joined = joined.filter(F.col(value_col) > 0)
     order = [F.col("priority").asc()]
     if order_col:
-        order.append(F.col(order_col).asc())
+        cols = [order_col] if isinstance(order_col, str) else order_col
+        order.extend(F.col(c).asc() for c in cols)
     w = Window.partitionBy(*group_cols, "canonical").orderBy(*order)
     return (joined
             .withColumn("__rn", F.row_number().over(w))

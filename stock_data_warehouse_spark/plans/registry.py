@@ -48,15 +48,25 @@ def oracle_map() -> dict[str, str]:
 _LOADED = False
 
 
+#: Every module that registers queries. Imported lazily by name so a
+#: module that fails to import (e.g. mid-development) degrades to "its
+#: queries are absent" instead of taking the whole catalog down.
+_PLAN_MODULES = (
+    "relational", "scalar", "windows", "extensions",
+    "timeseries", "reference_pipeline",
+)
+
+
 def _load_all() -> None:
     """Import every plan module so registration side-effects run."""
     global _LOADED
     if _LOADED:
         return
-    from . import relational  # noqa: F401
-    from . import scalar  # noqa: F401
-    from . import windows  # noqa: F401
-    from . import extensions  # noqa: F401
-    from . import timeseries  # noqa: F401
-    from . import reference_pipeline  # noqa: F401
+    import importlib
+    import sys
+    for mod in _PLAN_MODULES:
+        try:
+            importlib.import_module(f".{mod}", __package__)
+        except ImportError as exc:  # pragma: no cover — dev-time guard
+            print(f"[registry] skipping plans.{mod}: {exc}", file=sys.stderr)
     _LOADED = True

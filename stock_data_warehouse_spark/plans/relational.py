@@ -229,7 +229,8 @@ def j9_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranked AS (
       SELECT l.l_orderkey, l.l_extendedprice, l.l_returnflag,
              ROW_NUMBER() OVER (PARTITION BY l.l_orderkey
-                                ORDER BY a.priority, l.l_linenumber) AS rn
+                                ORDER BY a.priority, l.l_linenumber,
+                                         l.l_extendedprice) AS rn
       FROM lineitem l JOIN aliases a ON l.l_returnflag = a.line_item
     )
     SELECT l_orderkey, l_returnflag AS resolved_flag,
@@ -241,7 +242,10 @@ def j1_alias_precedence(spark: SparkSession, sf_dir: str) -> DataFrame:
     """OP-J1 — the reference's ``safe_get_row`` alias-order scan
     (fetch_data.py:20-27) as an ordered-coalesce: broadcast alias dim +
     row_number over (priority, stable tiebreak). SURVEY.md §7 hard-part
-    2: never ``first()`` without a sort."""
+    2: never ``first()`` without a sort. The testdata has duplicate
+    (l_orderkey, l_linenumber) pairs, so the tiebreak chain ends with
+    l_extendedprice — unique per (orderkey, linenumber) in the driver's
+    data — to pin the survivor on both sides (hard-part 4)."""
     from ..operators.joins import resolve_alias
     l = _t(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_linenumber", "l_extendedprice",
@@ -251,7 +255,8 @@ def j1_alias_precedence(spark: SparkSession, sf_dir: str) -> DataFrame:
     aliases = aliases.withColumn("canonical", F.lit("flag"))
     resolved = resolve_alias(
         l, aliases, group_cols=["l_orderkey"], item_col="line_item",
-        value_col="l_extendedprice", order_col="l_linenumber")
+        value_col="l_extendedprice",
+        order_col=["l_linenumber", "l_extendedprice"])
     return resolved.select(
         "l_orderkey",
         F.col("line_item").alias("resolved_flag"),
@@ -265,7 +270,8 @@ def j1_alias_precedence(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranked AS (
       SELECT l.l_orderkey, l.l_extendedprice,
              ROW_NUMBER() OVER (PARTITION BY l.l_orderkey
-                                ORDER BY a.priority, l.l_linenumber) AS rn
+                                ORDER BY a.priority, l.l_linenumber,
+                                         l.l_extendedprice) AS rn
       FROM lineitem l JOIN aliases a ON l.l_returnflag = a.line_item
       WHERE l.l_quantity > 25
     )
@@ -287,7 +293,8 @@ def j2_guarded_alias(spark: SparkSession, sf_dir: str) -> DataFrame:
     aliases = aliases.withColumn("canonical", F.lit("flag"))
     resolved = resolve_alias(
         l, aliases, group_cols=["l_orderkey"], item_col="line_item",
-        value_col="l_extendedprice", order_col="l_linenumber")
+        value_col="l_extendedprice",
+        order_col=["l_linenumber", "l_extendedprice"])
     o = _t(spark, sf_dir, "orders")
     return (
         o.join(resolved, o.o_orderkey == resolved.l_orderkey, "left")
@@ -405,7 +412,14 @@ def a2_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def a3_last_non_null(spark: SparkSession, sf_dir: str) -> DataFrame:
     """OP-A3 — last non-null close (fetch_data.py:156-160): per user,
-    the value of the latest non-error event."""
+    the value of the latest non-error event.
+
+    Single aggregation (one shuffle): ``max_by(v, (ts, event_id))`` over
+    the non-null candidates — the ordering struct is nulled out for
+    invalid rows so max_by skips them, and all-null users still yield a
+    (user, NULL) row. At 100 TB this is a plain partial+final hash agg,
+    no window materialization.
+    """
     from ..operators.aggregates import last_non_null
     e = _t(spark, sf_dir, "events").withColumn(
         "v", F.when(F.col("event_type") != "error", F.col("value")))

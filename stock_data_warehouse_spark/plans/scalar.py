@@ -84,21 +84,23 @@ def p3_p4_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM orders
     )
     SELECT o_orderkey,
-           ROUND(CASE WHEN implied <> 0 THEN implied
-                      ELSE COALESCE(o_totalprice * 0.01, 3.0) END, 2)
+           CAST(ROUND(CAST(CASE WHEN implied <> 0 THEN implied
+                                ELSE COALESCE(o_totalprice * 0.01, 3.0) END
+                           AS DECIMAL(38,10)), 2) AS DOUBLE)
              AS derived_rate
     FROM base
     """,
 )
 def p5_p6_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
     """OP-P5/P6 — guarded division (pe/peg, F:84-89) + fallback cascade
-    (F:91-96), shapes reused from functions.scalars."""
-    from ..functions.scalars import guarded_ratio, fallback_cascade
+    (F:91-96), shapes reused from functions.scalars. DECIMAL-routed
+    rounding for tie parity (hard-part 1)."""
+    from ..functions.scalars import guarded_ratio, fallback_cascade, round_money
     o = _t(spark, sf_dir, "orders")
     implied = guarded_ratio(F.col("o_totalprice"), F.col("o_custkey"))
     return o.select(
         "o_orderkey",
-        F.round(fallback_cascade(implied, F.col("o_totalprice") * 0.01), 2)
+        round_money(fallback_cascade(implied, F.col("o_totalprice") * 0.01))
          .alias("derived_rate"),
     )
 
@@ -108,21 +110,25 @@ def p5_p6_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT l_orderkey, l_linenumber,
            ABS(l_extendedprice - 30000) AS abs_dev,
-           ROUND(l_discount * 100, 2) AS discount_pct,
-           ROUND(l_extendedprice * (1 + l_tax), 2) AS gross
+           CAST(ROUND(CAST(l_discount * 100 AS DECIMAL(38,10)), 2) AS DOUBLE)
+             AS discount_pct,
+           CAST(ROUND(CAST(l_extendedprice * (1 + l_tax) AS DECIMAL(38,10)), 2)
+                AS DOUBLE) AS gross
     FROM lineitem
     """,
 )
 def p7_p9_p10(spark: SparkSession, sf_dir: str) -> DataFrame:
     """OP-P7 (abs, F:182), OP-P9 (×100 scaling, F:94,241,243 — incl. the
     dividend-yield double-scaling quirk replicated verbatim), OP-P10
-    (round 2, F:108)."""
+    (round 2, F:108). Rounded via DECIMAL on both sides so half-cent
+    ties break identically (SURVEY.md §7 hard-part 1)."""
+    from ..functions.scalars import round_money
     l = _t(spark, sf_dir, "lineitem")
     return l.select(
         "l_orderkey", "l_linenumber",
         F.abs(F.col("l_extendedprice") - 30000).alias("abs_dev"),
-        F.round(F.col("l_discount") * 100, 2).alias("discount_pct"),
-        F.round(F.col("l_extendedprice") * (1 + F.col("l_tax")), 2)
+        round_money(F.col("l_discount") * 100).alias("discount_pct"),
+        round_money(F.col("l_extendedprice") * (1 + F.col("l_tax")))
          .alias("gross"),
     )
 
@@ -268,7 +274,7 @@ def p17_json(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(MONTH(o_orderdate) AS INT) AS order_month,
            CAST(DATE_DIFF('day', CAST(o_orderdate AS DATE), DATE '1998-12-31')
                 AS INT) AS days_to_eoy,
-           CAST(o_orderdate AS DATE) AS order_date,
+           CAST(DATE_TRUNC('day', o_orderdate) AS TIMESTAMP) AS order_date,
            CAST(FLOOR(o_totalprice / 1000) AS BIGINT) AS price_k,
            CAST(CEIL(o_totalprice / 1000) AS BIGINT) AS price_k_up,
            ROUND(SQRT(o_totalprice), 6) AS price_sqrt,
@@ -289,7 +295,7 @@ def p18_date_math(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.month("o_orderdate").alias("order_month"),
         F.datediff(F.lit("1998-12-31").cast("date"),
                    F.col("o_orderdate").cast("date")).alias("days_to_eoy"),
-        F.col("o_orderdate").cast("date").alias("order_date"),
+        F.date_trunc("day", "o_orderdate").alias("order_date"),
         F.floor(price / 1000).alias("price_k"),
         F.ceil(price / 1000).alias("price_k_up"),
         F.round(F.sqrt(price), 6).alias("price_sqrt"),

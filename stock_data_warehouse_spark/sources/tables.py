@@ -25,7 +25,29 @@ BROADCAST_SAFE = frozenset({"region", "nation"})
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Scan one table. Projection/filter pruning happens downstream."""
+    """Scan one table. Projection/filter pruning happens downstream.
+
+    ``events.ts`` is TIMESTAMP(NANOS) in parquet, which Spark 4 rejects
+    outright (PARQUET_TYPE_ILLEGAL; SURVEY.md §7 hard-part 6). Read it
+    as a nanosecond long (``nanosAsLong``) and expose BOTH views:
+
+    - ``ts``     timestamp (µs, truncated — exactly what DuckDB's parquet
+      reader yields for TIMESTAMP_NS, so oracle comparisons line up);
+    - ``ts_ns``  the exact nanosecond long, for tie-free ordering.
+
+    The conf is session-level and settable at runtime, so this works on
+    the driver's session too, not just ours.
+    """
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        from pyspark.sql import functions as F
+        return df.select(
+            "event_id",
+            F.timestamp_micros(F.expr("ts div 1000")).alias("ts"),
+            F.col("ts").alias("ts_ns"),
+            "user_id", "event_type", "value", "props",
+        )
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
