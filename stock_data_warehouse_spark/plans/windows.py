@@ -1,0 +1,132 @@
+"""Window-function queries — OP-W2/W3/W4 (SURVEY.md §2.5).
+
+The reference's implicit-order idioms (``iloc[:4]`` top-4 at
+fetch_data.py:35, ``iloc[:,0]`` latest at :198, last-close at :156-160)
+become explicit windows here. OP-W1 (row_number per key) is already
+exercised inside a1/a2/o2; this module adds the declared ranking,
+analytic, and frame-spec packs.
+
+Scale posture: every window partitions on a high-cardinality key
+(c_mktsegment is the one low-cardinality partition — bounded at 5
+groups, each streamed by a single task's sort, no driver collect).
+Deterministic ordering everywhere: every ORDER BY chain ends in a
+unique key (SURVEY.md §7 hard-part 4).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources.tables import load_table
+from .registry import register
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# ---------------------------------------------------------------------------
+# OP-W2 — ranking pack: rank / dense_rank / ntile
+# ---------------------------------------------------------------------------
+
+@register(
+    "w2_ranking_pack",
+    oracle="""
+    SELECT c_custkey, c_mktsegment,
+           RANK()       OVER w AS acct_rank,
+           DENSE_RANK() OVER w AS acct_dense_rank,
+           NTILE(4)     OVER w AS acct_quartile
+    FROM customer
+    WINDOW w AS (PARTITION BY c_mktsegment
+                 ORDER BY c_acctbal DESC, c_custkey)
+    """,
+)
+def w2_ranking_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OP-W2 — rank/dense_rank/ntile of customers by account balance
+    within market segment (the ordering semantics of fetch_data.py:35
+    generalized). The ordering ends in the unique c_custkey so ranks are
+    reproducible across engines and shuffles."""
+    c = _t(spark, sf_dir, "customer")
+    w = (Window.partitionBy("c_mktsegment")
+         .orderBy(F.col("c_acctbal").desc(), F.col("c_custkey")))
+    return c.select(
+        "c_custkey", "c_mktsegment",
+        F.rank().over(w).alias("acct_rank"),
+        F.dense_rank().over(w).alias("acct_dense_rank"),
+        F.ntile(4).over(w).alias("acct_quartile"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# OP-W3 — analytic pack: lag / lead / first_value
+# ---------------------------------------------------------------------------
+
+@register(
+    "w3_analytic_pack",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           LAG(o_totalprice)  OVER w AS prev_price,
+           LEAD(o_totalprice) OVER w AS next_price,
+           ROUND(o_totalprice - COALESCE(LAG(o_totalprice) OVER w, o_totalprice),
+                 2) AS qoq_delta,
+           FIRST_VALUE(o_totalprice) OVER w AS first_price
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+)
+def w3_analytic_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OP-W3 — lag/lead QoQ-style deltas per customer order history
+    (the reference's period-over-period shape; last-close anchor at
+    fetch_data.py:156-160). Partitioned on o_custkey — high cardinality,
+    so the sort is distributed and survives 100× scale."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    prev = F.lag("o_totalprice").over(w)
+    return o.select(
+        "o_orderkey", "o_custkey",
+        prev.alias("prev_price"),
+        F.lead("o_totalprice").over(w).alias("next_price"),
+        F.round(F.col("o_totalprice")
+                - F.coalesce(prev, F.col("o_totalprice")), 2)
+         .alias("qoq_delta"),
+        F.first("o_totalprice").over(w).alias("first_price"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# OP-W4 — frame-spec aggregates: rolling 4-row window (TTM sliding form)
+# ---------------------------------------------------------------------------
+
+@register(
+    "w4_rolling_frame_ttm",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           ROUND(SUM(o_totalprice) OVER w4, 2)  AS ttm_spend,
+           ROUND(AVG(o_totalprice) OVER w4, 4)  AS ttm_avg,
+           COUNT(*) OVER w4                     AS ttm_n,
+           ROUND(SUM(o_totalprice) OVER wcum, 2) AS cum_spend
+    FROM orders
+    WINDOW
+      w4   AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN 3 PRECEDING AND CURRENT ROW),
+      wcum AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+)
+def w4_rolling_frame_ttm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OP-W4 — the reference's TTM top-4 sum (fetch_data.py:29-36) as a
+    *sliding* 4-row frame plus a running cumulative sum — frame-spec
+    windows (``rowsBetween``), the form OP-A1 takes when every period's
+    trailing aggregate is needed, not just the latest."""
+    o = _t(spark, sf_dir, "orders")
+    base = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    w4 = base.rowsBetween(-3, Window.currentRow)
+    wcum = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return o.select(
+        "o_orderkey", "o_custkey",
+        F.round(F.sum("o_totalprice").over(w4), 2).alias("ttm_spend"),
+        F.round(F.avg("o_totalprice").over(w4), 4).alias("ttm_avg"),
+        F.count(F.lit(1)).over(w4).alias("ttm_n"),
+        F.round(F.sum("o_totalprice").over(wcum), 2).alias("cum_spend"),
+    )
