@@ -1,0 +1,83 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR.
+
+Runs a representative subset of the registered queries (the
+shuffle-heavy joins/windows/aggregations plus the extension operators)
+on ``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line:
+
+    {"metric": "headline_queries_total", "value": N, "unit": "sec",
+     "queries": {"q1": sec, ...}, "sf": 0.1}
+
+Execution is measured with the ``noop`` write format so we time the
+full distributed plan (scan → shuffle → agg) without driver-side
+materialization skewing the number.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# Headline set: one per operator family, weighted toward the plans that
+# shuffle (joins, windows, aggs) — the ones whose scale behavior matters.
+HEADLINE = (
+    "flagship_segment_revenue",   # star join + hash agg
+    "j1_alias_precedence_lookup", # join + window dedup (alias precedence)
+    "j7_star_region_revenue",     # 5-way star with broadcast dims
+    "a1_ttm_recent4_spend",       # per-key top-4 window + sum
+    "a8_rollup_region_nation",    # rollup hierarchy
+    "w4_rolling_frame_ttm",       # frame-spec sliding window
+    "p7_p9_p10_arith_pack",       # wide scalar layer over lineitem
+    "o2_pergroup_topk_orders",    # per-group top-k
+    "x1_exact_dedup",             # content-hash dedup (documents)
+    "x3_cosine_topk_bruteforce",  # embedding similarity top-k
+    "x4_token_counts",            # explode + groupBy token counts
+    "t4_tumbling_hourly",         # event-time tumbling window agg
+)
+
+
+def _sf_from_dir(d: str) -> float:
+    base = os.path.basename(d.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return -1.0
+
+
+def main() -> int:
+    from stock_data_warehouse_spark.session import get_spark
+    import __spark_entry__ as entry_mod
+
+    spark = get_spark("bench")
+    qs = entry_mod.queries()
+    names = [n for n in HEADLINE if n in qs]
+
+    timings: dict[str, float] = {}
+    total = 0.0
+    for name in names:
+        df = qs[name](spark, SF_DIR)
+        t0 = time.time()
+        df.write.format("noop").mode("overwrite").save()
+        dt = round(time.time() - t0, 3)
+        timings[name] = dt
+        total += dt
+        print(f"# {name}: {dt:.3f}s", file=sys.stderr)
+
+    print(json.dumps({
+        "metric": "headline_queries_total",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": _sf_from_dir(SF_DIR),
+    }))
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

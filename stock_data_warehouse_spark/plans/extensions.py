@@ -1,0 +1,598 @@
+"""LLM-data-pipeline extension operators — OP-X1…X6 (SURVEY.md §2.8).
+
+The north-star operator family over ``documents`` (free text) and
+``embeddings`` (array<float>[64]): dedup, near-dup, similarity search,
+text analysis, multimodal plumbing, classification at scale.
+
+Scale posture (100 TB):
+
+- Exact dedup (X1) groups on a 256-bit content hash, not the raw text —
+  the shuffle moves 32-byte keys instead of documents.
+- Near-dup (X2) uses a shingle inverted-index join (explode → join on
+  shingle → count per pair), never an all-pairs cross join: cost is
+  Σ df(shingle)², which stays sparse because 3-gram shingles are
+  high-cardinality. A MinHashLSH variant covers the case where even the
+  inverted index is too hot (banding keeps candidate pairs sub-quadratic).
+- Similarity search (X3) ships a brute-force top-k as the correctness
+  baseline and a random-hyperplane LSH bucketed variant as the scale
+  path (candidates only join within a bucket).
+- Everything stays in native Column expressions / higher-order functions
+  (JVM, whole-stage codegen) except the one deliberately-pandas_udf
+  scorer (X6), which demonstrates the Arrow batch path.
+
+FP parity with the DuckDB oracle: every dot product folds left-to-right
+over ``double`` (both engines do a sequential IEEE-754 fold → bit-exact),
+and displayed floats are rounded identically on both sides.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..sources.tables import load_table
+from .registry import register
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# ---------------------------------------------------------------------------
+# Shared tokenization (must stay in lockstep with the oracle SQL + the
+# pandas_udf in X6: lowercase, split on non-alphanumeric, drop empties).
+# ---------------------------------------------------------------------------
+
+def tokens_col(text: str | F.Column = "text") -> F.Column:
+    c = F.col(text) if isinstance(text, str) else text
+    return F.filter(F.split(F.lower(c), "[^a-z0-9]+"), lambda x: x != "")
+
+
+#: DuckDB expression mirroring ``tokens_col`` exactly.
+SQL_TOKENS = ("list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), "
+              "x -> x <> '')")
+
+
+def shingles_col(toks: F.Column, n: int = 3) -> F.Column:
+    """Distinct n-gram shingles of a token array (space-joined)."""
+    idx = F.sequence(F.lit(0), F.size(toks) - n)
+    gram = F.transform(
+        idx, lambda i: F.concat_ws(
+            " ", *[F.element_at(toks, i + j + 1) for j in range(n)]))
+    return F.when(F.size(toks) >= n, F.array_distinct(gram)) \
+            .otherwise(F.array().cast("array<string>"))
+
+
+#: DuckDB 3-gram shingle list over a token list named ``t``.
+SQL_SHINGLES = ("CASE WHEN len(t) >= 3 THEN list_distinct("
+                "[t[i] || ' ' || t[i+1] || ' ' || t[i+2] "
+                "FOR i IN range(1, len(t) - 1)]) "
+                "ELSE [] END")
+
+
+# ---------------------------------------------------------------------------
+# OP-X1 — exact dedup: content hash, deterministic survivor
+# ---------------------------------------------------------------------------
+
+@register(
+    "x1_exact_dedup",
+    oracle="""
+    SELECT doc_id, lang, source, n_chars, dup_count
+    FROM (
+      SELECT doc_id, lang, source, n_chars,
+             ROW_NUMBER() OVER (PARTITION BY text ORDER BY doc_id)
+               AS rn,
+             COUNT(*) OVER (PARTITION BY text) AS dup_count
+      FROM documents
+    ) WHERE rn = 1
+    """,
+)
+def x1_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OP-X1 — exact dedup with a deterministic survivor (min doc_id per
+    content group), the first stage of any training-data pipeline.
+
+    Spark groups on ``sha2(text, 256)`` so the shuffle key is 32 bytes
+    regardless of document size — at 100 TB the hash is what moves, not
+    the text. The oracle partitions by the raw text (equivalent modulo
+    SHA-256 collisions). Survivor choice is a window with a total order
+    (SURVEY.md §7 hard-part 4: never an orderless ``first()``).
+    """
+    d = _t(spark, sf_dir, "documents")
+    h = d.withColumn("content_hash", F.sha2(F.col("text"), 256))
+    w = Window.partitionBy("content_hash").orderBy("doc_id")
+    return (h.select(
+                "doc_id", "lang", "source", "n_chars",
+                F.row_number().over(w).alias("rn"),
+                F.count(F.lit(1)).over(
+                    Window.partitionBy("content_hash")).alias("dup_count"))
+             .filter(F.col("rn") == 1)
+             .drop("rn"))
+
+
+# ---------------------------------------------------------------------------
+# OP-X2 — near-duplicate detection
+# ---------------------------------------------------------------------------
+
+@register(
+    "x2_neardup_jaccard",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {SQL_TOKENS} AS t FROM documents
+    ),
+    sh AS (
+      SELECT doc_id, {SQL_SHINGLES} AS s FROM toks
+    ),
+    tok AS (SELECT doc_id, unnest(s) AS shingle FROM sh),
+    sizes AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+      FROM tok a JOIN tok b
+        ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b, n_common,
+           ROUND(n_common * 1.0 / (sa.n + sb.n - n_common), 6) AS jaccard
+    FROM pairs
+    JOIN sizes sa ON doc_a = sa.doc_id
+    JOIN sizes sb ON doc_b = sb.doc_id
+    WHERE n_common * 1.0 / (sa.n + sb.n - n_common) >= 0.8
+    """,
+)
+def x2_neardup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OP-X2 — near-dup pairs by exact 3-gram-shingle Jaccard ≥ 0.8.
+
+    Inverted-index join, NOT a cross join: explode shingles, self-join on
+    the shingle, count common shingles per pair, then Jaccard =
+    |∩| / (|A|+|B|-|∩|). Cost is Σ df(s)² over shingles — sparse because
+    3-grams are near-unique — vs O(N²) for all-pairs. This is the
+    oracle-checkable exact form; ``x2_neardup_minhash_lsh`` is the
+    banded approximation for when the index itself is too large.
+    """
+    d = _t(spark, sf_dir, "documents")
+    sh = d.select(
+        "doc_id", shingles_col(tokens_col("text")).alias("s"))
+    tok = sh.select("doc_id", F.explode("s").alias("shingle"))
+    sizes = sh.select("doc_id", F.size("s").alias("n"))
+    a = tok.alias("a")
+    b = tok.alias("b")
+    pairs = (a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+                    & (F.col("a.doc_id") < F.col("b.doc_id")))
+              .groupBy(F.col("a.doc_id").alias("doc_a"),
+                       F.col("b.doc_id").alias("doc_b"))
+              .agg(F.count(F.lit(1)).alias("n_common")))
+    sa = sizes.select(F.col("doc_id").alias("doc_a"),
+                      F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"),
+                      F.col("n").alias("nb"))
+    jac = (F.col("n_common") * F.lit(1.0)
+           / (F.col("na") + F.col("nb") - F.col("n_common")))
+    return (pairs.join(F.broadcast(sa), "doc_a")
+                 .join(F.broadcast(sb), "doc_b")
+                 .filter(jac >= 0.8)
+                 .select("doc_a", "doc_b", "n_common",
+                         F.round(jac, 6).alias("jaccard")))
+
+
+@register("x2_neardup_minhash_lsh")  # rows-only: LSH banding is approximate
+def x2_neardup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OP-X2 (scale path) — MinHash + LSH banding, all in native SQL
+    expressions (no MLlib dependency, no Python in the hot path).
+
+    Per doc: 32 minhash values via ``min(xxhash64(shingle, seed_i))``;
+    band into 8 bands × 4 rows; candidate pairs = docs sharing any band
+    signature (a groupBy on the band hash — sub-quadratic); verify
+    candidates with exact Jaccard. Approximate → rows-only check, but
+    at threshold 0.8 with 8×4 banding the planted near-dups at 0.9+
+    are found with probability ≈ 1.
+    """
+    d = _t(spark, sf_dir, "documents")
+    sh = d.select("doc_id",
+                  shingles_col(tokens_col("text")).alias("s")) \
+          .filter(F.size("s") > 0)
+    n_hashes, band_rows = 32, 4
+    mh = sh.select(
+        "doc_id", "s",
+        F.array(*[
+            F.array_min(F.transform(
+                "s", lambda x: F.xxhash64(x, F.lit(i))))
+            for i in range(n_hashes)
+        ]).alias("sig"))
+    bands = mh.select(
+        "doc_id",
+        F.posexplode(F.transform(
+            F.sequence(F.lit(0), F.lit(n_hashes // band_rows - 1)),
+            lambda b: F.hash(F.slice(
+                "sig", b * band_rows + 1, band_rows)))
+        ).alias("band_idx", "band_hash"))
+    cand = (bands.alias("a")
+            .join(bands.alias("b"),
+                  (F.col("a.band_idx") == F.col("b.band_idx"))
+                  & (F.col("a.band_hash") == F.col("b.band_hash"))
+                  & (F.col("a.doc_id") < F.col("b.doc_id")))
+            .select(F.col("a.doc_id").alias("doc_a"),
+                    F.col("b.doc_id").alias("doc_b"))
+            .distinct())
+    sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("s").alias("sa"))
+    sb = sh.select(F.col("doc_id").alias("doc_b"), F.col("s").alias("sb"))
+    inter = F.size(F.array_intersect("sa", "sb"))
+    union = F.size(F.array_union("sa", "sb"))
+    return (cand.join(sa, "doc_a").join(sb, "doc_b")
+                .withColumn("jaccard", F.round(
+                    inter * F.lit(1.0) / union, 6))
+                .filter(F.col("jaccard") >= 0.8)
+                .select("doc_a", "doc_b", "jaccard"))
+
+
+# ---------------------------------------------------------------------------
+# OP-X3 — embedding similarity search (top-k cosine)
+# ---------------------------------------------------------------------------
+
+def _as_double_vec(col: str | F.Column) -> F.Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.transform(c, lambda x: x.cast("double"))
+
+
+def _dot(a: F.Column, b: F.Column) -> F.Column:
+    """Sequential left-to-right double fold — bit-exact vs DuckDB's
+    ``list_reduce`` on the same operand order."""
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                       F.lit(0.0), lambda acc, x: acc + x)
+
+
+#: DuckDB sequential dot product over two DOUBLE[] lists named a and b.
+def _sql_dot(a: str, b: str) -> str:
+    return (f"list_reduce(list_prepend(0.0, "
+            f"list_transform(range(1, len({a}) + 1), "
+            f"i -> {a}[i] * {b}[i])), (acc, x) -> acc + x)")
+
+
+@register(
+    "x3_cosine_topk_bruteforce",
+    oracle=f"""
+    WITH v AS (
+      SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings
+    ),
+    n AS (
+      SELECT vec_id, label, e,
+             sqrt({_sql_dot('e', 'e')}) AS nrm
+      FROM v
+    ),
+    pairs AS (
+      SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+             b.label AS neighbor_label,
+             {_sql_dot('a.e', 'b.e')} / (a.nrm * b.nrm) AS cos
+      FROM n a JOIN n b ON a.vec_id <> b.vec_id
+    )
+    SELECT query_id, neighbor_id, neighbor_label,
+           ROUND(cos, 6) AS cos_sim
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rn
+      FROM pairs
+    ) WHERE rn <= 3
+    """,
+)
+def x3_cosine_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OP-X3 — brute-force cosine top-3 neighbors per vector: the
+    correctness baseline for similarity search. All-pairs join + window
+    top-k; fine at test SF, deliberately NOT the 100 TB plan — that is
+    ``x3_ann_lsh_topk`` (bucketed candidates). Dot products fold
+    left-to-right over double on both engines → bit-exact ordering.
+    """
+    e = _t(spark, sf_dir, "embeddings")
+    v = e.select("vec_id", "label",
+                 _as_double_vec("embedding").alias("e"))
+    n = v.withColumn("nrm", F.sqrt(_dot(F.col("e"), F.col("e"))))
+    a, b = n.alias("a"), n.alias("b")
+    cos = (_dot(F.col("a.e"), F.col("b.e"))
+           / (F.col("a.nrm") * F.col("b.nrm")))
+    pairs = (a.join(b, F.col("a.vec_id") != F.col("b.vec_id"))
+              .select(F.col("a.vec_id").alias("query_id"),
+                      F.col("b.vec_id").alias("neighbor_id"),
+                      F.col("b.label").alias("neighbor_label"),
+                      cos.alias("cos")))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id"))
+    return (pairs.withColumn("rn", F.row_number().over(w))
+                 .filter(F.col("rn") <= 3)
+                 .select("query_id", "neighbor_id", "neighbor_label",
+                         F.round("cos", 6).alias("cos_sim")))
+
+
+@register("x3_ann_lsh_topk")  # rows-only: LSH recall is approximate
+def x3_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OP-X3 (scale path) — ANN via random-hyperplane LSH: sign-bit
+    signature over H fixed hyperplanes → candidates join only within a
+    bucket → exact cosine re-rank of candidates. Sub-quadratic: cost is
+    Σ bucket² instead of N². Hyperplanes are a deterministic seeded
+    projection so reruns are reproducible. Approximate recall →
+    rows-only check; the exact baseline is ``x3_cosine_topk_bruteforce``.
+    """
+    import random
+
+    dim, n_planes = 64, 8
+    rng = random.Random(42)
+    planes = [[rng.gauss(0.0, 1.0) for _ in range(dim)]
+              for _ in range(n_planes)]
+
+    e = _t(spark, sf_dir, "embeddings")
+    v = e.select("vec_id", _as_double_vec("embedding").alias("e"))
+    n = v.withColumn("nrm", F.sqrt(_dot(F.col("e"), F.col("e"))))
+
+    sig = F.concat(*[
+        F.when(_dot(F.col("e"), F.array(
+            *[F.lit(w) for w in plane])) >= 0, F.lit("1"))
+         .otherwise(F.lit("0"))
+        for plane in planes
+    ])
+    bucketed = n.withColumn("bucket", sig)
+    a, b = bucketed.alias("a"), bucketed.alias("b")
+    cos = (_dot(F.col("a.e"), F.col("b.e"))
+           / (F.col("a.nrm") * F.col("b.nrm")))
+    cand = (a.join(b, (F.col("a.bucket") == F.col("b.bucket"))
+                   & (F.col("a.vec_id") != F.col("b.vec_id")))
+             .select(F.col("a.vec_id").alias("query_id"),
+                     F.col("b.vec_id").alias("neighbor_id"),
+                     cos.alias("cos")))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id"))
+    return (cand.withColumn("rn", F.row_number().over(w))
+                .filter(F.col("rn") <= 3)
+                .select("query_id", "neighbor_id",
+                        F.round("cos", 6).alias("cos_sim")))
+
+
+# ---------------------------------------------------------------------------
+# OP-X4 — text analysis pack
+# ---------------------------------------------------------------------------
+
+@register(
+    "x4_token_counts",
+    oracle=f"""
+    SELECT token, COUNT(*) AS n_occurrences,
+           COUNT(DISTINCT doc_id) AS doc_freq
+    FROM (
+      SELECT doc_id, unnest({SQL_TOKENS}) AS token FROM documents
+    )
+    GROUP BY token
+    """,
+)
+def x4_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OP-X4 — corpus token frequencies (term count + document
+    frequency): explode → groupBy, the map-side-combinable shape that
+    scales to any corpus (partial aggregation before the shuffle)."""
+    d = _t(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(tokens_col("text")).alias("token"))
+    return (tok.groupBy("token")
+               .agg(F.count(F.lit(1)).alias("n_occurrences"),
+                    F.countDistinct("doc_id").alias("doc_freq")))
+
+
+@register(
+    "x4_text_quality",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, lang, n_chars, text, {SQL_TOKENS} AS toks
+      FROM documents
+    )
+    SELECT doc_id, lang, n_chars,
+           len(toks) AS n_tokens,
+           ROUND(CAST(strlen(text) AS DOUBLE) / len(toks), 6)
+             AS chars_per_token,
+           ROUND(len(list_filter(toks, x -> x IN
+                 ('the', 'a', 'of', 'and', 'to', 'in'))) * 1.0
+                 / len(toks), 6) AS stopword_ratio,
+           ROUND(strlen(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g'))
+                 * 1.0 / strlen(text), 6) AS punct_ratio,
+           CASE WHEN len(toks) >= 20
+                 AND len(list_filter(toks, x -> x IN
+                     ('the', 'a', 'of', 'and', 'to', 'in'))) * 1.0
+                     / len(toks) BETWEEN 0.05 AND 0.6
+                THEN 'keep' ELSE 'flag' END AS quality_bucket
+    FROM t
+    """,
+)
+def x4_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OP-X4 — per-document quality scoring (token count, chars/token,
+    stopword ratio, punctuation ratio, keep/flag bucket): the standard
+    pre-training heuristic filters, all native expressions — no UDF, so
+    the whole pass is one codegen'd projection over the scan."""
+    stop = ("the", "a", "of", "and", "to", "in")
+    d = _t(spark, sf_dir, "documents")
+    toks = tokens_col("text")
+    t = d.select("doc_id", "lang", "n_chars", "text",
+                 toks.alias("toks"))
+    n_tok = F.size("toks")
+    stop_ratio = (F.size(F.filter(
+        "toks", lambda x: x.isin(*stop))) * F.lit(1.0) / n_tok)
+    punct_ratio = (F.length(F.regexp_replace(
+        "text", "[a-zA-Z0-9 ]", "")) * F.lit(1.0) / F.length("text"))
+    return t.select(
+        "doc_id", "lang", "n_chars",
+        n_tok.alias("n_tokens"),
+        F.round(F.length("text").cast("double") / n_tok, 6)
+         .alias("chars_per_token"),
+        F.round(stop_ratio, 6).alias("stopword_ratio"),
+        F.round(punct_ratio, 6).alias("punct_ratio"),
+        F.when((n_tok >= 20)
+               & stop_ratio.between(0.05, 0.6), "keep")
+         .otherwise("flag").alias("quality_bucket"))
+
+
+@register(
+    "x4_fingerprint",
+    oracle=f"""
+    SELECT doc_id,
+           list_reduce(
+             list_prepend(CAST(0 AS BIGINT),
+               list_transform({SQL_TOKENS},
+                 tok -> CAST(ascii(tok) * 256 + strlen(tok) AS BIGINT))),
+             (acc, x) -> (acc * 257 + x) % 999999999989
+           ) AS fingerprint
+    FROM documents
+    """,
+)
+def x4_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OP-X4 — rolling-hash document fingerprint: a polynomial hash
+    folded over the token stream (per-token code = 256·codepoint(first
+    char) + length), mod a < 2⁴⁰ prime so the int64 fold can never
+    overflow. Pure higher-order functions — the fingerprint of a shard
+    is computed inside the scan with zero shuffles."""
+    d = _t(spark, sf_dir, "documents")
+    codes = F.transform(
+        tokens_col("text"),
+        lambda tok: (F.ascii(tok) * 256 + F.length(tok)).cast("long"))
+    fp = F.aggregate(
+        codes, F.lit(0).cast("long"),
+        lambda acc, x: (acc * 257 + x) % 999999999989)
+    return d.select("doc_id", fp.alias("fingerprint"))
+
+
+@register(
+    "x4_lang_profile",
+    oracle="""
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           COUNT(DISTINCT source) AS n_sources,
+           MIN(n_chars) AS min_chars,
+           MAX(n_chars) AS max_chars,
+           ROUND(AVG(CAST(n_chars AS DOUBLE)), 4) AS avg_chars
+    FROM documents GROUP BY lang
+    """,
+)
+def x4_lang_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OP-X4 — corpus language profile (doc counts, source diversity,
+    length stats per declared language) — the inventory report a
+    training-mix pipeline runs before sampling."""
+    d = _t(spark, sf_dir, "documents")
+    return (d.groupBy("lang")
+             .agg(F.count(F.lit(1)).alias("n_docs"),
+                  F.countDistinct("source").alias("n_sources"),
+                  F.min("n_chars").alias("min_chars"),
+                  F.max("n_chars").alias("max_chars"),
+                  F.round(F.avg(F.col("n_chars").cast("double")), 4)
+                   .alias("avg_chars")))
+
+
+# ---------------------------------------------------------------------------
+# OP-X5 — multimodal columns (vectors + binary plumbing)
+# ---------------------------------------------------------------------------
+
+@register(
+    "x5_vector_norms",
+    oracle=f"""
+    WITH v AS (
+      SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings
+    )
+    SELECT vec_id, label,
+           len(e) AS dim,
+           ROUND(sqrt({_sql_dot('e', 'e')}), 6) AS l2_norm,
+           ROUND({_sql_dot('e', 'e')}, 6) AS sq_norm
+    FROM v
+    """,
+)
+def x5_vector_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OP-X5 — typed vector columns in Parquet: dimension + L2 norm per
+    embedding via higher-order ``aggregate`` (JVM-side, no UDF)."""
+    e = _t(spark, sf_dir, "embeddings")
+    v = e.select("vec_id", "label",
+                 _as_double_vec("embedding").alias("e"))
+    sq = _dot(F.col("e"), F.col("e"))
+    return v.select("vec_id", "label",
+                    F.size("e").alias("dim"),
+                    F.round(F.sqrt(sq), 6).alias("l2_norm"),
+                    F.round(sq, 6).alias("sq_norm"))
+
+
+@register(
+    "x5_binary_meta",
+    oracle="""
+    SELECT doc_id,
+           octet_length(encode(text)) AS byte_len,
+           strlen(text) AS char_len,
+           octet_length(encode(text)) = strlen(text) AS is_ascii
+    FROM documents
+    """,
+)
+def x5_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OP-X5 — opaque-binary plumbing: treat content as bytes
+    (UTF-8-encoded text stands in for an image/audio payload, since the
+    testdata has no binary column) and compute the typed metadata a
+    multimodal pipeline keys on. Decode-and-feature-extract lives in
+    ``operators/multimodal.py`` (mapInPandas, stubbed decoder)."""
+    d = _t(spark, sf_dir, "documents")
+    byte_len = F.octet_length("text")
+    return d.select(
+        "doc_id",
+        byte_len.alias("byte_len"),
+        F.length("text").alias("char_len"),
+        (byte_len == F.length("text")).alias("is_ascii"))
+
+
+@register("x5_multimodal_decode")  # rows-only: exercises mapInPandas plumbing
+def x5_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OP-X5 — the multimodal decode path end-to-end: binary payload →
+    ``mapInPandas`` batch decode → typed feature columns. The decoder is
+    the deterministic stub from ``operators/multimodal.py`` (real codecs
+    aren't in this container); the Spark-side plumbing — schema, Arrow
+    batching, partition mapping — is real."""
+    from ..operators.multimodal import decode_features
+    d = _t(spark, sf_dir, "documents")
+    payloads = d.select(
+        "doc_id", F.encode("text", "UTF-8").alias("payload"))
+    return decode_features(payloads)
+
+
+# ---------------------------------------------------------------------------
+# OP-X6 — classification at scale (pandas_udf, Arrow path)
+# ---------------------------------------------------------------------------
+
+_POS_WORDS = ("fast", "value", "merge")
+_NEG_WORDS = ("slow", "error", "big")
+
+
+@F.pandas_udf(T.DoubleType())
+def _lexicon_score(texts):
+    """Vectorized lexicon sentiment: (pos − neg) / n_tokens per batch.
+    Tokenization mirrors ``tokens_col`` (lower, split non-alnum)."""
+    import re
+    pos, neg = set(_POS_WORDS), set(_NEG_WORDS)
+
+    def score(text):
+        toks = [t for t in re.split(r"[^a-z0-9]+", text.lower()) if t]
+        if not toks:
+            return 0.0
+        p = sum(t in pos for t in toks)
+        n = sum(t in neg for t in toks)
+        return (p - n) / len(toks)
+
+    return texts.map(score)
+
+
+@register(
+    "x6_lexicon_score",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {SQL_TOKENS} AS toks FROM documents)
+    SELECT doc_id,
+           len(toks) AS n_tokens,
+           ROUND(CASE WHEN len(toks) = 0 THEN 0.0 ELSE
+             (len(list_filter(toks, x -> x IN {_POS_WORDS}))
+              - len(list_filter(toks, x -> x IN {_NEG_WORDS})))
+             * 1.0 / len(toks) END, 6) AS sentiment
+    FROM t
+    """,
+)
+def x6_lexicon_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OP-X6 — classification at scale through the Arrow/pandas_udf
+    path (the one place Python belongs: model-ish per-row scoring).
+    The lexicon score itself is simple enough to have an exact SQL
+    oracle, which is the point — it proves the pandas_udf batch path
+    computes exactly what the declarative form specifies.
+    """
+    d = _t(spark, sf_dir, "documents")
+    toks = tokens_col("text")
+    return d.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.round(_lexicon_score(F.col("text")), 6).alias("sentiment"))
