@@ -56,17 +56,25 @@ _PLAN_MODULES = (
     "timeseries", "reference_pipeline",
 )
 
+#: Non-plans modules that also register queries (absolute names).
+_EXTRA_MODULES = (
+    "stock_data_warehouse_spark.streaming.jobs",
+    "stock_data_warehouse_spark.sources.sinks",
+)
+
 
 def _load_all() -> None:
-    """Import every plan module so registration side-effects run."""
+    """Import every query-registering module so side-effects run."""
     global _LOADED
     if _LOADED:
         return
     import importlib
     import sys
-    for mod in _PLAN_MODULES:
+    mods = [f"{__package__}.{m}" for m in _PLAN_MODULES]
+    mods += list(_EXTRA_MODULES)
+    for mod in mods:
         try:
-            importlib.import_module(f".{mod}", __package__)
+            importlib.import_module(mod)
         except ImportError as exc:  # pragma: no cover — dev-time guard
-            print(f"[registry] skipping plans.{mod}: {exc}", file=sys.stderr)
+            print(f"[registry] skipping {mod}: {exc}", file=sys.stderr)
     _LOADED = True

@@ -1,0 +1,147 @@
+"""Event-time window queries — OP-T4/T5/T6 batch forms (SURVEY.md §2.9).
+
+The reference's "streaming" is a 4×/day cron micro-batch (update.yml:4-7);
+the declared streaming surface runs over the ``events`` table. These are
+the batch-expressible forms — the SAME ``F.window`` / ``session_window``
+expressions work unchanged under ``readStream`` (the streaming forms with
+watermarks live in ``streaming/jobs.py``, rows-only checked).
+
+Oracle parity notes:
+- Spark's tumbling/sliding windows are epoch-aligned; the oracle computes
+  window starts with pure integer arithmetic on ``epoch_us`` (DuckDB's
+  ``time_bucket`` has a 2000-01-03 origin — avoided entirely).
+- ``events.ts`` is TIMESTAMP(NANOS) in parquet but all values are µs-clean
+  (verified), so Spark's µs truncation is lossless vs DuckDB's ns read.
+- Sums of doubles are rounded on both sides (SURVEY.md §7 hard-part 7).
+
+Scale posture: tumbling/sliding aggs are partial+final hash aggregations
+keyed on (window, type) — map-side combine collapses each partition to
+one row per group before the shuffle. Session windows shuffle once on
+user_id; the gap-merge is a per-key sort within the shuffle partition —
+no global sort, no driver state.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.tables import load_table
+from .registry import register
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# ---------------------------------------------------------------------------
+# OP-T4 — tumbling window aggregation
+# ---------------------------------------------------------------------------
+
+@register(
+    "t4_tumbling_hourly",
+    oracle="""
+    SELECT make_timestamp((epoch_us(ts) // 3600000000) * 3600000000)
+             AS window_start,
+           event_type,
+           COUNT(*) AS n_events,
+           ROUND(SUM(value), 4) AS sum_value,
+           ROUND(AVG(value), 6) AS avg_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def t4_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OP-T4 — hourly tumbling counts/sums per event type via
+    ``F.window`` — the exact expression a ``readStream`` would use; in
+    batch it plans as a plain hash aggregation on the derived window."""
+    e = _t(spark, sf_dir, "events")
+    return (e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+             .agg(F.count(F.lit(1)).alias("n_events"),
+                  F.round(F.sum("value"), 4).alias("sum_value"),
+                  F.round(F.avg("value"), 6).alias("avg_value"))
+             .select(F.col("w.start").alias("window_start"),
+                     "event_type", "n_events", "sum_value", "avg_value"))
+
+
+# ---------------------------------------------------------------------------
+# OP-T5 — sliding window aggregation
+# ---------------------------------------------------------------------------
+
+@register(
+    "t5_sliding_hourly_15m",
+    oracle="""
+    WITH slid AS (
+      SELECT make_timestamp(
+               (epoch_us(ts) // 900000000) * 900000000
+               - j * 900000000) AS window_start,
+             event_type, value
+      FROM events
+      CROSS JOIN (SELECT unnest([0, 1, 2, 3]::BIGINT[]) AS j)
+    )
+    SELECT window_start, event_type,
+           COUNT(*) AS n_events,
+           ROUND(SUM(value), 4) AS sum_value
+    FROM slid
+    GROUP BY 1, 2
+    """,
+)
+def t5_sliding_hourly_15m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OP-T5 — 1-hour windows sliding every 15 minutes: each event lands
+    in exactly 4 overlapping windows. Spark expands via ``F.window``'s
+    slide; the oracle replays the expansion with an explicit 4-way
+    unnest + epoch arithmetic (same epoch alignment)."""
+    e = _t(spark, sf_dir, "events")
+    return (e.groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"),
+                      "event_type")
+             .agg(F.count(F.lit(1)).alias("n_events"),
+                  F.round(F.sum("value"), 4).alias("sum_value"))
+             .select(F.col("w.start").alias("window_start"),
+                     "event_type", "n_events", "sum_value"))
+
+
+# ---------------------------------------------------------------------------
+# OP-T6 — session windows (gap-based)
+# ---------------------------------------------------------------------------
+
+@register(
+    "t6_session_windows",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, ts, value,
+             CASE WHEN ts - LAG(ts) OVER (
+                    PARTITION BY user_id ORDER BY ts, event_id)
+                  <= INTERVAL 6 HOUR THEN 0 ELSE 1 END AS new_session
+      FROM events
+    ),
+    sessions AS (
+      SELECT user_id, ts, value,
+             SUM(new_session) OVER (
+               PARTITION BY user_id ORDER BY ts
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS session_id
+      FROM ordered
+    )
+    SELECT user_id,
+           MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL 6 HOUR AS session_end,
+           COUNT(*) AS n_events,
+           ROUND(SUM(value), 4) AS sum_value
+    FROM sessions
+    GROUP BY user_id, session_id
+    """,
+)
+def t6_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OP-T6 — per-user session windows with a 6-hour inactivity gap via
+    ``F.session_window`` (start = first event, end = last event + gap —
+    Spark's definition, mirrored in the oracle's lag-gap-cumsum rewrite,
+    the hand-written SQL denotation from SURVEY.md §4c)."""
+    e = _t(spark, sf_dir, "events")
+    return (e.groupBy(F.session_window("ts", "6 hours").alias("w"),
+                      "user_id")
+             .agg(F.count(F.lit(1)).alias("n_events"),
+                  F.round(F.sum("value"), 4).alias("sum_value"))
+             .select("user_id",
+                     F.col("w.start").alias("session_start"),
+                     F.col("w.end").alias("session_end"),
+                     "n_events", "sum_value"))

@@ -1,0 +1,150 @@
+"""Structured Streaming forms — OP-T1/T3/T7/T8 (SURVEY.md §2.9).
+
+The reference's refresh loop is a cron micro-batch with pacing and
+idempotent publish (update.yml:4-7,33-39; fetch_data.py:316). Here that
+becomes real Structured Streaming: file-source micro-batches with
+``Trigger.AvailableNow`` (OP-T1), source rate limiting via
+``maxFilesPerTrigger`` (OP-T3 — the declarative form of the reference's
+``sleep(1)`` pacing), event-time watermarks (OP-T7), and stateful dedup
+within the watermark (OP-T8).
+
+These queries run a bounded stream to completion (AvailableNow) and
+return the materialized batch result — so the driver can collect them —
+but the plan is a genuine streaming plan (StateStore-backed aggregation
+/ dedup operators, not batch hash aggregates).
+
+Scale posture: state is keyed on (window, type) / event_id and pruned by
+the watermark, so state size is bounded by the lateness horizon, not by
+stream length; file sources at 100 TB shard by ``maxFilesPerTrigger``
+and each micro-batch is a normal distributed job.
+"""
+
+from __future__ import annotations
+
+import itertools
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..plans.registry import register
+
+#: Explicit source schema — file streams require one. ``ts`` arrives as
+#: a nanosecond long (`nanosAsLong`; events.parquet is TIMESTAMP(NANOS),
+#: SURVEY.md §7 hard-part 6) and is rebuilt into a µs timestamp below.
+EVENTS_STREAM_SCHEMA = T.StructType([
+    T.StructField("event_id", T.LongType()),
+    T.StructField("ts", T.LongType()),
+    T.StructField("user_id", T.LongType()),
+    T.StructField("event_type", T.StringType()),
+    T.StructField("value", T.DoubleType()),
+    T.StructField("props", T.StringType()),
+])
+
+_seq = itertools.count()
+
+
+def events_stream(spark: SparkSession, sf_dir: str,
+                  max_files_per_trigger: int = 1) -> DataFrame:
+    """OP-T1/T3 — the events table as a rate-limited file stream.
+
+    ``maxFilesPerTrigger`` is the engine-level replacement for the
+    reference's ``time.sleep(1.0)`` pacing (fetch_data.py:316): it bounds
+    how much source data each micro-batch admits, turning pacing into a
+    declarative source property instead of imperative sleeps.
+
+    File streams require a *directory* source; the testdata keeps every
+    table as one file in a shared dir, so stage a symlink into a private
+    dir (at scale the source would be a real landing directory and new
+    files arrive per micro-batch).
+    """
+    stage = tempfile.mkdtemp(prefix="events_stream_")
+    os.symlink(f"{sf_dir}/events.parquet", f"{stage}/events.parquet")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = (spark.readStream
+           .schema(EVENTS_STREAM_SCHEMA)
+           .option("maxFilesPerTrigger", str(max_files_per_trigger))
+           .parquet(stage))
+    return raw.select(
+        "event_id",
+        F.timestamp_micros(F.expr("ts div 1000")).alias("ts"),
+        F.col("ts").alias("ts_ns"),
+        "user_id", "event_type", "value", "props")
+
+
+def _run_to_table(stream_df: DataFrame, mode: str) -> DataFrame:
+    """Run a bounded streaming query to completion into a memory sink
+    and return the materialized table."""
+    name = f"stream_result_{next(_seq)}"
+    q = (stream_df.writeStream
+         .format("memory")
+         .queryName(name)
+         .outputMode(mode)
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination()
+    return stream_df.sparkSession.table(name)
+
+
+@register("t7_watermark_tumbling_stream")  # rows-only: streaming plan
+def t7_watermark_tumbling_stream(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """OP-T7 — watermarked tumbling aggregation as a true streaming
+    plan: 10-minute watermark on event time, 1-hour windows, append
+    mode — only windows the watermark has sealed are emitted, which is
+    exactly the late-data contract. State per open window is pruned as
+    the watermark passes it."""
+    s = events_stream(spark, sf_dir)
+    agg = (s.withWatermark("ts", "10 minutes")
+            .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.round(F.sum("value"), 4).alias("sum_value")))
+    out = agg.select(F.col("w.start").alias("window_start"),
+                     "event_type", "n_events", "sum_value")
+    return _run_to_table(out, "append")
+
+
+@register("t8_stateful_dedup_stream")  # rows-only: streaming plan
+def t8_stateful_dedup_stream(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    """OP-T8 — stateful streaming dedup: ``dropDuplicatesWithinWatermark``
+    keyed on event_id (the reference's retry-once produces at-least-once
+    records, fetch_data.py:136-140 — dedup makes the stream effectively
+    exactly-once). Dedup state is pruned by the watermark → bounded by
+    the lateness horizon, not stream length."""
+    s = events_stream(spark, sf_dir)
+    deduped = (s.withWatermark("ts", "30 minutes")
+                .dropDuplicatesWithinWatermark(["event_id"])
+                .select("event_id", "user_id", "event_type", "value"))
+    return _run_to_table(deduped, "append")
+
+
+@register("t1_microbatch_refresh")  # rows-only: sink side-effect + summary
+def t1_microbatch_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OP-T1 — the scheduled-refresh shape (update.yml:4-7,30):
+    ``Trigger.AvailableNow`` drains whatever the source holds in rate-
+    limited micro-batches, each written to a parquet snapshot via
+    ``foreachBatch`` — rerunnable on a cron exactly like the reference's
+    4×/day workflow, with checkpointed progress instead of re-reading."""
+    out_dir = tempfile.mkdtemp(prefix="t1_refresh_")
+    s = events_stream(spark, sf_dir)
+    hourly = (s.withWatermark("ts", "10 minutes")
+               .groupBy(F.window("ts", "1 hour").alias("w"))
+               .agg(F.count(F.lit(1)).alias("n_events")))
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        (batch_df.select(F.col("w.start").alias("window_start"),
+                         "n_events")
+                 .write.mode("overwrite")
+                 .parquet(f"{out_dir}/snapshot"))
+
+    q = (hourly.writeStream
+         .foreachBatch(write_batch)
+         .outputMode("complete")
+         .option("checkpointLocation", f"{out_dir}/checkpoint")
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination()
+    return spark.read.parquet(f"{out_dir}/snapshot")
