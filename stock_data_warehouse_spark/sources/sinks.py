@@ -1,0 +1,318 @@
+"""Sinks + file-source operators — OP-S1/S2/S5/S6/S7/S8, OP-T2
+(SURVEY.md §2.1).
+
+The reference's warehouse layer: per-ticker JSON files named
+``{ticker}.json`` (fetch_data.py:312-314), a nested manifest document
+(fetch_data.py:318-319), and commit-only-if-changed publishing
+(update.yml:33-39). Re-expressed Spark-side:
+
+- **Per-key JSON sink** — repartition by key, write each key's record
+  from the executor that owns it (``foreachPartition``): exact file
+  naming the built-in ``partitionBy`` can't produce, with zero driver
+  involvement — each of 1000 executors writes its own keys.
+- **Manifest** — the nested ``map<list, array>`` doc is rebuilt from the
+  exploded relation with ``collect_list``/``map_from_entries``/
+  ``to_json``; only O(lists) metadata ever reaches the driver.
+- **Idempotent publish** — change detection is a content-hash anti-join
+  (new vs current), so an unchanged refresh writes nothing — the
+  reference's empty-git-diff short-circuit as a relational operation.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, Row, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..plans.registry import register
+from .tables import load_table
+
+
+# ---------------------------------------------------------------------------
+# OP-S5 — per-key JSON sink (exact {key}.json naming)
+# ---------------------------------------------------------------------------
+
+def write_per_key_json(df: DataFrame, key_col: str, out_dir: str) -> None:
+    """One ``{key}.json`` file per key (fetch_data.py:312-314 semantics:
+    filename = key, ``indent=2``). Repartitioning on the key first means
+    each executor writes only its own keys — embarrassingly parallel,
+    no driver collect. Assumes one row per key (the snapshot contract)."""
+    os.makedirs(out_dir, exist_ok=True)
+    cols = df.columns
+
+    def write_partition(rows) -> None:
+        for row in rows:
+            rec = {c: row[c] for c in cols}
+            path = os.path.join(out_dir, f"{rec[key_col]}.json")
+            with open(path, "w") as f:
+                json.dump(rec, f, indent=2, default=str)
+
+    df.repartition(F.col(key_col)).foreachPartition(write_partition)
+
+
+# ---------------------------------------------------------------------------
+# OP-S6 — nested-manifest sink
+# ---------------------------------------------------------------------------
+
+def manifest_doc(lists_df: DataFrame,
+                 last_updated: str = "1970-01-01T00:00:00Z") -> str:
+    """The manifest JSON ``{"lists": {name: [tickers...]}, "last_updated"}``
+    (fetch_data.py:318-319), rebuilt from the exploded relation
+    ``(list_name, position, ticker)`` — order- and duplicate-preserving
+    via position sort, exactly like the reference's list_map. The only
+    driver-side data is the finished document (O(lists) metadata)."""
+    nested = (lists_df
+              .groupBy("list_name")
+              .agg(F.array_sort(F.collect_list(
+                  F.struct("position", "ticker"))).alias("entries"))
+              .select("list_name",
+                      F.transform("entries", lambda e: e["ticker"])
+                       .alias("tickers"))
+              .agg(F.map_from_entries(F.sort_array(F.collect_list(
+                  F.struct("list_name", "tickers")))).alias("lists")))
+    doc = nested.select(
+        F.to_json(F.struct(
+            F.col("lists"),
+            F.lit(last_updated).alias("last_updated"))).alias("doc"))
+    return doc.collect()[0]["doc"]
+
+
+def write_manifest(lists_df: DataFrame, path: str,
+                   last_updated: str = "1970-01-01T00:00:00Z") -> None:
+    with open(path, "w") as f:
+        f.write(manifest_doc(lists_df, last_updated))
+
+
+# ---------------------------------------------------------------------------
+# OP-S8 / OP-T2 — idempotent, change-detecting publish
+# ---------------------------------------------------------------------------
+
+def _content_hash(df: DataFrame) -> DataFrame:
+    """Row content hash over all columns (deterministic JSON form)."""
+    return df.withColumn(
+        "_hash", F.sha2(F.to_json(F.struct(*sorted(df.columns))), 256))
+
+
+def publish_if_changed(spark: SparkSession, new_df: DataFrame,
+                       target_dir: str, key_col: str) -> int:
+    """Publish ``new_df`` to ``target_dir`` only if its content differs
+    from what is already there; returns the number of changed/new keys
+    (0 = published nothing — update.yml:33-39's empty-diff skip).
+
+    Change detection = content-hash anti-join of new vs current: only
+    32-byte hashes shuffle, never the payload. The write itself is an
+    atomic full-snapshot overwrite (write to side dir + rename), the
+    overwrite-partition idiom sized for a snapshot table; at 100 TB with
+    per-key partitioning this becomes dynamic partition overwrite of
+    only the changed keys.
+    """
+    new_hashed = _content_hash(new_df)
+    data_path = os.path.join(target_dir, "data")
+    if os.path.exists(data_path):
+        current = _content_hash(spark.read.parquet(data_path))
+        changed = new_hashed.join(
+            current.select("_hash"), "_hash", "left_anti")
+        n_changed = changed.count()
+    else:
+        n_changed = new_hashed.count()
+    if n_changed > 0:
+        tmp = data_path + ".staging"
+        new_df.write.mode("overwrite").parquet(tmp)
+        if os.path.exists(data_path):
+            import shutil
+            shutil.rmtree(data_path)
+        os.rename(tmp, data_path)
+    return n_changed
+
+
+# ---------------------------------------------------------------------------
+# OP-S7 — bootstrap/default source
+# ---------------------------------------------------------------------------
+
+def bootstrap(df: DataFrame, seed_rows: list[Row],
+              schema: T.StructType) -> DataFrame:
+    """If the source relation is empty, seed it with defaults
+    (fetch_data.py:285-288: missing lists dir → write sample.txt)."""
+    if df.isEmpty():
+        return df.sparkSession.createDataFrame(seed_rows, schema)
+    return df
+
+
+# ---------------------------------------------------------------------------
+# Registered queries
+# ---------------------------------------------------------------------------
+
+@register(
+    "s1_text_list_scan",
+    oracle="""
+    SELECT r.r_name AS list_name, upper(n.n_name) AS ticker
+    FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+    """,
+)
+def s1_text_list_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OP-S1 — text-list scan (fetch_data.py:285-297): glob a directory
+    of ``{list}.txt`` files, one entry per line, strip/upper/drop-blank,
+    keyed by file basename via ``input_file_name()``.
+
+    The list files are staged from the nation/region dims (messy on
+    purpose: lowercase, padded, blank lines) so the oracle can state the
+    expected relation straight from the parquet — the file round-trip is
+    the operator under test. Staging collects only the 25-row bounded
+    dim (metadata-scale, like the reference's 308-line lists).
+    """
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    rows = (nation.join(region,
+                        nation.n_regionkey == region.r_regionkey)
+                  .select("r_name", "n_name").collect())
+    stage = tempfile.mkdtemp(prefix="lists_")
+    by_list: dict[str, list[str]] = {}
+    for r in rows:
+        by_list.setdefault(r["r_name"], []).append(r["n_name"])
+    for list_name, names in by_list.items():
+        with open(os.path.join(stage, f"{list_name}.txt"), "w") as f:
+            for n in sorted(names):
+                f.write(f"  {n.lower()} \n\n")
+
+    raw = spark.read.text(f"{stage}/*.txt")
+    return (raw
+            .withColumn("list_name", F.url_decode(F.regexp_extract(
+                F.input_file_name(), r"([^/]+)\.txt$", 1)))
+            .select("list_name",
+                    F.upper(F.trim(F.col("value"))).alias("ticker"))
+            .filter(F.length("ticker") > 0))
+
+
+@register(
+    "s2_json_record_scan",
+    oracle="""
+    SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+    FROM customer
+    """,
+)
+def s2_json_record_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OP-S2 — JSON record scan with an explicit schema (the consumption
+    path of the reference's ``data/*.json`` warehouse): rows round-trip
+    through a JSON export and are read back typed — never
+    schema-inferred, so the scan is one pass and the types are stable.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    stage = tempfile.mkdtemp(prefix="json_scan_")
+    c.write.mode("overwrite").json(f"{stage}/customer")
+    schema = T.StructType([
+        T.StructField("c_custkey", T.LongType()),
+        T.StructField("c_name", T.StringType()),
+        T.StructField("c_nationkey", T.IntegerType()),
+        T.StructField("c_acctbal", T.DoubleType()),
+        T.StructField("c_mktsegment", T.StringType()),
+    ])
+    return spark.read.schema(schema).json(f"{stage}/customer")
+
+
+@register(
+    "s7_bootstrap_default",
+    oracle="""
+    SELECT * FROM (VALUES ('sample', 0, 'AAPL'), ('sample', 1, 'BRK-B'))
+      AS t(list_name, position, ticker)
+    """,
+)
+def s7_bootstrap_default(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OP-S7 — bootstrap/default source: an empty source relation is
+    seeded with the reference's sample list (fetch_data.py:285-288,
+    ``AAPL`` + ``BRK.B`` — stored normalized, fetch_data.py:130)."""
+    schema = T.StructType([
+        T.StructField("list_name", T.StringType(), False),
+        T.StructField("position", T.IntegerType(), False),
+        T.StructField("ticker", T.StringType(), False),
+    ])
+    empty = spark.createDataFrame([], schema)
+    return bootstrap(
+        empty,
+        [Row(list_name="sample", position=0, ticker="AAPL"),
+         Row(list_name="sample", position=1, ticker="BRK-B")],
+        schema)
+
+
+@register(
+    "s8_publish_if_changed",
+    oracle="""
+    SELECT (SELECT COUNT(*) FROM customer) AS first_run_changed,
+           CAST(0 AS BIGINT) AS second_run_changed
+    """,
+)
+def s8_publish_if_changed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OP-S8/OP-T2 — idempotent publish: the first publish writes every
+    key; an identical second publish detects zero changes through the
+    content-hash anti-join and writes nothing (update.yml:33-39's
+    commit-if-changed as a deterministic, testable relation)."""
+    c = load_table(spark, sf_dir, "customer")
+    target = tempfile.mkdtemp(prefix="publish_")
+    first = publish_if_changed(spark, c, target, "c_custkey")
+    second = publish_if_changed(spark, c, target, "c_custkey")
+    return spark.createDataFrame(
+        [Row(first_run_changed=first, second_run_changed=second)],
+        T.StructType([
+            T.StructField("first_run_changed", T.LongType(), False),
+            T.StructField("second_run_changed", T.LongType(), False),
+        ]))
+
+
+@register("s5_per_key_json_sink")  # rows-only: filesystem side-effect
+def s5_per_key_json_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OP-S5 — per-key JSON sink exercised end-to-end: write one
+    ``{n_name}.json`` per nation (25 bounded keys), then list what
+    landed on disk. The write path is executor-side foreachPartition —
+    the driver never sees the records."""
+    n = load_table(spark, sf_dir, "nation")
+    out = tempfile.mkdtemp(prefix="perkey_json_")
+    write_per_key_json(n, "n_name", out)
+    files = sorted(os.listdir(out))
+    return spark.createDataFrame(
+        [Row(file_name=f) for f in files],
+        T.StructType([T.StructField("file_name", T.StringType(), False)]))
+
+
+@register(
+    "s6_manifest_roundtrip",
+    oracle="""
+    SELECT r.r_name AS list_name,
+           CAST(ROW_NUMBER() OVER (PARTITION BY r.r_name
+                                   ORDER BY n.n_name) - 1 AS INT)
+             AS position,
+           n.n_name AS ticker
+    FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+    """,
+)
+def s6_manifest_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OP-S6 — nested-manifest sink round-trip: build the exploded lists
+    relation, serialize it to the nested manifest JSON document
+    (map<list, array> — fetch_data.py:318-319), parse the document back,
+    and re-explode. Round-trip == identity proves the nested rebuild is
+    lossless and order-preserving (the SURVEY §5.4 property test)."""
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    w_pos = (F.row_number().over(
+        Window.partitionBy("list_name").orderBy("ticker")) - 1)
+    lists = (nation.join(region,
+                         nation.n_regionkey == region.r_regionkey)
+                   .select(F.col("r_name").alias("list_name"),
+                           F.col("n_name").alias("ticker"))
+                   .withColumn("position", w_pos.cast("int")))
+
+    doc = manifest_doc(lists)
+
+    parsed_schema = T.StructType([
+        T.StructField("lists", T.MapType(
+            T.StringType(), T.ArrayType(T.StringType()))),
+        T.StructField("last_updated", T.StringType()),
+    ])
+    doc_df = spark.createDataFrame([Row(doc=doc)])
+    return (doc_df
+            .select(F.from_json("doc", parsed_schema).alias("m"))
+            .select(F.explode("m.lists").alias("list_name", "tickers"))
+            .select("list_name",
+                    F.posexplode("tickers").alias("position", "ticker")))
