@@ -661,3 +661,92 @@ def o5_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = _t(spark, sf_dir, "supplier").select(
         F.col("s_nationkey").alias("nationkey"))
     return c.intersect(s)
+
+
+# ---------------------------------------------------------------------------
+# OP-J10 — as-of join; OP-J8 — full outer
+# ---------------------------------------------------------------------------
+
+@register(
+    "j10_asof_last_purchase",
+    oracle="""
+    WITH p AS (
+      SELECT user_id, ts, MAX(value) AS pval
+      FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts
+    )
+    SELECT e.event_id, e.user_id, e.event_type, e.value,
+           p.pval AS last_purchase_value,
+           p.ts   AS last_purchase_ts
+    FROM events e
+    ASOF LEFT JOIN p ON e.user_id = p.user_id AND p.ts <= e.ts
+    """,
+)
+def j10_asof_last_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OP-J10 — as-of join: each event annotated with the most recent
+    purchase (value, ts) of the same user at-or-before its timestamp
+    (the reference's "latest quarter ≤ snapshot date" idiom,
+    fetch_data.py:198, generalized). Union-tag-window form
+    (operators/joins.py): ONE shuffle on user_id, no range explosion —
+    vs DuckDB's native ASOF JOIN as the second implementation.
+
+    The right side is pre-deduped per (user, ts) with max(value) so
+    equal-timestamp ties are deterministic on both engines.
+    """
+    from ..operators.joins import asof_join
+    e = _t(spark, sf_dir, "events")
+    left = e.select("event_id", "user_id", "event_type", "value", "ts")
+    right = (e.filter(F.col("event_type") == "purchase")
+              .groupBy("user_id", "ts")
+              .agg(F.max("value").alias("pval")))
+    out = asof_join(left, right, on="user_id",
+                    left_ts="ts", right_ts="ts",
+                    right_value_cols=["pval"])
+    return out.select(
+        "event_id", "user_id", "event_type", "value",
+        F.col("right_pval").alias("last_purchase_value"),
+        F.col("right_ts").alias("last_purchase_ts"))
+
+
+@register(
+    "j8_full_outer_segments",
+    oracle="""
+    WITH rich AS (
+      SELECT c_custkey, c_acctbal FROM customer WHERE c_acctbal > 9000
+    ),
+    spenders AS (
+      SELECT o_custkey AS c_custkey, ROUND(SUM(o_totalprice), 2) AS spend
+      FROM orders GROUP BY o_custkey
+      HAVING SUM(o_totalprice) > 1500000
+    )
+    SELECT COALESCE(r.c_custkey, s.c_custkey) AS c_custkey,
+           r.c_acctbal, s.spend,
+           (r.c_custkey IS NOT NULL) AS is_rich,
+           (s.c_custkey IS NOT NULL) AS is_spender
+    FROM rich r FULL OUTER JOIN spenders s USING (c_custkey)
+    """,
+)
+def j8_full_outer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OP-J8 (full outer) — customers that are high-balance, high-spend,
+    or either: a FULL OUTER join where both sides genuinely have
+    unmatched rows in both directions (the left-only form lives in
+    j8_outer_customer_order_stats). Shuffles both sides once on the
+    join key; null-filling is the join's own semantics, not a
+    post-pass."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    rich = (c.filter(F.col("c_acctbal") > 9000)
+             .select("c_custkey", "c_acctbal"))
+    spenders = (o.groupBy(F.col("o_custkey").alias("c_custkey"))
+                 .agg(F.round(F.sum("o_totalprice"), 2).alias("spend"),
+                      F.sum("o_totalprice").alias("_raw"))
+                 .filter(F.col("_raw") > 1500000)
+                 .drop("_raw"))
+    r, s = rich.alias("r"), spenders.alias("s")
+    return (r.join(s, F.col("r.c_custkey") == F.col("s.c_custkey"),
+                   "full_outer")
+             .select(
+                 F.coalesce(F.col("r.c_custkey"), F.col("s.c_custkey"))
+                  .alias("c_custkey"),
+                 "c_acctbal", "spend",
+                 F.col("r.c_custkey").isNotNull().alias("is_rich"),
+                 F.col("s.c_custkey").isNotNull().alias("is_spender")))

@@ -1,0 +1,86 @@
+"""Extension-operator property tests (OP-X1…X6, SURVEY.md §5.4)."""
+
+from pyspark.sql import functions as F
+
+from stock_data_warehouse_spark.operators.multimodal import (
+    DECODE_SCHEMA, decode_features,
+)
+from stock_data_warehouse_spark.plans.extensions import (
+    shingles_col, tokens_col,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_tokenization_golden(spark):
+    df = spark.createDataFrame(
+        [("Hello, World! 42  foo-bar",), ("",), ("...",)], "text string")
+    rows = df.select(tokens_col("text").alias("t")).collect()
+    assert rows[0]["t"] == ["hello", "world", "42", "foo", "bar"]
+    assert rows[1]["t"] == []
+    assert rows[2]["t"] == []
+
+
+def test_shingles_short_doc_guard(spark):
+    df = spark.createDataFrame([("a b",), ("a b c d",)], "text string")
+    rows = df.select(
+        shingles_col(tokens_col("text")).alias("s")).collect()
+    assert rows[0]["s"] == []                       # < 3 tokens
+    assert sorted(rows[1]["s"]) == ["a b c", "b c d"]
+
+
+def test_exact_dedup_idempotent(spark):
+    from stock_data_warehouse_spark.plans.extensions import x1_exact_dedup
+    out = x1_exact_dedup(spark, SF)
+    n = out.count()
+    # survivors are unique by content → re-deduping changes nothing
+    assert out.select("doc_id").distinct().count() == n
+    assert out.filter(F.col("dup_count") < 1).count() == 0
+
+
+def test_neardup_jaccard_bounds_and_symmetry(spark):
+    from stock_data_warehouse_spark.plans.extensions import (
+        x2_neardup_jaccard,
+    )
+    rows = x2_neardup_jaccard(spark, SF).collect()
+    for r in rows:
+        assert 0.8 <= r["jaccard"] <= 1.0
+        assert r["doc_a"] < r["doc_b"]  # canonical pair orientation
+
+
+def test_cosine_topk_is_bounded_and_self_free(spark):
+    from stock_data_warehouse_spark.plans.extensions import (
+        x3_cosine_topk_bruteforce,
+    )
+    out = x3_cosine_topk_bruteforce(spark, SF)
+    rows = out.collect()
+    per_query = {}
+    for r in rows:
+        assert -1.0 <= r["cos_sim"] <= 1.0
+        assert r["query_id"] != r["neighbor_id"]
+        per_query.setdefault(r["query_id"], 0)
+        per_query[r["query_id"]] += 1
+    assert set(per_query.values()) == {3}
+
+
+def test_fingerprint_deterministic(spark):
+    from stock_data_warehouse_spark.plans.extensions import x4_fingerprint
+    a = {r["doc_id"]: r["fingerprint"]
+         for r in x4_fingerprint(spark, SF).collect()}
+    b = {r["doc_id"]: r["fingerprint"]
+         for r in x4_fingerprint(spark, SF).collect()}
+    assert a == b
+    assert all(0 <= v < 999999999989 for v in a.values())
+
+
+def test_multimodal_decode_schema_and_determinism(spark):
+    df = spark.createDataFrame(
+        [(1, bytearray(b"hello")), (2, bytearray(b""))],
+        "doc_id long, payload binary")
+    out = decode_features(df)
+    assert out.schema == DECODE_SCHEMA
+    rows = {r["doc_id"]: r for r in out.collect()}
+    assert rows[1]["byte_len"] == 5
+    assert rows[2]["byte_len"] == 0 and rows[2]["checksum"] == 0
+    again = {r["doc_id"]: r for r in decode_features(df).collect()}
+    assert rows == again

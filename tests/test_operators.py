@@ -1,0 +1,104 @@
+"""Operator kernel tests: alias precedence, TTM, as-of, last-non-null
+(SURVEY.md §5.3/§7 hard parts 2-4)."""
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from stock_data_warehouse_spark.operators.aggregates import (
+    last_non_null, latest_row, ttm_top_k_sum,
+)
+from stock_data_warehouse_spark.operators.joins import (
+    asof_join, resolve_alias,
+)
+
+
+def _d(s):
+    return dt.date.fromisoformat(s)
+
+
+def test_resolve_alias_priority_order(spark):
+    facts = spark.createDataFrame(
+        [("T", "Operating Revenue", 1.0),
+         ("T", "Total Revenue", 2.0)],
+        "ticker string, line_item string, value double")
+    dim = spark.createDataFrame(
+        [("revenue", "Total Revenue", 0),
+         ("revenue", "Operating Revenue", 1)],
+        "canonical string, line_item string, priority int")
+    out = resolve_alias(facts, dim, ["ticker"], "line_item", "value")
+    assert out.collect()[0]["value"] == 2.0  # priority 0 wins, not row order
+
+
+def test_resolve_alias_positivity_guard_falls_through(spark):
+    # F:211-216: the >0 guard applies per candidate BEFORE precedence
+    facts = spark.createDataFrame(
+        [("T", "Other Short Term Investments", -500.0),
+         ("T", "Short Term Investments", 200.0)],
+        "ticker string, line_item string, value double")
+    dim = spark.createDataFrame(
+        [("sti", "Other Short Term Investments", 0),
+         ("sti", "Short Term Investments", 1)],
+        "canonical string, line_item string, priority int")
+    out = resolve_alias(facts, dim, ["ticker"], "line_item", "value",
+                        require_positive=True)
+    assert out.collect()[0]["value"] == 200.0
+
+
+def test_ttm_top4_partial_and_null(spark):
+    rows = [("T", _d("2023-03-31"), 55.0),
+            ("T", _d("2023-06-30"), None),      # fillna(0)
+            ("T", _d("2023-09-30"), 55.0),
+            ("T", _d("2023-12-31"), 55.0),
+            ("T", _d("2022-12-31"), 999.0),     # 5th quarter: cut
+            ("U", _d("2023-12-31"), 10.0)]      # partial group (<4)
+    df = spark.createDataFrame(
+        rows, "ticker string, q date, value double")
+    out = {r["ticker"]: r["ttm"]
+           for r in ttm_top_k_sum(df, ["ticker"], "q", "value").collect()}
+    assert out == {"T": 165.0, "U": 10.0}
+
+
+def test_latest_row_deterministic_tiebreak(spark):
+    rows = [("T", _d("2023-12-31"), 1, 100.0),
+            ("T", _d("2023-12-31"), 2, 200.0)]
+    df = spark.createDataFrame(
+        rows, "k string, q date, seq int, v double")
+    out = latest_row(df, ["k"], "q", tiebreak_col="seq").collect()
+    assert len(out) == 1 and out[0]["v"] == 200.0
+
+
+def test_last_non_null_trailing_nulls_and_all_null(spark):
+    ts = dt.datetime(2024, 1, 1)
+    rows = [("A", ts, 1, 40.0),
+            ("A", ts + dt.timedelta(days=1), 2, 42.0),
+            ("A", ts + dt.timedelta(days=2), 3, None),  # trailing null
+            ("B", ts, 4, None)]                          # all-null group
+    df = spark.createDataFrame(
+        rows, "k string, ts timestamp, id int, v double")
+    out = {r["k"]: r["lv"]
+           for r in last_non_null(df, ["k"], "ts", "v",
+                                  tiebreak_col="id",
+                                  out_col="lv").collect()}
+    assert out == {"A": 42.0, "B": None}
+
+
+def test_asof_join_semantics(spark):
+    t0 = dt.datetime(2024, 1, 1)
+
+    def at(h):
+        return t0 + dt.timedelta(hours=h)
+
+    left = spark.createDataFrame(
+        [(1, "u", at(0)), (2, "u", at(5)), (3, "u", at(10)),
+         (4, "v", at(1))],
+        "event_id int, user string, ts timestamp")
+    right = spark.createDataFrame(
+        [("u", at(0), 10.0), ("u", at(5), 50.0), ("u", at(7), 70.0)],
+        "user string, ts timestamp, val double")
+    out = {r["event_id"]: r["right_val"]
+           for r in asof_join(left, right, on="user",
+                              left_ts="ts", right_ts="ts",
+                              right_value_cols=["val"]).collect()}
+    # equal timestamps match (<=); keys with no prior right row → null
+    assert out == {1: 10.0, 2: 50.0, 3: 70.0, 4: None}

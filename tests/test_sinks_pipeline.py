@@ -1,0 +1,117 @@
+"""Sink round-trips + reference-pipeline golden rows (SURVEY.md §5.3-5.4)."""
+
+import json
+import os
+import tempfile
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from stock_data_warehouse_spark.sources.sinks import (
+    manifest_doc, publish_if_changed, write_per_key_json,
+)
+
+
+def test_per_key_json_exact_naming(spark):
+    df = spark.createDataFrame(
+        [("AAPL", 1.0), ("BRK-B", 2.0)], "ticker string, v double")
+    out = tempfile.mkdtemp()
+    write_per_key_json(df, "ticker", out)
+    assert sorted(os.listdir(out)) == ["AAPL.json", "BRK-B.json"]
+    with open(os.path.join(out, "BRK-B.json")) as f:
+        assert json.load(f) == {"ticker": "BRK-B", "v": 2.0}
+
+
+def test_manifest_preserves_order_and_duplicates(spark):
+    rows = [("hot", 0, "ORCL"), ("hot", 1, "NFLX"), ("hot", 2, "ORCL"),
+            ("dow", 0, "MMM")]
+    df = spark.createDataFrame(
+        rows, "list_name string, position int, ticker string")
+    doc = json.loads(manifest_doc(df))
+    assert doc["lists"]["hot"] == ["ORCL", "NFLX", "ORCL"]  # dup kept
+    assert doc["lists"]["dow"] == ["MMM"]
+    assert "last_updated" in doc
+
+
+def test_publish_if_changed_idempotent(spark):
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "k int, v string")
+    target = tempfile.mkdtemp()
+    assert publish_if_changed(spark, df, target, "k") == 2
+    assert publish_if_changed(spark, df, target, "k") == 0
+    df2 = spark.createDataFrame([(1, "a"), (2, "CHANGED")],
+                                "k int, v string")
+    assert publish_if_changed(spark, df2, target, "k") == 1
+
+
+@pytest.fixture(scope="module")
+def snapshot(spark):
+    from stock_data_warehouse_spark.plans.reference_pipeline import (
+        snapshot_pipeline,
+    )
+    return {r["ticker"]: r.asDict() for r in snapshot_pipeline(spark).collect()}
+
+
+def test_pipeline_survivors(snapshot):
+    # FFF has no instrument data; III has no valid price → both skipped
+    assert sorted(snapshot) == [
+        "AAA", "BBB", "CC-C", "DDD", "EEE", "GGG", "HHH"]
+
+
+def test_pipeline_golden_aaa(snapshot):
+    r = snapshot["AAA"]
+    assert r["price"] == 100.0
+    assert r["revenue_ttm"] == 1000.0
+    assert r["capex_ttm"] == 120.0          # abs of -120
+    assert r["cash_and_equivalents"] == 400.0
+    assert r["analyst_growth_estimate"] == 10.0
+    assert r["sector_type"] == "General"
+
+
+def test_pipeline_golden_bbb_fx_and_truthiness(snapshot):
+    r = snapshot["BBB"]
+    # negative currentPrice stopped the or-chain → history close 44.5
+    assert r["price"] == 44.5
+    # 5-quarter cut: old 999 excluded; EUR 0.8 division
+    assert r["revenue_ttm"] == 1250.0
+    assert r["cash_and_equivalents"] == 150.0  # (80 + 40) / 0.8
+    assert r["beta"] == 1.2                    # <0.5 growth-sector floor
+    assert r["sector_type"] == "SaaS"
+
+
+def test_pipeline_golden_ccc_megacap(snapshot):
+    r = snapshot["CC-C"]
+    assert r["sector_type"] == "Semiconductor"  # beats Software
+    assert r["analyst_growth_estimate"] == 30.0  # megacap cap
+    assert r["beta"] == 1.35                     # $1T tier
+    assert r["net_income_ttm"] == 600.0          # 3rd-priority alias
+    assert r["cash_and_equivalents"] == 6000.0
+
+
+def test_pipeline_golden_ddd_defaults(snapshot):
+    r = snapshot["DDD"]
+    assert r["price"] == 42.0                # history fallback
+    assert r["revenue_ttm"] == 0.0           # no statements
+    assert r["book_value_ttm"] == 6000000.0  # bookValue × shares
+    assert r["beta"] == 1.0
+    assert r["analyst_growth_estimate"] == 3.0
+    assert r["roe"] == 0.0
+
+
+def test_pipeline_golden_eee_guards(snapshot):
+    r = snapshot["EEE"]
+    assert r["revenue_ttm"] == 100.0             # 2-quarter partial TTM
+    assert r["cash_and_equivalents"] == 350.0    # -500 STI skipped
+    assert r["beta"] == 2.5
+    assert r["analyst_growth_estimate"] == -5.0  # within BioTech min
+    assert r["roe"] == -10.0
+
+
+def test_pipeline_golden_quirks(snapshot):
+    assert snapshot["GGG"]["dividend_yield"] == 709.0  # double-scaling
+    assert snapshot["GGG"]["sector_type"] == "REIT"
+    h = snapshot["HHH"]
+    assert h["sector_type"] == "Hardware"
+    assert h["analyst_growth_estimate"] == 20.0  # General cfg fallback
+    assert h["beta"] == 1.6                      # $200B tier
+    assert h["net_income_ttm"] == 165.0          # null quarter → 0
