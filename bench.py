@@ -35,7 +35,8 @@ HEADLINE = (
     "p7_p9_p10_arith_pack",       # wide scalar layer over lineitem
     "o2_pergroup_topk_orders",    # per-group top-k
     "x1_exact_dedup",             # content-hash dedup (documents)
-    "x3_cosine_topk_bruteforce",  # embedding similarity top-k
+    "x2_neardup_jaccard",         # shingle inverted-index near-dup
+    "x3_ann_lsh_topk",            # embedding similarity top-k (LSH path)
     "x4_token_counts",            # explode + groupBy token counts
     "t4_tumbling_hourly",         # event-time tumbling window agg
 )
