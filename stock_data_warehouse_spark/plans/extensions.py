@@ -614,3 +614,121 @@ def x6_lexicon_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.size(toks).alias("n_tokens"),
         F.round(_lexicon_score(F.col("text")), 6).alias("sentiment"))
+
+
+# ---------------------------------------------------------------------------
+# OP-X4 (continued) — TF-IDF + language-ID; OP-X5 — label centroids
+# ---------------------------------------------------------------------------
+
+@register(
+    "x4_tfidf",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest({SQL_TOKENS}) AS token FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, token, COUNT(*) AS tf
+      FROM tok GROUP BY doc_id, token
+    ),
+    df AS (
+      SELECT token, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY token
+    ),
+    n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM documents)
+    SELECT tf.doc_id, tf.token, tf.tf, df.df,
+           ROUND(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df), 6)
+             AS tfidf
+    FROM tf JOIN df USING (token) CROSS JOIN n
+    """,
+)
+def x4_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OP-X4 — per-(doc, term) TF-IDF, the SQL form (no MLlib): term
+    frequencies and document frequencies are two partial-aggregated
+    groupBys; the corpus size joins in as a broadcast 1-row relation —
+    never a driver-side count stitched into the plan."""
+    d = _t(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(tokens_col("text")).alias("token"))
+    tf = tok.groupBy("doc_id", "token").agg(
+        F.count(F.lit(1)).alias("tf"))
+    dfreq = tok.groupBy("token").agg(
+        F.countDistinct("doc_id").alias("df"))
+    n = d.agg(F.countDistinct("doc_id").alias("n_docs"))
+    return (tf.join(F.broadcast(dfreq), "token")
+              .crossJoin(F.broadcast(n))
+              .select("doc_id", "token", "tf", "df",
+                      F.round(F.col("tf") * F.log(
+                          F.col("n_docs").cast("double") / F.col("df")),
+                          6).alias("tfidf")))
+
+
+@register(
+    "x4_lang_id_heuristic",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, lang, {SQL_TOKENS} AS toks FROM documents
+    )
+    SELECT doc_id, lang,
+           CASE
+             WHEN len(list_filter(toks, x -> x IN
+                  ('the', 'a', 'of', 'and', 'to', 'in'))) * 1.0
+                  / len(toks) >= 0.08 THEN 'en'
+             WHEN len(list_filter(toks, x -> x IN
+                  ('der', 'die', 'das', 'und'))) > 0 THEN 'de'
+             WHEN len(list_filter(toks, x -> x IN
+                  ('le', 'la', 'et', 'les'))) > 0 THEN 'fr'
+             WHEN len(list_filter(toks, x -> x IN
+                  ('el', 'los', 'las', 'y'))) > 0 THEN 'es'
+             ELSE 'und'
+           END AS predicted_lang
+    FROM t
+    """,
+)
+def x4_lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OP-X4 — stopword-profile language ID (the n-gram-heuristic family
+    at its smallest): ordered CASE over per-language marker-token hit
+    rates. On this synthetic corpus (shared English-ish vocabulary) it
+    mostly answers 'en'/'und' — the point is the operator shape: a pure
+    projection classifier that runs inside the scan at any scale, with
+    the declared ``lang`` column kept for confusion analysis."""
+    stop_en = ("the", "a", "of", "and", "to", "in")
+    d = _t(spark, sf_dir, "documents")
+    t = d.select("doc_id", "lang", tokens_col("text").alias("toks"))
+
+    def hits(words):
+        return F.size(F.filter("toks", lambda x: x.isin(*words)))
+
+    pred = (F.when(hits(stop_en) * F.lit(1.0) / F.size("toks") >= 0.08,
+                   "en")
+            .when(hits(("der", "die", "das", "und")) > 0, "de")
+            .when(hits(("le", "la", "et", "les")) > 0, "fr")
+            .when(hits(("el", "los", "las", "y")) > 0, "es")
+            .otherwise("und"))
+    return t.select("doc_id", "lang", pred.alias("predicted_lang"))
+
+
+@register(
+    "x5_label_centroids",
+    oracle="""
+    WITH v AS (
+      SELECT label, embedding::DOUBLE[] AS e FROM embeddings
+    )
+    SELECT label, i AS dim_idx,
+           COUNT(*) AS n_vectors,
+           ROUND(AVG(e[i]), 6) AS centroid
+    FROM v, range(1, 65) t(i)
+    GROUP BY label, i
+    """,
+)
+def x5_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OP-X5 — per-label embedding centroids in flat (label, dim, value)
+    form: ``posexplode`` the vectors, hash-aggregate per (label, dim).
+    Map-side partial aggregation means the shuffle carries one partial
+    sum per (label, dim) per partition — at 100 TB this is the standard
+    distributed centroid step of k-means/IVF index building. Averages
+    are rounded on both sides (summation order differs across engines,
+    SURVEY.md §7 hard-part 7)."""
+    e = _t(spark, sf_dir, "embeddings")
+    v = e.select("label", _as_double_vec("embedding").alias("e"))
+    return (v.select("label", F.posexplode("e").alias("pos", "val"))
+             .groupBy("label", (F.col("pos") + 1).alias("dim_idx"))
+             .agg(F.count(F.lit(1)).alias("n_vectors"),
+                  F.round(F.avg("val"), 6).alias("centroid")))

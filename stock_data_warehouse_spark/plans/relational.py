@@ -750,3 +750,82 @@ def j8_full_outer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
                  "c_acctbal", "spend",
                  F.col("r.c_custkey").isNotNull().alias("is_rich"),
                  F.col("s.c_custkey").isNotNull().alias("is_spender")))
+
+
+# ---------------------------------------------------------------------------
+# OP-A8 (cube/grouping sets), OP-A7 (approx), OP-W1 (explicit)
+# ---------------------------------------------------------------------------
+
+@register(
+    "a8_cube_region_segment",
+    oracle="""
+    SELECT r.r_name, c.c_mktsegment,
+           GROUPING(r.r_name) AS g_region,
+           GROUPING(c.c_mktsegment) AS g_segment,
+           COUNT(*) AS n_customers,
+           ROUND(SUM(c.c_acctbal), 2) AS sum_bal
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY CUBE (r.r_name, c.c_mktsegment)
+    """,
+)
+def a8_cube_region_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OP-A8 — CUBE over (region, segment) with grouping flags: all four
+    subtotal levels in one pass (the reference's list→sector→ticker
+    hierarchy generalized; rollup-only form lives in
+    a8_rollup_region_nation). Spark expands the cube map-side, so it is
+    still a single partial+final hash aggregation."""
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    joined = (c.join(F.broadcast(n),
+                     c.c_nationkey == n.n_nationkey)
+               .join(F.broadcast(r),
+                     n.n_regionkey == r.r_regionkey))
+    return (joined.cube("r_name", "c_mktsegment")
+            .agg(F.grouping("r_name").cast("int").alias("g_region"),
+                 F.grouping("c_mktsegment").cast("int")
+                  .alias("g_segment"),
+                 F.count(F.lit(1)).alias("n_customers"),
+                 F.round(F.sum("c_acctbal"), 2).alias("sum_bal"))
+            .select("r_name", "c_mktsegment", "g_region", "g_segment",
+                    "n_customers", "sum_bal"))
+
+
+@register("a7_approx_count_distinct")  # rows-only: sketch is approximate
+def a7_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OP-A7 (approx variant) — HyperLogLog++ distinct users per event
+    type: the 100 TB form of count-distinct (mergeable sketch, no
+    per-key shuffle of raw values). Approximate → rows-only check; the
+    exact form is a7_count_distinct_users."""
+    e = _t(spark, sf_dir, "events")
+    return (e.groupBy("event_type")
+             .agg(F.approx_count_distinct("user_id", 0.02)
+                  .alias("approx_users")))
+
+
+@register(
+    "w1_row_number_recent_orders",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_orderdate, rn FROM (
+      SELECT o_custkey, o_orderkey, o_orderdate,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                ORDER BY o_orderdate DESC,
+                                         o_orderkey DESC) AS rn
+      FROM orders
+    ) WHERE rn <= 2
+    """,
+)
+def w1_row_number_recent_orders(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """OP-W1 — row_number per key, the explicit standalone form of the
+    reference's iloc[:k] idiom (fetch_data.py:35,198): two most recent
+    orders per customer, deterministic via the unique orderkey
+    tiebreak."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").desc(), F.col("o_orderkey").desc())
+    return (o.select("o_custkey", "o_orderkey", "o_orderdate",
+                     F.row_number().over(w).alias("rn"))
+             .filter(F.col("rn") <= 2))

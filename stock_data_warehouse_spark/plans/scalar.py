@@ -303,3 +303,52 @@ def p18_date_math(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.pow(price, 0.5) + F.greatest(price, F.lit(100000.0))
                 - F.least(price, F.lit(100000.0)), 6).alias("mixed"),
     )
+
+
+# ---------------------------------------------------------------------------
+# §2.7 collection surface — arrays + higher-order functions
+# ---------------------------------------------------------------------------
+
+@register(
+    "p_collection_pack",
+    oracle="""
+    WITH base AS (
+      SELECT l_orderkey, l_linenumber,
+             [l_quantity, l_extendedprice * (1 - l_discount),
+              l_tax * 100] AS arr
+      FROM lineitem
+    )
+    SELECT l_orderkey, l_linenumber,
+           arr,
+           list_transform(arr, x -> x * 2) AS doubled,
+           len(list_filter(arr, x -> x > 10)) AS n_big,
+           ROUND(list_reduce(list_prepend(0.0, arr),
+                             (acc, x) -> acc + x), 4) AS total,
+           list_sort(arr) AS sorted_arr,
+           arr[1:2] AS first_two,
+           list_contains(arr, 0.0) AS has_zero
+    FROM base
+    """,
+)
+def p_collection_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.7 — the array/higher-order surface (array, transform, filter,
+    aggregate, sort_array, slice, array_contains) in one projection.
+    All JVM-side expression evaluation over the scan — zero shuffles,
+    zero UDFs; the fold mirrors DuckDB's sequential list_reduce
+    bit-exactly (same operand order)."""
+    l = _t(spark, sf_dir, "lineitem")
+    arr = F.array(
+        F.col("l_quantity"),
+        F.col("l_extendedprice") * (1 - F.col("l_discount")),
+        F.col("l_tax") * 100)
+    base = l.select("l_orderkey", "l_linenumber", arr.alias("arr"))
+    a = F.col("arr")
+    return base.select(
+        "l_orderkey", "l_linenumber", "arr",
+        F.transform(a, lambda x: x * 2).alias("doubled"),
+        F.size(F.filter(a, lambda x: x > 10)).alias("n_big"),
+        F.round(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x), 4)
+         .alias("total"),
+        F.sort_array(a).alias("sorted_arr"),
+        F.slice(a, 1, 2).alias("first_two"),
+        F.array_contains(a, 0.0).alias("has_zero"))
