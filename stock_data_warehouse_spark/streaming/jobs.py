@@ -148,3 +148,50 @@ def t1_microbatch_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
          .start())
     q.awaitTermination()
     return spark.read.parquet(f"{out_dir}/snapshot")
+
+
+@register("t8_stateful_counters_stream")  # rows-only: streaming plan
+def t8_stateful_counters_stream(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """OP-T8 — custom stateful operator via ``applyInPandasWithState``:
+    per-user running counters (event count, value sum, error count)
+    maintained in the state store across micro-batches and emitted on
+    every update. This is the escape hatch for semantics the built-in
+    streaming aggregations can't express (the SURVEY §2.11(d) surface);
+    state is per-key and partitioned, so 1000 executors hold 1/1000 of
+    the keys each.
+    """
+    from pyspark.sql.streaming.state import (
+        GroupState, GroupStateTimeout,
+    )
+    import pandas as pd
+
+    out_schema = T.StructType([
+        T.StructField("user_id", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("sum_value", T.DoubleType()),
+        T.StructField("n_errors", T.LongType()),
+    ])
+    state_schema = T.StructType([
+        T.StructField("n", T.LongType()),
+        T.StructField("s", T.DoubleType()),
+        T.StructField("e", T.LongType()),
+    ])
+
+    def update_counters(key, pdfs, state: GroupState):
+        n, s, err = state.get if state.exists else (0, 0.0, 0)
+        for pdf in pdfs:
+            n += len(pdf)
+            s += float(pdf["value"].sum())
+            err += int((pdf["event_type"] == "error").sum())
+        state.update((n, s, err))
+        yield pd.DataFrame({"user_id": [key[0]], "n_events": [n],
+                            "sum_value": [round(s, 4)],
+                            "n_errors": [err]})
+
+    s = events_stream(spark, sf_dir)
+    counted = (s.groupBy("user_id")
+                .applyInPandasWithState(
+                    update_counters, out_schema, state_schema,
+                    "update", GroupStateTimeout.NoTimeout))
+    return _run_to_table(counted, "update")
