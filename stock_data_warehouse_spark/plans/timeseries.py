@@ -46,7 +46,8 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
            event_type,
            COUNT(*) AS n_events,
            ROUND(SUM(value), 4) AS sum_value,
-           ROUND(AVG(value), 6) AS avg_value
+           CAST(ROUND(CAST(AVG(value) AS DECIMAL(38,10)), 6) AS DOUBLE)
+             AS avg_value
     FROM events
     GROUP BY 1, 2
     """,
@@ -59,7 +60,12 @@ def t4_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
              .agg(F.count(F.lit(1)).alias("n_events"),
                   F.round(F.sum("value"), 4).alias("sum_value"),
-                  F.round(F.avg("value"), 6).alias("avg_value"))
+                  # avg of 2-decimal values with a power-of-two group
+                  # size lands exactly on a half-boundary at 6 digits;
+                  # decimal-routed rounding keeps both engines on the
+                  # same side (SURVEY.md §7 hard-parts 1+7)
+                  F.round(F.avg("value").cast("decimal(38,10)"), 6)
+                   .cast("double").alias("avg_value"))
              .select(F.col("w.start").alias("window_start"),
                      "event_type", "n_events", "sum_value", "avg_value"))
 
