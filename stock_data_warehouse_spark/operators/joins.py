@@ -31,6 +31,15 @@ def resolve_alias(facts: DataFrame, alias_dim: DataFrame,
     minimum-priority row per ``group_cols + [canonical]`` via
     ``row_number`` — an *ordered* coalesce. Never ``first()`` without a
     sort (nondeterministic under shuffle; SURVEY.md §7 hard-part 2).
+
+    Physical-form note (measured): the tempting one-shot alternative —
+    ``min_by(struct(row), struct(priority, tiebreaks))`` as a hash
+    aggregation with map-side combine — is 7× SLOWER here despite the
+    smaller shuffle: struct-valued min_by falls out of whole-stage
+    codegen into interpreted ObjectHashAggregate, while the window sorts
+    flat columns inside codegen. The window's shuffle reuses the same
+    hash partitioning downstream consumers need, so the extra cost at
+    scale is the per-partition sort, which AQE sizes fine.
     """
     joined = facts.join(F.broadcast(alias_dim), on=item_col, how="inner")
     if require_positive:
