@@ -352,3 +352,31 @@ def p_collection_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sort_array(a).alias("sorted_arr"),
         F.slice(a, 1, 2).alias("first_two"),
         F.array_contains(a, 0.0).alias("has_zero"))
+
+
+@register(
+    "p_map_json_pack",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val,
+           len(json_keys(props)) AS n_keys,
+           list_contains(json_keys(props), 'k') AS has_k,
+           CAST(json_extract_string(props, '$.missing') AS BIGINT)
+             AS missing_val
+    FROM events
+    """,
+)
+def p_map_json_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.7 — the map/json surface: ``from_json`` with an explicit map
+    schema, ``map_keys``/``element_at``/``array_contains``, absent-key
+    null semantics. The JSON parse happens once per row inside the
+    projection (no UDF); DuckDB's json_* functions are the oracle's
+    denotation."""
+    e = _t(spark, sf_dir, "events")
+    m = F.from_json("props", "map<string,bigint>")
+    return e.select(
+        "event_id",
+        F.element_at(m, "k").alias("k_val"),
+        F.size(F.map_keys(m)).alias("n_keys"),
+        F.array_contains(F.map_keys(m), "k").alias("has_k"),
+        F.element_at(m, "missing").alias("missing_val"))

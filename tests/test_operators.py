@@ -102,3 +102,20 @@ def test_asof_join_semantics(spark):
                               right_value_cols=["val"]).collect()}
     # equal timestamps match (<=); keys with no prior right row → null
     assert out == {1: 10.0, 2: 50.0, 3: 70.0, 4: None}
+
+
+def test_salted_join_equals_plain_join(spark):
+    from stock_data_warehouse_spark.operators.skew import salted_join
+    # one hot key (9 of 12 rows) + two cold keys
+    facts = spark.createDataFrame(
+        [("hot", i, float(i)) for i in range(9)]
+        + [("a", 100, 1.0), ("a", 101, 2.0), ("b", 200, 3.0)],
+        "k string, row_id int, v double")
+    dim = spark.createDataFrame(
+        [("hot", "H"), ("a", "A"), ("b", "B")], "k string, label string")
+    plain = {(r["k"], r["row_id"], r["label"])
+             for r in facts.join(dim, "k").collect()}
+    salted = {(r["k"], r["row_id"], r["label"])
+              for r in salted_join(facts, dim, "k", "row_id",
+                                   n_salts=4).collect()}
+    assert salted == plain and len(salted) == 12

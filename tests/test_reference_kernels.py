@@ -125,3 +125,24 @@ def test_sanitize_beta(spark, beta, sector, cap, expected):
         (beta, sector, int(cap)),
         sanitize_beta(F.col("b"), F.col("st"), F.col("cap")))
     assert got == expected
+
+
+def test_round_money_parity_vs_duckdb_batch(spark):
+    """Cross-engine property: decimal-routed rounding agrees with
+    DuckDB's decimal-routed ROUND on adversarial half-boundary doubles
+    (the exact class that broke round 1)."""
+    import duckdb
+
+    vals = [round(i * 0.005, 10) for i in range(1, 400)]       # x.xx5 ties
+    vals += [i + 0.275 for i in range(100)] + [2.675, 72091.275]
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    got = [r["y"] for r in
+           df.select(round_money(F.col("x")).alias("y"))
+             .orderBy("x").collect()]
+    con = duckdb.connect()
+    expected = [
+        r[0] for r in con.execute(
+            "SELECT CAST(ROUND(CAST(x AS DECIMAL(38,10)), 2) AS DOUBLE)"
+            " FROM (SELECT unnest(?::DOUBLE[]) AS x) ORDER BY x",
+            [sorted(vals)]).fetchall()]
+    assert got == expected
