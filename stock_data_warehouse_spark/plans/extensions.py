@@ -139,11 +139,12 @@ def x1_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
       GROUP BY 1, 2
     )
     SELECT doc_a, doc_b, n_common,
-           ROUND(n_common * 1.0 / (sa.n + sb.n - n_common), 6) AS jaccard
+           ROUND(CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common), 6)
+             AS jaccard
     FROM pairs
     JOIN sizes sa ON doc_a = sa.doc_id
     JOIN sizes sb ON doc_b = sb.doc_id
-    WHERE n_common * 1.0 / (sa.n + sb.n - n_common) >= 0.8
+    WHERE CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) >= 0.8
     """,
 )
 def x2_neardup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -398,14 +399,14 @@ def x4_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
            len(toks) AS n_tokens,
            ROUND(CAST(strlen(text) AS DOUBLE) / len(toks), 6)
              AS chars_per_token,
-           ROUND(len(list_filter(toks, x -> x IN
-                 ('the', 'a', 'of', 'and', 'to', 'in'))) * 1.0
+           ROUND(CAST(len(list_filter(toks, x -> x IN
+                 ('the', 'a', 'of', 'and', 'to', 'in'))) AS DOUBLE)
                  / len(toks), 6) AS stopword_ratio,
-           ROUND(strlen(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g'))
-                 * 1.0 / strlen(text), 6) AS punct_ratio,
+           ROUND(CAST(strlen(regexp_replace(text, '[a-zA-Z0-9 ]', '',
+                 'g')) AS DOUBLE) / strlen(text), 6) AS punct_ratio,
            CASE WHEN len(toks) >= 20
-                 AND len(list_filter(toks, x -> x IN
-                     ('the', 'a', 'of', 'and', 'to', 'in'))) * 1.0
+                 AND CAST(len(list_filter(toks, x -> x IN
+                     ('the', 'a', 'of', 'and', 'to', 'in'))) AS DOUBLE)
                      / len(toks) BETWEEN 0.05 AND 0.6
                 THEN 'keep' ELSE 'flag' END AS quality_bucket
     FROM t
@@ -595,9 +596,9 @@ def _lexicon_score(texts):
     SELECT doc_id,
            len(toks) AS n_tokens,
            ROUND(CASE WHEN len(toks) = 0 THEN 0.0 ELSE
-             (len(list_filter(toks, x -> x IN {_POS_WORDS}))
-              - len(list_filter(toks, x -> x IN {_NEG_WORDS})))
-             * 1.0 / len(toks) END, 6) AS sentiment
+             CAST(len(list_filter(toks, x -> x IN {_POS_WORDS}))
+              - len(list_filter(toks, x -> x IN {_NEG_WORDS}))
+              AS DOUBLE) / len(toks) END, 6) AS sentiment
     FROM t
     """,
 )
@@ -668,8 +669,8 @@ def x4_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT doc_id, lang,
            CASE
-             WHEN len(list_filter(toks, x -> x IN
-                  ('the', 'a', 'of', 'and', 'to', 'in'))) * 1.0
+             WHEN CAST(len(list_filter(toks, x -> x IN
+                  ('the', 'a', 'of', 'and', 'to', 'in'))) AS DOUBLE)
                   / len(toks) >= 0.08 THEN 'en'
              WHEN len(list_filter(toks, x -> x IN
                   ('der', 'die', 'das', 'und'))) > 0 THEN 'de'
