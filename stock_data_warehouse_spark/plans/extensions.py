@@ -733,3 +733,108 @@ def x5_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
              .groupBy("label", (F.col("pos") + 1).alias("dim_idx"))
              .agg(F.count(F.lit(1)).alias("n_vectors"),
                   F.round(F.avg("val"), 6).alias("centroid")))
+
+
+# ---------------------------------------------------------------------------
+# OP-X2 (continued) — SimHash + embedding-cosine near-dup
+# ---------------------------------------------------------------------------
+
+@register("x2_simhash_neardup")  # rows-only: engine-specific 64-bit hash
+def x2_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OP-X2 — SimHash near-dup: 64-bit signature where bit i is the
+    sign of Σ_features (±1 by bit i of xxhash64(feature)); near-dups
+    are pairs within Hamming distance 7 (these docs carry only tens of
+    shingles, so even 97%-similar pairs flip several low-margin bits —
+    the web-scale radius of 3 under-recalls; measured). Features are
+    the same 3-gram shingles the exact-Jaccard detector uses —
+    signature similarity then tracks shingle-set similarity directly.
+    Candidate generation avoids the O(N²) scan by banding the
+    signature into 8×8-bit chunks — by pigeonhole, any pair within
+    distance 7 shares at least one intact chunk, so the block-join on
+    chunks has perfect recall.
+    Rows-only: the signature depends on Spark's xxhash64, which no
+    second engine reproduces; the cross-check is the pytest property
+    that the planted Jaccard near-dups land within the Hamming radius.
+    """
+    d = _t(spark, sf_dir, "documents")
+    toks = (d.select("doc_id",
+                     shingles_col(tokens_col("text")).alias("t"))
+             .repartition(spark.sparkContext.defaultParallelism,
+                          "doc_id")
+             .select("doc_id", F.explode("t").alias("tok")))
+    h = toks.withColumn("h", F.xxhash64("tok"))
+    # per (doc, bit): sum of ±1; sign → bit of the signature
+    bits = h.select(
+        "doc_id",
+        *[(F.when(F.shiftright("h", i).bitwiseAND(F.lit(1)) == 1, 1)
+            .otherwise(-1)).alias(f"b{i}") for i in range(64)])
+    sums = bits.groupBy("doc_id").agg(
+        *[F.sum(f"b{i}").alias(f"b{i}") for i in range(64)])
+    sig_expr = None
+    for i in range(64):
+        bit = F.when(F.col(f"b{i}") > 0,
+                     F.lit(1).cast("long")).otherwise(F.lit(0))
+        term = F.shiftleft(bit, i)
+        sig_expr = term if sig_expr is None else sig_expr + term
+    sig = sums.select("doc_id", sig_expr.alias("sig"))
+
+    chunks = sig.select(
+        "doc_id", "sig",
+        F.posexplode(F.array(*[
+            F.shiftright("sig", 8 * c).bitwiseAND(F.lit(0xFF))
+            for c in range(8)])).alias("chunk_idx", "chunk"))
+    a, b = chunks.alias("a"), chunks.alias("b")
+    cand = (a.join(b, (F.col("a.chunk_idx") == F.col("b.chunk_idx"))
+                   & (F.col("a.chunk") == F.col("b.chunk"))
+                   & (F.col("a.doc_id") < F.col("b.doc_id")))
+             .select(F.col("a.doc_id").alias("doc_a"),
+                     F.col("b.doc_id").alias("doc_b"),
+                     F.col("a.sig").alias("sig_a"),
+                     F.col("b.sig").alias("sig_b"))
+             .distinct())
+    hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    return (cand.select("doc_a", "doc_b", hamming.alias("hamming"))
+                .filter(F.col("hamming") <= 7))
+
+
+@register(
+    "x2_embedding_cosine_neardup",
+    oracle=f"""
+    WITH v AS (
+      SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+    ),
+    n AS (
+      SELECT vec_id, e, sqrt({_sql_dot('e', 'e')}) AS nrm FROM v
+    )
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           ROUND({_sql_dot('a.e', 'b.e')} / (a.nrm * b.nrm), 6)
+             AS cos_sim
+    FROM n a JOIN n b ON a.vec_id < b.vec_id
+    WHERE {_sql_dot('a.e', 'b.e')} / (a.nrm * b.nrm) >= 0.45
+    """,
+)
+def x2_embedding_cosine_neardup(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """OP-X2/X3 — embedding-cosine near-duplicate pairs (cos ≥ 0.45 —
+    the synthetic embeddings are near-orthogonal, max pairwise cosine
+    ≈ 0.5, so the threshold sits just inside the top tail):
+    the semantic-dedup stage of a training-data pipeline. Exact
+    all-pairs form as the oracle baseline (bit-exact sequential fold,
+    probe side fanned out per core); at scale the identical predicate
+    runs over ``x3_ann_lsh_topk``'s hyperplane buckets instead of the
+    cross join."""
+    e = _t(spark, sf_dir, "embeddings")
+    v = e.select("vec_id", _as_double_vec("embedding").alias("e"))
+    n = v.withColumn("nrm", F.sqrt(_dot(F.col("e"), F.col("e"))))
+    a = n.repartition(spark.sparkContext.defaultParallelism,
+                      "vec_id").alias("a")
+    b = F.broadcast(n.alias("b"))
+    cos = (_dot(F.col("a.e"), F.col("b.e"))
+           / (F.col("a.nrm") * F.col("b.nrm")))
+    return (a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+             .select(F.col("a.vec_id").alias("vec_a"),
+                     F.col("b.vec_id").alias("vec_b"),
+                     cos.alias("cos"))
+             .filter(F.col("cos") >= 0.45)
+             .select("vec_a", "vec_b",
+                     F.round("cos", 6).alias("cos_sim")))

@@ -84,3 +84,20 @@ def test_multimodal_decode_schema_and_determinism(spark):
     assert rows[2]["byte_len"] == 0 and rows[2]["checksum"] == 0
     again = {r["doc_id"]: r for r in decode_features(df).collect()}
     assert rows == again
+
+
+def test_simhash_finds_planted_jaccard_neardups(spark):
+    """Cross-operator property: pairs the exact shingle-Jaccard
+    detector flags at >= 0.9 are also within the SimHash Hamming
+    radius (SimHash approximates the same token-set similarity)."""
+    from stock_data_warehouse_spark.plans.extensions import (
+        x2_neardup_jaccard, x2_simhash_neardup,
+    )
+    jac = {(r["doc_a"], r["doc_b"])
+           for r in x2_neardup_jaccard(spark, SF).collect()
+           if r["jaccard"] >= 0.9}
+    sim = {(r["doc_a"], r["doc_b"])
+           for r in x2_simhash_neardup(spark, SF).collect()}
+    assert jac, "expected planted near-dups in the fixture corpus"
+    found = len(jac & sim) / len(jac)
+    assert found >= 0.8, f"simhash recall {found:.2f} on planted pairs"
