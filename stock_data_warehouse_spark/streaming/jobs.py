@@ -195,3 +195,37 @@ def t8_stateful_counters_stream(spark: SparkSession,
                     update_counters, out_schema, state_schema,
                     "update", GroupStateTimeout.NoTimeout))
     return _run_to_table(counted, "update")
+
+
+@register("t5_sliding_stream")  # rows-only: streaming plan
+def t5_sliding_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OP-T5 streaming form — the sliding-window expression from
+    ``plans/timeseries.t5_sliding_hourly_15m`` unchanged under
+    ``readStream`` + watermark: each event updates 4 overlapping
+    windows' state; append mode emits each window once sealed."""
+    s = events_stream(spark, sf_dir)
+    agg = (s.withWatermark("ts", "10 minutes")
+            .groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"),
+                     "event_type")
+            .agg(F.count(F.lit(1)).alias("n_events")))
+    out = agg.select(F.col("w.start").alias("window_start"),
+                     "event_type", "n_events")
+    return _run_to_table(out, "append")
+
+
+@register("t6_session_stream")  # rows-only: streaming plan
+def t6_session_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OP-T6 streaming form — ``session_window`` under ``readStream``:
+    per-user gap-merged session state, sealed and emitted when the
+    watermark passes a session's close. The batch-equivalent (and its
+    lag-gap-cumsum SQL oracle) is ``plans/timeseries.t6_session_windows``."""
+    s = events_stream(spark, sf_dir)
+    agg = (s.withWatermark("ts", "10 minutes")
+            .groupBy(F.session_window("ts", "6 hours").alias("w"),
+                     "user_id")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.round(F.sum("value"), 4).alias("sum_value")))
+    out = agg.select("user_id",
+                     F.col("w.start").alias("session_start"),
+                     "n_events", "sum_value")
+    return _run_to_table(out, "append")
