@@ -37,7 +37,14 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
     The conf is session-level and settable at runtime, so this works on
     the driver's session too, not just ours.
+
+    The session timezone is pinned to UTC here for the same reason: the
+    DuckDB oracle renders timestamps as naive UTC, and the driver may
+    run these queries on a session whose timezone we didn't configure —
+    a non-UTC session would shift every rendered timestamp
+    (SURVEY.md §7 hard-part 6).
     """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
