@@ -549,13 +549,34 @@ def x5_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         (byte_len == F.length("text")).alias("is_ascii"))
 
 
-@register("x5_multimodal_decode")  # rows-only: exercises mapInPandas plumbing
+@register(
+    "x5_multimodal_decode",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, strlen(text) AS byte_len,
+             list_reduce(list_prepend(CAST(0 AS BIGINT),
+               list_transform(range(1, least(strlen(text), 256) + 1),
+                 i -> CAST(ascii(substr(text, i, 1)) AS BIGINT))),
+               (acc, x) -> (acc * 131 + x) % 1000000007) AS checksum
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(byte_len AS INT) AS byte_len,
+           CAST(16 + checksum % 240 AS INT) AS width,
+           CAST(16 + (checksum // 240) % 240 AS INT) AS height,
+           CAST(3 AS INT) AS n_channels,
+           checksum
+    FROM t
+    """,
+)
 def x5_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """OP-X5 — the multimodal decode path end-to-end: binary payload →
     ``mapInPandas`` batch decode → typed feature columns. The decoder is
     the deterministic stub from ``operators/multimodal.py`` (real codecs
-    aren't in this container); the Spark-side plumbing — schema, Arrow
-    batching, partition mapping — is real."""
+    aren't in this container) — deterministic enough that the oracle
+    replays it in SQL (the corpus is pure ASCII, so bytes == codepoints
+    and the rolling checksum is a list_reduce), making the Arrow/
+    mapInPandas plumbing itself oracle-checked."""
     from ..operators.multimodal import decode_features
     d = _t(spark, sf_dir, "documents")
     payloads = d.select(

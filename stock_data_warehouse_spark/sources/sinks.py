@@ -261,12 +261,19 @@ def s8_publish_if_changed(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]))
 
 
-@register("s5_per_key_json_sink")  # rows-only: filesystem side-effect
+@register(
+    "s5_per_key_json_sink",
+    oracle="""
+    SELECT n_name || '.json' AS file_name FROM nation
+    """,
+)
 def s5_per_key_json_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     """OP-S5 — per-key JSON sink exercised end-to-end: write one
     ``{n_name}.json`` per nation (25 bounded keys), then list what
-    landed on disk. The write path is executor-side foreachPartition —
-    the driver never sees the records."""
+    landed on disk — the oracle states the exact expected filenames, so
+    the filesystem side-effect itself is what's checked. The write path
+    is executor-side foreachPartition — the driver never sees the
+    records."""
     n = load_table(spark, sf_dir, "nation")
     out = tempfile.mkdtemp(prefix="perkey_json_")
     write_per_key_json(n, "n_name", out)
