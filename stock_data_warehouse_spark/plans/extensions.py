@@ -859,3 +859,57 @@ def x2_embedding_cosine_neardup(spark: SparkSession,
              .filter(F.col("cos") >= 0.45)
              .select("vec_a", "vec_b",
                      F.round("cos", 6).alias("cos_sim")))
+
+
+# ---------------------------------------------------------------------------
+# OP-X4 (continued) — PII scrubbing
+# ---------------------------------------------------------------------------
+
+_EMAIL_RE = r"[a-z0-9]+@[a-z0-9]+\.[a-z]+"
+_LONGNUM_RE = r"[0-9]{4,}"
+
+
+@register(
+    "x4_pii_scrub",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id,
+             text || ' contact: user' || CAST(doc_id AS VARCHAR)
+                  || '@example.com ref ' || CAST(doc_id * 7919 + 1000000 AS VARCHAR)
+               AS raw
+      FROM documents
+    )
+    SELECT doc_id,
+           len(regexp_extract_all(raw, '{_EMAIL_RE}')) AS n_emails,
+           len(regexp_extract_all(raw, '{_LONGNUM_RE}')) AS n_longnums,
+           regexp_replace(regexp_replace(raw, '{_EMAIL_RE}', '<EMAIL>',
+                          'g'), '{_LONGNUM_RE}', '<NUM>', 'g')
+             AS scrubbed
+    FROM t
+    """,
+)
+def x4_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OP-X4 — PII scrubbing (emails, long digit runs) — the redaction
+    pass every pre-training corpus goes through. The corpus is
+    synthetic, so a deterministic contact line derived from ``doc_id``
+    is appended first: the scrubber then provably finds and redacts ≥1
+    of each class per row (an all-zero-count pass would verify
+    nothing). Counts via ``regexp_extract_all`` + ``size``; both
+    patterns use only character classes, which mean the same thing in
+    Java regex and RE2. Pure projection — runs inside the scan at any
+    scale."""
+    d = _t(spark, sf_dir, "documents")
+    raw = F.concat(
+        F.col("text"), F.lit(" contact: user"),
+        F.col("doc_id").cast("string"), F.lit("@example.com ref "),
+        (F.col("doc_id") * 7919 + 1000000).cast("string"))
+    t = d.select("doc_id", raw.alias("raw"))
+    return t.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("raw", F.lit(_EMAIL_RE), F.lit(0)))
+         .alias("n_emails"),
+        F.size(F.regexp_extract_all("raw", F.lit(_LONGNUM_RE), F.lit(0)))
+         .alias("n_longnums"),
+        F.regexp_replace(
+            F.regexp_replace("raw", _EMAIL_RE, "<EMAIL>"),
+            _LONGNUM_RE, "<NUM>").alias("scrubbed"))

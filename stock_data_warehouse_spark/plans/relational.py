@@ -829,3 +829,78 @@ def w1_row_number_recent_orders(spark: SparkSession,
     return (o.select("o_custkey", "o_orderkey", "o_orderdate",
                      F.row_number().over(w).alias("rn"))
              .filter(F.col("rn") <= 2))
+
+
+# ---------------------------------------------------------------------------
+# OP-A8 (explicit GROUPING SETS), OP-A10 (exact quantiles)
+# ---------------------------------------------------------------------------
+
+@register(
+    "a8_grouping_sets",
+    oracle="""
+    SELECT r.r_name, n.n_name,
+           GROUPING(r.r_name) AS g_region,
+           GROUPING(n.n_name) AS g_nation,
+           COUNT(*) AS n_customers,
+           ROUND(SUM(c.c_acctbal), 2) AS sum_bal
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY GROUPING SETS ((r.r_name, n.n_name), (r.r_name), ())
+    """,
+)
+def a8_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OP-A8 — explicit GROUPING SETS (the general form of which
+    rollup/cube are the shorthands): (region, nation) detail, region
+    subtotals, and the grand total — skipping the nation-only set a
+    CUBE would force. Same single-pass partial+final hash aggregation:
+    Spark expands each input row once per grouping set map-side."""
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    joined = (c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+               .join(F.broadcast(r), n.n_regionkey == r.r_regionkey))
+    return (joined.groupingSets([["r_name", "n_name"], ["r_name"], []],
+                                "r_name", "n_name")
+            .agg(F.grouping("r_name").cast("int").alias("g_region"),
+                 F.grouping("n_name").cast("int").alias("g_nation"),
+                 F.count(F.lit(1)).alias("n_customers"),
+                 F.round(F.sum("c_acctbal"), 2).alias("sum_bal"))
+            .select("r_name", "n_name", "g_region", "g_nation",
+                    "n_customers", "sum_bal"))
+
+
+@register(
+    "a10_quantile_pack",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           COUNT(*) AS n_items,
+           MIN(l_quantity) AS min_qty,
+           quantile_cont(l_quantity, 0.25) AS p25_qty,
+           quantile_cont(l_quantity, 0.50) AS p50_qty,
+           quantile_cont(l_quantity, 0.75) AS p75_qty,
+           MAX(l_quantity) AS max_qty
+    FROM lineitem
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def a10_quantile_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OP-A10 — exact linear-interpolated percentiles of quantity per
+    (returnflag, linestatus): the distribution profile a pipeline runs
+    before choosing filters. ``F.percentile`` == DuckDB
+    ``quantile_cont`` (both interpolate (1-f)·a + f·b). FP parity holds
+    without rounding because l_quantity is small-integral and the
+    quartile fractions are exact binary (0.25/0.5/0.75), so every
+    interpolation term is exactly representable — no half-ulp for the
+    two engines' formula shapes to disagree on. Exact percentile sorts
+    per group; the 100 TB form of this profile is approx_percentile
+    (t-digest sketch, mergeable, no per-group sort) — exactness here is
+    the oracle constraint, not the scale recommendation."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (li.groupBy("l_returnflag", "l_linestatus")
+              .agg(F.count(F.lit(1)).alias("n_items"),
+                   F.min("l_quantity").alias("min_qty"),
+                   F.percentile("l_quantity", 0.25).alias("p25_qty"),
+                   F.percentile("l_quantity", 0.50).alias("p50_qty"),
+                   F.percentile("l_quantity", 0.75).alias("p75_qty"),
+                   F.max("l_quantity").alias("max_qty")))

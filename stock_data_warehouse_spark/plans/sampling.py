@@ -1,0 +1,227 @@
+"""Deterministic sampling / training-mix operators — OP-X7 (LLM-pipeline).
+
+A training-data pipeline needs *reproducible* sampling: the same corpus
+snapshot must yield the same sample on every run, across engines, under
+task retries, and regardless of partitioning. ``rand()`` fails all four;
+``TABLESAMPLE`` is partition-dependent. The portable primitive used here
+is a **content-keyed hash coin**: ``md5(key)`` rendered as hex, compared
+lexicographically against a precomputed hex threshold. Both Spark and
+DuckDB produce identical lowercase-hex MD5, and string comparison is
+engine-independent — so every sampling decision is a pure, portable
+function of the row key and the mix config.
+
+Scale posture (100 TB):
+
+- Every sample is a *projection-level filter* — it runs inside the scan
+  (no shuffle, no state), and composes with predicate pushdown: the
+  md5 filter itself can't push to parquet, but everything upstream of
+  it (column pruning) and downstream (partial aggs) is unaffected.
+- The mix config is a tiny dimension (5 langs / 20 sources) joined via
+  ``broadcast`` — no shuffle of the corpus to pick up its rate.
+- Upsampling explodes rows by a per-row copy count — the output is
+  produced inside the map task; the only data movement is the planned
+  downstream shuffle the training job would do anyway.
+
+Reference anchor: the reference processes *all* tickers every run
+(fetch_data.py:299-309); sampling is part of the declared scale surface
+(SURVEY.md §2.8 "operations a training-data pipeline needs").
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.tables import load_table
+from .registry import register
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+def _hex_threshold(rate: float, digits: int = 6) -> str:
+    """Hex string h such that P[substr(md5(k),1,digits) < h] ≈ rate."""
+    return format(int(rate * 16 ** digits), f"0{digits}x")
+
+
+def hash_coin(key: F.Column, salt: str, digits: int = 6) -> F.Column:
+    """Portable uniform draw: first ``digits`` hex chars of
+    ``md5(salt || ':' || key)``. Compare against ``_hex_threshold``."""
+    return F.substring(
+        F.md5(F.concat(F.lit(salt), F.lit(":"), key.cast("string"))),
+        1, digits)
+
+
+def _sql_coin(key_expr: str, salt: str, digits: int = 6) -> str:
+    """DuckDB expression mirroring ``hash_coin`` byte-for-byte."""
+    return (f"substr(md5('{salt}' || ':' || CAST({key_expr} AS VARCHAR)),"
+            f" 1, {digits})")
+
+
+# ---------------------------------------------------------------------------
+# OP-X7a — uniform deterministic sample
+# ---------------------------------------------------------------------------
+
+_UNIFORM_RATE = 0.25
+_UNIFORM_TH = _hex_threshold(_UNIFORM_RATE)
+
+
+@register(
+    "x7_hash_sample",
+    oracle=f"""
+    SELECT doc_id, lang, source,
+           {_sql_coin('doc_id', 'u')} AS coin
+    FROM documents
+    WHERE {_sql_coin('doc_id', 'u')} < '{_UNIFORM_TH}'
+    """,
+)
+def x7_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OP-X7 — uniform ~25% deterministic sample of the corpus, keyed on
+    ``doc_id``: stable under re-runs, retries, repartitioning, and
+    engine choice (the coin is a pure function of the key). The filter
+    is a scan-level projection — zero shuffles at any scale."""
+    d = _t(spark, sf_dir, "documents")
+    coin = hash_coin(F.col("doc_id"), "u")
+    return (d.filter(coin < _UNIFORM_TH)
+             .select("doc_id", "lang", "source", coin.alias("coin")))
+
+
+# ---------------------------------------------------------------------------
+# OP-X7b — stratified mix (per-language rates)
+# ---------------------------------------------------------------------------
+
+#: Target keep-rate per language — the "training mix" config. Thresholds
+#: are precomputed hex strings so BOTH engines decide by string compare.
+_LANG_RATES = {
+    "en": 0.90, "zh": 0.50, "de": 0.50, "fr": 0.25, "es": 0.10,
+}
+_LANG_MIX = {lang: _hex_threshold(r) for lang, r in _LANG_RATES.items()}
+_DEFAULT_TH = _hex_threshold(0.05)
+
+_SQL_LANG_MIX = " UNION ALL ".join(
+    f"SELECT '{lang}' AS lang, '{th}' AS keep_th"
+    for lang, th in sorted(_LANG_MIX.items()))
+
+
+@register(
+    "x7_stratified_mix",
+    oracle=f"""
+    WITH mix AS ({_SQL_LANG_MIX})
+    SELECT d.doc_id, d.lang, d.source
+    FROM documents d
+    LEFT JOIN mix ON d.lang = mix.lang
+    WHERE {_sql_coin('d.doc_id', 's')}
+          < COALESCE(mix.keep_th, '{_DEFAULT_TH}')
+    """,
+)
+def x7_stratified_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OP-X7 — stratified sampling with per-language keep rates (the
+    data-mixing step before pre-training: downweight over-represented
+    languages). The mix config is a 5-row broadcast dim; unknown
+    languages fall back to a floor rate. Decision = hash coin vs the
+    stratum's threshold — reproducible everywhere."""
+    d = _t(spark, sf_dir, "documents")
+    mix = F.broadcast(d.sparkSession.createDataFrame(
+        sorted(_LANG_MIX.items()), "lang string, keep_th string"))
+    coin = hash_coin(F.col("doc_id"), "s")
+    return (d.join(mix, "lang", "left")
+             .filter(coin < F.coalesce(F.col("keep_th"),
+                                       F.lit(_DEFAULT_TH)))
+             .select("doc_id", "lang", "source"))
+
+
+# ---------------------------------------------------------------------------
+# OP-X7c — weighted epoch mix (fractional upsampling)
+# ---------------------------------------------------------------------------
+
+#: Per-source epoch weight: high-quality sources repeat 2.5×, mid 1×,
+#: the rest 0.5×. floor(w) whole copies + one extra with prob frac(w),
+#: decided by the same portable hash coin.
+_SOURCE_WEIGHTS = {
+    **{f"src{i}": 2.5 for i in range(0, 4)},
+    **{f"src{i}": 1.0 for i in range(4, 12)},
+    **{f"src{i}": 0.5 for i in range(12, 20)},
+}
+_SOURCE_MIX = {
+    s: (int(w), _hex_threshold(w - int(w)))
+    for s, w in _SOURCE_WEIGHTS.items()
+}
+
+_SQL_SOURCE_MIX = " UNION ALL ".join(
+    f"SELECT '{s}' AS source, {base} AS base_epochs, '{th}' AS frac_th"
+    for s, (base, th) in sorted(_SOURCE_MIX.items()))
+
+
+@register(
+    "x7_weighted_epoch_mix",
+    oracle=f"""
+    WITH mix AS ({_SQL_SOURCE_MIX}),
+    n AS (
+      SELECT d.doc_id, d.lang, d.source,
+             mix.base_epochs
+             + CASE WHEN {_sql_coin('d.doc_id', 'e')} < mix.frac_th
+                    THEN 1 ELSE 0 END AS n_copies
+      FROM documents d JOIN mix USING (source)
+    )
+    SELECT doc_id, lang, source, n_copies,
+           unnest(range(1, n_copies + 1)) AS epoch
+    FROM n
+    WHERE n_copies >= 1
+    """,
+)
+def x7_weighted_epoch_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OP-X7 — fractional upsampling by source quality: weight 2.5 means
+    2 guaranteed epochs plus a 3rd for a hash-chosen 50% of docs (the
+    standard way a training mix realizes non-integer epoch counts).
+    ``explode(sequence(1, n))`` fans copies out inside the map task —
+    the 100 TB cost is exactly the extra rows produced, no extra
+    shuffle. The empty-sequence guard matters: Spark's ``sequence(1,0)``
+    counts *down*, so zero-copy rows must drop before the explode."""
+    d = _t(spark, sf_dir, "documents")
+    mix = F.broadcast(d.sparkSession.createDataFrame(
+        [(s, b, t) for s, (b, t) in sorted(_SOURCE_MIX.items())],
+        "source string, base_epochs int, frac_th string"))
+    n_copies = (F.col("base_epochs")
+                + F.when(hash_coin(F.col("doc_id"), "e")
+                         < F.col("frac_th"), 1).otherwise(0))
+    return (d.join(mix, "source")
+             .withColumn("n_copies", n_copies)
+             .filter(F.col("n_copies") >= 1)
+             .select("doc_id", "lang", "source", "n_copies",
+                     F.explode(F.sequence(F.lit(1), F.col("n_copies")))
+                      .alias("epoch")))
+
+
+# ---------------------------------------------------------------------------
+# OP-X7d — split assignment (train/valid/test)
+# ---------------------------------------------------------------------------
+
+_SPLITS = (("train", 0.90), ("valid", 0.95), ("test", 1.0))
+
+
+@register(
+    "x7_split_assignment",
+    oracle=f"""
+    SELECT doc_id, lang,
+           CASE
+             WHEN {_sql_coin('doc_id', 'split')}
+                  < '{_hex_threshold(0.90)}' THEN 'train'
+             WHEN {_sql_coin('doc_id', 'split')}
+                  < '{_hex_threshold(0.95)}' THEN 'valid'
+             ELSE 'test'
+           END AS split
+    FROM documents
+    """,
+)
+def x7_split_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OP-X7 — deterministic 90/5/5 train/valid/test assignment keyed on
+    ``doc_id``: a document lands in the same split forever (across
+    snapshot versions, engines, and reshuffles) — the property that
+    prevents eval contamination when the corpus is re-ingested."""
+    d = _t(spark, sf_dir, "documents")
+    coin = hash_coin(F.col("doc_id"), "split")
+    split = (F.when(coin < _hex_threshold(0.90), "train")
+              .when(coin < _hex_threshold(0.95), "valid")
+              .otherwise("test"))
+    return d.select("doc_id", "lang", split.alias("split"))

@@ -130,3 +130,37 @@ def w4_rolling_frame_ttm(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).over(w4).alias("ttm_n"),
         F.round(F.sum("o_totalprice").over(wcum), 2).alias("cum_spend"),
     )
+
+
+# ---------------------------------------------------------------------------
+# OP-W4 (continued) — time-RANGE frame (value-based window over event time)
+# ---------------------------------------------------------------------------
+
+@register(
+    "w5_range_frame_events",
+    oracle="""
+    SELECT event_id, event_type,
+           COUNT(*) OVER w1h AS n_trailing_1h,
+           ROUND(SUM(value) OVER w1h, 4) AS sum_trailing_1h
+    FROM events
+    WINDOW w1h AS (PARTITION BY event_type ORDER BY epoch_us(ts)
+                   RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+    """,
+)
+def w5_range_frame_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OP-W4 (range form) — trailing 1-hour event count/sum per type via
+    a value-based RANGE frame over epoch microseconds: the row-count
+    frames of w4 can't express "everything in the last hour" when event
+    spacing is irregular. RANGE frames are deterministic without a
+    unique tiebreak — peers (equal timestamps) are in or out together
+    on both engines. Scale: partitioned on event_type here for the
+    oracle's sake; the production form adds a coarse time-bucket to the
+    partition key so one hot type never serializes into one task."""
+    e = _t(spark, sf_dir, "events")
+    w1h = (Window.partitionBy("event_type")
+           .orderBy(F.unix_micros("ts"))
+           .rangeBetween(-3_600_000_000, 0))
+    return e.select(
+        "event_id", "event_type",
+        F.count(F.lit(1)).over(w1h).alias("n_trailing_1h"),
+        F.round(F.sum("value").over(w1h), 4).alias("sum_trailing_1h"))
