@@ -121,10 +121,11 @@ def x1_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # OP-X2 — near-duplicate detection
 # ---------------------------------------------------------------------------
 
-@register(
-    "x2_neardup_jaccard",
-    oracle=f"""
-    WITH toks AS (
+#: Shared CTE chain (ends in ``jpairs(doc_a, doc_b, n_common, jac)``):
+#: the exact-Jaccard near-dup pairs at threshold 0.8, reused by the
+#: pair query and the cluster query so the two oracles cannot drift.
+_SQL_JPAIRS = f"""
+    toks AS (
       SELECT doc_id, {SQL_TOKENS} AS t FROM documents
     ),
     sh AS (
@@ -132,31 +133,25 @@ def x1_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     tok AS (SELECT doc_id, unnest(s) AS shingle FROM sh),
     sizes AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id),
-    pairs AS (
+    cpairs AS (
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
       FROM tok a JOIN tok b
         ON a.shingle = b.shingle AND a.doc_id < b.doc_id
       GROUP BY 1, 2
-    )
-    SELECT doc_a, doc_b, n_common,
-           ROUND(CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common), 6)
-             AS jaccard
-    FROM pairs
-    JOIN sizes sa ON doc_a = sa.doc_id
-    JOIN sizes sb ON doc_b = sb.doc_id
-    WHERE CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) >= 0.8
-    """,
-)
-def x2_neardup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """OP-X2 — near-dup pairs by exact 3-gram-shingle Jaccard ≥ 0.8.
+    ),
+    jpairs AS (
+      SELECT doc_a, doc_b, n_common,
+             CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) AS jac
+      FROM cpairs
+      JOIN sizes sa ON doc_a = sa.doc_id
+      JOIN sizes sb ON doc_b = sb.doc_id
+      WHERE CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) >= 0.8
+    )"""
 
-    Inverted-index join, NOT a cross join: explode shingles, self-join on
-    the shingle, count common shingles per pair, then Jaccard =
-    |∩| / (|A|+|B|-|∩|). Cost is Σ df(s)² over shingles — sparse because
-    3-grams are near-unique — vs O(N²) for all-pairs. This is the
-    oracle-checkable exact form; ``x2_neardup_minhash_lsh`` is the
-    banded approximation for when the index itself is too large.
-    """
+
+def _jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact near-dup pairs (doc_a < doc_b, Jaccard ≥ 0.8) — the Spark
+    twin of ``_SQL_JPAIRS``; shared by the pair and cluster queries."""
     d = _t(spark, sf_dir, "documents")
     # The repartition is a materialization barrier as much as a spread:
     # the shingle arrays are computed ONCE and shuffled, instead of the
@@ -183,8 +178,78 @@ def x2_neardup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (pairs.join(F.broadcast(sa), "doc_a")
                  .join(F.broadcast(sb), "doc_b")
                  .filter(jac >= 0.8)
-                 .select("doc_a", "doc_b", "n_common",
-                         F.round(jac, 6).alias("jaccard")))
+                 .select("doc_a", "doc_b", "n_common", jac.alias("jac")))
+
+
+@register(
+    "x2_neardup_jaccard",
+    oracle=f"""
+    WITH {_SQL_JPAIRS}
+    SELECT doc_a, doc_b, n_common, ROUND(jac, 6) AS jaccard
+    FROM jpairs
+    """,
+)
+def x2_neardup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OP-X2 — near-dup pairs by exact 3-gram-shingle Jaccard ≥ 0.8.
+
+    Inverted-index join, NOT a cross join: explode shingles, self-join on
+    the shingle, count common shingles per pair, then Jaccard =
+    |∩| / (|A|+|B|-|∩|). Cost is Σ df(s)² over shingles — sparse because
+    3-grams are near-unique — vs O(N²) for all-pairs. This is the
+    oracle-checkable exact form; ``x2_neardup_minhash_lsh`` is the
+    banded approximation for when the index itself is too large.
+    """
+    return (_jaccard_pairs(spark, sf_dir)
+            .select("doc_a", "doc_b", "n_common",
+                    F.round("jac", 6).alias("jaccard")))
+
+
+@register(
+    "x2_neardup_clusters",
+    oracle=f"""
+    WITH RECURSIVE {_SQL_JPAIRS},
+    edges AS (
+      SELECT doc_a AS u, doc_b AS v FROM jpairs
+      UNION
+      SELECT doc_b, doc_a FROM jpairs
+    ),
+    reach(u, v) AS (
+      SELECT u, v FROM edges
+      UNION
+      SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+      WHERE e.v <> r.u
+    ),
+    comp AS (
+      SELECT u AS doc_id, least(u, min(v)) AS cluster_id
+      FROM reach GROUP BY u
+    )
+    SELECT doc_id, cluster_id,
+           COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size,
+           doc_id = cluster_id AS is_survivor
+    FROM comp
+    """,
+)
+def x2_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OP-X2 — near-dup *clusters*: the pair list is not what a dedup
+    pipeline keeps — it keeps one survivor per connected component of
+    the near-dup graph (A~B, B~C ⇒ {A,B,C} is one cluster even when
+    A~C itself is below threshold). Components via iterative min-label
+    propagation (``operators/graph.py``: one shuffle per round, rounds =
+    cluster diameter ≈ 2-3 for duplicate cliques; lineage truncated per
+    round). Survivor = min doc_id, so the choice is total-ordered and
+    retry-stable. The oracle replays reachability with a recursive CTE —
+    transitive closure is affordable there because only near-dup pairs
+    enter the recursion."""
+    from ..operators.graph import connected_components
+
+    pairs = _jaccard_pairs(spark, sf_dir)
+    cc = connected_components(pairs, "doc_a", "doc_b")
+    wsz = Window.partitionBy("component")
+    return cc.select(
+        F.col("node").alias("doc_id"),
+        F.col("component").alias("cluster_id"),
+        F.count(F.lit(1)).over(wsz).alias("cluster_size"),
+        (F.col("node") == F.col("component")).alias("is_survivor"))
 
 
 @register("x2_neardup_minhash_lsh")  # rows-only: LSH banding is approximate
@@ -236,6 +301,80 @@ def x2_neardup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
                     inter * F.lit(1.0) / union, 6))
                 .filter(F.col("jaccard") >= 0.8)
                 .select("doc_a", "doc_b", "jaccard"))
+
+
+@register(
+    "x2_neardup_minhash_portable",
+    oracle=f"""
+    WITH {_SQL_JPAIRS},
+    shingled AS (SELECT doc_id, s FROM sh WHERE len(s) > 0),
+    mh AS (
+      SELECT t1.doc_id, t.i,
+             min(md5(CAST(t.i AS VARCHAR) || ':' || t1.shingle)) AS mh
+      FROM (SELECT doc_id, unnest(s) AS shingle FROM shingled) t1
+      CROSS JOIN range(16) t(i)
+      GROUP BY t1.doc_id, t.i
+    ),
+    bands AS (
+      SELECT doc_id, i // 4 AS band_idx,
+             md5(string_agg(mh, '|' ORDER BY i)) AS band_hash
+      FROM mh GROUP BY doc_id, i // 4
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+       AND a.doc_id < b.doc_id
+    )
+    SELECT c.doc_a, c.doc_b, ROUND(j.jac, 6) AS jaccard
+    FROM cand c JOIN jpairs j
+      ON c.doc_a = j.doc_a AND c.doc_b = j.doc_b
+    """,
+)
+def x2_neardup_minhash_portable(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """OP-X2 — MinHash+LSH with an *engine-portable* hash family:
+    minhash_i = min over shingles of the md5 hex string salted with the
+    hash index (string MIN is engine-independent), banded 4×4, verified
+    with exact Jaccard. Same banding pipeline as
+    ``x2_neardup_minhash_lsh`` (which keeps xxhash64 — the cheap JVM
+    path for production) but every stage is replayable in DuckDB, so
+    the full candidate-generation + verification pipeline is
+    oracle-checked, not just spot-tested. 16 md5s per shingle is the
+    price of portability; the xxhash64 twin is the scale recommendation.
+    """
+    d = _t(spark, sf_dir, "documents")
+    sh = (d.select("doc_id", shingles_col(tokens_col("text")).alias("s"))
+           .repartition(spark.sparkContext.defaultParallelism, "doc_id")
+           .filter(F.size("s") > 0))
+    n_hashes, band_rows = 16, 4
+    sig = sh.select(
+        "doc_id",
+        F.array(*[
+            F.array_min(F.transform(
+                "s",
+                lambda x, i=i: F.md5(F.concat(F.lit(f"{i}:"), x))))
+            for i in range(n_hashes)
+        ]).alias("sig"))
+    bands = sig.select(
+        "doc_id",
+        F.posexplode(F.array(*[
+            F.md5(F.array_join(
+                F.slice("sig", b * band_rows + 1, band_rows), "|"))
+            for b in range(n_hashes // band_rows)
+        ])).alias("band_idx", "band_hash"))
+    cand = (bands.alias("a")
+            .join(bands.alias("b"),
+                  (F.col("a.band_idx") == F.col("b.band_idx"))
+                  & (F.col("a.band_hash") == F.col("b.band_hash"))
+                  & (F.col("a.doc_id") < F.col("b.doc_id")))
+            .select(F.col("a.doc_id").alias("doc_a"),
+                    F.col("b.doc_id").alias("doc_b"))
+            .distinct())
+    verified = _jaccard_pairs(spark, sf_dir)
+    return (cand.join(verified, ["doc_a", "doc_b"])
+                .select("doc_a", "doc_b",
+                        F.round("jac", 6).alias("jaccard")))
 
 
 # ---------------------------------------------------------------------------
@@ -319,22 +458,69 @@ def x3_cosine_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
                          F.round("cos", 6).alias("cos_sim")))
 
 
-@register("x3_ann_lsh_topk")  # rows-only: LSH recall is approximate
+def _lsh_planes(dim: int = 64, n_planes: int = 8) -> list[list[float]]:
+    """Deterministic seeded hyperplanes, shared verbatim by the Spark
+    plan and the SQL oracle (same doubles on both sides)."""
+    import random
+    rng = random.Random(42)
+    return [[rng.gauss(0.0, 1.0) for _ in range(dim)]
+            for _ in range(n_planes)]
+
+
+_LSH_PLANES = _lsh_planes()
+
+#: VALUES rows (plane_idx, DOUBLE[] weights) for the oracle. Python float
+#: repr is shortest-round-trip, so DuckDB parses the identical double.
+_SQL_LSH_PLANES = ", ".join(
+    "({}, [{}]::DOUBLE[])".format(p, ", ".join(repr(w) for w in plane))
+    for p, plane in enumerate(_LSH_PLANES))
+
+
+@register(
+    "x3_ann_lsh_topk",
+    oracle=f"""
+    WITH v AS (
+      SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+    ),
+    n AS (
+      SELECT vec_id, e, sqrt({_sql_dot('e', 'e')}) AS nrm FROM v
+    ),
+    planes(p, w) AS (VALUES {_SQL_LSH_PLANES}),
+    sig AS (
+      SELECT vec_id,
+             string_agg(CASE WHEN {_sql_dot('e', 'w')} >= 0
+                        THEN '1' ELSE '0' END, '' ORDER BY p) AS bucket
+      FROM n CROSS JOIN planes GROUP BY vec_id
+    ),
+    b AS (
+      SELECT n.vec_id, n.e, n.nrm, s.bucket
+      FROM n JOIN sig s USING (vec_id)
+    ),
+    cand AS (
+      SELECT a.vec_id AS query_id, c.vec_id AS neighbor_id,
+             {_sql_dot('a.e', 'c.e')} / (a.nrm * c.nrm) AS cos
+      FROM b a JOIN b c
+        ON a.bucket = c.bucket AND a.vec_id <> c.vec_id
+    )
+    SELECT query_id, neighbor_id, ROUND(cos, 6) AS cos_sim
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rn
+      FROM cand
+    ) WHERE rn <= 3
+    """,
+)
 def x3_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """OP-X3 (scale path) — ANN via random-hyperplane LSH: sign-bit
     signature over H fixed hyperplanes → candidates join only within a
     bucket → exact cosine re-rank of candidates. Sub-quadratic: cost is
-    Σ bucket² instead of N². Hyperplanes are a deterministic seeded
-    projection so reruns are reproducible. Approximate recall →
-    rows-only check; the exact baseline is ``x3_cosine_topk_bruteforce``.
+    Σ bucket² instead of N². The hyperplanes are a seeded deterministic
+    projection shared with the oracle, and every dot product is a
+    left-to-right double fold on both engines — so although LSH *recall*
+    is approximate (vs the brute-force baseline), the query itself is
+    fully deterministic and oracle-checked bit-for-bit.
     """
-    import random
-
-    dim, n_planes = 64, 8
-    rng = random.Random(42)
-    planes = [[rng.gauss(0.0, 1.0) for _ in range(dim)]
-              for _ in range(n_planes)]
-
+    planes = _LSH_PLANES
     e = _t(spark, sf_dir, "embeddings")
     v = e.select("vec_id", _as_double_vec("embedding").alias("e"))
     n = v.withColumn("nrm", F.sqrt(_dot(F.col("e"), F.col("e"))))

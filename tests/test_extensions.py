@@ -101,3 +101,50 @@ def test_simhash_finds_planted_jaccard_neardups(spark):
     assert jac, "expected planted near-dups in the fixture corpus"
     found = len(jac & sim) / len(jac)
     assert found >= 0.8, f"simhash recall {found:.2f} on planted pairs"
+
+
+def test_connected_components_unit(spark):
+    """Chain 1-2-3 plus isolated pair 10-11: two components, min label."""
+    from stock_data_warehouse_spark.operators.graph import (
+        connected_components,
+    )
+    edges = spark.createDataFrame(
+        [(2, 1), (2, 3), (10, 11)], "src long, dst long").coalesce(1)
+    got = {r["node"]: r["component"]
+           for r in connected_components(edges).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+
+def test_neardup_clusters_consistent_with_pairs(spark):
+    """Every flagged pair's endpoints share a cluster; survivors are
+    the cluster minima; cluster_size >= 2 for every clustered doc."""
+    from stock_data_warehouse_spark.plans.extensions import (
+        x2_neardup_clusters, x2_neardup_jaccard,
+    )
+    clusters = {r["doc_id"]: r
+                for r in x2_neardup_clusters(spark, SF).collect()}
+    pairs = x2_neardup_jaccard(spark, SF).collect()
+    assert pairs and clusters
+    for p in pairs:
+        assert (clusters[p["doc_a"]]["cluster_id"]
+                == clusters[p["doc_b"]]["cluster_id"])
+    for r in clusters.values():
+        assert r["cluster_size"] >= 2
+        assert r["is_survivor"] == (r["doc_id"] == r["cluster_id"])
+        assert r["cluster_id"] <= r["doc_id"]
+
+
+def test_minhash_portable_subset_of_exact(spark):
+    """LSH verification can only *miss* true pairs, never invent them —
+    and at 16 hashes / 4 bands it catches the planted >=0.9 ones."""
+    from stock_data_warehouse_spark.plans.extensions import (
+        x2_neardup_jaccard, x2_neardup_minhash_portable,
+    )
+    exact = {(r["doc_a"], r["doc_b"]): r["jaccard"]
+             for r in x2_neardup_jaccard(spark, SF).collect()}
+    lsh = {(r["doc_a"], r["doc_b"])
+           for r in x2_neardup_minhash_portable(spark, SF).collect()}
+    assert lsh <= set(exact)
+    strong = {p for p, j in exact.items() if j >= 0.9}
+    if strong:
+        assert len(lsh & strong) / len(strong) >= 0.8
