@@ -11,7 +11,13 @@ within the watermark (OP-T8).
 These queries run a bounded stream to completion (AvailableNow) and
 return the materialized batch result — so the driver can collect them —
 but the plan is a genuine streaming plan (StateStore-backed aggregation
-/ dedup operators, not batch hash aggregates).
+/ dedup operators, not batch hash aggregates). With a single-file source
+the run is deterministic: append mode emits exactly the windows sealed
+by the final watermark (max event time − delay), which the oracles
+replay in SQL as an explicit seal filter — so the streaming plans are
+value-checked, not just rows-counted. The one exception is the
+``applyInPandasWithState`` counter job, whose float accumulation order
+is engine-internal → rows-only.
 
 Scale posture: state is keyed on (window, type) / event_id and pruned by
 the watermark, so state size is bounded by the lateness horizon, not by
@@ -88,7 +94,21 @@ def _run_to_table(stream_df: DataFrame, mode: str) -> DataFrame:
     return stream_df.sparkSession.table(name)
 
 
-@register("t7_watermark_tumbling_stream")  # rows-only: streaming plan
+@register(
+    "t7_watermark_tumbling_stream",
+    oracle="""
+    WITH w AS (
+      SELECT make_timestamp((epoch_us(ts) // 3600000000) * 3600000000)
+               AS window_start,
+             event_type, COUNT(*) AS n_events,
+             ROUND(SUM(value), 4) AS sum_value
+      FROM events GROUP BY 1, 2
+    )
+    SELECT window_start, event_type, n_events, sum_value FROM w
+    WHERE window_start + INTERVAL 1 HOUR
+          <= (SELECT max(ts) FROM events) - INTERVAL 10 MINUTE
+    """,
+)
 def t7_watermark_tumbling_stream(spark: SparkSession,
                                  sf_dir: str) -> DataFrame:
     """OP-T7 — watermarked tumbling aggregation as a true streaming
@@ -106,7 +126,12 @@ def t7_watermark_tumbling_stream(spark: SparkSession,
     return _run_to_table(out, "append")
 
 
-@register("t8_stateful_dedup_stream")  # rows-only: streaming plan
+@register(
+    "t8_stateful_dedup_stream",
+    oracle="""
+    SELECT event_id, user_id, event_type, value FROM events
+    """,
+)
 def t8_stateful_dedup_stream(spark: SparkSession,
                              sf_dir: str) -> DataFrame:
     """OP-T8 — stateful streaming dedup: ``dropDuplicatesWithinWatermark``
@@ -121,7 +146,15 @@ def t8_stateful_dedup_stream(spark: SparkSession,
     return _run_to_table(deduped, "append")
 
 
-@register("t1_microbatch_refresh")  # rows-only: sink side-effect + summary
+@register(
+    "t1_microbatch_refresh",
+    oracle="""
+    SELECT make_timestamp((epoch_us(ts) // 3600000000) * 3600000000)
+             AS window_start,
+           COUNT(*) AS n_events
+    FROM events GROUP BY 1
+    """,
+)
 def t1_microbatch_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """OP-T1 — the scheduled-refresh shape (update.yml:4-7,30):
     ``Trigger.AvailableNow`` drains whatever the source holds in rate-
@@ -197,7 +230,26 @@ def t8_stateful_counters_stream(spark: SparkSession,
     return _run_to_table(counted, "update")
 
 
-@register("t5_sliding_stream")  # rows-only: streaming plan
+@register(
+    "t5_sliding_stream",
+    oracle="""
+    WITH slid AS (
+      SELECT make_timestamp(
+               (epoch_us(ts) // 900000000) * 900000000
+               - j * 900000000) AS window_start,
+             event_type
+      FROM events
+      CROSS JOIN (SELECT unnest([0, 1, 2, 3]::BIGINT[]) AS j)
+    ),
+    w AS (
+      SELECT window_start, event_type, COUNT(*) AS n_events
+      FROM slid GROUP BY 1, 2
+    )
+    SELECT window_start, event_type, n_events FROM w
+    WHERE window_start + INTERVAL 1 HOUR
+          <= (SELECT max(ts) FROM events) - INTERVAL 10 MINUTE
+    """,
+)
 def t5_sliding_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """OP-T5 streaming form — the sliding-window expression from
     ``plans/timeseries.t5_sliding_hourly_15m`` unchanged under
@@ -213,7 +265,36 @@ def t5_sliding_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_to_table(out, "append")
 
 
-@register("t6_session_stream")  # rows-only: streaming plan
+@register(
+    "t6_session_stream",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, ts, value,
+             CASE WHEN ts - LAG(ts) OVER (
+                    PARTITION BY user_id ORDER BY ts, event_id)
+                  <= INTERVAL 6 HOUR THEN 0 ELSE 1 END AS new_session
+      FROM events
+    ),
+    s AS (
+      SELECT user_id, ts, value,
+             SUM(new_session) OVER (
+               PARTITION BY user_id ORDER BY ts
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS session_id
+      FROM ordered
+    ),
+    g AS (
+      SELECT user_id, MIN(ts) AS session_start,
+             MAX(ts) + INTERVAL 6 HOUR AS session_end,
+             COUNT(*) AS n_events,
+             ROUND(SUM(value), 4) AS sum_value
+      FROM s GROUP BY user_id, session_id
+    )
+    SELECT user_id, session_start, n_events, sum_value FROM g
+    WHERE session_end
+          <= (SELECT max(ts) FROM events) - INTERVAL 10 MINUTE
+    """,
+)
 def t6_session_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """OP-T6 streaming form — ``session_window`` under ``readStream``:
     per-user gap-merged session state, sealed and emitted when the
