@@ -66,9 +66,16 @@ def main() -> int:
     total = 0.0
     for name in names:
         df = qs[name](spark, SF_DIR)
-        t0 = time.time()
-        df.write.format("noop").mode("overwrite").save()
-        dt = round(time.time() - t0, 3)
+        # Min of two executions: the first pays one-time costs (codegen,
+        # file-index population, broadcast build) plus single-VM jitter
+        # that swings a one-shot number by ±50%; the min is the stable
+        # measure of the physical plan itself.
+        dt = None
+        for _ in range(2):
+            t0 = time.time()
+            df.write.format("noop").mode("overwrite").save()
+            run = round(time.time() - t0, 3)
+            dt = run if dt is None else min(dt, run)
         timings[name] = dt
         total += dt
         print(f"# {name}: {dt:.3f}s", file=sys.stderr)

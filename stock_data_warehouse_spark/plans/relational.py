@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..sources.tables import load_table
+from ..sources.tables import load_table, values_df
 from .registry import register
 
 
@@ -208,7 +208,8 @@ def j9_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     construction (the only sane physical plan for theta joins; the dim
     side is O(1) so this holds at any scale)."""
     o = _t(spark, sf_dir, "orders")
-    tiers = spark.createDataFrame(_TIERS, "tier_name string, lo double, hi double")
+    tiers = values_df(spark, _TIERS,
+                      "tier_name string, lo double, hi double")
     return (
         o.join(F.broadcast(tiers),
                (o.o_totalprice >= tiers.lo) & (o.o_totalprice < tiers.hi))
@@ -250,9 +251,10 @@ def j1_alias_precedence(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = _t(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_linenumber", "l_extendedprice",
         F.col("l_returnflag").alias("line_item"))
-    aliases = spark.createDataFrame(
-        [("R", 0), ("A", 1), ("N", 2)], "line_item string, priority int")
-    aliases = aliases.withColumn("canonical", F.lit("flag"))
+    aliases = values_df(
+        spark, [("R", 0), ("A", 1), ("N", 2)],
+        "line_item string, priority int"
+    ).withColumn("canonical", F.lit("flag"))
     resolved = resolve_alias(
         l, aliases, group_cols=["l_orderkey"], item_col="line_item",
         value_col="l_extendedprice",
@@ -288,9 +290,10 @@ def j2_guarded_alias(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = _t(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 25).select(
         "l_orderkey", "l_linenumber", "l_extendedprice",
         F.col("l_returnflag").alias("line_item"))
-    aliases = spark.createDataFrame(
-        [("R", 0), ("A", 1), ("N", 2)], "line_item string, priority int")
-    aliases = aliases.withColumn("canonical", F.lit("flag"))
+    aliases = values_df(
+        spark, [("R", 0), ("A", 1), ("N", 2)],
+        "line_item string, priority int"
+    ).withColumn("canonical", F.lit("flag"))
     resolved = resolve_alias(
         l, aliases, group_cols=["l_orderkey"], item_col="line_item",
         value_col="l_extendedprice",

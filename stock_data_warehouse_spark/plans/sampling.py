@@ -32,7 +32,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..sources.tables import load_table
+from ..sources.tables import load_table, values_df
 from .registry import register
 
 
@@ -122,8 +122,9 @@ def x7_stratified_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     languages fall back to a floor rate. Decision = hash coin vs the
     stratum's threshold — reproducible everywhere."""
     d = _t(spark, sf_dir, "documents")
-    mix = F.broadcast(d.sparkSession.createDataFrame(
-        sorted(_LANG_MIX.items()), "lang string, keep_th string"))
+    mix = F.broadcast(values_df(
+        spark, sorted(_LANG_MIX.items()),
+        "lang string, keep_th string"))
     coin = hash_coin(F.col("doc_id"), "s")
     return (d.join(mix, "lang", "left")
              .filter(coin < F.coalesce(F.col("keep_th"),
@@ -179,8 +180,8 @@ def x7_weighted_epoch_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle. The empty-sequence guard matters: Spark's ``sequence(1,0)``
     counts *down*, so zero-copy rows must drop before the explode."""
     d = _t(spark, sf_dir, "documents")
-    mix = F.broadcast(d.sparkSession.createDataFrame(
-        [(s, b, t) for s, (b, t) in sorted(_SOURCE_MIX.items())],
+    mix = F.broadcast(values_df(
+        spark, [(s, b, t) for s, (b, t) in sorted(_SOURCE_MIX.items())],
         "source string, base_epochs int, frac_th string"))
     n_copies = (F.col("base_epochs")
                 + F.when(hash_coin(F.col("doc_id"), "e")

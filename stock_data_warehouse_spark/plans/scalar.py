@@ -9,7 +9,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..sources.tables import load_table
+from ..sources.tables import load_table, values_df
 from .registry import register
 
 
@@ -160,7 +160,8 @@ def p11_clamp(spark: SparkSession, sf_dir: str) -> DataFrame:
     (F:98-106) and default-config fallback (F:82), as a broadcast config
     join + when-chain."""
     c = _t(spark, sf_dir, "customer")
-    cfg = spark.createDataFrame(
+    cfg = values_df(
+        spark,
         [("BUILDING", 8000.0, 500.0, True),
          ("AUTOMOBILE", 6000.0, 0.0, False),
          ("MACHINERY", 7000.0, 250.0, True)],

@@ -68,3 +68,36 @@ def register_views(spark: SparkSession, sf_dir: str,
     """Register the tables as temp views so ``spark.sql`` works too."""
     for n in names:
         load_table(spark, sf_dir, n).createOrReplaceTempView(n)
+
+
+def values_df(spark: SparkSession, rows: list[tuple],
+              schema: str) -> DataFrame:
+    """Tiny literal dimension as a SQL VALUES relation.
+
+    ``createDataFrame`` routes Python objects through an RDD
+    (``applySchemaToPythonRDD`` — an extra job plus pickle traffic per
+    query build); a VALUES clause plans as a driver-local
+    ``LocalRelation`` with zero jobs, which measurably matters for the
+    fixture-sized alias/config dims joined into hot queries. ``schema``
+    is ``"name type, ..."``; values may be str/bool/int/float/None.
+    """
+    col_names = [c.strip().split()[0] for c in schema.split(",")]
+
+    def lit(v) -> str:
+        if v is None:
+            return "NULL"
+        if isinstance(v, bool):
+            return "true" if v else "false"
+        if isinstance(v, str):
+            return "'" + v.replace("'", "''") + "'"
+        return repr(v)
+
+    body = ", ".join("(" + ", ".join(lit(v) for v in r) + ")"
+                     for r in rows)
+    casts = ", ".join(
+        f"CAST({name} AS {typ}) AS {name}"
+        for name, typ in (c.strip().split(None, 1)
+                          for c in schema.split(",")))
+    return spark.sql(
+        f"SELECT {casts} FROM (VALUES {body}) "
+        f"AS t({', '.join(col_names)})")
