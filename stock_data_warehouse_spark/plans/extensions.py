@@ -1100,3 +1100,49 @@ def x4_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_replace(
             F.regexp_replace("raw", _EMAIL_RE, "<EMAIL>"),
             _LONGNUM_RE, "<NUM>").alias("scrubbed"))
+
+
+# ---------------------------------------------------------------------------
+# OP-X4 (continued) — BPE-ish subword token counting
+# ---------------------------------------------------------------------------
+
+#: GPT-2-style pre-tokenizer, reduced to the alternations that mean the
+#: same thing in Java regex and RE2 (leftmost-first in both): a word
+#: with optional leading space, a number run, a punctuation run.
+_BPE_RE = r" ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]+"
+
+
+@register(
+    "x4_bpe_token_count",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id,
+             regexp_extract_all(lower(text), '{_BPE_RE}') AS toks
+      FROM documents
+    )
+    SELECT doc_id,
+           len(toks) AS n_bpe_tokens,
+           len(list_distinct(toks)) AS n_distinct,
+           COALESCE(len(list_filter(toks, x -> x LIKE ' %')), 0)
+             AS n_space_led
+    FROM t
+    """,
+)
+def x4_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OP-X4 — token counting with a BPE-style pre-tokenizer (the
+    space-prefixed word/number/punctuation split GPT-2-family tokenizers
+    run before merges): the budget estimate a training pipeline needs
+    before the real tokenizer exists. Counting is the point — actual BPE
+    merges are model-specific. The alternation uses only constructs with
+    identical leftmost-first semantics in Java regex and RE2, so the
+    token stream is engine-portable (oracle-checked per document)."""
+    d = _t(spark, sf_dir, "documents")
+    toks = F.regexp_extract_all(F.lower(F.col("text")),
+                                F.lit(_BPE_RE), F.lit(0))
+    t = d.select("doc_id", toks.alias("toks"))
+    return t.select(
+        "doc_id",
+        F.size("toks").alias("n_bpe_tokens"),
+        F.size(F.array_distinct("toks")).alias("n_distinct"),
+        F.size(F.filter("toks", lambda x: x.startswith(" ")))
+         .alias("n_space_led"))

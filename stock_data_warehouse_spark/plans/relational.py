@@ -907,3 +907,144 @@ def a10_quantile_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
                    F.percentile("l_quantity", 0.50).alias("p50_qty"),
                    F.percentile("l_quantity", 0.75).alias("p75_qty"),
                    F.max("l_quantity").alias("max_qty")))
+
+
+# ---------------------------------------------------------------------------
+# Wide join tree (Q9-style), histogram profiling, skew-salted join,
+# right-outer form
+# ---------------------------------------------------------------------------
+
+@register(
+    "q9_profit_by_nation_year",
+    oracle="""
+    SELECT n.n_name AS nation,
+           EXTRACT(year FROM o.o_orderdate) AS o_year,
+           CAST(ROUND(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                     - 0.6 * p.p_retailprice * l.l_quantity
+                  AS DECIMAL(38,6))), 2) AS DOUBLE) AS profit,
+           COUNT(*) AS n_items
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    WHERE p.p_name LIKE '%a%'
+    GROUP BY 1, 2
+    """,
+)
+def q9_profit_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape — profit per (supplier nation, order year) through
+    the widest join tree in the schema: lineitem ⋈ part ⋈ supplier ⋈
+    orders ⋈ nation (cost stands in as 0.6·retailprice — the schema has
+    no partsupp). The per-row profit term is cast to DECIMAL before
+    the SUM: a 7.5k-term double sum carries ~1e-3 of association error —
+    enough to flip a cent — while per-row double products are identical
+    on both engines and decimal addition is exact in any order. Scale
+    shape: part/supplier/nation broadcast (bounded
+    dims), orders joins on the fact's own orderkey, so the fact shuffles
+    once for the orders join and once for the final agg; the p_name
+    LIKE filter prunes part *before* its broadcast. At 100 TB AQE
+    re-plans part/supplier to shuffle joins if their size estimates
+    outgrow the threshold — the declared plan stays valid either way."""
+    l = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_name").like("%a%"))
+    s = _t(spark, sf_dir, "supplier")
+    o = _t(spark, sf_dir, "orders")
+    n = _t(spark, sf_dir, "nation")
+    profit_term = (F.col("l_extendedprice") * (1 - F.col("l_discount"))
+                   - 0.6 * F.col("p_retailprice") * F.col("l_quantity"))
+    return (l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+             .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+             .join(o, l.l_orderkey == o.o_orderkey)
+             .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+             .groupBy(F.col("n_name").alias("nation"),
+                      F.year("o_orderdate").alias("o_year"))
+             .agg(F.round(F.sum(profit_term.cast("decimal(38,6)")), 2)
+                   .cast("double").alias("profit"),
+                  F.count(F.lit(1)).alias("n_items")))
+
+
+@register(
+    "a11_price_histogram",
+    oracle="""
+    SELECT LEAST(CAST(floor(l_extendedprice / 5000) AS BIGINT), 23)
+             AS bucket,
+           COUNT(*) AS n_items,
+           ROUND(MIN(l_extendedprice), 2) AS lo,
+           ROUND(MAX(l_extendedprice), 2) AS hi
+    FROM lineitem
+    GROUP BY 1
+    """,
+)
+def a11_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram of extended price (5k-wide buckets, top
+    bucket open-ended) — the profiling pass before choosing filters or
+    salting thresholds. Pure integer arithmetic for the bucket id (no
+    engine-specific width_bucket), one partial+final hash aggregation."""
+    li = _t(spark, sf_dir, "lineitem")
+    bucket = F.least(F.floor(F.col("l_extendedprice") / 5000)
+                      .cast("bigint"), F.lit(23))
+    return (li.groupBy(bucket.alias("bucket"))
+              .agg(F.count(F.lit(1)).alias("n_items"),
+                   F.round(F.min("l_extendedprice"), 2).alias("lo"),
+                   F.round(F.max("l_extendedprice"), 2).alias("hi")))
+
+
+@register(
+    "j12_salted_skew_join",
+    oracle="""
+    WITH dim(line_item, flag_label) AS (
+      VALUES ('R', 'returned'), ('A', 'accepted'), ('N', 'neutral')
+    )
+    SELECT d.flag_label,
+           COUNT(*) AS n_items,
+           ROUND(SUM(l.l_extendedprice), 2) AS sum_price
+    FROM lineitem l JOIN dim d ON l.l_returnflag = d.line_item
+    GROUP BY d.flag_label
+    """,
+)
+def j12_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-handling operator surfaced as a query: lineitem keyed on
+    l_returnflag has exactly 3 distinct keys — the worst-case hot-key
+    join if the dim cannot broadcast. ``salted_join``
+    (operators/skew.py) splits each hot key n ways with a
+    *deterministic* salt (hash of the line number, not rand(): retries
+    land identically) and replicates the dim across salts. The salted
+    plan produces exactly the plain-join result, which is what the
+    oracle checks. With a 3-row dim a broadcast would win, of course —
+    the query pins the salted shape on purpose, for the case where the
+    build side is too big to broadcast and one key dominates."""
+    from ..operators.skew import salted_join
+    li = _t(spark, sf_dir, "lineitem")
+    dim = values_df(spark, [("R", "returned"), ("A", "accepted"),
+                            ("N", "neutral")],
+                    "line_item string, flag_label string")
+    joined = salted_join(
+        li.withColumnRenamed("l_returnflag", "line_item"),
+        dim, key="line_item", disambiguator="l_linenumber")
+    return (joined.groupBy("flag_label")
+                  .agg(F.count(F.lit(1)).alias("n_items"),
+                       F.round(F.sum("l_extendedprice"), 2)
+                        .alias("sum_price")))
+
+
+@register(
+    "j8_right_outer_orders",
+    oracle="""
+    SELECT c.c_custkey, c.c_mktsegment,
+           o.o_orderkey, COALESCE(o.o_totalprice, 0.0) AS totalprice
+    FROM orders o RIGHT JOIN customer c ON o.o_custkey = c.c_custkey
+    WHERE c.c_acctbal < 0
+    """,
+)
+def j8_right_outer_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OP-J8 (right-outer form) — all negative-balance customers with
+    their orders, order-less customers kept as NULL rows. The filter on
+    the preserved (right) side pushes into its scan; Catalyst plans the
+    same physical join as the mirrored left-outer."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_acctbal") < 0)
+    return (o.join(c, o.o_custkey == c.c_custkey, "right")
+             .select("c_custkey", "c_mktsegment", "o_orderkey",
+                     F.coalesce("o_totalprice", F.lit(0.0))
+                      .alias("totalprice")))

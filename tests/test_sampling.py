@@ -99,3 +99,58 @@ def test_range_frame_counts_at_least_self(spark):
     from stock_data_warehouse_spark.plans import windows as W
     out = W.w5_range_frame_events(spark, SF)
     assert out.filter(F.col("n_trailing_1h") < 1).count() == 0
+
+
+def test_q9_profit_star_covers_all_nations(spark):
+    from stock_data_warehouse_spark.plans import relational as R
+    rows = R.q9_profit_by_nation_year(spark, SF).collect()
+    assert rows
+    nations = {r["nation"] for r in rows}
+    assert len(nations) >= 5  # the join tree reaches the nation dim
+    assert all(r["n_items"] > 0 for r in rows)
+
+
+def test_histogram_partitions_every_row(spark):
+    from pyspark.sql import functions as F
+    from stock_data_warehouse_spark.plans import relational as R
+    out = R.a11_price_histogram(spark, SF)
+    total = out.agg(F.sum("n_items")).collect()[0][0]
+    n = spark.read.parquet(f"{SF}/lineitem.parquet").count()
+    assert total == n
+    bad = out.filter((F.col("bucket") < 0) | (F.col("bucket") > 23)
+                     | (F.col("lo") > F.col("hi"))).count()
+    assert bad == 0
+
+
+def test_salted_join_equals_plain_join(spark):
+    from pyspark.sql import functions as F
+    from stock_data_warehouse_spark.operators.skew import salted_join
+    from stock_data_warehouse_spark.sources.tables import (
+        load_table, values_df,
+    )
+    li = (load_table(spark, SF, "lineitem")
+          .withColumnRenamed("l_returnflag", "line_item"))
+    dim = values_df(spark, [("R", 1), ("A", 2), ("N", 3)],
+                    "line_item string, code int")
+    salted = (salted_join(li, dim, "line_item", "l_linenumber")
+              .groupBy("line_item", "code")
+              .agg(F.count(F.lit(1)).alias("n")))
+    plain = (li.join(dim, "line_item")
+             .groupBy("line_item", "code")
+             .agg(F.count(F.lit(1)).alias("n")))
+    assert sorted(map(tuple, salted.collect())) \
+        == sorted(map(tuple, plain.collect()))
+
+
+def test_bpe_tokens_reconstruct_length(spark):
+    """The pre-tokenizer partitions the lowered text minus unmatched
+    separators: token count is positive and space-led tokens are a
+    subset of all tokens."""
+    from pyspark.sql import functions as F
+    from stock_data_warehouse_spark.plans import extensions as X
+    out = X.x4_bpe_token_count(spark, SF)
+    bad = out.filter((F.col("n_bpe_tokens") <= 0)
+                     | (F.col("n_space_led") > F.col("n_bpe_tokens"))
+                     | (F.col("n_distinct") > F.col("n_bpe_tokens"))
+                     ).count()
+    assert bad == 0
