@@ -1146,3 +1146,181 @@ def x4_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.array_distinct("toks")).alias("n_distinct"),
         F.size(F.filter("toks", lambda x: x.startswith(" ")))
          .alias("n_space_led"))
+
+
+# ---------------------------------------------------------------------------
+# OP-X3 (continued) — IVF-style ANN; OP-X5 — int8 quantization;
+# OP-X4 — eval-set decontamination
+# ---------------------------------------------------------------------------
+
+@register(
+    "x3_ivf_topk",
+    oracle=f"""
+    WITH v AS (
+      SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+    ),
+    n AS (
+      SELECT vec_id, e, sqrt({_sql_dot('e', 'e')}) AS nrm FROM v
+    ),
+    cent AS (SELECT vec_id AS cid, e AS ce, nrm AS cnrm FROM n
+             WHERE vec_id % 50 = 0),
+    assigned AS (
+      SELECT vec_id, e, nrm, cid FROM (
+        SELECT n.vec_id, n.e, n.nrm, cent.cid,
+               ROW_NUMBER() OVER (
+                 PARTITION BY n.vec_id
+                 ORDER BY {_sql_dot('n.e', 'cent.ce')}
+                          / (n.nrm * cent.cnrm) DESC, cent.cid) AS rc
+        FROM n CROSS JOIN cent
+      ) WHERE rc = 1
+    ),
+    cand AS (
+      SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+             {_sql_dot('a.e', 'b.e')} / (a.nrm * b.nrm) AS cos
+      FROM assigned a JOIN assigned b
+        ON a.cid = b.cid AND a.vec_id <> b.vec_id
+    )
+    SELECT query_id, neighbor_id, ROUND(cos, 6) AS cos_sim
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rn
+      FROM cand
+    ) WHERE rn <= 3
+    """,
+)
+def x3_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OP-X3 (IVF scale path) — inverted-file ANN: assign every vector
+    to its nearest coarse centroid (nprobe=1), then search only within
+    the cell. Centroids are deterministic medoids (every 50th vector) so
+    the whole index build is reproducible and oracle-checkable — the
+    production swap-in is distributed k-means, same plan shape with
+    learned centroids. Costs: N×K broadcast assignments (K bounded) +
+    Σ cell² candidate work, vs N² brute force; cells shuffle once on the
+    centroid id. Complements the hyperplane-LSH variant: IVF adapts to
+    the data's cluster structure, LSH needs no training."""
+    e = _t(spark, sf_dir, "embeddings")
+    v = e.select("vec_id", _as_double_vec("embedding").alias("e"))
+    n = v.withColumn("nrm", F.sqrt(_dot(F.col("e"), F.col("e"))))
+    cent = (n.filter(F.col("vec_id") % 50 == 0)
+             .select(F.col("vec_id").alias("cid"),
+                     F.col("e").alias("ce"), F.col("nrm").alias("cnrm")))
+    scored = (n.repartition(spark.sparkContext.defaultParallelism,
+                            "vec_id")
+               .crossJoin(F.broadcast(cent)))
+    cos_c = (_dot(F.col("e"), F.col("ce"))
+             / (F.col("nrm") * F.col("cnrm")))
+    wassign = Window.partitionBy("vec_id").orderBy(
+        cos_c.desc(), F.col("cid"))
+    assigned = (scored.withColumn("rc", F.row_number().over(wassign))
+                      .filter(F.col("rc") == 1)
+                      .select("vec_id", "e", "nrm", "cid"))
+    a, b = assigned.alias("a"), assigned.alias("b")
+    cos = (_dot(F.col("a.e"), F.col("b.e"))
+           / (F.col("a.nrm") * F.col("b.nrm")))
+    cand = (a.join(b, (F.col("a.cid") == F.col("b.cid"))
+                   & (F.col("a.vec_id") != F.col("b.vec_id")))
+             .select(F.col("a.vec_id").alias("query_id"),
+                     F.col("b.vec_id").alias("neighbor_id"),
+                     cos.alias("cos")))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id"))
+    return (cand.withColumn("rn", F.row_number().over(w))
+                .filter(F.col("rn") <= 3)
+                .select("query_id", "neighbor_id",
+                        F.round("cos", 6).alias("cos_sim")))
+
+
+@register(
+    "x5_int8_quantize",
+    oracle=f"""
+    WITH v AS (
+      SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+    ),
+    m AS (
+      SELECT vec_id, e,
+             list_max(list_transform(e, x -> abs(x))) AS mx
+      FROM v
+    )
+    SELECT vec_id,
+           ROUND(mx, 6) AS max_abs,
+           CASE WHEN mx = 0
+                THEN list_transform(e, x -> 0)
+                ELSE list_transform(e, x ->
+                     CAST(floor(x * 127.0 / mx + 0.5) AS INT))
+           END AS q
+    FROM m
+    """,
+)
+def x5_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OP-X5 — symmetric int8 quantization of the embedding column
+    (scale = 127/max|x| per vector): the 4× storage compression every
+    100 TB vector corpus applies before indexing. Rounding is
+    ``floor(x·scale + 0.5)`` — floor is portable across engines where
+    double→int casts and ROUND(double) are not (Spark truncates casts,
+    DuckDB rounds them; their ROUND tie rules differ). Pure per-row
+    projection, zero shuffles."""
+    e = _t(spark, sf_dir, "embeddings")
+    v = e.select("vec_id", _as_double_vec("embedding").alias("e"))
+    mx = F.array_max(F.transform("e", lambda x: F.abs(x)))
+    m = v.withColumn("mx", mx)
+    q = F.when(F.col("mx") == 0,
+               F.transform("e", lambda x: F.lit(0)))  \
+         .otherwise(F.transform(
+             "e", lambda x: F.floor(x * 127.0 / F.col("mx") + 0.5)
+                             .cast("int")))
+    return m.select("vec_id",
+                    F.round("mx", 6).alias("max_abs"),
+                    q.alias("q"))
+
+
+def sql_ngrams(n: int) -> str:
+    """DuckDB n-gram comprehension over a token list named ``t``."""
+    parts = " || ' ' || ".join(f"t[i+{j}]" if j else "t[i]"
+                               for j in range(n))
+    return (f"CASE WHEN len(t) >= {n} THEN list_distinct("
+            f"[{parts} FOR i IN range(1, len(t) - {n - 2})]) "
+            f"ELSE [] END")
+
+
+@register(
+    "x4_decontaminate",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {SQL_TOKENS} AS t FROM documents
+    ),
+    grams AS (
+      SELECT doc_id, unnest({sql_ngrams(8)}) AS g FROM toks
+    ),
+    eval_grams AS (
+      SELECT DISTINCT g FROM grams WHERE doc_id % 100 = 7
+    ),
+    hits AS (
+      SELECT gr.doc_id, COUNT(DISTINCT gr.g) AS n_shared_grams
+      FROM grams gr JOIN eval_grams ev ON gr.g = ev.g
+      WHERE gr.doc_id % 100 <> 7
+      GROUP BY gr.doc_id
+    )
+    SELECT doc_id, n_shared_grams, TRUE AS contaminated FROM hits
+    """,
+)
+def x4_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OP-X4 — eval-set decontamination: flag training documents that
+    share any 8-token n-gram with the held-out benchmark set (here: the
+    deterministic 1% slice doc_id ≡ 7 mod 100 stands in for the eval
+    suite). The standard pre-training hygiene pass: eval n-grams are a
+    *small* relation → broadcast; training docs stream through the scan,
+    explode their 8-grams, and hash-join against the broadcast set — no
+    shuffle of the corpus. 8-grams (vs the dedup 3-shingles) make
+    incidental collisions near-impossible, so any hit is real overlap."""
+    d = _t(spark, sf_dir, "documents")
+    grams8 = shingles_col(tokens_col("text"), 8)
+    g = (d.select("doc_id", grams8.alias("gs"))
+          .repartition(spark.sparkContext.defaultParallelism, "doc_id")
+          .select("doc_id", F.explode("gs").alias("g")))
+    ev = (g.filter(F.col("doc_id") % 100 == 7)
+           .select("g").distinct())
+    return (g.filter(F.col("doc_id") % 100 != 7)
+             .join(F.broadcast(ev), "g")
+             .groupBy("doc_id")
+             .agg(F.countDistinct("g").alias("n_shared_grams"))
+             .withColumn("contaminated", F.lit(True)))

@@ -148,3 +148,39 @@ def test_minhash_portable_subset_of_exact(spark):
     strong = {p for p, j in exact.items() if j >= 0.9}
     if strong:
         assert len(lsh & strong) / len(strong) >= 0.8
+
+
+def test_ivf_topk_structure(spark):
+    from pyspark.sql import functions as F
+    from stock_data_warehouse_spark.plans.extensions import x3_ivf_topk
+    out = x3_ivf_topk(spark, SF)
+    assert out.filter(F.col("query_id") == F.col("neighbor_id")).count() == 0
+    assert out.filter(~F.col("cos_sim").between(-1.0, 1.0)).count() == 0
+    per_q = out.groupBy("query_id").count()
+    assert per_q.filter(F.col("count") > 3).count() == 0
+
+
+def test_int8_quantize_bounds(spark):
+    from pyspark.sql import functions as F
+    from stock_data_warehouse_spark.plans.extensions import (
+        x5_int8_quantize,
+    )
+    out = x5_int8_quantize(spark, SF)
+    bad = out.filter(
+        (F.array_max("q") > 127) | (F.array_min("q") < -127)
+        | (F.size("q") != 64) | (F.col("max_abs") <= 0)).count()
+    assert bad == 0
+    # the max-|x| dimension quantizes to exactly ±127
+    hit = out.filter((F.array_max("q") == 127)
+                     | (F.array_min("q") == -127)).count()
+    assert hit == out.count()
+
+
+def test_decontaminate_only_nonneval_flagged(spark):
+    from pyspark.sql import functions as F
+    from stock_data_warehouse_spark.plans.extensions import (
+        x4_decontaminate,
+    )
+    out = x4_decontaminate(spark, SF)
+    assert out.filter(F.col("doc_id") % 100 == 7).count() == 0
+    assert out.filter(F.col("n_shared_grams") < 1).count() == 0
