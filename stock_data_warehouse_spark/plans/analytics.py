@@ -1,0 +1,265 @@
+"""Warehouse analytics pack — pivot/unpivot, time-spine gap-fill,
+funnel, cohort retention (the report shapes a warehouse serves daily).
+
+Scale posture (100 TB):
+
+- Pivot is a conditional aggregation — one partial+final hash agg, the
+  pivoted columns are a bounded set declared up front (never inferred
+  by a driver-side distinct scan).
+- Gap-fill generates the time spine *distributedly* (sequence + explode
+  over a bounded literal range), then left-joins facts — the spine is
+  tiny relative to facts and broadcasts.
+- Funnel/cohort are per-user window/min aggregations keyed on the
+  high-cardinality user id: one shuffle each, no driver state.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources.tables import load_table
+from .registry import register
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# ---------------------------------------------------------------------------
+# Pivot / unpivot
+# ---------------------------------------------------------------------------
+
+_SEGMENTS = ("AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD",
+             "MACHINERY")
+
+
+@register(
+    "a12_pivot_segment_counts",
+    oracle=f"""
+    SELECT r.r_name,
+           {", ".join(
+               f"COUNT(*) FILTER (WHERE c.c_mktsegment = '{s}')"
+               f" AS n_{s.lower()}" for s in _SEGMENTS)},
+           ROUND(SUM(c.c_acctbal), 2) AS sum_bal
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name
+    """,
+)
+def a12_pivot_segment_counts(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    """Pivot: customers per (region × market segment) widened to one
+    column per segment. Expressed as conditional aggregation with the
+    segment list declared literally — the same single hash aggregation
+    as any groupBy (``df.pivot`` without an explicit value list would
+    add a driver-side distinct scan; at 100 TB the declared list is the
+    only sane form)."""
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    j = (c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+          .join(F.broadcast(r), n.n_regionkey == r.r_regionkey))
+    aggs = [F.count(F.when(F.col("c_mktsegment") == s, 1))
+             .alias(f"n_{s.lower()}") for s in _SEGMENTS]
+    return (j.groupBy("r_name")
+             .agg(*aggs,
+                  F.round(F.sum("c_acctbal"), 2).alias("sum_bal")))
+
+
+@register(
+    "a13_unpivot_segment_counts",
+    oracle=f"""
+    WITH wide AS (
+      SELECT r.r_name,
+             {", ".join(
+                 f"COUNT(*) FILTER (WHERE c.c_mktsegment = '{s}')"
+                 f" AS n_{s.lower()}" for s in _SEGMENTS)}
+      FROM customer c
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      JOIN region r ON n.n_regionkey = r.r_regionkey
+      GROUP BY r.r_name
+    )
+    SELECT r_name, segment, n_customers
+    FROM wide
+    UNPIVOT (n_customers FOR segment IN
+             ({", ".join(f"n_{s.lower()}" for s in _SEGMENTS)}))
+    """,
+)
+def a13_unpivot_segment_counts(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """Unpivot (melt): the wide pivot folded back to long
+    (region, segment, count) via ``DataFrame.unpivot`` — Spark plans it
+    as a generator expression inside the scan of the aggregated result,
+    no extra shuffle."""
+    wide = a12_pivot_segment_counts(spark, sf_dir).drop("sum_bal")
+    return wide.unpivot(
+        "r_name", [f"n_{s.lower()}" for s in _SEGMENTS],
+        "segment", "n_customers")
+
+
+# ---------------------------------------------------------------------------
+# Time-spine gap-fill
+# ---------------------------------------------------------------------------
+
+@register(
+    "t9_gapfill_hourly",
+    oracle="""
+    WITH bounds AS (
+      SELECT make_timestamp((epoch_us(MIN(ts)) // 3600000000)
+                            * 3600000000) AS lo,
+             make_timestamp((epoch_us(MAX(ts)) // 3600000000)
+                            * 3600000000) AS hi
+      FROM events
+    ),
+    spine AS (
+      SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour
+      FROM bounds
+    ),
+    agg AS (
+      SELECT make_timestamp((epoch_us(ts) // 3600000000) * 3600000000)
+               AS hour,
+             COUNT(*) AS n_events,
+             ROUND(SUM(value), 4) AS sum_value
+      FROM events GROUP BY 1
+    )
+    SELECT s.hour,
+           COALESCE(a.n_events, 0) AS n_events,
+           COALESCE(a.sum_value, 0.0) AS sum_value,
+           a.n_events IS NULL AS is_gap
+    FROM spine s LEFT JOIN agg a ON s.hour = a.hour
+    """,
+)
+def t9_gapfill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-fill: a dense hourly spine over the observed event range,
+    zero-filled where no events landed (OP-E4 zero-fill over time — the
+    shape every downstream chart/model needs). The spine is generated
+    with ``sequence``+``explode`` from the min/max bounds — a one-row
+    aggregate joined back in, all distributed; the spine side is tiny
+    and broadcasts into the left join."""
+    e = _t(spark, sf_dir, "events")
+    hour = F.timestamp_micros(
+        (F.unix_micros("ts") / 3_600_000_000).cast("long")
+        * 3_600_000_000)
+    agg = (e.groupBy(hour.alias("hour"))
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.round(F.sum("value"), 4).alias("sum_value")))
+    bounds = e.agg(
+        F.timestamp_micros(
+            (F.unix_micros(F.min("ts")) / 3_600_000_000).cast("long")
+            * 3_600_000_000).alias("lo"),
+        F.timestamp_micros(
+            (F.unix_micros(F.max("ts")) / 3_600_000_000).cast("long")
+            * 3_600_000_000).alias("hi"))
+    spine = bounds.select(
+        F.explode(F.sequence("lo", "hi",
+                             F.expr("INTERVAL 1 HOUR"))).alias("hour"))
+    return (F.broadcast(spine)
+            .join(agg, "hour", "left")
+            .select("hour",
+                    F.coalesce("n_events", F.lit(0)).alias("n_events"),
+                    F.coalesce("sum_value", F.lit(0.0))
+                     .alias("sum_value"),
+                    F.col("n_events").isNull().alias("is_gap")))
+
+
+# ---------------------------------------------------------------------------
+# Funnel + cohort retention
+# ---------------------------------------------------------------------------
+
+@register(
+    "f1_signup_purchase_funnel",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id,
+             MIN(ts) FILTER (WHERE event_type = 'signup')
+               AS first_signup,
+             MIN(ts) FILTER (WHERE event_type = 'purchase')
+               AS first_purchase
+      FROM events GROUP BY user_id
+    )
+    SELECT CAST(date_trunc('week', first_signup) AS TIMESTAMP)
+             AS signup_week,
+           COUNT(*) AS n_signed_up,
+           COUNT(*) FILTER (WHERE first_purchase > first_signup)
+             AS n_converted,
+           COUNT(*) FILTER (WHERE first_purchase > first_signup
+                            AND first_purchase - first_signup
+                                <= INTERVAL 72 HOUR)
+             AS n_converted_72h
+    FROM firsts
+    WHERE first_signup IS NOT NULL
+    GROUP BY 1
+    """,
+)
+def f1_signup_purchase_funnel(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """Funnel: per signup-week cohort, how many users ever purchase
+    after signing up, and how many within 72 h. One aggregation per
+    user (conditional MINs — partial-aggregable), then one per week:
+    two bounded shuffles keyed on user_id / week, no window over the
+    raw event stream."""
+    e = _t(spark, sf_dir, "events")
+    firsts = (e.groupBy("user_id")
+               .agg(F.min(F.when(F.col("event_type") == "signup",
+                                 F.col("ts"))).alias("first_signup"),
+                    F.min(F.when(F.col("event_type") == "purchase",
+                                 F.col("ts"))).alias("first_purchase")))
+    conv = F.col("first_purchase") > F.col("first_signup")
+    conv72 = conv & (F.unix_micros("first_purchase")
+                     - F.unix_micros("first_signup")
+                     <= 72 * 3_600_000_000)
+    return (firsts.filter(F.col("first_signup").isNotNull())
+            .groupBy(F.date_trunc("week", "first_signup")
+                      .alias("signup_week"))
+            .agg(F.count(F.lit(1)).alias("n_signed_up"),
+                 F.count(F.when(conv, 1)).alias("n_converted"),
+                 F.count(F.when(conv72, 1)).alias("n_converted_72h")))
+
+
+@register(
+    "f2_weekly_cohort_retention",
+    oracle="""
+    WITH first_seen AS (
+      SELECT user_id,
+             CAST(date_trunc('week', MIN(ts)) AS TIMESTAMP)
+               AS cohort_week
+      FROM events GROUP BY user_id
+    ),
+    activity AS (
+      SELECT DISTINCT user_id,
+             CAST(date_trunc('week', ts) AS TIMESTAMP) AS activity_week
+      FROM events
+    )
+    SELECT f.cohort_week,
+           CAST((epoch(a.activity_week) - epoch(f.cohort_week))
+                // (7 * 86400) AS INT) AS week_offset,
+           COUNT(*) AS n_active_users
+    FROM first_seen f
+    JOIN activity a ON f.user_id = a.user_id
+    GROUP BY 1, 2
+    """,
+)
+def f2_weekly_cohort_retention(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """Cohort retention triangle: users grouped by first-seen week,
+    counted per week-offset of later activity. first-seen is a per-user
+    MIN (partial-aggregable); the (user, week) activity relation is a
+    DISTINCT projection; the join keys on user_id — every shuffle keys
+    on unbounded-cardinality ids, so the triangle scales with users,
+    not events."""
+    e = _t(spark, sf_dir, "events")
+    first_seen = (e.groupBy("user_id")
+                   .agg(F.date_trunc("week", F.min("ts"))
+                         .alias("cohort_week")))
+    activity = (e.select("user_id",
+                         F.date_trunc("week", "ts")
+                          .alias("activity_week"))
+                 .distinct())
+    offset = ((F.unix_seconds("activity_week")
+               - F.unix_seconds("cohort_week"))
+              / (7 * 86400)).cast("int")
+    return (first_seen.join(activity, "user_id")
+            .groupBy("cohort_week", offset.alias("week_offset"))
+            .agg(F.count(F.lit(1)).alias("n_active_users")))

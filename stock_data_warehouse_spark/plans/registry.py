@@ -53,7 +53,7 @@ _LOADED = False
 #: queries are absent" instead of taking the whole catalog down.
 _PLAN_MODULES = (
     "relational", "scalar", "windows", "extensions",
-    "timeseries", "reference_pipeline", "sampling",
+    "timeseries", "reference_pipeline", "sampling", "analytics",
 )
 
 #: Non-plans modules that also register queries (absolute names).

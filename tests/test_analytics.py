@@ -1,0 +1,47 @@
+"""Analytics pack: pivot/unpivot round-trip, gap-fill density,
+funnel/cohort invariants."""
+
+from pyspark.sql import functions as F
+
+from stock_data_warehouse_spark.plans import analytics as A
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_pivot_unpivot_roundtrip(spark):
+    wide = A.a12_pivot_segment_counts(spark, SF)
+    long = A.a13_unpivot_segment_counts(spark, SF)
+    total_wide = wide.select(
+        sum(F.col(c) for c in wide.columns
+            if c.startswith("n_")).alias("t")
+    ).agg(F.sum("t")).collect()[0][0]
+    total_long = long.agg(F.sum("n_customers")).collect()[0][0]
+    n_customers = spark.read.parquet(f"{SF}/customer.parquet").count()
+    assert total_wide == total_long == n_customers
+
+
+def test_gapfill_spine_is_dense(spark):
+    out = A.t9_gapfill_hourly(spark, SF).orderBy("hour").collect()
+    assert out
+    hours = [r["hour"] for r in out]
+    deltas = {(b - a).total_seconds()
+              for a, b in zip(hours, hours[1:])}
+    assert deltas == {3600.0}  # no missing spine rows
+    for r in out:
+        assert r["is_gap"] == (r["n_events"] == 0)
+
+
+def test_funnel_monotone(spark):
+    for r in A.f1_signup_purchase_funnel(spark, SF).collect():
+        assert (r["n_signed_up"] >= r["n_converted"]
+                >= r["n_converted_72h"] >= 0)
+
+
+def test_cohort_week0_counts_every_user(spark):
+    out = A.f2_weekly_cohort_retention(spark, SF)
+    week0 = (out.filter(F.col("week_offset") == 0)
+                .agg(F.sum("n_active_users")).collect()[0][0])
+    n_users = (spark.read.parquet(f"{SF}/events.parquet")
+               .select("user_id").distinct().count())
+    assert week0 == n_users  # everyone is active in their cohort week
+    assert out.filter(F.col("week_offset") < 0).count() == 0
