@@ -29,6 +29,7 @@ HEADLINE = (
     "flagship_segment_revenue",   # star join + hash agg
     "j1_alias_precedence_lookup", # join + window dedup (alias precedence)
     "j7_star_region_revenue",     # 5-way star with broadcast dims
+    "q9_profit_by_nation_year",   # widest join tree (5 tables), decimal agg
     "a1_ttm_recent4_spend",       # per-key top-4 window + sum
     "a8_rollup_region_nation",    # rollup hierarchy
     "w4_rolling_frame_ttm",       # frame-spec sliding window
