@@ -46,6 +46,7 @@ def connected_components(edges: DataFrame, src: str = "src",
                  .distinct()
                  .withColumn("component", F.col("node"))
                  .localCheckpoint())
+    converged = False
     for _ in range(max_iter):
         nbr_min = (und.join(labels,
                             und.v == labels.node)
@@ -64,5 +65,12 @@ def connected_components(edges: DataFrame, src: str = "src",
                    .count())  # control flow only — one long to the driver
         labels = new_labels
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} "
+            "rounds — the graph has components deeper than the round "
+            "budget; raise max_iter or switch to the large-star/"
+            "small-star contraction for deep graphs")
     return labels

@@ -139,19 +139,19 @@ def t9_gapfill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate joined back in, all distributed; the spine side is tiny
     and broadcasts into the left join."""
     e = _t(spark, sf_dir, "events")
-    hour = F.timestamp_micros(
-        (F.unix_micros("ts") / 3_600_000_000).cast("long")
-        * 3_600_000_000)
+    # Floor to the hour with pure integer arithmetic: x - pmod(x, w) is
+    # floor division for negative epochs too, matching the oracle's `//`
+    # (a double-division + cast would truncate toward zero pre-1970).
+    def hour_floor(c):
+        us = F.unix_micros(c)
+        return F.timestamp_micros(us - F.pmod(us, F.lit(3_600_000_000)))
+
+    hour = hour_floor(F.col("ts"))
     agg = (e.groupBy(hour.alias("hour"))
             .agg(F.count(F.lit(1)).alias("n_events"),
                  F.round(F.sum("value"), 4).alias("sum_value")))
-    bounds = e.agg(
-        F.timestamp_micros(
-            (F.unix_micros(F.min("ts")) / 3_600_000_000).cast("long")
-            * 3_600_000_000).alias("lo"),
-        F.timestamp_micros(
-            (F.unix_micros(F.max("ts")) / 3_600_000_000).cast("long")
-            * 3_600_000_000).alias("hi"))
+    bounds = e.agg(hour_floor(F.min("ts")).alias("lo"),
+                   hour_floor(F.max("ts")).alias("hi"))
     spine = bounds.select(
         F.explode(F.sequence("lo", "hi",
                              F.expr("INTERVAL 1 HOUR"))).alias("hour"))

@@ -71,11 +71,18 @@ def shingles_col(toks: F.Column, n: int = 3) -> F.Column:
     return F.array_distinct(grams)
 
 
+def sql_ngrams(n: int) -> str:
+    """DuckDB n-gram comprehension over a token list named ``t`` — the
+    single source for every shingle/n-gram oracle in this module."""
+    parts = " || ' ' || ".join(f"t[i+{j}]" if j else "t[i]"
+                               for j in range(n))
+    return (f"CASE WHEN len(t) >= {n} THEN list_distinct("
+            f"[{parts} FOR i IN range(1, len(t) - {n - 2})]) "
+            f"ELSE [] END")
+
+
 #: DuckDB 3-gram shingle list over a token list named ``t``.
-SQL_SHINGLES = ("CASE WHEN len(t) >= 3 THEN list_distinct("
-                "[t[i] || ' ' || t[i+1] || ' ' || t[i+2] "
-                "FOR i IN range(1, len(t) - 1)]) "
-                "ELSE [] END")
+SQL_SHINGLES = sql_ngrams(3)
 
 
 # ---------------------------------------------------------------------------
@@ -349,12 +356,17 @@ def x2_neardup_minhash_portable(spark: SparkSession,
            .repartition(spark.sparkContext.defaultParallelism, "doc_id")
            .filter(F.size("s") > 0))
     n_hashes, band_rows = 16, 4
+    def salted_md5(i: int):
+        # Returns a UNARY lambda: a two-parameter lambda (even via a
+        # default arg) is promoted by PySpark to the (element, index)
+        # form, which would shadow the salt with the index Column.
+        prefix = f"{i}:"
+        return lambda x: F.md5(F.concat(F.lit(prefix), x))
+
     sig = sh.select(
         "doc_id",
         F.array(*[
-            F.array_min(F.transform(
-                "s",
-                lambda x, i=i: F.md5(F.concat(F.lit(f"{i}:"), x))))
+            F.array_min(F.transform("s", salted_md5(i)))
             for i in range(n_hashes)
         ]).alias("sig"))
     bands = sig.select(
@@ -1271,15 +1283,6 @@ def x5_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return m.select("vec_id",
                     F.round("mx", 6).alias("max_abs"),
                     q.alias("q"))
-
-
-def sql_ngrams(n: int) -> str:
-    """DuckDB n-gram comprehension over a token list named ``t``."""
-    parts = " || ' ' || ".join(f"t[i+{j}]" if j else "t[i]"
-                               for j in range(n))
-    return (f"CASE WHEN len(t) >= {n} THEN list_distinct("
-            f"[{parts} FOR i IN range(1, len(t) - {n - 2})]) "
-            f"ELSE [] END")
 
 
 @register(

@@ -41,7 +41,15 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def _hex_threshold(rate: float, digits: int = 6) -> str:
-    """Hex string h such that P[substr(md5(k),1,digits) < h] ≈ rate."""
+    """Hex string h such that P[substr(md5(k),1,digits) < h] ≈ rate.
+
+    rate ≥ 1 returns ``"g"``: every hex string sorts below it (hex
+    digits stop at 'f'), so the stratum keeps everything — the naive
+    ``format(16**digits)`` would be a 7-char string that sorts BELOW
+    ~94% of 6-char coins and silently kept almost nothing.
+    """
+    if rate >= 1.0:
+        return "g"
     return format(int(rate * 16 ** digits), f"0{digits}x")
 
 
@@ -198,7 +206,14 @@ def x7_weighted_epoch_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
 # OP-X7d — split assignment (train/valid/test)
 # ---------------------------------------------------------------------------
 
+#: Cumulative split boundaries — the single config point; both the SQL
+#: CASE chain and the Spark when-chain are derived from it.
 _SPLITS = (("train", 0.90), ("valid", 0.95), ("test", 1.0))
+
+_SQL_SPLIT_CASE = "\n             ".join(
+    f"WHEN {_sql_coin('doc_id', 'split')} < '{_hex_threshold(cum)}' "
+    f"THEN '{name}'"
+    for name, cum in _SPLITS[:-1])
 
 
 @register(
@@ -206,11 +221,8 @@ _SPLITS = (("train", 0.90), ("valid", 0.95), ("test", 1.0))
     oracle=f"""
     SELECT doc_id, lang,
            CASE
-             WHEN {_sql_coin('doc_id', 'split')}
-                  < '{_hex_threshold(0.90)}' THEN 'train'
-             WHEN {_sql_coin('doc_id', 'split')}
-                  < '{_hex_threshold(0.95)}' THEN 'valid'
-             ELSE 'test'
+             {_SQL_SPLIT_CASE}
+             ELSE '{_SPLITS[-1][0]}'
            END AS split
     FROM documents
     """,
@@ -222,7 +234,10 @@ def x7_split_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     prevents eval contamination when the corpus is re-ingested."""
     d = _t(spark, sf_dir, "documents")
     coin = hash_coin(F.col("doc_id"), "split")
-    split = (F.when(coin < _hex_threshold(0.90), "train")
-              .when(coin < _hex_threshold(0.95), "valid")
-              .otherwise("test"))
+    split = None
+    for name, cum in _SPLITS[:-1]:
+        cond = coin < _hex_threshold(cum)
+        split = (F.when(cond, name) if split is None
+                 else split.when(cond, name))
+    split = split.otherwise(_SPLITS[-1][0])
     return d.select("doc_id", "lang", split.alias("split"))

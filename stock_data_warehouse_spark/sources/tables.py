@@ -81,7 +81,24 @@ def values_df(spark: SparkSession, rows: list[tuple],
     fixture-sized alias/config dims joined into hot queries. ``schema``
     is ``"name type, ..."``; values may be str/bool/int/float/None.
     """
-    col_names = [c.strip().split()[0] for c in schema.split(",")]
+    def split_top(s: str) -> list[str]:
+        # split on commas outside parens so DECIMAL(10,2) etc. survive
+        parts, depth, cur = [], 0, []
+        for ch in s:
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+            if ch == "," and depth == 0:
+                parts.append("".join(cur))
+                cur = []
+            else:
+                cur.append(ch)
+        parts.append("".join(cur))
+        return parts
+
+    cols = [c.strip().split(None, 1) for c in split_top(schema)]
+    col_names = [name for name, _ in cols]
 
     def lit(v) -> str:
         if v is None:
@@ -95,9 +112,7 @@ def values_df(spark: SparkSession, rows: list[tuple],
     body = ", ".join("(" + ", ".join(lit(v) for v in r) + ")"
                      for r in rows)
     casts = ", ".join(
-        f"CAST({name} AS {typ}) AS {name}"
-        for name, typ in (c.strip().split(None, 1)
-                          for c in schema.split(",")))
+        f"CAST({name} AS {typ}) AS {name}" for name, typ in cols)
     return spark.sql(
         f"SELECT {casts} FROM (VALUES {body}) "
         f"AS t({', '.join(col_names)})")

@@ -32,8 +32,16 @@ def warehouse(spark, tmp_path_factory):
 
 
 def _executed_plan(df) -> str:
-    df.write.format("noop").mode("overwrite").save()
-    return df._jdf.queryExecution().executedPlan().toString()
+    """Final adaptive plan of THIS DataFrame's QueryExecution: collect()
+    drives this exact QueryExecution to completion, so AQE re-plans
+    (late broadcast conversions, coalesced exchanges) are visible —
+    a separate write action would execute a different QueryExecution
+    and leave this one's plan at isFinalPlan=false."""
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # AdaptiveSparkPlan's string appends an "Initial Plan" section after
+    # execution; keep only the final (executed) section.
+    return plan.split("== Initial Plan ==")[0]
 
 
 def test_bucketed_join_skips_both_shuffles(warehouse):
@@ -51,11 +59,11 @@ def test_bucketed_join_skips_both_shuffles(warehouse):
                .agg(F.count(F.lit(1)).alias("n")))
         plan = _executed_plan(j)
         assert "SortMergeJoin" in plan
-        # the join itself must not introduce a shuffle on either side;
-        # the only exchange allowed is the final small aggregation's
-        join_part = plan.split("HashAggregate")[-1]
+        # the join must not shuffle either side; the ONLY exchange in
+        # the whole plan is the final small aggregation's
         assert "Exchange hashpartitioning(l_orderkey" not in plan
         assert "Exchange hashpartitioning(o_orderkey" not in plan
+        assert plan.count("Exchange hashpartitioning") == 1
         assert j.collect()  # and it still computes
     finally:
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
@@ -87,6 +95,7 @@ def test_partitioned_write_prunes_partitions(spark, tmp_path):
       .write.partitionBy("day").mode("overwrite").parquet(out))
     df = spark.read.parquet(out)
     one_day = df.filter(F.col("day") == "2024-01-15")
+    one_day.collect()
     plan = one_day._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan
     n_all = df.count()

@@ -13,11 +13,18 @@ from stock_data_warehouse_spark.plans import sampling as S
 SF = "/root/testdata/sf0.001"
 
 
-def test_hex_threshold_monotone():
+def test_hex_threshold_monotone_and_total():
     assert S._hex_threshold(0.0) == "000000"
-    assert S._hex_threshold(1.0) == "1000000"[:7] or True
     assert S._hex_threshold(0.25) < S._hex_threshold(0.5) \
         < S._hex_threshold(0.9)
+    # rate 1.0 must keep EVERY coin: "g" sorts above any hex string
+    assert S._hex_threshold(1.0) == "g"
+    assert "ffffff" < S._hex_threshold(1.0)
+
+
+def test_split_assignment_matches_config():
+    names = [n for n, _ in S._SPLITS]
+    assert names == ["train", "valid", "test"]
 
 
 def test_hash_sample_deterministic_and_in_rate(spark):
