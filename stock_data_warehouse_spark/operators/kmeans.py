@@ -1,0 +1,81 @@
+"""Distributed Lloyd's k-means over an embedding column — the trainer
+behind a production IVF index (plans/extensions.x3_ivf_topk uses seeded
+medoids precisely so its query stays oracle-checkable; this operator is
+the path that replaces those medoids with learned centroids).
+
+Scale posture (100 TB):
+
+- Each iteration is ONE shuffle: assign every vector to its nearest
+  centroid (broadcast K×dim centroids — a few MB for any sane K), then
+  partial-aggregate per-dimension sums map-side and reduce to K rows.
+- Centroids live in the driver only as a K×dim literal (bounded);
+  vectors never leave the executors.
+- ``localCheckpoint`` per iteration truncates lineage (same discipline
+  as operators/graph.py).
+- Determinism: seeding is every-Nth-vector medoids (no rand()), and
+  assignment ties break toward the lower centroid id. Across engines
+  the *means* are still FP-order-dependent, so k-means results are
+  rows-only territory by design — the properties that matter
+  (assignment completeness, inertia monotonicity) are tested instead.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _sq_dist(a: F.Column, b: F.Column) -> F.Column:
+    d = F.zip_with(a, b, lambda x, y: (x - y) * (x - y))
+    return F.aggregate(d, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def kmeans_fit_assign(vectors: DataFrame, id_col: str = "vec_id",
+                      vec_col: str = "e", k: int = 8,
+                      n_iter: int = 5) -> DataFrame:
+    """Run ``n_iter`` Lloyd iterations from every-Nth medoid seeds and
+    return ``(id, cell, sq_dist)`` — each vector with its final cluster
+    and squared distance to that centroid.
+
+    The per-iteration plan: broadcast the K centroids as a literal
+    relation, cross-join (K is bounded), window-argmin per vector, then
+    ``posexplode`` the vectors and hash-aggregate per (cell, dim) to
+    rebuild centroids — partial aggregation keeps the shuffle at
+    K×dim×partitions rows.
+    """
+    v = vectors.select(F.col(id_col).alias("id"),
+                       F.col(vec_col).alias("e")).localCheckpoint()
+    n = v.count()  # control flow only (seed stride)
+    stride = max(n // k, 1)
+    w_seed = Window.orderBy("id")
+    seeds = (v.withColumn("rn", F.row_number().over(w_seed) - 1)
+              .filter((F.col("rn") % stride == 0)
+                      & (F.col("rn") < k * stride))
+              .select((F.col("rn") / stride).cast("int").alias("cell"),
+                      F.col("e").alias("ce")))
+    centroids = seeds.localCheckpoint()
+
+    assigned = None
+    for _ in range(n_iter):
+        scored = v.crossJoin(F.broadcast(centroids))
+        w = Window.partitionBy("id").orderBy(
+            _sq_dist(F.col("e"), F.col("ce")).asc(), F.col("cell"))
+        assigned = (scored.withColumn("rk", F.row_number().over(w))
+                          .filter(F.col("rk") == 1)
+                          .select("id", "e", "cell",
+                                  _sq_dist(F.col("e"), F.col("ce"))
+                                  .alias("sq_dist")))
+        # rebuild: per-(cell, dim) mean via posexplode + hash agg
+        dims = assigned.select(
+            "cell", F.posexplode("e").alias("dim", "val"))
+        means = (dims.groupBy("cell", "dim")
+                     .agg(F.avg("val").alias("m"))
+                     .groupBy("cell")
+                     .agg(F.array_sort(
+                         F.collect_list(F.struct("dim", "m")))
+                         .alias("dm"))
+                     .select("cell",
+                             F.transform("dm", lambda s: s["m"])
+                             .alias("ce")))
+        centroids = means.localCheckpoint()
+    return assigned.select("id", "cell", "sq_dist")

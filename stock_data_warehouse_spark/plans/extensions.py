@@ -1327,3 +1327,22 @@ def x4_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
              .groupBy("doc_id")
              .agg(F.countDistinct("g").alias("n_shared_grams"))
              .withColumn("contaminated", F.lit(True)))
+
+
+@register("x3_kmeans_cells")  # rows-only: centroid means are FP-order-dependent
+def x3_kmeans_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OP-X3 (index training) — distributed Lloyd's k-means over the
+    embeddings (operators/kmeans.py): the trainer that turns the seeded
+    medoids of ``x3_ivf_topk`` into learned IVF centroids. One shuffle
+    per iteration (broadcast centroids → argmin assign → per-dim hash
+    agg). Rows-only: the centroid means depend on float summation
+    order, which no second engine reproduces; the pytest properties
+    (complete assignment, monotone inertia) are the cross-check.
+    Output: cluster sizes + mean squared distance per cell."""
+    from ..operators.kmeans import kmeans_fit_assign
+    e = _t(spark, sf_dir, "embeddings")
+    v = e.select("vec_id", _as_double_vec("embedding").alias("e"))
+    assigned = kmeans_fit_assign(v, "vec_id", "e", k=8, n_iter=3)
+    return (assigned.groupBy("cell")
+            .agg(F.count(F.lit(1)).alias("n_vectors"),
+                 F.round(F.avg("sq_dist"), 4).alias("mean_sq_dist")))

@@ -184,3 +184,25 @@ def test_decontaminate_only_nonneval_flagged(spark):
     out = x4_decontaminate(spark, SF)
     assert out.filter(F.col("doc_id") % 100 == 7).count() == 0
     assert out.filter(F.col("n_shared_grams") < 1).count() == 0
+
+
+def test_kmeans_assigns_every_vector_and_inertia_decreases(spark):
+    from pyspark.sql import functions as F
+    from stock_data_warehouse_spark.operators.kmeans import (
+        kmeans_fit_assign,
+    )
+    from stock_data_warehouse_spark.plans.extensions import (
+        _as_double_vec,
+    )
+    from stock_data_warehouse_spark.sources.tables import load_table
+    e = load_table(spark, SF, "embeddings")
+    v = e.select("vec_id", _as_double_vec("embedding").alias("e"))
+    n = v.count()
+
+    def inertia(n_iter):
+        a = kmeans_fit_assign(v, "vec_id", "e", k=4, n_iter=n_iter)
+        assert a.count() == n  # every vector lands in exactly one cell
+        return a.agg(F.sum("sq_dist")).collect()[0][0]
+
+    i1, i3 = inertia(1), inertia(3)
+    assert i3 <= i1 + 1e-9  # Lloyd's never increases inertia
