@@ -1346,3 +1346,41 @@ def x3_kmeans_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (assigned.groupBy("cell")
             .agg(F.count(F.lit(1)).alias("n_vectors"),
                  F.round(F.avg("sq_dist"), 4).alias("mean_sq_dist")))
+
+
+@register(
+    "x2_fuzzy_name_pairs",
+    oracle="""
+    WITH names AS (
+      SELECT DISTINCT p_name,
+             string_split(p_name, ' ')[-1] AS noun
+      FROM part
+    )
+    SELECT a.p_name AS name_a, b.p_name AS name_b,
+           levenshtein(a.p_name, b.p_name) AS edit_dist
+    FROM names a JOIN names b
+      ON a.noun = b.noun AND a.p_name < b.p_name
+    WHERE levenshtein(a.p_name, b.p_name) <= 2
+    """,
+)
+def x2_fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OP-X2 (string fuzzy match) — near-duplicate catalog names by
+    edit distance ≤ 2, blocked on the trailing noun so the join is
+    per-block quadratic instead of corpus-quadratic (the standard
+    blocking-key trick of entity resolution; at 100 TB the block key
+    graduates to a phonetic/sorted-neighborhood key with the same plan
+    shape). Distinct names first: dedup before the expensive pairwise
+    metric, never after. ``levenshtein`` is the same dynamic program in
+    Spark and DuckDB — integer-exact parity."""
+    p = _t(spark, sf_dir, "part")
+    names = (p.select("p_name").distinct()
+              .withColumn("noun", F.element_at(
+                  F.split("p_name", " "), -1)))
+    a, b = names.alias("a"), names.alias("b")
+    dist = F.levenshtein(F.col("a.p_name"), F.col("b.p_name"))
+    return (a.join(b, (F.col("a.noun") == F.col("b.noun"))
+                   & (F.col("a.p_name") < F.col("b.p_name")))
+             .filter(dist <= 2)
+             .select(F.col("a.p_name").alias("name_a"),
+                     F.col("b.p_name").alias("name_b"),
+                     dist.alias("edit_dist")))

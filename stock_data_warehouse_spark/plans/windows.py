@@ -164,3 +164,28 @@ def w5_range_frame_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id", "event_type",
         F.count(F.lit(1)).over(w1h).alias("n_trailing_1h"),
         F.round(F.sum("value").over(w1h), 4).alias("sum_trailing_1h"))
+
+
+@register(
+    "w6_distribution_ranks",
+    oracle="""
+    SELECT c_custkey, c_mktsegment,
+           ROUND(PERCENT_RANK() OVER w, 6) AS bal_pct_rank,
+           ROUND(CUME_DIST() OVER w, 6) AS bal_cume_dist
+    FROM customer
+    WINDOW w AS (PARTITION BY c_mktsegment
+                 ORDER BY c_acctbal, c_custkey)
+    """,
+)
+def w6_distribution_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OP-W2 (distribution forms) — percent_rank / cume_dist of account
+    balance within segment: where a customer sits in the stratum's
+    distribution. Both are rank arithmetic over one sort — identical
+    rationals on both engines, rounded only to cap display digits."""
+    c = _t(spark, sf_dir, "customer")
+    w = (Window.partitionBy("c_mktsegment")
+         .orderBy("c_acctbal", "c_custkey"))
+    return c.select(
+        "c_custkey", "c_mktsegment",
+        F.round(F.percent_rank().over(w), 6).alias("bal_pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("bal_cume_dist"))
