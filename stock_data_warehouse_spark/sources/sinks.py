@@ -323,3 +323,79 @@ def s6_manifest_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(F.explode("m.lists").alias("list_name", "tickers"))
             .select("list_name",
                     F.posexplode("tickers").alias("position", "ticker")))
+
+
+def write_sharded_jsonl(df: DataFrame, shard_col: str,
+                        out_dir: str) -> None:
+    """Training-data export: one JSONL file per shard, named
+    ``shard-<id>.jsonl``. ``repartition(shard_col)`` routes each shard's
+    rows to one task; each task streams its rows to its own file —
+    executor-side, no driver collect. Shard ids must be deterministic
+    (hash of a stable key, never a partition index) so re-exports of the
+    same snapshot produce identical shards."""
+    import json
+    import os
+
+    os.makedirs(out_dir, exist_ok=True)
+    n = df.select(shard_col).distinct().count()
+
+    def write_partition(rows) -> None:
+        handles = {}
+        try:
+            for row in rows:
+                d = row.asDict()
+                shard = d.pop("__shard")
+                if shard not in handles:
+                    handles[shard] = open(
+                        os.path.join(out_dir,
+                                     f"shard-{shard}.jsonl"), "w")
+                handles[shard].write(
+                    json.dumps(d, sort_keys=True, default=str) + "\n")
+        finally:
+            for h in handles.values():
+                h.close()
+
+    (df.withColumnRenamed(shard_col, "__shard")
+       .repartition(max(n, 1), "__shard")
+       .foreachPartition(write_partition))
+
+
+@register(
+    "s9_sharded_export",
+    oracle="""
+    WITH mix AS (
+      SELECT doc_id, lang, source, text,
+             ascii(substr(md5('shard:' || CAST(doc_id AS VARCHAR)),
+                          1, 1)) % 8 AS shard
+      FROM documents
+      WHERE substr(md5('u:' || CAST(doc_id AS VARCHAR)), 1, 6)
+            < '400000'
+    )
+    SELECT shard, COUNT(*) AS n_docs,
+           SUM(strlen(text)) AS n_chars
+    FROM mix GROUP BY shard
+    """,
+)
+def s9_sharded_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OP-S5 (training-export form) — the end of the x7 pipeline: take
+    the deterministic 25% sample, assign each doc a stable shard
+    (ascii of the first md5 hex char mod 8 — portable integer from a
+    hash without engine-specific hex casts), write one JSONL file per
+    shard via ``foreachPartition``, and return the per-shard manifest
+    the downstream loader consumes. The manifest (not the side effect)
+    is what the oracle replays — shard membership is a pure function of
+    doc_id, so counts and byte totals are engine-exact."""
+    from ..plans.sampling import _UNIFORM_TH, hash_coin
+
+    d = load_table(spark, sf_dir, "documents")
+    shard = (F.ascii(F.substring(
+        F.md5(F.concat(F.lit("shard:"),
+                       F.col("doc_id").cast("string"))), 1, 1)) % 8)
+    mix = (d.filter(hash_coin(F.col("doc_id"), "u") < _UNIFORM_TH)
+            .select("doc_id", "lang", "source", "text",
+                    shard.alias("shard")))
+    out_dir = tempfile.mkdtemp(prefix="export_")
+    write_sharded_jsonl(mix, "shard", out_dir)
+    return (mix.groupBy("shard")
+               .agg(F.count(F.lit(1)).alias("n_docs"),
+                    F.sum(F.length("text")).alias("n_chars")))

@@ -115,3 +115,41 @@ def test_pipeline_golden_quirks(snapshot):
     assert h["analyst_growth_estimate"] == 20.0  # General cfg fallback
     assert h["beta"] == 1.6                      # $200B tier
     assert h["net_income_ttm"] == 165.0          # null quarter → 0
+
+
+def test_sharded_export_files_match_manifest(spark, tmp_path):
+    """Every sampled doc lands in exactly one shard file; file line
+    counts equal the manifest; re-export is byte-stable."""
+    import json
+    import os
+
+    from pyspark.sql import functions as F
+
+    from stock_data_warehouse_spark.plans.sampling import (
+        _UNIFORM_TH, hash_coin,
+    )
+    from stock_data_warehouse_spark.sources.sinks import (
+        write_sharded_jsonl,
+    )
+    from stock_data_warehouse_spark.sources.tables import load_table
+
+    d = load_table(spark, "/root/testdata/sf0.001", "documents")
+    shard = (F.ascii(F.substring(
+        F.md5(F.concat(F.lit("shard:"),
+                       F.col("doc_id").cast("string"))), 1, 1)) % 8)
+    mix = (d.filter(hash_coin(F.col("doc_id"), "u") < _UNIFORM_TH)
+            .select("doc_id", "lang", shard.alias("shard")))
+    out1, out2 = str(tmp_path / "e1"), str(tmp_path / "e2")
+    write_sharded_jsonl(mix, "shard", out1)
+    write_sharded_jsonl(mix, "shard", out2)
+
+    manifest = {r["shard"]: r["count"]
+                for r in mix.groupBy("shard").count().collect()}
+    for sh, n in manifest.items():
+        p1 = os.path.join(out1, f"shard-{sh}.jsonl")
+        lines1 = sorted(open(p1).read().splitlines())
+        assert len(lines1) == n
+        lines2 = sorted(open(
+            os.path.join(out2, f"shard-{sh}.jsonl")).read().splitlines())
+        assert lines1 == lines2  # deterministic re-export
+        assert all("doc_id" in json.loads(l) for l in lines1[:3])
