@@ -189,3 +189,49 @@ def w6_distribution_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_custkey", "c_mktsegment",
         F.round(F.percent_rank().over(w), 6).alias("bal_pct_rank"),
         F.round(F.cume_dist().over(w), 6).alias("bal_cume_dist"))
+
+
+@register(
+    "w7_ratio_to_report",
+    oracle="""
+    WITH rev AS (
+      SELECT r.r_name, n.n_name,
+             CAST(ROUND(SUM(CAST(o.o_totalprice AS DECIMAL(38,6))), 2)
+                  AS DOUBLE) AS nation_rev
+      FROM orders o
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      JOIN region r ON n.n_regionkey = r.r_regionkey
+      GROUP BY r.r_name, n.n_name
+    )
+    SELECT r_name, n_name, nation_rev,
+           ROUND(nation_rev / SUM(nation_rev) OVER
+                 (PARTITION BY r_name), 6) AS share_of_region
+    FROM rev
+    """,
+)
+def w7_ratio_to_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OP-W4 (ratio-to-report) — each nation's share of its region's
+    revenue: an aggregate re-read through an unbounded window over the
+    *aggregated* relation (25 rows), so the window costs nothing at any
+    scale — the pattern for percent-of-total reports. The inner revenue
+    sums route through DECIMAL (5-digit-scale money over thousands of
+    rows — association error would flip rounded cents, same hazard as
+    q9); the share divides two already-rounded doubles identically on
+    both engines."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    rev = (o.join(c, o.o_custkey == c.c_custkey)
+            .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+            .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+            .groupBy("r_name", "n_name")
+            .agg(F.round(F.sum(F.col("o_totalprice")
+                               .cast("decimal(38,6)")), 2)
+                  .cast("double").alias("nation_rev")))
+    w = Window.partitionBy("r_name")
+    return rev.select(
+        "r_name", "n_name", "nation_rev",
+        F.round(F.col("nation_rev") / F.sum("nation_rev").over(w), 6)
+         .alias("share_of_region"))
