@@ -12,11 +12,16 @@ Scale posture (100 TB):
   vectors never leave the executors.
 - ``localCheckpoint`` per iteration truncates lineage (same discipline
   as operators/graph.py).
-- Determinism: seeding is every-Nth-vector medoids (no rand()), and
-  assignment ties break toward the lower centroid id. Across engines
-  the *means* are still FP-order-dependent, so k-means results are
-  rows-only territory by design — the properties that matter
-  (assignment completeness, inertia monotonicity) are tested instead.
+- Seeding is the K vectors with the smallest ``md5(id)`` — a
+  deterministic pseudo-random spread that plans as a distributed
+  partial top-K (``TakeOrderedAndProject``: each partition keeps K
+  candidates, the driver merges K×partitions rows). No global sort, no
+  single-partition window, no extra count job.
+- Determinism: no rand() anywhere, and assignment ties break toward
+  the lower centroid id. Across engines the *means* are still
+  FP-order-dependent, so k-means results are rows-only territory by
+  design — the properties that matter (assignment completeness,
+  inertia monotonicity) are tested instead.
 """
 
 from __future__ import annotations
@@ -33,7 +38,7 @@ def _sq_dist(a: F.Column, b: F.Column) -> F.Column:
 def kmeans_fit_assign(vectors: DataFrame, id_col: str = "vec_id",
                       vec_col: str = "e", k: int = 8,
                       n_iter: int = 5) -> DataFrame:
-    """Run ``n_iter`` Lloyd iterations from every-Nth medoid seeds and
+    """Run ``n_iter`` Lloyd iterations from hash-min medoid seeds and
     return ``(id, cell, sq_dist)`` — each vector with its final cluster
     and squared distance to that centroid.
 
@@ -45,15 +50,18 @@ def kmeans_fit_assign(vectors: DataFrame, id_col: str = "vec_id",
     """
     v = vectors.select(F.col(id_col).alias("id"),
                        F.col(vec_col).alias("e")).localCheckpoint()
-    n = v.count()  # control flow only (seed stride)
-    stride = max(n // k, 1)
-    w_seed = Window.orderBy("id")
-    seeds = (v.withColumn("rn", F.row_number().over(w_seed) - 1)
-              .filter((F.col("rn") % stride == 0)
-                      & (F.col("rn") < k * stride))
-              .select((F.col("rn") / stride).cast("int").alias("cell"),
-                      F.col("e").alias("ce")))
-    centroids = seeds.localCheckpoint()
+    # Seeds: the k vectors with the smallest md5(id). orderBy+limit is
+    # a distributed partial top-k; cell ids 0..k-1 come from a k-row
+    # collect_list+posexplode (bounded — never touches the full data).
+    seeds = (v.orderBy(F.md5(F.col("id").cast("string")), "id")
+              .limit(k))
+    centroids = (seeds
+                 .agg(F.array_sort(F.collect_list(F.struct("id", "e")))
+                       .alias("se"))
+                 .select(F.posexplode(
+                     F.transform("se", lambda s: s["e"]))
+                     .alias("cell", "ce"))
+                 .localCheckpoint())
 
     assigned = None
     for _ in range(n_iter):
