@@ -263,3 +263,65 @@ def f2_weekly_cohort_retention(spark: SparkSession,
     return (first_seen.join(activity, "user_id")
             .groupBy("cohort_week", offset.alias("week_offset"))
             .agg(F.count(F.lit(1)).alias("n_active_users")))
+
+
+# ---------------------------------------------------------------------------
+# SCD Type-2 history build
+# ---------------------------------------------------------------------------
+
+@register(
+    "t10_scd2_history",
+    oracle="""
+    WITH obs AS (
+      SELECT o_custkey, o_orderkey, o_orderdate, o_orderstatus,
+             LAG(o_orderstatus) OVER (
+               PARTITION BY o_custkey
+               ORDER BY o_orderdate, o_orderkey) AS prev_status
+      FROM orders
+    ),
+    runs AS (
+      SELECT o_custkey, o_orderstatus, o_orderdate, o_orderkey
+      FROM obs
+      WHERE prev_status IS NULL OR prev_status <> o_orderstatus
+    )
+    SELECT o_custkey AS custkey,
+           o_orderstatus AS status,
+           o_orderdate AS valid_from,
+           LEAD(o_orderdate) OVER (
+             PARTITION BY o_custkey
+             ORDER BY o_orderdate, o_orderkey) AS valid_to,
+           ROW_NUMBER() OVER (
+             PARTITION BY o_custkey
+             ORDER BY o_orderdate, o_orderkey) AS version
+    FROM runs
+    """,
+)
+def t10_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type-2 build — the warehouse-history
+    op the reference's commit-per-refresh implies (every update.yml run
+    is a new observed state; SCD2 is what turning those commits into a
+    queryable history requires). Observations are each customer's
+    orders in (date, orderkey) order; consecutive equal-status runs
+    collapse to one row; each surviving row gets
+    ``[valid_from, valid_to)`` via LEAD (NULL = current) and a version
+    number. Scale shape: everything is windows over the same
+    (custkey | date, orderkey) partitioning — ONE shuffle, the
+    run-collapse filter and both analytic passes reuse the sort. The
+    (o_orderdate, o_orderkey) ordering is total per customer, so the
+    collapse is deterministic on both engines."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate",
+                                                "o_orderkey")
+    runs = (o.select("o_custkey", "o_orderkey", "o_orderdate",
+                     "o_orderstatus",
+                     F.lag("o_orderstatus").over(w).alias("prev_status"))
+             .filter(F.col("prev_status").isNull()
+                     | (F.col("prev_status") != F.col("o_orderstatus"))))
+    w2 = Window.partitionBy("o_custkey").orderBy("o_orderdate",
+                                                 "o_orderkey")
+    return runs.select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderstatus").alias("status"),
+        F.col("o_orderdate").alias("valid_from"),
+        F.lead("o_orderdate").over(w2).alias("valid_to"),
+        F.row_number().over(w2).alias("version"))

@@ -1384,3 +1384,133 @@ def x2_fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
              .select(F.col("a.p_name").alias("name_a"),
                      F.col("b.p_name").alias("name_b"),
                      dist.alias("edit_dist")))
+
+
+@register(
+    "x2_dedup_corpus",
+    oracle=f"""
+    WITH RECURSIVE {_SQL_JPAIRS},
+    edges AS (
+      SELECT doc_a AS u, doc_b AS v FROM jpairs
+      UNION
+      SELECT doc_b, doc_a FROM jpairs
+    ),
+    reach(u, v) AS (
+      SELECT u, v FROM edges
+      UNION
+      SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+      WHERE e.v <> r.u
+    ),
+    comp AS (
+      SELECT u AS doc_id, least(u, min(v)) AS cluster_id
+      FROM reach GROUP BY u
+    )
+    SELECT d.doc_id, d.lang, d.source, d.n_chars
+    FROM documents d
+    WHERE d.doc_id NOT IN
+          (SELECT doc_id FROM comp WHERE doc_id <> cluster_id)
+    """,
+)
+def x2_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OP-X2 (end-to-end) — the deduplicated training corpus itself:
+    what a data pipeline actually ships. Near-dup pairs → connected
+    components → keep the min-doc_id survivor of every cluster plus all
+    unclustered documents, materialized by ANTI-joining the non-survivor
+    set against the corpus. Scale shape: the anti-join keys on doc_id
+    (high cardinality, one shuffle); the non-survivor relation is only
+    as large as the duplicate population, so AQE typically broadcasts
+    it — deleting 1% of 100 TB costs a broadcast-anti-join scan, not a
+    full-corpus shuffle. Deterministic: survivor choice is total-ordered
+    (min doc_id), so the surviving row set is retry- and engine-stable.
+    """
+    from ..operators.graph import connected_components
+
+    d = _t(spark, sf_dir, "documents")
+    pairs = _jaccard_pairs(spark, sf_dir)
+    cc = connected_components(pairs, "doc_a", "doc_b")
+    non_survivors = (cc.filter(F.col("node") != F.col("component"))
+                       .select(F.col("node").alias("doc_id")))
+    return (d.join(non_survivors, "doc_id", "left_anti")
+             .select("doc_id", "lang", "source", "n_chars"))
+
+
+@register(
+    "x3_ivf_topk_nprobe2",
+    oracle=f"""
+    WITH v AS (
+      SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+    ),
+    n AS (
+      SELECT vec_id, e, sqrt({_sql_dot('e', 'e')}) AS nrm FROM v
+    ),
+    cent AS (SELECT vec_id AS cid, e AS ce, nrm AS cnrm FROM n
+             WHERE vec_id % 50 = 0),
+    probe AS (
+      SELECT vec_id, e, nrm, cid, rc FROM (
+        SELECT n.vec_id, n.e, n.nrm, cent.cid,
+               ROW_NUMBER() OVER (
+                 PARTITION BY n.vec_id
+                 ORDER BY {_sql_dot('n.e', 'cent.ce')}
+                          / (n.nrm * cent.cnrm) DESC, cent.cid) AS rc
+        FROM n CROSS JOIN cent
+      ) WHERE rc <= 2
+    ),
+    assigned AS (
+      SELECT vec_id, e, nrm, cid FROM probe WHERE rc = 1
+    ),
+    cand AS (
+      SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+             {_sql_dot('a.e', 'b.e')} / (a.nrm * b.nrm) AS cos
+      FROM probe a JOIN assigned b
+        ON a.cid = b.cid AND a.vec_id <> b.vec_id
+    )
+    SELECT query_id, neighbor_id, ROUND(cos, 6) AS cos_sim
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rn
+      FROM cand
+    ) WHERE rn <= 3
+    """,
+)
+def x3_ivf_topk_nprobe2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OP-X3 (IVF, nprobe=2) — multi-probe inverted-file ANN: the
+    recall/cost dial every production IVF exposes. Vectors are indexed
+    under their single nearest coarse centroid (as in ``x3_ivf_topk``),
+    but each *query* probes its 2 nearest cells, so near-boundary
+    queries recover neighbors that nprobe=1 misses — candidate work
+    doubles (Σ 2·cell avg) while staying far below the N² brute force.
+    A pair can't duplicate: each index vector lives in exactly one
+    cell, so it meets a query through at most one probe. Same
+    deterministic medoids and tiebreaks as the nprobe=1 form — fully
+    oracle-checkable."""
+    e = _t(spark, sf_dir, "embeddings")
+    v = e.select("vec_id", _as_double_vec("embedding").alias("e"))
+    n = v.withColumn("nrm", F.sqrt(_dot(F.col("e"), F.col("e"))))
+    cent = (n.filter(F.col("vec_id") % 50 == 0)
+             .select(F.col("vec_id").alias("cid"),
+                     F.col("e").alias("ce"), F.col("nrm").alias("cnrm")))
+    scored = (n.repartition(spark.sparkContext.defaultParallelism,
+                            "vec_id")
+               .crossJoin(F.broadcast(cent)))
+    cos_c = (_dot(F.col("e"), F.col("ce"))
+             / (F.col("nrm") * F.col("cnrm")))
+    wassign = Window.partitionBy("vec_id").orderBy(
+        cos_c.desc(), F.col("cid"))
+    probe = (scored.withColumn("rc", F.row_number().over(wassign))
+                   .filter(F.col("rc") <= 2)
+                   .select("vec_id", "e", "nrm", "cid", "rc"))
+    assigned = probe.filter(F.col("rc") == 1).drop("rc")
+    a, b = probe.alias("a"), assigned.alias("b")
+    cos = (_dot(F.col("a.e"), F.col("b.e"))
+           / (F.col("a.nrm") * F.col("b.nrm")))
+    cand = (a.join(b, (F.col("a.cid") == F.col("b.cid"))
+                   & (F.col("a.vec_id") != F.col("b.vec_id")))
+             .select(F.col("a.vec_id").alias("query_id"),
+                     F.col("b.vec_id").alias("neighbor_id"),
+                     cos.alias("cos")))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id"))
+    return (cand.withColumn("rn", F.row_number().over(w))
+                .filter(F.col("rn") <= 3)
+                .select("query_id", "neighbor_id",
+                        F.round("cos", 6).alias("cos_sim")))

@@ -1048,3 +1048,44 @@ def j8_right_outer_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
              .select("c_custkey", "c_mktsegment", "o_orderkey",
                      F.coalesce("o_totalprice", F.lit(0.0))
                       .alias("totalprice")))
+
+
+@register(
+    "q17_small_quantity_revenue",
+    oracle="""
+    WITH thr AS (
+      SELECT l_partkey, 0.2 * AVG(l_quantity) AS qty_thr
+      FROM lineitem GROUP BY l_partkey
+    )
+    SELECT ROUND(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(38,6)))
+                      AS DOUBLE) / 7.0, 4) AS avg_yearly,
+           COUNT(*) AS n_items
+    FROM lineitem l JOIN thr t ON l.l_partkey = t.l_partkey
+    WHERE l.l_quantity < t.qty_thr
+    """,
+)
+def q17_small_quantity_revenue(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape — the correlated-scalar-subquery pattern:
+    revenue of line items ordered below 0.2× the part's average
+    quantity. Decorrelated as Catalyst (and every MPP planner) does:
+    pre-aggregate the per-part threshold, join back to the fact, filter.
+    Scale shape: the threshold relation is one row per partkey — far
+    smaller than the fact but unbounded, so it is NOT broadcast by
+    declaration; both sides hash-partition on l_partkey and AQE may
+    still broadcast at low SF. The comparison is exact across engines:
+    AVG of integer-valued quantities is an exact-int sum / exact count
+    (identical IEEE division), and 0.2× is the same literal product.
+    The revenue sum routes through DECIMAL (order-independent addition),
+    and /7.0 is rounded at 4 digits, where m/700-cent values can never
+    land on a half-boundary (200m/7 is always even when integral)."""
+    li = _t(spark, sf_dir, "lineitem")
+    thr = (li.groupBy("l_partkey")
+             .agg((F.lit(0.2) * F.avg("l_quantity")).alias("qty_thr")))
+    return (li.join(thr, "l_partkey")
+              .filter(F.col("l_quantity") < F.col("qty_thr"))
+              .agg(F.round(
+                       F.sum(F.col("l_extendedprice")
+                              .cast("decimal(38,6)")).cast("double")
+                       / 7.0, 4).alias("avg_yearly"),
+                   F.count(F.lit(1)).alias("n_items")))

@@ -23,7 +23,7 @@ no global sort, no driver state.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..sources.tables import load_table
@@ -151,3 +151,72 @@ def t6_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
                      F.col("w.start").alias("session_start"),
                      F.col("w.end").alias("session_end"),
                      "n_events", "sum_value"))
+
+
+# ---------------------------------------------------------------------------
+# OP-T anomaly — rolling z-score outlier detection
+# ---------------------------------------------------------------------------
+
+@register(
+    "t11_anomaly_zscore",
+    oracle="""
+    WITH c AS (
+      SELECT event_id, user_id, ts, value,
+             CAST(ROUND(value * 100) AS BIGINT) AS cents
+      FROM events
+    ),
+    stats AS (
+      SELECT event_id, user_id, ts, value, cents,
+             SUM(cents) OVER w AS s,
+             SUM(cents * cents) OVER w AS sq,
+             COUNT(*) OVER w AS n
+      FROM c
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT event_id, user_id, ts, value,
+           (cents - CAST(s AS DOUBLE) / n)
+             / sqrt((sq - CAST(s AS DOUBLE) * s / n) / (n - 1)) AS zscore
+    FROM stats
+    WHERE n >= 12
+      AND (sq - CAST(s AS DOUBLE) * s / n) / (n - 1) > 0
+      AND abs((cents - CAST(s AS DOUBLE) / n)
+              / sqrt((sq - CAST(s AS DOUBLE) * s / n) / (n - 1))) >= 3
+    """,
+)
+def t11_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling z-score anomaly detection: flag events whose value sits
+    ≥3 sample standard deviations from the trailing 24-event mean of
+    that user (current row excluded; ≥12 prior events required).
+
+    Cross-engine FP discipline: sliding-frame SUMs are computed over
+    *exact integers* (cents = round(value·100) — the 2-decimal values
+    make this lossless), because the two engines aggregate frames in
+    different association orders (Spark rescans the frame linearly,
+    DuckDB uses a segment tree) — integer addition is associative, so
+    both produce identical sums, and every downstream double operation
+    (÷, −, sqrt) is a deterministic IEEE function of those identical
+    integers. No rounding needed on the z itself.
+
+    Scale shape: one shuffle on user_id; the frame is a bounded 24-row
+    sliding window inside the per-key sort — no unbounded state, the
+    same plan a streaming `applyInPandasWithState` twin would keep."""
+    e = _t(spark, sf_dir, "events")
+    c = e.select("event_id", "user_id", "ts", "value",
+                 F.round(F.col("value") * 100).cast("bigint")
+                  .alias("cents"))
+    w = (Window.partitionBy("user_id").orderBy("ts", "event_id")
+               .rowsBetween(-24, -1))
+    stats = c.select(
+        "event_id", "user_id", "ts", "value", "cents",
+        F.sum("cents").over(w).alias("s"),
+        F.sum(F.col("cents") * F.col("cents")).over(w).alias("sq"),
+        F.count(F.lit(1)).over(w).alias("n"))
+    mean = F.col("s").cast("double") / F.col("n")
+    var = ((F.col("sq") - F.col("s").cast("double") * F.col("s")
+            / F.col("n")) / (F.col("n") - 1))
+    z = (F.col("cents") - mean) / F.sqrt(var)
+    return (stats.filter((F.col("n") >= 12) & (var > 0)
+                         & (F.abs(z) >= 3))
+                 .select("event_id", "user_id", "ts", "value",
+                         z.alias("zscore")))

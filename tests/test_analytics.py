@@ -45,3 +45,22 @@ def test_cohort_week0_counts_every_user(spark):
                .select("user_id").distinct().count())
     assert week0 == n_users  # everyone is active in their cohort week
     assert out.filter(F.col("week_offset") < 0).count() == 0
+
+
+def test_scd2_history_invariants(spark):
+    """Runs collapse (consecutive versions change status), intervals
+    chain per customer, exactly one open (current) row each."""
+    rows = (A.t10_scd2_history(spark, SF)
+             .orderBy("custkey", "version").collect())
+    assert rows
+    by_cust = {}
+    for r in rows:
+        by_cust.setdefault(r["custkey"], []).append(r)
+    for hist in by_cust.values():
+        assert [h["version"] for h in hist] == list(
+            range(1, len(hist) + 1))
+        assert sum(h["valid_to"] is None for h in hist) == 1
+        assert hist[-1]["valid_to"] is None  # open row is the last
+        for a, b in zip(hist, hist[1:]):
+            assert a["status"] != b["status"]  # runs collapsed
+            assert a["valid_to"] == b["valid_from"]  # intervals chain

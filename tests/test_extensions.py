@@ -206,3 +206,42 @@ def test_kmeans_assigns_every_vector_and_inertia_decreases(spark):
 
     i1, i3 = inertia(1), inertia(3)
     assert i3 <= i1 + 1e-9  # Lloyd's never increases inertia
+
+
+def test_dedup_corpus_keeps_survivors_only(spark):
+    """Corpus = all docs minus non-survivor cluster members, so
+    corpus-size + clustered-non-survivors == total docs, and every
+    cluster survivor is still present."""
+    from stock_data_warehouse_spark.plans.extensions import (
+        x2_dedup_corpus, x2_neardup_clusters,
+    )
+    n_docs = spark.read.parquet(f"{SF}/documents.parquet").count()
+    corpus = {r["doc_id"]
+              for r in x2_dedup_corpus(spark, SF).collect()}
+    clusters = x2_neardup_clusters(spark, SF).collect()
+    dropped = {r["doc_id"] for r in clusters if not r["is_survivor"]}
+    kept = {r["doc_id"] for r in clusters if r["is_survivor"]}
+    assert len(corpus) == n_docs - len(dropped)
+    assert kept <= corpus
+    assert not (dropped & corpus)
+
+
+def test_ivf_multiprobe_recall_dominates_single_probe(spark):
+    """nprobe=2 candidates strictly include nprobe=1's, so its recall
+    of the brute-force top-3 can only be >= the single-probe recall."""
+    from stock_data_warehouse_spark.plans.extensions import (
+        x3_cosine_topk_bruteforce, x3_ivf_topk, x3_ivf_topk_nprobe2,
+    )
+
+    def pairs(df):
+        return {(r["query_id"], r["neighbor_id"])
+                for r in df.collect()}
+
+    truth = pairs(x3_cosine_topk_bruteforce(spark, SF))
+    r1 = len(truth & pairs(x3_ivf_topk(spark, SF))) / len(truth)
+    r2 = len(truth & pairs(x3_ivf_topk_nprobe2(spark, SF))) / len(truth)
+    assert r2 >= r1
+    # Absolute recall on 500 vectors × 10 seeded medoid cells is modest
+    # (the index has ~50-vector cells and no training) — the claim under
+    # test is the nprobe dial, not tiny-sf index quality.
+    assert r2 >= 0.3

@@ -119,3 +119,36 @@ def test_salted_join_equals_plain_join(spark):
               for r in salted_join(facts, dim, "k", "row_id",
                                    n_salts=4).collect()}
     assert salted == plain and len(salted) == 12
+
+
+def test_zscore_flags_are_extreme_and_warmed_up(spark):
+    """Every flagged event really is >=3 sigmas from its own trailing
+    window, recomputed independently in Python."""
+    from stock_data_warehouse_spark.plans.timeseries import (
+        t11_anomaly_zscore,
+    )
+    from stock_data_warehouse_spark.sources.tables import load_table
+    import math
+
+    SF = "/root/testdata/sf0.001"
+    flagged = t11_anomaly_zscore(spark, SF).collect()
+    assert flagged  # sf0.001 events contain at least one outlier
+    ev = sorted(
+        load_table(spark, SF, "events")
+        .select("event_id", "user_id", "ts", "value").collect(),
+        key=lambda r: (r["ts"], r["event_id"]))
+    hist = {}
+    by_key = {}
+    for r in ev:
+        tail = hist.setdefault(r["user_id"], [])
+        by_key[r["event_id"]] = list(tail[-24:])
+        tail.append(round(r["value"] * 100))
+    for f in flagged:
+        window = by_key[f["event_id"]]
+        assert len(window) >= 12
+        mean = sum(window) / len(window)
+        var = (sum(c * c for c in window) - sum(window)**2
+               / len(window)) / (len(window) - 1)
+        z = (round(f["value"] * 100) - mean) / math.sqrt(var)
+        assert abs(z) >= 3
+        assert abs(z - f["zscore"]) < 1e-9
