@@ -114,3 +114,24 @@ def test_column_pruning_and_filter_pushdown(spark):
         "PushedFilters")[1][:120]
     read = plan.split("ReadSchema:")[1].splitlines()[0]
     assert "l_comment" not in read and "l_returnflag" not in read
+
+
+def test_scd2_single_exchange(spark):
+    """All three SCD2 window passes (LAG run-collapse, LEAD intervals,
+    version row_number) share one (custkey | date, orderkey) sort —
+    the executed plan must contain exactly ONE exchange."""
+    from stock_data_warehouse_spark.plans.analytics import (
+        t10_scd2_history,
+    )
+    plan = _executed_plan(t10_scd2_history(spark, SF))
+    assert plan.count("Exchange") == 1, plan
+
+
+def test_zscore_single_exchange(spark):
+    """The rolling z-score is windows over one user_id partitioning:
+    one exchange, no join, no second sort."""
+    from stock_data_warehouse_spark.plans.timeseries import (
+        t11_anomaly_zscore,
+    )
+    plan = _executed_plan(t11_anomaly_zscore(spark, SF))
+    assert plan.count("Exchange") == 1, plan
