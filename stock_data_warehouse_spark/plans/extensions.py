@@ -1514,3 +1514,43 @@ def x3_ivf_topk_nprobe2(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .filter(F.col("rn") <= 3)
                 .select("query_id", "neighbor_id",
                         F.round("cos", 6).alias("cos_sim")))
+
+
+@register(
+    "x4_chunk_documents",
+    oracle="""
+    WITH starts AS (
+      SELECT doc_id, text,
+             unnest(range(0, greatest(n_chars, 1), 150)) AS start
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(start // 150 AS BIGINT) AS chunk_idx,
+           start,
+           length(substring(text, CAST(start + 1 AS INTEGER), 200))
+             AS chunk_len,
+           md5(substring(text, CAST(start + 1 AS INTEGER), 200))
+             AS chunk_md5
+    FROM starts
+    """,
+)
+def x4_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OP-X4 (context chunking) — split every document into 200-char
+    chunks on a 150-char stride (50-char overlap): the windowing step
+    that turns a raw corpus into model-context-sized training rows.
+    The chunk spine is generated *per row, distributedly* —
+    ``sequence(0, n_chars-1, 150)`` + ``posexplode`` — so the operator
+    is a pure narrow map: zero shuffles, composes with any upstream
+    dedup/sampling filter, and parallelizes by input split at any
+    corpus size. Chunks are fingerprinted (md5) so the driver compares
+    content without hauling chunk text through the diff."""
+    d = _t(spark, sf_dir, "documents")
+    starts = F.sequence(
+        F.lit(0), F.greatest(F.col("n_chars") - 1, F.lit(0)),
+        F.lit(150))
+    chunk = F.col("text").substr(F.col("start") + 1, F.lit(200))
+    return (d.select("doc_id", "text",
+                     F.posexplode(starts).alias("chunk_idx", "start"))
+             .select("doc_id", "chunk_idx", "start",
+                     F.length(chunk).alias("chunk_len"),
+                     F.md5(chunk).alias("chunk_md5")))

@@ -220,3 +220,56 @@ def t11_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
                          & (F.abs(z) >= 3))
                  .select("event_id", "user_id", "ts", "value",
                          z.alias("zscore")))
+
+
+# ---------------------------------------------------------------------------
+# OP-T12 — interval (stream-stream) join, batch form
+# ---------------------------------------------------------------------------
+
+@register(
+    "t12_interval_join",
+    oracle="""
+    SELECT c.user_id,
+           c.event_id AS click_id,
+           p.event_id AS purchase_id,
+           epoch_us(p.ts) - epoch_us(c.ts) AS lag_us
+    FROM events c
+    JOIN events p
+      ON c.user_id = p.user_id
+     AND p.ts >= c.ts
+     AND epoch_us(p.ts) - epoch_us(c.ts) <= 1800000000
+    WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+    """,
+)
+def t12_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OP-T12 — every purchase matched to the clicks that preceded it by
+    ≤30 minutes for the same user: the batch twin of a watermarked
+    stream-stream interval join (`clicks.join(purchases, expr(...))`
+    with both sides watermarked — identical predicate, state bounded by
+    the 30-minute horizon).
+
+    The range predicate is made EQUI-joinable by time banding: clicks
+    replicate into their own 30-minute epoch bucket and the next one;
+    purchases carry just their bucket — so every qualifying pair meets
+    on exactly one (user_id, bucket) key and the join is a plain hash
+    join costing Σ bucket-pair sizes, never the per-user quadratic
+    blow-up of joining on user_id alone and post-filtering. Exact µs
+    arithmetic end to end — no FP anywhere."""
+    e = _t(spark, sf_dir, "events")
+    band = F.lit(1_800_000_000)  # 30 min in µs
+    c = (e.filter(F.col("event_type") == "click")
+          .select("user_id", F.col("event_id").alias("click_id"),
+                  F.unix_micros("ts").alias("c_us")))
+    c = c.withColumn(
+        "bucket",
+        F.explode(F.array(F.floor(F.col("c_us") / band),
+                          F.floor(F.col("c_us") / band) + 1)))
+    p = (e.filter(F.col("event_type") == "purchase")
+          .select("user_id", F.col("event_id").alias("purchase_id"),
+                  F.unix_micros("ts").alias("p_us"),
+                  F.floor(F.unix_micros("ts") / band).alias("bucket")))
+    lag = F.col("p_us") - F.col("c_us")
+    return (c.join(p, ["user_id", "bucket"])
+             .filter((lag >= 0) & (lag <= band))
+             .select("user_id", "click_id", "purchase_id",
+                     lag.alias("lag_us")))

@@ -245,3 +245,27 @@ def test_ivf_multiprobe_recall_dominates_single_probe(spark):
     # (the index has ~50-vector cells and no training) — the claim under
     # test is the nprobe dial, not tiny-sf index quality.
     assert r2 >= 0.3
+
+
+def test_chunking_tiles_every_document(spark):
+    """Chunks start at 0, stride 150, cover the full text (the last
+    chunk reaches n_chars), and every non-final chunk is full-width."""
+    from stock_data_warehouse_spark.plans.extensions import (
+        x4_chunk_documents,
+    )
+    n_chars = {r["doc_id"]: r["n_chars"]
+               for r in spark.read.parquet(f"{SF}/documents.parquet")
+               .select("doc_id", "n_chars").collect()}
+    by_doc = {}
+    for r in x4_chunk_documents(spark, SF).collect():
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert set(by_doc) == set(n_chars)
+    for doc_id, chunks in by_doc.items():
+        chunks.sort(key=lambda r: r["chunk_idx"])
+        n = n_chars[doc_id]
+        assert [c["start"] for c in chunks] == list(
+            range(0, max(n, 1), 150))
+        assert all(c["chunk_len"] == min(200, n - c["start"])
+                   for c in chunks)
+        last = chunks[-1]
+        assert last["start"] + last["chunk_len"] == n  # full coverage

@@ -152,3 +152,28 @@ def test_zscore_flags_are_extreme_and_warmed_up(spark):
         z = (round(f["value"] * 100) - mean) / math.sqrt(var)
         assert abs(z) >= 3
         assert abs(z - f["zscore"]) < 1e-9
+
+
+def test_interval_join_matches_bruteforce(spark):
+    """Banded equi-join finds exactly the brute-force pair set."""
+    from stock_data_warehouse_spark.plans.timeseries import (
+        t12_interval_join,
+    )
+    from stock_data_warehouse_spark.sources.tables import load_table
+
+    SF = "/root/testdata/sf0.001"
+    got = {(r["click_id"], r["purchase_id"], r["lag_us"])
+           for r in t12_interval_join(spark, SF).collect()}
+    ev = load_table(spark, SF, "events") \
+        .select("event_id", "user_id", "event_type",
+                F.unix_micros("ts").alias("us")).collect()
+    clicks = [r for r in ev if r["event_type"] == "click"]
+    purch = {}
+    for r in ev:
+        if r["event_type"] == "purchase":
+            purch.setdefault(r["user_id"], []).append(r)
+    want = {(c["event_id"], p["event_id"], p["us"] - c["us"])
+            for c in clicks
+            for p in purch.get(c["user_id"], ())
+            if 0 <= p["us"] - c["us"] <= 1_800_000_000}
+    assert got == want and got
