@@ -30,7 +30,10 @@ HEADLINE = (
     "j1_alias_precedence_lookup", # join + window dedup (alias precedence)
     "j7_star_region_revenue",     # 5-way star with broadcast dims
     "q9_profit_by_nation_year",   # widest join tree (5 tables), decimal agg
+    "q17_small_quantity_revenue", # correlated subquery: pre-agg + join-back
     "a1_ttm_recent4_spend",       # per-key top-4 window + sum
+    "t10_scd2_history",           # SCD2 window chain (single exchange)
+    "t12_interval_join",          # time-banded stream-stream join twin
     "a8_rollup_region_nation",    # rollup hierarchy
     "w4_rolling_frame_ttm",       # frame-spec sliding window
     "p7_p9_p10_arith_pack",       # wide scalar layer over lineitem
