@@ -325,3 +325,74 @@ def t10_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderdate").alias("valid_from"),
         F.lead("o_orderdate").over(w2).alias("valid_to"),
         F.row_number().over(w2).alias("version"))
+
+
+# ---------------------------------------------------------------------------
+# MERGE INTO (CDC upsert application)
+# ---------------------------------------------------------------------------
+
+@register(
+    "t13_merge_upsert",
+    oracle="""
+    WITH changes AS (
+      SELECT c_custkey AS k,
+             CASE WHEN c_custkey % 11 = 3 THEN 'D' ELSE 'U' END AS op,
+             c_name AS name,
+             c_acctbal + 100.0 AS acctbal,
+             c_mktsegment AS mktsegment
+      FROM customer
+      WHERE c_custkey % 11 = 3 OR c_custkey % 7 = 0
+      UNION ALL
+      SELECT c_custkey + 1000000, 'I',
+             'NEW-' || CAST(c_custkey AS VARCHAR), 0.0, 'MACHINERY'
+      FROM customer WHERE c_custkey % 13 = 5
+    )
+    SELECT COALESCE(c.k, t.c_custkey) AS custkey,
+           CASE WHEN c.op IN ('U', 'I') THEN c.name
+                ELSE t.c_name END AS name,
+           CASE WHEN c.op IN ('U', 'I') THEN c.acctbal
+                ELSE t.c_acctbal END AS acctbal,
+           CASE WHEN c.op IN ('U', 'I') THEN c.mktsegment
+                ELSE t.c_mktsegment END AS mktsegment
+    FROM customer t FULL OUTER JOIN changes c ON t.c_custkey = c.k
+    -- COALESCE defuses three-valued logic: for unmatched target rows
+    -- c.op is NULL and a bare NOT(x AND NULL) would drop them
+    WHERE NOT (t.c_custkey IS NOT NULL AND COALESCE(c.op, '') = 'D')
+      AND NOT (t.c_custkey IS NULL AND COALESCE(c.op, '') IN ('U', 'D'))
+    """,
+)
+def t13_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO, batch form (operators/merge.py): apply a keyed
+    change feed — updates (+100 acctbal for custkey%7=0), deletes
+    (custkey%11=3, delete wins over update), inserts (shifted new keys
+    for custkey%13=5) — to the customer snapshot in one full-outer
+    join. The feed here is derived deterministically from the snapshot
+    itself so the query is self-contained and oracle-exact; in
+    production the feed is the CDC stream and the identical plan runs
+    per micro-batch (foreachBatch). One shuffle on the merge key; AQE
+    broadcasts the feed side when it is small."""
+    from ..operators.merge import merge_into
+
+    cust = _t(spark, sf_dir, "customer")
+    base = cust.select(F.col("c_custkey").alias("custkey"),
+                       F.col("c_name").alias("name"),
+                       F.col("c_acctbal").alias("acctbal"),
+                       F.col("c_mktsegment").alias("mktsegment"))
+    upd_del = (cust.filter((F.col("c_custkey") % 11 == 3)
+                           | (F.col("c_custkey") % 7 == 0))
+                   .select(F.col("c_custkey").alias("custkey"),
+                           F.when(F.col("c_custkey") % 11 == 3,
+                                  "D").otherwise("U").alias("op"),
+                           F.col("c_name").alias("name"),
+                           (F.col("c_acctbal") + 100.0).alias("acctbal"),
+                           F.col("c_mktsegment").alias("mktsegment")))
+    ins = (cust.filter(F.col("c_custkey") % 13 == 5)
+               .select((F.col("c_custkey") + 1000000).alias("custkey"),
+                       F.lit("I").alias("op"),
+                       F.concat(F.lit("NEW-"),
+                                F.col("c_custkey").cast("string"))
+                        .alias("name"),
+                       F.lit(0.0).alias("acctbal"),
+                       F.lit("MACHINERY").alias("mktsegment")))
+    return merge_into(base, upd_del.unionByName(ins), "custkey",
+                      ["name", "acctbal", "mktsegment"])

@@ -177,3 +177,28 @@ def test_interval_join_matches_bruteforce(spark):
             for p in purch.get(c["user_id"], ())
             if 0 <= p["us"] - c["us"] <= 1_800_000_000}
     assert got == want and got
+
+
+def test_merge_into_all_five_cases(spark):
+    """update, delete, insert, untouched target, no-op change on a
+    missing key — plus U/D idempotence (reapplying changes nothing)."""
+    from stock_data_warehouse_spark.operators.merge import merge_into
+
+    target = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)],
+        "k long, name string, bal double")
+    changes = spark.createDataFrame(
+        [(2, "U", "b2", 25.0),   # update
+         (3, "D", None, None),   # delete
+         (9, "I", "new", 0.0),   # insert
+         (7, "U", "x", 1.0),     # update of missing key → no-op
+         (8, "D", None, None)],  # delete of missing key → no-op
+        "k long, op string, name string, bal double")
+    merged = merge_into(target, changes, "k", ["name", "bal"])
+    got = {r["k"]: (r["name"], r["bal"]) for r in merged.collect()}
+    assert got == {1: ("a", 10.0), 2: ("b2", 25.0), 9: ("new", 0.0)}
+    again = merge_into(
+        merged, changes.filter(F.col("op") != "I"), "k",
+        ["name", "bal"])
+    assert {r["k"]: (r["name"], r["bal"])
+            for r in again.collect()} == got
