@@ -26,6 +26,7 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 # Headline set: one per operator family, weighted toward the plans that
 # shuffle (joins, windows, aggs) — the ones whose scale behavior matters.
 HEADLINE = (
+    "q1_pricing_summary",         # scan-heavy: pushed filter + 6-group agg
     "flagship_segment_revenue",   # star join + hash agg
     "j1_alias_precedence_lookup", # join + window dedup (alias precedence)
     "j7_star_region_revenue",     # 5-way star with broadcast dims

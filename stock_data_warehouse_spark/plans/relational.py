@@ -1089,3 +1089,64 @@ def q17_small_quantity_revenue(spark: SparkSession,
                               .cast("decimal(38,6)")).cast("double")
                        / 7.0, 4).alias("avg_yearly"),
                    F.count(F.lit(1)).alias("n_items")))
+
+
+@register(
+    "q1_pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           ROUND(SUM(l_quantity), 2) AS sum_qty,
+           CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(38,6))), 2)
+                AS DOUBLE) AS sum_base_price,
+           CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount)
+                              AS DECIMAL(38,6))), 2) AS DOUBLE)
+             AS sum_disc_price,
+           CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount)
+                              * (1 + l_tax) AS DECIMAL(38,6))), 2)
+                AS DOUBLE) AS sum_charge,
+           CAST(ROUND(CAST(AVG(l_quantity) AS DECIMAL(38,10)), 6)
+                AS DOUBLE) AS avg_qty,
+           CAST(ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6)))
+                           / COUNT(*) AS DECIMAL(38,10)), 6) AS DOUBLE)
+             AS avg_price,
+           CAST(ROUND(CAST(AVG(l_discount) AS DECIMAL(38,10)), 6)
+                AS DOUBLE) AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2001-08-01 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape — the canonical scan-heavy pricing summary: one
+    pass over lineitem, a pushed shipdate predicate, and a hash
+    aggregation onto 6 (returnflag, linestatus) groups. This is the
+    pure-throughput benchmark: no join, so the whole cost is columnar
+    scan + whole-stage-codegen arithmetic + a 6-row exchange.
+    Cross-engine exactness: the three money sums route through DECIMAL
+    (order-free addition; per-row double products are bit-identical on
+    both engines); quantity/discount sums and averages are exact-integer
+    or small-cardinality sums rounded via the decimal path at 6 digits;
+    avg_price divides the exact decimal sum by the exact count."""
+    li = _t(spark, sf_dir, "lineitem")
+    dec = lambda c: c.cast("decimal(38,6)")  # noqa: E731
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (li.filter(F.col("l_shipdate")
+                      <= F.lit("2001-08-01 00:00:00").cast("timestamp"))
+              .groupBy("l_returnflag", "l_linestatus")
+              .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+                   F.round(F.sum(dec(F.col("l_extendedprice"))), 2)
+                    .cast("double").alias("sum_base_price"),
+                   F.round(F.sum(dec(disc_price)), 2)
+                    .cast("double").alias("sum_disc_price"),
+                   F.round(F.sum(dec(charge)), 2)
+                    .cast("double").alias("sum_charge"),
+                   F.round(F.avg("l_quantity").cast("decimal(38,10)"), 6)
+                    .cast("double").alias("avg_qty"),
+                   F.round((F.sum(dec(F.col("l_extendedprice")))
+                            / F.count(F.lit(1))).cast("decimal(38,10)"),
+                           6).cast("double").alias("avg_price"),
+                   F.round(F.avg("l_discount").cast("decimal(38,10)"), 6)
+                    .cast("double").alias("avg_disc"),
+                   F.count(F.lit(1)).alias("count_order")))
