@@ -273,3 +273,95 @@ def t12_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
              .filter((lag >= 0) & (lag <= band))
              .select("user_id", "click_id", "purchase_id",
                      lag.alias("lag_us")))
+
+
+# ---------------------------------------------------------------------------
+# OP-T14/T15 — windowed distinct counts; sessionized journey paths
+# ---------------------------------------------------------------------------
+
+@register(
+    "t14_tumbling_distinct_users",
+    oracle="""
+    SELECT make_timestamp((epoch_us(ts) // 3600000000) * 3600000000)
+             AS window_start,
+           COUNT(DISTINCT user_id) AS n_users,
+           COUNT(*) AS n_events
+    FROM events
+    GROUP BY 1
+    """,
+)
+def t14_tumbling_distinct_users(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """OP-T14 — unique users per hour: the classic windowed
+    distinct-count metric. Spark plans COUNT(DISTINCT) as a two-stage
+    expand/partial-agg (first dedupe (window, user) partials map-side,
+    then count) — no global distinct materialization. At streaming
+    scale the same metric runs as approx_count_distinct (mergeable HLL
+    — a7's sketch twin) when exactness stops paying for its shuffle."""
+    e = _t(spark, sf_dir, "events")
+    return (e.groupBy(F.window("ts", "1 hour").alias("w"))
+             .agg(F.countDistinct("user_id").alias("n_users"),
+                  F.count(F.lit(1)).alias("n_events"))
+             .select(F.col("w.start").alias("window_start"),
+                     "n_users", "n_events"))
+
+
+@register(
+    "t15_session_paths",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, ts, event_id, event_type,
+             CASE WHEN ts - LAG(ts) OVER (
+                    PARTITION BY user_id ORDER BY ts, event_id)
+                  <= INTERVAL 6 HOUR THEN 0 ELSE 1 END AS new_session
+      FROM events
+    ),
+    sessions AS (
+      SELECT user_id, ts, event_id, event_type,
+             SUM(new_session) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS session_id
+      FROM ordered
+    )
+    SELECT user_id, session_id,
+           MIN(ts) AS session_start,
+           COUNT(*) AS n_events,
+           string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+    FROM sessions
+    GROUP BY user_id, session_id
+    """,
+)
+def t15_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OP-T15 — user-journey paths: each 6-hour-gap session reduced to
+    its ordered event-type sequence ('view>click>purchase') — the input
+    relation for funnel mining and next-event models. Sessionization is
+    the lag-gap-cumsum rewrite (same as t6); the path is an *ordered*
+    reduction — ``collect_list(struct(ts, event_id, type))`` +
+    ``array_sort`` + ``transform`` — so the sequence is total-ordered
+    and engine-stable even though Spark's aggregation order is not.
+    Scale: one shuffle on user_id; paths are bounded by session length,
+    never by history length."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = 6 * 3600 * 1_000_000
+    prev_us = F.lag(F.unix_micros("ts")).over(w)
+    new_session = F.when(
+        prev_us.isNull()
+        | (F.unix_micros("ts") - prev_us > gap_us), 1).otherwise(0)
+    sess = (e.select("user_id", "ts", "event_id", "event_type",
+                     new_session.alias("new_session"))
+             .withColumn("session_id",
+                         F.sum("new_session").over(
+                             w.rowsBetween(Window.unboundedPreceding,
+                                           Window.currentRow))))
+    ordered = F.array_sort(
+        F.collect_list(F.struct("ts", "event_id", "event_type")))
+    return (sess.groupBy("user_id", "session_id")
+                .agg(F.min("ts").alias("session_start"),
+                     F.count(F.lit(1)).alias("n_events"),
+                     F.concat_ws(
+                         ">",
+                         F.transform(ordered,
+                                     lambda s: s["event_type"]))
+                      .alias("path")))

@@ -202,3 +202,27 @@ def test_merge_into_all_five_cases(spark):
         ["name", "bal"])
     assert {r["k"]: (r["name"], r["bal"])
             for r in again.collect()} == got
+
+
+def test_session_paths_agree_with_session_windows(spark):
+    """t15's lag-gap-cumsum sessionization must reproduce t6's
+    session_window partitioning: same session count and event total
+    per user, and each path lists exactly its session's events."""
+    from stock_data_warehouse_spark.plans.timeseries import (
+        t6_session_windows, t15_session_paths,
+    )
+    SF = "/root/testdata/sf0.001"
+    paths = t15_session_paths(spark, SF).collect()
+    wins = t6_session_windows(spark, SF).collect()
+
+    def per_user(rows):
+        agg = {}
+        for r in rows:
+            n, ev = agg.get(r["user_id"], (0, 0))
+            agg[r["user_id"]] = (n + 1, ev + r["n_events"])
+        return agg
+
+    assert per_user(paths) == per_user(wins)
+    for r in paths:
+        assert r["path"].count(">") == r["n_events"] - 1
+        assert r["path"]  # never empty
