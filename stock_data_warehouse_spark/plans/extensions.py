@@ -1554,3 +1554,101 @@ def x4_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
              .select("doc_id", "chunk_idx", "start",
                      F.length(chunk).alias("chunk_len"),
                      F.md5(chunk).alias("chunk_md5")))
+
+
+# ---------------------------------------------------------------------------
+# OP-X8 — the composed corpus-build pipeline
+# ---------------------------------------------------------------------------
+
+_CORPUS_RATE = 0.5
+_CORPUS_SALT = "corpus"
+
+
+def _corpus_threshold() -> str:
+    from .sampling import _hex_threshold
+    return _hex_threshold(_CORPUS_RATE)
+
+
+@register(
+    "x8_corpus_pipeline",
+    oracle=None,  # bound below once sampling helpers are importable
+)
+def x8_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OP-X8 — the whole training-corpus build as ONE declarative plan:
+    exact dedup (sha2 survivor) → quality gate (≥20 tokens, stopword
+    ratio in [0.05, 0.6]) → deterministic 50% hash sample → 200/150
+    context chunking. Each stage is the registered standalone operator
+    (x1 / x4_text_quality / x7 / x4_chunk_documents) — this query
+    proves they COMPOSE: filters stack on the scan side of the one
+    dedup shuffle, the sample coin is a pure key function (no
+    resampling drift across retries), and chunking stays a narrow map.
+    Catalyst collapses the whole post-dedup chain into a single
+    projection+filter stage — the plan a 100 TB corpus build wants."""
+    from .sampling import hash_coin
+
+    stop = ("the", "a", "of", "and", "to", "in")
+    d = _t(spark, sf_dir, "documents")
+    w = Window.partitionBy("content_hash").orderBy("doc_id")
+    surv = (d.withColumn("content_hash", F.sha2(F.col("text"), 256))
+             .withColumn("rn", F.row_number().over(w))
+             .filter(F.col("rn") == 1))
+    toks = tokens_col("text")
+    n_tok = F.size(toks)
+    stop_ratio = (F.size(F.filter(toks, lambda x: x.isin(*stop)))
+                  * F.lit(1.0) / n_tok)
+    kept = surv.filter(
+        (n_tok >= 20) & stop_ratio.between(0.05, 0.6)
+        & (hash_coin(F.col("doc_id"), _CORPUS_SALT)
+           < _corpus_threshold()))
+    starts = F.sequence(
+        F.lit(0), F.greatest(F.col("n_chars") - 1, F.lit(0)),
+        F.lit(150))
+    chunk = F.col("text").substr(F.col("start") + 1, F.lit(200))
+    return (kept.select("doc_id", "lang", "n_chars", "text",
+                        F.posexplode(starts).alias("chunk_idx", "start"))
+                .select("doc_id", "lang", "chunk_idx", "start",
+                        F.length(chunk).alias("chunk_len"),
+                        F.md5(chunk).alias("chunk_md5")))
+
+
+def _register_x8_oracle() -> None:
+    from .registry import ORACLES
+    from .sampling import _sql_coin
+    ORACLES["x8_corpus_pipeline"] = f"""
+    WITH surv AS (
+      SELECT doc_id, lang, text, n_chars FROM (
+        SELECT doc_id, lang, text, n_chars,
+               ROW_NUMBER() OVER (PARTITION BY text ORDER BY doc_id)
+                 AS rn
+        FROM documents
+      ) WHERE rn = 1
+    ),
+    q AS (
+      SELECT doc_id, lang, text, n_chars, {SQL_TOKENS} AS toks
+      FROM surv
+    ),
+    kept AS (
+      SELECT doc_id, lang, text, n_chars FROM q
+      WHERE len(toks) >= 20
+        AND CAST(len(list_filter(toks, x -> x IN
+            ('the', 'a', 'of', 'and', 'to', 'in'))) AS DOUBLE)
+            / len(toks) BETWEEN 0.05 AND 0.6
+        AND {_sql_coin('doc_id', _CORPUS_SALT)}
+            < '{_corpus_threshold()}'
+    ),
+    st AS (
+      SELECT doc_id, lang, n_chars, text,
+             unnest(range(0, greatest(n_chars, 1), 150)) AS start
+      FROM kept
+    )
+    SELECT doc_id, lang,
+           CAST(start // 150 AS BIGINT) AS chunk_idx, start,
+           length(substring(text, CAST(start + 1 AS INTEGER), 200))
+             AS chunk_len,
+           md5(substring(text, CAST(start + 1 AS INTEGER), 200))
+             AS chunk_md5
+    FROM st
+    """
+
+
+_register_x8_oracle()

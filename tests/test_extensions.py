@@ -269,3 +269,31 @@ def test_chunking_tiles_every_document(spark):
                    for c in chunks)
         last = chunks[-1]
         assert last["start"] + last["chunk_len"] == n  # full coverage
+
+
+def test_corpus_pipeline_composes_its_stages(spark):
+    """x8 == (x1 survivors) ∩ (quality keep) ∩ (hash-sample coin),
+    chunked exactly as x4_chunk_documents chunks those docs."""
+    from stock_data_warehouse_spark.plans.extensions import (
+        _CORPUS_SALT, _corpus_threshold, x1_exact_dedup,
+        x4_chunk_documents, x4_text_quality, x8_corpus_pipeline,
+    )
+    from stock_data_warehouse_spark.plans.sampling import hash_coin
+
+    surv = {r["doc_id"] for r in x1_exact_dedup(spark, SF).collect()}
+    keep = {r["doc_id"]
+            for r in x4_text_quality(spark, SF).collect()
+            if r["quality_bucket"] == "keep"}
+    coin = {r["doc_id"] for r in spark.read.parquet(
+                f"{SF}/documents.parquet")
+            .select("doc_id",
+                    hash_coin(F.col("doc_id"), _CORPUS_SALT).alias("c"))
+            .collect() if r["c"] < _corpus_threshold()}
+    want_docs = surv & keep & coin
+    chunks = x8_corpus_pipeline(spark, SF).collect()
+    assert {r["doc_id"] for r in chunks} == want_docs
+    all_chunks = {(r["doc_id"], r["chunk_idx"], r["chunk_md5"])
+                  for r in x4_chunk_documents(spark, SF).collect()
+                  if r["doc_id"] in want_docs}
+    assert {(r["doc_id"], r["chunk_idx"], r["chunk_md5"])
+            for r in chunks} == all_chunks
