@@ -69,3 +69,48 @@ def decode_features(df: DataFrame,
             })
 
     return df.mapInPandas(decode_batches, schema=DECODE_SCHEMA)
+
+
+#: Output schema of the frame-sampling stage — one row PER SAMPLED
+#: FRAME: the fan-out shape real video extraction produces.
+FRAME_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("frame_idx", T.IntegerType()),
+    T.StructField("frame_off", T.IntegerType()),
+    T.StructField("n_frames", T.IntegerType()),
+    T.StructField("frame_checksum", T.LongType()),
+])
+
+
+def frame_sample(df: DataFrame, id_col: str = "doc_id",
+                 payload_col: str = "payload",
+                 frame_bytes: int = 16,
+                 max_frames: int = 8) -> DataFrame:
+    """binary "video" payload → ≤``max_frames`` evenly-strided frame
+    rows via Arrow-batched ``mapInPandas``. The frame splitter is a
+    deterministic stub (fixed-size frames + rolling checksum) standing
+    in for a real demuxer (pyav/ffmpeg); the fan-out plumbing — one
+    input row yielding many output rows with an explicit schema, no
+    shuffle, executor-bounded batches — is the real thing.
+    """
+
+    def sample_batches(batches):
+        for pdf in batches:
+            cols = {k: [] for k in ("doc_id", "frame_idx", "frame_off",
+                                    "n_frames", "frame_checksum")}
+            for did, p in zip(pdf[id_col], pdf[payload_col]):
+                n = len(p) // frame_bytes
+                stride = max(1, n // max_frames)
+                for i in list(range(0, n, stride))[:max_frames]:
+                    chunk = p[i * frame_bytes:(i + 1) * frame_bytes]
+                    cs = 0
+                    for b in chunk:
+                        cs = (cs * 131 + b) % 1_000_000_007
+                    cols["doc_id"].append(did)
+                    cols["frame_idx"].append(i)
+                    cols["frame_off"].append(i * frame_bytes)
+                    cols["n_frames"].append(n)
+                    cols["frame_checksum"].append(cs)
+            yield pd.DataFrame(cols)
+
+    return df.mapInPandas(sample_batches, schema=FRAME_SCHEMA)

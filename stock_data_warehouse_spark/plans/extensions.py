@@ -1652,3 +1652,49 @@ def _register_x8_oracle() -> None:
 
 
 _register_x8_oracle()
+
+
+@register(
+    "x5_frame_sample",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, text, strlen(text) // 16 AS n_frames
+      FROM documents
+    ),
+    k8 AS (
+      SELECT doc_id, text, n_frames,
+             greatest(n_frames // 8, 1) AS stride,
+             unnest(range(0, 8)) AS k
+      FROM t WHERE n_frames > 0
+    )
+    SELECT doc_id,
+           CAST(k * stride AS INT) AS frame_idx,
+           CAST(k * stride * 16 AS INT) AS frame_off,
+           CAST(n_frames AS INT) AS n_frames,
+           list_reduce(list_prepend(CAST(0 AS BIGINT),
+             list_transform(range(k * stride * 16 + 1,
+                                  k * stride * 16 + 17),
+               i -> CAST(ascii(substr(text, CAST(i AS INTEGER), 1))
+                         AS BIGINT))),
+             (acc, x) -> (acc * 131 + x) % 1000000007)
+             AS frame_checksum
+    FROM k8
+    WHERE k * stride < n_frames
+    """,
+)
+def x5_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OP-X5 (video path) — frame sampling: each binary payload yields
+    ≤8 evenly-strided 16-byte "frames", one output row per frame — the
+    1→N fan-out every video pipeline needs (sample k frames per clip,
+    then feature-extract per frame). Runs as Arrow-batched
+    ``mapInPandas`` (operators/multimodal.py: explicit schema, narrow
+    map, bounded batches); the stub splitter is deterministic, so the
+    oracle replays frames + rolling checksums in SQL and the fan-out
+    plumbing itself is value-checked — swapping in a real demuxer
+    changes one function, not the plan."""
+    from ..operators.multimodal import frame_sample
+
+    d = _t(spark, sf_dir, "documents")
+    payloads = d.select(
+        "doc_id", F.encode("text", "UTF-8").alias("payload"))
+    return frame_sample(payloads)

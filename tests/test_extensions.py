@@ -297,3 +297,29 @@ def test_corpus_pipeline_composes_its_stages(spark):
                   if r["doc_id"] in want_docs}
     assert {(r["doc_id"], r["chunk_idx"], r["chunk_md5"])
             for r in chunks} == all_chunks
+
+
+def test_frame_sample_fanout_bounds(spark):
+    """≤8 frames per doc, evenly strided, offsets inside the payload,
+    and a doc shorter than one frame yields no rows."""
+    from stock_data_warehouse_spark.operators.multimodal import (
+        frame_sample,
+    )
+    df = spark.createDataFrame(
+        [(1, bytearray(bytes(range(200)))),   # 12 frames → stride 1, cap 8
+         (2, bytearray(b"tiny")),             # < 16 bytes → 0 frames
+         (3, bytearray(bytes(160)))],         # exactly 10 frames
+        "doc_id long, payload binary")
+    rows = frame_sample(df).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert 2 not in by_doc
+    assert [r["frame_idx"] for r in sorted(
+        by_doc[1], key=lambda r: r["frame_idx"])] == list(range(8))
+    assert all(r["n_frames"] == 12 for r in by_doc[1])
+    assert [r["frame_idx"] for r in sorted(
+        by_doc[3], key=lambda r: r["frame_idx"])] == list(range(8))
+    for r in rows:
+        assert r["frame_off"] == r["frame_idx"] * 16
+        assert 0 <= r["frame_checksum"] < 1_000_000_007
