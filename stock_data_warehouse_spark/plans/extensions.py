@@ -1698,3 +1698,65 @@ def x5_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     payloads = d.select(
         "doc_id", F.encode("text", "UTF-8").alias("payload"))
     return frame_sample(payloads)
+
+
+@register(
+    "x9_pack_contexts",
+    oracle=f"""
+    WITH d AS (
+      SELECT source, doc_id, len({SQL_TOKENS}) AS n_tok
+      FROM documents
+      WHERE len({SQL_TOKENS}) > 0
+    ),
+    c AS (
+      SELECT source, doc_id, n_tok,
+             SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW) AS cum
+      FROM d
+    ),
+    spans AS (
+      SELECT source, doc_id, n_tok, cum, cum - n_tok AS tok_start,
+             unnest(range(CAST((cum - n_tok) // 512 AS BIGINT),
+                          CAST((cum - 1) // 512 + 1 AS BIGINT))) AS bin
+      FROM c
+    )
+    SELECT source, bin, doc_id,
+           greatest(tok_start, bin * 512) - tok_start AS off_in_doc,
+           least(cum, (bin + 1) * 512)
+             - greatest(tok_start, bin * 512) AS n_tok_in_bin
+    FROM spans
+    """,
+)
+def x9_pack_contexts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OP-X9 — sequence packing, concatenate-and-split form: per
+    source, documents are laid end-to-end in doc_id order and the token
+    stream is cut into 512-token contexts; a document straddling a cut
+    contributes a span to each context it crosses — exactly how LM
+    pipelines pack short documents without padding waste. The layout is
+    a prefix-sum (one window over (source | doc_id)) plus a per-row
+    explode of the bins each doc crosses — closed-form, so it stays
+    declarative where the naive "greedy fill, reset on overflow" loop
+    would be inherently sequential. Scale: packing is per-source (the
+    natural shard key), so the window partitions by source — at 100 TB
+    you pack per shard/file, never a global stream; all arithmetic is
+    exact integers."""
+    d = (_t(spark, sf_dir, "documents")
+         .select("source", "doc_id",
+                 F.size(tokens_col("text")).alias("n_tok"))
+         .filter(F.col("n_tok") > 0))
+    w = (Window.partitionBy("source").orderBy("doc_id")
+               .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    c = d.withColumn("cum", F.sum("n_tok").over(w))
+    start = F.col("cum") - F.col("n_tok")
+    spans = c.select(
+        "source", "doc_id", "n_tok", "cum", start.alias("tok_start"),
+        F.explode(F.sequence(
+            F.floor(start / 512),
+            F.floor((F.col("cum") - 1) / 512))).alias("bin"))
+    seg_start = F.greatest(F.col("tok_start"), F.col("bin") * 512)
+    seg_end = F.least(F.col("cum"), (F.col("bin") + 1) * 512)
+    return spans.select(
+        "source", "bin", "doc_id",
+        (seg_start - F.col("tok_start")).alias("off_in_doc"),
+        (seg_end - seg_start).alias("n_tok_in_bin"))

@@ -323,3 +323,34 @@ def test_frame_sample_fanout_bounds(spark):
     for r in rows:
         assert r["frame_off"] == r["frame_idx"] * 16
         assert 0 <= r["frame_checksum"] < 1_000_000_007
+
+
+def test_pack_contexts_tiles_token_stream(spark):
+    """Per source: every bin except the last holds exactly 512 tokens,
+    spans of each doc reassemble its full token count contiguously,
+    and within-bin spans never overlap."""
+    from stock_data_warehouse_spark.plans.extensions import (
+        x9_pack_contexts,
+    )
+    rows = x9_pack_contexts(spark, SF).collect()
+    by_bin, by_doc = {}, {}
+    for r in rows:
+        by_bin.setdefault((r["source"], r["bin"]), 0)
+        by_bin[(r["source"], r["bin"])] += r["n_tok_in_bin"]
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    last_bin = {}
+    for (src, b) in by_bin:
+        last_bin[src] = max(last_bin.get(src, -1), b)
+    for (src, b), tot in by_bin.items():
+        if b != last_bin[src]:
+            assert tot == 512, (src, b, tot)
+        else:
+            assert 0 < tot <= 512
+    for doc_id, spans in by_doc.items():
+        spans.sort(key=lambda r: r["bin"])
+        assert spans[0]["off_in_doc"] == 0
+        off = 0
+        for s in spans:
+            assert s["off_in_doc"] == off  # contiguous continuation
+            assert s["n_tok_in_bin"] > 0
+            off += s["n_tok_in_bin"]
