@@ -909,6 +909,25 @@ def a10_quantile_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
                    F.max("l_quantity").alias("max_qty")))
 
 
+@register("a10_approx_quantile_sketch")  # rows-only: t-digest is approximate
+def a10_approx_quantile_sketch(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """OP-A10 (scale twin) — the same quartile profile via
+    ``approx_percentile`` (Spark's mergeable quantile sketch): partial
+    sketches build map-side and merge associatively, so no per-group
+    sort and no full-value shuffle — the form that replaces
+    ``a10_quantile_pack`` at 100 TB. Approximate by contract (rows-only
+    check); the companion test bounds its error against the exact
+    percentiles, mirroring the a7 exact/HLL pairing."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (li.groupBy("l_returnflag", "l_linestatus")
+              .agg(F.count(F.lit(1)).alias("n_items"),
+                   F.approx_percentile(
+                       "l_quantity", F.array(F.lit(0.25), F.lit(0.5),
+                                             F.lit(0.75)),
+                       F.lit(10000)).alias("q_sketch")))
+
+
 # ---------------------------------------------------------------------------
 # Wide join tree (Q9-style), histogram profiling, skew-salted join,
 # right-outer form

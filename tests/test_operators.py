@@ -226,3 +226,22 @@ def test_session_paths_agree_with_session_windows(spark):
     for r in paths:
         assert r["path"].count(">") == r["n_events"] - 1
         assert r["path"]  # never empty
+
+
+def test_approx_quantiles_near_exact(spark):
+    """The t-digest sketch quartiles stay within 1 quantity unit of the
+    exact per-group percentiles at accuracy 10000."""
+    from stock_data_warehouse_spark.plans.relational import (
+        a10_approx_quantile_sketch, a10_quantile_pack,
+    )
+    SF = "/root/testdata/sf0.001"
+    exact = {(r["l_returnflag"], r["l_linestatus"]):
+             (r["p25_qty"], r["p50_qty"], r["p75_qty"])
+             for r in a10_quantile_pack(spark, SF).collect()}
+    approx = {(r["l_returnflag"], r["l_linestatus"]): r["q_sketch"]
+              for r in a10_approx_quantile_sketch(spark, SF).collect()}
+    assert set(exact) == set(approx)
+    for k, (e25, e50, e75) in exact.items():
+        a25, a50, a75 = approx[k]
+        for e, a in ((e25, a25), (e50, a50), (e75, a75)):
+            assert abs(e - a) <= 1.0, (k, e, a)
