@@ -310,3 +310,65 @@ def t6_session_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
                      F.col("w.start").alias("session_start"),
                      "n_events", "sum_value")
     return _run_to_table(out, "append")
+
+
+@register(
+    "t16_streaming_merge",
+    oracle="""
+    SELECT user_id, event_id, ts, value
+    FROM (
+      SELECT user_id, event_id, ts, value,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    ) WHERE rn = 1
+    """,
+)
+def t16_streaming_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OP-T16 — streaming CDC apply, the standard production sink:
+    every micro-batch reduces to one change row per key (latest event
+    per user), tags it insert-or-update against the current target, and
+    applies it with ``merge_into`` (operators/merge.py) before
+    atomically republishing the snapshot — upsert-by-key exactly-once,
+    the keyed generalization of the reference's whole-file overwrite
+    (fetch_data.py:313). Latest-wins per batch composes across batches,
+    so the final target equals the batch argmax per user — which is the
+    oracle, making the whole stream→merge→publish loop value-checked.
+    Scale: each batch's merge joins change-keys against the target —
+    the feed is micro-batch-sized, so AQE broadcasts it; state lives in
+    the target table, not the state store."""
+    from ..operators.merge import merge_into
+
+    out_dir = tempfile.mkdtemp(prefix="t16_merge_")
+    target_path = f"{out_dir}/target"
+    cols = ["user_id", "event_id", "ts", "value"]
+    spark.createDataFrame(
+        [], "user_id long, event_id long, ts timestamp, value double"
+    ).write.parquet(target_path)
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        from pyspark.sql import Window
+        w = Window.partitionBy("user_id").orderBy(
+            F.col("ts").desc(), F.col("event_id").desc())
+        latest = (batch_df.select(*cols)
+                  .withColumn("rn", F.row_number().over(w))
+                  .filter(F.col("rn") == 1).drop("rn"))
+        target = spark.read.parquet(target_path)
+        known = target.select(F.col("user_id").alias("k")).distinct()
+        changes = (latest.join(
+                       known, latest.user_id == known.k, "left")
+                   .select(*cols,
+                           F.when(F.col("k").isNull(), "I")
+                            .otherwise("U").alias("op")))
+        merged = merge_into(target, changes, "user_id",
+                            cols[1:]).localCheckpoint()
+        merged.write.mode("overwrite").parquet(target_path)
+
+    q = (events_stream(spark, sf_dir)
+         .writeStream
+         .foreachBatch(apply_batch)
+         .option("checkpointLocation", f"{out_dir}/checkpoint")
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination()
+    return spark.read.parquet(target_path)
