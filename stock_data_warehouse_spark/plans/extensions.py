@@ -1760,3 +1760,59 @@ def x9_pack_contexts(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source", "bin", "doc_id",
         (seg_start - F.col("tok_start")).alias("off_in_doc"),
         (seg_end - seg_start).alias("n_tok_in_bin"))
+
+
+@register(
+    "x5_resize_normalize",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, strlen(text) AS byte_len,
+             list_reduce(list_prepend(CAST(0 AS BIGINT),
+               list_transform(range(1, least(strlen(text), 256) + 1),
+                 i -> CAST(ascii(substr(text, i, 1)) AS BIGINT))),
+               (acc, x) -> (acc * 131 + x) % 1000000007) AS checksum
+      FROM documents
+    ),
+    dims AS (
+      SELECT doc_id,
+             16 + checksum % 240 AS w,
+             16 + (checksum // 240) % 240 AS h
+      FROM t
+    )
+    SELECT doc_id,
+           CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+           CAST((w * 224) // greatest(w, h) AS INT) AS out_w,
+           CAST((h * 224) // greatest(w, h) AS INT) AS out_h,
+           CAST((224 - (w * 224) // greatest(w, h)) // 2 AS INT)
+             AS pad_x,
+           CAST((224 - (h * 224) // greatest(w, h)) // 2 AS INT)
+             AS pad_y
+    FROM dims
+    """,
+)
+def x5_resize_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OP-X5 (resize) — letterbox every decoded image into the model's
+    224×224 input: aspect-preserving scale to the long side, centered
+    padding. The geometry is *pure integer Column arithmetic over the
+    decode output* — no second UDF pass; a real pipeline fuses this
+    projection into the same stage as the decode (the pixel resample
+    itself belongs inside the decode UDF; its geometry, batch shape,
+    and schema are what the engine owns and what is value-checked
+    here). Integer `//` floor division on positive dims is
+    engine-identical — no FP anywhere."""
+    from ..operators.multimodal import decode_features
+
+    d = _t(spark, sf_dir, "documents")
+    payloads = d.select(
+        "doc_id", F.encode("text", "UTF-8").alias("payload"))
+    dec = decode_features(payloads)
+    out_w = F.expr("(width * 224) div greatest(width, height)")
+    out_h = F.expr("(height * 224) div greatest(width, height)")
+    return dec.select(
+        "doc_id", "width", "height",
+        out_w.cast("int").alias("out_w"),
+        out_h.cast("int").alias("out_h"),
+        F.expr("(224 - (width * 224) div greatest(width, height)) div 2")
+         .cast("int").alias("pad_x"),
+        F.expr("(224 - (height * 224) div greatest(width, height)) div 2")
+         .cast("int").alias("pad_y"))

@@ -354,3 +354,20 @@ def test_pack_contexts_tiles_token_stream(spark):
             assert s["off_in_doc"] == off  # contiguous continuation
             assert s["n_tok_in_bin"] > 0
             off += s["n_tok_in_bin"]
+
+
+def test_resize_letterbox_geometry(spark):
+    """Long side always hits 224, aspect order is preserved, output +
+    padding recompose to the 224-square within rounding slack."""
+    from stock_data_warehouse_spark.plans.extensions import (
+        x5_resize_normalize,
+    )
+    for r in x5_resize_normalize(spark, SF).collect():
+        assert max(r["out_w"], r["out_h"]) == 224
+        assert 0 < r["out_w"] <= 224 and 0 < r["out_h"] <= 224
+        if r["width"] >= r["height"]:
+            assert r["out_w"] == 224 and r["pad_x"] == 0
+        else:
+            assert r["out_h"] == 224 and r["pad_y"] == 0
+        assert 0 <= 224 - (r["out_w"] + 2 * r["pad_x"]) <= 1
+        assert 0 <= 224 - (r["out_h"] + 2 * r["pad_y"]) <= 1
