@@ -1187,3 +1187,39 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.expr("(sd * 20000 + n) div (2 * n)") / 1000000.0)
          .alias("avg_disc"),
         F.col("n").alias("count_order"))
+
+
+@register(
+    "q13_customer_distribution",
+    oracle="""
+    SELECT c_count, COUNT(*) AS custdist
+    FROM (
+      SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+      FROM customer c
+      LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+                         AND o.o_orderpriority <> '1-URGENT'
+      GROUP BY c.c_custkey
+    )
+    GROUP BY c_count
+    """,
+)
+def q13_customer_distribution(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape — the two-level aggregation: per-customer
+    non-urgent order counts (outer join keeps zero-order customers),
+    then the histogram of those counts. The join-side predicate lives
+    in the JOIN condition, not WHERE — filtering in WHERE would turn
+    the outer join inner and drop the zero bucket, the classic Q13
+    trap. Scale shape: level 1 shuffles on the high-cardinality
+    custkey; level 2 re-aggregates ~dozens of distinct counts — its
+    partials collapse map-side, so the second exchange moves almost
+    nothing."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    per_cust = (c.join(o, (c.c_custkey == o.o_custkey)
+                       & (F.col("o_orderpriority") != "1-URGENT"),
+                       "left")
+                 .groupBy("c_custkey")
+                 .agg(F.count("o_orderkey").alias("c_count")))
+    return (per_cust.groupBy("c_count")
+                    .agg(F.count(F.lit(1)).alias("custdist")))
