@@ -1223,3 +1223,39 @@ def q13_customer_distribution(spark: SparkSession,
                  .agg(F.count("o_orderkey").alias("c_count")))
     return (per_cust.groupBy("c_count")
                     .agg(F.count(F.lit(1)).alias("custdist")))
+
+
+@register(
+    "q4_order_priority_check",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS order_count
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND o.o_orderdate <  TIMESTAMP '1997-07-01 00:00:00'
+      AND EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND l.l_shipdate > o.o_orderdate)
+    GROUP BY o_orderpriority
+    """,
+)
+def q4_order_priority_check(spark: SparkSession,
+                            sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape — correlated EXISTS folded into an aggregation:
+    orders in a 6-month window with at least one line shipped after
+    the order date, counted by priority. The EXISTS is a LEFT SEMI
+    join with a cross-table residual predicate (shipdate > orderdate),
+    so each order contributes once no matter how many lines qualify —
+    an inner join would double-count and need a distinct. Scale shape:
+    the date window prunes orders at the scan; the semi join shuffles
+    both sides on orderkey and short-circuits per key; the final agg
+    is 5 groups of map-side partials."""
+    o = (_t(spark, sf_dir, "orders")
+         .filter((F.col("o_orderdate")
+                  >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+                 & (F.col("o_orderdate")
+                    < F.lit("1997-07-01 00:00:00").cast("timestamp"))))
+    li = _t(spark, sf_dir, "lineitem")
+    return (o.join(li, (o.o_orderkey == li.l_orderkey)
+                   & (li.l_shipdate > o.o_orderdate), "left_semi")
+             .groupBy("o_orderpriority")
+             .agg(F.count(F.lit(1)).alias("order_count")))
