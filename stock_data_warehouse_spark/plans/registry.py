@@ -54,6 +54,7 @@ _LOADED = False
 _PLAN_MODULES = (
     "relational", "scalar", "windows", "extensions",
     "timeseries", "reference_pipeline", "sampling", "analytics",
+    "tpch_shapes",
 )
 
 #: Non-plans modules that also register queries (absolute names).

@@ -1,0 +1,720 @@
+"""Canonical decision-support query shapes (TPC-H analogues).
+
+Completes the engine's declared query surface with the remaining
+canonical warehouse shapes a reference user would run — each adapted to
+the driver's star schema (no partsupp / shipmode / receiptdate columns,
+so Q2/Q12-style semantics are re-expressed on the columns that exist).
+Together with ``relational.py``'s Q1/Q4/Q9/Q13/Q17 these cover the full
+TPC-H pattern family: scan-agg, semi/anti correlation, scalar
+subqueries, disjunctive bracket predicates, nested-semi chains, and
+double-correlated EXISTS / NOT EXISTS.
+
+Reference anchors (semantics source, not code): the reference pipeline's
+group-filter-join idioms — per-sector rollups (fetch_data.py:53-66,270),
+threshold tiers (fetch_data.py:105,118-121), skip/missing-key analysis
+(fetch_data.py:277-279). The declared coverage is SURVEY.md §2.3/2.4/2.6.
+
+Float policy: every money aggregate goes through exact scaled-BIGINT
+sums (the q1_pricing_summary pattern — prices carry ≤2 decimals and
+discounts/taxes ≤2, so ×100/×10⁴/×10⁶ per-row scaling is exact on both
+engines and long sums are associative). Ratios use integer HALF_UP
+division so Spark and DuckDB can't diverge at rounding boundaries.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.tables import load_table
+from .registry import register
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+def _x4(col):
+    """Exact ×10⁴ scaled-BIGINT form of a ≤4-decimal money expression."""
+    return F.round(col * 10000).cast("bigint")
+
+
+#: volume = l_extendedprice*(1-l_discount): 2dp × 2dp → exactly 4 decimals.
+_VOLUME = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+
+
+# ---------------------------------------------------------------------------
+# Q3 — shipping priority: unshipped orders ranked by revenue
+# ---------------------------------------------------------------------------
+
+@register(
+    "q3_shipping_priority",
+    oracle="""
+    SELECT l.l_orderkey,
+           SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 10000)
+                    AS BIGINT)) / 10000.0 AS revenue,
+           o.o_orderdate, o.o_orderpriority
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+      AND l.l_shipdate  > TIMESTAMP '1998-03-15 00:00:00'
+    GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+    ORDER BY revenue DESC, l.l_orderkey
+    LIMIT 10
+    """,
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape — revenue of not-yet-shipped BUILDING orders as of
+    a cutoff date, top 10. Both date predicates push to their scans
+    (orders *and* lineitem pruned before the join); the groupBy reuses
+    the join's orderkey partitioning so the aggregation adds no
+    exchange; the top-10 is TakeOrderedAndProject (per-partition heaps,
+    driver merges 10×partitions rows, never a global sort). Revenue is
+    an exact ×10⁴ long sum, so the DESC order has no FP ties and the
+    orderkey tiebreak pins the selected set either way."""
+    cutoff = F.lit("1998-03-15 00:00:00").cast("timestamp")
+    c = _t(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < cutoff)
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > cutoff)
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+          .join(c, o.o_custkey == c.c_custkey)
+          .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+          .agg((F.sum(_x4(_VOLUME)) / 10000.0).alias("revenue"))
+          .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+          .orderBy(F.desc("revenue"), "l_orderkey")
+          .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q6 — forecasting revenue change: pure scan + pushed range predicates
+# ---------------------------------------------------------------------------
+
+@register(
+    "q6_forecast_revenue",
+    oracle="""
+    SELECT SUM(CAST(ROUND(l_extendedprice * l_discount * 10000) AS BIGINT))
+             / 10000.0 AS promo_revenue,
+           COUNT(*) AS n_items
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape — the minimal predicate-pushdown probe: one scan,
+    three range predicates (all reach the parquet reader as
+    PushedFilters — date, discount, quantity are all min/max-indexed
+    per row group), a two-column ReadSchema, and a single global sum.
+    The discount bounds compare the stored doubles against the same
+    literal doubles on both engines, so the row set is identical even
+    though 0.05/0.07 aren't binary-exact."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate")
+             >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate")
+               < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_discount") >= 0.05) & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24))
+        .agg((F.sum(_x4(F.col("l_extendedprice") * F.col("l_discount")))
+              / 10000.0).alias("promo_revenue"),
+             F.count(F.lit(1)).alias("n_items"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q7 — volume shipping between two nations, by direction and year
+# ---------------------------------------------------------------------------
+
+@register(
+    "q7_nation_volume",
+    oracle="""
+    SELECT n1.n_name AS supp_nation,
+           n2.n_name AS cust_nation,
+           CAST(EXTRACT(year FROM l.l_shipdate) AS INTEGER) AS l_year,
+           SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 10000)
+                    AS BIGINT)) / 10000.0 AS revenue,
+           COUNT(*) AS n_items
+    FROM lineitem l
+    JOIN orders o    ON o.o_orderkey = l.l_orderkey
+    JOIN customer c  ON c.c_custkey = o.o_custkey
+    JOIN supplier s  ON s.s_suppkey = l.l_suppkey
+    JOIN nation n1   ON n1.n_nationkey = s.s_nationkey
+    JOIN nation n2   ON n2.n_nationkey = c.c_nationkey
+    WHERE ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+        OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3'))
+      AND l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l.l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY supp_nation, cust_nation, l_year
+    """,
+)
+def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape — bilateral trade volume: revenue shipped between
+    two specific nations, split by direction and ship year. The nation
+    pair predicate is a disjunction across *two different* dimension
+    paths (supplier's nation × customer's nation), so it can't be
+    pushed into either scan alone — Catalyst broadcasts the two tiny
+    filtered nation dims onto supplier/customer, and those shrunken
+    key sets broadcast onto the fact join. Scale shape: one orderkey
+    shuffle joins lineitem⋈orders; everything else is broadcast."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp")))
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    n1 = n.select(F.col("n_nationkey").alias("s_nk"),
+                  F.col("n_name").alias("supp_nation"))
+    n2 = n.select(F.col("n_nationkey").alias("c_nk"),
+                  F.col("n_name").alias("cust_nation"))
+    pair = ((F.col("supp_nation") == "NATION_3")
+            & (F.col("cust_nation") == "NATION_7")) | \
+           ((F.col("supp_nation") == "NATION_7")
+            & (F.col("cust_nation") == "NATION_3"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+          .join(c, o.o_custkey == c.c_custkey)
+          .join(s, li.l_suppkey == s.s_suppkey)
+          .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nk"))
+          .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nk"))
+          .filter(pair)
+          .groupBy("supp_nation", "cust_nation",
+                   F.year("l_shipdate").alias("l_year"))
+          .agg((F.sum(_x4(_VOLUME)) / 10000.0).alias("revenue"),
+               F.count(F.lit(1)).alias("n_items"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q8 — market share of one supplier nation within a region's market
+# ---------------------------------------------------------------------------
+
+@register(
+    "q8_market_share",
+    oracle="""
+    WITH v AS (
+      SELECT CAST(EXTRACT(year FROM o.o_orderdate) AS INTEGER) AS o_year,
+             CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 10000)
+                  AS BIGINT) AS vol,
+             n1.n_name AS supp_nation
+      FROM lineitem l
+      JOIN orders o   ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n2  ON n2.n_nationkey = c.c_nationkey
+      JOIN region r   ON r.r_regionkey = n2.n_regionkey
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN nation n1  ON n1.n_nationkey = s.s_nationkey
+      JOIN part p     ON p.p_partkey = l.l_partkey
+      WHERE r.r_name = 'EUROPE' AND p.p_type = 'PROMO'
+    ), g AS (
+      SELECT o_year,
+             SUM(CASE WHEN supp_nation = 'NATION_5' THEN vol ELSE 0 END)
+               AS num,
+             SUM(vol) AS den
+      FROM v GROUP BY o_year
+    )
+    SELECT o_year,
+           ((num * 20000 + den) // (2 * den)) / 10000.0 AS mkt_share,
+           den / 10000.0 AS total_volume
+    FROM g
+    """,
+)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape — national market share: the fraction of
+    REGION_1's PROMO-part purchase volume supplied by NATION_5, per
+    order year. The conditional numerator folds into the same hash
+    aggregation as the denominator (one pass, no self-join), and the
+    share is an integer HALF_UP division at 4dp so both engines round
+    identically. Scale shape: two fact-sized shuffles (orderkey,
+    suppkey-via-broadcast actually none — supplier/part/nation/region
+    all broadcast), then a ≤7-row result."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    n1 = n.select(F.col("n_nationkey").alias("s_nk"),
+                  F.col("n_name").alias("supp_nation"))
+    n2 = n.select(F.col("n_nationkey").alias("c_nk"),
+                  F.col("n_regionkey").alias("c_rk"))
+    g = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+          .join(o, li.l_orderkey == o.o_orderkey)
+          .join(c, o.o_custkey == c.c_custkey)
+          .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nk"))
+          .join(F.broadcast(r), F.col("c_rk") == F.col("r_regionkey"))
+          .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+          .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nk"))
+          .groupBy(F.year("o_orderdate").alias("o_year"))
+          .agg(F.sum(F.when(F.col("supp_nation") == "NATION_5",
+                            _x4(_VOLUME)).otherwise(F.lit(0).cast("bigint")))
+                .alias("num"),
+               F.sum(_x4(_VOLUME)).alias("den"))
+    )
+    return g.select(
+        "o_year",
+        (F.expr("(num * 20000 + den) div (2 * den)") / 10000.0)
+         .alias("mkt_share"),
+        (F.col("den") / 10000.0).alias("total_volume"))
+
+
+# ---------------------------------------------------------------------------
+# Q10 — returned-item reporting: top customers by refund-quarter revenue
+# ---------------------------------------------------------------------------
+
+@register(
+    "q10_returned_items",
+    oracle="""
+    SELECT c.c_custkey, c.c_name, n.n_name, c.c_acctbal,
+           SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 10000)
+                    AS BIGINT)) / 10000.0 AS revenue
+    FROM customer c
+    JOIN orders o   ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN nation n   ON n.n_nationkey = c.c_nationkey
+    WHERE l.l_returnflag = 'R'
+      AND o.o_orderdate >= TIMESTAMP '1997-10-01 00:00:00'
+      AND o.o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY c.c_custkey, c.c_name, n.n_name, c.c_acctbal
+    ORDER BY revenue DESC, c.c_custkey
+    LIMIT 20
+    """,
+)
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape — customers who returned the most value in one
+    quarter: returnflag + order-date predicates prune both fact scans,
+    the join shuffles on orderkey then custkey, nation broadcasts, and
+    the top-20 runs as TakeOrderedAndProject over the exact ×10⁴
+    revenue (custkey tiebreak pins the boundary row)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate")
+         >= F.lit("1997-10-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate")
+           < F.lit("1998-01-01 00:00:00").cast("timestamp")))
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+          .join(c, o.o_custkey == c.c_custkey)
+          .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+          .groupBy("c_custkey", "c_name", "n_name", "c_acctbal")
+          .agg((F.sum(_x4(_VOLUME)) / 10000.0).alias("revenue"))
+          .select("c_custkey", "c_name", "n_name", "c_acctbal", "revenue")
+          .orderBy(F.desc("revenue"), "c_custkey")
+          .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q12 analogue — shipping-delay buckets × order priority (no shipmode col)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q12_delay_priority",
+    oracle="""
+    SELECT LEAST(GREATEST(date_diff('day', o.o_orderdate, l.l_shipdate), 0)
+                 // 30, 3) AS delay_bucket,
+           SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS high_line_count,
+           SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS low_line_count
+    FROM lineitem l
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    WHERE l.l_shipdate >= TIMESTAMP '1998-01-01 00:00:00'
+      AND l.l_shipdate <  TIMESTAMP '1999-01-01 00:00:00'
+    GROUP BY delay_bucket
+    """,
+)
+def q12_delay_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape re-expressed on available columns (the testdata
+    has no l_shipmode/l_receiptdate): lines shipped in 1998 bucketed by
+    order-to-ship delay (30-day buckets, capped at 90+), counting
+    urgent/high-priority vs other lines per bucket. The dual
+    conditional counts fold into one hash aggregation; delay is pure
+    integer date math (identical on both engines); the bucket cap
+    bounds the group count at 4 regardless of scale."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate")
+         >= F.lit("1998-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate")
+           < F.lit("1999-01-01 00:00:00").cast("timestamp")))
+    o = _t(spark, sf_dir, "orders")
+    is_high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    delay = F.datediff(F.col("l_shipdate"), F.col("o_orderdate"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+          .groupBy(F.least(F.floor(F.greatest(delay, F.lit(0)) / 30),
+                           F.lit(3)).alias("delay_bucket"))
+          .agg(F.sum(F.when(is_high, 1).otherwise(0))
+                .alias("high_line_count"),
+               F.sum(F.when(~is_high, 1).otherwise(0))
+                .alias("low_line_count"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q14 — promotion effect: conditional-share ratio per month
+# ---------------------------------------------------------------------------
+
+@register(
+    "q14_promo_effect",
+    oracle="""
+    WITH g AS (
+      SELECT CAST(EXTRACT(month FROM l.l_shipdate) AS INTEGER) AS o_month,
+             SUM(CASE WHEN p.p_type = 'PROMO'
+                      THEN CAST(ROUND(l.l_extendedprice * (1 - l.l_discount)
+                                      * 10000) AS BIGINT)
+                      ELSE 0 END) AS num,
+             SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 10000)
+                      AS BIGINT)) AS den
+      FROM lineitem l
+      JOIN part p ON p.p_partkey = l.l_partkey
+      WHERE l.l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        AND l.l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+      GROUP BY o_month
+    )
+    SELECT o_month,
+           ((num * 2000000 + den) // (2 * den)) / 10000.0 AS promo_share_pct
+    FROM g
+    """,
+)
+def q14_promo_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape — percent of monthly revenue from PROMO-type
+    parts. The part dim broadcasts onto the lineitem scan (partkey is
+    uniform, no skew), numerator and denominator share one aggregation,
+    and the percent is an integer HALF_UP division at 4dp (num ×100 →
+    ×10⁶ scaling) so the boundary rounding is engine-independent."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate")
+         >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate")
+           < F.lit("1998-01-01 00:00:00").cast("timestamp")))
+    p = _t(spark, sf_dir, "part")
+    g = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+          .groupBy(F.month("l_shipdate").alias("o_month"))
+          .agg(F.sum(F.when(F.col("p_type") == "PROMO", _x4(_VOLUME))
+                      .otherwise(F.lit(0).cast("bigint"))).alias("num"),
+               F.sum(_x4(_VOLUME)).alias("den"))
+    )
+    return g.select(
+        "o_month",
+        (F.expr("(num * 2000000 + den) div (2 * den)") / 10000.0)
+         .alias("promo_share_pct"))
+
+
+# ---------------------------------------------------------------------------
+# Q15 — top supplier(s): aggregate, then keep rows equal to the global max
+# ---------------------------------------------------------------------------
+
+@register(
+    "q15_top_supplier",
+    oracle="""
+    WITH rev AS (
+      SELECT l_suppkey AS s_suppkey,
+             SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000)
+                      AS BIGINT)) AS total_x
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1997-04-01 00:00:00'
+      GROUP BY l_suppkey
+    )
+    SELECT s.s_suppkey, s.s_name, rev.total_x / 10000.0 AS total_revenue
+    FROM rev JOIN supplier s ON s.s_suppkey = rev.s_suppkey
+    WHERE rev.total_x = (SELECT MAX(total_x) FROM rev)
+    """,
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape — the supplier(s) with maximum quarterly
+    revenue: aggregate per supplier, then a scalar-subquery max filter.
+    The Spark form reuses the aggregated DataFrame for both the rows
+    and the 1-row max (Catalyst plans the reused subtree once under
+    AQE), joining the max in as a broadcast — no window over the whole
+    aggregate, no second scan of lineitem. Exact long revenue makes
+    "equal to max" a well-defined integer comparison — the classic FP
+    trap in Q15 (sum order changing who ties the max) can't occur."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate")
+         >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate")
+           < F.lit("1997-04-01 00:00:00").cast("timestamp")))
+    s = _t(spark, sf_dir, "supplier")
+    rev = (li.groupBy(F.col("l_suppkey").alias("k"))
+             .agg(F.sum(_x4(_VOLUME)).alias("total_x")))
+    mx = rev.agg(F.max("total_x").alias("mx"))
+    return (
+        rev.join(F.broadcast(mx), rev.total_x == mx.mx)
+           .join(F.broadcast(s), F.col("k") == s.s_suppkey)
+           .select("s_suppkey", "s_name",
+                   (F.col("total_x") / 10000.0).alias("total_revenue"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q18 — large-volume orders: HAVING over a fact aggregation, join back
+# ---------------------------------------------------------------------------
+
+@register(
+    "q18_large_orders",
+    oracle="""
+    SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate,
+           o.o_totalprice,
+           CAST(t.sq AS DOUBLE) AS sum_qty
+    FROM (
+      SELECT l_orderkey,
+             SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS sq
+      FROM lineitem
+      GROUP BY l_orderkey
+      HAVING SUM(CAST(ROUND(l_quantity) AS BIGINT)) > 300
+    ) t
+    JOIN orders o   ON o.o_orderkey = t.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    """,
+)
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape — orders whose total quantity exceeds 300 units
+    (the >p99.9 tail), with their customers. The full-fact aggregation
+    happens *first* and the HAVING collapses it to a tail-sized set, so
+    the subsequent joins move only qualifying orderkeys — the classic
+    agg-filter-join-back plan. Quantities are integer-valued doubles →
+    exact long sums; no limit needed, the threshold bounds the result."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    t = (li.groupBy("l_orderkey")
+           .agg(F.sum(F.round(F.col("l_quantity")).cast("bigint"))
+                 .alias("sq"))
+           .filter(F.col("sq") > 300))
+    return (
+        t.join(o, t.l_orderkey == o.o_orderkey)
+         .join(c, o.o_custkey == c.c_custkey)
+         .select("c_name", "c_custkey", "o_orderkey", "o_orderdate",
+                 "o_totalprice", F.col("sq").cast("double").alias("sum_qty"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q19 — disjunctive bracket predicates (brand × size × quantity)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q19_bracket_revenue",
+    oracle="""
+    SELECT SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 10000)
+                    AS BIGINT)) / 10000.0 AS revenue,
+           COUNT(*) AS n_items
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#4'  AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity BETWEEN 1 AND 11)
+       OR (p.p_brand = 'Brand#19' AND p.p_size BETWEEN 1 AND 25
+           AND l.l_quantity BETWEEN 10 AND 20)
+       OR (p.p_brand = 'Brand#2'  AND p.p_size BETWEEN 1 AND 35
+           AND l.l_quantity BETWEEN 20 AND 30)
+    """,
+)
+def q19_bracket_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape — revenue matched by any of three
+    (brand, size, quantity) brackets. The disjunction spans both
+    tables, but its single-table residues are still extractable:
+    Catalyst pushes `quantity BETWEEN 1 AND 30`-style envelope bounds
+    and the brand/size OR onto the respective scans (constraint
+    propagation), then evaluates the full bracket predicate after the
+    broadcast join. This is the canonical test that OR-of-ANDs doesn't
+    fall back to scan-everything."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    j = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    qty = F.col("l_quantity")
+    br = (((F.col("p_brand") == "Brand#4")
+           & F.col("p_size").between(1, 15) & qty.between(1, 11))
+          | ((F.col("p_brand") == "Brand#19")
+             & F.col("p_size").between(1, 25) & qty.between(10, 20))
+          | ((F.col("p_brand") == "Brand#2")
+             & F.col("p_size").between(1, 35) & qty.between(20, 30)))
+    return j.filter(br).agg(
+        (F.sum(_x4(_VOLUME)) / 10000.0).alias("revenue"),
+        F.count(F.lit(1)).alias("n_items"))
+
+
+# ---------------------------------------------------------------------------
+# Q20 analogue — nested-semi chain: heavy PROMO suppliers
+# ---------------------------------------------------------------------------
+
+@register(
+    "q20_promo_suppliers",
+    oracle="""
+    SELECT s.s_suppkey, s.s_name, n.n_name,
+           CAST(t.sq AS DOUBLE) AS promo_qty
+    FROM (
+      SELECT l.l_suppkey,
+             SUM(CAST(ROUND(l.l_quantity) AS BIGINT)) AS sq
+      FROM lineitem l
+      WHERE l.l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        AND l.l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+        AND l.l_partkey IN (SELECT p_partkey FROM part
+                            WHERE p_type = 'PROMO')
+      GROUP BY l.l_suppkey
+      HAVING SUM(CAST(ROUND(l.l_quantity) AS BIGINT)) > 450
+    ) t
+    JOIN supplier s ON s.s_suppkey = t.l_suppkey
+    JOIN nation n   ON n.n_nationkey = s.s_nationkey
+    """,
+)
+def q20_promo_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape (no partsupp in the schema, so availqty is
+    re-expressed as a shipped-quantity threshold): suppliers who moved
+    more than 450 units of PROMO parts in 1997 — an IN-subquery
+    semi-join feeding an aggregation feeding a HAVING feeding the
+    supplier dim. The part semi-join is a broadcast (filtered part set
+    is dim-sized at any SF); the aggregation shuffles on suppkey —
+    bounded by supplier cardinality, not fact cardinality."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate")
+         >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate")
+           < F.lit("1998-01-01 00:00:00").cast("timestamp")))
+    p = _t(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    t = (li.join(F.broadcast(p.select("p_partkey")),
+                 li.l_partkey == F.col("p_partkey"), "left_semi")
+           .groupBy("l_suppkey")
+           .agg(F.sum(F.round(F.col("l_quantity")).cast("bigint"))
+                 .alias("sq"))
+           .filter(F.col("sq") > 450))
+    return (
+        t.join(F.broadcast(s), t.l_suppkey == s.s_suppkey)
+         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+         .select("s_suppkey", "s_name", "n_name",
+                 F.col("sq").cast("double").alias("promo_qty"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q21 — suppliers who kept orders waiting: EXISTS + NOT EXISTS correlation
+# ---------------------------------------------------------------------------
+
+@register(
+    "q21_waiting_supplier",
+    oracle="""
+    SELECT s.s_name, COUNT(*) AS numwait
+    FROM supplier s
+    JOIN lineitem l1 ON l1.l_suppkey = s.s_suppkey
+    JOIN orders o    ON o.o_orderkey = l1.l_orderkey
+    WHERE o.o_orderstatus = 'F'
+      AND l1.l_shipdate > o.o_orderdate + INTERVAL 365 DAY
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_shipdate > o.o_orderdate + INTERVAL 365 DAY)
+    GROUP BY s.s_name
+    """,
+)
+def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape — for finalized multi-supplier orders, count the
+    late lines (shipped >365 days after ordering) of the *sole* late
+    supplier. The classic form is EXISTS + NOT EXISTS correlated on
+    the same fact table (the oracle keeps that shape); the Spark plan
+    decorrelates it into ONE aggregation over lineitem⋈orders per
+    orderkey — distinct suppliers, distinct late suppliers, the lone
+    late supplier's key, and its late-line count — then filters
+    (n_supp > 1, n_late_supp = 1) and re-aggregates per supplier.
+    Three lineitem probes become a single pass; both formulations are
+    provably equivalent, and the oracle's independence cross-checks
+    the rewrite. Scale shape: one orderkey shuffle + a supplier-sized
+    final agg; no self-joins of the fact table at all."""
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    late = (F.col("l_shipdate")
+            > F.col("o_orderdate") + F.expr("INTERVAL 365 DAYS"))
+    per_order = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+          .groupBy("l_orderkey")
+          .agg(F.countDistinct("l_suppkey").alias("n_supp"),
+               F.countDistinct(F.when(late, F.col("l_suppkey")))
+                .alias("n_late_supp"),
+               F.max(F.when(late, F.col("l_suppkey"))).alias("late_supp"),
+               F.sum(F.when(late, 1).otherwise(0)).alias("n_late_lines"))
+          .filter((F.col("n_supp") > 1) & (F.col("n_late_supp") == 1))
+    )
+    return (
+        per_order.groupBy("late_supp")
+                 .agg(F.sum("n_late_lines").alias("numwait"))
+                 .join(F.broadcast(s), F.col("late_supp") == s.s_suppkey)
+                 .select("s_name", "numwait")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q22 — global-average scalar subquery + anti-join (idle rich customers)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q22_idle_balances",
+    oracle="""
+    WITH t AS (
+      SELECT c_custkey, c_nationkey,
+             CAST(ROUND(c_acctbal * 100) AS BIGINT) AS bal_cents
+      FROM customer
+    ), thr AS (
+      SELECT (SUM(bal_cents) * 2 + COUNT(*)) // (2 * COUNT(*)) AS thr_cents
+      FROM t WHERE bal_cents > 0
+    )
+    SELECT n.n_name, COUNT(*) AS numcust,
+           SUM(t.bal_cents) / 100.0 AS totacctbal
+    FROM t
+    JOIN nation n ON n.n_nationkey = t.c_nationkey
+    CROSS JOIN thr
+    WHERE t.bal_cents > thr.thr_cents
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = t.c_custkey
+                        AND o.o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+    GROUP BY n.n_name
+    """,
+)
+def q22_idle_balances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape — customers with above-average positive balances
+    who never ordered, totaled per nation: a global scalar subquery
+    (the average) broadcast against every row, then an anti-join
+    against orders. The average threshold is computed in integer cents
+    with HALF_UP division — a double AVG here is the textbook
+    cross-engine trap (partial-sum order shifts the last ulp and flips
+    boundary customers in or out). Scale shape: the scalar agg is one
+    1-row broadcast; the anti-join shuffles on custkey (orders
+    projected to the join key only, so the probe side is narrow)."""
+    c = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey",
+        F.round(F.col("c_acctbal") * 100).cast("bigint").alias("bal_cents"))
+    o = (_t(spark, sf_dir, "orders")
+         .filter(F.col("o_orderdate")
+                 >= F.lit("2000-01-01 00:00:00").cast("timestamp"))
+         .select("o_custkey"))
+    n = _t(spark, sf_dir, "nation")
+    thr = (c.filter(F.col("bal_cents") > 0)
+            .agg(F.expr("(sum(bal_cents) * 2 + count(*))"
+                        " div (2 * count(*))").alias("thr_cents")))
+    return (
+        c.join(F.broadcast(thr), c.bal_cents > thr.thr_cents)
+         .join(o, c.c_custkey == o.o_custkey, "left_anti")
+         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+         .groupBy("n_name")
+         .agg(F.count(F.lit(1)).alias("numcust"),
+              (F.sum("bal_cents") / 100.0).alias("totacctbal"))
+    )
