@@ -1816,3 +1816,245 @@ def x5_resize_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
          .cast("int").alias("pad_x"),
         F.expr("(224 - (height * 224) div greatest(width, height)) div 2")
          .cast("int").alias("pad_y"))
+
+
+# ---------------------------------------------------------------------------
+# OP-X2 (continued) — SemDeDup-style semantic dedup within IVF cells
+# ---------------------------------------------------------------------------
+
+@register(
+    "x2_semdedup",
+    oracle=f"""
+    WITH v AS (
+      SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+    ),
+    n AS (
+      SELECT vec_id, e, sqrt({_sql_dot('e', 'e')}) AS nrm FROM v
+    ),
+    cent AS (SELECT vec_id AS cid, e AS ce, nrm AS cnrm FROM n
+             WHERE vec_id % 50 = 0),
+    assigned AS (
+      SELECT vec_id, e, nrm, cid FROM (
+        SELECT n.vec_id, n.e, n.nrm, cent.cid,
+               ROW_NUMBER() OVER (
+                 PARTITION BY n.vec_id
+                 ORDER BY {_sql_dot('n.e', 'cent.ce')}
+                          / (n.nrm * cent.cnrm) DESC, cent.cid) AS rc
+        FROM n CROSS JOIN cent
+      ) WHERE rc = 1
+    ),
+    dup AS (
+      SELECT DISTINCT a.vec_id
+      FROM assigned a JOIN assigned b
+        ON a.cid = b.cid AND b.vec_id < a.vec_id
+      WHERE {_sql_dot('a.e', 'b.e')} / (a.nrm * b.nrm) >= 0.4
+    )
+    SELECT a.vec_id, a.cid,
+           (a.vec_id IN (SELECT vec_id FROM dup)) AS is_dup
+    FROM assigned a
+    """,
+)
+def x2_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OP-X2 (semantic) — SemDeDup (Abbas et al. 2023, arXiv:2303.09540)
+    re-expressed as a Spark plan: cluster the embedding space coarsely,
+    then mark as duplicates any vector whose cosine to a *lower-id*
+    vector in the same cell exceeds the threshold — the survivor of
+    each semantic group is its minimum vec_id, a total order, so the
+    kept set is deterministic (SURVEY.md §7 hard-part 4). Clustering
+    reuses the IVF medoid assignment of ``x3_ivf_topk`` (every 50th
+    vector, nprobe=1), making the whole pipeline oracle-checkable;
+    the production swap-in is the k-means trainer in
+    ``operators/kmeans.py``. Scale shape: pair work is Σ cell² inside
+    cells only — never a global cross join — and the dedup verdict
+    joins back as a broadcast of just the duplicate ids. Cost per cell
+    is the same candidate set the IVF top-k already enumerates."""
+    e = _t(spark, sf_dir, "embeddings")
+    v = e.select("vec_id", _as_double_vec("embedding").alias("e"))
+    n = v.withColumn("nrm", F.sqrt(_dot(F.col("e"), F.col("e"))))
+    cent = (n.filter(F.col("vec_id") % 50 == 0)
+             .select(F.col("vec_id").alias("cid"),
+                     F.col("e").alias("ce"), F.col("nrm").alias("cnrm")))
+    scored = (n.repartition(spark.sparkContext.defaultParallelism,
+                            "vec_id")
+               .crossJoin(F.broadcast(cent)))
+    cos_c = (_dot(F.col("e"), F.col("ce"))
+             / (F.col("nrm") * F.col("cnrm")))
+    wassign = Window.partitionBy("vec_id").orderBy(
+        cos_c.desc(), F.col("cid"))
+    assigned = (scored.withColumn("rc", F.row_number().over(wassign))
+                      .filter(F.col("rc") == 1)
+                      .select("vec_id", "e", "nrm", "cid"))
+    a, b = assigned.alias("a"), assigned.alias("b")
+    cos = (_dot(F.col("a.e"), F.col("b.e"))
+           / (F.col("a.nrm") * F.col("b.nrm")))
+    dup = (a.join(b, (F.col("a.cid") == F.col("b.cid"))
+                  & (F.col("b.vec_id") < F.col("a.vec_id")))
+            .filter(cos >= 0.4)
+            .select(F.col("a.vec_id").alias("dup_id"))
+            .distinct())
+    return (assigned.join(F.broadcast(dup),
+                          assigned.vec_id == dup.dup_id, "left")
+                    .select("vec_id", "cid",
+                            F.col("dup_id").isNotNull().alias("is_dup")))
+
+
+# ---------------------------------------------------------------------------
+# OP-X4 (continued) — Gopher-style repetition / diversity signals
+# ---------------------------------------------------------------------------
+
+@register(
+    "x4_repetition_signals",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {SQL_TOKENS} AS t FROM documents
+    ),
+    base AS (
+      SELECT doc_id, t, len(t) AS n_tok,
+             len(list_distinct(t)) AS n_distinct
+      FROM toks
+    ),
+    tok_counts AS (
+      SELECT doc_id, COUNT(*) AS c
+      FROM (SELECT doc_id, unnest(t) AS tok FROM toks)
+      GROUP BY doc_id, tok
+    ),
+    top_tok AS (
+      SELECT doc_id, MAX(c) AS top_tok_c FROM tok_counts GROUP BY doc_id
+    ),
+    bigrams AS (
+      SELECT doc_id,
+             unnest(CASE WHEN len(t) >= 2
+                    THEN [t[i] || ' ' || t[i+1] FOR i IN range(1, len(t))]
+                    ELSE [] END) AS g
+      FROM toks
+    ),
+    bg_counts AS (
+      SELECT doc_id, COUNT(*) AS c FROM bigrams GROUP BY doc_id, g
+    ),
+    top_bg AS (
+      SELECT doc_id, MAX(c) AS top_bg_c, SUM(c) AS n_bg
+      FROM bg_counts GROUP BY doc_id
+    )
+    SELECT b.doc_id, b.n_tok,
+           CASE WHEN b.n_tok = 0 THEN 0.0
+                ELSE ((b.n_distinct * 20000 + b.n_tok) // (2 * b.n_tok))
+                     / 10000.0 END AS distinct_frac,
+           CASE WHEN b.n_tok = 0 THEN 0.0
+                ELSE ((COALESCE(tt.top_tok_c, 0) * 20000 + b.n_tok)
+                      // (2 * b.n_tok)) / 10000.0 END AS top_token_frac,
+           CASE WHEN COALESCE(tb.n_bg, 0) = 0 THEN 0.0
+                ELSE ((tb.top_bg_c * 20000 + tb.n_bg) // (2 * tb.n_bg))
+                     / 10000.0 END AS top_bigram_frac,
+           (b.n_tok >= 10
+            AND ((b.n_distinct * 20000 + b.n_tok) // (2 * b.n_tok))
+                / 10000.0 >= 0.35
+            AND CASE WHEN COALESCE(tb.n_bg, 0) = 0 THEN 0.0
+                     ELSE ((tb.top_bg_c * 20000 + tb.n_bg)
+                           // (2 * tb.n_bg)) / 10000.0 END <= 0.06)
+             AS keep
+    FROM base b
+    LEFT JOIN top_tok tt ON tt.doc_id = b.doc_id
+    LEFT JOIN top_bg tb ON tb.doc_id = b.doc_id
+    """,
+)
+def x4_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OP-X4 — repetition/diversity quality signals in the style of the
+    Gopher rules (Rae et al. 2021 §A1.1): distinct-token fraction,
+    most-frequent-token fraction, most-frequent-bigram fraction, and a
+    composite keep verdict. Documents dominated by one token or one
+    repeated phrase are boilerplate/spam in a pre-training corpus.
+
+    All three fractions use integer HALF_UP division at 4dp so both
+    engines round identically. Scale shape: the token/bigram mode
+    counts shuffle on (doc_id, gram) — high-cardinality, skew-free —
+    then collapse per doc; the base stats are pure projection. Nothing
+    is quadratic in document count or length."""
+    d = _t(spark, sf_dir, "documents")
+    toks = tokens_col()
+    base = d.select("doc_id", toks.alias("t")) \
+            .select("doc_id", "t",
+                    F.size("t").alias("n_tok"),
+                    F.size(F.array_distinct("t")).alias("n_distinct"))
+    m = F.greatest(F.size(F.col("t")) - 1, F.lit(0))
+    bigrams = F.zip_with(F.slice("t", 1, m), F.slice("t", 2, m),
+                         lambda x, y: F.concat_ws(" ", x, y))
+    top_tok = (base.select("doc_id", F.explode("t").alias("tok"))
+                   .groupBy("doc_id", "tok").count()
+                   .groupBy("doc_id")
+                   .agg(F.max("count").alias("top_tok_c")))
+    top_bg = (base.select("doc_id", bigrams.alias("bg"))
+                  .select("doc_id", F.explode("bg").alias("g"))
+                  .groupBy("doc_id", "g").count()
+                  .groupBy("doc_id")
+                  .agg(F.max("count").alias("top_bg_c"),
+                       F.sum("count").alias("n_bg")))
+    j = (base.drop("t")
+             .join(top_tok, "doc_id", "left")
+             .join(top_bg, "doc_id", "left"))
+    distinct_frac = F.when(
+        F.col("n_tok") == 0, F.lit(0.0)).otherwise(
+        F.expr("(n_distinct * 20000 + n_tok) div (2 * n_tok)") / 10000.0)
+    top_token_frac = F.when(
+        F.col("n_tok") == 0, F.lit(0.0)).otherwise(
+        F.expr("(coalesce(top_tok_c, 0) * 20000 + n_tok)"
+               " div (2 * n_tok)") / 10000.0)
+    top_bigram_frac = F.when(
+        F.coalesce(F.col("n_bg"), F.lit(0)) == 0, F.lit(0.0)).otherwise(
+        F.expr("(top_bg_c * 20000 + n_bg) div (2 * n_bg)") / 10000.0)
+    return j.select(
+        "doc_id", "n_tok",
+        distinct_frac.alias("distinct_frac"),
+        top_token_frac.alias("top_token_frac"),
+        top_bigram_frac.alias("top_bigram_frac"),
+        ((F.col("n_tok") >= 10)
+         & (distinct_frac >= 0.35)
+         & (top_bigram_frac <= 0.06)).alias("keep"))
+
+
+# ---------------------------------------------------------------------------
+# OP-X4 (continued) — BPE merge-candidate pair counts (tokenizer training)
+# ---------------------------------------------------------------------------
+
+@register(
+    "x4_bpe_merge_pairs",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id,
+             regexp_extract_all(lower(text), '{_BPE_RE}') AS t
+      FROM documents
+    ),
+    pairs AS (
+      SELECT unnest(CASE WHEN len(t) >= 2
+                    THEN [t[i] || '|' || t[i+1] FOR i IN range(1, len(t))]
+                    ELSE [] END) AS pair
+      FROM toks
+    )
+    SELECT pair, COUNT(*) AS pair_count
+    FROM pairs
+    GROUP BY pair
+    ORDER BY pair_count DESC, pair
+    LIMIT 50
+    """,
+)
+def x4_bpe_merge_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OP-X4 — the counting step of one BPE training iteration
+    (Sennrich et al. 2016): corpus-wide frequencies of adjacent
+    pre-token pairs, top 50 — the pair a real trainer would merge
+    next, repeated to convergence. Uses the same engine-portable
+    pre-tokenizer as ``x4_bpe_token_count``. Scale shape: explode →
+    map-side partial counts → one shuffle on the pair string (uniform,
+    high-cardinality), then TakeOrderedAndProject for the top slice;
+    count-desc with pair tiebreak makes the selected set
+    deterministic."""
+    d = _t(spark, sf_dir, "documents")
+    t = F.regexp_extract_all(F.lower(F.col("text")),
+                             F.lit(_BPE_RE), F.lit(0))
+    m = F.greatest(F.size(F.col("t")) - 1, F.lit(0))
+    pairs = F.zip_with(F.slice("t", 1, m), F.slice("t", 2, m),
+                       lambda x, y: F.concat_ws("|", x, y))
+    return (d.select(t.alias("t"))
+             .select(F.explode(pairs).alias("pair"))
+             .groupBy("pair")
+             .agg(F.count(F.lit(1)).alias("pair_count"))
+             .orderBy(F.desc("pair_count"), "pair")
+             .limit(50))
