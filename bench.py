@@ -44,6 +44,8 @@ HEADLINE = (
     "x3_ann_lsh_topk",            # embedding similarity top-k (LSH path)
     "x4_token_counts",            # explode + groupBy token counts
     "t4_tumbling_hourly",         # event-time tumbling window agg
+    "q21_waiting_supplier",       # EXISTS/NOT-EXISTS decorrelated to 1 pass
+    "x4_repetition_signals",      # Gopher repetition/diversity signals
 )
 
 
