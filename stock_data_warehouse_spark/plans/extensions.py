@@ -2058,3 +2058,64 @@ def x4_bpe_merge_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
              .agg(F.count(F.lit(1)).alias("pair_count"))
              .orderBy(F.desc("pair_count"), "pair")
              .limit(50))
+
+
+# ---------------------------------------------------------------------------
+# OP-X6 (continued) — grouped-map applyInPandas: per-group calibration
+# ---------------------------------------------------------------------------
+
+def _calibrate_group(pdf):
+    """Grouped-map kernel: integer min-max calibration of ``score`` to
+    0‥1000 within one group (HALF_UP at the midpoint). All-int64
+    pandas arithmetic — bit-exact against the SQL window form."""
+    lo = int(pdf["score"].min())
+    hi = int(pdf["score"].max())
+    rng = hi - lo
+    out = pdf[["doc_id", "source", "score"]].copy()
+    if rng == 0:
+        out["calib"] = 500
+    else:
+        out["calib"] = ((pdf["score"] - lo) * 2000 + rng) // (2 * rng)
+    return out
+
+
+@register(
+    "x6_group_calibrate",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, source, n_chars AS score FROM documents
+    ),
+    g AS (
+      SELECT doc_id, source, score,
+             MIN(score) OVER (PARTITION BY source) AS lo,
+             MAX(score) OVER (PARTITION BY source) AS hi
+      FROM t
+    )
+    SELECT doc_id, source, score,
+           CASE WHEN hi = lo THEN 500
+                ELSE ((score - lo) * 2000 + (hi - lo)) // (2 * (hi - lo))
+           END AS calib
+    FROM g
+    """,
+)
+def x6_group_calibrate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OP-X6 — the batch grouped-map surface (SURVEY.md §2.11(b)):
+    ``groupBy(source).applyInPandas`` rescales each document's quality
+    score to 0‥1000 *within its source* — the per-group calibration a
+    mixture pipeline runs so that per-source quality thresholds mean
+    the same thing across crawls of very different length profiles.
+
+    The kernel is deliberately exact (int64 arithmetic, HALF_UP via
+    integer division), so the Arrow grouped-map path is value-checked
+    against a plain SQL window oracle — proving the pandas batch
+    plumbing (schema contract, group slicing, Arrow round-trip)
+    computes exactly what the declarative form specifies. Scale shape:
+    one shuffle on ``source``; each group materializes in one worker's
+    memory — the applyInPandas contract — so group keys must be
+    bounded-size (sources are); for unbounded keys use the window
+    form instead."""
+    d = _t(spark, sf_dir, "documents")
+    t = d.select("doc_id", "source", F.col("n_chars").alias("score"))
+    return t.groupBy("source").applyInPandas(
+        _calibrate_group,
+        "doc_id long, source string, score bigint, calib bigint")

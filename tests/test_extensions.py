@@ -371,3 +371,23 @@ def test_resize_letterbox_geometry(spark):
             assert r["out_h"] == 224 and r["pad_y"] == 0
         assert 0 <= 224 - (r["out_w"] + 2 * r["pad_x"]) <= 1
         assert 0 <= 224 - (r["out_h"] + 2 * r["pad_y"]) <= 1
+
+
+def test_group_calibrate_bounds_and_degenerate_group(spark, tmp_path):
+    """Each multi-value source spans exactly 0‥1000 (its min and max
+    docs); a single-value group calibrates to the 500 midpoint."""
+    d = str(tmp_path)
+    docs = spark.createDataFrame(
+        [(1, "a", "en", "s1", 100), (2, "b", "en", "s1", 300),
+         (3, "c", "en", "s1", 200), (4, "d", "en", "s2", 42)],
+        "doc_id long, text string, lang string, source string, "
+        "n_chars long")
+    docs.coalesce(1).write.mode("overwrite") \
+        .parquet(f"{d}/documents.parquet")
+    from stock_data_warehouse_spark.plans.extensions import (
+        x6_group_calibrate,
+    )
+    rows = {r["doc_id"]: r["calib"]
+            for r in x6_group_calibrate(spark, d).collect()}
+    assert rows[1] == 0 and rows[2] == 1000 and rows[3] == 500
+    assert rows[4] == 500
