@@ -1965,10 +1965,15 @@ def x4_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     repeated phrase are boilerplate/spam in a pre-training corpus.
 
     All three fractions use integer HALF_UP division at 4dp so both
-    engines round identically. Scale shape: the token/bigram mode
-    counts shuffle on (doc_id, gram) — high-cardinality, skew-free —
-    then collapse per doc; the base stats are pure projection. Nothing
-    is quadratic in document count or length."""
+    engines round identically. Scale shape: ONE explode covers both
+    gram sizes — tokens never contain a space and bigrams always do,
+    so a single (doc_id, gram) count shuffle (high-cardinality,
+    skew-free) serves both mode statistics, and the per-doc collapse
+    separates them with conditional aggregates. (A zero-shuffle
+    sorted-array run-length fold was measured 1.7× SLOWER than the
+    explode at sf0.1 — Spark's interpreted higher-order lambdas cost
+    more than the exchange.) Nothing is quadratic in document count
+    or length."""
     d = _t(spark, sf_dir, "documents")
     toks = tokens_col()
     base = d.select("doc_id", toks.alias("t")) \
@@ -1978,19 +1983,19 @@ def x4_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     m = F.greatest(F.size(F.col("t")) - 1, F.lit(0))
     bigrams = F.zip_with(F.slice("t", 1, m), F.slice("t", 2, m),
                          lambda x, y: F.concat_ws(" ", x, y))
-    top_tok = (base.select("doc_id", F.explode("t").alias("tok"))
-                   .groupBy("doc_id", "tok").count()
-                   .groupBy("doc_id")
-                   .agg(F.max("count").alias("top_tok_c")))
-    top_bg = (base.select("doc_id", bigrams.alias("bg"))
-                  .select("doc_id", F.explode("bg").alias("g"))
-                  .groupBy("doc_id", "g").count()
-                  .groupBy("doc_id")
-                  .agg(F.max("count").alias("top_bg_c"),
-                       F.sum("count").alias("n_bg")))
-    j = (base.drop("t")
-             .join(top_tok, "doc_id", "left")
-             .join(top_bg, "doc_id", "left"))
+    is_bg = F.col("g").contains(" ")
+    stats = (base.select("doc_id",
+                         F.explode(F.concat(F.col("t"), bigrams))
+                          .alias("g"))
+                 .groupBy("doc_id", "g").count()
+                 .groupBy("doc_id")
+                 .agg(F.max(F.when(~is_bg, F.col("count")))
+                       .alias("top_tok_c"),
+                      F.max(F.when(is_bg, F.col("count")))
+                       .alias("top_bg_c"),
+                      F.sum(F.when(is_bg, F.col("count")))
+                       .alias("n_bg")))
+    j = base.drop("t").join(stats, "doc_id", "left")
     distinct_frac = F.when(
         F.col("n_tok") == 0, F.lit(0.0)).otherwise(
         F.expr("(n_distinct * 20000 + n_tok) div (2 * n_tok)") / 10000.0)
