@@ -135,3 +135,48 @@ def test_zscore_single_exchange(spark):
     )
     plan = _executed_plan(t11_anomaly_zscore(spark, SF))
     assert plan.count("Exchange") == 1, plan
+
+
+def test_q3_plan_pushes_dates_and_takes_ordered_topk(spark):
+    """Q3's physical plan must push BOTH date predicates to their scans
+    and run the top-10 as TakeOrderedAndProject — never a global sort."""
+    from stock_data_warehouse_spark.plans.tpch_shapes import (
+        q3_shipping_priority,
+    )
+    df = q3_shipping_priority(spark, SF)
+    plan = _executed_plan(df)
+    assert "TakeOrderedAndProject" in plan
+    assert plan.count("Sort ") == 0 or "SortMergeJoin" in plan
+    scans = df._jdf.queryExecution().executedPlan().toString()
+    assert "GreaterThan(l_shipdate" in scans
+    assert "LessThan(o_orderdate" in scans
+
+
+def test_q19_disjunction_reaches_both_scans(spark):
+    """The OR-of-brackets must leave per-table residues as pushed
+    filters on BOTH scans (quantity envelope on lineitem, brand/size
+    disjunction on part) — the plan must not scan-everything. The
+    executedPlan string truncates long filter lists, so assert on the
+    formatted explain."""
+    import contextlib
+    import io
+    from stock_data_warehouse_spark.plans.tpch_shapes import (
+        q19_bracket_revenue,
+    )
+    df = q19_bracket_revenue(spark, SF)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    assert "GreaterThanOrEqual(l_quantity,1.0)" in plan
+    assert "EqualTo(p_brand,Brand#4)" in plan
+
+
+def test_q21_single_fact_scan(spark):
+    """The decorrelated Q21 must read lineitem exactly once — the
+    classic EXISTS + NOT EXISTS form would scan it three times."""
+    from stock_data_warehouse_spark.plans.tpch_shapes import (
+        q21_waiting_supplier,
+    )
+    plan = _executed_plan(q21_waiting_supplier(spark, SF))
+    assert plan.count("lineitem.parquet") == 1
