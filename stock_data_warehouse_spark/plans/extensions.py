@@ -2124,3 +2124,87 @@ def x6_group_calibrate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t.groupBy("source").applyInPandas(
         _calibrate_group,
         "doc_id long, source string, score bigint, calib bigint")
+
+
+@register(
+    "x8_funnel_report",
+    oracle=None,  # bound below (needs the sampling SQL coin helper)
+)
+def x8_funnel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OP-X8 — the corpus build's observability twin: per-source
+    survivor counts at every stage of ``x8_corpus_pipeline``'s funnel
+    (raw → deduped → quality-gated → sampled) plus the surviving token
+    budget — the report a data-mixture owner reads before training.
+    Stage predicates are THE SAME expressions as the pipeline (same
+    dedup window, same quality gate, same hash coin), evaluated as
+    flags in one pass and collapsed by conditional aggregation — the
+    funnel never re-runs the pipeline per stage. Scale shape: the
+    dedup window's content-hash shuffle plus one source-keyed agg of
+    partial counts; nothing else moves."""
+    from .sampling import hash_coin
+
+    stop = ("the", "a", "of", "and", "to", "in")
+    d = _t(spark, sf_dir, "documents")
+    w = Window.partitionBy("content_hash").orderBy("doc_id")
+    toks = tokens_col("text")
+    n_tok = F.size(toks)
+    stop_ratio = (F.size(F.filter(toks, lambda x: x.isin(*stop)))
+                  * F.lit(1.0) / n_tok)
+    flags = (
+        d.withColumn("content_hash", F.sha2(F.col("text"), 256))
+         .withColumn("is_surv", F.row_number().over(w) == 1)
+         .withColumn("n_tok", n_tok)
+         .withColumn("ok_quality",
+                     (F.col("n_tok") >= 20)
+                     & stop_ratio.between(0.05, 0.6))
+         .withColumn("ok_sample",
+                     hash_coin(F.col("doc_id"), _CORPUS_SALT)
+                     < _corpus_threshold())
+    )
+    cnt = lambda c: F.sum(F.when(c, 1).otherwise(0))  # noqa: E731
+    surv = F.col("is_surv")
+    qual = surv & F.col("ok_quality")
+    samp = qual & F.col("ok_sample")
+    return (flags.groupBy("source")
+                 .agg(F.count(F.lit(1)).alias("n_total"),
+                      cnt(surv).alias("n_after_dedup"),
+                      cnt(qual).alias("n_after_quality"),
+                      cnt(samp).alias("n_after_sample"),
+                      F.sum(F.when(samp, F.col("n_tok")).otherwise(0))
+                       .alias("kept_tokens")))
+
+
+def _register_x8_funnel_oracle() -> None:
+    from .registry import ORACLES
+    from .sampling import _sql_coin
+    ORACLES["x8_funnel_report"] = f"""
+    WITH flagged AS (
+      SELECT doc_id, source, {SQL_TOKENS} AS toks,
+             ROW_NUMBER() OVER (PARTITION BY text ORDER BY doc_id) = 1
+               AS is_surv,
+             {_sql_coin('doc_id', _CORPUS_SALT)}
+               < '{_corpus_threshold()}' AS ok_sample
+      FROM documents
+    ),
+    f AS (
+      SELECT source, is_surv, ok_sample, len(toks) AS n_tok,
+             len(toks) >= 20
+             AND CAST(len(list_filter(toks, x -> x IN
+                 ('the', 'a', 'of', 'and', 'to', 'in'))) AS DOUBLE)
+                 / len(toks) BETWEEN 0.05 AND 0.6 AS ok_quality
+      FROM flagged
+    )
+    SELECT source, COUNT(*) AS n_total,
+           SUM(CASE WHEN is_surv THEN 1 ELSE 0 END) AS n_after_dedup,
+           SUM(CASE WHEN is_surv AND ok_quality THEN 1 ELSE 0 END)
+             AS n_after_quality,
+           SUM(CASE WHEN is_surv AND ok_quality AND ok_sample
+               THEN 1 ELSE 0 END) AS n_after_sample,
+           SUM(CASE WHEN is_surv AND ok_quality AND ok_sample
+               THEN n_tok ELSE 0 END) AS kept_tokens
+    FROM f
+    GROUP BY source
+    """
+
+
+_register_x8_funnel_oracle()

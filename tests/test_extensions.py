@@ -391,3 +391,20 @@ def test_group_calibrate_bounds_and_degenerate_group(spark, tmp_path):
             for r in x6_group_calibrate(spark, d).collect()}
     assert rows[1] == 0 and rows[2] == 1000 and rows[3] == 500
     assert rows[4] == 500
+
+
+def test_funnel_report_matches_pipeline_population(spark):
+    """The funnel's final stage must count exactly the documents the
+    composed corpus pipeline ships (same predicates, same coin)."""
+    from stock_data_warehouse_spark.plans.extensions import (
+        x8_corpus_pipeline, x8_funnel_report,
+    )
+    import pyspark.sql.functions as SF_
+    shipped = (x8_corpus_pipeline(spark, SF)
+               .select("doc_id").distinct().count())
+    funnel = x8_funnel_report(spark, SF).agg(
+        SF_.sum("n_after_sample").alias("n"),
+        SF_.sum("n_total").alias("t"),
+        SF_.sum("n_after_dedup").alias("d")).collect()[0]
+    assert funnel["n"] == shipped
+    assert funnel["t"] >= funnel["d"] >= funnel["n"]
