@@ -718,3 +718,102 @@ def q22_idle_balances(spark: SparkSession, sf_dir: str) -> DataFrame:
          .agg(F.count(F.lit(1)).alias("numcust"),
               (F.sum("bal_cents") / 100.0).alias("totacctbal"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Q5 — local-supplier volume, expressed through the spark.sql surface
+# ---------------------------------------------------------------------------
+
+_Q5_SQL = """
+    SELECT n.n_name AS nation_name,
+           SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 10000)
+                    AS BIGINT)) / CAST(10000 AS DOUBLE) AS revenue
+    FROM customer c
+    JOIN orders o   ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+                   AND s.s_nationkey = c.c_nationkey
+    JOIN nation n   ON n.n_nationkey = c.c_nationkey
+    JOIN region r   ON r.r_regionkey = n.n_regionkey
+    WHERE r.r_name = 'ASIA'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o.o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY n.n_name
+"""
+
+
+@register("q5_local_supplier_volume", oracle=_Q5_SQL)
+def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape — revenue where customer and supplier share a
+    nation, per ASIA nation and order year. Served through the
+    ``spark.sql`` surface over registered views with the IDENTICAL
+    ANSI text as the DuckDB oracle (modulo nothing — one string) —
+    the EP-3 "snapshot is a queryable table" entry point (SURVEY.md
+    §3), proving the SQL API and the DataFrame API are the same
+    engine. Catalyst plans it exactly like the DataFrame form: dates
+    push to the orders scan, region/nation broadcast, and the
+    same-nation predicate rides the supplier join condition."""
+    from ..sources.tables import register_views
+    register_views(spark, sf_dir,
+                   ("customer", "orders", "lineitem", "supplier",
+                    "nation", "region"))
+    return spark.sql(_Q5_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Q2 analogue — correlated-min subquery: cheapest supplier per part
+# ---------------------------------------------------------------------------
+
+@register(
+    "q2_min_cost_supplier",
+    oracle="""
+    WITH offers AS (
+      SELECT l.l_partkey, l.l_suppkey,
+             MIN(l.l_extendedprice / l.l_quantity) AS unit_price
+      FROM lineitem l
+      WHERE l.l_quantity > 0
+      GROUP BY l.l_partkey, l.l_suppkey
+    ),
+    best AS (
+      SELECT l_partkey, MIN(unit_price) AS best_price
+      FROM offers GROUP BY l_partkey
+    )
+    SELECT p.p_partkey, p.p_brand, s.s_suppkey, s.s_name,
+           ROUND(o.unit_price, 4) AS unit_price
+    FROM offers o
+    JOIN best b ON b.l_partkey = o.l_partkey
+               AND o.unit_price = b.best_price
+    JOIN part p ON p.p_partkey = o.l_partkey
+    JOIN supplier s ON s.s_suppkey = o.l_suppkey
+    WHERE p.p_size = 15
+    """,
+)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape (no partsupp table — supply offers are
+    re-derived as each supplier's best observed unit price per part):
+    for every size-15 part, the supplier(s) matching the part's
+    minimum unit price — the correlated-MIN-subquery pattern,
+    decorrelated into aggregate + join-back on the min value. MIN is
+    selection (not accumulation), so the joined-on double is
+    bit-identical on both engines regardless of partials order — ties
+    at the true minimum are INCLUDED on both sides, the classic Q2
+    multi-winner semantics. Scale shape: two partkey-keyed
+    aggregations reusing one shuffle, the join-back on (partkey,
+    price), and dims broadcast afterward; the p_size filter prunes
+    before the dim joins."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 0)
+    p = _t(spark, sf_dir, "part").filter(F.col("p_size") == 15)
+    s = _t(spark, sf_dir, "supplier")
+    offers = (li.groupBy("l_partkey", "l_suppkey")
+                .agg(F.min(F.col("l_extendedprice") / F.col("l_quantity"))
+                      .alias("unit_price")))
+    best = (offers.groupBy(F.col("l_partkey").alias("b_partkey"))
+                  .agg(F.min("unit_price").alias("best_price")))
+    return (
+        offers.join(best, (F.col("l_partkey") == F.col("b_partkey"))
+                    & (F.col("unit_price") == F.col("best_price")))
+              .join(F.broadcast(p), F.col("l_partkey") == p.p_partkey)
+              .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+              .select("p_partkey", "p_brand", "s_suppkey", "s_name",
+                      F.round("unit_price", 4).alias("unit_price"))
+    )
