@@ -817,3 +817,91 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
               .select("p_partkey", "p_brand", "s_suppkey", "s_name",
                       F.round("unit_price", 4).alias("unit_price"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Q11 analogue — groups whose value exceeds a fraction of the global total
+# ---------------------------------------------------------------------------
+
+@register(
+    "q11_important_parts",
+    oracle="""
+    WITH pv AS (
+      SELECT l.l_partkey,
+             SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)) AS val_c
+      FROM lineitem l
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN nation n   ON n.n_nationkey = s.s_nationkey
+      WHERE n.n_name = 'NATION_4'
+      GROUP BY l.l_partkey
+    ),
+    tot AS (SELECT SUM(val_c) AS total_c FROM pv)
+    SELECT pv.l_partkey AS p_partkey, pv.val_c / 100.0 AS part_value
+    FROM pv CROSS JOIN tot
+    WHERE pv.val_c * 1000 > tot.total_c
+    """,
+)
+def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape (no partsupp — "stock value" is re-derived as
+    each part's billed value through NATION_4's suppliers): parts whose
+    value exceeds 0.1% of the national total. The HAVING-against-a-
+    scalar-subquery pattern: one partkey aggregation, a 1-row global
+    re-aggregation of ITS OWN output (reused subtree, not a second
+    fact scan), broadcast back as a cross join. The threshold compare
+    is integer cents × 1000 — no FP fraction anywhere. Scale shape:
+    the fact shuffles once on partkey; the total is a 1-row broadcast."""
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_4")
+    pv = (li.join(F.broadcast(s.join(F.broadcast(n),
+                                     s.s_nationkey == n.n_nationkey)
+                               .select("s_suppkey")),
+                  li.l_suppkey == F.col("s_suppkey"))
+            .groupBy("l_partkey")
+            .agg(F.sum(F.round(F.col("l_extendedprice") * 100)
+                        .cast("bigint")).alias("val_c")))
+    tot = pv.agg(F.sum("val_c").alias("total_c"))
+    return (pv.crossJoin(F.broadcast(tot))
+              .filter(F.col("val_c") * 1000 > F.col("total_c"))
+              .select(F.col("l_partkey").alias("p_partkey"),
+                      (F.col("val_c") / 100.0).alias("part_value")))
+
+
+# ---------------------------------------------------------------------------
+# Q16 analogue — distinct suppliers per part class, with NOT-IN exclusion
+# ---------------------------------------------------------------------------
+
+@register(
+    "q16_supplier_counts",
+    oracle="""
+    SELECT p.p_brand, p.p_size,
+           COUNT(DISTINCT l.l_suppkey) AS supplier_cnt
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand <> 'Brand#4'
+      AND p.p_size IN (1, 9, 15, 23, 36, 45, 49, 50)
+      AND l.l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                              WHERE s_acctbal < 0)
+    GROUP BY p.p_brand, p.p_size
+    """,
+)
+def q16_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape (lineitem stands in for partsupp as the
+    part↔supplier bridge): how many distinct suppliers serve each
+    (brand, size) class, excluding one brand, a size list, and the
+    "complaint" suppliers (negative balance) via NOT IN. The NOT IN is
+    a broadcast anti-join — supplier is dim-sized — and the exclusion
+    list provably has no NULL keys, dodging NOT IN's three-valued-logic
+    trap. COUNT(DISTINCT) plans as expand + partial dedupe before the
+    final shuffle, so the (brand, size, suppkey) triples collapse
+    map-side. Scale: one fact shuffle, everything else broadcast."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#4")
+        & F.col("p_size").isin(1, 9, 15, 23, 36, 45, 49, 50))
+    bad = (_t(spark, sf_dir, "supplier")
+           .filter(F.col("s_acctbal") < 0).select("s_suppkey"))
+    return (li.join(bad, li.l_suppkey == bad.s_suppkey, "left_anti")
+              .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+              .groupBy("p_brand", "p_size")
+              .agg(F.countDistinct("l_suppkey").alias("supplier_cnt")))
