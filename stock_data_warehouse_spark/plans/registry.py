@@ -76,6 +76,10 @@ def _load_all() -> None:
     for mod in mods:
         try:
             importlib.import_module(mod)
-        except ImportError as exc:  # pragma: no cover — dev-time guard
-            print(f"[registry] skipping {mod}: {exc}", file=sys.stderr)
+        except Exception as exc:  # pragma: no cover — dev-time guard
+            # Broad on purpose: one broken module must degrade to "its
+            # queries are absent", never take down the whole catalog
+            # (e.g. a Column built at import time raises AssertionError,
+            # not ImportError, when no SparkContext exists yet).
+            print(f"[registry] skipping {mod}: {exc!r}", file=sys.stderr)
     _LOADED = True

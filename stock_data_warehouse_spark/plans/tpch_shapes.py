@@ -39,8 +39,12 @@ def _x4(col):
     return F.round(col * 10000).cast("bigint")
 
 
-#: volume = l_extendedprice*(1-l_discount): 2dp × 2dp → exactly 4 decimals.
-_VOLUME = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+def _volume():
+    """volume = l_extendedprice*(1-l_discount): 2dp × 2dp → exactly 4
+    decimals. Built lazily — constructing a Column at module-import time
+    requires an active SparkContext in PySpark 4, and the registry must
+    import this module before the driver's session exists."""
+    return F.col("l_extendedprice") * (1 - F.col("l_discount"))
 
 
 # ---------------------------------------------------------------------------
@@ -83,7 +87,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(o, li.l_orderkey == o.o_orderkey)
           .join(c, o.o_custkey == c.c_custkey)
           .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
-          .agg((F.sum(_x4(_VOLUME)) / 10000.0).alias("revenue"))
+          .agg((F.sum(_x4(_volume())) / 10000.0).alias("revenue"))
           .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
           .orderBy(F.desc("revenue"), "l_orderkey")
           .limit(10)
@@ -189,7 +193,7 @@ def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
           .filter(pair)
           .groupBy("supp_nation", "cust_nation",
                    F.year("l_shipdate").alias("l_year"))
-          .agg((F.sum(_x4(_VOLUME)) / 10000.0).alias("revenue"),
+          .agg((F.sum(_x4(_volume())) / 10000.0).alias("revenue"),
                F.count(F.lit(1)).alias("n_items"))
     )
 
@@ -258,9 +262,9 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
           .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nk"))
           .groupBy(F.year("o_orderdate").alias("o_year"))
           .agg(F.sum(F.when(F.col("supp_nation") == "NATION_5",
-                            _x4(_VOLUME)).otherwise(F.lit(0).cast("bigint")))
+                            _x4(_volume())).otherwise(F.lit(0).cast("bigint")))
                 .alias("num"),
-               F.sum(_x4(_VOLUME)).alias("den"))
+               F.sum(_x4(_volume())).alias("den"))
     )
     return g.select(
         "o_year",
@@ -310,7 +314,7 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
           .join(c, o.o_custkey == c.c_custkey)
           .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
           .groupBy("c_custkey", "c_name", "n_name", "c_acctbal")
-          .agg((F.sum(_x4(_VOLUME)) / 10000.0).alias("revenue"))
+          .agg((F.sum(_x4(_volume())) / 10000.0).alias("revenue"))
           .select("c_custkey", "c_name", "n_name", "c_acctbal", "revenue")
           .orderBy(F.desc("revenue"), "c_custkey")
           .limit(20)
@@ -405,9 +409,9 @@ def q14_promo_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
     g = (
         li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
           .groupBy(F.month("l_shipdate").alias("o_month"))
-          .agg(F.sum(F.when(F.col("p_type") == "PROMO", _x4(_VOLUME))
+          .agg(F.sum(F.when(F.col("p_type") == "PROMO", _x4(_volume()))
                       .otherwise(F.lit(0).cast("bigint"))).alias("num"),
-               F.sum(_x4(_VOLUME)).alias("den"))
+               F.sum(_x4(_volume())).alias("den"))
     )
     return g.select(
         "o_month",
@@ -452,7 +456,7 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
            < F.lit("1997-04-01 00:00:00").cast("timestamp")))
     s = _t(spark, sf_dir, "supplier")
     rev = (li.groupBy(F.col("l_suppkey").alias("k"))
-             .agg(F.sum(_x4(_VOLUME)).alias("total_x")))
+             .agg(F.sum(_x4(_volume())).alias("total_x")))
     mx = rev.agg(F.max("total_x").alias("mx"))
     return (
         rev.join(F.broadcast(mx), rev.total_x == mx.mx)
@@ -545,7 +549,7 @@ def q19_bracket_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
           | ((F.col("p_brand") == "Brand#2")
              & F.col("p_size").between(1, 35) & qty.between(20, 30)))
     return j.filter(br).agg(
-        (F.sum(_x4(_VOLUME)) / 10000.0).alias("revenue"),
+        (F.sum(_x4(_volume())) / 10000.0).alias("revenue"),
         F.count(F.lit(1)).alias("n_items"))
 
 
