@@ -2208,3 +2208,85 @@ def _register_x8_funnel_oracle() -> None:
 
 
 _register_x8_funnel_oracle()
+
+
+# ---------------------------------------------------------------------------
+# OP-X2 — C4-style exact span dedup (aligned token blocks)
+# ---------------------------------------------------------------------------
+
+@register(
+    "x2_span_dedup",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {SQL_TOKENS} AS t FROM documents
+    ),
+    blk AS (
+      SELECT doc_id,
+             unnest([ {{'blk_idx': i,
+                        'blk': array_to_string(t[i*20+1 : i*20+20], ' ')}}
+                      FOR i IN range(0, CAST(ceil(len(t) / 20.0) AS BIGINT))
+                    ]) AS b
+      FROM toks
+    ),
+    flat AS (
+      SELECT doc_id, b.blk_idx AS blk_idx, b.blk AS blk,
+             ROW_NUMBER() OVER (PARTITION BY b.blk
+                                ORDER BY doc_id, b.blk_idx) AS rn
+      FROM blk
+    )
+    SELECT doc_id,
+           COUNT(*) AS n_blocks,
+           COUNT(*) FILTER (rn > 1) AS n_dup_blocks,
+           md5(COALESCE(
+             string_agg(blk, ' ' ORDER BY blk_idx) FILTER (rn = 1),
+             '')) AS clean_hash
+    FROM flat
+    GROUP BY doc_id
+    """,
+)
+def x2_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OP-X2 — sub-document exact span dedup: cut each document into
+    ALIGNED 20-token blocks and drop every block whose exact text
+    already occurred earlier in the corpus (first occurrence by
+    (doc_id, blk_idx) survives — a total order, so retry-stable).
+    This is the C4 recipe (Raffel et al. 2020 §2.2 dedupe "three-
+    sentence spans" corpus-wide) re-expressed on token blocks; document-
+    level exact/near dedup (x1/x2) misses boilerplate repeated INSIDE
+    otherwise-distinct pages, which span dedup removes.
+
+    Spark shape: tokenize once behind a repartition barrier (the
+    higher-order lambda would otherwise re-inline the tokenizer per
+    block), `posexplode` the blocks, one window over the block text for
+    first-occurrence ranking, then a per-doc re-aggregation that
+    rebuilds the cleaned text in block order (`array_sort` on
+    (blk_idx, blk) structs — `collect_list` alone has no order
+    guarantee) and fingerprints it. At 100 TB the shuffle key is the
+    20-token block text; blocks could be pre-hashed (sha2) to shrink
+    the exchange the same way x1 does — kept raw here so the oracle
+    partitions on the identical value.
+    """
+    d = _t(spark, sf_dir, "documents")
+    toks = (d.select("doc_id", tokens_col("text").alias("t"))
+             .repartition(spark.sparkContext.defaultParallelism, "doc_id"))
+    nblk = F.ceil(F.size("t") / F.lit(20.0)).cast("int")
+    blocks = F.when(
+        F.size("t") > 0,
+        F.transform(F.sequence(F.lit(0), nblk - 1),
+                    lambda i: F.array_join(
+                        F.slice(F.col("t"), i * 20 + 1, 20), " "))
+    ).otherwise(F.array().cast("array<string>"))
+    flat = (toks.select("doc_id",
+                        F.posexplode(blocks).alias("blk_idx", "blk")))
+    w = Window.partitionBy("blk").orderBy("doc_id", "blk_idx")
+    ranked = flat.withColumn("rn", F.row_number().over(w))
+    kept_sorted = F.array_sort(
+        F.collect_list(F.when(F.col("rn") == 1,
+                              F.struct("blk_idx", "blk"))))
+    return (ranked.groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_blocks"),
+                 F.sum((F.col("rn") > 1).cast("long"))
+                  .alias("n_dup_blocks"),
+                 F.md5(F.concat_ws(
+                     " ",
+                     F.transform(kept_sorted, lambda s: s["blk"])))
+                  .alias("clean_hash")))

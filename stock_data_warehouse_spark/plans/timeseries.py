@@ -365,3 +365,60 @@ def t15_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
                          F.transform(ordered,
                                      lambda s: s["event_type"]))
                       .alias("path")))
+
+
+# ---------------------------------------------------------------------------
+# OP-T17 — continuous-aggregate rollup (hypertable pattern)
+# ---------------------------------------------------------------------------
+
+@register(
+    "t17_continuous_rollup",
+    oracle="""
+    SELECT make_timestamp((epoch_us(ts) // 86400000000) * 86400000000)
+             AS day,
+           event_type,
+           COUNT(*) AS n_events,
+           ROUND(SUM(value), 4) AS sum_value,
+           MIN(value) AS min_value,
+           MAX(value) AS max_value,
+           COUNT(DISTINCT epoch_us(ts) // 3600000000) AS n_active_hours
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def t17_continuous_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OP-T17 — continuous-aggregate rollup: daily stats derived from an
+    HOURLY materialization layer, never from raw events (the hypertable
+    /continuous-aggregate pattern: TimescaleDB docs; Spark's equivalent
+    is a layered Structured Streaming job where each tier consumes the
+    tier below). Reference semantic anchor: the 4×/day refresh cadence
+    (update.yml:4-7) — serving tiers re-aggregate the previous tier
+    rather than rescanning history.
+
+    Only algebraic aggregates survive re-aggregation: count→sum,
+    sum→sum, min→min, max→max; the active-hour count falls out free as
+    COUNT(*) of hourly rows. AVG would be re-derived as sum/count, never
+    averaged-of-averages. The oracle computes the daily tier directly
+    from raw events — so the check proves the two-layer rollup is
+    lossless, which is the entire correctness obligation of this
+    pattern. Scale: the daily tier reads |hours|×|types| rows instead of
+    the raw fact table — at 100 TB the rescan this avoids IS the win;
+    both layers are partial+final hash aggs with map-side combine.
+
+    Sum rounded at the final tier only (4dp; SURVEY.md §7 hard-part 7 —
+    the hourly partials stay unrounded so no double-rounding).
+    """
+    e = _t(spark, sf_dir, "events")
+    hourly = (e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+               .agg(F.count(F.lit(1)).alias("n_events"),
+                    F.sum("value").alias("sum_value"),
+                    F.min("value").alias("min_value"),
+                    F.max("value").alias("max_value")))
+    return (hourly
+            .groupBy(F.date_trunc("day", F.col("w.start")).alias("day"),
+                     "event_type")
+            .agg(F.sum("n_events").alias("n_events"),
+                 F.round(F.sum("sum_value"), 4).alias("sum_value"),
+                 F.min("min_value").alias("min_value"),
+                 F.max("max_value").alias("max_value"),
+                 F.count(F.lit(1)).alias("n_active_hours")))

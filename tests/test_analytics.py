@@ -64,3 +64,32 @@ def test_scd2_history_invariants(spark):
         for a, b in zip(hist, hist[1:]):
             assert a["status"] != b["status"]  # runs collapsed
             assert a["valid_to"] == b["valid_from"]  # intervals chain
+
+
+def test_continuous_rollup_matches_direct_daily(spark):
+    """The two-layer (hourly→daily) rollup must equal a direct daily
+    aggregation off raw events — the losslessness obligation of the
+    continuous-aggregate pattern."""
+    from pyspark.sql import functions as F
+    from stock_data_warehouse_spark.plans.timeseries import (
+        t17_continuous_rollup,
+    )
+    from stock_data_warehouse_spark.sources.tables import load_table
+    sf = "/root/testdata/sf0.001"
+    layered = {((r["day"], r["event_type"])): r
+               for r in t17_continuous_rollup(spark, sf).collect()}
+    direct = (load_table(spark, sf, "events")
+              .groupBy(F.date_trunc("day", "ts").alias("day"), "event_type")
+              .agg(F.count(F.lit(1)).alias("n_events"),
+                   F.round(F.sum("value"), 4).alias("sum_value"),
+                   F.min("value").alias("min_value"),
+                   F.max("value").alias("max_value"))
+              .collect())
+    assert len(direct) == len(layered)
+    for r in direct:
+        l = layered[(r["day"], r["event_type"])]
+        assert l["n_events"] == r["n_events"]
+        assert abs(l["sum_value"] - r["sum_value"]) < 1e-6
+        assert l["min_value"] == r["min_value"]
+        assert l["max_value"] == r["max_value"]
+        assert 1 <= l["n_active_hours"] <= 24
