@@ -27,13 +27,16 @@ BROADCAST_SAFE = frozenset({"region", "nation"})
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one table. Projection/filter pruning happens downstream.
 
-    ``events.ts`` is TIMESTAMP(NANOS) in parquet, which Spark 4 rejects
-    outright (PARQUET_TYPE_ILLEGAL; SURVEY.md §7 hard-part 6). Read it
-    as a nanosecond long (``nanosAsLong``) and expose BOTH views:
+    ``events.ts`` has shipped in two parquet encodings across testdata
+    generations: TIMESTAMP(NANOS), which Spark 4 rejects outright
+    (PARQUET_TYPE_ILLEGAL; SURVEY.md §7 hard-part 6) and must be read
+    as a nanosecond long (``nanosAsLong``), and TIMESTAMP(MICROS,
+    isAdjustedToUTC=false), which Spark reads as TIMESTAMP_NTZ. Branch
+    on the arrived type and expose the SAME two views either way:
 
-    - ``ts``     timestamp (µs, truncated — exactly what DuckDB's parquet
-      reader yields for TIMESTAMP_NS, so oracle comparisons line up);
-    - ``ts_ns``  the exact nanosecond long, for tie-free ordering.
+    - ``ts``     timestamp (µs — exactly what DuckDB's parquet reader
+      yields for either encoding, so oracle comparisons line up);
+    - ``ts_ns``  an exact nanosecond long, for tie-free ordering.
 
     The conf is session-level and settable at runtime, so this works on
     the driver's session too, not just ours.
@@ -49,10 +52,14 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
         from pyspark.sql import functions as F
+        if dict(df.dtypes)["ts"] == "bigint":  # TIMESTAMP(NANOS) file
+            ts = F.timestamp_micros(F.expr("ts div 1000"))
+            ts_ns = F.col("ts")
+        else:  # TIMESTAMP(MICROS) file → TIMESTAMP_NTZ (session is UTC)
+            ts = F.col("ts").cast("timestamp")
+            ts_ns = F.unix_micros(F.col("ts").cast("timestamp")) * 1000
         return df.select(
-            "event_id",
-            F.timestamp_micros(F.expr("ts div 1000")).alias("ts"),
-            F.col("ts").alias("ts_ns"),
+            "event_id", ts.alias("ts"), ts_ns.alias("ts_ns"),
             "user_id", "event_type", "value", "props",
         )
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")

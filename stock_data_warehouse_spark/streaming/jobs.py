@@ -37,17 +37,21 @@ from pyspark.sql import types as T
 
 from ..plans.registry import register
 
-#: Explicit source schema — file streams require one. ``ts`` arrives as
-#: a nanosecond long (`nanosAsLong`; events.parquet is TIMESTAMP(NANOS),
-#: SURVEY.md §7 hard-part 6) and is rebuilt into a µs timestamp below.
-EVENTS_STREAM_SCHEMA = T.StructType([
-    T.StructField("event_id", T.LongType()),
-    T.StructField("ts", T.LongType()),
-    T.StructField("user_id", T.LongType()),
-    T.StructField("event_type", T.StringType()),
-    T.StructField("value", T.DoubleType()),
-    T.StructField("props", T.StringType()),
-])
+def _events_stream_schema(ts_type: T.DataType) -> T.StructType:
+    """Explicit source schema — file streams require one. ``ts`` has
+    shipped as TIMESTAMP(NANOS) (read as a nanosecond long via
+    ``nanosAsLong``; SURVEY.md §7 hard-part 6) or TIMESTAMP(MICROS)
+    (read as TIMESTAMP_NTZ); the caller passes whichever the batch
+    reader inferred for this file and both are rebuilt into a µs
+    timestamp below."""
+    return T.StructType([
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", ts_type),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ])
 
 _seq = itertools.count()
 
@@ -69,14 +73,20 @@ def events_stream(spark: SparkSession, sf_dir: str,
     stage = tempfile.mkdtemp(prefix="events_stream_")
     os.symlink(f"{sf_dir}/events.parquet", f"{stage}/events.parquet")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ts_type = spark.read.parquet(f"{stage}/events.parquet") \
+        .schema["ts"].dataType
     raw = (spark.readStream
-           .schema(EVENTS_STREAM_SCHEMA)
+           .schema(_events_stream_schema(ts_type))
            .option("maxFilesPerTrigger", str(max_files_per_trigger))
            .parquet(stage))
+    if isinstance(ts_type, T.LongType):  # TIMESTAMP(NANOS) file
+        ts = F.timestamp_micros(F.expr("ts div 1000"))
+        ts_ns = F.col("ts")
+    else:  # TIMESTAMP(MICROS) file → TIMESTAMP_NTZ (session is UTC)
+        ts = F.col("ts").cast("timestamp")
+        ts_ns = F.unix_micros(F.col("ts").cast("timestamp")) * 1000
     return raw.select(
-        "event_id",
-        F.timestamp_micros(F.expr("ts div 1000")).alias("ts"),
-        F.col("ts").alias("ts_ns"),
+        "event_id", ts.alias("ts"), ts_ns.alias("ts_ns"),
         "user_id", "event_type", "value", "props")
 
 
