@@ -2290,3 +2290,132 @@ def x2_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                      " ",
                      F.transform(kept_sorted, lambda s: s["blk"])))
                   .alias("clean_hash")))
+
+
+# ---------------------------------------------------------------------------
+# OP-X4 — corpus-trained unigram LM quality score
+# ---------------------------------------------------------------------------
+
+@register(
+    "x4_unigram_logprob",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest({SQL_TOKENS}) AS token FROM documents
+    ),
+    vocab AS (
+      SELECT token, COUNT(*) AS cnt FROM tok GROUP BY token
+    ),
+    total AS (
+      SELECT SUM(cnt)::DOUBLE AS t FROM vocab
+    )
+    SELECT doc_id, COUNT(*) AS n_tokens,
+           ROUND(AVG(ln(CAST(cnt AS DOUBLE) / t)), 6) AS avg_logprob
+    FROM tok JOIN vocab USING (token) CROSS JOIN total
+    GROUP BY doc_id
+    """,
+)
+def x4_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OP-X4 — per-document mean unigram log-probability under a model
+    trained on the corpus itself: the cheap stand-in for a KenLM-style
+    perplexity filter (low scorers are boilerplate-heavy or
+    out-of-distribution; CCNet-style pipelines gate on exactly this
+    signal).
+
+    Two aggregations over one token stream: vocabulary counts (token →
+    cnt, map-side combinable) and a per-document average of
+    ``ln(cnt / T)`` after joining the counts back. The vocabulary is
+    Zipf-bounded (≪ corpus size) → broadcast back to the token stream,
+    so the scoring pass is shuffle-free at 100 TB; only the per-doc
+    groupBy shuffles, keyed on the high-cardinality doc_id.
+    """
+    d = _t(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(tokens_col("text")).alias("token"))
+    vocab = tok.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+    total = vocab.agg(F.sum("cnt").cast("double").alias("t"))
+    lp = F.log(F.col("cnt").cast("double") / F.col("t"))
+    return (tok.join(F.broadcast(vocab), "token")
+               .crossJoin(F.broadcast(total))
+               .groupBy("doc_id")
+               .agg(F.count(F.lit(1)).alias("n_tokens"),
+                    F.round(F.avg(lp), 6).alias("avg_logprob")))
+
+
+# ---------------------------------------------------------------------------
+# OP-X3 — ANN recall observability report
+# ---------------------------------------------------------------------------
+
+@register(
+    "x3_recall_report",
+    oracle=f"""
+    WITH v AS (
+      SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+    ),
+    n AS (
+      SELECT vec_id, e, sqrt({_sql_dot('e', 'e')}) AS nrm FROM v
+    ),
+    bf AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY a.vec_id
+                 ORDER BY {_sql_dot('a.e', 'b.e')} / (a.nrm * b.nrm)
+                   DESC, b.vec_id) AS rn
+        FROM n a JOIN n b ON a.vec_id <> b.vec_id
+      ) WHERE rn <= 3
+    ),
+    planes(p, w) AS (VALUES {_SQL_LSH_PLANES}),
+    sig AS (
+      SELECT vec_id,
+             string_agg(CASE WHEN {_sql_dot('e', 'w')} >= 0
+                        THEN '1' ELSE '0' END, '' ORDER BY p) AS bucket
+      FROM n CROSS JOIN planes GROUP BY vec_id
+    ),
+    b AS (
+      SELECT n.vec_id, n.e, n.nrm, s.bucket
+      FROM n JOIN sig s USING (vec_id)
+    ),
+    lsh AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT a.vec_id AS query_id, c.vec_id AS neighbor_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY a.vec_id
+                 ORDER BY {_sql_dot('a.e', 'c.e')} / (a.nrm * c.nrm)
+                   DESC, c.vec_id) AS rn
+        FROM b a JOIN b c
+          ON a.bucket = c.bucket AND a.vec_id <> c.vec_id
+      ) WHERE rn <= 3
+    )
+    SELECT bf.query_id, COUNT(*) AS n_true,
+           COALESCE(SUM(CASE WHEN lsh.neighbor_id IS NOT NULL
+                             THEN 1 ELSE 0 END), 0) AS n_hit,
+           ROUND(SUM(CASE WHEN lsh.neighbor_id IS NOT NULL
+                          THEN 1 ELSE 0 END) / COUNT(*), 6) AS recall
+    FROM bf LEFT JOIN lsh
+      ON bf.query_id = lsh.query_id
+     AND bf.neighbor_id = lsh.neighbor_id
+    GROUP BY bf.query_id
+    """,
+)
+def x3_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OP-X3 — per-query recall@3 of the LSH path against the
+    brute-force ground truth: the observability half of approximate
+    similarity search (an ANN index you can't measure is an ANN index
+    you can't trust). Composes the two registered X3 plans and joins
+    their top-3 sets; recall = |LSH ∩ true| / |true| per query vector.
+
+    Scale: ground truth at 100 TB comes from a sampled query subset
+    (the brute-force side is quadratic), but the report shape — join
+    on (query, neighbor), count hits per query — is scale-free.
+    """
+    bf = (x3_cosine_topk_bruteforce(spark, sf_dir)
+          .select("query_id", "neighbor_id"))
+    lsh = (x3_ann_lsh_topk(spark, sf_dir)
+           .select("query_id", "neighbor_id",
+                   F.lit(1).alias("hit")))
+    j = bf.join(lsh, ["query_id", "neighbor_id"], "left")
+    n_hit = F.sum(F.coalesce(F.col("hit"), F.lit(0)))
+    return (j.groupBy("query_id")
+             .agg(F.count(F.lit(1)).alias("n_true"),
+                  n_hit.alias("n_hit"),
+                  F.round(n_hit.cast("double")
+                          / F.count(F.lit(1)), 6).alias("recall")))

@@ -241,3 +241,64 @@ def x7_split_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
                  else split.when(cond, name))
     split = split.otherwise(_SPLITS[-1][0])
     return d.select("doc_id", "lang", split.alias("split"))
+
+
+# ---------------------------------------------------------------------------
+# OP-X7e — per-source token-budget cap
+# ---------------------------------------------------------------------------
+
+#: Token budget admitted per source (the "domain cap" of a web-corpus
+#: build: no single domain may dominate the training mix).
+_SOURCE_TOKEN_BUDGET = 20_000
+
+
+def _x7_budget_oracle() -> str:
+    from .extensions import SQL_TOKENS
+    return f"""
+    WITH base AS (
+      SELECT doc_id, source,
+             len({SQL_TOKENS}) AS n_tokens,
+             {_sql_coin('doc_id', 'cap')} AS coin
+      FROM documents
+    )
+    SELECT doc_id, source, n_tokens, cum_tokens FROM (
+      SELECT doc_id, source, n_tokens,
+             SUM(n_tokens) OVER (
+               PARTITION BY source ORDER BY coin, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS cum_tokens
+      FROM base
+    ) WHERE cum_tokens <= {_SOURCE_TOKEN_BUDGET}
+    """
+
+
+@register("x7_token_budget_cap", oracle=_x7_budget_oracle())
+def x7_token_budget_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OP-X7 — admit documents per source, in deterministic hash order,
+    until a per-source token budget is exhausted: the domain-cap step of
+    a corpus build (cap what any one source contributes to the mix).
+
+    A document is admitted iff the running token total *including
+    itself* fits the budget — a pure prefix-sum window over integer
+    token counts, so both engines agree exactly. Hash order (not
+    ingestion order) makes the admitted set stable under re-crawls and
+    repartitioning. One shuffle on ``source``; at 100 TB the window
+    partitions by source, which is exactly the key the cap is defined
+    over — skewed mega-sources are the capped ones, and the window
+    early-outs after the budget in the sense that downstream operators
+    only see the admitted prefix.
+    """
+    from pyspark.sql import Window
+    from .extensions import tokens_col
+
+    d = _t(spark, sf_dir, "documents")
+    base = d.select(
+        "doc_id", "source",
+        F.size(tokens_col("text")).alias("n_tokens"),
+        hash_coin(F.col("doc_id"), "cap").alias("coin"))
+    w = (Window.partitionBy("source")
+               .orderBy("coin", "doc_id")
+               .rowsBetween(Window.unboundedPreceding, 0))
+    return (base.withColumn("cum_tokens", F.sum("n_tokens").over(w))
+                .filter(F.col("cum_tokens") <= _SOURCE_TOKEN_BUDGET)
+                .select("doc_id", "source", "n_tokens", "cum_tokens"))

@@ -422,3 +422,46 @@ def t17_continuous_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.min("min_value").alias("min_value"),
                  F.max("max_value").alias("max_value"),
                  F.count(F.lit(1)).alias("n_active_hours")))
+
+
+# ---------------------------------------------------------------------------
+# OP-T18 — trending top-k per window (rank over a windowed aggregate)
+# ---------------------------------------------------------------------------
+
+@register(
+    "t18_trending_topk",
+    oracle="""
+    WITH hourly AS (
+      SELECT make_timestamp((epoch_us(ts) // 3600000000) * 3600000000)
+               AS window_start,
+             event_type, COUNT(*) AS n_events
+      FROM events
+      GROUP BY 1, 2
+    )
+    SELECT window_start, event_type, n_events, rnk FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY window_start
+        ORDER BY n_events DESC, event_type) AS rnk
+      FROM hourly
+    ) WHERE rnk <= 3
+    """,
+)
+def t18_trending_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OP-T18 — "trending now": top-3 event types per hourly window by
+    count — the rank-over-windowed-aggregate composition every
+    monitoring/leaderboard surface needs (tumbling agg → per-window
+    rank). Two stages: a map-side-combinable hash aggregation on
+    (window, type), then a rank window partitioned by the window start —
+    whose cardinality GROWS with stream length, so no single-partition
+    bottleneck at scale; ties break deterministically on event_type
+    (SURVEY.md §7 hard-part 4).
+    """
+    e = _t(spark, sf_dir, "events")
+    hourly = (e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+               .agg(F.count(F.lit(1)).alias("n_events"))
+               .select(F.col("w.start").alias("window_start"),
+                       "event_type", "n_events"))
+    rank_w = Window.partitionBy("window_start").orderBy(
+        F.col("n_events").desc(), "event_type")
+    return (hourly.withColumn("rnk", F.row_number().over(rank_w))
+                  .filter(F.col("rnk") <= 3))

@@ -427,3 +427,68 @@ def test_span_dedup_invariants(spark):
     # every rn==1 and the operator degrades gracefully)
     total_blocks = sum(r["n_blocks"] for r in rows)
     assert total_blocks > docs                     # multi-block docs exist
+
+
+def test_token_budget_cap_invariants(spark):
+    """Per-source totals respect the budget; admitted docs are the
+    hash-order prefix (no admitted doc sorts after a rejected one of
+    the same source)."""
+    from stock_data_warehouse_spark.plans.sampling import (
+        _SOURCE_TOKEN_BUDGET, x7_token_budget_cap,
+    )
+    out = x7_token_budget_cap(spark, SF)
+    per_source = (out.groupBy("source")
+                     .agg(F.max("cum_tokens").alias("mx")).collect())
+    assert per_source
+    assert all(r["mx"] <= _SOURCE_TOKEN_BUDGET for r in per_source)
+    # cum_tokens is a strictly increasing prefix sum within a source
+    rows = out.orderBy("source", "cum_tokens").collect()
+    prev = {}
+    for r in rows:
+        assert r["cum_tokens"] > prev.get(r["source"], 0)
+        prev[r["source"]] = r["cum_tokens"]
+
+
+def test_unigram_logprob_bounds(spark):
+    """Mean log-prob is strictly negative (every unigram probability is
+    < 1 for a vocabulary of ≥2 types) and n_tokens covers the corpus."""
+    from stock_data_warehouse_spark.plans.extensions import (
+        x4_unigram_logprob,
+    )
+    out = x4_unigram_logprob(spark, SF).collect()
+    assert out
+    assert all(r["avg_logprob"] < 0 for r in out)
+    assert all(r["n_tokens"] > 0 for r in out)
+
+
+def test_recall_report_bounds(spark):
+    """Recall is in [0,1], ground truth is exactly top-3 (N ≫ 3), and
+    hits never exceed truths."""
+    from stock_data_warehouse_spark.plans.extensions import (
+        x3_recall_report,
+    )
+    rows = x3_recall_report(spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert r["n_true"] == 3
+        assert 0 <= r["n_hit"] <= r["n_true"]
+        assert 0.0 <= r["recall"] <= 1.0
+
+
+def test_trending_topk_shape(spark):
+    """At most 3 ranked types per window, ranks are 1..k, counts are
+    non-increasing with rank."""
+    from stock_data_warehouse_spark.plans.timeseries import (
+        t18_trending_topk,
+    )
+    rows = t18_trending_topk(spark, SF).collect()
+    assert rows
+    by_w = {}
+    for r in rows:
+        by_w.setdefault(r["window_start"], []).append(r)
+    for grp in by_w.values():
+        grp.sort(key=lambda r: r["rnk"])
+        assert [r["rnk"] for r in grp] == list(range(1, len(grp) + 1))
+        assert len(grp) <= 3
+        counts = [r["n_events"] for r in grp]
+        assert counts == sorted(counts, reverse=True)
