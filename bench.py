@@ -46,6 +46,9 @@ HEADLINE = (
     "t4_tumbling_hourly",         # event-time tumbling window agg
     "q21_waiting_supplier",       # EXISTS/NOT-EXISTS decorrelated to 1 pass
     "x4_repetition_signals",      # Gopher repetition/diversity signals
+    "x4_unigram_logprob",         # corpus-trained unigram LM quality gate
+    "x7_token_budget_cap",        # per-source token-budget prefix sum
+    "t18_trending_topk",          # rank over tumbling window aggregate
 )
 
 

@@ -180,3 +180,38 @@ def test_q21_single_fact_scan(spark):
     )
     plan = _executed_plan(q21_waiting_supplier(spark, SF))
     assert plan.count("lineitem.parquet") == 1
+
+
+def test_token_budget_cap_single_exchange(spark):
+    """The per-source budget cap is one prefix-sum window over a
+    source-keyed sort: exactly one exchange, no join."""
+    from stock_data_warehouse_spark.plans.sampling import (
+        x7_token_budget_cap,
+    )
+    plan = _executed_plan(x7_token_budget_cap(spark, SF))
+    assert plan.count("Exchange") == 1, plan
+
+
+def test_unigram_logprob_broadcasts_vocab(spark):
+    """The vocabulary joins back to the token stream as a broadcast —
+    the scoring pass must NOT shuffle the exploded tokens for the
+    join (the only hash exchanges are the two aggregations)."""
+    from stock_data_warehouse_spark.plans.extensions import (
+        x4_unigram_logprob,
+    )
+    plan = _executed_plan(x4_unigram_logprob(spark, SF))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_trending_topk_partial_agg_before_rank(spark):
+    """Tumbling counts hash-aggregate with a map-side partial before
+    the exchange; the rank window partitions on window_start (never a
+    single global partition)."""
+    from stock_data_warehouse_spark.plans.timeseries import (
+        t18_trending_topk,
+    )
+    plan = _executed_plan(t18_trending_topk(spark, SF))
+    assert "HashAggregate" in plan, plan
+    assert "partial_count" in plan.lower() or "partial" in plan.lower(), plan
+    assert "SinglePartition" not in plan.split("Window")[0], plan
