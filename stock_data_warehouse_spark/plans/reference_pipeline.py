@@ -29,16 +29,14 @@ dims broadcast at any scale.
 
 from __future__ import annotations
 
-import datetime as _dt
-
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
-from pyspark.sql import types as T
 
 from ..functions.classify import (
     SECTOR_CONFIG, classify_sector, clamp_growth, sanitize_beta,
 )
 from ..functions.scalars import canonicalize_line, fx_pair, normalize_ticker
+from ..sources.tables import values_df
 from .registry import register
 
 # ---------------------------------------------------------------------------
@@ -249,66 +247,48 @@ LAST_UPDATED = "2026-01-02T00:00:00Z"
 # Fixture → Spark DataFrame builders
 # ---------------------------------------------------------------------------
 
-def _one_part(df: DataFrame) -> DataFrame:
-    """Fixture tables are metadata-sized: force one partition so every
-    downstream join broadcasts and no 32-task micro-stages appear (the
-    sf-scaled tables never pass through here)."""
-    return df.coalesce(1)
-
+# Fixtures plan as SQL VALUES LocalRelations (``values_df``): a
+# ``createDataFrame`` from Python tuples routes through an RDD whose
+# every action spawns Python workers — measured ~6 s PER ACTION on
+# local[32], dominating the whole pipeline (25 s → ~4 s after the
+# switch). A LocalRelation is driver-local, one partition, zero Python
+# processes, and every downstream join broadcasts it.
 
 def _lists_df(spark: SparkSession) -> DataFrame:
-    return _one_part(spark.createDataFrame(
-        TICKER_LISTS, "list_name string, position int, raw string"))
+    return values_df(spark, TICKER_LISTS,
+                     "list_name string, position int, raw string")
 
 
 def _info_df(spark: SparkSession) -> DataFrame:
-    schema = T.StructType(
-        [T.StructField("ticker", T.StringType(), False),
-         T.StructField("short_name", T.StringType()),
-         T.StructField("long_name", T.StringType()),
-         T.StructField("current_price", T.DoubleType()),
-         T.StructField("regular_market_price", T.DoubleType()),
-         T.StructField("previous_close", T.DoubleType()),
-         T.StructField("market_cap", T.LongType()),
-         T.StructField("shares_outstanding", T.LongType()),
-         T.StructField("beta", T.DoubleType()),
-         T.StructField("trailing_pe", T.DoubleType()),
-         T.StructField("peg_ratio", T.DoubleType()),
-         T.StructField("revenue_growth", T.DoubleType()),
-         T.StructField("forward_eps", T.DoubleType()),
-         T.StructField("return_on_equity", T.DoubleType()),
-         T.StructField("dividend_yield", T.DoubleType()),
-         T.StructField("sector", T.StringType()),
-         T.StructField("industry", T.StringType()),
-         T.StructField("financial_currency", T.StringType()),
-         T.StructField("book_value", T.DoubleType())])
-    return _one_part(spark.createDataFrame(INSTRUMENT_INFO, schema))
+    return values_df(spark, INSTRUMENT_INFO, (
+        "ticker string, short_name string, long_name string, "
+        "current_price double, regular_market_price double, "
+        "previous_close double, market_cap bigint, "
+        "shares_outstanding bigint, beta double, trailing_pe double, "
+        "peg_ratio double, revenue_growth double, forward_eps double, "
+        "return_on_equity double, dividend_yield double, sector string, "
+        "industry string, financial_currency string, book_value double"))
 
 
 def _prices_df(spark: SparkSession) -> DataFrame:
-    rows = [(t, _dt.date.fromisoformat(d), c) for t, d, c in PRICES]
-    return _one_part(spark.createDataFrame(
-        rows, "ticker string, ts date, close double"))
+    return values_df(spark, PRICES,
+                     "ticker string, ts date, close double")
 
 
 def _fx_df(spark: SparkSession) -> DataFrame:
-    return _one_part(spark.createDataFrame(
-        FX_RATES, "pair string, rate double"))
+    return values_df(spark, FX_RATES, "pair string, rate double")
 
 
 def _alias_df(spark: SparkSession) -> DataFrame:
-    return _one_part(spark.createDataFrame(
-        ALIAS_MAP,
-        "canonical string, statement string, kind string, "
-        "line_item string, priority int"))
+    return values_df(spark, ALIAS_MAP,
+                     "canonical string, statement string, kind string, "
+                     "line_item string, priority int")
 
 
 def _quarterly_df(spark: SparkSession) -> DataFrame:
-    rows = [(t, s, li, _dt.date.fromisoformat(q), v)
-            for t, s, li, q, v in QUARTERLY]
-    return _one_part(spark.createDataFrame(
-        rows, "ticker string, statement string, line_item string, "
-              "quarter_end date, value double"))
+    return values_df(spark, QUARTERLY,
+                     "ticker string, statement string, line_item string, "
+                     "quarter_end date, value double")
 
 
 # ---------------------------------------------------------------------------
