@@ -1,0 +1,61 @@
+"""Partitioning/AQE determinism — the SURVEY.md §8.1 claim as a test.
+
+A distributed plan is only correct at scale if its *values* don't
+depend on physical execution: shuffle partition count, AQE re-planning,
+task scheduling order. Every query here runs twice — once under the
+session default (4 shuffle partitions, AQE on) and once under 7
+partitions with AQE off — and must return the identical canonicalized
+row set. The sample deliberately spans the hazard classes: window
+tiebreaks, per-group top-k, hash dedup survivors, LSH bucketing,
+deterministic sampling, skew salting, prefix sums, FP aggregation
+(rounded columns).
+"""
+
+import math
+
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+SAMPLE = [
+    "j1_alias_precedence_lookup",   # window survivor under ties
+    "o2_pergroup_topk_orders",      # per-group top-k
+    "x1_exact_dedup",               # hash-dedup survivor
+    "x2_neardup_minhash_portable",  # banded minhash pairs
+    "x3_ann_lsh_topk",              # LSH buckets + cosine re-rank
+    "x7_stratified_mix",            # hash-coin sampling
+    "x7_token_budget_cap",          # per-source prefix sum
+    "w2_ranking_pack",              # rank/dense_rank/ntile
+    "a10_quantile_pack",            # exact percentiles
+    "j12_salted_skew_join",         # deterministic salt
+    "t18_trending_topk",            # rank over windowed agg
+    "x9_pack_contexts",             # cross-source prefix-sum packing
+]
+
+
+def _canon(df):
+    def cell(v):
+        if isinstance(v, float):
+            return "nan" if math.isnan(v) else f"{v:.12g}"
+        if isinstance(v, list):
+            return tuple(cell(x) for x in v)
+        return v
+    cols = sorted(df.columns)
+    return sorted(tuple(cell(r[c]) for c in cols) for r in df.collect())
+
+
+@pytest.mark.parametrize("name", SAMPLE)
+def test_values_survive_partitioning_and_aqe(spark, name):
+    from stock_data_warehouse_spark.plans.registry import query_fns
+    fn = query_fns()[name]
+    a = _canon(fn(spark, SF))
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    prev_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "7")
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        b = _canon(fn(spark, SF))
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
+    assert a == b
