@@ -399,3 +399,113 @@ def s9_sharded_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (mix.groupBy("shard")
                .agg(F.count(F.lit(1)).alias("n_docs"),
                     F.sum(F.length("text")).alias("n_chars")))
+
+
+# ---------------------------------------------------------------------------
+# OP-S10 — versioned publish (read-as-of + version diff)
+# ---------------------------------------------------------------------------
+
+def publish_versioned(spark: SparkSession, df: DataFrame,
+                      target_dir: str) -> tuple[int, bool]:
+    """Append-only versioned publish: each *changed* snapshot lands as a
+    new hive-style partition ``{target}/v={N}``; an unchanged publish is
+    a no-op (returns the current version) — the Spark form of the
+    reference's git history, where every data change is one commit and
+    identical refreshes produce no commit (update.yml:33-39).
+
+    The layout IS the time-travel API: ``spark.read.parquet(target)``
+    exposes a ``v`` partition column, so read-as-of is a partition-
+    pruned filter and a cross-version diff is a self-join of two pruned
+    scans. Change detection compares content hashes in BOTH directions
+    (adds/updates AND deletes), moving 32-byte hashes only. Writes are
+    atomic: stage to a dot-dir (ignored by partition discovery), rename
+    into place.
+
+    Returns ``(version, wrote)``.
+    """
+    import glob
+    import shutil
+
+    os.makedirs(target_dir, exist_ok=True)
+    versions = sorted(
+        int(p.rsplit("=", 1)[1])
+        for p in glob.glob(os.path.join(target_dir, "v=*")))
+    cur = versions[-1] if versions else 0
+    new_hashed = _content_hash(df)
+    if cur:
+        old_hashed = _content_hash(
+            spark.read.parquet(os.path.join(target_dir, f"v={cur}")))
+        n_delta = (
+            new_hashed.join(old_hashed.select("_hash"),
+                            "_hash", "left_anti").count()
+            + old_hashed.join(new_hashed.select("_hash"),
+                              "_hash", "left_anti").count())
+        if n_delta == 0:
+            return cur, False
+    staging = os.path.join(target_dir, f".staging_v{cur + 1}")
+    df.write.mode("overwrite").parquet(staging)
+    final = os.path.join(target_dir, f"v={cur + 1}")
+    if os.path.exists(final):
+        shutil.rmtree(final)
+    os.rename(staging, final)
+    return cur + 1, True
+
+
+def read_version(spark: SparkSession, target_dir: str,
+                 version: int | None = None) -> DataFrame:
+    """Read one published version (default: latest). A filter on the
+    ``v`` partition column — only that version's files are scanned."""
+    import glob
+
+    if version is None:
+        version = max(
+            int(p.rsplit("=", 1)[1])
+            for p in glob.glob(os.path.join(target_dir, "v=*")))
+    return (spark.read.parquet(target_dir)
+            .filter(F.col("v") == version).drop("v"))
+
+
+@register(
+    "s10_versioned_publish",
+    oracle="""
+    SELECT CAST(1 AS INT) AS version,
+           COUNT(*) AS n_rows, COUNT(*) AS n_changed
+    FROM customer
+    UNION ALL
+    SELECT CAST(2 AS INT),
+           COUNT(*),
+           (SELECT COUNT(*) FROM customer WHERE c_nationkey = 3)
+    FROM customer
+    """,
+)
+def s10_versioned_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OP-S10 — the versioned-publish loop end-to-end: v1 = base
+    snapshot; v2 = snapshot with nation-3 balances restated; a third,
+    identical publish which must NOT mint a version. The report reads
+    the versioned layout back (partition column ``v``) and diffs
+    consecutive versions by content-hash anti-join — the oracle states
+    the expected row/change counts per version, and the third publish
+    being a no-op is checked structurally (the result has exactly two
+    version rows)."""
+    c = (load_table(spark, sf_dir, "customer")
+         .select("c_custkey", "c_name", "c_nationkey", "c_acctbal"))
+    c2 = c.withColumn(
+        "c_acctbal",
+        F.when(F.col("c_nationkey") == 3, F.col("c_acctbal") + 100.0)
+         .otherwise(F.col("c_acctbal")))
+    target = tempfile.mkdtemp(prefix="versioned_")
+    publish_versioned(spark, c, target)
+    publish_versioned(spark, c2, target)
+    publish_versioned(spark, c2, target)  # identical → no new version
+
+    allv = spark.read.parquet(target)
+    counts = (allv.groupBy(F.col("v").cast("int").alias("version"))
+                  .agg(F.count(F.lit(1)).alias("n_rows")))
+    data_cols = sorted(c for c in allv.columns if c != "v")
+    hashed = allv.select(
+        "v", F.sha2(F.to_json(F.struct(*data_cols)), 256).alias("_hash"))
+    prev = hashed.select((F.col("v") + 1).alias("v"), "_hash")
+    changed = (hashed.join(prev, ["v", "_hash"], "left_anti")
+                     .groupBy(F.col("v").cast("int").alias("version"))
+                     .agg(F.count(F.lit(1)).alias("n_changed")))
+    return counts.join(changed, "version")

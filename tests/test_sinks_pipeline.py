@@ -153,3 +153,29 @@ def test_sharded_export_files_match_manifest(spark, tmp_path):
             os.path.join(out2, f"shard-{sh}.jsonl")).read().splitlines())
         assert lines1 == lines2  # deterministic re-export
         assert all("doc_id" in json.loads(l) for l in lines1[:3])
+
+
+def test_versioned_publish_mints_only_on_change(spark, tmp_path):
+    """v1 then changed v2 then identical republish: exactly two version
+    partitions exist, read-as-of returns each snapshot, latest = v2."""
+    import os
+    from pyspark.sql import functions as F
+    from stock_data_warehouse_spark.sources.sinks import (
+        publish_versioned, read_version,
+    )
+    df1 = spark.range(5).select(
+        F.col("id").alias("k"), (F.col("id") * 10).alias("val"))
+    df2 = df1.withColumn(
+        "val", F.when(F.col("k") == 2, 999).otherwise(F.col("val")))
+    target = str(tmp_path / "versions")
+    assert publish_versioned(spark, df1, target) == (1, True)
+    assert publish_versioned(spark, df1, target) == (1, False)  # no-op
+    assert publish_versioned(spark, df2, target) == (2, True)
+    assert publish_versioned(spark, df2, target) == (2, False)  # no-op
+    assert sorted(d for d in os.listdir(target)
+                  if d.startswith("v=")) == ["v=1", "v=2"]
+    v1 = {(r["k"], r["val"]) for r in read_version(spark, target, 1).collect()}
+    latest = {(r["k"], r["val"])
+              for r in read_version(spark, target).collect()}
+    assert (2, 20) in v1 and (2, 999) in latest
+    assert len(v1) == len(latest) == 5
