@@ -509,3 +509,76 @@ def s10_versioned_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
                      .groupBy(F.col("v").cast("int").alias("version"))
                      .agg(F.count(F.lit(1)).alias("n_changed")))
     return counts.join(changed, "version")
+
+
+# ---------------------------------------------------------------------------
+# OP-S11 — small-files compaction (table maintenance)
+# ---------------------------------------------------------------------------
+
+def compact_table(spark: SparkSession, path: str, n_files: int,
+                  sort_col: str) -> None:
+    """Rewrite a fragmented parquet directory into ``n_files``
+    range-partitioned, internally-sorted files and atomically swap them
+    in. Range partitioning gives non-overlapping ``sort_col`` intervals
+    per file, so a filtered scan prunes to one file by footer min/max
+    stats — the OPTIMIZE/clustering maintenance step every long-lived
+    100 TB table needs after many incremental publishes.
+    """
+    import shutil
+
+    df = spark.read.parquet(path)
+    staging = path.rstrip("/") + ".compact_staging"
+    (df.repartitionByRange(n_files, F.col(sort_col))
+       .sortWithinPartitions(sort_col)
+       .write.mode("overwrite").parquet(staging))
+    shutil.rmtree(path)
+    os.rename(staging, path)
+
+
+@register(
+    "s11_compaction_report",
+    oracle="""
+    SELECT CAST(64 AS BIGINT) AS n_files_before,
+           CAST(4 AS BIGINT) AS n_files_after,
+           CAST(0 AS BIGINT) AS n_overlapping_ranges,
+           (SELECT COUNT(*) FROM customer) AS n_rows
+    """,
+)
+def s11_compaction_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OP-S11 — compaction end-to-end: fragment the customer snapshot
+    into 64 round-robin files (every file spans the whole key
+    range — the worst case incremental publishes converge to), compact
+    to 4 range-partitioned files, and report what the maintenance
+    bought: file count 64→4, ZERO overlapping custkey ranges between
+    output files (each is footer-prunable), and row-for-row
+    preservation. File ranges are measured from the data itself
+    (``input_file_name`` + per-file min/max), and the overlap count is
+    a self-join of the 4-row range relation — all distributed, no
+    footer snooping on the driver."""
+    c = load_table(spark, sf_dir, "customer")
+    target = os.path.join(tempfile.mkdtemp(prefix="compact_"), "t")
+    # round-robin: even spread means all 64 partitions are non-empty at
+    # every SF (hash-on-key left empty buckets at sf0.001's 150 rows)
+    c.repartition(64).write.parquet(target)
+    before = (spark.read.parquet(target)
+              .select(F.input_file_name().alias("f"))
+              .agg(F.countDistinct("f").alias("n")).collect()[0]["n"])
+    compact_table(spark, target, 4, "c_custkey")
+    after_df = spark.read.parquet(target)
+    ranges = (after_df
+              .select(F.input_file_name().alias("f"), "c_custkey")
+              .groupBy("f")
+              .agg(F.min("c_custkey").alias("lo"),
+                   F.max("c_custkey").alias("hi")))
+    a, b = ranges.alias("a"), ranges.alias("b")
+    overlaps = a.join(
+        b, (F.col("a.f") < F.col("b.f"))
+        & (F.col("a.lo") <= F.col("b.hi"))
+        & (F.col("b.lo") <= F.col("a.hi")))
+    return (after_df.agg(F.count(F.lit(1)).alias("n_rows"))
+            .select(
+                F.lit(before).cast("long").alias("n_files_before"),
+                F.lit(ranges.count()).cast("long").alias("n_files_after"),
+                F.lit(overlaps.count()).cast("long")
+                 .alias("n_overlapping_ranges"),
+                "n_rows"))
