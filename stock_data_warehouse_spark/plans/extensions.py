@@ -2309,7 +2309,9 @@ def x2_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT SUM(cnt)::DOUBLE AS t FROM vocab
     )
     SELECT doc_id, COUNT(*) AS n_tokens,
-           ROUND(AVG(ln(CAST(cnt AS DOUBLE) / t)), 6) AS avg_logprob
+           CAST(ROUND(CAST(AVG(ln(CAST(cnt AS DOUBLE) / t))
+                           AS DECIMAL(38,10)), 6) AS DOUBLE)
+             AS avg_logprob
     FROM tok JOIN vocab USING (token) CROSS JOIN total
     GROUP BY doc_id
     """,
@@ -2337,7 +2339,13 @@ def x4_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
                .crossJoin(F.broadcast(total))
                .groupBy("doc_id")
                .agg(F.count(F.lit(1)).alias("n_tokens"),
-                    F.round(F.avg(lp), 6).alias("avg_logprob")))
+                    # decimal-routed rounding: the mean of logs is a
+                    # partial-order-dependent double sum; routing the
+                    # ROUND through DECIMAL keeps a near-boundary value
+                    # on the same side in both engines (SURVEY.md §7
+                    # hard-parts 1+7)
+                    F.round(F.avg(lp).cast("decimal(38,10)"), 6)
+                     .cast("double").alias("avg_logprob")))
 
 
 # ---------------------------------------------------------------------------

@@ -435,11 +435,16 @@ def publish_versioned(spark: SparkSession, df: DataFrame,
     if cur:
         old_hashed = _content_hash(
             spark.read.parquet(os.path.join(target_dir, f"v={cur}")))
+        # Compare hash MULTISETS, not sets: per-hash counts catch a
+        # snapshot that differs only in duplicate multiplicity, which
+        # a plain bidirectional anti-join would call unchanged.
+        new_counts = new_hashed.groupBy("_hash").count()
+        old_counts = old_hashed.groupBy("_hash").count()
         n_delta = (
-            new_hashed.join(old_hashed.select("_hash"),
-                            "_hash", "left_anti").count()
-            + old_hashed.join(new_hashed.select("_hash"),
-                              "_hash", "left_anti").count())
+            new_counts.join(old_counts, ["_hash", "count"],
+                            "left_anti").count()
+            + old_counts.join(new_counts, ["_hash", "count"],
+                              "left_anti").count())
         if n_delta == 0:
             return cur, False
     staging = os.path.join(target_dir, f".staging_v{cur + 1}")
@@ -458,9 +463,13 @@ def read_version(spark: SparkSession, target_dir: str,
     import glob
 
     if version is None:
-        version = max(
-            int(p.rsplit("=", 1)[1])
-            for p in glob.glob(os.path.join(target_dir, "v=*")))
+        versions = [int(p.rsplit("=", 1)[1])
+                    for p in glob.glob(os.path.join(target_dir, "v=*"))]
+        if not versions:
+            raise FileNotFoundError(
+                f"no published versions under {target_dir!r} "
+                "(publish_versioned has not run, or wrong path)")
+        version = max(versions)
     return (spark.read.parquet(target_dir)
             .filter(F.col("v") == version).drop("v"))
 
@@ -518,8 +527,9 @@ def s10_versioned_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
 def compact_table(spark: SparkSession, path: str, n_files: int,
                   sort_col: str) -> None:
     """Rewrite a fragmented parquet directory into ``n_files``
-    range-partitioned, internally-sorted files and atomically swap them
-    in. Range partitioning gives non-overlapping ``sort_col`` intervals
+    range-partitioned, internally-sorted files and swap them in via
+    paired renames (never a window where the table is deleted with the
+    rewrite stranded). Range partitioning gives non-overlapping ``sort_col`` intervals
     per file, so a filtered scan prunes to one file by footer min/max
     stats — the OPTIMIZE/clustering maintenance step every long-lived
     100 TB table needs after many incremental publishes.
@@ -527,12 +537,21 @@ def compact_table(spark: SparkSession, path: str, n_files: int,
     import shutil
 
     df = spark.read.parquet(path)
-    staging = path.rstrip("/") + ".compact_staging"
+    base = path.rstrip("/")
+    staging = base + ".compact_staging"
     (df.repartitionByRange(n_files, F.col(sort_col))
        .sortWithinPartitions(sort_col)
        .write.mode("overwrite").parquet(staging))
-    shutil.rmtree(path)
+    # Swap via two renames (old aside, staging in, then delete): the
+    # table path is only ever one rename away from existing, and a
+    # crash mid-swap leaves the data recoverable in a sibling dir —
+    # never a deleted table with the rewrite stranded in staging.
+    retired = base + ".compact_old"
+    if os.path.exists(retired):
+        shutil.rmtree(retired)
+    os.rename(path, retired)
     os.rename(staging, path)
+    shutil.rmtree(retired)
 
 
 @register(

@@ -51,18 +51,26 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        from pyspark.sql import functions as F
-        if dict(df.dtypes)["ts"] == "bigint":  # TIMESTAMP(NANOS) file
-            ts = F.timestamp_micros(F.expr("ts div 1000"))
-            ts_ns = F.col("ts")
-        else:  # TIMESTAMP(MICROS) file → TIMESTAMP_NTZ (session is UTC)
-            ts = F.col("ts").cast("timestamp")
-            ts_ns = F.unix_micros(F.col("ts").cast("timestamp")) * 1000
+        ts, ts_ns = event_ts_cols(dict(df.dtypes)["ts"])
         return df.select(
             "event_id", ts.alias("ts"), ts_ns.alias("ts_ns"),
             "user_id", "event_type", "value", "props",
         )
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def event_ts_cols(ts_dtype: str):
+    """(ts timestamp, ts_ns bigint) rebuild expressions for whichever
+    encoding ``events.ts`` arrived in — shared by the batch loader and
+    the streaming source so the two can never diverge. Callers MUST pin
+    the session timezone to UTC first: the micros branch casts
+    TIMESTAMP_NTZ wall-clock through the session zone."""
+    from pyspark.sql import functions as F
+    if ts_dtype == "bigint":  # TIMESTAMP(NANOS) file via nanosAsLong
+        return (F.timestamp_micros(F.expr("ts div 1000")), F.col("ts"))
+    # TIMESTAMP(MICROS) file → TIMESTAMP_NTZ
+    ts = F.col("ts").cast("timestamp")
+    return ts, F.unix_micros(ts) * 1000
 
 
 def load_tables(spark: SparkSession, sf_dir: str,

@@ -70,21 +70,22 @@ def events_stream(spark: SparkSession, sf_dir: str,
     dir (at scale the source would be a real landing directory and new
     files arrive per micro-batch).
     """
+    from ..sources.tables import event_ts_cols
+
     stage = tempfile.mkdtemp(prefix="events_stream_")
     os.symlink(f"{sf_dir}/events.parquet", f"{stage}/events.parquet")
+    # Same read-time pins as the batch loader (sources/tables.py): the
+    # micros branch casts NTZ wall-clock through the session zone, so a
+    # non-UTC driver session would shift every event time without this.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    ts_type = spark.read.parquet(f"{stage}/events.parquet") \
-        .schema["ts"].dataType
+    batch = spark.read.parquet(f"{stage}/events.parquet")
+    ts_type = batch.schema["ts"].dataType
     raw = (spark.readStream
            .schema(_events_stream_schema(ts_type))
            .option("maxFilesPerTrigger", str(max_files_per_trigger))
            .parquet(stage))
-    if isinstance(ts_type, T.LongType):  # TIMESTAMP(NANOS) file
-        ts = F.timestamp_micros(F.expr("ts div 1000"))
-        ts_ns = F.col("ts")
-    else:  # TIMESTAMP(MICROS) file → TIMESTAMP_NTZ (session is UTC)
-        ts = F.col("ts").cast("timestamp")
-        ts_ns = F.unix_micros(F.col("ts").cast("timestamp")) * 1000
+    ts, ts_ns = event_ts_cols(dict(batch.dtypes)["ts"])
     return raw.select(
         "event_id", ts.alias("ts"), ts_ns.alias("ts_ns"),
         "user_id", "event_type", "value", "props")

@@ -30,6 +30,7 @@ SAMPLE = [
     "j12_salted_skew_join",         # deterministic salt
     "t18_trending_topk",            # rank over windowed agg
     "x9_pack_contexts",             # cross-source prefix-sum packing
+    "x4_unigram_logprob",           # FP log-sum mean, decimal-rounded
 ]
 
 

@@ -179,3 +179,16 @@ def test_versioned_publish_mints_only_on_change(spark, tmp_path):
               for r in read_version(spark, target).collect()}
     assert (2, 20) in v1 and (2, 999) in latest
     assert len(v1) == len(latest) == 5
+
+
+def test_versioned_publish_detects_duplicate_multiplicity(spark, tmp_path):
+    """A snapshot differing only in duplicate row count must mint a new
+    version (hash-set comparison alone would call it unchanged)."""
+    from pyspark.sql import functions as F
+    from stock_data_warehouse_spark.sources.sinks import publish_versioned
+    df1 = spark.range(3).select(F.col("id").alias("k"))
+    df_dup = df1.union(df1.filter(F.col("k") == 1))  # same set, 4 rows
+    target = str(tmp_path / "versions_dup")
+    assert publish_versioned(spark, df1, target) == (1, True)
+    assert publish_versioned(spark, df_dup, target) == (2, True)
+    assert publish_versioned(spark, df_dup, target) == (2, False)
