@@ -2427,3 +2427,57 @@ def x3_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
                   n_hit.alias("n_hit"),
                   F.round(n_hit.cast("double")
                           / F.count(F.lit(1)), 6).alias("recall")))
+
+
+# ---------------------------------------------------------------------------
+# OP-X1 — incremental dedup (arrivals vs published corpus)
+# ---------------------------------------------------------------------------
+
+@register(
+    "x1_incremental_dedup",
+    oracle="""
+    WITH corpus AS (
+      SELECT DISTINCT md5(text) AS h FROM documents WHERE doc_id < 400
+    ),
+    arrivals AS (
+      SELECT doc_id, md5(text) AS h FROM documents WHERE doc_id >= 400
+    ),
+    ranked AS (
+      SELECT doc_id, h,
+             ROW_NUMBER() OVER (PARTITION BY h ORDER BY doc_id) AS rn,
+             h IN (SELECT h FROM corpus) AS in_corpus
+      FROM arrivals
+    )
+    SELECT doc_id,
+           CASE WHEN in_corpus THEN 'dup_of_corpus'
+                WHEN rn > 1 THEN 'dup_in_batch'
+                ELSE 'new' END AS verdict
+    FROM ranked
+    """,
+)
+def x1_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OP-X1 (incremental form) — dedup a batch of arrivals against the
+    already-published corpus WITHOUT re-processing the corpus: at 100 TB
+    you never re-dedup the warehouse, you anti-join the day's arrivals
+    against its hash index. Three verdicts per arrival: collides with
+    the corpus, collides with an earlier arrival in the same batch
+    (deterministic min-doc_id survivor), or genuinely new. Only 16-byte
+    hashes of the corpus move (and at scale that side is a pre-built
+    index, not a scan); the window partitions on the hash — unbounded
+    cardinality.
+    """
+    d = _t(spark, sf_dir, "documents")
+    corpus_h = (d.filter(F.col("doc_id") < 400)
+                 .select(F.md5("text").alias("h")).distinct()
+                 .withColumn("in_corpus", F.lit(True)))
+    arrivals = (d.filter(F.col("doc_id") >= 400)
+                 .select("doc_id", F.md5("text").alias("h")))
+    w = Window.partitionBy("h").orderBy("doc_id")
+    return (arrivals
+            .join(corpus_h, "h", "left")
+            .withColumn("rn", F.row_number().over(w))
+            .select(
+                "doc_id",
+                F.when(F.col("in_corpus"), "dup_of_corpus")
+                 .when(F.col("rn") > 1, "dup_in_batch")
+                 .otherwise("new").alias("verdict")))
