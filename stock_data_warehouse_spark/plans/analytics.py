@@ -396,3 +396,122 @@ def t13_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
                        F.lit("MACHINERY").alias("mktsegment")))
     return merge_into(base, upd_del.unionByName(ins), "custkey",
                       ["name", "acctbal", "mktsegment"])
+
+
+# ---------------------------------------------------------------------------
+# Time-spine linear interpolation
+# ---------------------------------------------------------------------------
+
+@register(
+    "t19_interpolate_gaps",
+    oracle="""
+    WITH bounds AS (
+      SELECT make_timestamp((epoch_us(MIN(ts)) // 3600000000)
+                            * 3600000000) AS lo,
+             make_timestamp((epoch_us(MAX(ts)) // 3600000000)
+                            * 3600000000) AS hi
+      FROM events
+    ),
+    spine AS (
+      SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour
+      FROM bounds
+    ),
+    types AS (SELECT DISTINCT event_type FROM events),
+    agg AS (
+      SELECT event_type,
+             make_timestamp((epoch_us(ts) // 3600000000) * 3600000000)
+               AS hour,
+             CAST(ROUND(CAST(AVG(value) AS DECIMAL(38,10)), 6)
+                  AS DOUBLE) AS v
+      FROM events GROUP BY 1, 2
+    ),
+    g AS (
+      SELECT t.event_type, s.hour, a.v
+      FROM types t CROSS JOIN spine s
+      LEFT JOIN agg a ON a.event_type = t.event_type
+                     AND a.hour = s.hour
+    ),
+    w AS (
+      SELECT event_type, hour, v,
+             last_value(v IGNORE NULLS) OVER (
+               PARTITION BY event_type ORDER BY hour
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+             last_value(CASE WHEN v IS NOT NULL THEN hour END
+                        IGNORE NULLS) OVER (
+               PARTITION BY event_type ORDER BY hour
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ph,
+             first_value(v IGNORE NULLS) OVER (
+               PARTITION BY event_type ORDER BY hour
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+             first_value(CASE WHEN v IS NOT NULL THEN hour END
+                         IGNORE NULLS) OVER (
+               PARTITION BY event_type ORDER BY hour
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nh
+      FROM g
+    )
+    SELECT event_type, hour,
+           CAST(ROUND(CAST(
+             CASE WHEN v IS NOT NULL THEN v
+                  WHEN pv IS NOT NULL AND nv IS NOT NULL THEN
+                    pv + (nv - pv)
+                       * (CAST(epoch_us(hour) - epoch_us(ph) AS DOUBLE)
+                          / (epoch_us(nh) - epoch_us(ph)))
+                  ELSE COALESCE(pv, nv) END
+             AS DECIMAL(38,10)), 6) AS DOUBLE) AS value_filled,
+           v IS NULL AS is_interpolated
+    FROM w
+    """,
+)
+def t19_interpolate_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear interpolation over the dense hourly spine — the other
+    standard resample mode next to t9's zero-fill: an hour with no
+    observations for a series gets the straight line between its last
+    observed and next observed hourly averages (edges clamp to the
+    nearest observation). Four IGNORE-NULLS window passes over ONE
+    (event_type | hour) sort; the interpolation arithmetic and its
+    decimal-routed rounding are expression-identical to the oracle.
+
+    Scale: the series key here is the 5-value event_type, but in
+    production the partition key is (entity, metric) — unbounded
+    cardinality; the per-series ordered scan is the irreducible shape
+    of interpolation, and rows per series are bounded by the time
+    range, not the corpus.
+    """
+    e = _t(spark, sf_dir, "events")
+
+    def hour_floor(c):
+        us = F.unix_micros(c)
+        return F.timestamp_micros(us - F.pmod(us, F.lit(3_600_000_000)))
+
+    agg = (e.groupBy("event_type", hour_floor(F.col("ts")).alias("hour"))
+            .agg(F.round(F.avg("value").cast("decimal(38,10)"), 6)
+                  .cast("double").alias("v")))
+    bounds = e.agg(hour_floor(F.min("ts")).alias("lo"),
+                   hour_floor(F.max("ts")).alias("hi"))
+    spine = bounds.select(
+        F.explode(F.sequence("lo", "hi",
+                             F.expr("INTERVAL 1 HOUR"))).alias("hour"))
+    types = e.select("event_type").distinct()
+    grid = F.broadcast(types.crossJoin(spine))
+    g = grid.join(agg, ["event_type", "hour"], "left")
+
+    w_prev = (Window.partitionBy("event_type").orderBy("hour")
+              .rowsBetween(Window.unboundedPreceding, 0))
+    w_next = (Window.partitionBy("event_type").orderBy("hour")
+              .rowsBetween(0, Window.unboundedFollowing))
+    obs_hour = F.when(F.col("v").isNotNull(), F.col("hour"))
+    g = (g.withColumn("pv", F.last("v", True).over(w_prev))
+          .withColumn("ph", F.last(obs_hour, True).over(w_prev))
+          .withColumn("nv", F.first("v", True).over(w_next))
+          .withColumn("nh", F.first(obs_hour, True).over(w_next)))
+    frac = ((F.unix_micros("hour") - F.unix_micros("ph")).cast("double")
+            / (F.unix_micros("nh") - F.unix_micros("ph")))
+    filled = (F.when(F.col("v").isNotNull(), F.col("v"))
+               .when(F.col("pv").isNotNull() & F.col("nv").isNotNull(),
+                     F.col("pv") + (F.col("nv") - F.col("pv")) * frac)
+               .otherwise(F.coalesce("pv", "nv")))
+    return g.select(
+        "event_type", "hour",
+        F.round(filled.cast("decimal(38,10)"), 6)
+         .cast("double").alias("value_filled"),
+        F.col("v").isNull().alias("is_interpolated"))

@@ -93,3 +93,33 @@ def test_continuous_rollup_matches_direct_daily(spark):
         assert l["min_value"] == r["min_value"]
         assert l["max_value"] == r["max_value"]
         assert 1 <= l["n_active_hours"] <= 24
+
+
+def test_interpolation_bounded_by_neighbors(spark):
+    """Interpolated points lie within [min, max] of their surrounding
+    observations; observed points pass through unchanged; the grid is
+    dense (n_types x n_hours rows)."""
+    from stock_data_warehouse_spark.plans.analytics import (
+        t9_gapfill_hourly, t19_interpolate_gaps,
+    )
+    out = t19_interpolate_gaps(spark, SF)
+    rows = out.orderBy("event_type", "hour").collect()
+    assert rows
+    n_hours = t9_gapfill_hourly(spark, SF).count()
+    n_types = (spark.read.parquet(f"{SF}/events.parquet")
+               .select("event_type").distinct().count())
+    assert len(rows) == n_hours * n_types
+    by_type = {}
+    for r in rows:
+        by_type.setdefault(r["event_type"], []).append(r)
+    for series in by_type.values():
+        observed = [(i, r["value_filled"]) for i, r in enumerate(series)
+                    if not r["is_interpolated"]]
+        assert observed
+        for i, r in enumerate(series):
+            if not r["is_interpolated"]:
+                continue
+            prev = [v for j, v in observed if j < i]
+            nxt = [v for j, v in observed if j > i]
+            lo_hi = ([prev[-1]] if prev else []) + ([nxt[0]] if nxt else [])
+            assert min(lo_hi) - 1e-9 <= r["value_filled"] <= max(lo_hi) + 1e-9
