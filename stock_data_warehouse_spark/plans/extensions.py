@@ -2481,3 +2481,81 @@ def x1_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.when(F.col("in_corpus"), "dup_of_corpus")
                  .when(F.col("rn") > 1, "dup_in_batch")
                  .otherwise("new").alias("verdict")))
+
+
+# ---------------------------------------------------------------------------
+# OP-X2 — containment similarity (asymmetric near-dup)
+# ---------------------------------------------------------------------------
+
+@register(
+    "x2_containment_pairs",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {SQL_TOKENS} AS t FROM documents
+    ),
+    sh AS (
+      SELECT doc_id, {SQL_SHINGLES} AS s FROM toks
+    ),
+    tok AS (SELECT doc_id, len(s) AS n, unnest(s) AS shingle FROM sh
+            WHERE len(s) > 0),
+    cpairs AS (
+      SELECT a.doc_id AS doc_small, b.doc_id AS doc_big,
+             COUNT(*) AS n_common,
+             MIN(a.n) AS n_small, MIN(b.n) AS n_big
+      FROM tok a JOIN tok b
+        ON a.shingle = b.shingle AND a.doc_id <> b.doc_id
+       AND (a.n < b.n OR (a.n = b.n AND a.doc_id < b.doc_id))
+      GROUP BY 1, 2
+    )
+    SELECT doc_small, doc_big, n_common,
+           ROUND(CAST(n_common AS DOUBLE) / n_small, 6) AS containment,
+           ROUND(CAST(n_common AS DOUBLE)
+                 / (n_small + n_big - n_common), 6) AS jaccard
+    FROM cpairs
+    WHERE CAST(n_common AS DOUBLE) / n_small >= 0.9
+    """,
+)
+def x2_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OP-X2 (asymmetric form) — containment |A∩B| / |A| ≥ 0.9 for the
+    smaller document A: the measure that catches a document wholly
+    quoted inside a much larger one, where symmetric Jaccard dilutes
+    below any threshold (on this synthetic corpus the caught pairs
+    coincide with near-clones, so Jaccard is reported alongside for
+    contrast). Same inverted-index join as the Jaccard form (cost
+    Σ df(shingle)², never all-pairs); the smaller-doc side is fixed by
+    a (size, id) total order so each pair appears exactly once.
+    """
+    return containment_pairs(_t(spark, sf_dir, "documents"))
+
+
+def containment_pairs(d: DataFrame, threshold: float = 0.9) -> DataFrame:
+    """The x2_containment_pairs body over any (doc_id, text) relation —
+    factored out so the asymmetric-catch semantics (true subset with
+    diluted Jaccard) are unit-testable beyond the synthetic corpus."""
+    spark = d.sparkSession
+    sh = d.select(
+        "doc_id", shingles_col(tokens_col("text")).alias("s")) \
+         .repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    tok = (sh.select("doc_id", F.size("s").alias("n"),
+                     F.explode("s").alias("shingle"))
+             .filter(F.col("n") > 0))
+    a, b = tok.alias("a"), tok.alias("b")
+    smaller_first = (
+        (F.col("a.n") < F.col("b.n"))
+        | ((F.col("a.n") == F.col("b.n"))
+           & (F.col("a.doc_id") < F.col("b.doc_id"))))
+    pairs = (a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+                    & (F.col("a.doc_id") != F.col("b.doc_id"))
+                    & smaller_first)
+              .groupBy(F.col("a.doc_id").alias("doc_small"),
+                       F.col("b.doc_id").alias("doc_big"))
+              .agg(F.count(F.lit(1)).alias("n_common"),
+                   F.min(F.col("a.n")).alias("n_small"),
+                   F.min(F.col("b.n")).alias("n_big")))
+    containment = (F.col("n_common").cast("double") / F.col("n_small"))
+    jaccard = (F.col("n_common").cast("double")
+               / (F.col("n_small") + F.col("n_big") - F.col("n_common")))
+    return (pairs.filter(containment >= threshold)
+                 .select("doc_small", "doc_big", "n_common",
+                         F.round(containment, 6).alias("containment"),
+                         F.round(jaccard, 6).alias("jaccard")))

@@ -492,3 +492,23 @@ def test_trending_topk_shape(spark):
         assert len(grp) <= 3
         counts = [r["n_events"] for r in grp]
         assert counts == sorted(counts, reverse=True)
+
+
+def test_containment_catches_subset_jaccard_misses(spark):
+    """A short doc fully quoted inside a 10x larger one: containment
+    1.0, Jaccard far below any near-dup threshold — the asymmetric
+    catch the synthetic corpus can't exercise."""
+    from stock_data_warehouse_spark.plans.extensions import (
+        containment_pairs,
+    )
+    quote = "the quick brown fox jumps over the lazy dog again"
+    filler = " ".join(f"word{i} token{i} item{i}" for i in range(40))
+    df = spark.createDataFrame(
+        [(1, quote), (2, filler + " " + quote + " " + filler)],
+        "doc_id long, text string")
+    rows = containment_pairs(df).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["doc_small"], r["doc_big"]) == (1, 2)
+    assert r["containment"] == 1.0
+    assert r["jaccard"] < 0.8  # symmetric Jaccard would have missed it
