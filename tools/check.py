@@ -29,6 +29,11 @@ TABLES = ("region", "nation", "customer", "supplier", "part",
 def canon_cell(v):
     if v is None:
         return "∅"
+    # numpy arrays/scalars (a plain non-Arrow session's toPandas, and
+    # DuckDB's .df(), both hand these back): normalize through the
+    # Python equivalents so str() formatting can't differ.
+    if hasattr(v, "tolist") and not isinstance(v, (str, bytes)):
+        return canon_cell(v.tolist())
     if isinstance(v, float):
         if math.isnan(v):
             return "nan"
@@ -53,13 +58,23 @@ def canon_rows(df) -> list[tuple]:
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", default="/root/testdata/sf0.01")
+    ap.add_argument("--plain", action="store_true",
+                    help="use a bare SparkSession.builder session (the "
+                         "driver's environment) instead of the project "
+                         "session factory — catches any conf the engine "
+                         "forgot to apply at read time")
     ap.add_argument("queries", nargs="*")
     args = ap.parse_args()
 
     import __spark_entry__ as entry_mod
-    from stock_data_warehouse_spark.session import get_spark
 
-    spark = get_spark("check")
+    if args.plain:
+        from pyspark.sql import SparkSession
+        spark = (SparkSession.builder.master("local[8]")
+                 .appName("check-plain").getOrCreate())
+    else:
+        from stock_data_warehouse_spark.session import get_spark
+        spark = get_spark("check")
     qs = entry_mod.queries()
     oracles = entry_mod.oracle_sql()
 

@@ -21,6 +21,9 @@ sys.path.insert(0, "/root/repo")
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", default="/root/testdata/sf0.01")
+    ap.add_argument("--all", action="store_true",
+                    help="audit every registered query (default: the "
+                         "bench headline set)")
     args = ap.parse_args()
 
     from bench import HEADLINE
@@ -30,9 +33,11 @@ def main() -> int:
     spark = get_spark("plan-audit")
     jvm = spark.sparkContext._jvm
     qs = entry_mod.queries()
+    scope = "full catalog" if args.all else "headline queries"
 
-    print(f"# PLAN AUDIT — headline queries at {args.sf}\n")
-    print("Regenerate: `python tools/plan_audit.py > PLAN_AUDIT.md`.\n")
+    print(f"# PLAN AUDIT — {scope} at {args.sf}\n")
+    print("Regenerate: `python tools/plan_audit.py [--all] "
+          "> PLAN_AUDIT.md`.\n")
     print("Shuffles = data-moving exchanges (hash/range/single-partition)"
           " in the executed (post-AQE) plan; reused exchange subtrees and"
           " broadcast builds are broken out separately. Codegen = distinct"
@@ -40,11 +45,16 @@ def main() -> int:
     print("| query | shuffles | broadcasts | reused | joins "
           "| pushed filters | codegen spans |")
     print("|---|---|---|---|---|---|---|")
-    for name in HEADLINE:
+    names = sorted(qs) if args.all else list(HEADLINE)
+    for name in names:
         if name not in qs:
             continue
-        df = qs[name](spark, args.sf)
-        df.collect()  # drive AQE to the final plan
+        try:
+            df = qs[name](spark, args.sf)
+            df.collect()  # drive AQE to the final plan
+        except Exception as exc:  # audit must not die on one query
+            print(f"| {name} | ERROR: {type(exc).__name__} | | | | | |")
+            continue
         plan = df._jdf.queryExecution().executedPlan().toString()
         plan = plan.split("== Initial Plan ==")[0]
         n_shuffle = len(re.findall(
