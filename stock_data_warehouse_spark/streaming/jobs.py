@@ -383,3 +383,86 @@ def t16_streaming_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
          .start())
     q.awaitTermination()
     return spark.read.parquet(target_path)
+
+
+@register(
+    "t20_streaming_leaderboard",
+    oracle="""
+    WITH hourly AS (
+      SELECT make_timestamp((epoch_us(ts) // 3600000000) * 3600000000)
+               AS window_start,
+             event_type, COUNT(*) AS n_events
+      FROM events
+      GROUP BY 1, 2
+    )
+    SELECT window_start, event_type, n_events, rnk FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY window_start
+        ORDER BY n_events DESC, event_type) AS rnk
+      FROM hourly
+    ) WHERE rnk <= 3
+    """,
+)
+def t20_streaming_leaderboard(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """OP-T20 — a continuously-maintained leaderboard: the streaming
+    twin of ``t18_trending_topk``. The stream arrives as FOUR separate
+    micro-batches (staged files, ``maxFilesPerTrigger=1``); each batch
+    aggregates its own (window, type) counts and merges them
+    ADDITIVELY into the published counts table (re-aggregate on merge —
+    counts are a commutative monoid, so any batching of the stream
+    composes to the batch answer, which is exactly the oracle). The
+    top-3 rank is computed at read time over the maintained counts —
+    the materialized-view pattern: keep the expensive aggregation
+    incremental, derive the cheap rank on serve.
+
+    Scale: per-batch state is the counts table, keyed on (window,
+    type) — bounded by active windows × types, pruned by retention,
+    not by stream length; each merge is a micro-batch-sized join that
+    AQE broadcasts.
+    """
+    from ..sources.tables import load_table
+
+    out_dir = tempfile.mkdtemp(prefix="t20_leader_")
+    stage = f"{out_dir}/stage"
+    counts_path = f"{out_dir}/counts"
+    # Stage the (already ts-normalized) events as 4 files → 4 batches.
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "event_type")
+    ev.repartition(4).write.parquet(stage)
+    spark.createDataFrame(
+        [], "window_start timestamp, event_type string, n_events long"
+    ).write.parquet(counts_path)
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        batch_counts = (batch_df
+                        .groupBy(F.window("ts", "1 hour").alias("w"),
+                                 "event_type")
+                        .agg(F.count(F.lit(1)).alias("n_events"))
+                        .select(F.col("w.start").alias("window_start"),
+                                "event_type", "n_events"))
+        current = spark.read.parquet(counts_path)
+        merged = (current.unionByName(batch_counts)
+                  .groupBy("window_start", "event_type")
+                  .agg(F.sum("n_events").alias("n_events"))
+                  .localCheckpoint())
+        merged.write.mode("overwrite").parquet(counts_path)
+
+    q = (spark.readStream
+         .schema(ev.schema)
+         .option("maxFilesPerTrigger", "1")
+         .parquet(stage)
+         .writeStream
+         .foreachBatch(apply_batch)
+         .option("checkpointLocation", f"{out_dir}/checkpoint")
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination()
+
+    from pyspark.sql import Window
+
+    counts = spark.read.parquet(counts_path)
+    rank_w = Window.partitionBy("window_start").orderBy(
+        F.col("n_events").desc(), "event_type")
+    return (counts.withColumn("rnk", F.row_number().over(rank_w))
+                  .filter(F.col("rnk") <= 3))
