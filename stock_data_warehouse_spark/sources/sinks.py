@@ -601,3 +601,61 @@ def s11_compaction_report(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.lit(overlaps.count()).cast("long")
                  .alias("n_overlapping_ranges"),
                 "n_rows"))
+
+
+# ---------------------------------------------------------------------------
+# OP-E1 — permissive scan: corrupt records quarantined, not fatal
+# ---------------------------------------------------------------------------
+
+@register(
+    "s12_permissive_json_scan",
+    oracle="""
+    SELECT n_nationkey, n_name FROM nation
+    UNION ALL
+    SELECT CAST(-1 AS INT), 'corrupt:3'
+    """,
+)
+def s12_permissive_json_scan(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    """OP-E1 — skip-on-failure at the scan: a JSONL landing file is
+    staged with every nation row PLUS three malformed lines (truncated
+    JSON, non-JSON garbage, wrong-typed field). A PERMISSIVE read with
+    ``columnNameOfCorruptRecord`` parses the good rows and quarantines
+    the bad ones as non-null ``_corrupt`` — the reference's per-ticker
+    try/except (fetch_data.py:277-279: failures dropped, pipeline
+    continues) as a declarative read property instead of control flow.
+    The result is the parsed good rows plus one sentinel row carrying
+    the quarantine tally, so the oracle checks BOTH that nothing good
+    was lost and that exactly the staged corruption was caught."""
+    n = load_table(spark, sf_dir, "nation")
+    stage = tempfile.mkdtemp(prefix="permissive_")
+    path = os.path.join(stage, "landing.jsonl")
+    rows = n.select("n_nationkey", "n_name").collect()  # 25-row dim
+    with open(path, "w") as f:
+        for r in rows:
+            f.write(json.dumps({"n_nationkey": r["n_nationkey"],
+                                "n_name": r["n_name"]}) + "\n")
+        f.write('{"n_nationkey": 99, "n_name": "TRUNC\n')      # cut off
+        f.write("not json at all\n")                           # garbage
+        f.write('{"n_nationkey": "NaN-ish", "n_name": 7}\n')   # bad types
+    schema = T.StructType([
+        T.StructField("n_nationkey", T.IntegerType()),
+        T.StructField("n_name", T.StringType()),
+        T.StructField("_corrupt", T.StringType()),
+    ])
+    raw = (spark.read.schema(schema)
+           .option("mode", "PERMISSIVE")
+           .option("columnNameOfCorruptRecord", "_corrupt")
+           .json(path)
+           # Spark disallows queries touching ONLY the corrupt column
+           # of a raw scan (QUERY_ONLY_CORRUPT_RECORD_COLUMN) —
+           # materialize the parse once, then both branches query it.
+           .localCheckpoint())
+    good = (raw.filter(F.col("_corrupt").isNull())
+               .select("n_nationkey", "n_name"))
+    bad_tally = (raw.filter(F.col("_corrupt").isNotNull())
+                 .agg(F.count(F.lit(1)).alias("n"))
+                 .select(F.lit(-1).cast("int").alias("n_nationkey"),
+                         F.concat(F.lit("corrupt:"), F.col("n"))
+                          .alias("n_name")))
+    return good.unionByName(bad_tally)
