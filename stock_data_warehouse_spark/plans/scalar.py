@@ -381,3 +381,52 @@ def p_map_json_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.map_keys(m)).alias("n_keys"),
         F.array_contains(F.map_keys(m), "k").alias("has_k"),
         F.element_at(m, "missing").alias("missing_val"))
+
+
+@register(
+    "p19_format_datetime_pack",
+    oracle="""
+    SELECT o_orderkey,
+           'ORD-' || printf('%07d', o_orderkey) AS order_tag,
+           strftime(CAST(o_orderdate AS DATE) + 30, '%Y-%m-%d')
+             AS due_date,
+           CAST(epoch(o_orderdate) AS BIGINT) AS epoch_s,
+           CAST(CASE WHEN o_totalprice > 150000 THEN 1
+                     WHEN o_totalprice < 150000 THEN -1
+                     ELSE 0 END AS INT) AS price_sign,
+           [o_totalprice,
+            CAST(ROUND(CAST(o_totalprice * 0.1 AS DECIMAL(38,10)), 2)
+                 AS DOUBLE)] AS charge_vals,
+           'STRUCT<k: BIGINT>' AS props_shape
+    FROM orders
+    """,
+)
+def p19_format_datetime_pack(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    """§2.7 remainder pack — the declared scalar functions no other
+    query exercises: ``format_string`` (printf-style key formatting —
+    the reference's f-string idiom F:43 generalized), ``date_add`` /
+    ``unix_timestamp`` (SLA due dates, epoch export), ``signum``,
+    ``create_map``+``map_values`` (record-to-array reshaping), and
+    ``schema_of_json`` (schema inference on a sample literal — its
+    output is a constant the oracle states verbatim). All JVM Column
+    expressions inside one projection — zero shuffles, scan-composable.
+    """
+    o = _t(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.format_string("ORD-%07d", "o_orderkey").alias("order_tag"),
+        F.date_format(
+            F.date_add(F.col("o_orderdate").cast("date"), 30),
+            "yyyy-MM-dd").alias("due_date"),
+        F.unix_timestamp(F.col("o_orderdate").cast("timestamp"))
+         .alias("epoch_s"),
+        F.signum(F.col("o_totalprice") - 150000).cast("int")
+         .alias("price_sign"),
+        F.map_values(F.create_map(
+            F.lit("total"), F.col("o_totalprice"),
+            F.lit("tax"),
+            F.round((F.col("o_totalprice") * 0.1).cast("decimal(38,10)"),
+                    2).cast("double")))
+         .alias("charge_vals"),
+        F.schema_of_json(F.lit('{"k": 1}')).alias("props_shape"))
