@@ -31,6 +31,7 @@ SAMPLE = [
     "t18_trending_topk",            # rank over windowed agg
     "x9_pack_contexts",             # cross-source prefix-sum packing
     "x4_unigram_logprob",           # FP log-sum mean, decimal-rounded
+    "t19_interpolate_gaps",         # IGNORE-NULLS windows + FP interp
 ]
 
 
