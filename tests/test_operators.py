@@ -245,3 +245,21 @@ def test_approx_quantiles_near_exact(spark):
         a25, a50, a75 = approx[k]
         for e, a in ((e25, a25), (e50, a50), (e75, a75)):
             assert abs(e - a) <= 1.0, (k, e, a)
+
+
+def test_values_df_roundtrips_literals(spark):
+    """values_df (the LocalRelation literal-dim builder every fixture
+    now routes through) must round-trip quotes, newlines, unicode,
+    empty strings, NULLs, bools, and negative/exponent floats."""
+    from stock_data_warehouse_spark.sources.tables import values_df
+    rows = [
+        ("it's", -1, None, True, -1.5e-8),
+        ('say "hi"', 0, "", False, 12345.678),
+        ("line\nbreak; DROP TABLE x; --", 2**40, "naïve—ünïcode", None,
+         0.1 + 0.2),
+    ]
+    out = values_df(
+        spark, rows,
+        "s string, i bigint, t string, b boolean, d double").collect()
+    got = [tuple(r) for r in out]
+    assert got == rows
