@@ -1259,3 +1259,66 @@ def q4_order_priority_check(spark: SparkSession,
                    & (li.l_shipdate > o.o_orderdate), "left_semi")
              .groupBy("o_orderpriority")
              .agg(F.count(F.lit(1)).alias("order_count")))
+
+
+# ---------------------------------------------------------------------------
+# OP-J13 — bucketed co-located fact-fact join (zero join-side shuffles)
+# ---------------------------------------------------------------------------
+
+@register(
+    "j13_bucketed_cojoin_report",
+    oracle="""
+    SELECT o.o_orderpriority, COUNT(*) AS n_items,
+           CAST(0 AS BIGINT) AS join_side_exchanges
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderpriority
+    """,
+)
+def j13_bucketed_cojoin_report(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """OP-J13 — the co-located fact-fact join: both facts are written
+    bucketed (8 buckets, sorted) on the join key, so the SortMergeJoin
+    reads matching buckets directly — ZERO exchanges on either join
+    side, verified by introspecting this very query's executed plan and
+    reporting the count as a column the oracle pins to 0. This is the
+    physical layout that makes repeated 100 TB fact-fact joins
+    affordable: pay the bucketing shuffle once at write time, never
+    again per query. Values are checked too (per-priority item counts
+    against the plain join).
+    """
+    import tempfile
+
+    db = "cojoin_" + next(tempfile._get_candidate_names())
+    wh = tempfile.mkdtemp(prefix="bucketwh_")
+    spark.sql(f"CREATE DATABASE {db} LOCATION '{wh}'")
+    prev_bc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        o = _t(spark, sf_dir, "orders")
+        li = _t(spark, sf_dir, "lineitem")
+        (o.write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+          .mode("overwrite").saveAsTable(f"{db}.orders_b"))
+        (li.write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+           .mode("overwrite").saveAsTable(f"{db}.lineitem_b"))
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.sources.bucketing.enabled", "true")
+        ob = spark.table(f"{db}.orders_b")
+        lb = spark.table(f"{db}.lineitem_b")
+        j = (lb.join(ob, lb.l_orderkey == ob.o_orderkey)
+               .groupBy("o_orderpriority")
+               .agg(F.count(F.lit(1)).alias("n_items")))
+        j.collect()  # drive to the final adaptive plan
+        plan = (j._jdf.queryExecution().executedPlan().toString()
+                 .split("== Initial Plan ==")[0])
+        n_join_side = (
+            plan.count("Exchange hashpartitioning(l_orderkey")
+            + plan.count("Exchange hashpartitioning(o_orderkey"))
+        # materialize before the finally drops the bucketed tables —
+        # the caller collects this DataFrame after cleanup
+        return j.withColumn(
+            "join_side_exchanges",
+            F.lit(n_join_side).cast("long")).localCheckpoint()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_bc)
+        spark.sql(f"DROP TABLE IF EXISTS {db}.lineitem_b")
+        spark.sql(f"DROP TABLE IF EXISTS {db}.orders_b")
+        spark.sql(f"DROP DATABASE IF EXISTS {db}")
