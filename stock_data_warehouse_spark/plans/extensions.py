@@ -260,7 +260,16 @@ def x2_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("node") == F.col("component")).alias("is_survivor"))
 
 
-@register("x2_neardup_minhash_lsh")  # rows-only: LSH banding is approximate
+@register(
+    "x2_neardup_minhash_lsh",
+    oracle=f"""
+    WITH {_SQL_JPAIRS}
+    SELECT COUNT(*) AS n_true,
+           TRUE AS verified_subset,
+           TRUE AS recall_ok
+    FROM jpairs
+    """,
+)
 def x2_neardup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """OP-X2 (scale path) — MinHash + LSH banding, all in native SQL
     expressions (no MLlib dependency, no Python in the hot path).
@@ -268,9 +277,16 @@ def x2_neardup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     Per doc: 32 minhash values via ``min(xxhash64(shingle, seed_i))``;
     band into 8 bands × 4 rows; candidate pairs = docs sharing any band
     signature (a groupBy on the band hash — sub-quadratic); verify
-    candidates with exact Jaccard. Approximate → rows-only check, but
-    at threshold 0.8 with 8×4 banding the planted near-dups at 0.9+
-    are found with probability ≈ 1.
+    candidates with exact Jaccard. xxhash64 is engine-specific, so the
+    pair list itself can't be SQL-replayed — instead the query emits a
+    *quality report* the oracle can check exactly (VERDICT r2 item 3):
+    the true pair count, that every reported pair survives exact
+    verification (precision 1.0 by construction, asserted via
+    anti-join), and that banding recall ≥ 0.5 (expected ≈ 0.985+ per
+    pair at s ≥ 0.8 under the 8×4 s-curve; 0.5 keeps the assertion
+    deterministic-in-practice on small SFs with a handful of planted
+    pairs). The portable-md5 twin (x2_neardup_minhash_portable) keeps
+    the pair-level oracle-exact check.
     """
     d = _t(spark, sf_dir, "documents")
     sh = d.select("doc_id",
@@ -304,11 +320,23 @@ def x2_neardup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     sb = sh.select(F.col("doc_id").alias("doc_b"), F.col("s").alias("sb"))
     inter = F.size(F.array_intersect("sa", "sb"))
     union = F.size(F.array_union("sa", "sb"))
-    return (cand.join(sa, "doc_a").join(sb, "doc_b")
-                .withColumn("jaccard", F.round(
-                    inter * F.lit(1.0) / union, 6))
-                .filter(F.col("jaccard") >= 0.8)
-                .select("doc_a", "doc_b", "jaccard"))
+    found = (cand.join(sa, "doc_a").join(sb, "doc_b")
+                 .withColumn("jaccard", inter * F.lit(1.0) / union)
+                 .filter(F.col("jaccard") >= 0.8)
+                 .select("doc_a", "doc_b"))
+    exact = _jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    n_true = exact.agg(F.count(F.lit(1)).alias("n_true"))
+    n_found = found.agg(F.count(F.lit(1)).alias("n_found"))
+    n_extra = (found.join(exact, ["doc_a", "doc_b"], "left_anti")
+                    .agg(F.count(F.lit(1)).alias("n_extra")))
+    # Three 1-row aggregates — the cross joins are bounded by contract.
+    return (n_true.crossJoin(n_found).crossJoin(n_extra)
+            .select("n_true",
+                    (F.col("n_extra") == 0).alias("verified_subset"),
+                    F.when(F.col("n_true") == 0, F.lit(True))
+                     .otherwise(F.col("n_found")
+                                >= 0.5 * F.col("n_true"))
+                     .alias("recall_ok")))
 
 
 @register(
@@ -1254,12 +1282,14 @@ def x3_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM v
     )
     SELECT vec_id,
-           ROUND(mx, 6) AS max_abs,
-           CASE WHEN mx = 0
-                THEN list_transform(e, x -> 0)
-                ELSE list_transform(e, x ->
-                     CAST(floor(x * 127.0 / mx + 0.5) AS INT))
-           END AS q
+           CAST(ROUND(CAST(mx AS DECIMAL(38,10)), 6) AS DOUBLE)
+             AS max_abs,
+           array_to_string(list_transform(
+             CASE WHEN mx = 0
+                  THEN list_transform(e, x -> 0)
+                  ELSE list_transform(e, x ->
+                       CAST(floor(x * 127.0 / mx + 0.5) AS INT))
+             END, v -> CAST(v AS VARCHAR)), ',') AS q
     FROM m
     """,
 )
@@ -1270,7 +1300,10 @@ def x5_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``floor(x·scale + 0.5)`` — floor is portable across engines where
     double→int casts and ROUND(double) are not (Spark truncates casts,
     DuckDB rounds them; their ROUND tie rules differ). Pure per-row
-    projection, zero shuffles."""
+    projection, zero shuffles. The int8 vector is emitted as a
+    comma-joined string (ints render identically everywhere) so the
+    result cell is scalar for the driver's canonicalizer, and
+    ``max_abs`` is decimal-routed per the rounding invariant."""
     e = _t(spark, sf_dir, "embeddings")
     v = e.select("vec_id", _as_double_vec("embedding").alias("e"))
     mx = F.array_max(F.transform("e", lambda x: F.abs(x)))
@@ -1281,8 +1314,11 @@ def x5_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
              "e", lambda x: F.floor(x * 127.0 / F.col("mx") + 0.5)
                              .cast("int")))
     return m.select("vec_id",
-                    F.round("mx", 6).alias("max_abs"),
-                    q.alias("q"))
+                    F.round(F.col("mx").cast("decimal(38,10)"), 6)
+                     .cast("double").alias("max_abs"),
+                    F.concat_ws(
+                        ",", F.transform(q, lambda x: x.cast("string")))
+                     .alias("q"))
 
 
 @register(
@@ -2127,6 +2163,51 @@ def x6_group_calibrate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "x6_calibrate_window",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, source, n_chars AS score FROM documents
+    ),
+    g AS (
+      SELECT doc_id, source, score,
+             MIN(score) OVER (PARTITION BY source) AS lo,
+             MAX(score) OVER (PARTITION BY source) AS hi
+      FROM t
+    )
+    SELECT doc_id, source, score,
+           CASE WHEN hi = lo THEN 500
+                ELSE ((score - lo) * 2000 + (hi - lo)) // (2 * (hi - lo))
+           END AS calib
+    FROM g
+    """,
+)
+def x6_calibrate_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OP-X6 (scale path, VERDICT r2 item 6) — the SAME 0‥1000
+    min-max calibration as ``x6_group_calibrate``, expressed as plain
+    SQL windows instead of ``applyInPandas``. This is the registered
+    form to reach for when the group key is NOT bounded-cardinality:
+    the window shuffles once on ``source`` and streams each partition —
+    no requirement that a whole group fit in one worker's pandas frame,
+    no Python in the path. Bit-identical to the grouped-map kernel
+    (same int64 HALF_UP-via-integer-division), so the two share one
+    oracle; the applyInPandas twin stays registered as the Arrow
+    grouped-map demo."""
+    d = _t(spark, sf_dir, "documents")
+    t = d.select("doc_id", "source", F.col("n_chars").alias("score"))
+    w = Window.partitionBy("source")
+    lo = F.min("score").over(w)
+    hi = F.max("score").over(w)
+    rng = hi - lo
+    # floor(double) is exact here: numerator ≤ (hi-lo)·2000 + rng ≪ 2^53
+    # and 1/denominator ≫ ulp(quotient), so the double division can't
+    # land on the wrong side of an integer boundary.
+    calib = F.when(rng == 0, F.lit(500)).otherwise(
+        F.floor(((F.col("score") - lo) * 2000 + rng) / (2 * rng)))
+    return t.select("doc_id", "source", "score",
+                    calib.cast("long").alias("calib"))
+
+
+@register(
     "x8_funnel_report",
     oracle=None,  # bound below (needs the sampling SQL coin helper)
 )
@@ -2296,6 +2377,15 @@ def x2_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # OP-X4 — corpus-trained unigram LM quality score
 # ---------------------------------------------------------------------------
 
+#: Unigram-LM vocabulary cap: only the VOCAB_K most frequent tokens
+#: (ties broken by token) are kept in the scoring model; everything
+#: else scores at the 0.5-pseudo-count OOV floor. This is what bounds
+#: the broadcast side — raw vocabulary grows with corpus size (Heaps'
+#: law), the truncated model does not. At the test SFs the vocabulary
+#: is far below the cap, so truncation is a semantic no-op there and
+#: the oracle replays the same top-K + floor.
+VOCAB_K = 1 << 18
+
 @register(
     "x4_unigram_logprob",
     oracle=f"""
@@ -2305,14 +2395,19 @@ def x2_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocab AS (
       SELECT token, COUNT(*) AS cnt FROM tok GROUP BY token
     ),
+    trunc AS (
+      SELECT token, cnt FROM vocab
+      ORDER BY cnt DESC, token LIMIT {VOCAB_K}
+    ),
     total AS (
       SELECT SUM(cnt)::DOUBLE AS t FROM vocab
     )
     SELECT doc_id, COUNT(*) AS n_tokens,
-           CAST(ROUND(CAST(AVG(ln(CAST(cnt AS DOUBLE) / t))
+           CAST(ROUND(CAST(AVG(ln(COALESCE(CAST(cnt AS DOUBLE), 0.5)
+                                  / t))
                            AS DECIMAL(38,10)), 6) AS DOUBLE)
              AS avg_logprob
-    FROM tok JOIN vocab USING (token) CROSS JOIN total
+    FROM tok LEFT JOIN trunc USING (token) CROSS JOIN total
     GROUP BY doc_id
     """,
 )
@@ -2324,18 +2419,25 @@ def x4_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     signal).
 
     Two aggregations over one token stream: vocabulary counts (token →
-    cnt, map-side combinable) and a per-document average of
-    ``ln(cnt / T)`` after joining the counts back. The vocabulary is
-    Zipf-bounded (≪ corpus size) → broadcast back to the token stream,
-    so the scoring pass is shuffle-free at 100 TB; only the per-doc
-    groupBy shuffles, keyed on the high-cardinality doc_id.
+    cnt, map-side combinable), truncated to the ``VOCAB_K`` most
+    frequent tokens (distributed TakeOrdered — no global window), and a
+    per-document average of ``ln(cnt / T)`` after joining the counts
+    back, with out-of-vocabulary tokens at a 0.5-pseudo-count floor.
+    The truncation is what makes the broadcast legitimate (ADVICE r2):
+    the raw vocabulary is Heaps'-law unbounded, the top-K model is
+    ≤ VOCAB_K rows by construction, so the scoring pass stays
+    shuffle-free at 100 TB; only the per-doc groupBy shuffles, keyed on
+    the high-cardinality doc_id. T still sums the *full* vocabulary
+    (single scalar aggregate).
     """
     d = _t(spark, sf_dir, "documents")
     tok = d.select("doc_id", F.explode(tokens_col("text")).alias("token"))
     vocab = tok.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+    trunc = vocab.orderBy(F.col("cnt").desc(), "token").limit(VOCAB_K)
     total = vocab.agg(F.sum("cnt").cast("double").alias("t"))
-    lp = F.log(F.col("cnt").cast("double") / F.col("t"))
-    return (tok.join(F.broadcast(vocab), "token")
+    lp = F.log(F.coalesce(F.col("cnt").cast("double"), F.lit(0.5))
+               / F.col("t"))
+    return (tok.join(F.broadcast(trunc), "token", "left")
                .crossJoin(F.broadcast(total))
                .groupBy("doc_id")
                .agg(F.count(F.lit(1)).alias("n_tokens"),
@@ -2508,9 +2610,11 @@ def x1_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
       GROUP BY 1, 2
     )
     SELECT doc_small, doc_big, n_common,
-           ROUND(CAST(n_common AS DOUBLE) / n_small, 6) AS containment,
-           ROUND(CAST(n_common AS DOUBLE)
-                 / (n_small + n_big - n_common), 6) AS jaccard
+           CAST(ROUND(CAST(CAST(n_common AS DOUBLE) / n_small
+                AS DECIMAL(38,10)), 6) AS DOUBLE) AS containment,
+           CAST(ROUND(CAST(CAST(n_common AS DOUBLE)
+                 / (n_small + n_big - n_common)
+                AS DECIMAL(38,10)), 6) AS DOUBLE) AS jaccard
     FROM cpairs
     WHERE CAST(n_common AS DOUBLE) / n_small >= 0.9
     """,
@@ -2555,7 +2659,15 @@ def containment_pairs(d: DataFrame, threshold: float = 0.9) -> DataFrame:
     containment = (F.col("n_common").cast("double") / F.col("n_small"))
     jaccard = (F.col("n_common").cast("double")
                / (F.col("n_small") + F.col("n_big") - F.col("n_common")))
+
+    # Rounding that feeds the oracle is decimal-routed (repo invariant;
+    # ADVICE r2): shingle-count ratios land on exact x.xxxxxx5 ties
+    # where raw-double ROUND diverges between engines. The *unrounded*
+    # ratio still drives the threshold filter.
+    def _r6(c):
+        return F.round(c.cast("decimal(38,10)"), 6).cast("double")
+
     return (pairs.filter(containment >= threshold)
                  .select("doc_small", "doc_big", "n_common",
-                         F.round(containment, 6).alias("containment"),
-                         F.round(jaccard, 6).alias("jaccard")))
+                         _r6(containment).alias("containment"),
+                         _r6(jaccard).alias("jaccard")))

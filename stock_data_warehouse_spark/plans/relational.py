@@ -796,16 +796,35 @@ def a8_cube_region_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "n_customers", "sum_bal"))
 
 
-@register("a7_approx_count_distinct")  # rows-only: sketch is approximate
+@register(
+    "a7_approx_count_distinct",
+    oracle="""
+    SELECT event_type,
+           COUNT(DISTINCT user_id) AS n_exact,
+           TRUE AS within_5pct
+    FROM events
+    GROUP BY event_type
+    """,
+)
 def a7_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """OP-A7 (approx variant) — HyperLogLog++ distinct users per event
     type: the 100 TB form of count-distinct (mergeable sketch, no
-    per-key shuffle of raw values). Approximate → rows-only check; the
-    exact form is a7_count_distinct_users."""
+    per-key shuffle of raw values). The sketch value itself is not
+    SQL-reproducible, so the oracle checks the *error bound* instead
+    (VERDICT r2 item 3): the query emits the exact count plus a
+    ``within_5pct`` verdict comparing the HLL estimate against it; the
+    oracle states the exact count and TRUE. Spark's HLL++ is
+    deterministic for a fixed input, and rsd=0.01 puts 5% at 5σ — the
+    bound is a real assertion, not a coin flip. The exact twin
+    (a7_count_distinct_users) remains the value-level check."""
     e = _t(spark, sf_dir, "events")
-    return (e.groupBy("event_type")
-             .agg(F.approx_count_distinct("user_id", 0.02)
-                  .alias("approx_users")))
+    exact = F.count_distinct("user_id").cast("bigint").alias("n_exact")
+    approx = F.approx_count_distinct("user_id", 0.01).alias("approx_users")
+    agg = e.groupBy("event_type").agg(exact, approx)
+    rel_err = (F.abs(F.col("approx_users") - F.col("n_exact"))
+               / F.col("n_exact"))
+    return agg.select("event_type", "n_exact",
+                      (rel_err <= F.lit(0.05)).alias("within_5pct"))
 
 
 @register(
@@ -909,23 +928,49 @@ def a10_quantile_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
                    F.max("l_quantity").alias("max_qty")))
 
 
-@register("a10_approx_quantile_sketch")  # rows-only: t-digest is approximate
+@register(
+    "a10_approx_quantile_sketch",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           COUNT(*) AS n_items,
+           TRUE AS p25_ok, TRUE AS p50_ok, TRUE AS p75_ok
+    FROM lineitem
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
 def a10_approx_quantile_sketch(spark: SparkSession,
                                sf_dir: str) -> DataFrame:
     """OP-A10 (scale twin) — the same quartile profile via
     ``approx_percentile`` (Spark's mergeable quantile sketch): partial
     sketches build map-side and merge associatively, so no per-group
     sort and no full-value shuffle — the form that replaces
-    ``a10_quantile_pack`` at 100 TB. Approximate by contract (rows-only
-    check); the companion test bounds its error against the exact
-    percentiles, mirroring the a7 exact/HLL pairing."""
+    ``a10_quantile_pack`` at 100 TB. The sketch values are not
+    SQL-reproducible, so the oracle checks the *error bound* (VERDICT
+    r2 item 3): each quartile estimate must land within 1.0 quantity
+    unit of the exact interpolated percentile — generous vs the rank
+    guarantee (rank error ≤ n/accuracy, and l_quantity's integer domain
+    is gap-1 dense) yet tight enough to catch a broken sketch. Also
+    removes the array-typed ``q_sketch`` cell that crashed the driver's
+    canonicalizer in r2."""
     li = _t(spark, sf_dir, "lineitem")
-    return (li.groupBy("l_returnflag", "l_linestatus")
-              .agg(F.count(F.lit(1)).alias("n_items"),
-                   F.approx_percentile(
-                       "l_quantity", F.array(F.lit(0.25), F.lit(0.5),
-                                             F.lit(0.75)),
-                       F.lit(10000)).alias("q_sketch")))
+    agg = (li.groupBy("l_returnflag", "l_linestatus")
+             .agg(F.count(F.lit(1)).alias("n_items"),
+                  F.approx_percentile(
+                      "l_quantity", F.array(F.lit(0.25), F.lit(0.5),
+                                            F.lit(0.75)),
+                      F.lit(10000)).alias("q_sketch"),
+                  F.percentile("l_quantity", 0.25).alias("p25"),
+                  F.percentile("l_quantity", 0.50).alias("p50"),
+                  F.percentile("l_quantity", 0.75).alias("p75")))
+
+    def ok(i: int, exact: str) -> F.Column:
+        return (F.abs(F.element_at("q_sketch", i) - F.col(exact))
+                <= F.lit(1.0))
+
+    return agg.select("l_returnflag", "l_linestatus", "n_items",
+                      ok(1, "p25").alias("p25_ok"),
+                      ok(2, "p50").alias("p50_ok"),
+                      ok(3, "p75").alias("p75_ok"))
 
 
 # ---------------------------------------------------------------------------
@@ -1286,9 +1331,11 @@ def j13_bucketed_cojoin_report(spark: SparkSession,
     again per query. Values are checked too (per-priority item counts
     against the plain join).
     """
+    import shutil
     import tempfile
+    import uuid
 
-    db = "cojoin_" + next(tempfile._get_candidate_names())
+    db = "cojoin_" + uuid.uuid4().hex[:12]
     wh = tempfile.mkdtemp(prefix="bucketwh_")
     spark.sql(f"CREATE DATABASE {db} LOCATION '{wh}'")
     prev_bc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
@@ -1322,3 +1369,4 @@ def j13_bucketed_cojoin_report(spark: SparkSession,
         spark.sql(f"DROP TABLE IF EXISTS {db}.lineitem_b")
         spark.sql(f"DROP TABLE IF EXISTS {db}.orders_b")
         spark.sql(f"DROP DATABASE IF EXISTS {db}")
+        shutil.rmtree(wh, ignore_errors=True)

@@ -310,9 +310,29 @@ def p18_date_math(spark: SparkSession, sf_dir: str) -> DataFrame:
 # §2.7 collection surface — arrays + higher-order functions
 # ---------------------------------------------------------------------------
 
+def _arr6(col) -> F.Column:
+    """array<double> → one canonical scalar string cell ("v1,v2,…").
+
+    Every element is decimal-routed to 6 dp (the repo rounding
+    invariant) before stringifying, so the rendered digits can't depend
+    on either engine's double-formatting. Result columns must stay
+    scalar: the driver's canonicalizer sorts raw pandas cells and
+    crashes on list cells (CORRECTNESS_r02: unhashable type 'list')."""
+    return F.concat_ws(",", F.transform(col, lambda x:
+        F.round(x.cast("decimal(38,10)"), 6)
+         .cast("decimal(28,6)").cast("string")))
+
+
+def _sql_arr6(expr: str) -> str:
+    """DuckDB twin of :func:`_arr6` — identical element pipeline."""
+    return ("array_to_string(list_transform(" + expr + ", x -> "
+            "CAST(CAST(ROUND(CAST(x AS DECIMAL(38,10)), 6) "
+            "AS DECIMAL(28,6)) AS VARCHAR)), ',')")
+
+
 @register(
     "p_collection_pack",
-    oracle="""
+    oracle=f"""
     WITH base AS (
       SELECT l_orderkey, l_linenumber,
              [l_quantity, l_extendedprice * (1 - l_discount),
@@ -320,13 +340,14 @@ def p18_date_math(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM lineitem
     )
     SELECT l_orderkey, l_linenumber,
-           arr,
-           list_transform(arr, x -> x * 2) AS doubled,
+           {_sql_arr6('arr')} AS arr,
+           {_sql_arr6('list_transform(arr, y -> y * 2)')} AS doubled,
            len(list_filter(arr, x -> x > 10)) AS n_big,
-           ROUND(list_reduce(list_prepend(0.0, arr),
-                             (acc, x) -> acc + x), 4) AS total,
-           list_sort(arr) AS sorted_arr,
-           arr[1:2] AS first_two,
+           CAST(ROUND(CAST(list_reduce(list_prepend(0.0, arr),
+                             (acc, x) -> acc + x) AS DECIMAL(38,10)),
+                      4) AS DOUBLE) AS total,
+           {_sql_arr6('list_sort(arr)')} AS sorted_arr,
+           {_sql_arr6('arr[1:2]')} AS first_two,
            list_contains(arr, 0.0) AS has_zero
     FROM base
     """,
@@ -336,7 +357,10 @@ def p_collection_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate, sort_array, slice, array_contains) in one projection.
     All JVM-side expression evaluation over the scan — zero shuffles,
     zero UDFs; the fold mirrors DuckDB's sequential list_reduce
-    bit-exactly (same operand order)."""
+    bit-exactly (same operand order). Array-valued outputs are
+    serialized through :func:`_arr6` so every result cell is a scalar
+    the driver's pandas canonicalizer can hash (VERDICT r2 item 1);
+    the higher-order ops still run on the native array<double>."""
     l = _t(spark, sf_dir, "lineitem")
     arr = F.array(
         F.col("l_quantity"),
@@ -345,13 +369,15 @@ def p_collection_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = l.select("l_orderkey", "l_linenumber", arr.alias("arr"))
     a = F.col("arr")
     return base.select(
-        "l_orderkey", "l_linenumber", "arr",
-        F.transform(a, lambda x: x * 2).alias("doubled"),
+        "l_orderkey", "l_linenumber",
+        _arr6(a).alias("arr"),
+        _arr6(F.transform(a, lambda x: x * 2)).alias("doubled"),
         F.size(F.filter(a, lambda x: x > 10)).alias("n_big"),
-        F.round(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x), 4)
+        F.round(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x)
+                 .cast("decimal(38,10)"), 4).cast("double")
          .alias("total"),
-        F.sort_array(a).alias("sorted_arr"),
-        F.slice(a, 1, 2).alias("first_two"),
+        _arr6(F.sort_array(a)).alias("sorted_arr"),
+        _arr6(F.slice(a, 1, 2)).alias("first_two"),
         F.array_contains(a, 0.0).alias("has_zero"))
 
 
@@ -385,7 +411,7 @@ def p_map_json_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "p19_format_datetime_pack",
-    oracle="""
+    oracle=f"""
     SELECT o_orderkey,
            'ORD-' || printf('%07d', o_orderkey) AS order_tag,
            strftime(CAST(o_orderdate AS DATE) + 30, '%Y-%m-%d')
@@ -394,9 +420,9 @@ def p_map_json_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(CASE WHEN o_totalprice > 150000 THEN 1
                      WHEN o_totalprice < 150000 THEN -1
                      ELSE 0 END AS INT) AS price_sign,
-           [o_totalprice,
+           {_sql_arr6('''[o_totalprice,
             CAST(ROUND(CAST(o_totalprice * 0.1 AS DECIMAL(38,10)), 2)
-                 AS DOUBLE)] AS charge_vals,
+                 AS DOUBLE)]''')} AS charge_vals,
            'STRUCT<k: BIGINT>' AS props_shape
     FROM orders
     """,
@@ -423,10 +449,10 @@ def p19_format_datetime_pack(spark: SparkSession,
          .alias("epoch_s"),
         F.signum(F.col("o_totalprice") - 150000).cast("int")
          .alias("price_sign"),
-        F.map_values(F.create_map(
+        _arr6(F.map_values(F.create_map(
             F.lit("total"), F.col("o_totalprice"),
             F.lit("tax"),
             F.round((F.col("o_totalprice") * 0.1).cast("decimal(38,10)"),
-                    2).cast("double")))
+                    2).cast("double"))))
          .alias("charge_vals"),
         F.schema_of_json(F.lit('{"k": 1}')).alias("props_shape"))

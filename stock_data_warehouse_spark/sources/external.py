@@ -51,15 +51,84 @@ def stub_fetcher(ticker: str) -> float:
     return float(sum(ticker.encode()) % 1000) + 0.5
 
 
+class TokenBucket:
+    """Per-partition token-bucket rate limiter (OP-T3 proper form).
+
+    ``rate`` tokens/second refill, ``burst`` capacity; every request
+    consumes one token and blocks until one is available. This is what
+    the reference's ``sleep(1)`` (fetch_data.py:316) actually encodes —
+    "≤ 1 request/second to the upstream" — but bucket-shaped: short
+    bursts up to ``burst`` are allowed, the sustained rate is bounded,
+    and the limiter composes with retries (a retry consumes a token
+    too). One bucket per partition ⇒ a P-partition job sustains at
+    most P·rate aggregate requests/second — size P to the upstream's
+    documented quota."""
+
+    def __init__(self, rate: float, burst: int = 1):
+        if rate <= 0:
+            raise ValueError("rate must be > 0")
+        self.rate = float(rate)
+        self.capacity = float(max(1, burst))
+        self.tokens = self.capacity
+        self.last = time.monotonic()
+
+    def acquire(self) -> None:
+        while True:
+            now = time.monotonic()
+            self.tokens = min(self.capacity,
+                              self.tokens + (now - self.last) * self.rate)
+            self.last = now
+            if self.tokens >= 1.0:
+                self.tokens -= 1.0
+                return
+            time.sleep((1.0 - self.tokens) / self.rate)
+
+
+def http_fetcher(base_url: str,
+                 timeout_sec: float = 5.0) -> Callable[[str], float]:
+    """A real (stdlib-urllib) HTTP transport for :func:`fetch_distributed`:
+    GET ``{base_url}/quote/{ticker}`` expecting ``{"price": <float>}``.
+    5xx responses and socket errors raise :class:`TransientError` (the
+    retryable class); 4xx and malformed bodies are permanent failures.
+    The returned closure captures only strings/floats, so it pickles to
+    executors. Used against a local fixture server in the tests — the
+    live-connector shape without any network dependency in CI."""
+
+    def fetch(ticker: str) -> float:
+        import json as _json
+        import urllib.error
+        import urllib.request
+        url = f"{base_url}/quote/{ticker}"
+        try:
+            with urllib.request.urlopen(url, timeout=timeout_sec) as r:
+                body = _json.loads(r.read().decode("utf-8"))
+        except urllib.error.HTTPError as exc:
+            if exc.code >= 500:
+                raise TransientError(f"{ticker}: HTTP {exc.code}")
+            raise ValueError(f"{ticker}: HTTP {exc.code}")
+        except OSError as exc:  # conn refused/reset, timeout
+            raise TransientError(f"{ticker}: {exc}")
+        price = body.get("price")
+        if price is None:
+            raise ValueError(f"{ticker}: no price in response")
+        return float(price)
+
+    return fetch
+
+
 def fetch_distributed(tickers: DataFrame,
                       fetcher: Callable[[str], float] = stub_fetcher,
                       pacing_sec: float = 0.0,
-                      retry_once: bool = True) -> DataFrame:
+                      retry_once: bool = True,
+                      rate_per_sec: float | None = None,
+                      burst: int = 1) -> DataFrame:
     """Fan the per-key external fetch out over the cluster.
 
-    - OP-T3: ``pacing_sec`` sleeps between requests *per partition* —
-      the declarative form of the reference's global ``sleep(1)``; with
-      P partitions the aggregate rate is P keys/pacing_sec.
+    - OP-T3: ``rate_per_sec`` installs a :class:`TokenBucket` per
+      partition — every request (retries included) consumes a token,
+      so the sustained upstream rate is bounded at P·rate_per_sec for
+      P partitions. ``pacing_sec`` remains as the simpler fixed-sleep
+      throttle (the literal ``sleep(1)`` shape); use one or the other.
     - OP-E2: one retry on :class:`TransientError` (F:136-140).
     - OP-E1: permanent failures emit ``ok=false`` rows (the caller
       filters), never abort the job.
@@ -67,12 +136,15 @@ def fetch_distributed(tickers: DataFrame,
 
     def fetch_partition(batches: Iterator[pd.DataFrame]) \
             -> Iterator[pd.DataFrame]:
+        bucket = TokenBucket(rate_per_sec, burst) if rate_per_sec else None
         for pdf in batches:
             out = []
             for ticker in pdf["ticker"]:
                 price, attempts, ok = None, 0, False
                 for attempt in (1, 2) if retry_once else (1,):
                     attempts = attempt
+                    if bucket is not None:
+                        bucket.acquire()
                     try:
                         price = fetcher(ticker)
                         ok = True

@@ -421,6 +421,16 @@ def publish_versioned(spark: SparkSession, df: DataFrame,
     atomic: stage to a dot-dir (ignored by partition discovery), rename
     into place.
 
+    **Substrate caveat (ADVICE r2)**: the stage-then-rename swap is the
+    *local/HDFS filesystem* form — it relies on directory rename being
+    atomic and O(1). On object stores (S3/GCS — the realistic 100 TB
+    substrate) rename is a non-atomic copy+delete, so the crash-safety
+    window claimed here does not hold; the scale form of this publish
+    is a manifest/commit protocol (Delta/Iceberg-style log, or an
+    S3A-committer-style two-phase commit) with the same version
+    semantics. The partition-column time-travel API is unchanged under
+    either substrate.
+
     Returns ``(version, wrote)``.
     """
     import glob
@@ -533,6 +543,14 @@ def compact_table(spark: SparkSession, path: str, n_files: int,
     per file, so a filtered scan prunes to one file by footer min/max
     stats — the OPTIMIZE/clustering maintenance step every long-lived
     100 TB table needs after many incremental publishes.
+
+    **Substrate caveat (ADVICE r2)**: the paired-rename swap assumes
+    atomic O(1) directory rename — true on local FS/HDFS, false on
+    object stores where rename is copy+delete. At 100 TB on S3/GCS the
+    same compaction runs behind a manifest/commit protocol
+    (Delta OPTIMIZE / Iceberg rewrite_data_files) instead of path
+    swaps; the range-partition + sortWithinPartitions rewrite plan is
+    the part that carries over unchanged.
     """
     import shutil
 

@@ -24,6 +24,18 @@ TABLES = (
 BROADCAST_SAFE = frozenset({"region", "nation"})
 
 
+def _ensure_conf(spark: SparkSession, key: str, value: str) -> None:
+    """Idempotent session-conf pin: set ``key`` to ``value`` only when
+    it isn't already there. Only ever called with constant values, so
+    concurrent callers are convergent by construction."""
+    try:
+        cur = spark.conf.get(key)
+    except Exception:  # unset key without a default
+        cur = None
+    if cur != value:
+        spark.conf.set(key, value)
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one table. Projection/filter pruning happens downstream.
 
@@ -46,10 +58,19 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     run these queries on a session whose timezone we didn't configure —
     a non-UTC session would shift every rendered timestamp
     (SURVEY.md §7 hard-part 6).
+
+    Concurrency: both confs are *constants* (UTC / "true"), so however
+    many threads build queries on one session, every interleaving of
+    these writes converges to the same session state — there is no
+    order-dependent outcome to race on (ADVICE r2 / VERDICT item 8).
+    The check-then-set below additionally makes the steady state
+    write-free (no JVM conf mutation per read once the values hold);
+    see tests/test_sources_conf.py for the concurrent-build test.
     """
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    _ensure_conf(spark, "spark.sql.session.timeZone", "UTC")
     if name == "events":
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        _ensure_conf(spark, "spark.sql.legacy.parquet.nanosAsLong",
+                     "true")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
         ts, ts_ns = event_ts_cols(dict(df.dtypes)["ts"])
         return df.select(

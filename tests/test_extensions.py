@@ -165,14 +165,17 @@ def test_int8_quantize_bounds(spark):
     from stock_data_warehouse_spark.plans.extensions import (
         x5_int8_quantize,
     )
-    out = x5_int8_quantize(spark, SF)
+    # q ships as a comma-joined string cell (driver-canonicalizer
+    # contract); reparse it to ints for the bound checks
+    out = x5_int8_quantize(spark, SF).withColumn(
+        "qi", F.transform(F.split("q", ","), lambda x: x.cast("int")))
     bad = out.filter(
-        (F.array_max("q") > 127) | (F.array_min("q") < -127)
-        | (F.size("q") != 64) | (F.col("max_abs") <= 0)).count()
+        (F.array_max("qi") > 127) | (F.array_min("qi") < -127)
+        | (F.size("qi") != 64) | (F.col("max_abs") <= 0)).count()
     assert bad == 0
     # the max-|x| dimension quantizes to exactly ±127
-    hit = out.filter((F.array_max("q") == 127)
-                     | (F.array_min("q") == -127)).count()
+    hit = out.filter((F.array_max("qi") == 127)
+                     | (F.array_min("qi") == -127)).count()
     assert hit == out.count()
 
 

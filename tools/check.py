@@ -99,6 +99,17 @@ def main() -> int:
             traceback.print_exc(limit=4)
             n_fail += 1
             continue
+        # Replay the DRIVER's canonicalization (raw pandas sort_values
+        # over all columns): unhashable cells (lists/dicts/ndarrays)
+        # crash the driver even when values are right (r2 red rows) —
+        # catch that here, before the driver does.
+        try:
+            if len(spdf):
+                spdf.sort_values(list(spdf.columns))
+        except Exception as exc:
+            print(f"  XX {name}: DRIVER-CANON CRASH ({exc!r:.120})")
+            n_fail += 1
+            continue
         if name not in oracles:
             print(f"  .. {name}: rows-only ({len(spdf)} rows, "
                   f"{time.time()-t0:.1f}s)")
