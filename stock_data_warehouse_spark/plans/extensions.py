@@ -261,6 +261,53 @@ def x2_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "x2_neardup_clusters_contracting",
+    oracle=f"""
+    WITH RECURSIVE {_SQL_JPAIRS},
+    edges AS (
+      SELECT doc_a AS u, doc_b AS v FROM jpairs
+      UNION
+      SELECT doc_b, doc_a FROM jpairs
+    ),
+    reach(u, v) AS (
+      SELECT u, v FROM edges
+      UNION
+      SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+      WHERE e.v <> r.u
+    ),
+    comp AS (
+      SELECT u AS doc_id, least(u, min(v)) AS cluster_id
+      FROM reach GROUP BY u
+    )
+    SELECT doc_id, cluster_id,
+           COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size,
+           doc_id = cluster_id AS is_survivor
+    FROM comp
+    """,
+)
+def x2_neardup_clusters_contracting(spark: SparkSession,
+                                    sf_dir: str) -> DataFrame:
+    """OP-X2 — the SAME near-dup clusters via large-star/small-star
+    contraction (Kiveris et al., SoCC'14; ``operators/graph.py``), the
+    O(log²)-round algorithm that replaces min-label propagation when
+    components can be DEEP (duplicate chains, web-graph-shaped dup
+    structure) — propagation pays O(diameter) rounds, contraction does
+    not. Oracle-exact against the identical recursive-CTE reachability
+    oracle as x2_neardup_clusters, so both physical strategies are
+    pinned to one semantic contract."""
+    from ..operators.graph import connected_components_contracting
+
+    pairs = _jaccard_pairs(spark, sf_dir)
+    cc = connected_components_contracting(pairs, "doc_a", "doc_b")
+    wsz = Window.partitionBy("component")
+    return cc.select(
+        F.col("node").alias("doc_id"),
+        F.col("component").alias("cluster_id"),
+        F.count(F.lit(1)).over(wsz).alias("cluster_size"),
+        (F.col("node") == F.col("component")).alias("is_survivor"))
+
+
+@register(
     "x2_neardup_minhash_lsh",
     oracle=f"""
     WITH {_SQL_JPAIRS}

@@ -115,6 +115,33 @@ def test_connected_components_unit(spark):
     assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
 
 
+def test_star_contraction_matches_propagation(spark):
+    """large-star/small-star contraction must label identically to
+    min-label propagation on deep chains (the case it exists for),
+    multi-component graphs, and random graphs."""
+    import random
+
+    from stock_data_warehouse_spark.operators.graph import (
+        connected_components, connected_components_contracting,
+    )
+    random.seed(11)
+    cases = [
+        [(i, i + 1) for i in range(1, 25)],            # deep chain
+        [(i + 1, i) for i in range(1, 12)],            # reversed chain
+        [(1, 2), (2, 3), (1, 3), (10, 11), (11, 12)],  # clique + path
+        [(random.randint(1, 40), random.randint(1, 40))
+         for _ in range(50)],                          # random graph
+    ]
+    for edges in cases:
+        edges = [e for e in edges if e[0] != e[1]]
+        df = spark.createDataFrame(edges, "src long, dst long")
+        prop = {(r["node"], r["component"])
+                for r in connected_components(df, max_iter=40).collect()}
+        star = {(r["node"], r["component"])
+                for r in connected_components_contracting(df).collect()}
+        assert prop == star
+
+
 def test_neardup_clusters_consistent_with_pairs(spark):
     """Every flagged pair's endpoints share a cluster; survivors are
     the cluster minima; cluster_size >= 2 for every clustered doc."""
