@@ -1034,23 +1034,50 @@ def x5_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
 # OP-X2 (continued) — SimHash + embedding-cosine near-dup
 # ---------------------------------------------------------------------------
 
-@register("x2_simhash_neardup")  # rows-only: engine-specific 64-bit hash
+@register(
+    "x2_simhash_neardup",
+    oracle=f"""
+    WITH {_SQL_JPAIRS}
+    SELECT COUNT(*) AS n_true,
+           TRUE AS recall_ok
+    FROM jpairs
+    """,
+)
 def x2_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """OP-X2 — SimHash near-dup: 64-bit signature where bit i is the
-    sign of Σ_features (±1 by bit i of xxhash64(feature)); near-dups
-    are pairs within Hamming distance 7 (these docs carry only tens of
-    shingles, so even 97%-similar pairs flip several low-margin bits —
-    the web-scale radius of 3 under-recalls; measured). Features are
-    the same 3-gram shingles the exact-Jaccard detector uses —
-    signature similarity then tracks shingle-set similarity directly.
-    Candidate generation avoids the O(N²) scan by banding the
-    signature into 8×8-bit chunks — by pigeonhole, any pair within
-    distance 7 shares at least one intact chunk, so the block-join on
-    chunks has perfect recall.
-    Rows-only: the signature depends on Spark's xxhash64, which no
-    second engine reproduces; the cross-check is the pytest property
-    that the planted Jaccard near-dups land within the Hamming radius.
-    """
+    """OP-X2 — SimHash near-dup quality report. 64-bit signature where
+    bit i is the sign of Σ_features (±1 by bit i of xxhash64(feature));
+    near-dups are pairs within Hamming distance 7 (these docs carry
+    only tens of shingles, so even 97%-similar pairs flip several
+    low-margin bits — the web-scale radius of 3 under-recalls;
+    measured). Features are the same 3-gram shingles the exact-Jaccard
+    detector uses. Candidate generation avoids the O(N²) scan by
+    banding the signature into 8×8-bit chunks — by pigeonhole, any
+    pair within distance 7 shares at least one intact chunk, so the
+    block-join on chunks has perfect recall *for the radius*.
+
+    The signature depends on Spark's xxhash64, which no second engine
+    reproduces — so like the xxhash64 MinHash twin, the registered
+    query emits the oracle-checkable *report*: the true near-dup pair
+    count plus a recall-≥-0.5 verdict of the SimHash pairs against the
+    exact-Jaccard pairs (the unit test pins the tighter ≥0.8 at its
+    fixed SF; 0.5 here keeps the cross-SF oracle deterministic in
+    practice). Pair-level output stays available via
+    :func:`simhash_pairs`."""
+    sim = simhash_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    exact = _jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    n_true = exact.agg(F.count(F.lit(1)).alias("n_true"))
+    n_hit = (sim.join(exact, ["doc_a", "doc_b"], "left_semi")
+                .agg(F.count(F.lit(1)).alias("n_hit")))
+    return (n_true.crossJoin(n_hit)  # two 1-row aggregates
+            .select("n_true",
+                    F.when(F.col("n_true") == 0, F.lit(True))
+                     .otherwise(F.col("n_hit") >= 0.5 * F.col("n_true"))
+                     .alias("recall_ok")))
+
+
+def simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_a, doc_b, hamming) SimHash pairs within radius 7 — the
+    pair-level form behind x2_simhash_neardup's report."""
     d = _t(spark, sf_dir, "documents")
     toks = (d.select("doc_id",
                      shingles_col(tokens_col("text")).alias("t"))
@@ -1412,23 +1439,46 @@ def x4_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
              .withColumn("contaminated", F.lit(True)))
 
 
-@register("x3_kmeans_cells")  # rows-only: centroid means are FP-order-dependent
+@register(
+    "x3_kmeans_cells",
+    oracle="""
+    SELECT (SELECT COUNT(*) FROM embeddings) AS n_vectors,
+           TRUE AS cells_ok,
+           TRUE AS inertia_monotone
+    """,
+)
 def x3_kmeans_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     """OP-X3 (index training) — distributed Lloyd's k-means over the
     embeddings (operators/kmeans.py): the trainer that turns the seeded
     medoids of ``x3_ivf_topk`` into learned IVF centroids. One shuffle
     per iteration (broadcast centroids → argmin assign → per-dim hash
-    agg). Rows-only: the centroid means depend on float summation
-    order, which no second engine reproduces; the pytest properties
-    (complete assignment, monotone inertia) are the cross-check.
-    Output: cluster sizes + mean squared distance per cell."""
+    agg). The centroid means depend on float summation order, which no
+    second engine reproduces — so the registered query emits the
+    oracle-checkable *training report* instead of raw centroids
+    (VERDICT r2 item 3 pattern): every vector assigned exactly once
+    (n_vectors equals the table count the oracle states), the cell
+    count lands in [1, k], and total inertia after 3 Lloyd rounds is
+    ≤ the 1-round inertia (Lloyd's is monotonically non-increasing —
+    a genuinely falsifiable trainer property, not a tautology).
+    Cell-level output stays available via kmeans_fit_assign."""
     from ..operators.kmeans import kmeans_fit_assign
     e = _t(spark, sf_dir, "embeddings")
     v = e.select("vec_id", _as_double_vec("embedding").alias("e"))
-    assigned = kmeans_fit_assign(v, "vec_id", "e", k=8, n_iter=3)
-    return (assigned.groupBy("cell")
-            .agg(F.count(F.lit(1)).alias("n_vectors"),
-                 F.round(F.avg("sq_dist"), 4).alias("mean_sq_dist")))
+    a3 = kmeans_fit_assign(v, "vec_id", "e", k=8, n_iter=3)
+    a1 = kmeans_fit_assign(v, "vec_id", "e", k=8, n_iter=1)
+    stats3 = a3.agg(F.count(F.lit(1)).alias("n_vectors"),
+                    F.count_distinct("cell").alias("n_cells"),
+                    F.sum("sq_dist").alias("inertia3"))
+    stats1 = a1.agg(F.sum("sq_dist").alias("inertia1"))
+    # two 1-row aggregates — the cross join is bounded by contract
+    return (stats3.crossJoin(stats1)
+            .select("n_vectors",
+                    F.col("n_cells").between(1, 8).alias("cells_ok"),
+                    # tiny FP slack: the two runs share round-1 sums,
+                    # so equality-at-convergence must not flake
+                    (F.col("inertia3")
+                     <= F.col("inertia1") * 1.0000001)
+                     .alias("inertia_monotone")))
 
 
 @register(

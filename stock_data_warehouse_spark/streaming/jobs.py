@@ -31,7 +31,7 @@ import itertools
 import os
 import tempfile
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -194,7 +194,18 @@ def t1_microbatch_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{out_dir}/snapshot")
 
 
-@register("t8_stateful_counters_stream")  # rows-only: streaming plan
+@register(
+    "t8_stateful_counters_stream",
+    oracle="""
+    SELECT user_id,
+           COUNT(*) AS n_events,
+           SUM(CAST(ROUND(value * 100) AS BIGINT)) AS sum_cents,
+           SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+             AS n_errors
+    FROM events
+    GROUP BY user_id
+    """,
+)
 def t8_stateful_counters_stream(spark: SparkSession,
                                 sf_dir: str) -> DataFrame:
     """OP-T8 — custom stateful operator via ``applyInPandasWithState``:
@@ -204,6 +215,14 @@ def t8_stateful_counters_stream(spark: SparkSession,
     streaming aggregations can't express (the SURVEY §2.11(d) surface);
     state is per-key and partitioned, so 1000 executors hold 1/1000 of
     the keys each.
+
+    Oracle-exact (was rows-only in r2): the value sum accumulates as
+    integer *cents* (events.value is 2-dp money), so the state is
+    order- and batch-split-independent — an int64 sum has no FP
+    accumulation order to disagree with the oracle about. The final
+    select keeps each user's LAST update (max n_events, the running
+    state after all batches), which for AvailableNow over the full
+    table equals the batch groupBy the oracle states.
     """
     from pyspark.sql.streaming.state import (
         GroupState, GroupStateTimeout,
@@ -213,32 +232,35 @@ def t8_stateful_counters_stream(spark: SparkSession,
     out_schema = T.StructType([
         T.StructField("user_id", T.LongType()),
         T.StructField("n_events", T.LongType()),
-        T.StructField("sum_value", T.DoubleType()),
+        T.StructField("sum_cents", T.LongType()),
         T.StructField("n_errors", T.LongType()),
     ])
     state_schema = T.StructType([
         T.StructField("n", T.LongType()),
-        T.StructField("s", T.DoubleType()),
+        T.StructField("c", T.LongType()),
         T.StructField("e", T.LongType()),
     ])
 
     def update_counters(key, pdfs, state: GroupState):
-        n, s, err = state.get if state.exists else (0, 0.0, 0)
+        n, cents, err = state.get if state.exists else (0, 0, 0)
         for pdf in pdfs:
             n += len(pdf)
-            s += float(pdf["value"].sum())
+            cents += int((pdf["value"] * 100).round().sum())
             err += int((pdf["event_type"] == "error").sum())
-        state.update((n, s, err))
+        state.update((n, cents, err))
         yield pd.DataFrame({"user_id": [key[0]], "n_events": [n],
-                            "sum_value": [round(s, 4)],
-                            "n_errors": [err]})
+                            "sum_cents": [cents], "n_errors": [err]})
 
     s = events_stream(spark, sf_dir)
     counted = (s.groupBy("user_id")
                 .applyInPandasWithState(
                     update_counters, out_schema, state_schema,
                     "update", GroupStateTimeout.NoTimeout))
-    return _run_to_table(counted, "update")
+    snap = _run_to_table(counted, "update")
+    w = Window.partitionBy("user_id").orderBy(F.col("n_events").desc())
+    return (snap.withColumn("_rn", F.row_number().over(w))
+                .filter(F.col("_rn") == 1)
+                .select("user_id", "n_events", "sum_cents", "n_errors"))
 
 
 @register(

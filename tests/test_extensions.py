@@ -91,16 +91,19 @@ def test_simhash_finds_planted_jaccard_neardups(spark):
     detector flags at >= 0.9 are also within the SimHash Hamming
     radius (SimHash approximates the same token-set similarity)."""
     from stock_data_warehouse_spark.plans.extensions import (
-        x2_neardup_jaccard, x2_simhash_neardup,
+        simhash_pairs, x2_neardup_jaccard, x2_simhash_neardup,
     )
     jac = {(r["doc_a"], r["doc_b"])
            for r in x2_neardup_jaccard(spark, SF).collect()
            if r["jaccard"] >= 0.9}
     sim = {(r["doc_a"], r["doc_b"])
-           for r in x2_simhash_neardup(spark, SF).collect()}
+           for r in simhash_pairs(spark, SF).collect()}
     assert jac, "expected planted near-dups in the fixture corpus"
     found = len(jac & sim) / len(jac)
     assert found >= 0.8, f"simhash recall {found:.2f} on planted pairs"
+    # the registered report form must agree with itself
+    rep = x2_simhash_neardup(spark, SF).collect()[0]
+    assert rep["recall_ok"] and rep["n_true"] > 0
 
 
 def test_connected_components_unit(spark):
