@@ -1482,6 +1482,90 @@ def x3_kmeans_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "x3_int8_topk",
+    oracle=f"""
+    WITH v AS (
+      SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+    ),
+    n AS (
+      SELECT vec_id, e,
+             sqrt({_sql_dot('e', 'e')}) AS nrm,
+             list_max(list_transform(e, x -> abs(x))) AS mx
+      FROM v
+    ),
+    q AS (
+      SELECT vec_id, nrm, mx,
+             CASE WHEN mx = 0 THEN list_transform(e, x -> 0)
+                  ELSE list_transform(e, x ->
+                       CAST(floor(x * 127.0 / mx + 0.5) AS INT))
+             END AS qv
+      FROM n WHERE mx > 0 AND nrm > 0
+    ),
+    pairs AS (
+      SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+             {_sql_dot('a.qv', 'b.qv')} * a.mx * b.mx
+               / (16129.0 * (a.nrm * b.nrm)) AS acos
+      FROM q a JOIN q b ON a.vec_id <> b.vec_id
+    )
+    SELECT query_id, neighbor_id,
+           CAST(ROUND(CAST(acos AS DECIMAL(38,10)), 6) AS DOUBLE)
+             AS approx_cos
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY query_id ORDER BY acos DESC, neighbor_id) AS rn
+      FROM pairs
+    ) WHERE rn <= 3
+    """,
+)
+def x3_int8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OP-X3 + OP-X5 composed — similarity top-3 over the *int8-
+    quantized* vectors (x5_int8_quantize's symmetric scheme): the
+    production memory/bandwidth form, where the index holds 1 byte per
+    dimension and the scan computes integer dot products, rescaling by
+    the two per-vector scales (ma·mb/127²) to approximate cosine.
+
+    Oracle-exact — unusual for ANN — because every step is engine-
+    portable: the quantization is floor-based (no ROUND-tie exposure),
+    the int dot product is integer-exact (≤ 64·127² ≪ 2⁵³, so the
+    double accumulator is exact in both engines), and the rescale
+    arithmetic is association-matched on both sides. Ranking ties
+    break on neighbor_id. The unit test additionally checks top-3
+    overlap against the float brute force (quantization fidelity).
+    Plan shape mirrors the brute-force baseline (broadcast side whole,
+    probe side fanned out); the 100 TB path composes the same scoring
+    with LSH/IVF candidate generation instead of all-pairs."""
+    e = _t(spark, sf_dir, "embeddings")
+    v = e.select("vec_id", _as_double_vec("embedding").alias("e"))
+    n = (v.withColumn("nrm", F.sqrt(_dot(F.col("e"), F.col("e"))))
+          .withColumn("mx", F.array_max(
+              F.transform("e", lambda x: F.abs(x))))
+          .filter((F.col("mx") > 0) & (F.col("nrm") > 0)))
+    q = n.select(
+        "vec_id", "nrm", "mx",
+        F.transform("e", lambda x: F.floor(x * 127.0 / F.col("mx")
+                                           + 0.5).cast("int"))
+         .alias("qv"))
+    probe = (q.repartition(spark.sparkContext.defaultParallelism,
+                           "vec_id").alias("a"))
+    build = F.broadcast(q.alias("b"))
+    acos = (_dot(F.col("a.qv"), F.col("b.qv"))
+            * F.col("a.mx") * F.col("b.mx")
+            / (F.lit(16129.0) * (F.col("a.nrm") * F.col("b.nrm"))))
+    pairs = (probe.join(build,
+                        F.col("a.vec_id") != F.col("b.vec_id"))
+                  .select(F.col("a.vec_id").alias("query_id"),
+                          F.col("b.vec_id").alias("neighbor_id"),
+                          acos.alias("acos")))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("acos").desc(), F.col("neighbor_id"))
+    return (pairs.withColumn("rn", F.row_number().over(w))
+                 .filter(F.col("rn") <= 3)
+                 .select("query_id", "neighbor_id",
+                         F.round(F.col("acos").cast("decimal(38,10)"), 6)
+                          .cast("double").alias("approx_cos")))
+
+
+@register(
     "x2_fuzzy_name_pairs",
     oracle="""
     WITH names AS (

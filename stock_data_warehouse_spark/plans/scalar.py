@@ -324,10 +324,13 @@ def _arr6(col) -> F.Column:
 
 
 def _sql_arr6(expr: str) -> str:
-    """DuckDB twin of :func:`_arr6` — identical element pipeline."""
-    return ("array_to_string(list_transform(" + expr + ", x -> "
+    """DuckDB twin of :func:`_arr6` — identical element pipeline.
+    COALESCE aligns the empty/NULL-array edge: DuckDB's
+    array_to_string is string_agg-shaped (empty → NULL) where Spark's
+    concat_ws yields '' (property-tested in test_property_kernels)."""
+    return ("COALESCE(array_to_string(list_transform(" + expr + ", x -> "
             "CAST(CAST(ROUND(CAST(x AS DECIMAL(38,10)), 6) "
-            "AS DECIMAL(28,6)) AS VARCHAR)), ',')")
+            "AS DECIMAL(28,6)) AS VARCHAR)), ','), '')")
 
 
 @register(

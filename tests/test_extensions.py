@@ -118,6 +118,25 @@ def test_connected_components_unit(spark):
     assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
 
 
+def test_int8_topk_tracks_float_topk(spark):
+    """Quantization fidelity: the int8-scored top-3 neighbor sets must
+    substantially overlap the float brute-force top-3 (symmetric int8
+    keeps relative dot products within ~1% for these vectors)."""
+    from stock_data_warehouse_spark.plans.extensions import (
+        x3_cosine_topk_bruteforce, x3_int8_topk,
+    )
+    flt = {}
+    for r in x3_cosine_topk_bruteforce(spark, SF).collect():
+        flt.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    i8 = {}
+    for r in x3_int8_topk(spark, SF).collect():
+        i8.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    assert set(flt) == set(i8)
+    overlap = [len(flt[q] & i8[q]) / 3.0 for q in flt]
+    mean_overlap = sum(overlap) / len(overlap)
+    assert mean_overlap >= 0.7, mean_overlap
+
+
 def test_star_contraction_matches_propagation(spark):
     """large-star/small-star contraction must label identically to
     min-label propagation on deep chains (the case it exists for),

@@ -215,3 +215,14 @@ def test_trending_topk_partial_agg_before_rank(spark):
     assert "HashAggregate" in plan, plan
     assert "partial_count" in plan.lower() or "partial" in plan.lower(), plan
     assert "SinglePartition" not in plan.split("Window")[0], plan
+
+
+def test_int8_topk_broadcasts_quantized_build_side(spark):
+    """The int8 scoring pass is a broadcast nested-loop over the 1-byte
+    quantized build side — no sort-merge of the vector table, and the
+    only hash exchanges are the probe fan-out + rank window."""
+    from stock_data_warehouse_spark.plans.extensions import x3_int8_topk
+
+    plan = _executed_plan(x3_int8_topk(spark, SF))
+    assert "Broadcast" in plan, plan
+    assert "SortMergeJoin" not in plan, plan

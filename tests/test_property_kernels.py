@@ -78,3 +78,31 @@ def test_classifier_semiconductor_precedence_is_absolute(spark, rows):
         assert r["c"] in enum8
         if "Semiconductor" in r["industry"]:
             assert r["c"] == "Semiconductor"
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.lists(
+    st.lists(st.floats(min_value=-1e8, max_value=1e8,
+                       allow_nan=False, allow_infinity=False),
+             min_size=0, max_size=6),
+    min_size=1, max_size=25))
+def test_arr6_matches_duckdb_twin(spark, arrays):
+    """Property: the Spark array-to-string serializer (_arr6) and its
+    DuckDB SQL twin (_sql_arr6) render EVERY double array to the same
+    canonical string — the driver-hashable contract every array-valued
+    result column now routes through."""
+    import duckdb
+
+    from stock_data_warehouse_spark.plans.scalar import _arr6, _sql_arr6
+
+    rows = [(i, arr) for i, arr in enumerate(arrays)]
+    df = spark.createDataFrame(rows, "id long, arr array<double>")
+    got = {r["id"]: r["s"]
+           for r in df.select("id", _arr6(F.col("arr")).alias("s"))
+                      .collect()}
+    con = duckdb.connect()
+    for i, arr in rows:
+        lit = "[" + ",".join(repr(x) for x in arr) + "]::DOUBLE[]"
+        want = con.execute(
+            f"SELECT {_sql_arr6(lit)}").fetchone()[0]
+        assert got[i] == want, (arr, got[i], want)
