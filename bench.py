@@ -57,6 +57,8 @@ HEADLINE = (
     "s10_versioned_publish",      # versioned publish + content-hash diff
     "s11_compaction_report",      # small-files compaction + range layout
     "t7_watermark_tumbling_stream",  # real Structured Streaming w/ watermark
+    "x2_neardup_clusters_contracting",  # large-star/small-star CC
+    "x3_int8_topk",               # int8-quantized similarity top-k
 )
 
 
