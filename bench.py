@@ -22,6 +22,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+N_ITER = int(os.environ.get("SPARK_GRAFT_BENCH_ITER", "2"))
 
 # Headline set: one per operator family, weighted toward the plans that
 # shuffle (joins, windows, aggs) — the ones whose scale behavior matters.
@@ -58,7 +59,12 @@ HEADLINE = (
     "s11_compaction_report",      # small-files compaction + range layout
     "t7_watermark_tumbling_stream",  # real Structured Streaming w/ watermark
     "x2_neardup_clusters_contracting",  # large-star/small-star CC
-    "x3_int8_topk",               # int8-quantized similarity top-k
+    # round 4 (VERDICT r3 item 2): the all-pairs int8 demo
+    # (x3_int8_topk) is demoted to oracle-baseline-only — the headline
+    # set carries its scale composition instead, so no O(N²) plan
+    # remains in the benchmarked set (same rule brute-force cosine
+    # already follows).
+    "x3_int8_ivf_topk",           # int8 scoring over IVF cells
 )
 
 
@@ -83,6 +89,7 @@ def main() -> int:
     spark.read.parquet(f"{SF_DIR}/lineitem.parquet").count()
 
     timings: dict[str, float] = {}
+    spread: dict[str, float] = {}
     total = 0.0
     for name in names:
         # Min of two executions: the first pays one-time costs (codegen,
@@ -91,22 +98,29 @@ def main() -> int:
         # measure of the physical plan itself. The build is INSIDE the
         # timed region: the eager queries (sinks, streaming,
         # iterative clusters) do their real work at build time.
-        dt = None
-        for _ in range(2):
+        runs = []
+        for _ in range(N_ITER):
             t0 = time.time()
             df = qs[name](spark, SF_DIR)
             df.write.format("noop").mode("overwrite").save()
-            run = round(time.time() - t0, 3)
-            dt = run if dt is None else min(dt, run)
-        timings[name] = dt
-        total += dt
-        print(f"# {name}: {dt:.3f}s", file=sys.stderr)
+            runs.append(round(time.time() - t0, 3))
+        timings[name] = min(runs)
+        spread[name] = max(runs)
+        total += min(runs)
+        print(f"# {name}: {min(runs):.3f}s (max {max(runs):.3f}s)",
+              file=sys.stderr)
 
+    # Protocol metadata (VERDICT r3 item 4): the machine is co-tenant —
+    # cross-round wall-time comparisons need the ambient load and the
+    # per-query min/max spread to tell plan regressions from noise.
     print(json.dumps({
         "metric": "headline_queries_total",
         "value": round(total, 3),
         "unit": "sec",
         "queries": timings,
+        "queries_max": spread,
+        "iterations": N_ITER,
+        "load_avg_1m": round(os.getloadavg()[0], 2),
         "sf": _sf_from_dir(SF_DIR),
     }))
     spark.stop()

@@ -86,13 +86,67 @@ def round2(c: Column) -> Column:
     return F.round(c, 2)
 
 
+def round_half_up(c: Column, scale: int = 2) -> Column:
+    """Engine-stable half-up rounding of a DOUBLE at ``scale`` dp:
+    ``sign(x) * floor(|x|*10^s + 0.5) / 10^s`` computed entirely in
+    IEEE-754 double ops.
+
+    Multiply, add, floor and divide are each correctly-rounded IEEE
+    operations that the JVM (Spark) and C++ (DuckDB) implement
+    identically — neither engine fuses the multiply-add — so given the
+    same input bits the result is bit-identical across engines for
+    every finite double.  The previous DECIMAL(38,10) route was
+    falsified by hypothesis (pinned counterexample 9007199.279923499):
+    Spark's double→decimal cast is exact (java.math.BigDecimal) while
+    DuckDB's quantizes through double arithmetic, so the engines see
+    *different decimals* once ``|x|·10^10 ≳ 2^53`` — and engine-native
+    double ROUND diverges on shortest-repr ties.  This kernel rounds
+    the *binary* value half-away-from-zero, identically everywhere.
+
+    SQL twin: :func:`sql_round_half_up` (must be used for the oracle
+    side of every column this feeds).  The trailing ``+ 0.0``
+    canonicalizes ``-0.0`` to ``0.0`` (Spark's floor yields LONG, so
+    only the DuckDB side can produce a signed zero).
+
+    KERNEL CHOICE (the repo's two-kernel taxonomy):
+
+    * class A — *deterministic-identical inputs*: both engines hold the
+      same input bits (parquet scans, ratios of exact integers,
+      sequential array folds, IEEE-exact ops like sqrt). Use THIS
+      kernel: bit-exact at any magnitude.
+    * class B — *noise-carrying inputs*: cross-engine aggregation
+      order (SUM/AVG of doubles) or non-correctly-rounded libm
+      (ln/exp/acos/pow) make the engines' inputs differ by ulps. This
+      kernel amplifies a 1-ulp straddle of a tie into a full 10^-s
+      divergence; the DECIMAL(38,10) route instead *absorbs* noise
+      below 5e-11 by quantizing at 10 dp first, and its falsified
+      class (double→decimal divergence) only opens at |x|·10^10 ≳ 2^53
+      i.e. |x| ≳ 9e5.  For class-B sites keep the decimal route and
+      keep |result| ≪ 9e5 (all current class-B sites are bounded:
+      avgs of ~1e3-scale values, acos ≤ π, log-probs).
+    """
+    p = F.lit(float(10 ** scale))
+    n = F.floor(F.abs(c) * p + F.lit(0.5))
+    return F.when(c < 0, -n).otherwise(n) / p + F.lit(0.0)
+
+
+def sql_round_half_up(expr: str, scale: int = 2) -> str:
+    """DuckDB twin of :func:`round_half_up` — the identical IEEE op
+    sequence, so both engines render the same double bit-for-bit.
+    ``expr`` is evaluated twice (sign probe + magnitude); callers pass
+    deterministic side-effect-free expressions only."""
+    p = f"{10 ** scale}.0"
+    n = f"FLOOR(ABS({expr}) * {p} + 0.5)"
+    return (f"(CASE WHEN ({expr}) < 0 THEN -{n} ELSE {n} END"
+            f" / {p} + 0.0)")
+
+
 def round_money(c: Column, scale: int = 2) -> Column:
     """Tie-stable rounding for oracle parity (SURVEY.md §7 hard-part 1).
 
-    Route through DECIMAL(38,10) so tie-breaking is identical on both
-    engines: Spark mirrors
-    ``CAST(ROUND(CAST(x AS DECIMAL(38,10)), s) AS DOUBLE)`` in DuckDB —
-    the double→decimal cast canonicalizes the binary value the same way
-    on both sides, and decimal ROUND is HALF_UP on both.
+    Since round 4 this is :func:`round_half_up` — the floor-based
+    half-up kernel — after the DECIMAL(38,10) route was falsified
+    cross-engine by ``tests/test_property_kernels.py`` (VERDICT r3
+    item 1).  SQL twin: :func:`sql_round_half_up`.
     """
-    return F.round(c.cast("decimal(38,10)"), scale).cast("double")
+    return round_half_up(c, scale)

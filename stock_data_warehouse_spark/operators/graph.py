@@ -111,8 +111,18 @@ def connected_components_contracting(edges: DataFrame, src: str = "src",
     the same component) and monotonically pull every component toward
     its minimum id; the fixed point is a star centered on that minimum.
     Returns ``(node, component)`` exactly like the propagation form —
-    the two are interchangeable, and the near-dup cluster query checks
-    them against the same recursive-CTE oracle.
+    the two are interchangeable (self-loop-only nodes are re-added as
+    singleton components, matching propagation's labeling — ADVICE
+    r3), and the near-dup cluster query checks them against the same
+    recursive-CTE oracle.
+
+    Convergence is detected from ONE aggregation job per round over
+    the already-checkpointed edge set: (count, xor-of-hash ×2 seeds) —
+    an order-independent set signature, vs the previous
+    count+count+anti-join (3 jobs, one with a shuffle). A signature
+    collision between different edge sets needs two independent 64-bit
+    xor-hash collisions at once (~2⁻¹²⁸, and the oracle would still
+    catch a wrong fixed point).
     """
     def canon(df: DataFrame) -> DataFrame:
         """Canonical undirected form: (max, min), no self-loops."""
@@ -123,7 +133,7 @@ def connected_components_contracting(edges: DataFrame, src: str = "src",
 
     e = canon(edges.select(F.col(src).alias("u"),
                            F.col(dst).alias("v"))).localCheckpoint()
-    prev = None
+    prev_sig = None
     for _ in range(max_iter):
         # -- large-star: reduce over the SYMMETRIC neighbor view.
         # For every node u with m(u) = min(N(u) ∪ {u}): connect each
@@ -151,11 +161,18 @@ def connected_components_contracting(edges: DataFrame, src: str = "src",
         # edge set unchanged — the paper's fixed point, which is the
         # min-rooted-star state. (A per-node fan-out==1 test is NOT
         # sufficient: transient chains u→v→w also have fan-out 1.)
-        if prev is not None:
-            if prev.count() == e.count() and (
-                    e.join(prev, ["u", "v"], "left_anti").isEmpty()):
-                break
-        prev = e
+        # One job: canon() guarantees set semantics, so (count,
+        # xor-hash, xor-hash·seeded) is an order-independent signature
+        # of the edge set — no cross-round join needed.
+        row = e.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.bit_xor(F.xxhash64("u", "v")).alias("h1"),
+            F.bit_xor(F.xxhash64(F.lit(7), "u", "v")).alias("h2")
+        ).first()
+        sig = (row["n"], row["h1"], row["h2"])
+        if sig == prev_sig:
+            break
+        prev_sig = sig
     else:
         raise RuntimeError(
             f"star contraction did not converge in {max_iter} rounds")
@@ -165,4 +182,17 @@ def connected_components_contracting(edges: DataFrame, src: str = "src",
                        F.col("v").alias("component")).distinct()
     members = e.select(F.col("u").alias("node"),
                        F.col("v").alias("component"))
-    return members.union(centers).distinct()
+    labeled = members.union(centers).distinct()
+    # canon() drops self-loops, so a node whose ONLY edges are
+    # self-loops would vanish here while the propagation form labels
+    # it a singleton — re-add those as their own component so the two
+    # operators stay interchangeable (ADVICE r3).
+    loop_nodes = (edges.select(F.col(src).alias("node"),
+                               F.col(dst).alias("_d"))
+                       .filter(F.col("node") == F.col("_d"))
+                       .select("node").distinct())
+    singletons = (loop_nodes.join(labeled.select("node"),
+                                  "node", "left_anti")
+                            .select("node",
+                                    F.col("node").alias("component")))
+    return labeled.union(singletons)

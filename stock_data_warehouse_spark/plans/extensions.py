@@ -31,6 +31,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from ..functions.scalars import round_half_up, sql_round_half_up
 from ..sources.tables import load_table
 from .registry import register
 
@@ -193,7 +194,7 @@ def _jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "x2_neardup_jaccard",
     oracle=f"""
     WITH {_SQL_JPAIRS}
-    SELECT doc_a, doc_b, n_common, ROUND(jac, 6) AS jaccard
+    SELECT doc_a, doc_b, n_common, (CASE WHEN (jac) < 0 THEN -FLOOR(ABS(jac) * 1000000.0 + 0.5) ELSE FLOOR(ABS(jac) * 1000000.0 + 0.5) END / 1000000.0 + 0.0) AS jaccard
     FROM jpairs
     """,
 )
@@ -209,7 +210,7 @@ def x2_neardup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     return (_jaccard_pairs(spark, sf_dir)
             .select("doc_a", "doc_b", "n_common",
-                    F.round("jac", 6).alias("jaccard")))
+                    round_half_up(F.col("jac"), 6).alias("jaccard")))
 
 
 @register(
@@ -409,7 +410,7 @@ def x2_neardup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
        AND a.doc_id < b.doc_id
     )
-    SELECT c.doc_a, c.doc_b, ROUND(j.jac, 6) AS jaccard
+    SELECT c.doc_a, c.doc_b, (CASE WHEN (j.jac) < 0 THEN -FLOOR(ABS(j.jac) * 1000000.0 + 0.5) ELSE FLOOR(ABS(j.jac) * 1000000.0 + 0.5) END / 1000000.0 + 0.0) AS jaccard
     FROM cand c JOIN jpairs j
       ON c.doc_a = j.doc_a AND c.doc_b = j.doc_b
     """,
@@ -462,7 +463,7 @@ def x2_neardup_minhash_portable(spark: SparkSession,
     verified = _jaccard_pairs(spark, sf_dir)
     return (cand.join(verified, ["doc_a", "doc_b"])
                 .select("doc_a", "doc_b",
-                        F.round("jac", 6).alias("jaccard")))
+                        round_half_up(F.col("jac"), 6).alias("jaccard")))
 
 
 # ---------------------------------------------------------------------------
@@ -506,7 +507,7 @@ def _sql_dot(a: str, b: str) -> str:
       FROM n a JOIN n b ON a.vec_id <> b.vec_id
     )
     SELECT query_id, neighbor_id, neighbor_label,
-           ROUND(cos, 6) AS cos_sim
+           (CASE WHEN (cos) < 0 THEN -FLOOR(ABS(cos) * 1000000.0 + 0.5) ELSE FLOOR(ABS(cos) * 1000000.0 + 0.5) END / 1000000.0 + 0.0) AS cos_sim
     FROM (
       SELECT *, ROW_NUMBER() OVER (
         PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rn
@@ -543,7 +544,7 @@ def x3_cosine_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (pairs.withColumn("rn", F.row_number().over(w))
                  .filter(F.col("rn") <= 3)
                  .select("query_id", "neighbor_id", "neighbor_label",
-                         F.round("cos", 6).alias("cos_sim")))
+                         round_half_up(F.col("cos"), 6).alias("cos_sim")))
 
 
 def _lsh_planes(dim: int = 64, n_planes: int = 8) -> list[list[float]]:
@@ -590,7 +591,7 @@ _SQL_LSH_PLANES = ", ".join(
       FROM b a JOIN b c
         ON a.bucket = c.bucket AND a.vec_id <> c.vec_id
     )
-    SELECT query_id, neighbor_id, ROUND(cos, 6) AS cos_sim
+    SELECT query_id, neighbor_id, (CASE WHEN (cos) < 0 THEN -FLOOR(ABS(cos) * 1000000.0 + 0.5) ELSE FLOOR(ABS(cos) * 1000000.0 + 0.5) END / 1000000.0 + 0.0) AS cos_sim
     FROM (
       SELECT *, ROW_NUMBER() OVER (
         PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rn
@@ -633,7 +634,7 @@ def x3_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (cand.withColumn("rn", F.row_number().over(w))
                 .filter(F.col("rn") <= 3)
                 .select("query_id", "neighbor_id",
-                        F.round("cos", 6).alias("cos_sim")))
+                        round_half_up(F.col("cos"), 6).alias("cos_sim")))
 
 
 # ---------------------------------------------------------------------------
@@ -671,13 +672,15 @@ def x4_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT doc_id, lang, n_chars,
            len(toks) AS n_tokens,
-           ROUND(CAST(strlen(text) AS DOUBLE) / len(toks), 6)
+           {sql_round_half_up(
+               'CAST(strlen(text) AS DOUBLE) / len(toks)', 6)}
              AS chars_per_token,
-           ROUND(CAST(len(list_filter(toks, x -> x IN
+           {sql_round_half_up('''CAST(len(list_filter(toks, x -> x IN
                  ('the', 'a', 'of', 'and', 'to', 'in'))) AS DOUBLE)
-                 / len(toks), 6) AS stopword_ratio,
-           ROUND(CAST(strlen(regexp_replace(text, '[a-zA-Z0-9 ]', '',
-                 'g')) AS DOUBLE) / strlen(text), 6) AS punct_ratio,
+                 / len(toks)''', 6)} AS stopword_ratio,
+           {sql_round_half_up('''CAST(strlen(regexp_replace(text,
+                 '[a-zA-Z0-9 ]', '', 'g')) AS DOUBLE)
+                 / strlen(text)''', 6)} AS punct_ratio,
            CASE WHEN len(toks) >= 20
                  AND CAST(len(list_filter(toks, x -> x IN
                      ('the', 'a', 'of', 'and', 'to', 'in'))) AS DOUBLE)
@@ -704,10 +707,10 @@ def x4_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t.select(
         "doc_id", "lang", "n_chars",
         n_tok.alias("n_tokens"),
-        F.round(F.length("text").cast("double") / n_tok, 6)
+        round_half_up(F.length("text").cast("double") / n_tok, 6)
          .alias("chars_per_token"),
-        F.round(stop_ratio, 6).alias("stopword_ratio"),
-        F.round(punct_ratio, 6).alias("punct_ratio"),
+        round_half_up(stop_ratio, 6).alias("stopword_ratio"),
+        round_half_up(punct_ratio, 6).alias("punct_ratio"),
         F.when((n_tok >= 20)
                & stop_ratio.between(0.05, 0.6), "keep")
          .otherwise("flag").alias("quality_bucket"))
@@ -750,7 +753,10 @@ def x4_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
            COUNT(DISTINCT source) AS n_sources,
            MIN(n_chars) AS min_chars,
            MAX(n_chars) AS max_chars,
-           ROUND(AVG(CAST(n_chars AS DOUBLE)), 4) AS avg_chars
+           (CASE WHEN (AVG(CAST(n_chars AS DOUBLE))) < 0
+                 THEN -FLOOR(ABS(AVG(CAST(n_chars AS DOUBLE))) * 10000.0 + 0.5)
+                 ELSE FLOOR(ABS(AVG(CAST(n_chars AS DOUBLE))) * 10000.0 + 0.5)
+            END / 10000.0 + 0.0) AS avg_chars
     FROM documents GROUP BY lang
     """,
 )
@@ -764,7 +770,11 @@ def x4_lang_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
                   F.countDistinct("source").alias("n_sources"),
                   F.min("n_chars").alias("min_chars"),
                   F.max("n_chars").alias("max_chars"),
-                  F.round(F.avg(F.col("n_chars").cast("double")), 4)
+                  # class A despite the AVG: integer-valued doubles sum
+                  # exactly (< 2^53) in any order, so both engines hold
+                  # identical bits before the kernel
+                  round_half_up(
+                      F.avg(F.col("n_chars").cast("double")), 4)
                    .alias("avg_chars")))
 
 
@@ -780,8 +790,9 @@ def x4_lang_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT vec_id, label,
            len(e) AS dim,
-           ROUND(sqrt({_sql_dot('e', 'e')}), 6) AS l2_norm,
-           ROUND({_sql_dot('e', 'e')}, 6) AS sq_norm
+           {sql_round_half_up(f"sqrt({_sql_dot('e', 'e')})", 6)}
+             AS l2_norm,
+           {sql_round_half_up(_sql_dot('e', 'e'), 6)} AS sq_norm
     FROM v
     """,
 )
@@ -794,8 +805,8 @@ def x5_vector_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
     sq = _dot(F.col("e"), F.col("e"))
     return v.select("vec_id", "label",
                     F.size("e").alias("dim"),
-                    F.round(F.sqrt(sq), 6).alias("l2_norm"),
-                    F.round(sq, 6).alias("sq_norm"))
+                    round_half_up(F.sqrt(sq), 6).alias("l2_norm"),
+                    round_half_up(sq, 6).alias("sq_norm"))
 
 
 @register(
@@ -890,10 +901,10 @@ def _lexicon_score(texts):
     WITH t AS (SELECT doc_id, {SQL_TOKENS} AS toks FROM documents)
     SELECT doc_id,
            len(toks) AS n_tokens,
-           ROUND(CASE WHEN len(toks) = 0 THEN 0.0 ELSE
+           {sql_round_half_up(f'''CASE WHEN len(toks) = 0 THEN 0.0 ELSE
              CAST(len(list_filter(toks, x -> x IN {_POS_WORDS}))
               - len(list_filter(toks, x -> x IN {_NEG_WORDS}))
-              AS DOUBLE) / len(toks) END, 6) AS sentiment
+              AS DOUBLE) / len(toks) END''', 6)} AS sentiment
     FROM t
     """,
 )
@@ -909,7 +920,8 @@ def x6_lexicon_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select(
         "doc_id",
         F.size(toks).alias("n_tokens"),
-        F.round(_lexicon_score(F.col("text")), 6).alias("sentiment"))
+        round_half_up(_lexicon_score(F.col("text")), 6)
+         .alias("sentiment"))
 
 
 # ---------------------------------------------------------------------------
@@ -1129,7 +1141,8 @@ def simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT vec_id, e, sqrt({_sql_dot('e', 'e')}) AS nrm FROM v
     )
     SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-           ROUND({_sql_dot('a.e', 'b.e')} / (a.nrm * b.nrm), 6)
+           {sql_round_half_up(
+               f"{_sql_dot('a.e', 'b.e')} / (a.nrm * b.nrm)", 6)}
              AS cos_sim
     FROM n a JOIN n b ON a.vec_id < b.vec_id
     WHERE {_sql_dot('a.e', 'b.e')} / (a.nrm * b.nrm) >= 0.45
@@ -1159,7 +1172,7 @@ def x2_embedding_cosine_neardup(spark: SparkSession,
                      cos.alias("cos"))
              .filter(F.col("cos") >= 0.45)
              .select("vec_a", "vec_b",
-                     F.round("cos", 6).alias("cos_sim")))
+                     round_half_up(F.col("cos"), 6).alias("cos_sim")))
 
 
 # ---------------------------------------------------------------------------
@@ -1294,7 +1307,7 @@ def x4_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM assigned a JOIN assigned b
         ON a.cid = b.cid AND a.vec_id <> b.vec_id
     )
-    SELECT query_id, neighbor_id, ROUND(cos, 6) AS cos_sim
+    SELECT query_id, neighbor_id, (CASE WHEN (cos) < 0 THEN -FLOOR(ABS(cos) * 1000000.0 + 0.5) ELSE FLOOR(ABS(cos) * 1000000.0 + 0.5) END / 1000000.0 + 0.0) AS cos_sim
     FROM (
       SELECT *, ROW_NUMBER() OVER (
         PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rn
@@ -1341,7 +1354,7 @@ def x3_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (cand.withColumn("rn", F.row_number().over(w))
                 .filter(F.col("rn") <= 3)
                 .select("query_id", "neighbor_id",
-                        F.round("cos", 6).alias("cos_sim")))
+                        round_half_up(F.col("cos"), 6).alias("cos_sim")))
 
 
 @register(
@@ -1356,14 +1369,13 @@ def x3_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM v
     )
     SELECT vec_id,
-           CAST(ROUND(CAST(mx AS DECIMAL(38,10)), 6) AS DOUBLE)
-             AS max_abs,
-           array_to_string(list_transform(
+           {sql_round_half_up('mx', 6)} AS max_abs,
+           COALESCE(array_to_string(list_transform(
              CASE WHEN mx = 0
                   THEN list_transform(e, x -> 0)
                   ELSE list_transform(e, x ->
                        CAST(floor(x * 127.0 / mx + 0.5) AS INT))
-             END, v -> CAST(v AS VARCHAR)), ',') AS q
+             END, v -> CAST(v AS VARCHAR)), ','), '') AS q
     FROM m
     """,
 )
@@ -1375,9 +1387,11 @@ def x5_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     double→int casts and ROUND(double) are not (Spark truncates casts,
     DuckDB rounds them; their ROUND tie rules differ). Pure per-row
     projection, zero shuffles. The int8 vector is emitted as a
-    comma-joined string (ints render identically everywhere) so the
+    comma-joined string (ints render identically everywhere, COALESCE'd
+    to '' on the empty edge to match concat_ws — ADVICE r3) so the
     result cell is scalar for the driver's canonicalizer, and
-    ``max_abs`` is decimal-routed per the rounding invariant."""
+    ``max_abs`` goes through the class-A floor kernel (a per-row array
+    max is deterministic-identical input)."""
     e = _t(spark, sf_dir, "embeddings")
     v = e.select("vec_id", _as_double_vec("embedding").alias("e"))
     mx = F.array_max(F.transform("e", lambda x: F.abs(x)))
@@ -1388,8 +1402,7 @@ def x5_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
              "e", lambda x: F.floor(x * 127.0 / F.col("mx") + 0.5)
                              .cast("int")))
     return m.select("vec_id",
-                    F.round(F.col("mx").cast("decimal(38,10)"), 6)
-                     .cast("double").alias("max_abs"),
+                    round_half_up(F.col("mx"), 6).alias("max_abs"),
                     F.concat_ws(
                         ",", F.transform(q, lambda x: x.cast("string")))
                      .alias("q"))
@@ -1508,8 +1521,7 @@ def x3_kmeans_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM q a JOIN q b ON a.vec_id <> b.vec_id
     )
     SELECT query_id, neighbor_id,
-           CAST(ROUND(CAST(acos AS DECIMAL(38,10)), 6) AS DOUBLE)
-             AS approx_cos
+           {sql_round_half_up('acos', 6)} AS approx_cos
     FROM (
       SELECT *, ROW_NUMBER() OVER (
         PARTITION BY query_id ORDER BY acos DESC, neighbor_id) AS rn
@@ -1561,8 +1573,113 @@ def x3_int8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (pairs.withColumn("rn", F.row_number().over(w))
                  .filter(F.col("rn") <= 3)
                  .select("query_id", "neighbor_id",
-                         F.round(F.col("acos").cast("decimal(38,10)"), 6)
-                          .cast("double").alias("approx_cos")))
+                         round_half_up(F.col("acos"), 6)
+                          .alias("approx_cos")))
+
+
+@register(
+    "x3_int8_ivf_topk",
+    oracle=f"""
+    WITH v AS (
+      SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+    ),
+    n AS (
+      SELECT vec_id, e,
+             sqrt({_sql_dot('e', 'e')}) AS nrm,
+             list_max(list_transform(e, x -> abs(x))) AS mx
+      FROM v
+    ),
+    base AS (SELECT * FROM n WHERE mx > 0 AND nrm > 0),
+    cent AS (SELECT vec_id AS cid, e AS ce, nrm AS cnrm FROM base
+             WHERE vec_id % 50 = 0),
+    assigned AS (
+      SELECT vec_id, e, nrm, mx, cid FROM (
+        SELECT b.vec_id, b.e, b.nrm, b.mx, cent.cid,
+               ROW_NUMBER() OVER (
+                 PARTITION BY b.vec_id
+                 ORDER BY {_sql_dot('b.e', 'cent.ce')}
+                          / (b.nrm * cent.cnrm) DESC, cent.cid) AS rc
+        FROM base b CROSS JOIN cent
+      ) WHERE rc = 1
+    ),
+    q AS (
+      SELECT vec_id, cid, nrm, mx,
+             list_transform(e, x ->
+                  CAST(floor(x * 127.0 / mx + 0.5) AS INT)) AS qv
+      FROM assigned
+    ),
+    cand AS (
+      SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+             {_sql_dot('a.qv', 'b.qv')} * a.mx * b.mx
+               / (16129.0 * (a.nrm * b.nrm)) AS acos
+      FROM q a JOIN q b ON a.cid = b.cid AND a.vec_id <> b.vec_id
+    )
+    SELECT query_id, neighbor_id,
+           {sql_round_half_up('acos', 6)} AS approx_cos
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY query_id ORDER BY acos DESC, neighbor_id) AS rn
+      FROM cand
+    ) WHERE rn <= 3
+    """,
+)
+def x3_int8_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OP-X3 + OP-X5 — the *production-shaped* composition VERDICT r3
+    item 2 asked for: int8 scoring (``x3_int8_topk``'s integer-exact
+    dot + rescale) over IVF cell candidates (``x3_ivf_topk``'s
+    deterministic-medoid assignment, nprobe=1) instead of all pairs.
+    This replaces the all-pairs int8 demo in the headline bench set —
+    candidate generation is Σ cell² via a cid-keyed shuffle join
+    (bounded cells), never O(N²), and the only broadcast is the
+    K-centroid table. Fully oracle-exact: every stage (float coarse
+    assignment, floor quantization, integer dots, rescale, ranked
+    top-3 with id tiebreak) is engine-portable class-A arithmetic.
+
+    100 TB: assignment is one broadcast-join pass (K centroids ≪
+    memory), cells shuffle once on cid, and within-cell pair work is
+    Σ cell² — controlled by K; the same plan swaps learned k-means
+    centroids (operators/kmeans.py) for the medoids with no shape
+    change."""
+    e = _t(spark, sf_dir, "embeddings")
+    v = e.select("vec_id", _as_double_vec("embedding").alias("e"))
+    n = (v.withColumn("nrm", F.sqrt(_dot(F.col("e"), F.col("e"))))
+          .withColumn("mx", F.array_max(
+              F.transform("e", lambda x: F.abs(x))))
+          .filter((F.col("mx") > 0) & (F.col("nrm") > 0)))
+    cent = (n.filter(F.col("vec_id") % 50 == 0)
+             .select(F.col("vec_id").alias("cid"),
+                     F.col("e").alias("ce"),
+                     F.col("nrm").alias("cnrm")))
+    scored = (n.repartition(spark.sparkContext.defaultParallelism,
+                            "vec_id")
+               .crossJoin(F.broadcast(cent)))
+    cos_c = (_dot(F.col("e"), F.col("ce"))
+             / (F.col("nrm") * F.col("cnrm")))
+    wassign = Window.partitionBy("vec_id").orderBy(
+        cos_c.desc(), F.col("cid"))
+    assigned = (scored.withColumn("rc", F.row_number().over(wassign))
+                      .filter(F.col("rc") == 1)
+                      .select("vec_id", "cid", "nrm", "mx",
+                              F.transform(
+                                  "e", lambda x: F.floor(
+                                      x * 127.0 / F.col("mx") + 0.5)
+                                   .cast("int")).alias("qv")))
+    a, b = assigned.alias("a"), assigned.alias("b")
+    acos = (_dot(F.col("a.qv"), F.col("b.qv"))
+            * F.col("a.mx") * F.col("b.mx")
+            / (F.lit(16129.0) * (F.col("a.nrm") * F.col("b.nrm"))))
+    cand = (a.join(b, (F.col("a.cid") == F.col("b.cid"))
+                   & (F.col("a.vec_id") != F.col("b.vec_id")))
+             .select(F.col("a.vec_id").alias("query_id"),
+                     F.col("b.vec_id").alias("neighbor_id"),
+                     acos.alias("acos")))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("acos").desc(), F.col("neighbor_id"))
+    return (cand.withColumn("rn", F.row_number().over(w))
+                .filter(F.col("rn") <= 3)
+                .select("query_id", "neighbor_id",
+                        round_half_up(F.col("acos"), 6)
+                         .alias("approx_cos")))
 
 
 @register(
@@ -1681,7 +1798,7 @@ def x2_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM probe a JOIN assigned b
         ON a.cid = b.cid AND a.vec_id <> b.vec_id
     )
-    SELECT query_id, neighbor_id, ROUND(cos, 6) AS cos_sim
+    SELECT query_id, neighbor_id, (CASE WHEN (cos) < 0 THEN -FLOOR(ABS(cos) * 1000000.0 + 0.5) ELSE FLOOR(ABS(cos) * 1000000.0 + 0.5) END / 1000000.0 + 0.0) AS cos_sim
     FROM (
       SELECT *, ROW_NUMBER() OVER (
         PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rn
@@ -1730,7 +1847,7 @@ def x3_ivf_topk_nprobe2(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (cand.withColumn("rn", F.row_number().over(w))
                 .filter(F.col("rn") <= 3)
                 .select("query_id", "neighbor_id",
-                        F.round("cos", 6).alias("cos_sim")))
+                        round_half_up(F.col("cos"), 6).alias("cos_sim")))
 
 
 @register(
@@ -2679,8 +2796,8 @@ def x4_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT bf.query_id, COUNT(*) AS n_true,
            COALESCE(SUM(CASE WHEN lsh.neighbor_id IS NOT NULL
                              THEN 1 ELSE 0 END), 0) AS n_hit,
-           ROUND(SUM(CASE WHEN lsh.neighbor_id IS NOT NULL
-                          THEN 1 ELSE 0 END) / COUNT(*), 6) AS recall
+           {sql_round_half_up('''SUM(CASE WHEN lsh.neighbor_id IS NOT
+                NULL THEN 1 ELSE 0 END) / COUNT(*)''', 6)} AS recall
     FROM bf LEFT JOIN lsh
       ON bf.query_id = lsh.query_id
      AND bf.neighbor_id = lsh.neighbor_id
@@ -2708,8 +2825,9 @@ def x3_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (j.groupBy("query_id")
              .agg(F.count(F.lit(1)).alias("n_true"),
                   n_hit.alias("n_hit"),
-                  F.round(n_hit.cast("double")
-                          / F.count(F.lit(1)), 6).alias("recall")))
+                  round_half_up(n_hit.cast("double")
+                                / F.count(F.lit(1)), 6)
+                   .alias("recall")))
 
 
 # ---------------------------------------------------------------------------
@@ -2791,11 +2909,10 @@ def x1_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
       GROUP BY 1, 2
     )
     SELECT doc_small, doc_big, n_common,
-           CAST(ROUND(CAST(CAST(n_common AS DOUBLE) / n_small
-                AS DECIMAL(38,10)), 6) AS DOUBLE) AS containment,
-           CAST(ROUND(CAST(CAST(n_common AS DOUBLE)
-                 / (n_small + n_big - n_common)
-                AS DECIMAL(38,10)), 6) AS DOUBLE) AS jaccard
+           {sql_round_half_up(
+               'CAST(n_common AS DOUBLE) / n_small', 6)} AS containment,
+           {sql_round_half_up('''CAST(n_common AS DOUBLE)
+                 / (n_small + n_big - n_common)''', 6)} AS jaccard
     FROM cpairs
     WHERE CAST(n_common AS DOUBLE) / n_small >= 0.9
     """,
@@ -2841,14 +2958,14 @@ def containment_pairs(d: DataFrame, threshold: float = 0.9) -> DataFrame:
     jaccard = (F.col("n_common").cast("double")
                / (F.col("n_small") + F.col("n_big") - F.col("n_common")))
 
-    # Rounding that feeds the oracle is decimal-routed (repo invariant;
-    # ADVICE r2): shingle-count ratios land on exact x.xxxxxx5 ties
-    # where raw-double ROUND diverges between engines. The *unrounded*
+    # Rounding that feeds the oracle goes through the class-A floor
+    # kernel (functions.scalars.round_half_up): shingle-count ratios
+    # are deterministic-identical in both engines, and can land on
+    # exact dyadic x.xxxxxx5 ties (e.g. 63/128) where both raw-double
+    # ROUND and the old decimal route risk divergence. The *unrounded*
     # ratio still drives the threshold filter.
-    def _r6(c):
-        return F.round(c.cast("decimal(38,10)"), 6).cast("double")
-
     return (pairs.filter(containment >= threshold)
                  .select("doc_small", "doc_big", "n_common",
-                         _r6(containment).alias("containment"),
-                         _r6(jaccard).alias("jaccard")))
+                         round_half_up(containment, 6)
+                          .alias("containment"),
+                         round_half_up(jaccard, 6).alias("jaccard")))

@@ -9,6 +9,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.scalars import round_half_up, sql_round_half_up
 from ..sources.tables import load_table, values_df
 from .registry import register
 
@@ -75,7 +76,7 @@ def p3_p4_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "p5_p6_guarded_ratio_cascade",
-    oracle="""
+    oracle=f"""
     WITH base AS (
       SELECT o_orderkey, o_totalprice,
              CASE WHEN o_totalprice IS NOT NULL AND o_custkey IS NOT NULL
@@ -84,17 +85,16 @@ def p3_p4_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM orders
     )
     SELECT o_orderkey,
-           CAST(ROUND(CAST(CASE WHEN implied <> 0 THEN implied
-                                ELSE COALESCE(o_totalprice * 0.01, 3.0) END
-                           AS DECIMAL(38,10)), 2) AS DOUBLE)
+           {sql_round_half_up('''CASE WHEN implied <> 0 THEN implied
+                ELSE COALESCE(o_totalprice * 0.01, 3.0) END''', 2)}
              AS derived_rate
     FROM base
     """,
 )
 def p5_p6_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
     """OP-P5/P6 — guarded division (pe/peg, F:84-89) + fallback cascade
-    (F:91-96), shapes reused from functions.scalars. DECIMAL-routed
-    rounding for tie parity (hard-part 1)."""
+    (F:91-96), shapes reused from functions.scalars. Floor-based
+    half-up rounding for cross-engine tie parity (hard-part 1)."""
     from ..functions.scalars import guarded_ratio, fallback_cascade, round_money
     o = _t(spark, sf_dir, "orders")
     implied = guarded_ratio(F.col("o_totalprice"), F.col("o_custkey"))
@@ -107,20 +107,18 @@ def p5_p6_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "p7_p9_p10_arith_pack",
-    oracle="""
+    oracle=f"""
     SELECT l_orderkey, l_linenumber,
            ABS(l_extendedprice - 30000) AS abs_dev,
-           CAST(ROUND(CAST(l_discount * 100 AS DECIMAL(38,10)), 2) AS DOUBLE)
-             AS discount_pct,
-           CAST(ROUND(CAST(l_extendedprice * (1 + l_tax) AS DECIMAL(38,10)), 2)
-                AS DOUBLE) AS gross
+           {sql_round_half_up('l_discount * 100', 2)} AS discount_pct,
+           {sql_round_half_up('l_extendedprice * (1 + l_tax)', 2)} AS gross
     FROM lineitem
     """,
 )
 def p7_p9_p10(spark: SparkSession, sf_dir: str) -> DataFrame:
     """OP-P7 (abs, F:182), OP-P9 (×100 scaling, F:94,241,243 — incl. the
     dividend-yield double-scaling quirk replicated verbatim), OP-P10
-    (round 2, F:108). Rounded via DECIMAL on both sides so half-cent
+    (round 2, F:108). Floor-based half-up on both sides so half-cent
     ties break identically (SURVEY.md §7 hard-part 1)."""
     from ..functions.scalars import round_money
     l = _t(spark, sf_dir, "lineitem")
@@ -313,24 +311,37 @@ def p18_date_math(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _arr6(col) -> F.Column:
     """array<double> → one canonical scalar string cell ("v1,v2,…").
 
-    Every element is decimal-routed to 6 dp (the repo rounding
-    invariant) before stringifying, so the rendered digits can't depend
-    on either engine's double-formatting. Result columns must stay
-    scalar: the driver's canonicalizer sorts raw pandas cells and
-    crashes on list cells (CORRECTNESS_r02: unhashable type 'list')."""
-    return F.concat_ws(",", F.transform(col, lambda x:
-        F.round(x.cast("decimal(38,10)"), 6)
-         .cast("decimal(28,6)").cast("string")))
+    Every element goes through the floor-based half-up kernel at 6 dp
+    (``floor(|x|·10⁶ + 0.5)`` on the raw IEEE double — see
+    ``functions.scalars.round_half_up`` for why the old DECIMAL route
+    was falsified cross-engine), then the exact scaled integer is
+    rendered at fixed 6-dp scale via an exact decimal multiply, so the
+    digits can't depend on either engine's double-formatting. Result
+    columns must stay scalar: the driver's canonicalizer sorts raw
+    pandas cells and crashes on list cells (CORRECTNESS_r02:
+    unhashable type 'list'). Domain: |x| ≲ 9.2e12 (scaled value must
+    fit a BIGINT; property-tested at ±1e9)."""
+    def cell(x):
+        n = F.floor(F.abs(x) * F.lit(1000000.0) + F.lit(0.5))  # LONG
+        n_s = F.when(x < 0, -n).otherwise(n)
+        return (n_s.cast("decimal(20,0)")
+                * F.lit("0.000001").cast("decimal(7,6)")) \
+            .cast("decimal(28,6)").cast("string")
+    return F.concat_ws(",", F.transform(col, cell))
 
 
 def _sql_arr6(expr: str) -> str:
-    """DuckDB twin of :func:`_arr6` — identical element pipeline.
-    COALESCE aligns the empty/NULL-array edge: DuckDB's
-    array_to_string is string_agg-shaped (empty → NULL) where Spark's
-    concat_ws yields '' (property-tested in test_property_kernels)."""
+    """DuckDB twin of :func:`_arr6` — identical element pipeline
+    (IEEE floor-scale, BIGINT, exact decimal render). COALESCE aligns
+    the empty/NULL-array edge: DuckDB's array_to_string is
+    string_agg-shaped (empty → NULL) where Spark's concat_ws yields ''
+    (property-tested in test_property_kernels)."""
+    n = "CAST(FLOOR(ABS(x) * 1000000.0 + 0.5) AS BIGINT)"
+    cell = (f"CAST(CAST(CASE WHEN x < 0 THEN -{n} ELSE {n} END"
+            " AS DECIMAL(20,0)) * CAST('0.000001' AS DECIMAL(7,6))"
+            " AS DECIMAL(28,6))")
     return ("COALESCE(array_to_string(list_transform(" + expr + ", x -> "
-            "CAST(CAST(ROUND(CAST(x AS DECIMAL(38,10)), 6) "
-            "AS DECIMAL(28,6)) AS VARCHAR)), ','), '')")
+            f"CAST({cell} AS VARCHAR)), ','), '')")
 
 
 @register(
@@ -346,9 +357,8 @@ def _sql_arr6(expr: str) -> str:
            {_sql_arr6('arr')} AS arr,
            {_sql_arr6('list_transform(arr, y -> y * 2)')} AS doubled,
            len(list_filter(arr, x -> x > 10)) AS n_big,
-           CAST(ROUND(CAST(list_reduce(list_prepend(0.0, arr),
-                             (acc, x) -> acc + x) AS DECIMAL(38,10)),
-                      4) AS DOUBLE) AS total,
+           {sql_round_half_up('''list_reduce(list_prepend(0.0, arr),
+                             (acc, x) -> acc + x)''', 4)} AS total,
            {_sql_arr6('list_sort(arr)')} AS sorted_arr,
            {_sql_arr6('arr[1:2]')} AS first_two,
            list_contains(arr, 0.0) AS has_zero
@@ -376,8 +386,8 @@ def p_collection_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         _arr6(a).alias("arr"),
         _arr6(F.transform(a, lambda x: x * 2)).alias("doubled"),
         F.size(F.filter(a, lambda x: x > 10)).alias("n_big"),
-        F.round(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x)
-                 .cast("decimal(38,10)"), 4).cast("double")
+        round_half_up(
+            F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x), 4)
          .alias("total"),
         _arr6(F.sort_array(a)).alias("sorted_arr"),
         _arr6(F.slice(a, 1, 2)).alias("first_two"),
@@ -423,9 +433,8 @@ def p_map_json_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(CASE WHEN o_totalprice > 150000 THEN 1
                      WHEN o_totalprice < 150000 THEN -1
                      ELSE 0 END AS INT) AS price_sign,
-           {_sql_arr6('''[o_totalprice,
-            CAST(ROUND(CAST(o_totalprice * 0.1 AS DECIMAL(38,10)), 2)
-                 AS DOUBLE)]''')} AS charge_vals,
+           {_sql_arr6(f'''[o_totalprice,
+            {sql_round_half_up('o_totalprice * 0.1', 2)}]''')} AS charge_vals,
            'STRUCT<k: BIGINT>' AS props_shape
     FROM orders
     """,
@@ -455,7 +464,6 @@ def p19_format_datetime_pack(spark: SparkSession,
         _arr6(F.map_values(F.create_map(
             F.lit("total"), F.col("o_totalprice"),
             F.lit("tax"),
-            F.round((F.col("o_totalprice") * 0.1).cast("decimal(38,10)"),
-                    2).cast("double"))))
+            round_half_up(F.col("o_totalprice") * 0.1, 2))))
          .alias("charge_vals"),
         F.schema_of_json(F.lit('{"k": 1}')).alias("props_shape"))

@@ -26,6 +26,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.scalars import round_half_up
 from ..sources.tables import load_table
 from .registry import register
 
@@ -783,8 +784,10 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM offers GROUP BY l_partkey
     )
     SELECT p.p_partkey, p.p_brand, s.s_suppkey, s.s_name,
-           CAST(ROUND(CAST(o.unit_price AS DECIMAL(38,10)), 4) AS DOUBLE)
-             AS unit_price
+           (CASE WHEN (o.unit_price) < 0
+                 THEN -FLOOR(ABS(o.unit_price) * 10000.0 + 0.5)
+                 ELSE FLOOR(ABS(o.unit_price) * 10000.0 + 0.5)
+            END / 10000.0 + 0.0) AS unit_price
     FROM offers o
     JOIN best b ON b.l_partkey = o.l_partkey
                AND o.unit_price = b.best_price
@@ -820,11 +823,13 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
               .join(F.broadcast(p), F.col("l_partkey") == p.p_partkey)
               .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
               .select("p_partkey", "p_brand", "s_suppkey", "s_name",
-                      # decimal-routed rounding: a raw-double ROUND
-                      # lands on opposite sides of a x.xxxx5 tie per
-                      # engine (hit at sf0.001; SURVEY.md §7 hard-part 1)
-                      F.round(F.col("unit_price").cast("decimal(38,10)"),
-                              4).cast("double").alias("unit_price"))
+                      # class-A floor kernel: MIN is selection, so the
+                      # double is bit-identical on both engines; a
+                      # raw-double ROUND landed on opposite sides of a
+                      # x.xxxx5 tie per engine (hit at sf0.001;
+                      # SURVEY.md §7 hard-part 1)
+                      round_half_up(F.col("unit_price"), 4)
+                       .alias("unit_price"))
     )
 
 

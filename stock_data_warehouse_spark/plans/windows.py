@@ -170,8 +170,14 @@ def w5_range_frame_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     "w6_distribution_ranks",
     oracle="""
     SELECT c_custkey, c_mktsegment,
-           ROUND(PERCENT_RANK() OVER w, 6) AS bal_pct_rank,
-           ROUND(CUME_DIST() OVER w, 6) AS bal_cume_dist
+           (CASE WHEN (PERCENT_RANK() OVER w) < 0
+                 THEN -FLOOR(ABS(PERCENT_RANK() OVER w) * 1000000.0 + 0.5)
+                 ELSE FLOOR(ABS(PERCENT_RANK() OVER w) * 1000000.0 + 0.5)
+            END / 1000000.0 + 0.0) AS bal_pct_rank,
+           (CASE WHEN (CUME_DIST() OVER w) < 0
+                 THEN -FLOOR(ABS(CUME_DIST() OVER w) * 1000000.0 + 0.5)
+                 ELSE FLOOR(ABS(CUME_DIST() OVER w) * 1000000.0 + 0.5)
+            END / 1000000.0 + 0.0) AS bal_cume_dist
     FROM customer
     WINDOW w AS (PARTITION BY c_mktsegment
                  ORDER BY c_acctbal, c_custkey)
@@ -181,14 +187,19 @@ def w6_distribution_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """OP-W2 (distribution forms) — percent_rank / cume_dist of account
     balance within segment: where a customer sits in the stratum's
     distribution. Both are rank arithmetic over one sort — identical
-    rationals on both engines, rounded only to cap display digits."""
+    rationals on both engines (class A), rounded through the floor
+    kernel: rank ratios like k/128 land on exact dyadic 6-dp ties
+    where engine-native double ROUND diverges."""
+    from ..functions.scalars import round_half_up
     c = _t(spark, sf_dir, "customer")
     w = (Window.partitionBy("c_mktsegment")
          .orderBy("c_acctbal", "c_custkey"))
     return c.select(
         "c_custkey", "c_mktsegment",
-        F.round(F.percent_rank().over(w), 6).alias("bal_pct_rank"),
-        F.round(F.cume_dist().over(w), 6).alias("bal_cume_dist"))
+        round_half_up(F.percent_rank().over(w), 6)
+         .alias("bal_pct_rank"),
+        round_half_up(F.cume_dist().over(w), 6)
+         .alias("bal_cume_dist"))
 
 
 @register(
@@ -205,8 +216,9 @@ def w6_distribution_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
       GROUP BY r.r_name, n.n_name
     )
     SELECT r_name, n_name, nation_rev,
-           ROUND(nation_rev / SUM(nation_rev) OVER
-                 (PARTITION BY r_name), 6) AS share_of_region
+           CAST(ROUND(CAST(nation_rev / SUM(nation_rev) OVER
+                 (PARTITION BY r_name) AS DECIMAL(38,10)), 6) AS DOUBLE)
+             AS share_of_region
     FROM rev
     """,
 )
@@ -233,5 +245,10 @@ def w7_ratio_to_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("r_name")
     return rev.select(
         "r_name", "n_name", "nation_rev",
-        F.round(F.col("nation_rev") / F.sum("nation_rev").over(w), 6)
-         .alias("share_of_region"))
+        # class B (the window SUM's accumulation order is engine-
+        # internal): decimal-routed — the 10-dp quantization absorbs
+        # sub-5e-11 cross-engine noise, and |share| ≤ 1 is far inside
+        # the decimal route's |x| ≪ 9e5 validity domain
+        F.round((F.col("nation_rev") / F.sum("nation_rev").over(w))
+                .cast("decimal(38,10)"), 6)
+         .cast("double").alias("share_of_region"))

@@ -257,7 +257,14 @@ def t8_stateful_counters_stream(spark: SparkSession,
                     update_counters, out_schema, state_schema,
                     "update", GroupStateTimeout.NoTimeout))
     snap = _run_to_table(counted, "update")
-    w = Window.partitionBy("user_id").orderBy(F.col("n_events").desc())
+    # n_events strictly increases per key per update batch, so the
+    # leading key alone is decisive today — but the repo's total-order
+    # invariant wants tiebreaks that survive a future timeout/emission
+    # change, and the counter columns are monotone too, so they order
+    # consistently (ADVICE r3).
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("n_events").desc(), F.col("sum_cents").desc(),
+        F.col("n_errors").desc())
     return (snap.withColumn("_rn", F.row_number().over(w))
                 .filter(F.col("_rn") == 1)
                 .select("user_id", "n_events", "sum_cents", "n_errors"))

@@ -80,17 +80,37 @@ def test_classifier_semiconductor_precedence_is_absolute(spark, rows):
             assert r["c"] == "Semiconductor"
 
 
+# Dyadic-biased double generator: plain uniform floats plus exact
+# dyadic rationals (m / 2^k) — the class whose 6-dp expansions land on
+# exact x.xxxxxx5 ties (63/128 = 0.4921875), where the old
+# DECIMAL(38,10) route was falsified (VERDICT r3 item 1).
+_dyadic = st.builds(
+    lambda m, k, sign: sign * (m / (1 << k)),
+    st.integers(min_value=0, max_value=1 << 40),
+    st.integers(min_value=0, max_value=24),
+    st.sampled_from([-1.0, 1.0]))
+_any_double = st.one_of(
+    st.floats(min_value=-1e9, max_value=1e9,
+              allow_nan=False, allow_infinity=False),
+    _dyadic)
+
+
 @settings(max_examples=10, deadline=None)
-@given(st.lists(
-    st.lists(st.floats(min_value=-1e8, max_value=1e8,
-                       allow_nan=False, allow_infinity=False),
-             min_size=0, max_size=6),
-    min_size=1, max_size=25))
+@given(st.lists(st.lists(_any_double, min_size=0, max_size=6),
+                min_size=1, max_size=25))
 def test_arr6_matches_duckdb_twin(spark, arrays):
     """Property: the Spark array-to-string serializer (_arr6) and its
     DuckDB SQL twin (_sql_arr6) render EVERY double array to the same
     canonical string — the driver-hashable contract every array-valued
-    result column now routes through."""
+    result column routes through.
+
+    Literals cross into DuckDB as ``'<repr>'::DOUBLE`` (string cast):
+    DuckDB's VARCHAR→DOUBLE parse is correctly rounded and therefore
+    bit-identical to the Python/JVM value, whereas a bare SQL numeric
+    literal is bound as DECIMAL and converted through *inexact* double
+    arithmetic — off by 1 ulp on e.g. 9007199.279923499, which is a
+    test-harness artifact, not a production path (parquet delivers
+    identical bits to both engines)."""
     import duckdb
 
     from stock_data_warehouse_spark.plans.scalar import _arr6, _sql_arr6
@@ -102,7 +122,94 @@ def test_arr6_matches_duckdb_twin(spark, arrays):
                       .collect()}
     con = duckdb.connect()
     for i, arr in rows:
-        lit = "[" + ",".join(repr(x) for x in arr) + "]::DOUBLE[]"
+        lit = ("[" + ",".join(f"'{x!r}'::DOUBLE" for x in arr)
+               + "]::DOUBLE[]")
         want = con.execute(
             f"SELECT {_sql_arr6(lit)}").fetchone()[0]
         assert got[i] == want, (arr, got[i], want)
+
+
+@settings(max_examples=8, deadline=None)
+@given(st.lists(_any_double, min_size=1, max_size=60),
+       st.sampled_from([2, 4, 6]))
+def test_round_half_up_matches_sql_twin(spark, vals, scale):
+    """Property: round_half_up(x, s) and sql_round_half_up render the
+    SAME double for every finite input at every scale the repo uses —
+    the class-A kernel contract (functions/scalars.py)."""
+    import duckdb
+
+    from stock_data_warehouse_spark.functions.scalars import (
+        round_half_up, sql_round_half_up,
+    )
+
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vals)], "id long, x double")
+    got = {r["id"]: r["y"]
+           for r in df.select(
+               "id", round_half_up(F.col("x"), scale).alias("y"))
+              .collect()}
+    con = duckdb.connect()
+    for i, v in enumerate(vals):
+        want = con.execute(
+            "SELECT " + sql_round_half_up(f"'{v!r}'::DOUBLE", scale)
+        ).fetchone()[0]
+        assert got[i] == want or (
+            got[i] != got[i] and want != want), (v, scale, got[i], want)
+
+
+def test_round_kernels_bulk_parity(spark):
+    """Deterministic bulk twin of the hypothesis properties: 60k
+    values — uniform ±1e9, dyadic-biased, and every pinned historical
+    counterexample — through round_half_up at scales 2/4/6 AND the
+    _arr6 serializer, compared against DuckDB over a bit-exact Arrow
+    handoff (the production path: both engines read the same bits, no
+    literal parsing anywhere)."""
+    import random
+
+    import duckdb
+    import pandas as pd
+
+    from stock_data_warehouse_spark.functions.scalars import (
+        round_half_up, sql_round_half_up,
+    )
+    from stock_data_warehouse_spark.plans.scalar import _arr6, _sql_arr6
+
+    rng = random.Random(20260814)
+    pinned = [57646075.4921875, 9007199.279923499, -987654321.1234565,
+              397988867.45914245, 63 / 128, -63 / 128, 0.125, -0.125,
+              2.675, 72091.275, 0.12499999999999999, 0.0, -1e-7,
+              1e9 - 5e-7, -(1e9 - 5e-7)]
+    vals = pinned + [rng.uniform(-1e9, 1e9) for _ in range(30000)] + [
+        rng.choice([-1.0, 1.0]) * (rng.getrandbits(40)
+                                   / (1 << rng.randint(0, 24)))
+        for _ in range(30000)]
+    pdf = pd.DataFrame({"id": range(len(vals)), "x": vals})
+
+    sdf = spark.createDataFrame(pdf)
+    out = (sdf.select(
+        "id",
+        round_half_up(F.col("x"), 2).alias("r2"),
+        round_half_up(F.col("x"), 4).alias("r4"),
+        round_half_up(F.col("x"), 6).alias("r6"),
+        _arr6(F.array(F.col("x"))).alias("a6"))
+        .toPandas().sort_values("id").reset_index(drop=True))
+
+    con = duckdb.connect()
+    con.register("t", pdf)
+    want = con.execute(f"""
+        SELECT id,
+               {sql_round_half_up('x', 2)} AS r2,
+               {sql_round_half_up('x', 4)} AS r4,
+               {sql_round_half_up('x', 6)} AS r6,
+               {_sql_arr6('[x]')} AS a6
+        FROM t ORDER BY id""").fetchdf()
+
+    for colname in ("r2", "r4", "r6"):
+        g, w = out[colname].to_numpy(), want[colname].to_numpy()
+        neq = g != w
+        assert not neq.any(), (
+            colname, pdf.x[neq].iloc[0], g[neq][0], w[neq][0])
+    neq = (out["a6"] != want["a6"]).to_numpy()
+    assert not neq.any(), (pdf.x[neq].iloc[0],
+                           out["a6"][neq].iloc[0],
+                           want["a6"][neq].iloc[0])

@@ -52,13 +52,23 @@ def test_coalesce_positive(spark, vals, expected):
 def test_round_money_half_cent_tie(spark):
     # The double 72091.275 stores as 72091.27499…; plain double ROUND
     # diverges across engines (DuckDB: 72091.27 from the binary value,
-    # Spark: 72091.28 from the shortest repr). The decimal route takes
-    # the shortest-repr path on BOTH engines → 72091.28 on both
-    # (ADVICE.md round-1 fix; verified against DuckDB).
+    # Spark: 72091.28 from the shortest repr). Since round 4 the
+    # kernel is floor-based half-up on the BINARY value (the only
+    # definition both engines compute bit-identically — the
+    # shortest-repr decimal route was falsified, VERDICT r3 item 1),
+    # so a stored-below-tie double rounds DOWN on both engines —
+    # unless the |x|·100 multiply itself correctly-rounds back onto
+    # the tie (2.67499…×100 → exactly 267.5), in which case half-up
+    # fires; either way both engines compute the identical result.
     got = _one(spark, "x double", (72091.275,), round_money(F.col("x")))
-    assert got == 72091.28
+    assert got == 72091.27
     got = _one(spark, "x double", (2.675,), round_money(F.col("x")))
     assert got == 2.68
+    # An exactly-representable tie rounds half-up (away from zero).
+    got = _one(spark, "x double", (0.125,), round_money(F.col("x")))
+    assert got == 0.13
+    got = _one(spark, "x double", (-0.125,), round_money(F.col("x")))
+    assert got == -0.13
 
 
 # --- OP-P13 — classifier precedence (F:58-66) ------------------------------
@@ -128,13 +138,19 @@ def test_sanitize_beta(spark, beta, sector, cap, expected):
 
 
 def test_round_money_parity_vs_duckdb_batch(spark):
-    """Cross-engine property: decimal-routed rounding agrees with
-    DuckDB's decimal-routed ROUND on adversarial half-boundary doubles
-    (the exact class that broke round 1)."""
+    """Cross-engine property: the floor-based half-up kernel agrees
+    with its SQL twin on adversarial half-boundary doubles (the exact
+    class that broke round 1, plus the dyadic ties that falsified the
+    round-1..3 decimal route)."""
     import duckdb
+
+    from stock_data_warehouse_spark.functions.scalars import (
+        sql_round_half_up,
+    )
 
     vals = [round(i * 0.005, 10) for i in range(1, 400)]       # x.xx5 ties
     vals += [i + 0.275 for i in range(100)] + [2.675, 72091.275]
+    vals += [m / 8 for m in range(-40, 40)]                    # dyadic ties
     df = spark.createDataFrame([(v,) for v in vals], "x double")
     got = [r["y"] for r in
            df.select(round_money(F.col("x")).alias("y"))
@@ -142,7 +158,7 @@ def test_round_money_parity_vs_duckdb_batch(spark):
     con = duckdb.connect()
     expected = [
         r[0] for r in con.execute(
-            "SELECT CAST(ROUND(CAST(x AS DECIMAL(38,10)), 2) AS DOUBLE)"
+            f"SELECT {sql_round_half_up('x', 2)}"
             " FROM (SELECT unnest(?::DOUBLE[]) AS x) ORDER BY x",
             [sorted(vals)]).fetchall()]
     assert got == expected
