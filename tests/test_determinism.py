@@ -33,6 +33,7 @@ SAMPLE = [
     "x4_unigram_logprob",           # FP log-sum mean, decimal-rounded
     "t19_interpolate_gaps",         # IGNORE-NULLS windows + FP interp
     "x3_int8_topk",                 # FP-scored top-k, id tiebreaks
+    "x3_int8_ivf_topk",             # headline int8×IVF composition
     "x2_neardup_clusters_contracting",  # iterative star contraction
     "a10_approx_quantile_sketch",   # sketch verdicts under merge order
 ]

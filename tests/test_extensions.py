@@ -151,17 +151,69 @@ def test_star_contraction_matches_propagation(spark):
         [(i, i + 1) for i in range(1, 25)],            # deep chain
         [(i + 1, i) for i in range(1, 12)],            # reversed chain
         [(1, 2), (2, 3), (1, 3), (10, 11), (11, 12)],  # clique + path
+        # self-loops: on a chain node AND on an otherwise-isolated
+        # node (7,7) — contraction must label 7 a singleton exactly
+        # like propagation does (ADVICE r3)
+        [(1, 2), (2, 2), (2, 3), (7, 7)],
         [(random.randint(1, 40), random.randint(1, 40))
-         for _ in range(50)],                          # random graph
-    ]
+         for _ in range(50)],                          # random graph,
+    ]                                                  # self-loops kept
     for edges in cases:
-        edges = [e for e in edges if e[0] != e[1]]
         df = spark.createDataFrame(edges, "src long, dst long")
         prop = {(r["node"], r["component"])
                 for r in connected_components(df, max_iter=40).collect()}
         star = {(r["node"], r["component"])
                 for r in connected_components_contracting(df).collect()}
         assert prop == star
+
+
+def test_cc_forms_agree_on_real_neardup_graph_sf01(spark):
+    """Mutual-oracle insurance for the one family with iterative
+    control flow (VERDICT r3 item 8): the two CC implementations must
+    produce identical labelings on the REAL near-dup edge relation at
+    sf0.1 — ten× the data the DuckDB recursive-CTE oracle checks them
+    against at sf0.01."""
+    from stock_data_warehouse_spark.operators.graph import (
+        connected_components, connected_components_contracting,
+    )
+    from stock_data_warehouse_spark.plans.extensions import (
+        _jaccard_pairs,
+    )
+    edges = (_jaccard_pairs(spark, "/root/testdata/sf0.1")
+             .select("doc_a", "doc_b").localCheckpoint())
+    prop = {(r["node"], r["component"])
+            for r in connected_components(
+                edges, "doc_a", "doc_b", max_iter=40).collect()}
+    star = {(r["node"], r["component"])
+            for r in connected_components_contracting(
+                edges, "doc_a", "doc_b").collect()}
+    assert prop and prop == star
+
+
+def test_int8_ivf_topk_tracks_allpairs_int8(spark):
+    """The headline int8×IVF composition must agree with the all-pairs
+    int8 demo wherever the true neighbor lies inside the query's IVF
+    cell — and per-query recall of the composition against the
+    all-pairs truth must be substantial (nprobe=1 on near-orthogonal
+    synthetic vectors loses some cross-cell neighbors by design)."""
+    from stock_data_warehouse_spark.plans.extensions import (
+        x3_int8_ivf_topk, x3_int8_topk,
+    )
+    truth = {}
+    for r in x3_int8_topk(spark, SF).collect():
+        truth.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    ivf = {}
+    for r in x3_int8_ivf_topk(spark, SF).collect():
+        ivf.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    assert set(ivf) <= set(truth)
+    overlap = [len(truth[q] & ivf[q]) / len(ivf[q])
+               for q in ivf if ivf[q]]
+    # near-orthogonal synthetic vectors give coarse cells little
+    # cosine signal, so nprobe=1 recall is structurally low here
+    # (measured ~0.25; the recall dial is nprobe — see
+    # x3_ivf_topk_nprobe2). The bar guards against the composition
+    # degenerating to noise (~3/500 ≈ 0.006 under random cells).
+    assert sum(overlap) / len(overlap) >= 0.15, sum(overlap) / len(overlap)
 
 
 def test_neardup_clusters_consistent_with_pairs(spark):

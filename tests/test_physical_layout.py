@@ -226,3 +226,23 @@ def test_int8_topk_broadcasts_quantized_build_side(spark):
     plan = _executed_plan(x3_int8_topk(spark, SF))
     assert "Broadcast" in plan, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_int8_ivf_topk_no_allpairs_join(spark):
+    """The headline int8 form (r4) must contain NO all-pairs scoring:
+    the within-cell candidate join is an equi-join on the cell id
+    (hash-partitionable at scale), the only broadcast is the bounded
+    K-centroid assignment table, and there is no broadcast nested-loop
+    over the full vector table."""
+    from stock_data_warehouse_spark.plans.extensions import (
+        x3_int8_ivf_topk,
+    )
+
+    plan = _executed_plan(x3_int8_ivf_topk(spark, SF))
+    # cell-candidate pairing is an equi hash join, not a theta BNLJ
+    assert ("BroadcastHashJoin" in plan
+            or "SortMergeJoin" in plan
+            or "ShuffledHashJoin" in plan), plan
+    # the centroid assignment cross join IS a BNLJ over K rows —
+    # but the vec<->vec scoring must not be: exactly one BNLJ allowed
+    assert plan.count("BroadcastNestedLoopJoin") <= 1, plan
