@@ -213,3 +213,58 @@ def test_round_kernels_bulk_parity(spark):
     assert not neq.any(), (pdf.x[neq].iloc[0],
                            out["a6"][neq].iloc[0],
                            want["a6"][neq].iloc[0])
+
+
+def test_class_b_decimal_route_parity_in_domain(spark):
+    """The class-B kernel claim (functions/scalars.py taxonomy): the
+    DECIMAL(38,10) route agrees across engines for |x| well inside the
+    2^53/10^10 ≈ 9e5 domain — same-bits inputs, dyadic-biased plus the
+    historical half-boundary classes, at both 2 and 6 dp. (The
+    noise-ABSORPTION half of the claim — engines agreeing when their
+    inputs differ below 5e-11 — follows from both values casting to
+    the same nearest 10-dp decimal; this test pins the equal-bits
+    precondition the absorption argument builds on.)"""
+    import random
+
+    import duckdb
+    import pandas as pd
+
+    rng = random.Random(41)
+    vals = [rng.uniform(-9e5, 9e5) for _ in range(20000)]
+
+    def dyadic_in_domain():
+        k = rng.randint(0, 24)
+        # keep |m/2^k| ≤ 9e5: beyond that |x|·10^10 approaches 2^53 and
+        # the decimal route is EXPECTED to diverge (this generator's
+        # first draft went to ±1e9 and promptly reproduced the
+        # falsified class at 1.19e8 — the domain bound is real)
+        return (rng.choice([-1.0, 1.0])
+                * rng.randrange(900_000 * (1 << k)) / (1 << k))
+
+    vals += [dyadic_in_domain() for _ in range(20000)]
+    vals += [round(i * 0.005, 10) for i in range(1, 400)]
+    vals += [i + 0.275 for i in range(100)] + [2.675, 72091.275,
+                                               63 / 128, -63 / 128]
+    pdf = pd.DataFrame({"id": range(len(vals)), "x": vals})
+
+    sdf = spark.createDataFrame(pdf)
+    out = (sdf.select(
+        "id",
+        F.round(F.col("x").cast("decimal(38,10)"), 2)
+         .cast("double").alias("d2"),
+        F.round(F.col("x").cast("decimal(38,10)"), 6)
+         .cast("double").alias("d6"))
+        .toPandas().sort_values("id").reset_index(drop=True))
+
+    con = duckdb.connect()
+    con.register("t", pdf)
+    want = con.execute("""
+        SELECT id,
+               CAST(ROUND(CAST(x AS DECIMAL(38,10)), 2) AS DOUBLE) AS d2,
+               CAST(ROUND(CAST(x AS DECIMAL(38,10)), 6) AS DOUBLE) AS d6
+        FROM t ORDER BY id""").fetchdf()
+    for colname in ("d2", "d6"):
+        g, w = out[colname].to_numpy(), want[colname].to_numpy()
+        neq = g != w
+        assert not neq.any(), (
+            colname, pdf.x[neq].iloc[0], g[neq][0], w[neq][0])
