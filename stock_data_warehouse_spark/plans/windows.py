@@ -18,6 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.scalars import round_half_up
 from ..sources.tables import load_table
 from .registry import register
 
@@ -68,8 +69,15 @@ def w2_ranking_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT o_orderkey, o_custkey,
            LAG(o_totalprice)  OVER w AS prev_price,
            LEAD(o_totalprice) OVER w AS next_price,
-           ROUND(o_totalprice - COALESCE(LAG(o_totalprice) OVER w, o_totalprice),
-                 2) AS qoq_delta,
+           (CASE WHEN (o_totalprice - COALESCE(LAG(o_totalprice) OVER w,
+                                               o_totalprice)) < 0
+                 THEN -FLOOR(ABS(o_totalprice
+                       - COALESCE(LAG(o_totalprice) OVER w, o_totalprice))
+                       * 100.0 + 0.5)
+                 ELSE FLOOR(ABS(o_totalprice
+                       - COALESCE(LAG(o_totalprice) OVER w, o_totalprice))
+                       * 100.0 + 0.5)
+            END / 100.0 + 0.0) AS qoq_delta,
            FIRST_VALUE(o_totalprice) OVER w AS first_price
     FROM orders
     WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
@@ -87,8 +95,11 @@ def w3_analytic_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey", "o_custkey",
         prev.alias("prev_price"),
         F.lead("o_totalprice").over(w).alias("next_price"),
-        F.round(F.col("o_totalprice")
-                - F.coalesce(prev, F.col("o_totalprice")), 2)
+        # class-A floor kernel: a difference of same-bits scan values
+        # is deterministic-identical, and o_totalprice carries >2 dp,
+        # so raw-matched ROUND had live shortest-repr tie exposure
+        round_half_up(F.col("o_totalprice")
+                      - F.coalesce(prev, F.col("o_totalprice")), 2)
          .alias("qoq_delta"),
         F.first("o_totalprice").over(w).alias("first_price"),
     )
@@ -190,7 +201,6 @@ def w6_distribution_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
     rationals on both engines (class A), rounded through the floor
     kernel: rank ratios like k/128 land on exact dyadic 6-dp ties
     where engine-native double ROUND diverges."""
-    from ..functions.scalars import round_half_up
     c = _t(spark, sf_dir, "customer")
     w = (Window.partitionBy("c_mktsegment")
          .orderBy("c_acctbal", "c_custkey"))
