@@ -46,6 +46,17 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 def tokens_col(text: str | F.Column = "text") -> F.Column:
+    """Lowercase → split on non-[a-z0-9] → drop empties.
+
+    Cross-engine contract (property-tested vs ``SQL_TOKENS`` in
+    tests/test_property_kernels.py): identical token streams for every
+    ASCII string. The domain is ASCII BY DESIGN — unicode case-folding
+    genuinely diverges between engines (Java ``lower('İ')`` yields
+    'i' + U+0307 so the combining mark splits a token; DuckDB's yields
+    a bare 'i'), so a non-ASCII corpus must be normalized or the
+    divergent rows quarantined before the x2/x4 oracles can be
+    trusted; a companion test asserts the documents corpus is ASCII at
+    every shipped SF."""
     c = F.col(text) if isinstance(text, str) else text
     return F.filter(F.split(F.lower(c), "[^a-z0-9]+"), lambda x: x != "")
 

@@ -268,3 +268,64 @@ def test_class_b_decimal_route_parity_in_domain(spark):
         neq = g != w
         assert not neq.any(), (
             colname, pdf.x[neq].iloc[0], g[neq][0], w[neq][0])
+
+
+_ascii_text = st.text(
+    alphabet=st.characters(min_codepoint=0x09, max_codepoint=0x7E),
+    max_size=120)
+
+
+@settings(max_examples=12, deadline=None)
+@given(st.lists(_ascii_text, min_size=1, max_size=30))
+def test_tokenizer_matches_duckdb_twin_on_ascii(spark, texts):
+    """Property: `tokens_col` (Java regex + JVM lower) and SQL_TOKENS
+    (RE2 + DuckDB lower) produce the IDENTICAL token stream for every
+    ASCII string, and the 3-gram shingle builders agree on top of it —
+    the cross-engine contract all 13 x4 queries and the whole x2
+    shingle family rest on.
+
+    The contract's domain is ASCII BY DESIGN: the engines' unicode
+    case-folding genuinely diverges (Java lower('İ') → 'i'+U+0307 so
+    the combining mark splits a token; DuckDB lower('İ') → 'i' so it
+    doesn't), which is unreachable today (the documents corpus is
+    ASCII — asserted by a companion test) and documented on
+    tokens_col."""
+    import duckdb
+
+    from stock_data_warehouse_spark.plans.extensions import (
+        SQL_SHINGLES, SQL_TOKENS, shingles_col, tokens_col,
+    )
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "id long, text string")
+    got = {r["id"]: (r["toks"], sorted(r["sh"]))
+           for r in df.select(
+               "id", tokens_col("text").alias("toks"),
+               shingles_col(tokens_col("text")).alias("sh")).collect()}
+    con = duckdb.connect()
+    for i, t in rows:
+        lit = "e'" + t.replace("\\", "\\\\").replace("'", "\\'") \
+            .replace("\n", "\\n").replace("\r", "\\r") \
+            .replace("\t", "\\t") + "'"
+        toks, sh = con.execute(
+            f"""WITH d AS (SELECT {lit} AS text),
+                tt AS (SELECT {SQL_TOKENS} AS t FROM d)
+                SELECT t, {SQL_SHINGLES} FROM tt""").fetchone()
+        assert got[i][0] == toks, (t, got[i][0], toks)
+        assert got[i][1] == sorted(sh), (t, got[i][1], sh)
+
+
+def test_documents_corpus_is_ascii():
+    """Companion to the tokenizer-parity property: the contract's
+    ASCII domain actually holds for the corpus every x2/x4 oracle
+    reads. If this ever fails, the tokenizer pair must be hardened
+    (or the divergent rows quarantined) before trusting the x4
+    oracles."""
+    import duckdb
+
+    con = duckdb.connect()
+    for sf in ("sf0.001", "sf0.01", "sf0.1"):
+        n = con.execute(
+            f"SELECT COUNT(*) FROM '/root/testdata/{sf}/documents.parquet'"
+            " WHERE text ~ '[^\\x00-\\x7F]'").fetchone()[0]
+        assert n == 0, (sf, n)
