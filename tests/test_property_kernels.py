@@ -329,3 +329,46 @@ def test_documents_corpus_is_ascii():
             f"SELECT COUNT(*) FROM '/root/testdata/{sf}/documents.parquet'"
             " WHERE text ~ '[^\\x00-\\x7F]'").fetchone()[0]
         assert n == 0, (sf, n)
+
+
+@settings(max_examples=12, deadline=None)
+@given(st.lists(_ascii_text, min_size=1, max_size=30))
+def test_regex_kernels_match_duckdb_on_ascii(spark, texts):
+    """Property: the three remaining regex kernels whose docstrings
+    claim Java/RE2 parity actually deliver it on arbitrary ASCII —
+    the BPE pre-tokenizer extraction (leftmost-first alternation), the
+    PII email/long-number extract counts, and the double regexp_replace
+    scrub. Same ASCII-domain contract as the tokenizer property."""
+    import duckdb
+
+    from stock_data_warehouse_spark.plans.extensions import (
+        _BPE_RE, _EMAIL_RE, _LONGNUM_RE,
+    )
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "id long, text string")
+    got = {r["id"]: (r["bpe"], r["ne"], r["nn"], r["scr"])
+           for r in df.select(
+               "id",
+               F.regexp_extract_all(F.lower("text"), F.lit(_BPE_RE),
+                                    F.lit(0)).alias("bpe"),
+               F.size(F.regexp_extract_all(
+                   "text", F.lit(_EMAIL_RE), F.lit(0))).alias("ne"),
+               F.size(F.regexp_extract_all(
+                   "text", F.lit(_LONGNUM_RE), F.lit(0))).alias("nn"),
+               F.regexp_replace(
+                   F.regexp_replace("text", _EMAIL_RE, "<EMAIL>"),
+                   _LONGNUM_RE, "<NUM>").alias("scr")).collect()}
+    con = duckdb.connect()
+    for i, t in rows:
+        lit = "e'" + t.replace("\\", "\\\\").replace("'", "\\'") \
+            .replace("\n", "\\n").replace("\r", "\\r") \
+            .replace("\t", "\\t") + "'"
+        bpe, ne, nn, scr = con.execute(f"""
+            SELECT regexp_extract_all(lower({lit}), '{_BPE_RE}'),
+                   len(regexp_extract_all({lit}, '{_EMAIL_RE}')),
+                   len(regexp_extract_all({lit}, '{_LONGNUM_RE}')),
+                   regexp_replace(regexp_replace({lit}, '{_EMAIL_RE}',
+                       '<EMAIL>', 'g'), '{_LONGNUM_RE}', '<NUM>', 'g')
+            """).fetchone()
+        assert got[i] == (bpe, ne, nn, scr), (t, got[i], (bpe, ne, nn, scr))
