@@ -353,6 +353,66 @@ def t6_session_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "t12_interval_join_stream",
+    oracle="""
+    SELECT c.user_id,
+           c.event_id AS click_id,
+           p.event_id AS purchase_id,
+           epoch_us(p.ts) - epoch_us(c.ts) AS lag_us
+    FROM events c
+    JOIN events p
+      ON c.user_id = p.user_id
+     AND p.ts >= c.ts
+     AND epoch_us(p.ts) - epoch_us(c.ts) <= 1800000000
+    WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+    """,
+)
+def t12_interval_join_stream(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    """OP-T12 (genuine streaming form) — watermarked stream-stream
+    interval join: every purchase matched to same-user clicks within
+    the preceding 30 minutes, as `clicks.join(purchases, <range
+    expr>)` over TWO independent file streams, both event-time
+    watermarked. This is the real Structured Streaming operator the
+    batch twin (plans/timeseries.py t12_interval_join) models: Spark
+    keeps both sides in the state store and the watermark + range
+    constraint bound retained state to the 30-minute horizon — state
+    size scales with arrival rate × horizon, never with stream length.
+
+    Oracle-exact with the SAME SQL as the batch twin: an inner
+    stream-stream join emits each matched pair exactly once, and with
+    an AvailableNow bounded source every qualifying pair has both
+    sides arrive before the final micro-batch closes, so the appended
+    result equals the batch join — integer-µs lag arithmetic end to
+    end, nothing engine-noisy. Scale: the join keys on user_id
+    (unbounded cardinality, hash-partitioned state); at 100 TB the
+    same plan runs continuously with per-batch state pruning where the
+    batch twin would re-join ever-growing history."""
+    c = (events_stream(spark, sf_dir)
+         .filter(F.col("event_type") == "click")
+         .withWatermark("ts", "30 minutes")
+         .select(F.col("user_id").alias("c_user"),
+                 F.col("event_id").alias("click_id"),
+                 F.col("ts").alias("c_ts")))
+    p = (events_stream(spark, sf_dir)
+         .filter(F.col("event_type") == "purchase")
+         .withWatermark("ts", "30 minutes")
+         .select(F.col("user_id").alias("p_user"),
+                 F.col("event_id").alias("purchase_id"),
+                 F.col("ts").alias("p_ts")))
+    j = c.join(
+        p, (F.col("c_user") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("c_ts"))
+        & (F.col("p_ts") <= F.col("c_ts")
+           + F.expr("INTERVAL 30 MINUTES")))
+    out = _run_to_table(j, "append")
+    return out.select(
+        F.col("c_user").alias("user_id"), "click_id", "purchase_id",
+        (F.unix_micros("p_ts") - F.unix_micros("c_ts"))
+         .alias("lag_us"))
+
+
+@register(
     "t16_streaming_merge",
     oracle="""
     SELECT user_id, event_id, ts, value
