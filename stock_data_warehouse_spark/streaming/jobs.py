@@ -413,6 +413,84 @@ def t12_interval_join_stream(spark: SparkSession,
 
 
 @register(
+    "t13_unconverted_clicks_stream",
+    oracle="""
+    WITH wm AS (
+      SELECT LEAST(
+               (SELECT MAX(ts) FROM events WHERE event_type = 'click'),
+               (SELECT MAX(ts) FROM events WHERE event_type = 'purchase')
+             ) - INTERVAL 30 MINUTES AS gw
+    ),
+    matched AS (
+      SELECT c.user_id, c.event_id AS click_id,
+             p.event_id AS purchase_id
+      FROM events c
+      JOIN events p
+        ON c.user_id = p.user_id
+       AND p.ts >= c.ts
+       AND epoch_us(p.ts) - epoch_us(c.ts) <= 1800000000
+      WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+    )
+    SELECT user_id, click_id, purchase_id, TRUE AS converted
+    FROM matched
+    UNION ALL
+    SELECT c.user_id, c.event_id AS click_id,
+           CAST(NULL AS BIGINT) AS purchase_id, FALSE AS converted
+    FROM events c CROSS JOIN wm
+    WHERE c.event_type = 'click'
+      AND c.ts + INTERVAL 30 MINUTES < wm.gw
+      AND NOT EXISTS (
+        SELECT 1 FROM matched m WHERE m.click_id = c.event_id)
+    """,
+)
+def t13_unconverted_clicks_stream(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    """OP-T12/T13 — watermarked stream-stream LEFT OUTER interval
+    join: the conversion-funnel primitive ("which clicks did NOT lead
+    to a purchase within 30 minutes?"). Matched pairs emit eagerly
+    like the inner form; a NULL-padded row for an unconverted click
+    can only emit once the watermark proves no qualifying purchase can
+    still arrive — Spark evicts (and null-emits) left state when the
+    click's full match window has passed the GLOBAL watermark, which
+    the final no-data micro-batch advances to
+    ``min(max click ts, max purchase ts) − 30 min`` (the minimum of
+    the two sides' own watermarks, each tracking its filtered stream).
+
+    The oracle replays exactly that seal: all matched pairs, plus
+    unmatched clicks whose ``ts + 30 min`` lies strictly below the
+    final global watermark — the same sealed-frontier pattern as the
+    t7 watermark oracle, extended to two-sided state. Clicks inside
+    the unsealed tail are withheld by BOTH engines (Spark: state not
+    yet evictable; oracle: seal filter), so the comparison is exact.
+    Scale: identical state economics to the inner form — per-key state
+    bounded by rate × horizon; the null-emission frontier advances
+    with the watermark, so completeness lag is the lateness budget,
+    not stream length."""
+    c = (events_stream(spark, sf_dir)
+         .filter(F.col("event_type") == "click")
+         .withWatermark("ts", "30 minutes")
+         .select(F.col("user_id").alias("c_user"),
+                 F.col("event_id").alias("click_id"),
+                 F.col("ts").alias("c_ts")))
+    p = (events_stream(spark, sf_dir)
+         .filter(F.col("event_type") == "purchase")
+         .withWatermark("ts", "30 minutes")
+         .select(F.col("user_id").alias("p_user"),
+                 F.col("event_id").alias("purchase_id"),
+                 F.col("ts").alias("p_ts")))
+    j = c.join(
+        p, (F.col("c_user") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("c_ts"))
+        & (F.col("p_ts") <= F.col("c_ts")
+           + F.expr("INTERVAL 30 MINUTES")),
+        "leftOuter")
+    out = _run_to_table(j, "append")
+    return out.select(
+        F.col("c_user").alias("user_id"), "click_id", "purchase_id",
+        F.col("purchase_id").isNotNull().alias("converted"))
+
+
+@register(
     "t16_streaming_merge",
     oracle="""
     SELECT user_id, event_id, ts, value
