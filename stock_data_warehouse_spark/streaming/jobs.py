@@ -23,6 +23,15 @@ Scale posture: state is keyed on (window, type) / event_id and pruned by
 the watermark, so state size is bounded by the lateness horizon, not by
 stream length; file sources at 100 TB shard by ``maxFilesPerTrigger``
 and each micro-batch is a normal distributed job.
+
+Spark-4's ``transformWithStateInPandas`` (the successor stateful API —
+typed ValueState, RocksDB provider, timers) was prototyped for the t8
+counters but is NOT registrable in this environment: its state-server
+protocol imports ``google.protobuf``, which is broken in the container
+(`ImportError: cannot import name 'descriptor'`) and cannot be
+installed. ``applyInPandasWithState`` covers the OP-T8 contract; the
+TWS form is a drop-in rewrite (same per-key int64 state, same oracle)
+once the dependency exists.
 """
 
 from __future__ import annotations
