@@ -61,6 +61,7 @@ _PLAN_MODULES = (
 _EXTRA_MODULES = (
     "stock_data_warehouse_spark.streaming.jobs",
     "stock_data_warehouse_spark.sources.sinks",
+    "stock_data_warehouse_spark.sources.pydatasource",
 )
 
 

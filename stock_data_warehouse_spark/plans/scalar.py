@@ -467,3 +467,40 @@ def p19_format_datetime_pack(spark: SparkSession,
             round_half_up(F.col("o_totalprice") * 0.1, 2))))
          .alias("charge_vals"),
         F.schema_of_json(F.lit('{"k": 1}')).alias("props_shape"))
+
+
+@register(
+    "p20_variant_pack",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_typed,
+           CAST(json_extract_string(props, '$.missing') AS BIGINT)
+             AS missing_typed,
+           'OBJECT<k: BIGINT>' AS variant_shape,
+           json_extract_string(props, '$.k') IS NULL AS k_absent
+    FROM events
+    """,
+)
+def p20_variant_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.7 (Spark-4 surface) — the VARIANT semi-structured type:
+    ``parse_json`` binds the props JSON once into Spark's binary
+    variant encoding, then ``try_variant_get`` extracts typed paths
+    (present and absent) and ``schema_of_variant`` introspects the
+    value's shape — the modern engine-native alternative to the
+    ``from_json``-with-declared-schema pack (p_map_json_pack), for
+    feeds whose schema drifts. The oracle states the same denotation
+    through DuckDB's json functions; the shape column is a constant
+    for this corpus (every props row is {"k": <int>}), which the
+    oracle pins verbatim. Pure projection — scan-composable at any
+    scale, no shuffles, and the variant parse happens exactly once
+    per row."""
+    e = _t(spark, sf_dir, "events")
+    v = F.parse_json("props")
+    return e.select(
+        "event_id",
+        F.try_variant_get(v, "$.k", "bigint").alias("k_typed"),
+        F.try_variant_get(v, "$.missing", "bigint")
+         .alias("missing_typed"),
+        F.schema_of_variant(v).alias("variant_shape"),
+        F.try_variant_get(v, "$.k", "bigint").isNull()
+         .alias("k_absent"))
