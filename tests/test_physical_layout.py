@@ -246,3 +246,39 @@ def test_int8_ivf_topk_no_allpairs_join(spark):
     # the centroid assignment cross join IS a BNLJ over K rows —
     # but the vec<->vec scoring must not be: exactly one BNLJ allowed
     assert plan.count("BroadcastNestedLoopJoin") <= 1, plan
+
+
+def test_runtime_bloom_filter_prunes_fact_side(spark):
+    """100 TB posture pin: with a selective filter on the dimension
+    side of a shuffle join, Spark's runtime bloom-filter injection
+    (spark.sql.optimizer.runtime.bloomFilter.enabled — default on)
+    builds a bloom filter from the filtered dim keys and applies
+    might_contain() on the fact scan, pruning shuffle input. Locally
+    the application-side scan-size threshold (10GB default) keeps it
+    off; this test lowers the thresholds to prove the plan rewrite
+    fires — the knob needs no repo conf at real scale."""
+    from pyspark.sql import functions as F
+
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.optimizer.runtime.bloomFilter."
+        "applicationSideScanSizeThreshold": "0",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        o = (spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+             .filter(F.col("o_orderpriority") == "1-URGENT"))
+        li = spark.read.parquet(
+            "/root/testdata/sf0.001/lineitem.parquet")
+        j = (li.join(o, li.l_orderkey == o.o_orderkey)
+               .groupBy("o_orderpriority").count())
+        plan = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "bloom" in plan.lower(), plan
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
