@@ -23,7 +23,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.datasource import (
-    DataSource, DataSourceReader, InputPartition,
+    DataSource, DataSourceReader, DataSourceStreamReader, InputPartition,
 )
 
 from ..plans.registry import register
@@ -51,6 +51,11 @@ class QuoteFeedDataSource(DataSource):
             int(self.options.get("shards", 4)),
             int(self.options.get("rows", 100)))
 
+    def streamReader(self, schema) -> "QuoteFeedStreamReader":
+        return QuoteFeedStreamReader(
+            int(self.options.get("shards", 4)),
+            int(self.options.get("rows", 100)))
+
 
 class QuoteFeedReader(DataSourceReader):
     def __init__(self, shards: int, rows: int):
@@ -66,6 +71,38 @@ class QuoteFeedReader(DataSourceReader):
         s = partition.value
         for q in range(self._rows):
             yield (s, q, f"TCK{s:02d}{q:04d}", _price_cents(s, q))
+
+
+class QuoteFeedStreamReader(DataSourceStreamReader):
+    """The same feed as a MICRO-BATCHED stream: the offset is the
+    feed page cursor (one page = one shard-worth of ``rows``), exactly
+    how a production paged-API / queue connector tracks progress —
+    ``initialOffset``/``latestOffset`` bound each micro-batch,
+    ``partitions(start, end)`` plans one task per page in the range,
+    and Spark checkpoints the committed offset for exactly-once
+    replay. Bounded here (latestOffset = shards) so an AvailableNow
+    run drains the feed deterministically."""
+
+    def __init__(self, shards: int, rows: int):
+        self._shards, self._rows = shards, rows
+
+    def initialOffset(self):
+        return {"page": 0}
+
+    def latestOffset(self):
+        return {"page": self._shards}
+
+    def partitions(self, start, end):
+        return [InputPartition(p)
+                for p in range(start["page"], end["page"])]
+
+    def read(self, partition: InputPartition):
+        s = partition.value
+        for q in range(self._rows):
+            yield (s, q, f"TCK{s:02d}{q:04d}", _price_cents(s, q))
+
+    def commit(self, end):
+        pass
 
 
 def read_quote_feed(spark: SparkSession, shards: int = 4,
@@ -109,3 +146,49 @@ def s13_python_datasource_feed(spark: SparkSession,
     return feed.select(
         "shard", "seq", "ticker", "price_cents",
         (F.col("price_cents") / F.lit(100.0)).alias("price"))
+
+
+@register(
+    "s14_python_stream_feed",
+    oracle="""
+    WITH sh AS (SELECT UNNEST(range(4))::INT AS shard),
+         sq AS (SELECT UNNEST(range(100))::INT AS seq),
+    feed AS (
+      SELECT shard, seq,
+             CAST((shard * 1000003 + seq * 7919) % 1000000 AS BIGINT)
+               AS price_cents
+      FROM sh CROSS JOIN sq
+    )
+    SELECT shard,
+           COUNT(*) AS n_quotes,
+           SUM(price_cents) AS sum_cents,
+           MIN(price_cents) AS min_cents,
+           MAX(price_cents) AS max_cents
+    FROM feed GROUP BY shard
+    """,
+)
+def s14_python_stream_feed(spark: SparkSession,
+                           sf_dir: str) -> DataFrame:
+    """OP-S4/T1 composed — the quote feed consumed as a STREAM through
+    the Python Data Source streaming reader: page-cursor offsets,
+    per-page partition planning, checkpointed commits — the custom
+    streaming connector surface (queue/paged-API ingestion) next to
+    the file-source forms. The bounded run drains every page in one
+    AvailableNow pass and aggregates per shard; integer-cents sums
+    keep the aggregation engine-exact, so the whole connector + stream
+    + aggregate path is value-checked against the closed-form DuckDB
+    replay."""
+    from pyspark.sql import functions as F
+
+    spark.dataSource.register(QuoteFeedDataSource)
+    s = (spark.readStream.format("quote_feed")
+         .option("shards", "4").option("rows", "100").load())
+    agg = (s.groupBy("shard")
+            .agg(F.count(F.lit(1)).alias("n_quotes"),
+                 F.sum("price_cents").alias("sum_cents"),
+                 F.min("price_cents").alias("min_cents"),
+                 F.max("price_cents").alias("max_cents")))
+    from ..streaming.jobs import _run_to_table
+    snap = _run_to_table(agg, "complete")
+    return snap.select("shard", "n_quotes", "sum_cents",
+                       "min_cents", "max_cents")
