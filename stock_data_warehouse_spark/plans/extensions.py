@@ -2980,3 +2980,146 @@ def containment_pairs(d: DataFrame, threshold: float = 0.9) -> DataFrame:
                          round_half_up(containment, 6)
                           .alias("containment"),
                          round_half_up(jaccard, 6).alias("jaccard")))
+
+
+# ---------------------------------------------------------------------------
+# OP-X4 (continued) — iterative BPE-style merge TRAINING (word-level)
+# ---------------------------------------------------------------------------
+
+def _bpe_sql_iter(i: int) -> str:
+    """One unrolled training iteration as DuckDB CTEs: pair counts over
+    the current symbol string, deterministic argmax, greedy merge by
+    non-overlapping string replace (identical left-to-right semantics
+    in both engines)."""
+    prev = f"s{i - 1}"
+    return f"""
+    a{i} AS (
+      SELECT doc_id, s,
+             string_split(regexp_replace(s, '^<|>$', '', 'g'), '><') AS arr
+      FROM {prev}
+    ),
+    p{i} AS (
+      SELECT u.pa AS pa, u.pb AS pb, COUNT(*) AS cnt
+      FROM (
+        SELECT unnest(CASE WHEN len(arr) >= 2
+               THEN [{{'pa': arr[i], 'pb': arr[i+1]}}
+                     FOR i IN range(1, len(arr))]
+               ELSE [] END) AS u
+        FROM a{i}
+      ) GROUP BY 1, 2
+    ),
+    b{i} AS (
+      SELECT pa, pb, pa || ' ' || pb AS merged
+      FROM p{i} ORDER BY cnt DESC, pa, pb LIMIT 1
+    ),
+    s{i} AS (
+      SELECT t.doc_id,
+             replace(t.s, '<' || b.pa || '><' || b.pb || '>',
+                     '<' || b.merged || '>') AS s
+      FROM {prev} t CROSS JOIN b{i} b
+    )"""
+
+
+@register(
+    "x4_bpe_train",
+    oracle=f"""
+    WITH t0 AS (
+      SELECT doc_id, {SQL_TOKENS} AS toks FROM documents
+    ),
+    s0 AS (
+      SELECT doc_id,
+             '<' || array_to_string(toks, '><') || '>' AS s,
+             len(toks) AS n0
+      FROM t0 WHERE len(toks) >= 1
+    ),
+    {_bpe_sql_iter(1)},
+    {_bpe_sql_iter(2)},
+    {_bpe_sql_iter(3)},
+    final AS (
+      SELECT doc_id,
+             len(string_split(regexp_replace(s, '^<|>$', '', 'g'), '><'))
+               AS n3
+      FROM s3
+    )
+    SELECT (SELECT merged FROM b1) AS merge_1,
+           (SELECT merged FROM b2) AS merge_2,
+           (SELECT merged FROM b3) AS merge_3,
+           (SELECT COUNT(*) FROM s0) AS n_docs,
+           (SELECT SUM(n0) FROM s0) AS symbols_before,
+           (SELECT SUM(n3) FROM final) AS symbols_after
+    """,
+)
+def x4_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OP-X4 — three iterations of BPE-style merge TRAINING at the
+    word level (phrase-vocabulary learning — the same
+    count→argmax→merge loop as Sennrich et al. BPE, over the portable
+    word tokenizer instead of characters, so every symbol stays in the
+    tokenizer's engine-pinned ASCII domain): each round counts
+    adjacent symbol pairs corpus-wide, picks the most frequent pair
+    (count desc, then (pa, pb) — fully deterministic), and greedily
+    merges every non-overlapping occurrence.
+
+    Engine-portable by construction: symbols are carried as a
+    ``<sym><sym>…`` string (tokens are [a-z0-9]+, so '<', '>' and the
+    space inside merged symbols are unambiguous), and merge
+    application is a plain string ``replace`` — non-overlapping
+    left-to-right in both engines, which IS greedy BPE application.
+    The oracle replays all three unrolled iterations with correlated
+    CTEs.
+
+    Scale shape (per iteration): explode → map-side-combined pair
+    count → ONE shuffle on the pair, TakeOrdered(1) for the argmax,
+    then the 1-row merge broadcast-joins back and the merge applies
+    scan-side — no driver-side data path anywhere (the argmax stays a
+    1-row relation in-plan, the kmeans-trainer pattern). A real
+    subword trainer runs the identical loop for 30k rounds with the
+    pair counts incrementally maintained; the 3-round unroll pins the
+    semantics."""
+    d = _t(spark, sf_dir, "documents")
+    toks = tokens_col("text")
+    s0 = (d.select("doc_id", toks.alias("toks"))
+           .filter(F.size("toks") >= 1)
+           .select("doc_id", F.size("toks").alias("n0"),
+                   F.concat(F.lit("<"),
+                            F.array_join("toks", "><"),
+                            F.lit(">")).alias("s"))
+           .localCheckpoint())  # 3 rounds re-read it; scan once
+
+    def step(seqs: DataFrame):
+        arr = F.split(F.regexp_replace("s", "^<|>$", ""), "><")
+        m = F.greatest(F.size(arr) - 1, F.lit(0))
+        pairs = F.zip_with(
+            F.slice(arr, 1, m), F.slice(arr, 2, m),
+            lambda x, y: F.struct(x.alias("pa"), y.alias("pb")))
+        best = (seqs.select(F.explode(pairs).alias("u"))
+                    .groupBy(F.col("u.pa").alias("pa"),
+                             F.col("u.pb").alias("pb"))
+                    .agg(F.count(F.lit(1)).alias("cnt"))
+                    .orderBy(F.desc("cnt"), "pa", "pb").limit(1)
+                    .select("pa", "pb",
+                            F.concat_ws(" ", "pa", "pb")
+                             .alias("merged")))
+        nxt = (seqs.crossJoin(F.broadcast(best))
+                   .select("doc_id", "n0",
+                           F.replace(
+                               F.col("s"),
+                               F.concat(F.lit("<"), F.col("pa"),
+                                        F.lit("><"), F.col("pb"),
+                                        F.lit(">")),
+                               F.concat(F.lit("<"), F.col("merged"),
+                                        F.lit(">"))).alias("s")))
+        return nxt, best
+
+    s1, b1 = step(s0)
+    s2, b2 = step(s1.localCheckpoint())
+    s3, b3 = step(s2.localCheckpoint())
+    arr3 = F.split(F.regexp_replace("s", "^<|>$", ""), "><")
+    report = (s3.agg(F.count(F.lit(1)).alias("n_docs"),
+                     F.sum("n0").alias("symbols_before"),
+                     F.sum(F.size(arr3)).alias("symbols_after")))
+    return (b1.select(F.col("merged").alias("merge_1"))
+              .crossJoin(b2.select(F.col("merged").alias("merge_2")))
+              .crossJoin(b3.select(F.col("merged").alias("merge_3")))
+              .crossJoin(report)  # all 1-row relations by contract
+              .select("merge_1", "merge_2", "merge_3", "n_docs",
+                      "symbols_before", "symbols_after"))

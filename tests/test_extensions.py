@@ -616,3 +616,39 @@ def test_containment_catches_subset_jaccard_misses(spark):
     assert (r["doc_small"], r["doc_big"]) == (1, 2)
     assert r["containment"] == 1.0
     assert r["jaccard"] < 0.8  # symmetric Jaccard would have missed it
+
+
+def test_bpe_train_greedy_merge_semantics(spark):
+    """The merge trainer's string-replace application must be greedy
+    non-overlapping left-to-right BPE on crafted chains: 'a a a' under
+    merge (a,a) yields [aa, a] (not [a, aa]); 'a b a b' merges BOTH
+    pairs (the per-token <>-bracketing means the replace pattern
+    shares no boundary characters between adjacent occurrences)."""
+    import tempfile
+
+    import pandas as pd
+
+    from stock_data_warehouse_spark.plans.extensions import x4_bpe_train
+
+    docs = pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        # 'a a' dominates round 1 (5 adjacent occurrences incl. chains)
+        "text": ["a a a a b", "a a a", "c d c d c d"],
+        "lang": ["en"] * 3, "source": ["t"] * 3,
+        "n_chars": [9, 5, 11],
+    })
+    d = tempfile.mkdtemp(prefix="bpe_unit_")
+    docs.to_parquet(f"{d}/documents.parquet")
+    row = x4_bpe_train(spark, d).collect()[0]
+    # round 1: (a,a) has 5 pair occurrences > (c,d) 3 > (d,c) 2
+    assert row["merge_1"] == "a a"
+    # greedy: doc1 -> [aa, aa, b], doc2 -> [aa, a]; doc3 untouched
+    # round 2 counts over merged seqs: (c,d)=3 still the max
+    assert row["merge_2"] == "c d"
+    # round 3: doc3 -> [cd, cd, cd] -> best remaining pair ('c d','c d')=2
+    # vs doc1's ('a a','a a')=1, ('a a', b)=1, doc2 ('a a', a)=1
+    assert row["merge_3"] == "c d c d"
+    assert row["n_docs"] == 3
+    assert row["symbols_before"] == 5 + 3 + 6
+    # after: doc1 [aa,aa,b]->r3 [..] ; doc2 [aa,a]; doc3 [cdcd, cd]
+    assert row["symbols_after"] == 3 + 2 + 2
