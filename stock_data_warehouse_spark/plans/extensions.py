@@ -3123,3 +3123,138 @@ def x4_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
               .crossJoin(report)  # all 1-row relations by contract
               .select("merge_1", "merge_2", "merge_3", "n_docs",
                       "symbols_before", "symbols_after"))
+
+
+# ---------------------------------------------------------------------------
+# OP-X3 (continued) — product quantization (PQ) with ADC scoring
+# ---------------------------------------------------------------------------
+
+#: DuckDB L2² between two DOUBLE[] lists named a and b (sequential fold).
+def _sql_l2sq(a: str, b: str) -> str:
+    return (f"list_reduce(list_prepend(0.0, "
+            f"list_transform(range(1, len({a}) + 1), "
+            f"i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i]))), "
+            f"(acc, x) -> acc + x)")
+
+
+@register(
+    "x3_pq_topk",
+    oracle=f"""
+    WITH v AS (
+      SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+    ),
+    sub AS (
+      SELECT vec_id, j, e[j * 8 + 1 : j * 8 + 8] AS sv
+      FROM v CROSS JOIN (SELECT UNNEST(range(8))::INT AS j)
+    ),
+    cb AS (
+      SELECT vec_id AS cid, j, sv AS cv FROM sub WHERE vec_id % 50 = 0
+    ),
+    codes AS (
+      SELECT vec_id, j, cid FROM (
+        SELECT s.vec_id, s.j, c.cid,
+               ROW_NUMBER() OVER (
+                 PARTITION BY s.vec_id, s.j
+                 ORDER BY {_sql_l2sq('s.sv', 'c.cv')}, c.cid) AS rn
+        FROM sub s JOIN cb c ON s.j = c.j
+      ) WHERE rn = 1
+    ),
+    queries AS (SELECT vec_id AS query_id, j, sv FROM sub
+                WHERE vec_id % 50 = 1),
+    lut AS (
+      SELECT q.query_id, c.j, c.cid,
+             {_sql_l2sq('q.sv', 'c.cv')} AS d2
+      FROM queries q JOIN cb c ON q.j = c.j
+    ),
+    scored AS (
+      SELECT l.query_id, k.vec_id,
+             list_reduce(list_prepend(0.0,
+               [x.d2 FOR x IN list_sort(list(struct_pack(j := l.j,
+                                                         d2 := l.d2)))]),
+               (acc, x) -> acc + x) AS total_d2
+      FROM codes k JOIN lut l ON k.j = l.j AND k.cid = l.cid
+      GROUP BY l.query_id, k.vec_id
+    )
+    SELECT query_id, vec_id AS neighbor_id,
+           {sql_round_half_up('total_d2', 6)} AS approx_d2
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY query_id ORDER BY total_d2, vec_id) AS rn
+      FROM scored WHERE query_id <> vec_id
+    ) WHERE rn <= 3
+    """,
+)
+def x3_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OP-X3 — product quantization with asymmetric-distance (ADC)
+    scoring, the industry-standard ANN compression beyond int8
+    (Jégou et al., "Product Quantization for Nearest Neighbor
+    Search"): the 64-dim embedding splits into 8 subspaces of 8 dims;
+    each subvector is encoded as the id of its nearest codebook entry
+    (deterministic medoid codebooks — every 50th vector — so the
+    whole index build is reproducible and oracle-checkable, exactly
+    the x3_ivf_topk convention; production swaps per-subspace k-means,
+    same plan shape). A query is NOT quantized: it precomputes a
+    (query, subspace, code) → L2² lookup table against the codebook,
+    and every database vector's approximate distance is the sum of 8
+    LUT entries addressed by its codes — the memory-bandwidth trick
+    that makes billion-vector search fit in RAM (8 bytes/vector here
+    vs 512).
+
+    Engine parity: every distance is a sequential left-to-right fold
+    (bit-exact both engines), the per-vector total sums its 8 LUT
+    entries in EXPLICIT j-order (collect → sort by j → fold — never an
+    unordered SUM, so no accumulation-order noise), argmin/top-k carry
+    (cid / vec_id) tiebreaks, and the displayed distance goes through
+    the class-A floor kernel.
+
+    Scale shape: encoding joins N×8 subvectors against a broadcast
+    codebook (K×8 rows, bounded); the LUT is (queries × 8 × K) rows —
+    broadcast-sized because the query batch is bounded by contract;
+    scoring is ONE hash join of the N×8 code table against the LUT on
+    (j, cid) + a (query, vec) aggregation — no all-pairs vector math
+    anywhere; the 512-bit-per-vector float table is never shuffled."""
+    e = _t(spark, sf_dir, "embeddings")
+    v = e.select("vec_id", _as_double_vec("embedding").alias("e"))
+    sub = v.select(
+        "vec_id",
+        F.posexplode(F.array(*[F.slice("e", 8 * j + 1, 8)
+                               for j in range(8)])).alias("j", "sv"))
+    cb = (sub.filter(F.col("vec_id") % 50 == 0)
+             .select(F.col("vec_id").alias("cid"), "j",
+                     F.col("sv").alias("cv")))
+
+    def l2sq(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0), lambda acc, x: acc + x)
+
+    enc = sub.join(F.broadcast(cb), "j")
+    wmin = Window.partitionBy("vec_id", "j").orderBy(
+        l2sq(F.col("sv"), F.col("cv")).asc(), F.col("cid"))
+    codes = (enc.withColumn("rn", F.row_number().over(wmin))
+                .filter(F.col("rn") == 1)
+                .select("vec_id", "j", "cid"))
+    queries = (sub.filter(F.col("vec_id") % 50 == 1)
+                  .select(F.col("vec_id").alias("query_id"), "j",
+                          F.col("sv").alias("qv")))
+    lut = (queries.join(F.broadcast(cb), "j")
+                  .select("query_id", "j", "cid",
+                          l2sq(F.col("qv"), F.col("cv")).alias("d2")))
+    scored = (codes.join(F.broadcast(lut), ["j", "cid"])
+                   .groupBy("query_id", "vec_id")
+                   .agg(F.aggregate(
+                       F.transform(
+                           F.array_sort(F.collect_list(
+                               F.struct("j", "d2"))),
+                           lambda s: s["d2"]),
+                       F.lit(0.0), lambda acc, x: acc + x)
+                       .alias("total_d2")))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("total_d2").asc(), F.col("vec_id"))
+    return (scored.filter(F.col("query_id") != F.col("vec_id"))
+                  .withColumn("rn", F.row_number().over(w))
+                  .filter(F.col("rn") <= 3)
+                  .select("query_id",
+                          F.col("vec_id").alias("neighbor_id"),
+                          round_half_up(F.col("total_d2"), 6)
+                           .alias("approx_d2")))
