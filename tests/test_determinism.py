@@ -34,6 +34,9 @@ SAMPLE = [
     "t19_interpolate_gaps",         # IGNORE-NULLS windows + FP interp
     "x3_int8_topk",                 # FP-scored top-k, id tiebreaks
     "x3_int8_ivf_topk",             # headline int8×IVF composition
+    "x3_pq_topk",                   # PQ codes + j-ordered LUT folds
+    "x4_bpe_train",                 # iterative argmax under shuffling
+    "p20_variant_pack",             # variant binary encoding stability
     "x2_neardup_clusters_contracting",  # iterative star contraction
     "a10_approx_quantile_sketch",   # sketch verdicts under merge order
 ]
