@@ -3258,3 +3258,160 @@ def x3_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                           F.col("vec_id").alias("neighbor_id"),
                           round_half_up(F.col("total_d2"), 6)
                            .alias("approx_d2")))
+
+
+@register(
+    "x3_ivfpq_topk",
+    oracle=f"""
+    WITH v AS (
+      SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+    ),
+    n AS (
+      SELECT vec_id, e, sqrt({_sql_dot('e', 'e')}) AS nrm FROM v
+      WHERE sqrt({_sql_dot('e', 'e')}) > 0
+    ),
+    cent AS (SELECT vec_id AS ccid, e AS ce, nrm AS cnrm FROM n
+             WHERE vec_id % 50 = 0),
+    assigned AS (
+      SELECT vec_id, e, cell FROM (
+        SELECT b.vec_id, b.e, cent.ccid AS cell,
+               ROW_NUMBER() OVER (
+                 PARTITION BY b.vec_id
+                 ORDER BY {_sql_dot('b.e', 'cent.ce')}
+                          / (b.nrm * cent.cnrm) DESC, cent.ccid) AS rc
+        FROM n b CROSS JOIN cent
+      ) WHERE rc = 1
+    ),
+    sub AS (
+      SELECT vec_id, cell, j, e[j * 8 + 1 : j * 8 + 8] AS sv
+      FROM assigned CROSS JOIN (SELECT UNNEST(range(8))::INT AS j)
+    ),
+    cb AS (
+      SELECT vec_id AS cid, j, sv AS cv FROM sub WHERE vec_id % 50 = 0
+    ),
+    codes AS (
+      SELECT vec_id, cell, j, cid FROM (
+        SELECT s.vec_id, s.cell, s.j, c.cid,
+               ROW_NUMBER() OVER (
+                 PARTITION BY s.vec_id, s.j
+                 ORDER BY {_sql_l2sq('s.sv', 'c.cv')}, c.cid) AS rn
+        FROM sub s JOIN cb c ON s.j = c.j
+      ) WHERE rn = 1
+    ),
+    queries AS (SELECT vec_id AS query_id, cell AS qcell, j, sv
+                FROM sub WHERE vec_id % 50 = 1),
+    lut AS (
+      SELECT q.query_id, q.qcell, c.j, c.cid,
+             {_sql_l2sq('q.sv', 'c.cv')} AS d2
+      FROM queries q JOIN cb c ON q.j = c.j
+    ),
+    scored AS (
+      SELECT l.query_id, k.vec_id,
+             list_reduce(list_prepend(0.0,
+               [x.d2 FOR x IN list_sort(list(struct_pack(j := l.j,
+                                                         d2 := l.d2)))]),
+               (acc, x) -> acc + x) AS total_d2
+      FROM codes k JOIN lut l
+        ON k.j = l.j AND k.cid = l.cid AND k.cell = l.qcell
+      GROUP BY l.query_id, k.vec_id
+    )
+    SELECT query_id, vec_id AS neighbor_id,
+           {sql_round_half_up('total_d2', 6)} AS approx_d2
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY query_id ORDER BY total_d2, vec_id) AS rn
+      FROM scored WHERE query_id <> vec_id
+    ) WHERE rn <= 3
+    """,
+)
+def x3_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OP-X3 — IVF-PQ, the FAISS-canonical production index: coarse
+    IVF cells (deterministic medoids, nprobe=1 — x3_ivf_topk's
+    convention) restrict WHICH vectors a query scores, and product-
+    quantization codes with an ADC lookup table decide HOW each
+    candidate is scored (x3_pq_topk's structure). Search cost becomes
+    Σ |cell ∩ 8-byte codes| LUT additions — both the candidate count
+    AND the per-candidate cost are compressed, which is why this
+    exact composition serves billion-vector workloads.
+
+    Fully oracle-exact like its two parents: float coarse assignment,
+    argmin code assignment with (cid) tiebreaks, j-ordered LUT folds,
+    (vec_id) ranking tiebreaks, class-A floor rounding.
+
+    Scale shape: coarse assignment = bounded K-centroid broadcast;
+    encoding = N×8 subvectors vs broadcast codebook; scoring = ONE
+    hash join of the code table against the broadcast LUT on
+    (cell, j, code) — the cell predicate rides the same join, so
+    non-cell candidates are dropped at the join, never materialized;
+    no float vector is ever shuffled after encoding."""
+    e = _t(spark, sf_dir, "embeddings")
+    v = e.select("vec_id", _as_double_vec("embedding").alias("e"))
+    n = (v.withColumn("nrm", F.sqrt(_dot(F.col("e"), F.col("e"))))
+          .filter(F.col("nrm") > 0))
+    cent = (n.filter(F.col("vec_id") % 50 == 0)
+             .select(F.col("vec_id").alias("ccid"),
+                     F.col("e").alias("ce"),
+                     F.col("nrm").alias("cnrm")))
+    cos_c = (_dot(F.col("e"), F.col("ce"))
+             / (F.col("nrm") * F.col("cnrm")))
+    wassign = Window.partitionBy("vec_id").orderBy(
+        cos_c.desc(), F.col("ccid"))
+    assigned = (n.repartition(spark.sparkContext.defaultParallelism,
+                              "vec_id")
+                 .crossJoin(F.broadcast(cent))
+                 .withColumn("rc", F.row_number().over(wassign))
+                 .filter(F.col("rc") == 1)
+                 .select("vec_id", "e", F.col("ccid").alias("cell")))
+    sub = assigned.select(
+        "vec_id", "cell",
+        F.posexplode(F.array(*[F.slice("e", 8 * j + 1, 8)
+                               for j in range(8)])).alias("j", "sv"))
+    cb = (sub.filter(F.col("vec_id") % 50 == 0)
+             .select(F.col("vec_id").alias("cid"), "j",
+                     F.col("sv").alias("cv")))
+
+    def l2sq(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0), lambda acc, x: acc + x)
+
+    wmin = Window.partitionBy("vec_id", "j").orderBy(
+        l2sq(F.col("sv"), F.col("cv")).asc(), F.col("cid"))
+    codes = (sub.join(F.broadcast(cb), "j")
+                .withColumn("rn", F.row_number().over(wmin))
+                .filter(F.col("rn") == 1)
+                .select("vec_id", "cell", "j", "cid"))
+    queries = (sub.filter(F.col("vec_id") % 50 == 1)
+                  .select(F.col("vec_id").alias("query_id"),
+                          F.col("cell").alias("qcell"), "j",
+                          F.col("sv").alias("qv")))
+    # distinct column names: codes and lut both descend from `sub`, so
+    # qualified attribute references would be ambiguous self-join refs
+    lut = (queries.join(F.broadcast(cb), "j")
+                  .select("query_id",
+                          F.col("qcell").alias("lcell"),
+                          F.col("j").alias("lj"),
+                          F.col("cid").alias("lcid"),
+                          l2sq(F.col("qv"), F.col("cv")).alias("d2")))
+    scored = (codes.join(
+                  F.broadcast(lut),
+                  (F.col("j") == F.col("lj"))
+                  & (F.col("cid") == F.col("lcid"))
+                  & (F.col("cell") == F.col("lcell")))
+                   .groupBy("query_id", "vec_id")
+                   .agg(F.aggregate(
+                       F.transform(
+                           F.array_sort(F.collect_list(
+                               F.struct("lj", "d2"))),
+                           lambda s: s["d2"]),
+                       F.lit(0.0), lambda acc, x: acc + x)
+                       .alias("total_d2")))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("total_d2").asc(), F.col("vec_id"))
+    return (scored.filter(F.col("query_id") != F.col("vec_id"))
+                  .withColumn("rn", F.row_number().over(w))
+                  .filter(F.col("rn") <= 3)
+                  .select("query_id",
+                          F.col("vec_id").alias("neighbor_id"),
+                          round_half_up(F.col("total_d2"), 6)
+                           .alias("approx_d2")))
