@@ -3260,10 +3260,11 @@ def x3_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                            .alias("approx_d2")))
 
 
-@register(
-    "x3_ivfpq_topk",
-    oracle=f"""
-    WITH v AS (
+def _sql_ivfpq_ctes() -> str:
+    """Shared CTE chain of the IVF-PQ index build + scoring — reused
+    by the top-k oracle and the recall report (the _SQL_JPAIRS
+    pattern)."""
+    return f"""v AS (
       SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
     ),
     n AS (
@@ -3314,7 +3315,13 @@ def x3_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM codes k JOIN lut l
         ON k.j = l.j AND k.cid = l.cid AND k.cell = l.qcell
       GROUP BY l.query_id, k.vec_id
-    )
+    )"""
+
+
+@register(
+    "x3_ivfpq_topk",
+    oracle=f"""
+    WITH {_sql_ivfpq_ctes()}
     SELECT query_id, vec_id AS neighbor_id,
            {sql_round_half_up('total_d2', 6)} AS approx_d2
     FROM (
@@ -3415,3 +3422,80 @@ def x3_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                           F.col("vec_id").alias("neighbor_id"),
                           round_half_up(F.col("total_d2"), 6)
                            .alias("approx_d2")))
+
+
+@register(
+    "x3_ivfpq_recall_report",
+    oracle=f"""
+    WITH {_sql_ivfpq_ctes()},
+    approx AS (
+      SELECT query_id, vec_id AS neighbor_id
+      FROM (
+        SELECT *, ROW_NUMBER() OVER (
+          PARTITION BY query_id ORDER BY total_d2, vec_id) AS rn
+        FROM scored WHERE query_id <> vec_id
+      ) WHERE rn <= 3
+    ),
+    truth AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT q.vec_id AS query_id, x.vec_id AS neighbor_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY {_sql_l2sq('q.e', 'x.e')}, x.vec_id) AS rn
+        FROM v q JOIN v x ON x.vec_id <> q.vec_id
+        WHERE q.vec_id % 50 = 1
+      ) WHERE rn <= 3
+    )
+    SELECT t.query_id, COUNT(*) AS n_true,
+           COALESCE(SUM(CASE WHEN a.neighbor_id IS NOT NULL
+                             THEN 1 ELSE 0 END), 0) AS n_hit,
+           {sql_round_half_up('''SUM(CASE WHEN a.neighbor_id IS NOT
+                NULL THEN 1 ELSE 0 END) / COUNT(*)''', 6)} AS recall
+    FROM truth t LEFT JOIN approx a
+      ON t.query_id = a.query_id AND t.neighbor_id = a.neighbor_id
+    GROUP BY t.query_id
+    """,
+)
+def x3_ivfpq_recall_report(spark: SparkSession,
+                           sf_dir: str) -> DataFrame:
+    """OP-X3 — recall@3 of the composed IVF-PQ index against exact-L2
+    ground truth, per query: the observability half of the production
+    index (x3_recall_report's pattern applied to the compressed form —
+    an index whose DOUBLE compression you can't measure is an index
+    you can't trust). The exact side is bounded by the same
+    query-subset contract (brute force over the sampled queries only);
+    the report shape — join on (query, neighbor), count hits — is
+    scale-free. Oracle-exact: both pipelines replay in SQL and the
+    recall ratio goes through the class-A floor kernel."""
+    approx = (x3_ivfpq_topk(spark, sf_dir)
+              .select("query_id", "neighbor_id",
+                      F.lit(1).alias("hit")))
+    e = _t(spark, sf_dir, "embeddings")
+    v = e.select("vec_id", _as_double_vec("embedding").alias("e"))
+    q = (v.filter(F.col("vec_id") % 50 == 1)
+          .select(F.col("vec_id").alias("query_id"),
+                  F.col("e").alias("qe")))
+
+    def l2sq(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0), lambda acc, x: acc + x)
+
+    wt = Window.partitionBy("query_id").orderBy(
+        l2sq(F.col("qe"), F.col("e")).asc(), F.col("vec_id"))
+    truth = (v.repartition(spark.sparkContext.defaultParallelism,
+                           "vec_id")
+              .crossJoin(F.broadcast(q))
+              .filter(F.col("vec_id") != F.col("query_id"))
+              .withColumn("rn", F.row_number().over(wt))
+              .filter(F.col("rn") <= 3)
+              .select("query_id",
+                      F.col("vec_id").alias("neighbor_id")))
+    j = truth.join(approx, ["query_id", "neighbor_id"], "left")
+    n_hit = F.sum(F.coalesce(F.col("hit"), F.lit(0)))
+    return (j.groupBy("query_id")
+             .agg(F.count(F.lit(1)).alias("n_true"),
+                  n_hit.alias("n_hit"),
+                  round_half_up(n_hit.cast("double")
+                                / F.count(F.lit(1)), 6)
+                   .alias("recall")))
