@@ -65,6 +65,10 @@ HEADLINE = (
     # remains in the benchmarked set (same rule brute-force cosine
     # already follows).
     "x3_int8_ivf_topk",           # int8 scoring over IVF cells
+    # round-4 addition: the FAISS-canonical composed index — candidate
+    # set compressed by IVF cells, per-candidate cost compressed to 8
+    # LUT additions over PQ codes; no float vector shuffled after encode
+    "x3_ivfpq_topk",              # IVF-PQ with ADC lookup table
 )
 
 
