@@ -87,3 +87,71 @@ def kmeans_fit_assign(vectors: DataFrame, id_col: str = "vec_id",
                              .alias("ce")))
         centroids = means.localCheckpoint()
     return assigned.select("id", "cell", "sq_dist")
+
+
+def kmeans_fit_assign_grouped(vectors: DataFrame, group_col: str = "j",
+                              id_col: str = "vec_id",
+                              vec_col: str = "sv", k: int = 8,
+                              n_iter: int = 3
+                              ) -> tuple[DataFrame, DataFrame]:
+    """Train an INDEPENDENT k-means codebook per group — all groups in
+    the same jobs — and return ``(assigned, centroids)``:
+    ``assigned = (grp, id, cell, sq_dist)`` and
+    ``centroids = (grp, cell, ce)``.
+
+    This is the per-subspace trainer of a product-quantization index
+    (plans/extensions.x3_ivfpq_learned): with ``group_col`` = the PQ
+    subspace ordinal, one invocation learns all 8 codebooks
+    simultaneously — per iteration ONE broadcast of the groups×k
+    centroid table (bounded: e.g. 8×32 rows), ONE argmin window keyed
+    (grp, id), and ONE per-(grp, cell, dim) hash aggregation. Never a
+    per-group driver loop: 8 sequential trainers would multiply job
+    count by the group cardinality for zero extra parallelism.
+
+    Seeding exploits the PQ structure — every group carries the same
+    id universe (each vector contributes one subvector per subspace) —
+    so the per-group seeds are the SAME k hash-min ids, selected once
+    via a distributed partial top-k over distinct ids and broadcast
+    back; cell ordinals 0..k-1 come from the sorted k-row seed list
+    (bounded collect_list, never the full data). Determinism matches
+    :func:`kmeans_fit_assign`: md5 seeding, (cell) argmin tiebreak.
+    """
+    v = (vectors.select(F.col(group_col).alias("grp"),
+                        F.col(id_col).alias("id"),
+                        F.col(vec_col).alias("e"))
+                .localCheckpoint())
+    ids = v.select("id").distinct()
+    seed_ids = (ids.orderBy(F.md5(F.col("id").cast("string")), "id")
+                   .limit(k))
+    seed_cells = (seed_ids
+                  .agg(F.array_sort(F.collect_list("id")).alias("a"))
+                  .select(F.posexplode("a").alias("cell", "sid")))
+    centroids = (v.join(F.broadcast(seed_cells),
+                        v.id == seed_cells.sid)
+                  .select("grp", "cell", F.col("e").alias("ce"))
+                  .localCheckpoint())
+
+    assigned = None
+    for _ in range(n_iter):
+        scored = v.join(F.broadcast(centroids), "grp")
+        w = Window.partitionBy("grp", "id").orderBy(
+            _sq_dist(F.col("e"), F.col("ce")).asc(), F.col("cell"))
+        assigned = (scored.withColumn("rk", F.row_number().over(w))
+                          .filter(F.col("rk") == 1)
+                          .select("grp", "id", "e", "cell",
+                                  _sq_dist(F.col("e"), F.col("ce"))
+                                  .alias("sq_dist")))
+        dims = assigned.select(
+            "grp", "cell", F.posexplode("e").alias("dim", "val"))
+        means = (dims.groupBy("grp", "cell", "dim")
+                     .agg(F.avg("val").alias("m"))
+                     .groupBy("grp", "cell")
+                     .agg(F.array_sort(
+                         F.collect_list(F.struct("dim", "m")))
+                         .alias("dm"))
+                     .select("grp", "cell",
+                             F.transform("dm", lambda s: s["m"])
+                             .alias("ce")))
+        centroids = means.localCheckpoint()
+    return (assigned.select("grp", "id", "cell", "sq_dist"),
+            centroids)

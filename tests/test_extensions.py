@@ -312,6 +312,58 @@ def test_kmeans_assigns_every_vector_and_inertia_decreases(spark):
     assert i3 <= i1 + 1e-9  # Lloyd's never increases inertia
 
 
+def test_grouped_kmeans_trains_independent_codebooks(spark):
+    """The grouped trainer (one job set for ALL PQ subspaces) must:
+    assign every (group, id) pair exactly once, emit k centroids per
+    group, train groups INDEPENDENTLY (a group's assignment depends
+    only on its own subvectors — verified against a single-group run),
+    and keep Lloyd's monotonicity per group."""
+    from pyspark.sql import functions as F
+    from stock_data_warehouse_spark.operators.kmeans import (
+        kmeans_fit_assign_grouped,
+    )
+    from stock_data_warehouse_spark.plans.extensions import (
+        _as_double_vec,
+    )
+    from stock_data_warehouse_spark.sources.tables import load_table
+    e = load_table(spark, SF, "embeddings")
+    v = e.select("vec_id", _as_double_vec("embedding").alias("e"))
+    sub = v.select(
+        "vec_id",
+        F.posexplode(F.array(*[F.slice("e", 8 * j + 1, 8)
+                               for j in range(8)])).alias("j", "sv"))
+    n = v.count()
+
+    a3, cb = kmeans_fit_assign_grouped(sub, "j", "vec_id", "sv",
+                                       k=4, n_iter=3)
+    assert a3.count() == n * 8                      # every (grp, id)
+    assert a3.select("grp", "id").distinct().count() == n * 8
+    per_group = {r["grp"]: r["k"] for r in
+                 cb.groupBy("grp").agg(
+                     F.count(F.lit(1)).alias("k")).collect()}
+    assert set(per_group) == set(range(8))
+    assert all(1 <= k <= 4 for k in per_group.values())
+
+    # independence: training only subspace 0 reproduces subspace 0's
+    # grouped assignment exactly (same seeds, same math)
+    solo, _ = kmeans_fit_assign_grouped(
+        sub.filter(F.col("j") == 0), "j", "vec_id", "sv",
+        k=4, n_iter=3)
+    grouped0 = {(r["id"], r["cell"])
+                for r in a3.filter(F.col("grp") == 0).collect()}
+    solo0 = {(r["id"], r["cell"]) for r in solo.collect()}
+    assert grouped0 == solo0
+
+    # per-group Lloyd monotonicity
+    a1, _ = kmeans_fit_assign_grouped(sub, "j", "vec_id", "sv",
+                                      k=4, n_iter=1)
+    i3 = {r["grp"]: r["i"] for r in a3.groupBy("grp")
+          .agg(F.sum("sq_dist").alias("i")).collect()}
+    i1 = {r["grp"]: r["i"] for r in a1.groupBy("grp")
+          .agg(F.sum("sq_dist").alias("i")).collect()}
+    assert all(i3[g] <= i1[g] + 1e-9 for g in i3)
+
+
 def test_dedup_corpus_keeps_survivors_only(spark):
     """Corpus = all docs minus non-survivor cluster members, so
     corpus-size + clustered-non-survivors == total docs, and every
