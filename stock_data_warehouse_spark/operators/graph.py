@@ -12,7 +12,9 @@ Scale posture (100 TB):
 - Each round is ONE shuffle: an edge-labels join keyed on the node id,
   then a min-aggregation on the neighbor — both hash-partitioned on
   high-cardinality node ids.
-- ``localCheckpoint`` after every round truncates lineage, so the plan
+- ``ckpt`` (operators/checkpoint.py: localCheckpoint by default, a
+  reliable ``checkpoint`` under the session's reliability switch)
+  after every round truncates lineage, so the plan
   does not grow with iterations (the classic iterative-algorithm trap).
 - The convergence test moves a single count to the driver — control
   flow only, never data.
@@ -32,6 +34,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .checkpoint import ckpt
+
 
 def connected_components(edges: DataFrame, src: str = "src",
                          dst: str = "dst",
@@ -45,15 +49,13 @@ def connected_components(edges: DataFrame, src: str = "src",
     # the caller's whole edge-producing plan (for near-dup clustering
     # that is the full inverted-index pair join — measured 6× the total
     # runtime at sf0.1 before this barrier).
-    und = (edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
-                .union(edges.select(F.col(dst).alias("u"),
-                                    F.col(src).alias("v")))
-                .distinct()
-                .localCheckpoint())
-    labels = (und.select(F.col("u").alias("node"))
-                 .distinct()
-                 .withColumn("component", F.col("node"))
-                 .localCheckpoint())
+    und = ckpt(edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+               .union(edges.select(F.col(dst).alias("u"),
+                                   F.col(src).alias("v")))
+               .distinct())
+    labels = ckpt(und.select(F.col("u").alias("node"))
+                     .distinct()
+                     .withColumn("component", F.col("node")))
     converged = False
     for _ in range(max_iter):
         nbr_min = (und.join(labels,
@@ -65,12 +67,11 @@ def connected_components(edges: DataFrame, src: str = "src",
         # Carry the per-node changed flag through the checkpoint so the
         # convergence test is a filter-count over already-materialized
         # rows — no extra new-vs-old join job per round.
-        stepped = (labels.join(nbr_min, "node", "left")
-                         .select("node",
-                                 new_component.alias("component"),
-                                 (new_component != F.col("component"))
-                                  .alias("_changed"))
-                         .localCheckpoint())
+        stepped = ckpt(labels.join(nbr_min, "node", "left")
+                             .select("node",
+                                     new_component.alias("component"),
+                                     (new_component != F.col("component"))
+                                      .alias("_changed")))
         changed = stepped.filter("_changed").count()  # control flow only
         labels = stepped.drop("_changed")
         if changed == 0:
@@ -131,8 +132,8 @@ def connected_components_contracting(edges: DataFrame, src: str = "src",
                   .filter(F.col("u") != F.col("v"))
                   .distinct())
 
-    e = canon(edges.select(F.col(src).alias("u"),
-                           F.col(dst).alias("v"))).localCheckpoint()
+    e = ckpt(canon(edges.select(F.col(src).alias("u"),
+                                F.col(dst).alias("v"))))
     prev_sig = None
     for _ in range(max_iter):
         # -- large-star: reduce over the SYMMETRIC neighbor view.
@@ -152,11 +153,11 @@ def connected_components_contracting(edges: DataFrame, src: str = "src",
         # to m(u) = min(N(u)).
         nbr2 = e.groupBy("u").agg(F.min("v").alias("mv"))
         joined = e.join(nbr2, "u")
-        e = canon(
+        e = ckpt(canon(
             joined.select(F.col("v").alias("u"),
                           F.col("mv").alias("v"))
                   .union(nbr2.select("u", F.col("mv").alias("v")))
-        ).localCheckpoint()
+        ))
         # Converged when a full large+small round leaves the canonical
         # edge set unchanged — the paper's fixed point, which is the
         # min-rooted-star state. (A per-node fan-out==1 test is NOT

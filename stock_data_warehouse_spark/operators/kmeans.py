@@ -10,7 +10,7 @@ Scale posture (100 TB):
   partial-aggregate per-dimension sums map-side and reduce to K rows.
 - Centroids live in the driver only as a K×dim literal (bounded);
   vectors never leave the executors.
-- ``localCheckpoint`` per iteration truncates lineage (same discipline
+- ``ckpt`` per iteration truncates lineage (same discipline
   as operators/graph.py).
 - Seeding is the K vectors with the smallest ``md5(id)`` — a
   deterministic pseudo-random spread that plans as a distributed
@@ -28,6 +28,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+
+from .checkpoint import ckpt
 
 
 def _sq_dist(a: F.Column, b: F.Column) -> F.Column:
@@ -48,20 +50,20 @@ def kmeans_fit_assign(vectors: DataFrame, id_col: str = "vec_id",
     rebuild centroids — partial aggregation keeps the shuffle at
     K×dim×partitions rows.
     """
-    v = vectors.select(F.col(id_col).alias("id"),
-                       F.col(vec_col).alias("e")).localCheckpoint()
+    v = ckpt(vectors.select(F.col(id_col).alias("id"),
+                            F.col(vec_col).alias("e")))
     # Seeds: the k vectors with the smallest md5(id). orderBy+limit is
     # a distributed partial top-k; cell ids 0..k-1 come from a k-row
     # collect_list+posexplode (bounded — never touches the full data).
     seeds = (v.orderBy(F.md5(F.col("id").cast("string")), "id")
               .limit(k))
-    centroids = (seeds
-                 .agg(F.array_sort(F.collect_list(F.struct("id", "e")))
-                       .alias("se"))
-                 .select(F.posexplode(
-                     F.transform("se", lambda s: s["e"]))
-                     .alias("cell", "ce"))
-                 .localCheckpoint())
+    centroids = ckpt(seeds
+                     .agg(F.array_sort(
+                         F.collect_list(F.struct("id", "e")))
+                          .alias("se"))
+                     .select(F.posexplode(
+                         F.transform("se", lambda s: s["e"]))
+                         .alias("cell", "ce")))
 
     assigned = None
     for _ in range(n_iter):
@@ -85,7 +87,7 @@ def kmeans_fit_assign(vectors: DataFrame, id_col: str = "vec_id",
                      .select("cell",
                              F.transform("dm", lambda s: s["m"])
                              .alias("ce")))
-        centroids = means.localCheckpoint()
+        centroids = ckpt(means)
     return assigned.select("id", "cell", "sq_dist")
 
 
@@ -116,20 +118,18 @@ def kmeans_fit_assign_grouped(vectors: DataFrame, group_col: str = "j",
     (bounded collect_list, never the full data). Determinism matches
     :func:`kmeans_fit_assign`: md5 seeding, (cell) argmin tiebreak.
     """
-    v = (vectors.select(F.col(group_col).alias("grp"),
-                        F.col(id_col).alias("id"),
-                        F.col(vec_col).alias("e"))
-                .localCheckpoint())
+    v = ckpt(vectors.select(F.col(group_col).alias("grp"),
+                            F.col(id_col).alias("id"),
+                            F.col(vec_col).alias("e")))
     ids = v.select("id").distinct()
     seed_ids = (ids.orderBy(F.md5(F.col("id").cast("string")), "id")
                    .limit(k))
     seed_cells = (seed_ids
                   .agg(F.array_sort(F.collect_list("id")).alias("a"))
                   .select(F.posexplode("a").alias("cell", "sid")))
-    centroids = (v.join(F.broadcast(seed_cells),
-                        v.id == seed_cells.sid)
-                  .select("grp", "cell", F.col("e").alias("ce"))
-                  .localCheckpoint())
+    centroids = ckpt(v.join(F.broadcast(seed_cells),
+                            v.id == seed_cells.sid)
+                      .select("grp", "cell", F.col("e").alias("ce")))
 
     assigned = None
     for _ in range(n_iter):
@@ -152,6 +152,6 @@ def kmeans_fit_assign_grouped(vectors: DataFrame, group_col: str = "j",
                      .select("grp", "cell",
                              F.transform("dm", lambda s: s["m"])
                              .alias("ce")))
-        centroids = means.localCheckpoint()
+        centroids = ckpt(means)
     return (assigned.select("grp", "id", "cell", "sq_dist"),
             centroids)

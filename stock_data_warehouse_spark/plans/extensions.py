@@ -32,6 +32,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..functions.scalars import round_half_up, sql_round_half_up
+from ..operators.checkpoint import ckpt
 from ..sources.tables import load_table
 from .registry import register
 
@@ -3175,7 +3176,7 @@ def x4_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
                    F.concat(F.lit("<"),
                             F.array_join("toks", "><"),
                             F.lit(">")).alias("s"))
-           .localCheckpoint())  # 3 rounds re-read it; scan once
+           .transform(ckpt))  # 3 rounds re-read it; scan once
 
     def step(seqs: DataFrame):
         arr = F.split(F.regexp_replace("s", "^<|>$", ""), "><")
@@ -3203,8 +3204,8 @@ def x4_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         return nxt, best
 
     s1, b1 = step(s0)
-    s2, b2 = step(s1.localCheckpoint())
-    s3, b3 = step(s2.localCheckpoint())
+    s2, b2 = step(ckpt(s1))
+    s3, b3 = step(ckpt(s2))
     arr3 = F.split(F.regexp_replace("s", "^<|>$", ""), "><")
     report = (s3.agg(F.count(F.lit(1)).alias("n_docs"),
                      F.sum("n0").alias("symbols_before"),

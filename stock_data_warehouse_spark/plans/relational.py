@@ -16,6 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..operators.checkpoint import ckpt
 from ..sources.tables import load_table, values_df
 from .registry import register
 
@@ -1366,9 +1367,9 @@ def j13_bucketed_cojoin_report(spark: SparkSession,
             + plan.count("Exchange hashpartitioning(o_orderkey"))
         # materialize before the finally drops the bucketed tables —
         # the caller collects this DataFrame after cleanup
-        return j.withColumn(
+        return ckpt(j.withColumn(
             "join_side_exchanges",
-            F.lit(n_join_side).cast("long")).localCheckpoint()
+            F.lit(n_join_side).cast("long")))
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_bc)
         spark.sql(f"DROP TABLE IF EXISTS {db}.lineitem_b")

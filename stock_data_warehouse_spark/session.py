@@ -13,6 +13,16 @@ The defaults encode the 100 TB posture from SURVEY.md §6/§7:
 - ``spark.sql.shuffle.partitions`` defaults to a small-local value but
   is explicitly a knob: on a real cluster it should be ~2-3× total
   cores, and AQE coalesces the excess.
+- **Checkpoint reliability switch** (not set here — defaulted at the
+  call sites in ``operators/checkpoint.py``): every iterative operator
+  truncates lineage via ``ckpt()``, which honors
+  ``spark.stock_warehouse.checkpoint.mode`` = ``local`` (default:
+  ``localCheckpoint``, executor-block storage — right for local[N])
+  | ``reliable`` (``DataFrame.checkpoint`` into
+  ``spark.stock_warehouse.checkpoint.dir`` — REQUIRED on a 1000-executor
+  cluster, where losing any executor discards local blocks whose
+  lineage was just truncated and kills a long trainer run). Both are
+  plain session confs, settable at runtime per job.
 """
 
 from __future__ import annotations

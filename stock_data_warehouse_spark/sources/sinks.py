@@ -28,6 +28,7 @@ from pyspark.sql import DataFrame, Row, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from ..operators.checkpoint import ckpt
 from ..plans.registry import register
 from .tables import load_table
 
@@ -668,7 +669,7 @@ def s12_permissive_json_scan(spark: SparkSession,
            # Spark disallows queries touching ONLY the corrupt column
            # of a raw scan (QUERY_ONLY_CORRUPT_RECORD_COLUMN) —
            # materialize the parse once, then both branches query it.
-           .localCheckpoint())
+           .transform(ckpt))
     good = (raw.filter(F.col("_corrupt").isNull())
                .select("n_nationkey", "n_name"))
     bad_tally = (raw.filter(F.col("_corrupt").isNotNull())

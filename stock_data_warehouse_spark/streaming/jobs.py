@@ -44,6 +44,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from ..operators.checkpoint import ckpt
 from ..plans.registry import register
 
 def _events_stream_schema(ts_type: T.DataType) -> T.StructType:
@@ -547,8 +548,8 @@ def t16_streaming_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
                    .select(*cols,
                            F.when(F.col("k").isNull(), "I")
                             .otherwise("U").alias("op")))
-        merged = merge_into(target, changes, "user_id",
-                            cols[1:]).localCheckpoint()
+        merged = ckpt(merge_into(target, changes, "user_id",
+                                 cols[1:]))
         merged.write.mode("overwrite").parquet(target_path)
 
     q = (events_stream(spark, sf_dir)
@@ -618,10 +619,9 @@ def t20_streaming_leaderboard(spark: SparkSession,
                         .select(F.col("w.start").alias("window_start"),
                                 "event_type", "n_events"))
         current = spark.read.parquet(counts_path)
-        merged = (current.unionByName(batch_counts)
-                  .groupBy("window_start", "event_type")
-                  .agg(F.sum("n_events").alias("n_events"))
-                  .localCheckpoint())
+        merged = ckpt(current.unionByName(batch_counts)
+                      .groupBy("window_start", "event_type")
+                      .agg(F.sum("n_events").alias("n_events")))
         merged.write.mode("overwrite").parquet(counts_path)
 
     q = (spark.readStream
