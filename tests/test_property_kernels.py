@@ -372,3 +372,48 @@ def test_regex_kernels_match_duckdb_on_ascii(spark, texts):
                        '<EMAIL>', 'g'), '{_LONGNUM_RE}', '<NUM>', 'g')
             """).fetchone()
         assert got[i] == (bpe, ne, nn, scr), (t, got[i], (bpe, ne, nn, scr))
+
+
+def test_cents_half_up_is_tie_safe_vs_oracle_kernel():
+    """VERDICT r4 item 5: the t8 state path's dollars→cents conversion
+    must replay the oracle's floor-based half-up kernel exactly —
+    including on true sub-cent ties, where numpy's default half-EVEN
+    `.round()` (the previous implementation) diverges. Red under the
+    old code, green now."""
+    import duckdb
+    import numpy as np
+
+    from stock_data_warehouse_spark.streaming.jobs import cents_half_up
+
+    # crafted 3-dp ties: exact binary .5 boundaries after ×100
+    ties = np.array([0.005, 0.015, 2.125, -0.005, -0.015, 123.455])
+    sql = ("SELECT SUM(CAST(CASE WHEN v < 0 "
+           "THEN -FLOOR(ABS(v) * 100.0 + 0.5) "
+           "ELSE FLOOR(ABS(v) * 100.0 + 0.5) END AS BIGINT)) "
+           "FROM (SELECT UNNEST(?::DOUBLE[]) AS v)")
+    oracle = duckdb.execute(sql, [list(ties)]).fetchone()[0]
+    assert cents_half_up(ties) == oracle
+    # the numpy half-even route would NOT match on these ties — this
+    # is the failure mode the kernel swap removes
+    assert int((ties * 100).round().sum()) != oracle
+    # and on tie-free everyday money both agree
+    plain = np.array([1.23, -4.56, 0.01, 999.99])
+    assert cents_half_up(plain) == int((plain * 100).round().sum())
+
+
+def test_events_value_is_2dp_on_all_sfs(spark):
+    """Pin the data contract the t8 oracle's readability rests on
+    (events.value is 2-dp money): value*100 must be integral to within
+    double representation noise at every shipped SF. If a testdata
+    regen ships 3-dp values the kernel swap keeps t8 CORRECT, but this
+    pin makes the contract change visible instead of silent."""
+    from stock_data_warehouse_spark.sources.tables import load_table
+
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01",
+               "/root/testdata/sf0.1"):
+        e = load_table(spark, sf, "events")
+        off = (e.select((F.abs(F.col("value") * 100.0
+                               - F.round(F.col("value") * 100.0, 0)))
+                        .alias("d"))
+                .agg(F.max("d").alias("m")).collect()[0]["m"])
+        assert off is not None and off < 1e-6, (sf, off)
