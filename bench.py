@@ -117,7 +117,7 @@ def main() -> int:
     # Protocol metadata (VERDICT r3 item 4): the machine is co-tenant —
     # cross-round wall-time comparisons need the ambient load and the
     # per-query min/max spread to tell plan regressions from noise.
-    print(json.dumps({
+    record = json.dumps({
         "metric": "headline_queries_total",
         "value": round(total, 3),
         "unit": "sec",
@@ -126,8 +126,18 @@ def main() -> int:
         "iterations": N_ITER,
         "load_avg_1m": round(os.getloadavg()[0], 2),
         "sf": _sf_from_dir(SF_DIR),
-    }))
+    })
+    # Truncation-proof emission (VERDICT r4 "What's wrong" #3: a tail
+    # capture clipped the r4 JSON mid-key): stop Spark FIRST so no JVM
+    # shutdown chatter can interleave after the record, keep the JSON
+    # line the ONLY stdout output (progress goes to stderr), and write
+    # the same record to BENCH_LOCAL.json as a capture-independent
+    # artifact.
     spark.stop()
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "BENCH_LOCAL.json"), "w") as fh:
+        fh.write(record + "\n")
+    print(record, flush=True)
     return 0
 
 

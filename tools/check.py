@@ -8,12 +8,23 @@ CORRECTNESS_r{N}.json grades.
 
 Usage:
     python tools/check.py [--sf /root/testdata/sf0.01] [query ...]
+    python tools/check.py --sample 20 --seed 7   # random rotating subset
+
+``--sample N`` grades a seeded random N-query subset of the full
+catalog — the round-close habit VERDICT r4 item 6 asked for: the
+official driver file samples the same 50 queries every round, so a
+rotating seeded sample (run under ``--plain`` for true driver
+conditions) is what exercises the other ~120 under the identical
+contract. The seed defaults to a date-derived value so successive
+round closes rotate coverage without remembering state.
 """
 
 from __future__ import annotations
 
 import argparse
+import datetime
 import math
+import random
 import sys
 import time
 import traceback
@@ -63,6 +74,13 @@ def main() -> int:
                          "driver's environment) instead of the project "
                          "session factory — catches any conf the engine "
                          "forgot to apply at read time")
+    ap.add_argument("--sample", type=int, default=0, metavar="N",
+                    help="grade a seeded random N-query subset of the "
+                         "full catalog (ignored when explicit queries "
+                         "are given)")
+    ap.add_argument("--seed", type=int, default=None,
+                    help="sample seed; defaults to today's ordinal so "
+                         "round closes rotate coverage")
     ap.add_argument("queries", nargs="*")
     args = ap.parse_args()
 
@@ -84,6 +102,12 @@ def main() -> int:
             f"CREATE VIEW {t} AS SELECT * FROM '{args.sf}/{t}.parquet'")
 
     names = args.queries or sorted(qs)
+    if not args.queries and args.sample:
+        seed = (args.seed if args.seed is not None
+                else datetime.date.today().toordinal())
+        names = sorted(random.Random(seed).sample(
+            names, min(args.sample, len(names))))
+        print(f"# sampled {len(names)} of {len(qs)} (seed={seed})")
     n_pass = n_fail = n_rows_only = 0
     for name in names:
         if name not in qs:
