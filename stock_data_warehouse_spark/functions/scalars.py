@@ -94,8 +94,13 @@ def round_half_up(c: Column, scale: int = 2) -> Column:
     Multiply, add, floor and divide are each correctly-rounded IEEE
     operations that the JVM (Spark) and C++ (DuckDB) implement
     identically — neither engine fuses the multiply-add — so given the
-    same input bits the result is bit-identical across engines for
-    every finite double.  The previous DECIMAL(38,10) route was
+    same input bits the result is bit-identical across engines.
+    DOMAIN (ADVICE r4): finite non-NaN inputs with |x|·10^s below
+    ~9.2e18 — Spark's ``floor(DOUBLE)`` returns BIGINT (saturating at
+    Long.MAX, NaN→0) while DuckDB's FLOOR stays DOUBLE, so the twins
+    diverge beyond that magnitude and on NaN/Inf; property tests cover
+    ±1e9, every call site feeds values orders of magnitude inside the
+    wall (money, ratios, cosines). The previous DECIMAL(38,10) route was
     falsified by hypothesis (pinned counterexample 9007199.279923499):
     Spark's double→decimal cast is exact (java.math.BigDecimal) while
     DuckDB's quantizes through double arithmetic, so the engines see

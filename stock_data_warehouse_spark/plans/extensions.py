@@ -3102,13 +3102,19 @@ def _bpe_sql_iter(i: int) -> str:
       ) GROUP BY 1, 2
     ),
     b{i} AS (
-      SELECT pa, pb, pa || ' ' || pb AS merged
-      FROM p{i} ORDER BY cnt DESC, pa, pb LIMIT 1
+      -- exactly ONE row by construction (aggregate over the <=1-row
+      -- argmax): a degenerate round with no adjacent pair anywhere
+      -- yields a NULL merge instead of an empty relation, so the
+      -- CROSS JOIN below can never wipe out the corpus (ADVICE r4)
+      SELECT MAX(pa) AS pa, MAX(pb) AS pb, MAX(merged) AS merged
+      FROM (SELECT pa, pb, pa || ' ' || pb AS merged
+            FROM p{i} ORDER BY cnt DESC, pa, pb LIMIT 1)
     ),
     s{i} AS (
       SELECT t.doc_id,
-             replace(t.s, '<' || b.pa || '><' || b.pb || '>',
-                     '<' || b.merged || '>') AS s
+             CASE WHEN b.pa IS NULL THEN t.s
+                  ELSE replace(t.s, '<' || b.pa || '><' || b.pb || '>',
+                               '<' || b.merged || '>') END AS s
       FROM {prev} t CROSS JOIN b{i} b
     )"""
 
@@ -3184,6 +3190,11 @@ def x4_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs = F.zip_with(
             F.slice(arr, 1, m), F.slice(arr, 2, m),
             lambda x, y: F.struct(x.alias("pa"), y.alias("pb")))
+        # aggregate the <=1-row argmax into EXACTLY one row (NULLs on
+        # a degenerate round with no adjacent pair anywhere) so the
+        # broadcast cross join below can never wipe out the corpus and
+        # the merge degrades to a no-op — mirrored in _bpe_sql_iter's
+        # b{i}/s{i} CTEs (ADVICE r4)
         best = (seqs.select(F.explode(pairs).alias("u"))
                     .groupBy(F.col("u.pa").alias("pa"),
                              F.col("u.pb").alias("pb"))
@@ -3191,16 +3202,19 @@ def x4_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
                     .orderBy(F.desc("cnt"), "pa", "pb").limit(1)
                     .select("pa", "pb",
                             F.concat_ws(" ", "pa", "pb")
-                             .alias("merged")))
+                             .alias("merged"))
+                    .agg(F.max("pa").alias("pa"),
+                         F.max("pb").alias("pb"),
+                         F.max("merged").alias("merged")))
+        merged_s = F.replace(
+            F.col("s"),
+            F.concat(F.lit("<"), F.col("pa"),
+                     F.lit("><"), F.col("pb"), F.lit(">")),
+            F.concat(F.lit("<"), F.col("merged"), F.lit(">")))
         nxt = (seqs.crossJoin(F.broadcast(best))
                    .select("doc_id", "n0",
-                           F.replace(
-                               F.col("s"),
-                               F.concat(F.lit("<"), F.col("pa"),
-                                        F.lit("><"), F.col("pb"),
-                                        F.lit(">")),
-                               F.concat(F.lit("<"), F.col("merged"),
-                                        F.lit(">"))).alias("s")))
+                           F.when(F.col("pa").isNull(), F.col("s"))
+                            .otherwise(merged_s).alias("s")))
         return nxt, best
 
     s1, b1 = step(s0)
@@ -3213,7 +3227,7 @@ def x4_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (b1.select(F.col("merged").alias("merge_1"))
               .crossJoin(b2.select(F.col("merged").alias("merge_2")))
               .crossJoin(b3.select(F.col("merged").alias("merge_3")))
-              .crossJoin(report)  # all 1-row relations by contract
+              .crossJoin(report)  # all 1-row relations by construction
               .select("merge_1", "merge_2", "merge_3", "n_docs",
                       "symbols_before", "symbols_after"))
 

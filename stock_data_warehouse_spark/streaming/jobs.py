@@ -94,6 +94,11 @@ def events_stream(spark: SparkSession, sf_dir: str,
     raw = (spark.readStream
            .schema(_events_stream_schema(ts_type))
            .option("maxFilesPerTrigger", str(max_files_per_trigger))
+           # events.parquet may itself be a DIRECTORY of part files
+           # (multi-file testdata); the batch reader handles that
+           # transparently but a file STREAM does not recurse past the
+           # symlink without this — it would silently admit 0 files.
+           .option("recursiveFileLookup", "true")
            .parquet(stage))
     ts, ts_ns = event_ts_cols(dict(batch.dtypes)["ts"])
     return raw.select(
@@ -413,22 +418,32 @@ def t12_interval_join_stream(spark: SparkSession,
     constraint bound retained state to the 30-minute horizon — state
     size scales with arrival rate × horizon, never with stream length.
 
-    Oracle-exact with the SAME SQL as the batch twin: an inner
-    stream-stream join emits each matched pair exactly once, and with
-    an AvailableNow bounded source every qualifying pair has both
-    sides arrive before the final micro-batch closes, so the appended
-    result equals the batch join — integer-µs lag arithmetic end to
-    end, nothing engine-noisy. Scale: the join keys on user_id
+    Oracle-exact with the SAME SQL as the batch twin — and the
+    equality rests on TWO conditions, not boundedness alone (ADVICE
+    r4): (a) the source is bounded (AvailableNow), and (b) the whole
+    source lands in ONE data micro-batch
+    (``max_files_per_trigger=1_000_000`` below), so the watermark is
+    still at epoch while every row is admitted and nothing is dropped
+    as late. With per-file micro-batches a multi-file events dir whose
+    timestamps interleave across files WOULD advance the watermark
+    between batches and silently drop late-file rows — the failure
+    mode pinned by tests/test_streaming_joins.py::
+    test_multifile_interleaved_source_single_batch_contract. Matched
+    pairs then emit exactly once and the appended result equals the
+    batch join — integer-µs lag arithmetic end to end, nothing
+    engine-noisy. Scale: the join keys on user_id
     (unbounded cardinality, hash-partitioned state); at 100 TB the
     same plan runs continuously with per-batch state pruning where the
     batch twin would re-join ever-growing history."""
-    c = (events_stream(spark, sf_dir)
+    # single data micro-batch: oracle equality depends on it (see
+    # docstring); 1e6 files >> any staged source
+    c = (events_stream(spark, sf_dir, max_files_per_trigger=1_000_000)
          .filter(F.col("event_type") == "click")
          .withWatermark("ts", "30 minutes")
          .select(F.col("user_id").alias("c_user"),
                  F.col("event_id").alias("click_id"),
                  F.col("ts").alias("c_ts")))
-    p = (events_stream(spark, sf_dir)
+    p = (events_stream(spark, sf_dir, max_files_per_trigger=1_000_000)
          .filter(F.col("event_type") == "purchase")
          .withWatermark("ts", "30 minutes")
          .select(F.col("user_id").alias("p_user"),
@@ -450,10 +465,21 @@ def t12_interval_join_stream(spark: SparkSession,
     "t13_unconverted_clicks_stream",
     oracle="""
     WITH wm AS (
-      SELECT LEAST(
+      -- NULL-STRICT seal (ADVICE r4): DuckDB's LEAST ignores NULL
+      -- args, so with one event_type absent it would seal against the
+      -- other side's frontier and null-emit — while Spark's global
+      -- watermark (min of both sides, the empty side stuck at epoch)
+      -- emits nothing. CASE-gate to NULL so the seal filter below
+      -- withholds every unmatched click exactly like Spark.
+      SELECT CASE WHEN (SELECT MAX(ts) FROM events
+                        WHERE event_type = 'click') IS NULL
+                    OR (SELECT MAX(ts) FROM events
+                        WHERE event_type = 'purchase') IS NULL
+             THEN NULL
+             ELSE LEAST(
                (SELECT MAX(ts) FROM events WHERE event_type = 'click'),
                (SELECT MAX(ts) FROM events WHERE event_type = 'purchase')
-             ) - INTERVAL 30 MINUTES AS gw
+             ) END - INTERVAL 30 MINUTES AS gw
     ),
     matched AS (
       SELECT c.user_id, c.event_id AS click_id,
@@ -500,13 +526,15 @@ def t13_unconverted_clicks_stream(spark: SparkSession,
     bounded by rate × horizon; the null-emission frontier advances
     with the watermark, so completeness lag is the lateness budget,
     not stream length."""
-    c = (events_stream(spark, sf_dir)
+    # single data micro-batch, as in t12 (load-bearing for the oracle
+    # seal: mid-run watermark advancement would evict click state early)
+    c = (events_stream(spark, sf_dir, max_files_per_trigger=1_000_000)
          .filter(F.col("event_type") == "click")
          .withWatermark("ts", "30 minutes")
          .select(F.col("user_id").alias("c_user"),
                  F.col("event_id").alias("click_id"),
                  F.col("ts").alias("c_ts")))
-    p = (events_stream(spark, sf_dir)
+    p = (events_stream(spark, sf_dir, max_files_per_trigger=1_000_000)
          .filter(F.col("event_type") == "purchase")
          .withWatermark("ts", "30 minutes")
          .select(F.col("user_id").alias("p_user"),

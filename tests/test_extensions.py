@@ -737,3 +737,38 @@ def test_bpe_train_greedy_merge_semantics(spark):
     assert row["symbols_before"] == 5 + 3 + 6
     # after: doc1 [aa,aa,b]->r3 [..] ; doc2 [aa,a]; doc3 [cdcd, cd]
     assert row["symbols_after"] == 3 + 2 + 2
+
+
+def test_bpe_train_degenerate_corpus_matches_oracle(spark, tmp_path):
+    """ADVICE r4: a corpus where EVERY document is a single symbol has
+    no adjacent pair in any round. The guarded argmax (1 row of NULLs
+    instead of an empty relation) must keep Spark and the oracle in
+    lockstep: one report row, NULL merges, symbols unchanged."""
+    import duckdb
+
+    import __spark_entry__ as entry_mod
+    from stock_data_warehouse_spark.plans.extensions import x4_bpe_train
+
+    d = str(tmp_path)
+    docs = spark.createDataFrame(
+        [(1, "alpha", "en", "s", 5), (2, "beta", "en", "s", 4),
+         (3, "", "en", "s", 0)],   # empty doc drops at s0
+        "doc_id long, text string, lang string, source string, "
+        "n_chars long")
+    docs.coalesce(1).write.mode("overwrite").parquet(
+        f"{d}/documents.parquet")
+
+    rows = x4_bpe_train(spark, d).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["merge_1"] is None and r["merge_2"] is None \
+        and r["merge_3"] is None
+    assert r["n_docs"] == 2
+    assert r["symbols_before"] == 2 and r["symbols_after"] == 2
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS "
+                f"SELECT * FROM '{d}/documents.parquet/*.parquet'")
+    o = con.execute(entry_mod.oracle_sql()["x4_bpe_train"]).fetchall()
+    assert len(o) == 1
+    assert o[0] == (None, None, None, 2, 2, 2)

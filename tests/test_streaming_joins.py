@@ -72,3 +72,130 @@ def test_inner_stream_join_equals_batch_twin_rows(
     rows = t12_interval_join_stream(spark, boundary_events_dir).collect()
     assert {(r["click_id"], r["purchase_id"]) for r in rows} == {(6, 7)}
     assert rows[0]["lag_us"] == 600_000_000
+
+
+def test_multifile_interleaved_source_single_batch_contract(spark):
+    """ADVICE r4 (medium): t12/t13 oracle equality requires the WHOLE
+    bounded source in ONE data micro-batch, not boundedness alone.
+    Craft a three-file events dir whose timestamps interleave across
+    files, with a qualifying pair SPLIT across them: file A carries
+    the pair's purchase plus a late frontier (advancing the
+    watermark), file B an unrelated fresh pair (inputs are processed
+    BEFORE end-of-batch eviction, so a batch must pass for the
+    eviction to land), file C the pair's old click.
+
+    - with per-file micro-batches (maxFilesPerTrigger=1, mtime
+      order) the watermark advances after file A, the old purchase's
+      state is EVICTED at the end of batch B, and file C's click
+      finds nothing -> the join silently loses the pair;
+    - with the single-batch setting t12/t13 now use, the stream
+      result equals the batch interval join.
+    """
+    import os
+    import tempfile
+    import time
+
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from stock_data_warehouse_spark.streaming.jobs import (
+        _run_to_table, events_stream, t12_interval_join_stream,
+    )
+
+    t0 = pd.Timestamp("2025-01-01 00:00:00")
+    h = pd.Timedelta(hours=1)
+    m = pd.Timedelta(minutes=1)
+    cols = ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    files = {
+        # A: the old purchase + the frontier pair that advances both
+        # sides' watermarks to ~9h30
+        "part-a.parquet": [
+            (4, t0 + 10 * m, 1, "purchase", 2.0, "{}"),
+            (2, t0 + 10 * h, 9, "click", 1.0, "{}"),
+            (5, t0 + 10 * h + 1 * m, 9, "purchase", 1.0, "{}"),
+        ],
+        # B: a fresh unrelated pair; end-of-batch eviction now drops
+        # purchase 4 (p_ts far below the 9h30 watermark)
+        "part-b.parquet": [
+            (6, t0 + 10 * h + 2 * m, 8, "click", 1.0, "{}"),
+            (7, t0 + 10 * h + 3 * m, 8, "purchase", 1.0, "{}"),
+        ],
+        # C: the old click whose only match was just evicted
+        "part-c.parquet": [
+            (3, t0, 1, "click", 1.0, "{}"),
+        ],
+    }
+    d = tempfile.mkdtemp(prefix="t12_multifile_")
+    os.mkdir(f"{d}/events.parquet")
+    # file-stream admission order is by modification time: stamp
+    # strictly increasing mtimes A < B < C
+    now = time.time()
+    for i, (name, rows) in enumerate(files.items()):
+        pd.DataFrame(rows, columns=cols).to_parquet(
+            f"{d}/events.parquet/{name}")
+        os.utime(f"{d}/events.parquet/{name}",
+                 (now - 60 + i * 20, now - 60 + i * 20))
+
+    def interval_join(max_files):
+        c = (events_stream(spark, d, max_files_per_trigger=max_files)
+             .filter(F.col("event_type") == "click")
+             .withWatermark("ts", "30 minutes")
+             .select(F.col("user_id").alias("c_user"),
+                     F.col("event_id").alias("click_id"),
+                     F.col("ts").alias("c_ts")))
+        p = (events_stream(spark, d, max_files_per_trigger=max_files)
+             .filter(F.col("event_type") == "purchase")
+             .withWatermark("ts", "30 minutes")
+             .select(F.col("user_id").alias("p_user"),
+                     F.col("event_id").alias("purchase_id"),
+                     F.col("ts").alias("p_ts")))
+        j = c.join(
+            p, (F.col("c_user") == F.col("p_user"))
+            & (F.col("p_ts") >= F.col("c_ts"))
+            & (F.col("p_ts") <= F.col("c_ts")
+               + F.expr("INTERVAL 30 MINUTES")))
+        return {(r["click_id"], r["purchase_id"])
+                for r in _run_to_table(j, "append").collect()}
+
+    # the failure mode: per-file batches lose the split pair (3, 4)
+    assert interval_join(1) == {(2, 5), (6, 7)}
+    # the registered plan (single batch) equals the batch join
+    got = {(r["click_id"], r["purchase_id"])
+           for r in t12_interval_join_stream(spark, d).collect()}
+    assert got == {(2, 5), (3, 4), (6, 7)}
+
+
+def test_left_outer_seal_is_null_strict_on_one_sided_corpus(spark):
+    """ADVICE r4: with NO purchases in the corpus, Spark's global
+    watermark (min of both sides; the empty purchase side stays at
+    epoch) never advances, so NOTHING emits — the oracle's seal must
+    be NULL when either side is absent (DuckDB LEAST would otherwise
+    ignore the NULL and null-emit sealed clicks). Run both sides on a
+    clicks-only corpus and assert they agree on zero rows."""
+    import tempfile
+
+    import duckdb
+    import pandas as pd
+
+    import __spark_entry__ as entry_mod
+    from stock_data_warehouse_spark.streaming.jobs import (
+        t13_unconverted_clicks_stream,
+    )
+
+    t0 = pd.Timestamp("2025-01-01 00:00:00")
+    h = pd.Timedelta(hours=1)
+    cols = ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    rows = pd.DataFrame([
+        (1, t0, 1, "click", 1.0, "{}"),
+        (2, t0 + 10 * h, 2, "click", 1.0, "{}"),  # deep frontier
+    ], columns=cols)
+    d = tempfile.mkdtemp(prefix="t13_onesided_")
+    rows.to_parquet(f"{d}/events.parquet")
+
+    assert t13_unconverted_clicks_stream(spark, d).count() == 0
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS "
+                f"SELECT * FROM '{d}/events.parquet'")
+    sql = entry_mod.oracle_sql()["t13_unconverted_clicks_stream"]
+    assert len(con.execute(sql).fetchall()) == 0
