@@ -2989,6 +2989,140 @@ def x1_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# OP-X1 — bloom-prefiltered incremental dedup
+# ---------------------------------------------------------------------------
+
+#: Bloom geometry: positions are the first BLOOM_HEX hex chars of a
+#: salted md5, so the bit-array size is exactly 16^BLOOM_HEX — no
+#: modulo, and both engines derive the identical position string.
+_BLOOM_HEX = 3          # m = 16^3 = 4096 positions
+_BLOOM_K = 4            # hash functions b0: … b3:
+
+_SQL_BLOOM_POS = [
+    f"substr(md5('b{i}:' || h), 1, {_BLOOM_HEX})" for i in range(_BLOOM_K)
+]
+
+
+def _bloom_pos_cols(h: F.Column) -> list[F.Column]:
+    """Spark twin of ``_SQL_BLOOM_POS`` — byte-identical position keys."""
+    return [
+        F.substring(F.md5(F.concat(F.lit(f"b{i}:"), h)), 1, _BLOOM_HEX)
+        for i in range(_BLOOM_K)
+    ]
+
+
+@register(
+    "x1_bloom_prefilter_dedup",
+    oracle=f"""
+    WITH corpus AS (
+      SELECT DISTINCT md5(text) AS h FROM documents WHERE doc_id < 400
+    ),
+    bits AS (
+      SELECT DISTINCT {_SQL_BLOOM_POS[0].replace('h)', 'c.h)')} AS pos
+      FROM corpus c
+      UNION
+      SELECT DISTINCT {_SQL_BLOOM_POS[1].replace('h)', 'c.h)')} FROM corpus c
+      UNION
+      SELECT DISTINCT {_SQL_BLOOM_POS[2].replace('h)', 'c.h)')} FROM corpus c
+      UNION
+      SELECT DISTINCT {_SQL_BLOOM_POS[3].replace('h)', 'c.h)')} FROM corpus c
+    ),
+    arrivals AS (
+      SELECT doc_id, md5(text) AS h FROM documents WHERE doc_id >= 400
+    ),
+    probed AS (
+      SELECT doc_id, h,
+             {' AND '.join(f'({p} IN (SELECT pos FROM bits))'
+                           for p in _SQL_BLOOM_POS)} AS bloom_candidate
+      FROM arrivals
+    ),
+    ranked AS (
+      SELECT doc_id, h, bloom_candidate,
+             ROW_NUMBER() OVER (PARTITION BY h ORDER BY doc_id) AS rn,
+             (bloom_candidate AND h IN (SELECT h FROM corpus)) AS in_corpus
+      FROM probed
+    )
+    SELECT doc_id, bloom_candidate,
+           CASE WHEN in_corpus THEN 'dup_of_corpus'
+                WHEN rn > 1 THEN 'dup_in_batch'
+                ELSE 'new' END AS verdict
+    FROM ranked
+    """,
+)
+def x1_bloom_prefilter_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OP-X1 (bloom-prefiltered form) — the incremental dedup join gated
+    behind a relational Bloom filter, the standard trick for deduping a
+    day's arrivals against a petabyte corpus without probing the corpus
+    index for every arrival.
+
+    The "bit array" is built from the corpus as the SET of set-bit
+    positions: each corpus hash lights ``_BLOOM_K`` positions, a
+    position being the first ``_BLOOM_HEX`` hex chars of a salted md5 —
+    so the domain is exactly 16^3 = 4096 strings and the distinct-
+    position relation is **bounded by a constant (≤ 4096 rows) at any
+    corpus size**. It collapses to a single map-typed row broadcast to
+    every task; membership is ``_BLOOM_K`` O(1) map lookups per arrival
+    — a pure scan-side filter, no shuffle, no explode. A saturated
+    filter (corpus ≫ 4096/K) degrades to more confirm-join work, never
+    to a wrong answer: Bloom filters have no false negatives.
+
+    Only arrivals whose K positions are ALL set (``bloom_candidate``)
+    probe the corpus hash index — the equi-join carries the bloom bit
+    in its condition, so non-candidates never reach the join. False
+    positives survive the prefilter but fail the confirm join and
+    come out ``verdict = 'new'`` with ``bloom_candidate = true`` —
+    visible in the result, and pinned by a unit test. The oracle
+    REPLAYS the identical filter (same salted-md5 positions, same
+    conjunction), so the FP set itself is cross-engine-exact, not just
+    the final verdicts. The in-batch window is the same unbounded-key
+    ``h`` partition as x1_incremental_dedup.
+    """
+    d = _t(spark, sf_dir, "documents")
+    corpus_h = (d.filter(F.col("doc_id") < 400)
+                 .select(F.md5("text").alias("h")).distinct())
+    arrivals = (d.filter(F.col("doc_id") >= 400)
+                 .select("doc_id", F.md5("text").alias("h")))
+    return bloom_prefilter_dedup(corpus_h, arrivals)
+
+
+def bloom_prefilter_dedup(corpus_h: DataFrame,
+                          arrivals: DataFrame) -> DataFrame:
+    """The x1_bloom_prefilter_dedup body over any ``corpus_h(h)`` /
+    ``arrivals(doc_id, h)`` pair — factored out so the no-false-negative
+    guarantee and the false-positive → confirm-join-rejection path are
+    unit-testable on crafted hash sets beyond the synthetic split."""
+    # The bit array as one broadcast map row: pos -> true, <= 4096 keys.
+    bits = (corpus_h
+            .select(F.explode(F.array(*_bloom_pos_cols(F.col("h"))))
+                     .alias("pos"))
+            .distinct()
+            .agg(F.collect_set("pos").alias("ps"))
+            .select(F.map_from_arrays(
+                "ps",
+                F.transform("ps", lambda _: F.lit(True))).alias("bm")))
+    hit = None
+    for pos in _bloom_pos_cols(F.col("h")):
+        one = F.coalesce(F.element_at(F.col("bm"), pos), F.lit(False))
+        hit = one if hit is None else (hit & one)
+    probed = (arrivals.join(F.broadcast(bits))
+                      .withColumn("bloom_candidate", hit)
+                      .drop("bm"))
+    corpus_in = (corpus_h.withColumnRenamed("h", "ch")
+                          .withColumn("in_corpus", F.lit(True)))
+    j = probed.join(
+        corpus_in,
+        (probed["h"] == corpus_in["ch"]) & probed["bloom_candidate"],
+        "left").drop("ch")
+    w = Window.partitionBy("h").orderBy("doc_id")
+    return (j.withColumn("rn", F.row_number().over(w))
+             .select(
+                 "doc_id", "bloom_candidate",
+                 F.when(F.col("in_corpus"), "dup_of_corpus")
+                  .when(F.col("rn") > 1, "dup_in_batch")
+                  .otherwise("new").alias("verdict")))
+
+
+# ---------------------------------------------------------------------------
 # OP-X2 — containment similarity (asymmetric near-dup)
 # ---------------------------------------------------------------------------
 

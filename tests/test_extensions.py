@@ -772,3 +772,72 @@ def test_bpe_train_degenerate_corpus_matches_oracle(spark, tmp_path):
     o = con.execute(entry_mod.oracle_sql()["x4_bpe_train"]).fetchall()
     assert len(o) == 1
     assert o[0] == (None, None, None, 2, 2, 2)
+
+
+def test_bloom_prefilter_no_false_negatives_and_fp_rejection(spark):
+    """Bloom contract on crafted hashes: (1) every arrival whose hash IS
+    in the corpus must be a bloom candidate (no false negatives — the
+    property that makes the prefilter safe); (2) a brute-force-found
+    false positive (all K positions lit by OTHER corpus keys) passes
+    the prefilter but fails the confirm join → verdict 'new' with
+    bloom_candidate true."""
+    import hashlib
+
+    from stock_data_warehouse_spark.plans.extensions import (
+        _BLOOM_HEX,
+        _BLOOM_K,
+        bloom_prefilter_dedup,
+    )
+
+    def positions(h: str) -> set[str]:
+        return {hashlib.md5(f"b{i}:{h}".encode()).hexdigest()[:_BLOOM_HEX]
+                for i in range(_BLOOM_K)}
+
+    corpus = [hashlib.md5(f"corpus-{i}".encode()).hexdigest()
+              for i in range(300)]
+    bits = set().union(*(positions(h) for h in corpus))
+    in_corpus = set(corpus)
+    fp = None
+    for i in range(200_000):
+        h = hashlib.md5(f"probe-{i}".encode()).hexdigest()
+        if h not in in_corpus and positions(h) <= bits:
+            fp = h
+            break
+    assert fp is not None, "no false positive found — widen the search"
+
+    corpus_df = spark.createDataFrame([(h,) for h in corpus], "h string")
+    arrivals_df = spark.createDataFrame(
+        [(1, corpus[7]),    # true dup of corpus
+         (2, fp),           # bloom false positive
+         (3, hashlib.md5(b"definitely-new").hexdigest()),  # clean new
+         (4, hashlib.md5(b"definitely-new").hexdigest())],  # batch dup of 3
+        "doc_id long, h string")
+    rows = {r["doc_id"]: r
+            for r in bloom_prefilter_dedup(corpus_df, arrivals_df)
+                .collect()}
+    assert rows[1]["verdict"] == "dup_of_corpus"
+    assert rows[1]["bloom_candidate"] is True   # no false negatives
+    assert rows[2]["verdict"] == "new"          # FP rejected by confirm
+    assert rows[2]["bloom_candidate"] is True
+    assert rows[3]["verdict"] == "new"
+    assert rows[4]["verdict"] == "dup_in_batch"
+
+
+def test_bloom_prefilter_matches_incremental_dedup_verdicts(spark):
+    """On the real corpus the bloom route must produce verdicts
+    identical to the plain incremental dedup — the prefilter is an
+    optimization, never a semantic change."""
+    from stock_data_warehouse_spark.plans.extensions import (
+        x1_bloom_prefilter_dedup,
+        x1_incremental_dedup,
+    )
+    plain = {r["doc_id"]: r["verdict"]
+             for r in x1_incremental_dedup(spark, SF).collect()}
+    bloom = {r["doc_id"]: (r["verdict"], r["bloom_candidate"])
+             for r in x1_bloom_prefilter_dedup(spark, SF).collect()}
+    assert set(plain) == set(bloom)
+    for doc_id, verdict in plain.items():
+        bv, cand = bloom[doc_id]
+        assert bv == verdict
+        if verdict == "dup_of_corpus":
+            assert cand is True  # bloom has no false negatives
