@@ -302,3 +302,69 @@ def x7_token_budget_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (base.withColumn("cum_tokens", F.sum("n_tokens").over(w))
                 .filter(F.col("cum_tokens") <= _SOURCE_TOKEN_BUDGET)
                 .select("doc_id", "source", "n_tokens", "cum_tokens"))
+
+
+# ---------------------------------------------------------------------------
+# OP-X7f — weighted sampling without replacement (Efraimidis–Spirakis)
+# ---------------------------------------------------------------------------
+
+#: Sample size for the weighted-without-replacement draw — a constant,
+#: so the result is a TakeOrdered top-k at any corpus size.
+_ARES_K = 100
+
+
+@register(
+    "x7_weighted_sample_ares",
+    oracle=f"""
+    SELECT doc_id, source, n_chars,
+           CAST(ROUND(CAST(pow(u, 1.0 / w) AS DECIMAL(38,10)), 10)
+                AS DOUBLE) AS ares_key
+    FROM (
+      SELECT doc_id, source, n_chars,
+             (CAST(('0x' || substr(md5('ares:' || CAST(doc_id AS VARCHAR)),
+                                   1, 6)) AS BIGINT) + 0.5)
+               / 16777216.0 AS u,
+             CAST(n_chars + 1 AS DOUBLE) AS w
+      FROM documents
+    )
+    ORDER BY ares_key DESC, doc_id
+    LIMIT {_ARES_K}
+    """,
+)
+def x7_weighted_sample_ares(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OP-X7 — weighted sampling WITHOUT replacement via the
+    Efraimidis–Spirakis A-Res key: each row draws a deterministic
+    uniform u and scores ``u^(1/w)``; the global top-k by that key is
+    exactly a weighted sample without replacement (here w = n_chars + 1,
+    i.e. length-proportional — the "sample long documents more" mix
+    step of a corpus build).
+
+    Determinism & parity: u is BIT-exact cross-engine — a 24-bit
+    integer from 6 md5 hex chars, offset by 0.5 and divided by 2^24
+    (both exact in binary doubles), so u ∈ (0,1) and never 0. The
+    ``pow`` is libm (class-B input per functions/scalars.py taxonomy:
+    noise-carrying), so the key is routed through DECIMAL(38,10) at
+    10 dp — well inside the |x| ≪ 9e5 domain (keys live in (0,1)) —
+    and the top-k orders by the ROUNDED key with a doc_id tiebreak, so
+    both engines select the same set.
+
+    Scale: no shuffle at all — the key is a scan-side expression and
+    the constant-k selection is TakeOrderedAndProject (per-partition
+    top-k, then a k-row merge on one reducer). This is the reservoir
+    form: 100 TB of candidates reduce to k rows without ever sorting
+    the corpus.
+    """
+    d = _t(spark, sf_dir, "documents")
+    v = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("ares:"),
+                           F.col("doc_id").cast("string"))), 1, 6),
+        16, 10).cast("long")
+    u = (v.cast("double") + F.lit(0.5)) / F.lit(16777216.0)
+    w = (F.col("n_chars") + F.lit(1)).cast("double")
+    key = (F.round(F.pow(u, F.lit(1.0) / w).cast("decimal(38,10)"), 10)
+            .cast("double"))
+    return (d.select("doc_id", "source", "n_chars",
+                     key.alias("ares_key"))
+             .orderBy(F.col("ares_key").desc(), "doc_id")
+             .limit(_ARES_K))

@@ -161,3 +161,20 @@ def test_bpe_tokens_reconstruct_length(spark):
                      | (F.col("n_distinct") > F.col("n_bpe_tokens"))
                      ).count()
     assert bad == 0
+
+
+def test_weighted_sample_ares_skews_to_weight_and_plans_takeordered(spark):
+    """The A-Res sample must (1) actually be weight-biased — mean
+    n_chars of the selected 100 well above the corpus mean, (2) plan as
+    TakeOrderedAndProject (no global sort), (3) be deterministic."""
+    df = S.x7_weighted_sample_ares(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    rows = df.collect()
+    assert len(rows) == S._ARES_K
+    sample_mean = sum(r["n_chars"] for r in rows) / len(rows)
+    corpus = S._t(spark, SF, "documents").agg(
+        F.avg("n_chars").alias("m")).collect()[0]["m"]
+    assert sample_mean > corpus * 1.1
+    again = S.x7_weighted_sample_ares(spark, SF).collect()
+    assert [r["doc_id"] for r in again] == [r["doc_id"] for r in rows]
