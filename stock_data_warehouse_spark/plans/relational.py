@@ -834,6 +834,56 @@ def a7_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "a14_hll_union_rollup",
+    oracle="""
+    SELECT event_type,
+           COUNT(DISTINCT user_id) AS n_exact,
+           COUNT(DISTINCT CAST(ts AS DATE)) AS n_days,
+           TRUE AS within_5pct
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def a14_hll_union_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OP-A7/A10 extension — MERGEABLE distinct sketches (Apache
+    DataSketches HLL, Spark 3.5+): per-(event_type, day) sketches are
+    built once, then UNIONED up to event_type and estimated — the exact
+    architecture of a 100 TB rollup, where daily partition sketches are
+    materialized incrementally and any coarser grain (week, month,
+    all-time) is a cheap union of kilobyte sketches instead of a
+    re-scan of raw data. ``approx_count_distinct`` (a7 twin) cannot do
+    this: its estimate is final, not mergeable state.
+
+    The sketch estimate is engine-specific, so the oracle checks the
+    error bound (a7 pattern): the query emits the exact distinct count
+    (computed in the same pass shape) plus a verdict that the unioned
+    estimate lands within 5% — lgConfigK=12 puts the RSE ≈ 1.6%, so 5%
+    is ≈ 3σ on real data, and a degenerate all-NULL group trivially
+    passes. ``n_days`` pins that the union really folded multiple
+    daily sketches, not a single-bucket fast path."""
+    e = _t(spark, sf_dir, "events")
+    daily = (e.withColumn("day", F.to_date("ts"))
+              .groupBy("event_type", "day")
+              .agg(F.hll_sketch_agg("user_id").alias("sk")))
+    rolled = (daily.groupBy("event_type")
+                   .agg(F.hll_sketch_estimate(F.hll_union_agg("sk"))
+                         .alias("est"),
+                        F.count(F.lit(1)).alias("n_days")))
+    # The exact twin exists only to ground the oracle verdict — the
+    # sketch path above never moves raw user_ids past the daily agg.
+    exact = (e.groupBy("event_type")
+              .agg(F.count_distinct("user_id").cast("bigint")
+                    .alias("n_exact")))
+    j = exact.join(rolled, "event_type")
+    rel_err = (F.abs(F.col("est") - F.col("n_exact"))
+               / F.col("n_exact"))
+    verdict = F.when(F.col("n_exact") == 0, F.lit(True)) \
+               .otherwise(rel_err <= F.lit(0.05))
+    return j.select("event_type", "n_exact", "n_days",
+                    verdict.alias("within_5pct"))
+
+
+@register(
     "w1_row_number_recent_orders",
     oracle="""
     SELECT o_custkey, o_orderkey, o_orderdate, rn FROM (
