@@ -623,6 +623,101 @@ def s11_compaction_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# OP-S16 — Z-order (Morton) clustering layout plan
+# ---------------------------------------------------------------------------
+
+#: Bits per dimension of the Morton address (8+8 → 16-bit z); file
+#: groups are the top 4 z bits → 16 fixed z-ranges.
+_Z_BITS = 8
+_Z_GROUP_SHIFT = 12
+
+
+def _sql_morton16(xb: str, yb: str) -> str:
+    """DuckDB Morton-interleave of two 8-bit ints (x even bits, y odd)."""
+    terms = [f"((({xb} >> {i}) & 1) << {2 * i})" for i in range(_Z_BITS)]
+    terms += [f"((({yb} >> {i}) & 1) << {2 * i + 1})"
+              for i in range(_Z_BITS)]
+    return "(" + " | ".join(terms) + ")"
+
+
+def _morton16(xb: F.Column, yb: F.Column) -> F.Column:
+    """Spark twin of ``_sql_morton16`` — identical bit placement."""
+    z = F.lit(0).cast("long")
+    for i in range(_Z_BITS):
+        z = z.bitwiseOR(F.shiftleft(
+            F.shiftright(xb, i).bitwiseAND(F.lit(1)), 2 * i))
+        z = z.bitwiseOR(F.shiftleft(
+            F.shiftright(yb, i).bitwiseAND(F.lit(1)), 2 * i + 1))
+    return z
+
+
+@register(
+    "s16_zorder_layout",
+    oracle=f"""
+    WITH stats AS (
+      SELECT MAX(o_custkey) AS mc,
+             MIN(CAST(o_orderdate AS DATE)) AS d0,
+             MAX(CAST(o_orderdate AS DATE)) AS d1
+      FROM orders
+    ),
+    b AS (
+      SELECT CAST(FLOOR(o_custkey * 256.0 / (mc + 1)) AS BIGINT) AS xb,
+             CAST(FLOOR(date_diff('day', d0, CAST(o_orderdate AS DATE))
+                        * 256.0 / (date_diff('day', d0, d1) + 1))
+                  AS BIGINT) AS yb
+      FROM orders, stats
+    )
+    SELECT zaddr >> {_Z_GROUP_SHIFT} AS group_id,
+           COUNT(*) AS n_rows,
+           MIN(xb) AS min_cust_bucket, MAX(xb) AS max_cust_bucket,
+           MIN(yb) AS min_day_bucket,  MAX(yb) AS max_day_bucket
+    FROM (SELECT xb, yb, {_sql_morton16('xb', 'yb')} AS zaddr FROM b)
+    GROUP BY group_id
+    """,
+)
+def s16_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OP-S16 — Z-order clustering layout: the multi-dimensional
+    data-skipping trick behind OPTIMIZE ZORDER BY. Each order maps to
+    an 8-bit rank bucket per dimension (customer key, order date), the
+    buckets interleave into a 16-bit Morton address, and file groups
+    are fixed z-ranges (top 4 bits) — so every group covers a small
+    RECTANGLE of (customer × date) space and a predicate on EITHER
+    dimension prunes most groups from their min/max footers. The
+    report emits each group's rectangle; a test asserts the rectangles
+    are genuinely tight vs the full grid.
+
+    Everything is integer bit arithmetic on exact doubles (inputs
+    ≪ 2^53, mult/div/floor correctly rounded) — class-A deterministic,
+    no rounding kernel needed. The dimension min/max are 1-row bounded
+    broadcasts. At scale the same z column feeds
+    ``repartitionByRange(z)`` + per-partition writes (the s11
+    compaction machinery) for equal-SIZE files; the fixed z-range
+    grouping here keeps the layout plan itself shuffle-minimal: one
+    aggregation, no global sort."""
+    o = load_table(spark, sf_dir, "orders")
+    stats = o.agg(
+        F.max("o_custkey").alias("mc"),
+        F.min(F.to_date("o_orderdate")).alias("d0"),
+        F.max(F.to_date("o_orderdate")).alias("d1"))
+    b = (o.crossJoin(F.broadcast(stats))
+          .select(
+              F.floor(F.col("o_custkey") * 256.0
+                      / (F.col("mc") + 1)).alias("xb"),
+              F.floor(F.datediff(F.to_date("o_orderdate"), F.col("d0"))
+                      * 256.0
+                      / (F.datediff(F.col("d1"), F.col("d0")) + 1))
+               .alias("yb")))
+    z = b.withColumn("zaddr", _morton16(F.col("xb"), F.col("yb")))
+    return (z.groupBy(F.shiftright("zaddr", _Z_GROUP_SHIFT)
+                       .alias("group_id"))
+             .agg(F.count(F.lit(1)).alias("n_rows"),
+                  F.min("xb").alias("min_cust_bucket"),
+                  F.max("xb").alias("max_cust_bucket"),
+                  F.min("yb").alias("min_day_bucket"),
+                  F.max("yb").alias("max_day_bucket")))
+
+
+# ---------------------------------------------------------------------------
 # OP-E1 — permissive scan: corrupt records quarantined, not fatal
 # ---------------------------------------------------------------------------
 

@@ -192,3 +192,19 @@ def test_versioned_publish_detects_duplicate_multiplicity(spark, tmp_path):
     assert publish_versioned(spark, df1, target) == (1, True)
     assert publish_versioned(spark, df_dup, target) == (2, True)
     assert publish_versioned(spark, df_dup, target) == (2, False)
+
+
+def test_zorder_groups_are_tight_rectangles(spark):
+    """Each z-range file group must cover at most a 64x64 rectangle of
+    the 256x256 (customer x date) bucket grid — the property that makes
+    min/max footer pruning effective on BOTH dimensions. A linear
+    (single-dim) sort would leave one dimension spanning the full 256."""
+    from stock_data_warehouse_spark.sources.sinks import s16_zorder_layout
+    rows = s16_zorder_layout(spark, "/root/testdata/sf0.001").collect()
+    assert 1 <= len(rows) <= 16
+    total = sum(r["n_rows"] for r in rows)
+    assert total > 0
+    for r in rows:
+        w = r["max_cust_bucket"] - r["min_cust_bucket"] + 1
+        h = r["max_day_bucket"] - r["min_day_bucket"] + 1
+        assert w <= 64 and h <= 64, (r["group_id"], w, h)
