@@ -399,6 +399,39 @@ def x2_neardup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
                      .alias("recall_ok")))
 
 
+def _portable_bands(d: DataFrame) -> DataFrame:
+    """Portable-md5 MinHash band hashes ``(doc_id, band_idx,
+    band_hash)`` over any (doc_id, text) relation — the signature/band
+    pipeline shared by x2_neardup_minhash_portable and the incremental
+    ingest form, byte-replayable in DuckDB."""
+    spark = d.sparkSession
+    sh = (d.select("doc_id", shingles_col(tokens_col("text")).alias("s"))
+           .repartition(spark.sparkContext.defaultParallelism, "doc_id")
+           .filter(F.size("s") > 0))
+    n_hashes, band_rows = 16, 4
+
+    def salted_md5(i: int):
+        # Returns a UNARY lambda: a two-parameter lambda (even via a
+        # default arg) is promoted by PySpark to the (element, index)
+        # form, which would shadow the salt with the index Column.
+        prefix = f"{i}:"
+        return lambda x: F.md5(F.concat(F.lit(prefix), x))
+
+    sig = sh.select(
+        "doc_id",
+        F.array(*[
+            F.array_min(F.transform("s", salted_md5(i)))
+            for i in range(n_hashes)
+        ]).alias("sig"))
+    return sig.select(
+        "doc_id",
+        F.posexplode(F.array(*[
+            F.md5(F.array_join(
+                F.slice("sig", b * band_rows + 1, band_rows), "|"))
+            for b in range(n_hashes // band_rows)
+        ])).alias("band_idx", "band_hash"))
+
+
 @register(
     "x2_neardup_minhash_portable",
     oracle=f"""
@@ -439,31 +472,7 @@ def x2_neardup_minhash_portable(spark: SparkSession,
     oracle-checked, not just spot-tested. 16 md5s per shingle is the
     price of portability; the xxhash64 twin is the scale recommendation.
     """
-    d = _t(spark, sf_dir, "documents")
-    sh = (d.select("doc_id", shingles_col(tokens_col("text")).alias("s"))
-           .repartition(spark.sparkContext.defaultParallelism, "doc_id")
-           .filter(F.size("s") > 0))
-    n_hashes, band_rows = 16, 4
-    def salted_md5(i: int):
-        # Returns a UNARY lambda: a two-parameter lambda (even via a
-        # default arg) is promoted by PySpark to the (element, index)
-        # form, which would shadow the salt with the index Column.
-        prefix = f"{i}:"
-        return lambda x: F.md5(F.concat(F.lit(prefix), x))
-
-    sig = sh.select(
-        "doc_id",
-        F.array(*[
-            F.array_min(F.transform("s", salted_md5(i)))
-            for i in range(n_hashes)
-        ]).alias("sig"))
-    bands = sig.select(
-        "doc_id",
-        F.posexplode(F.array(*[
-            F.md5(F.array_join(
-                F.slice("sig", b * band_rows + 1, band_rows), "|"))
-            for b in range(n_hashes // band_rows)
-        ])).alias("band_idx", "band_hash"))
+    bands = _portable_bands(_t(spark, sf_dir, "documents"))
     cand = (bands.alias("a")
             .join(bands.alias("b"),
                   (F.col("a.band_idx") == F.col("b.band_idx"))
@@ -476,6 +485,99 @@ def x2_neardup_minhash_portable(spark: SparkSession,
     return (cand.join(verified, ["doc_a", "doc_b"])
                 .select("doc_a", "doc_b",
                         round_half_up(F.col("jac"), 6).alias("jaccard")))
+
+
+@register(
+    "x2_incremental_minhash",
+    oracle=f"""
+    WITH {_SQL_JPAIRS},
+    shingled AS (SELECT doc_id, s FROM sh WHERE len(s) > 0),
+    mh AS (
+      SELECT t1.doc_id, t.i,
+             min(md5(CAST(t.i AS VARCHAR) || ':' || t1.shingle)) AS mh
+      FROM (SELECT doc_id, unnest(s) AS shingle FROM shingled) t1
+      CROSS JOIN range(16) t(i)
+      GROUP BY t1.doc_id, t.i
+    ),
+    bands AS (
+      SELECT doc_id, i // 4 AS band_idx,
+             md5(string_agg(mh, '|' ORDER BY i)) AS band_hash
+      FROM mh GROUP BY doc_id, i // 4
+    ),
+    cand AS (
+      SELECT DISTINCT c.doc_id AS corpus_id, a.doc_id AS arrival_id
+      FROM bands c JOIN bands a
+        ON c.band_idx = a.band_idx AND c.band_hash = a.band_hash
+       AND c.doc_id < 400 AND a.doc_id >= 400
+    ),
+    ver AS (
+      SELECT cand.arrival_id, cand.corpus_id,
+             {sql_round_half_up('j.jac', 6)} AS jac6
+      FROM cand JOIN jpairs j
+        ON j.doc_a = cand.corpus_id AND j.doc_b = cand.arrival_id
+    ),
+    best AS (
+      SELECT arrival_id, corpus_id, jac6,
+             ROW_NUMBER() OVER (PARTITION BY arrival_id
+                                ORDER BY jac6 DESC, corpus_id) AS rn
+      FROM ver
+    )
+    SELECT d.doc_id,
+           b.corpus_id AS dup_of,
+           b.jac6 AS jaccard,
+           CASE WHEN b.corpus_id IS NULL THEN 'unique'
+                ELSE 'near_dup_of_corpus' END AS verdict
+    FROM (SELECT doc_id FROM documents WHERE doc_id >= 400) d
+    LEFT JOIN (SELECT * FROM best WHERE rn = 1) b
+      ON b.arrival_id = d.doc_id
+    """,
+)
+def x2_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OP-X2 (incremental form) — near-dedup a batch of arrivals
+    against the published corpus's STORED MinHash band index, the
+    ingest-time twin of x1_incremental_dedup for near-duplicates: at
+    100 TB you never re-band the warehouse; the day's arrivals band
+    locally and probe the persisted (band_idx, band_hash) index, only
+    band-colliding (arrival, corpus) pairs are verified with exact
+    Jaccard, and each arrival gets a deterministic best match (highest
+    rounded Jaccard, then lowest corpus id) or 'unique'.
+
+    Candidate generation is banding-pigeonhole (sub-quadratic, no
+    all-pairs); verification joins the exact-Jaccard pair relation
+    restricted to cross-split pairs, so only candidates pay the
+    verify cost. The whole pipeline — signatures, band hashes,
+    candidate join, verify, best-match choice — replays in the oracle
+    byte-for-byte (portable md5 hash family), so the candidate set
+    itself (including banding misses) is cross-engine exact."""
+    d = _t(spark, sf_dir, "documents")
+    bands = _portable_bands(d)
+    corpus_idx = bands.filter(F.col("doc_id") < 400)
+    arr_bands = bands.filter(F.col("doc_id") >= 400)
+    cand = (corpus_idx.alias("c")
+            .join(arr_bands.alias("a"),
+                  (F.col("c.band_idx") == F.col("a.band_idx"))
+                  & (F.col("c.band_hash") == F.col("a.band_hash")))
+            .select(F.col("c.doc_id").alias("corpus_id"),
+                    F.col("a.doc_id").alias("arrival_id"))
+            .distinct())
+    jp = _jaccard_pairs(spark, sf_dir)
+    ver = (cand.join(jp, (jp["doc_a"] == cand["corpus_id"])
+                         & (jp["doc_b"] == cand["arrival_id"]))
+               .select("arrival_id", "corpus_id",
+                       round_half_up(F.col("jac"), 6).alias("jac6")))
+    w = Window.partitionBy("arrival_id").orderBy(
+        F.col("jac6").desc(), "corpus_id")
+    best = (ver.withColumn("rn", F.row_number().over(w))
+               .filter(F.col("rn") == 1))
+    arrivals = d.filter(F.col("doc_id") >= 400).select("doc_id")
+    return (arrivals
+            .join(best, arrivals["doc_id"] == best["arrival_id"], "left")
+            .select(
+                "doc_id",
+                F.col("corpus_id").alias("dup_of"),
+                F.col("jac6").alias("jaccard"),
+                F.when(F.col("corpus_id").isNull(), "unique")
+                 .otherwise("near_dup_of_corpus").alias("verdict")))
 
 
 # ---------------------------------------------------------------------------
