@@ -3225,6 +3225,133 @@ def bloom_prefilter_dedup(corpus_h: DataFrame,
 
 
 # ---------------------------------------------------------------------------
+# OP-X2 — kNN-graph PageRank (similarity-graph centrality)
+# ---------------------------------------------------------------------------
+
+_PR_DAMP = "0.85"
+_PR_JUMP = "0.15"
+
+
+def _sql_pr_iter(i: int) -> str:
+    """One PageRank iteration as two CTEs: contributions c{i}, ranks
+    r{i} — identical joins/aggregation to the Spark plan."""
+    return f"""
+    c{i} AS (
+      SELECT e.dst AS node, SUM(r{i - 1}.r / d.outdeg) AS s
+      FROM edges e
+      JOIN r{i - 1} ON r{i - 1}.node = e.src
+      JOIN deg d ON d.src = e.src
+      GROUP BY e.dst
+    ),
+    r{i} AS (
+      SELECT d.src AS node,
+             {_PR_JUMP} / nn.n + {_PR_DAMP} * COALESCE(c{i}.s, 0.0) AS r
+      FROM deg d CROSS JOIN nn
+      LEFT JOIN c{i} ON c{i}.node = d.src
+    )"""
+
+
+@register(
+    "x2_knn_pagerank",
+    oracle=f"""
+    WITH v AS (
+      SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings
+    ),
+    n AS (
+      SELECT vec_id, label, e, sqrt({_sql_dot('e', 'e')}) AS nrm FROM v
+    ),
+    pairs AS (
+      SELECT a.vec_id AS q, b.vec_id AS nb,
+             {_sql_dot('a.e', 'b.e')} / (a.nrm * b.nrm) AS cos
+      FROM n a JOIN n b
+        ON a.label = b.label AND a.vec_id <> b.vec_id
+    ),
+    edges AS (
+      SELECT q AS src, nb AS dst FROM (
+        SELECT q, nb, ROW_NUMBER() OVER (
+          PARTITION BY q ORDER BY cos DESC, nb) AS rn
+        FROM pairs
+      ) WHERE rn <= 3
+    ),
+    deg AS (SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY src),
+    nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM deg),
+    r0 AS (SELECT src AS node, 1.0 / nn.n AS r FROM deg, nn),
+    {_sql_pr_iter(1)},
+    {_sql_pr_iter(2)},
+    {_sql_pr_iter(3)}
+    SELECT r3.node AS vec_id, d.outdeg,
+           CAST(ROUND(CAST(r3.r AS DECIMAL(38,10)), 8) AS DOUBLE)
+             AS pagerank
+    FROM r3 JOIN deg d ON d.src = r3.node
+    """,
+)
+def x2_knn_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OP-X2 (graph centrality) — PageRank over the kNN similarity
+    graph: each vector's top-3 cosine neighbors WITHIN its label group
+    become directed edges, then three unrolled PageRank iterations
+    (damping 0.85) score how central each vector is in its
+    neighborhood — the graph-curation signal behind prototype
+    selection / SemDeDup-style "keep the hub, drop the satellites".
+
+    Scale shape: the kNN build is a label-grouped join (Σ group², the
+    accepted within-cell pattern — never corpus-wide all-pairs; at
+    100 TB the grouping key is the IVF cell from the x3 family). The
+    iteration is the canonical distributed PageRank: edges are
+    checkpointed once and partition by src; each round is one
+    src-equi join against the ranks relation plus one dst-keyed
+    aggregation — one shuffle per round, rank state is 2 columns. No
+    dangling mass by construction: every node in ``deg`` chose ≥ 1
+    neighbor, and receivers are restricted to the same node set.
+
+    Parity: dot products and norms are the bit-exact sequential fold;
+    edge selection tiebreaks on (cos DESC, neighbor id). The rank sums
+    are partial-order-dependent double adds (class-B inputs per
+    functions/scalars.py), so only the FINAL rank is displayed, routed
+    through DECIMAL(38,10) at 8 dp — ranks live in (0, 1), far inside
+    the route's |x| ≪ 9e5 domain."""
+    e = _t(spark, sf_dir, "embeddings")
+    v = e.select("vec_id", "label", _as_double_vec("embedding").alias("e"))
+    nv = v.withColumn("nrm", F.sqrt(_dot(F.col("e"), F.col("e"))))
+    a, b = nv.alias("a"), nv.alias("b")
+    cos = (_dot(F.col("a.e"), F.col("b.e"))
+           / (F.col("a.nrm") * F.col("b.nrm")))
+    pairs = (a.join(b, (F.col("a.label") == F.col("b.label"))
+                    & (F.col("a.vec_id") != F.col("b.vec_id")))
+              .select(F.col("a.vec_id").alias("q"),
+                      F.col("b.vec_id").alias("nb"),
+                      cos.alias("cos")))
+    wnd = Window.partitionBy("q").orderBy(F.col("cos").desc(), "nb")
+    edges = ckpt(pairs.withColumn("rn", F.row_number().over(wnd))
+                      .filter(F.col("rn") <= 3)
+                      .select(F.col("q").alias("src"),
+                              F.col("nb").alias("dst")))
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    nn = deg.agg(F.count(F.lit(1)).cast("double").alias("n"))
+    ranks = (deg.crossJoin(F.broadcast(nn))
+                .select(F.col("src").alias("node"),
+                        (F.lit(1.0) / F.col("n")).alias("r")))
+    damp, jump = float(_PR_DAMP), float(_PR_JUMP)
+    for _ in range(3):
+        contrib = (edges.join(ranks, edges["src"] == ranks["node"])
+                        .join(deg, "src")
+                        .groupBy("dst")
+                        .agg(F.sum(F.col("r") / F.col("outdeg"))
+                              .alias("s")))
+        ranks = (deg.crossJoin(F.broadcast(nn))
+                    .join(contrib, deg["src"] == contrib["dst"], "left")
+                    .select(
+                        F.col("src").alias("node"),
+                        (F.lit(jump) / F.col("n")
+                         + F.lit(damp)
+                           * F.coalesce(F.col("s"), F.lit(0.0)))
+                         .alias("r")))
+    return (ranks.join(deg, ranks["node"] == deg["src"])
+                 .select(F.col("node").alias("vec_id"), "outdeg",
+                         F.round(F.col("r").cast("decimal(38,10)"), 8)
+                          .cast("double").alias("pagerank")))
+
+
+# ---------------------------------------------------------------------------
 # OP-X2 — containment similarity (asymmetric near-dup)
 # ---------------------------------------------------------------------------
 

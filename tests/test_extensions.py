@@ -841,3 +841,19 @@ def test_bloom_prefilter_matches_incremental_dedup_verdicts(spark):
         assert bv == verdict
         if verdict == "dup_of_corpus":
             assert cand is True  # bloom has no false negatives
+
+
+def test_knn_pagerank_mass_conserved_and_positive(spark):
+    """The kNN graph has no dangling nodes by construction, so the
+    rank vector must stay a probability distribution: sum 1 (to
+    rounding), every rank > 0, and ranks are not uniform (the graph
+    has real in-degree structure)."""
+    from stock_data_warehouse_spark.plans.extensions import (
+        x2_knn_pagerank,
+    )
+    rows = x2_knn_pagerank(spark, SF).collect()
+    assert rows
+    total = sum(r["pagerank"] for r in rows)
+    assert abs(total - 1.0) < 1e-5
+    assert all(r["pagerank"] > 0 for r in rows)
+    assert len({r["pagerank"] for r in rows}) > 1
