@@ -303,3 +303,37 @@ def test_runtime_bloom_filter_prunes_fact_side(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_zorder_layout_single_data_exchange(spark):
+    """s16: the layout plan must be scan → z projection → two-phase
+    hash agg with exactly ONE hashpartitioning exchange over the data
+    (plus the 1-row stats broadcast) and NO sort — the fixed z-range
+    grouping, not a global ORDER BY."""
+    from stock_data_warehouse_spark.sources.sinks import s16_zorder_layout
+    plan = _executed_plan(s16_zorder_layout(spark, SF))
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "BroadcastExchange" in plan          # 1-row dimension stats
+    assert "Sort " not in plan                  # no global sort anywhere
+
+
+def test_bloom_prefilter_membership_is_scan_side(spark):
+    """x1 bloom: the bit-array map must arrive as a broadcast (bounded
+    <= 4096 entries by construction) and the membership conjunction
+    must be a projection over the arrivals scan — no shuffle, no
+    explode on the probe side; the corpus confirm join must carry the
+    bloom_candidate bit in its condition so non-candidates never
+    probe."""
+    from stock_data_warehouse_spark.plans.extensions import (
+        x1_bloom_prefilter_dedup,
+    )
+    plan = _executed_plan(x1_bloom_prefilter_dedup(spark, SF))
+    assert "IdentityBroadcastMode" in plan       # the 1-row bits map
+    assert "element_at(bm" in plan               # O(1) map membership
+    # the probe side never explodes: the only Generate in the plan is
+    # the corpus-side bit enumeration (4 positions per corpus hash)
+    assert plan.count("Generate explode") == 1
+    # the confirm join is gated on the bloom verdict
+    join_lines = [ln for ln in plan.splitlines()
+                  if "Join" in ln and "bloom_candidate" in ln]
+    assert join_lines, "confirm join lost its bloom_candidate gate"
