@@ -694,3 +694,78 @@ def t20_streaming_leaderboard(spark: SparkSession,
         F.col("n_events").desc(), "event_type")
     return (counts.withColumn("rnk", F.row_number().over(rank_w))
                   .filter(F.col("rnk") <= 3))
+
+
+# ---------------------------------------------------------------------------
+# OP-T21 — stream-static join: dimension enrichment inside a stream
+# ---------------------------------------------------------------------------
+
+@register(
+    "t21_stream_static_enrich",
+    oracle="""
+    WITH enriched AS (
+      SELECT make_timestamp((epoch_us(e.ts) // 3600000000) * 3600000000)
+               AS window_start,
+             c.c_mktsegment,
+             CAST(CASE WHEN e.value < 0
+                  THEN -FLOOR(ABS(e.value) * 100.0 + 0.5)
+                  ELSE FLOOR(ABS(e.value) * 100.0 + 0.5) END
+             AS BIGINT) AS cents
+      FROM events e
+      JOIN customer c ON e.user_id = c.c_custkey
+      WHERE e.event_type = 'purchase'
+    ),
+    w AS (
+      SELECT window_start, c_mktsegment,
+             COUNT(*) AS n_purchases,
+             SUM(cents) AS revenue_cents
+      FROM enriched GROUP BY 1, 2
+    )
+    SELECT window_start, c_mktsegment, n_purchases, revenue_cents
+    FROM w
+    WHERE window_start + INTERVAL 1 HOUR
+          <= (SELECT max(ts) FROM events) - INTERVAL 10 MINUTE
+    """,
+)
+def t21_stream_static_enrich(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    """OP-T21 — stream-STATIC join, the third join mode Structured
+    Streaming supports (beside the t12/t13 stream-stream forms): the
+    purchase stream enriches against the customer dimension table and
+    aggregates revenue per (hour, market segment) under a watermark.
+    The static side is a plain batch DataFrame — Spark re-plans it
+    per micro-batch (a dimension UPDATE between batches is picked up),
+    it needs no watermark and holds no state, and with a bounded dim
+    the join is a broadcast hash join inside every micro-batch — the
+    canonical "enrich the firehose from the warehouse" topology.
+
+    Money crosses the stream as integer cents via the class-A half-up
+    kernel (the t8 contract — events.value is pinned 2-dp), so the
+    windowed sums are exact integers in both engines. Append mode +
+    10-minute watermark seals windows exactly like t7; the oracle
+    replays the join and the seal in batch SQL."""
+    from ..sources.tables import load_table
+
+    # One data micro-batch for the bounded replay (the t12/t13 advisor
+    # contract): per-file batches over a multi-file events dir with
+    # interleaved timestamps would advance the watermark mid-run and
+    # drop late windows the batch oracle keeps.
+    s = (events_stream(spark, sf_dir, max_files_per_trigger=1_000_000)
+         .filter(F.col("event_type") == "purchase"))
+    dim = (load_table(spark, sf_dir, "customer")
+           .select("c_custkey", "c_mktsegment"))
+    cents = F.when(
+        F.col("value") < 0,
+        -F.floor(F.abs(F.col("value")) * 100.0 + F.lit(0.5)),
+    ).otherwise(F.floor(F.abs(F.col("value")) * 100.0 + F.lit(0.5))) \
+     .cast("long")
+    j = (s.join(F.broadcast(dim), s["user_id"] == dim["c_custkey"])
+          .select("ts", "c_mktsegment", cents.alias("cents")))
+    agg = (j.withWatermark("ts", "10 minutes")
+            .groupBy(F.window("ts", "1 hour").alias("w"),
+                     "c_mktsegment")
+            .agg(F.count(F.lit(1)).alias("n_purchases"),
+                 F.sum("cents").alias("revenue_cents")))
+    out = agg.select(F.col("w.start").alias("window_start"),
+                     "c_mktsegment", "n_purchases", "revenue_cents")
+    return _run_to_table(out, "append")
