@@ -39,6 +39,10 @@ SAMPLE = [
     "p20_variant_pack",             # variant binary encoding stability
     "x2_neardup_clusters_contracting",  # iterative star contraction
     "a10_approx_quantile_sketch",   # sketch verdicts under merge order
+    "x1_bloom_prefilter_dedup",     # map-typed broadcast + gated join
+    "x7_weighted_sample_ares",      # class-B-keyed reservoir top-k
+    "x2_knn_pagerank",              # iterative FP ranks, ckpt barrier
+    "s16_zorder_layout",            # bit-interleave grouping
 ]
 
 
