@@ -560,9 +560,31 @@ def x2_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(F.col("c.doc_id").alias("corpus_id"),
                     F.col("a.doc_id").alias("arrival_id"))
             .distinct())
-    jp = _jaccard_pairs(spark, sf_dir)
-    ver = (cand.join(jp, (jp["doc_a"] == cand["corpus_id"])
-                         & (jp["doc_b"] == cand["arrival_id"]))
+    # Exact Jaccard restricted to CROSS-SPLIT pairs: the inverted-index
+    # join takes corpus postings on one side and arrival postings on
+    # the other, so corpus×corpus and arrival×arrival pair work —
+    # quadratic in the big split at scale — is never generated. The
+    # oracle's jpairs CTE computes the full relation (DuckDB prunes it
+    # fine at test SF) and the ver CTE filters to the same cross-split
+    # subset, so values are identical.
+    sh = (d.select("doc_id",
+                   shingles_col(tokens_col("text")).alias("s"))
+           .repartition(spark.sparkContext.defaultParallelism, "doc_id"))
+    tok = sh.select("doc_id", F.size("s").alias("n"),
+                    F.explode("s").alias("shingle"))
+    ca = tok.filter(F.col("doc_id") < 400).alias("ca")
+    ar = tok.filter(F.col("doc_id") >= 400).alias("ar")
+    cross = (ca.join(ar, F.col("ca.shingle") == F.col("ar.shingle"))
+               .groupBy(F.col("ca.doc_id").alias("jc"),
+                        F.col("ar.doc_id").alias("ja"))
+               .agg(F.count(F.lit(1)).alias("n_common"),
+                    F.min(F.col("ca.n")).alias("na"),
+                    F.min(F.col("ar.n")).alias("nb")))
+    jac = (F.col("n_common") * F.lit(1.0)
+           / (F.col("na") + F.col("nb") - F.col("n_common")))
+    jp = cross.filter(jac >= 0.8).select("jc", "ja", jac.alias("jac"))
+    ver = (cand.join(jp, (jp["jc"] == cand["corpus_id"])
+                         & (jp["ja"] == cand["arrival_id"]))
                .select("arrival_id", "corpus_id",
                        round_half_up(F.col("jac"), 6).alias("jac6")))
     w = Window.partitionBy("arrival_id").orderBy(
