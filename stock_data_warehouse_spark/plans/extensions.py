@@ -2710,6 +2710,85 @@ def x6_calibrate_window(spark: SparkSession, sf_dir: str) -> DataFrame:
                     calib.cast("long").alias("calib"))
 
 
+def _cogroup_funnel(_key, clicks, purchases):
+    """Cogrouped kernel: one user's click frame + purchase frame →
+    one exact-integer row. Cents via the t8 class-A half-up kernel
+    (streaming/jobs.py::cents_half_up — inlined to keep this module
+    import-light); conversion basis points via integer floor division,
+    so the Arrow cogroup path is value-checked against plain SQL."""
+    import numpy as np
+    import pandas as pd
+
+    uid = (clicks["user_id"].iloc[0] if len(clicks)
+           else purchases["user_id"].iloc[0])
+    n_c, n_p = len(clicks), len(purchases)
+    if n_p:
+        v = purchases["value"].to_numpy(dtype="float64")
+        mag = np.floor(np.abs(v) * 100.0 + 0.5)
+        cents = int(np.where(v < 0, -mag, mag).sum())
+    else:
+        cents = 0
+    conv = (n_p * 10000) // n_c if n_c else None
+    return pd.DataFrame({
+        "user_id": [uid], "n_clicks": [n_c], "n_purchases": [n_p],
+        "purchase_cents": [cents], "conv_bp": [conv]})
+
+
+@register(
+    "x6_cogroup_funnel",
+    oracle="""
+    SELECT user_id,
+           SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+             AS n_clicks,
+           SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+             AS n_purchases,
+           SUM(CASE WHEN event_type = 'purchase' THEN
+                 CAST(CASE WHEN value < 0
+                      THEN -FLOOR(ABS(value) * 100.0 + 0.5)
+                      ELSE FLOOR(ABS(value) * 100.0 + 0.5) END
+                 AS BIGINT) ELSE 0 END) AS purchase_cents,
+           CASE WHEN SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0
+                         END) = 0 THEN NULL
+                ELSE (SUM(CASE WHEN event_type = 'purchase' THEN 1
+                          ELSE 0 END) * 10000)
+                     // SUM(CASE WHEN event_type = 'click' THEN 1
+                            ELSE 0 END)
+           END AS conv_bp
+    FROM events
+    WHERE event_type IN ('click', 'purchase')
+    GROUP BY user_id
+    """,
+)
+def x6_cogroup_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OP-X6 — the COGROUPED-map surface (the third Arrow batch API
+    beside pandas_udf and grouped-map applyInPandas):
+    ``clicks.groupBy(user).cogroup(purchases.groupBy(user))`` hands
+    each user's click frame and purchase frame to one pandas callable,
+    which emits an exact-integer funnel row (counts, purchase cents via
+    the t8 half-up kernel, conversion basis points by integer
+    division). Keys present on only ONE side still fire with an empty
+    opposite frame — the semantics a driver-side merge would get wrong
+    — and the whole path is value-checked against a single-pass SQL
+    aggregation oracle.
+
+    Scale shape: one shuffle per side on user_id, then per-key Arrow
+    batches; per-group memory is one user's events — bounded by
+    activity, not corpus size. The declarative twin IS the oracle's
+    conditional aggregation; cogroup earns its place when the per-key
+    logic needs real two-frame pandas (alignment, per-key model
+    state) that conditional aggregation can't express."""
+    e = _t(spark, sf_dir, "events")
+    clicks = (e.filter(F.col("event_type") == "click")
+               .select("user_id", "value"))
+    purchases = (e.filter(F.col("event_type") == "purchase")
+                  .select("user_id", "value"))
+    return clicks.groupBy("user_id").cogroup(
+        purchases.groupBy("user_id")).applyInPandas(
+        _cogroup_funnel,
+        "user_id long, n_clicks long, n_purchases long, "
+        "purchase_cents long, conv_bp long")
+
+
 @register(
     "x8_funnel_report",
     oracle=None,  # bound below (needs the sampling SQL coin helper)
