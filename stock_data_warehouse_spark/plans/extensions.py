@@ -1680,20 +1680,25 @@ def x3_kmeans_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.kmeans import kmeans_fit_assign
     e = _t(spark, sf_dir, "embeddings")
     v = e.select("vec_id", _as_double_vec("embedding").alias("e"))
-    a3 = kmeans_fit_assign(v, "vec_id", "e", k=8, n_iter=3)
-    a1 = kmeans_fit_assign(v, "vec_id", "e", k=8, n_iter=1)
+    log: list = []
+    a3 = kmeans_fit_assign(v, "vec_id", "e", k=8, n_iter=3,
+                           inertia_log=log)
     stats3 = a3.agg(F.count(F.lit(1)).alias("n_vectors"),
                     F.count_distinct("cell").alias("n_cells"),
-                    F.sum("sq_dist").alias("inertia3"))
-    stats1 = a1.agg(F.sum("sq_dist").alias("inertia1"))
-    # two 1-row aggregates — the cross join is bounded by contract
-    return (stats3.crossJoin(stats1)
+                    F.sum("sq_dist").alias("inertia_final"))
+    # the full per-round chain (STRONGER than the old 1-vs-3 twin):
+    # i0 >= i1 >= i2 >= final, each with tiny FP slack because
+    # adjacent rounds share sums at convergence
+    seq = log[0].select(F.col("inertia").alias("i0"))
+    seq = seq.crossJoin(log[1].select(F.col("inertia").alias("i1")))
+    seq = seq.crossJoin(log[2].select(F.col("inertia").alias("i2")))
+    eps = 1.0000001
+    return (stats3.crossJoin(seq)
             .select("n_vectors",
                     F.col("n_cells").between(1, 8).alias("cells_ok"),
-                    # tiny FP slack: the two runs share round-1 sums,
-                    # so equality-at-convergence must not flake
-                    (F.col("inertia3")
-                     <= F.col("inertia1") * 1.0000001)
+                    ((F.col("i1") <= F.col("i0") * eps)
+                     & (F.col("i2") <= F.col("i1") * eps)
+                     & (F.col("inertia_final") <= F.col("i2") * eps))
                      .alias("inertia_monotone")))
 
 
@@ -4150,9 +4155,15 @@ def x3_ivfpq_learned(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = (v.withColumn("nrm", F.sqrt(_dot(F.col("e"), F.col("e"))))
           .filter(F.col("nrm") > 0))
 
-    # coarse IVF cells: learned
+    # coarse IVF cells: learned on a bounded 8·K training sample
+    # (the FAISS posture — k-means needs ~100·K training points, not
+    # the corpus), then ONE full assignment pass; the per-iteration
+    # training inertias feed the monotonicity verdict without
+    # re-training a shorter twin.
+    pq_log: list = []
     coarse = kmeans_fit_assign(n, "vec_id", "e",
-                               k=K_COARSE, n_iter=3)
+                               k=K_COARSE, n_iter=3,
+                               train_sample=8 * K_COARSE)
     assigned = (n.join(coarse.select(F.col("id").alias("vec_id"),
                                      "cell"), "vec_id")
                  .select("vec_id", "e", "cell"))
@@ -4161,12 +4172,11 @@ def x3_ivfpq_learned(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.posexplode(F.array(*[F.slice("e", 8 * j + 1, 8)
                                for j in range(8)])).alias("j", "sv"))
 
-    # per-subspace PQ codebooks: learned (plus a 1-round twin for the
-    # monotonicity verdict — same seeds, so round 1 is shared math)
+    # per-subspace PQ codebooks: learned on the same bounded-sample
+    # discipline (8·K ids, every subspace)
     enc3, cb = kmeans_fit_assign_grouped(
-        sub, "j", "vec_id", "sv", k=K_CODES, n_iter=3)
-    enc1, _ = kmeans_fit_assign_grouped(
-        sub, "j", "vec_id", "sv", k=K_CODES, n_iter=1)
+        sub, "j", "vec_id", "sv", k=K_CODES, n_iter=3,
+        train_sample=8 * K_CODES, inertia_log=pq_log)
     codes = (enc3.select(F.col("id").alias("vec_id"),
                          F.col("grp").alias("j"),
                          F.col("cell").alias("code"))
@@ -4245,8 +4255,8 @@ def x3_ivfpq_learned(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_assigned"),
         F.count_distinct("cell").alias("n_cells"))
     ncodes = enc3.agg(F.count(F.lit(1)).alias("n_codes"))
-    i3 = enc3.agg(F.sum("sq_dist").alias("inertia3"))
-    i1 = enc1.agg(F.sum("sq_dist").alias("inertia1"))
+    i3 = pq_log[-1].select(F.col("inertia").alias("inertia3"))
+    i1 = pq_log[0].select(F.col("inertia").alias("inertia1"))
     rl = mean_recall(approx).withColumnRenamed("mr", "r_learned")
     rm = mean_recall(medoid).withColumnRenamed("mr", "r_medoid")
     return (n_total.crossJoin(cells).crossJoin(ncodes)
@@ -4258,7 +4268,7 @@ def x3_ivfpq_learned(spark: SparkSession, sf_dir: str) -> DataFrame:
                  .alias("cells_ok"),
                 (F.col("n_codes") == F.col("n_vectors") * 8)
                  .alias("codes_ok"),
-                # tiny FP slack: both runs share round-1 sums, so
+                # tiny FP slack: the rounds share seed sums, so
                 # equality-at-convergence must not flake
                 (F.col("inertia3") <= F.col("inertia1") * 1.0000001)
                  .alias("inertia_monotone"),
