@@ -69,6 +69,12 @@ HEADLINE = (
     # set compressed by IVF cells, per-candidate cost compressed to 8
     # LUT additions over PQ codes; no float vector shuffled after encode
     "x3_ivfpq_topk",              # IVF-PQ with ADC lookup table
+    # round-5 additions: the new ingest/layout/graph/streaming families
+    "x3_ivfpq_learned",           # learned-codebook IVF-PQ (k-means)
+    "x1_bloom_prefilter_dedup",   # bloom-gated corpus dedup join
+    "x2_incremental_minhash",     # arrivals vs stored band index
+    "x2_knn_pagerank",            # 3-iteration PageRank on kNN graph
+    "t21_stream_static_enrich",   # stream-static dim join + window
 )
 
 

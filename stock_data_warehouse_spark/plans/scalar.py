@@ -504,3 +504,49 @@ def p20_variant_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.schema_of_variant(v).alias("variant_shape"),
         F.try_variant_get(v, "$.k", "bigint").isNull()
          .alias("k_absent"))
+
+
+@register(
+    "p21_try_arith_pack",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           CASE WHEN l_quantity = 1.0 THEN NULL
+                ELSE l_extendedprice / (l_quantity - 1.0)
+           END AS unit_excl,
+           TRY_CAST(l_returnflag AS BIGINT) AS flag_as_int,
+           TRY_CAST(l_shipdate::VARCHAR AS BIGINT) AS date_as_int,
+           CASE WHEN l_orderkey > 0 THEN NULL
+                ELSE l_orderkey + 9223372036854775807
+           END AS overflow_add,
+           CASE WHEN l_linenumber >= 1 AND l_linenumber <= 2
+                THEN ['a', 'b'][l_linenumber] ELSE NULL
+           END AS elem_or_null
+    FROM lineitem
+    """,
+)
+def p21_try_arith_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.7 / OP-E3 (ANSI-safe scalar surface) — the ``try_*`` family:
+    error conditions become NULL instead of task failures, the per-
+    expression form of the reference's default-on-failure semantics
+    (fetch_data.py:136-140 catches per ticker; ``try_*`` catches per
+    VALUE, which is what survives at 100 TB where one poisoned row
+    must not kill a stage). Covered: ``try_divide`` (÷0 over doubles),
+    ``try_cast`` on unparseable strings, ``try_add`` at bigint
+    overflow, ``try_element_at`` past array bounds. The oracle states
+    each NULL condition explicitly (DuckDB raises where Spark nulls,
+    so the replay is the CASE-guarded denotation — same contract as
+    the guarded-division kernel, scalars.py::guarded_ratio). Pure
+    projection: no shuffle, whole-stage codegen, scan-composable."""
+    li = _t(spark, sf_dir, "lineitem")
+    long_max = 9223372036854775807
+    return li.select(
+        "l_orderkey", "l_linenumber",
+        F.try_divide(F.col("l_extendedprice"),
+                     F.col("l_quantity") - 1.0).alias("unit_excl"),
+        F.col("l_returnflag").try_cast("bigint").alias("flag_as_int"),
+        F.col("l_shipdate").cast("string").try_cast("bigint")
+         .alias("date_as_int"),
+        F.try_add(F.col("l_orderkey"), F.lit(long_max))
+         .alias("overflow_add"),
+        F.try_element_at(F.array(F.lit("a"), F.lit("b")),
+                         F.col("l_linenumber")).alias("elem_or_null"))

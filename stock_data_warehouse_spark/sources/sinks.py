@@ -623,6 +623,69 @@ def s11_compaction_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# OP-S17 — schema-evolution scan (mergeSchema over file generations)
+# ---------------------------------------------------------------------------
+
+@register(
+    "s17_schema_evolution_scan",
+    oracle="""
+    SELECT c_mktsegment AS segment,
+           COUNT(*) AS n_rows,
+           SUM(CASE WHEN c_custkey < 75 THEN 1 ELSE 0 END) AS n_v1,
+           SUM(CAST(CASE WHEN c_acctbal < 0
+                    THEN -FLOOR(ABS(c_acctbal) * 100.0 + 0.5)
+                    ELSE FLOOR(ABS(c_acctbal) * 100.0 + 0.5) END
+               AS BIGINT)) AS sum_bal_cents
+    FROM (
+      SELECT c_custkey, c_acctbal,
+             CASE WHEN c_custkey < 75 THEN NULL
+                  ELSE c_mktsegment END AS c_mktsegment
+      FROM customer
+    )
+    GROUP BY c_mktsegment
+    """,
+)
+def s17_schema_evolution_scan(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """OP-S17 — schema evolution at the scan: generation-1 files were
+    written BEFORE the ``c_mktsegment`` column existed; generation 2
+    carries it. ``mergeSchema`` unifies the footers at read time — v1
+    rows surface the new column as NULL, no rewrite of old files — and
+    the report groups by the evolved column (NULL = the pre-evolution
+    cohort), counting how many rows each generation contributed.
+
+    This is the additive-column contract every long-lived warehouse
+    table lives by: readers see one schema, old files never rewrite,
+    and the oracle replays the generation split with a CASE. The
+    footer merge is metadata work on the driver (one footer per file
+    at planning, not a data pass); the data-side plan is an ordinary
+    pruned scan + hash aggregation."""
+    c = load_table(spark, sf_dir, "customer")
+    stage = os.path.join(tempfile.mkdtemp(prefix="schema_evo_"), "t")
+    # generation 1: the column does not exist yet
+    (c.filter(F.col("c_custkey") < 75)
+      .select("c_custkey", "c_acctbal")
+      .coalesce(1).write.mode("overwrite").parquet(f"{stage}/g=1"))
+    # generation 2: the evolved schema
+    (c.filter(F.col("c_custkey") >= 75)
+      .select("c_custkey", "c_acctbal", "c_mktsegment")
+      .coalesce(1).write.mode("append").parquet(f"{stage}/g=2"))
+    evolved = (spark.read.option("mergeSchema", "true")
+               .option("recursiveFileLookup", "true").parquet(stage))
+    return (evolved
+            .groupBy(F.col("c_mktsegment").alias("segment"))
+            .agg(F.count(F.lit(1)).alias("n_rows"),
+                 F.sum(F.when(F.col("c_custkey") < 75, 1).otherwise(0))
+                  .alias("n_v1"),
+                 F.sum(F.when(
+                     F.col("c_acctbal") < 0,
+                     -F.floor(F.abs("c_acctbal") * 100.0 + F.lit(0.5)),
+                 ).otherwise(
+                     F.floor(F.abs("c_acctbal") * 100.0 + F.lit(0.5)))
+                   .cast("long")).alias("sum_bal_cents")))
+
+
+# ---------------------------------------------------------------------------
 # OP-S16 — Z-order (Morton) clustering layout plan
 # ---------------------------------------------------------------------------
 
