@@ -667,6 +667,65 @@ def o5_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
     return c.intersect(s)
 
 
+@register(
+    "o6_pareto_skyline",
+    oracle="""
+    SELECT o_orderkey, o_orderdate, o_totalprice FROM (
+      SELECT o_orderkey, o_orderdate, o_totalprice,
+             MAX(o_totalprice) OVER (
+               ORDER BY epoch_us(o_orderdate) DESC
+               RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ) AS later_max
+      FROM orders
+    )
+    WHERE later_max IS NULL OR later_max < o_totalprice
+    """,
+)
+def o6_pareto_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OP-O6 — 2-D Pareto skyline (preference query): orders not
+    dominated in (order date, total price) — i.e. no other order is
+    strictly later AND at-least-as-expensive. Equal (date, price)
+    pairs don't dominate each other, so the result is a pure
+    value-predicate — no rank cut, no tiebreak needed, deterministic
+    by construction.
+
+    Distributed shape (the classic staircase decomposition): a
+    MONTH-bucket prefilter first — per-bucket max price (one hash
+    agg), suffix-max over strictly-later buckets (a window over the
+    BOUNDED bucket dim), broadcast back; a row survives only if it
+    beats every strictly-later bucket's maximum. Any dominated row
+    pruned here has, by a finite chain of strictly-later witnesses, a
+    dominating row that IS a candidate — so the exact pass over the
+    (small) candidate set loses nothing. The exact pass is a
+    descending RANGE frame ending at -1, which is exactly "max price
+    over strictly later dates" in both engines (equal dates excluded
+    by the range offset, verified cross-engine); candidates ≈ the
+    skyline staircase, so the single-partition window is bounded by
+    the answer size, not the corpus."""
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_totalprice",
+        F.unix_micros(F.col("o_orderdate").cast("timestamp"))
+         .alias("dus"),
+        F.unix_micros(F.date_trunc("month", "o_orderdate")
+                       .cast("timestamp")).alias("mb"))
+    bmax = o.groupBy("mb").agg(F.max("o_totalprice").alias("bp"))
+    wb = Window.orderBy(F.col("mb").desc()) \
+               .rangeBetween(Window.unboundedPreceding, -1)
+    bsuf = bmax.select(
+        "mb", F.max("bp").over(wb).alias("later_bucket_max"))
+    cand = (o.join(F.broadcast(bsuf), "mb")
+             .filter(F.col("later_bucket_max").isNull()
+                     | (F.col("o_totalprice")
+                        > F.col("later_bucket_max"))))
+    we = Window.orderBy(F.col("dus").desc()) \
+               .rangeBetween(Window.unboundedPreceding, -1)
+    return (cand.withColumn("later_max",
+                            F.max("o_totalprice").over(we))
+                .filter(F.col("later_max").isNull()
+                        | (F.col("later_max") < F.col("o_totalprice")))
+                .select("o_orderkey", "o_orderdate", "o_totalprice"))
+
+
 # ---------------------------------------------------------------------------
 # OP-J10 — as-of join; OP-J8 — full outer
 # ---------------------------------------------------------------------------

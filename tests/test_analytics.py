@@ -123,3 +123,34 @@ def test_interpolation_bounded_by_neighbors(spark):
             nxt = [v for j, v in observed if j > i]
             lo_hi = ([prev[-1]] if prev else []) + ([nxt[0]] if nxt else [])
             assert min(lo_hi) - 1e-9 <= r["value_filled"] <= max(lo_hi) + 1e-9
+
+
+def test_pareto_skyline_sound_and_complete(spark):
+    """Soundness: no skyline row dominates another. Completeness: every
+    non-skyline order is dominated by at least one skyline row —
+    together these pin the bucket-prefilter argument (a pruned
+    dominator always implies a candidate dominator)."""
+    from stock_data_warehouse_spark.plans.relational import (
+        o6_pareto_skyline,
+    )
+    from stock_data_warehouse_spark.sources.tables import load_table
+    sf = "/root/testdata/sf0.001"
+    sky = [(r["o_orderdate"], r["o_totalprice"], r["o_orderkey"])
+           for r in o6_pareto_skyline(spark, sf).collect()]
+    all_rows = [(r["o_orderdate"], r["o_totalprice"], r["o_orderkey"])
+                for r in load_table(spark, sf, "orders")
+                    .select("o_orderdate", "o_totalprice", "o_orderkey")
+                    .collect()]
+    assert sky
+
+    def dominates(a, b):
+        return (a[0] >= b[0] and a[1] >= b[1]
+                and (a[0] > b[0] or a[1] > b[1]))
+
+    for a in sky:
+        assert not any(dominates(b, a) for b in sky if b[2] != a[2]
+                       and (b[0], b[1]) != (a[0], a[1]))
+    sky_keys = {s[2] for s in sky}
+    for row in all_rows:
+        if row[2] not in sky_keys:
+            assert any(dominates(s, row) for s in sky), row
