@@ -1859,20 +1859,26 @@ def x3_int8_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
              .select(F.col("vec_id").alias("cid"),
                      F.col("e").alias("ce"),
                      F.col("nrm").alias("cnrm")))
-    scored = (n.repartition(spark.sparkContext.defaultParallelism,
-                            "vec_id")
-               .crossJoin(F.broadcast(cent)))
     cos_c = (_dot(F.col("e"), F.col("ce"))
              / (F.col("nrm") * F.col("cnrm")))
-    wassign = Window.partitionBy("vec_id").orderBy(
-        cos_c.desc(), F.col("cid"))
-    assigned = (scored.withColumn("rc", F.row_number().over(wassign))
-                      .filter(F.col("rc") == 1)
-                      .select("vec_id", "cid", "nrm", "mx",
-                              F.transform(
-                                  "e", lambda x: F.floor(
-                                      x * 127.0 / F.col("mx") + 0.5)
-                                   .cast("int")).alias("qv")))
+    # argmin via min(struct(-cos, cid)): negating the cosine turns the
+    # (cos DESC, cid ASC) selection into a lexicographic struct MIN,
+    # which partial-aggregates map-side — K candidate rows per vector
+    # collapse before the exchange instead of sort-shuffling K×N rows,
+    # and the fold is evaluated once (same rewrite as operators/kmeans).
+    best = (n.repartition(spark.sparkContext.defaultParallelism,
+                          "vec_id")
+             .crossJoin(F.broadcast(cent))
+             .groupBy("vec_id")
+             .agg(F.min(F.struct((-cos_c).alias("nc"), "cid"))
+                   .alias("b")))
+    assigned = (n.join(best, "vec_id")
+                 .select("vec_id", F.col("b.cid").alias("cid"),
+                         "nrm", "mx",
+                         F.transform(
+                             "e", lambda x: F.floor(
+                                 x * 127.0 / F.col("mx") + 0.5)
+                              .cast("int")).alias("qv")))
     a, b = assigned.alias("a"), assigned.alias("b")
     acos = (_dot(F.col("a.qv"), F.col("b.qv"))
             * F.col("a.mx") * F.col("b.mx")
@@ -3803,21 +3809,23 @@ def x3_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.posexplode(F.array(*[F.slice("e", 8 * j + 1, 8)
                                for j in range(8)])).alias("j", "sv"))
     cb_ids = _hash_sample(v.select("vec_id"), K_CODES, _H_CODE)
-    cb = (sub.join(F.broadcast(cb_ids), "vec_id")
-             .select(F.col("vec_id").alias("cid"), "j",
-                     F.col("sv").alias("cv")))
+    # consumed twice (encode + LUT): materialize the 256-row codebook
+    cb = ckpt(sub.join(F.broadcast(cb_ids), "vec_id")
+                 .select(F.col("vec_id").alias("cid"), "j",
+                         F.col("sv").alias("cv")))
 
     def l2sq(a, b):
         return F.aggregate(
             F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
             F.lit(0.0), lambda acc, x: acc + x)
 
-    enc = sub.join(F.broadcast(cb), "j")
-    wmin = Window.partitionBy("vec_id", "j").orderBy(
-        l2sq(F.col("sv"), F.col("cv")).asc(), F.col("cid"))
-    codes = (enc.withColumn("rn", F.row_number().over(wmin))
-                .filter(F.col("rn") == 1)
-                .select("vec_id", "j", "cid"))
+    # argmin via min(struct(d2, cid)) — map-side combine, no sort
+    # window over the N×8×K encode relation (see operators/kmeans)
+    codes = (sub.join(F.broadcast(cb), "j")
+                .withColumn("d2", l2sq(F.col("sv"), F.col("cv")))
+                .groupBy("vec_id", "j")
+                .agg(F.min(F.struct("d2", "cid")).alias("b"))
+                .select("vec_id", "j", F.col("b.cid").alias("cid")))
     q_ids = _hash_sample(v.select("vec_id"), N_QUERIES, _H_QUERY)
     queries = (sub.join(F.broadcast(q_ids), "vec_id")
                   .select(F.col("vec_id").alias("query_id"), "j",
@@ -3952,34 +3960,39 @@ def x3_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                      F.col("nrm").alias("cnrm")))
     cos_c = (_dot(F.col("e"), F.col("ce"))
              / (F.col("nrm") * F.col("cnrm")))
-    wassign = Window.partitionBy("vec_id").orderBy(
-        cos_c.desc(), F.col("ccid"))
-    assigned = (n.repartition(spark.sparkContext.defaultParallelism,
-                              "vec_id")
-                 .crossJoin(F.broadcast(cent))
-                 .withColumn("rc", F.row_number().over(wassign))
-                 .filter(F.col("rc") == 1)
-                 .select("vec_id", "e", F.col("ccid").alias("cell")))
+    # argmin via min(struct) — see x3_int8_ivf_topk: map-side partial
+    # aggregation instead of a K×N sort window, fold evaluated once.
+    best = (n.repartition(spark.sparkContext.defaultParallelism,
+                          "vec_id")
+             .crossJoin(F.broadcast(cent))
+             .groupBy("vec_id")
+             .agg(F.min(F.struct((-cos_c).alias("nc"), "ccid"))
+                   .alias("b")))
+    assigned = (n.join(best, "vec_id")
+                 .select("vec_id", "e", F.col("b.ccid").alias("cell")))
     sub = assigned.select(
         "vec_id", "cell",
         F.posexplode(F.array(*[F.slice("e", 8 * j + 1, 8)
                                for j in range(8)])).alias("j", "sv"))
     cb_ids = _hash_sample(n.select("vec_id"), K_CODES, _H_CODE)
-    cb = (sub.join(F.broadcast(cb_ids), "vec_id")
-             .select(F.col("vec_id").alias("cid"), "j",
-                     F.col("sv").alias("cv")))
+    # the codebook is consumed twice (encode + LUT) — materialize the
+    # 256-row relation once so the TakeOrdered sample and the cell
+    # assignment feeding it don't replay per consumer
+    cb = ckpt(sub.join(F.broadcast(cb_ids), "vec_id")
+                 .select(F.col("vec_id").alias("cid"), "j",
+                         F.col("sv").alias("cv")))
 
     def l2sq(a, b):
         return F.aggregate(
             F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
             F.lit(0.0), lambda acc, x: acc + x)
 
-    wmin = Window.partitionBy("vec_id", "j").orderBy(
-        l2sq(F.col("sv"), F.col("cv")).asc(), F.col("cid"))
     codes = (sub.join(F.broadcast(cb), "j")
-                .withColumn("rn", F.row_number().over(wmin))
-                .filter(F.col("rn") == 1)
-                .select("vec_id", "cell", "j", "cid"))
+                .withColumn("d2", l2sq(F.col("sv"), F.col("cv")))
+                .groupBy("vec_id", "cell", "j")
+                .agg(F.min(F.struct("d2", "cid")).alias("b"))
+                .select("vec_id", "cell", "j",
+                        F.col("b.cid").alias("cid")))
     q_ids = _hash_sample(n.select("vec_id"), N_QUERIES, _H_QUERY)
     queries = (sub.join(F.broadcast(q_ids), "vec_id")
                   .select(F.col("vec_id").alias("query_id"),
