@@ -515,3 +515,100 @@ def t19_interpolate_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(filled.cast("decimal(38,10)"), 6)
          .cast("double").alias("value_filled"),
         F.col("v").isNull().alias("is_interpolated"))
+
+
+# ---------------------------------------------------------------------------
+# OP-A15 — one-pass column profiler (data-quality observability)
+# ---------------------------------------------------------------------------
+
+#: (profile column, DuckDB expression producing its canonical string).
+#: Numeric values are zero-padded to fixed width so LEXICOGRAPHIC
+#: min/max equals numeric order and both engines compare identically;
+#: the money column profiles as integer cents (exact — c_acctbal is
+#: 2-dp), never as a stringified double (engine float formatting is
+#: not cross-engine stable).
+_PROFILE_COLS = [
+    ("c_custkey", "lpad(CAST(c_custkey AS VARCHAR), 10, '0')"),
+    ("c_nationkey", "lpad(CAST(c_nationkey AS VARCHAR), 4, '0')"),
+    ("c_mktsegment", "c_mktsegment"),
+    ("c_acctbal_cents",
+     "lpad(CAST(CAST(CASE WHEN c_acctbal < 0"
+     " THEN -FLOOR(ABS(c_acctbal) * 100.0 + 0.5)"
+     " ELSE FLOOR(ABS(c_acctbal) * 100.0 + 0.5) END AS BIGINT)"
+     " AS VARCHAR), 12, '0')"),
+]
+
+
+@register(
+    "a15_table_profile",
+    oracle=f"""
+    WITH long AS (
+      {' UNION ALL '.join(
+          f"SELECT '{name}' AS col, {expr} AS val FROM customer"
+          for name, expr in _PROFILE_COLS)}
+    ),
+    vc AS (
+      SELECT col, val, COUNT(*) AS n
+      FROM long WHERE val IS NOT NULL GROUP BY col, val
+    ),
+    tops AS (
+      SELECT col, val AS top_val, n AS top_n FROM (
+        SELECT col, val, n, ROW_NUMBER() OVER (
+          PARTITION BY col ORDER BY n DESC, val) AS rn
+        FROM vc
+      ) WHERE rn = 1
+    ),
+    stats AS (
+      SELECT col, COUNT(*) AS n_rows,
+             SUM(CASE WHEN val IS NULL THEN 1 ELSE 0 END) AS n_nulls,
+             COUNT(DISTINCT val) AS n_distinct,
+             MIN(val) AS min_val, MAX(val) AS max_val
+      FROM long GROUP BY col
+    )
+    SELECT s.col, s.n_rows, s.n_nulls, s.n_distinct,
+           s.min_val, s.max_val, t.top_val, t.top_n
+    FROM stats s JOIN tops t ON s.col = t.col
+    """,
+)
+def a15_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OP-A15 — one-pass column profiling (the deequ/dbt-test
+    observability primitive a warehouse runs on every load): per
+    column, row count, null count, distinct count, min/max, and the
+    modal value with a deterministic (count DESC, value ASC) tiebreak.
+
+    ONE scan feeds everything: ``stack`` pivots the row into a
+    (column, canonical-string) long relation inside the projection —
+    at 100 TB the profile costs one pass over the table plus two
+    aggregations on (col, val) partials, not one scan per metric per
+    column. Values are canonicalized (fixed-width zero-padding for
+    numerics, integer cents for money) so lexicographic ordering is
+    numeric ordering and every comparison is engine-stable. The mode
+    window partitions on the 4-entry column dim — bounded by the
+    SCHEMA, not the data."""
+    c = _t(spark, sf_dir, "customer")
+    cents_sql = ("CAST(CASE WHEN c_acctbal < 0"
+                 " THEN -FLOOR(ABS(c_acctbal) * 100.0 + 0.5)"
+                 " ELSE FLOOR(ABS(c_acctbal) * 100.0 + 0.5) END"
+                 " AS BIGINT)")
+    long = c.select(F.expr(
+        "stack(4, "
+        "'c_custkey', lpad(CAST(c_custkey AS STRING), 10, '0'), "
+        "'c_nationkey', lpad(CAST(c_nationkey AS STRING), 4, '0'), "
+        "'c_mktsegment', c_mktsegment, "
+        f"'c_acctbal_cents', lpad(CAST({cents_sql} AS STRING), 12, '0')"
+        ") AS (col, val)"))
+    vc = (long.filter(F.col("val").isNotNull())
+              .groupBy("col", "val").agg(F.count(F.lit(1)).alias("n")))
+    wt = Window.partitionBy("col").orderBy(F.col("n").desc(), "val")
+    tops = (vc.withColumn("rn", F.row_number().over(wt))
+              .filter(F.col("rn") == 1)
+              .select("col", F.col("val").alias("top_val"),
+                      F.col("n").alias("top_n")))
+    stats = (long.groupBy("col")
+                 .agg(F.count(F.lit(1)).alias("n_rows"),
+                      F.sum(F.when(F.col("val").isNull(), 1)
+                             .otherwise(0)).alias("n_nulls"),
+                      F.count_distinct("val").alias("n_distinct"),
+                      F.min("val").alias("min_val"),
+                      F.max("val").alias("max_val")))
+    return stats.join(tops, "col")
