@@ -1010,6 +1010,63 @@ def x5_vector_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "x5_matryoshka_truncate",
+    oracle=f"""
+    WITH v AS (
+      SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings
+    ),
+    p AS (
+      SELECT vec_id, label,
+             {_sql_dot('e', 'e')} AS sq64,
+             {_sql_dot('e[1:16]', 'e[1:16]')} AS sq16,
+             {_sql_dot('e[1:4]', 'e[1:4]')} AS sq4
+      FROM v
+    )
+    SELECT vec_id, label,
+           {sql_round_half_up('sqrt(sq64)', 6)} AS norm_full,
+           {sql_round_half_up('sqrt(sq16)', 6)} AS norm_16,
+           {sql_round_half_up('sqrt(sq4)', 6)} AS norm_4,
+           {sql_round_half_up(
+               'CASE WHEN sq64 > 0 THEN sq16 / sq64 END', 6)}
+             AS energy_16,
+           {sql_round_half_up(
+               'CASE WHEN sq64 > 0 THEN sq4 / sq64 END', 6)}
+             AS energy_4
+    FROM p
+    """,
+)
+def x5_matryoshka_truncate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OP-X5 — Matryoshka (MRL) prefix truncation metrics: modern
+    embedding models are trained so that the FIRST d dims of a vector
+    are themselves a usable d-dim embedding; serving picks a prefix
+    length per cost tier. This query measures what each truncation
+    keeps — prefix norms at 16 and 4 dims and the energy fraction
+    ‖e[:d]‖²/‖e‖² — the report a pipeline runs before choosing a
+    truncation tier for its ANN index.
+
+    Pure projection over higher-order folds (slice + the bit-exact
+    sequential dot), zero shuffles; ratios of deterministic folds are
+    class-A (floor-kernel) territory. NULL energy for a zero vector
+    (guarded division, both engines)."""
+    e = _t(spark, sf_dir, "embeddings")
+    v = e.select("vec_id", "label",
+                 _as_double_vec("embedding").alias("e"))
+    sq64 = _dot(F.col("e"), F.col("e"))
+    e16 = F.slice("e", 1, 16)
+    e4 = F.slice("e", 1, 4)
+    sq16 = _dot(e16, e16)
+    sq4 = _dot(e4, e4)
+    guard = lambda num: F.when(sq64 > 0, num / sq64)
+    return v.select(
+        "vec_id", "label",
+        round_half_up(F.sqrt(sq64), 6).alias("norm_full"),
+        round_half_up(F.sqrt(sq16), 6).alias("norm_16"),
+        round_half_up(F.sqrt(sq4), 6).alias("norm_4"),
+        round_half_up(guard(sq16), 6).alias("energy_16"),
+        round_half_up(guard(sq4), 6).alias("energy_4"))
+
+
+@register(
     "x5_binary_meta",
     oracle="""
     SELECT doc_id,
