@@ -550,6 +550,10 @@ def x2_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     byte-for-byte (portable md5 hash family), so the candidate set
     itself (including banding misses) is cross-engine exact."""
     d = _t(spark, sf_dir, "documents")
+    # the band pipeline feeds both the corpus index and the arrival
+    # probes; recomputing it per side measures FASTER than a ckpt
+    # materialization here (the pipeline fuses into each side's scan,
+    # and the split filters prune it to disjoint halves)
     bands = _portable_bands(d)
     corpus_idx = bands.filter(F.col("doc_id") < 400)
     arr_bands = bands.filter(F.col("doc_id") >= 400)
