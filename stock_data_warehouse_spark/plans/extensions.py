@@ -3401,6 +3401,164 @@ def bloom_prefilter_dedup(corpus_h: DataFrame,
 # OP-X2 — kNN-graph PageRank (similarity-graph centrality)
 # ---------------------------------------------------------------------------
 
+#: Shared CTE chain ending in ``edges(src, dst)`` — each vector's top-3
+#: cosine neighbors within its label group, the kNN similarity graph
+#: used by x2_knn_pagerank and x2_triangle_count (one definition so the
+#: two oracles cannot drift).
+_SQL_KNN_EDGES = f"""
+    v AS (
+      SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings
+    ),
+    n AS (
+      SELECT vec_id, label, e, sqrt({_sql_dot('e', 'e')}) AS nrm FROM v
+    ),
+    pairs AS (
+      SELECT a.vec_id AS q, b.vec_id AS nb,
+             {_sql_dot('a.e', 'b.e')} / (a.nrm * b.nrm) AS cos
+      FROM n a JOIN n b
+        ON a.label = b.label AND a.vec_id <> b.vec_id
+    ),
+    edges AS (
+      SELECT q AS src, nb AS dst FROM (
+        SELECT q, nb, ROW_NUMBER() OVER (
+          PARTITION BY q ORDER BY cos DESC, nb) AS rn
+        FROM pairs
+      ) WHERE rn <= 3
+    )"""
+
+
+def _knn_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark twin of ``_SQL_KNN_EDGES``: directed (src, dst) edges,
+    checkpointed (both consumers iterate/join them repeatedly)."""
+    e = _t(spark, sf_dir, "embeddings")
+    v = e.select("vec_id", "label", _as_double_vec("embedding").alias("e"))
+    nv = v.withColumn("nrm", F.sqrt(_dot(F.col("e"), F.col("e"))))
+    a, b = nv.alias("a"), nv.alias("b")
+    cos = (_dot(F.col("a.e"), F.col("b.e"))
+           / (F.col("a.nrm") * F.col("b.nrm")))
+    pairs = (a.join(b, (F.col("a.label") == F.col("b.label"))
+                    & (F.col("a.vec_id") != F.col("b.vec_id")))
+              .select(F.col("a.vec_id").alias("q"),
+                      F.col("b.vec_id").alias("nb"),
+                      cos.alias("cos")))
+    wnd = Window.partitionBy("q").orderBy(F.col("cos").desc(), "nb")
+    return ckpt(pairs.withColumn("rn", F.row_number().over(wnd))
+                     .filter(F.col("rn") <= 3)
+                     .select(F.col("q").alias("src"),
+                             F.col("nb").alias("dst")))
+
+
+@register(
+    "x2_triangle_count",
+    oracle=f"""
+    WITH {_SQL_KNN_EDGES},
+    und AS (
+      SELECT DISTINCT LEAST(src, dst) AS u, GREATEST(src, dst) AS v
+      FROM edges
+    ),
+    deg AS (
+      SELECT node, COUNT(*) AS d FROM (
+        SELECT u AS node FROM und UNION ALL SELECT v FROM und
+      ) GROUP BY node
+    ),
+    o AS (
+      SELECT CASE WHEN (du.d < dv.d) OR (du.d = dv.d AND e.u < e.v)
+                  THEN e.u ELSE e.v END AS a,
+             CASE WHEN (du.d < dv.d) OR (du.d = dv.d AND e.u < e.v)
+                  THEN e.v ELSE e.u END AS b
+      FROM und e
+      JOIN deg du ON du.node = e.u
+      JOIN deg dv ON dv.node = e.v
+    ),
+    tri AS (
+      SELECT w.a, w.b, w.c
+      FROM (
+        SELECT e1.a, e1.b AS b, e2.b AS c
+        FROM o e1 JOIN o e2
+          ON e1.a = e2.a
+        JOIN deg db ON db.node = e1.b
+        JOIN deg dc ON dc.node = e2.b
+        WHERE (db.d < dc.d) OR (db.d = dc.d AND e1.b < e2.b)
+      ) w
+      JOIN o e3 ON e3.a = w.b AND e3.b = w.c
+    ),
+    per_node AS (
+      SELECT node, COUNT(*) AS n_triangles FROM (
+        SELECT a AS node FROM tri
+        UNION ALL SELECT b FROM tri
+        UNION ALL SELECT c FROM tri
+      ) GROUP BY node
+    )
+    SELECT d.node AS vec_id, d.d AS degree,
+           COALESCE(p.n_triangles, 0) AS n_triangles
+    FROM deg d LEFT JOIN per_node p ON p.node = d.node
+    """,
+)
+def x2_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OP-X2 (graph analytics) — per-node triangle counts over the kNN
+    similarity graph: the local-clustering signal behind community
+    detection and tight-cluster dedup (a node whose neighbors are also
+    mutual neighbors sits inside a near-duplicate clique, not a chain
+    of borderline pairs).
+
+    The plan is the degree-ordered edge-iterator algorithm (the
+    MapReduce-classic): undirected edges orient from the LOWER
+    (degree, id) endpoint, wedges enumerate only at each edge's lower
+    endpoint, and a final join against the oriented edge set closes
+    them. Orienting by degree bounds the wedge fan-out per node by its
+    oriented OUT-degree — on a skewed graph a celebrity node of degree
+    10⁶ generates no wedges itself (all its edges point at it), which
+    is the difference between Σ d(v)² on the raw graph and the
+    O(m^1.5) bound of the oriented form. Every triangle is found
+    exactly once; per-node counts explode its 3 corners. Integer-exact
+    end to end — no rounding kernels anywhere."""
+    return triangle_counts(_knn_edges(spark, sf_dir))
+
+
+def triangle_counts(edges: DataFrame) -> DataFrame:
+    """The x2_triangle_count body over any directed (src, dst) edge
+    relation — factored out so the degree-ordered orientation is
+    unit-testable on crafted graphs (K4, triangle+path)."""
+    und = (edges.select(F.least("src", "dst").alias("u"),
+                        F.greatest("src", "dst").alias("v"))
+                .distinct())
+    deg = (und.select(F.col("u").alias("node"))
+              .unionAll(und.select(F.col("v").alias("node")))
+              .groupBy("node").agg(F.count(F.lit(1)).alias("d")))
+    du = deg.select(F.col("node").alias("u"), F.col("d").alias("du"))
+    dv = deg.select(F.col("node").alias("v"), F.col("d").alias("dv"))
+    lower_first = ((F.col("du") < F.col("dv"))
+                   | ((F.col("du") == F.col("dv"))
+                      & (F.col("u") < F.col("v"))))
+    o = ckpt(und.join(du, "u").join(dv, "v")
+                .select(F.when(lower_first, F.col("u"))
+                         .otherwise(F.col("v")).alias("a"),
+                        F.when(lower_first, F.col("v"))
+                         .otherwise(F.col("u")).alias("b")))
+    e1 = o.select(F.col("a"), F.col("b").alias("wb"))
+    e2 = o.select(F.col("a"), F.col("b").alias("wc"))
+    db = deg.select(F.col("node").alias("wb"), F.col("d").alias("db"))
+    dc = deg.select(F.col("node").alias("wc"), F.col("d").alias("dc"))
+    wedges = (e1.join(e2, "a")
+                .join(db, "wb").join(dc, "wc")
+                .filter((F.col("db") < F.col("dc"))
+                        | ((F.col("db") == F.col("dc"))
+                           & (F.col("wb") < F.col("wc"))))
+                .select("a", "wb", "wc"))
+    closing = o.select(F.col("a").alias("wb"), F.col("b").alias("wc"))
+    tri = wedges.join(closing, ["wb", "wc"])
+    per_node = (tri.select(F.col("a").alias("node"))
+                   .unionAll(tri.select(F.col("wb").alias("node")))
+                   .unionAll(tri.select(F.col("wc").alias("node")))
+                   .groupBy("node")
+                   .agg(F.count(F.lit(1)).alias("n_triangles")))
+    return (deg.join(per_node, "node", "left")
+               .select(F.col("node").alias("vec_id"),
+                       F.col("d").alias("degree"),
+                       F.coalesce("n_triangles", F.lit(0))
+                        .alias("n_triangles")))
+
+
 _PR_DAMP = "0.85"
 _PR_JUMP = "0.15"
 
@@ -3427,25 +3585,7 @@ def _sql_pr_iter(i: int) -> str:
 @register(
     "x2_knn_pagerank",
     oracle=f"""
-    WITH v AS (
-      SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings
-    ),
-    n AS (
-      SELECT vec_id, label, e, sqrt({_sql_dot('e', 'e')}) AS nrm FROM v
-    ),
-    pairs AS (
-      SELECT a.vec_id AS q, b.vec_id AS nb,
-             {_sql_dot('a.e', 'b.e')} / (a.nrm * b.nrm) AS cos
-      FROM n a JOIN n b
-        ON a.label = b.label AND a.vec_id <> b.vec_id
-    ),
-    edges AS (
-      SELECT q AS src, nb AS dst FROM (
-        SELECT q, nb, ROW_NUMBER() OVER (
-          PARTITION BY q ORDER BY cos DESC, nb) AS rn
-        FROM pairs
-      ) WHERE rn <= 3
-    ),
+    WITH {_SQL_KNN_EDGES},
     deg AS (SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY src),
     nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM deg),
     r0 AS (SELECT src AS node, 1.0 / nn.n AS r FROM deg, nn),
@@ -3482,22 +3622,7 @@ def x2_knn_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     functions/scalars.py), so only the FINAL rank is displayed, routed
     through DECIMAL(38,10) at 8 dp — ranks live in (0, 1), far inside
     the route's |x| ≪ 9e5 domain."""
-    e = _t(spark, sf_dir, "embeddings")
-    v = e.select("vec_id", "label", _as_double_vec("embedding").alias("e"))
-    nv = v.withColumn("nrm", F.sqrt(_dot(F.col("e"), F.col("e"))))
-    a, b = nv.alias("a"), nv.alias("b")
-    cos = (_dot(F.col("a.e"), F.col("b.e"))
-           / (F.col("a.nrm") * F.col("b.nrm")))
-    pairs = (a.join(b, (F.col("a.label") == F.col("b.label"))
-                    & (F.col("a.vec_id") != F.col("b.vec_id")))
-              .select(F.col("a.vec_id").alias("q"),
-                      F.col("b.vec_id").alias("nb"),
-                      cos.alias("cos")))
-    wnd = Window.partitionBy("q").orderBy(F.col("cos").desc(), "nb")
-    edges = ckpt(pairs.withColumn("rn", F.row_number().over(wnd))
-                      .filter(F.col("rn") <= 3)
-                      .select(F.col("q").alias("src"),
-                              F.col("nb").alias("dst")))
+    edges = _knn_edges(spark, sf_dir)
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
     nn = deg.agg(F.count(F.lit(1)).cast("double").alias("n"))
     ranks = (deg.crossJoin(F.broadcast(nn))

@@ -857,3 +857,26 @@ def test_knn_pagerank_mass_conserved_and_positive(spark):
     assert abs(total - 1.0) < 1e-5
     assert all(r["pagerank"] > 0 for r in rows)
     assert len({r["pagerank"] for r in rows}) > 1
+
+
+def test_triangle_counts_on_crafted_graphs(spark):
+    """Degree-ordered triangle counting on graphs with known answers:
+    K4 (4 triangles, every node in 3) and a triangle with a pendant
+    path (nodes 1-2-3 each in 1, nodes 4-5 in 0). Edge direction and
+    duplicates must not matter."""
+    from stock_data_warehouse_spark.plans.extensions import (
+        triangle_counts,
+    )
+    k4 = spark.createDataFrame(
+        [(a, b) for a in range(1, 5) for b in range(1, 5) if a != b],
+        "src long, dst long")
+    got = {r["vec_id"]: (r["degree"], r["n_triangles"])
+           for r in triangle_counts(k4).collect()}
+    assert got == {n: (3, 3) for n in range(1, 5)}
+
+    tri_path = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (3, 4), (4, 5), (2, 1)],
+        "src long, dst long")
+    got = {r["vec_id"]: r["n_triangles"]
+           for r in triangle_counts(tri_path).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 0, 5: 0}
