@@ -75,6 +75,9 @@ HEADLINE = (
     "x2_incremental_minhash",     # arrivals vs stored band index
     "x2_knn_pagerank",            # 3-iteration PageRank on kNN graph
     "t21_stream_static_enrich",   # stream-static dim join + window
+    "x2_triangle_count",          # degree-ordered triangle counting
+    "o6_pareto_skyline",          # bucket-prefiltered skyline
+    "a15_table_profile",          # one-pass column profiler
 )
 
 

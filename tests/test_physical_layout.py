@@ -337,3 +337,51 @@ def test_bloom_prefilter_membership_is_scan_side(spark):
     join_lines = [ln for ln in plan.splitlines()
                   if "Join" in ln and "bloom_candidate" in ln]
     assert join_lines, "confirm join lost its bloom_candidate gate"
+
+
+def test_aqe_splits_skewed_join_partition(spark):
+    """100 TB posture pin: with AQE skew-join thresholds lowered, a
+    sort-merge join whose one key carries most rows must be re-planned
+    with the skewed partition SPLIT (the SMJ marked isSkew) — the
+    engine-native complement to the explicit salting of
+    j12_salted_skew_join."""
+    from pyspark.sql import functions as F
+    old = {k: spark.conf.get(k, None) for k in (
+        "spark.sql.autoBroadcastJoinThreshold",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold",
+    )}
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set(
+            "spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1")
+        spark.conf.set(
+            "spark.sql.adaptive.skewJoin."
+            "skewedPartitionThresholdInBytes", "16KB")
+        spark.conf.set(
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes", "8KB")
+        # one hot key with 50k rows, 31 cold keys with 10 each
+        fact = spark.range(0, 50_000).select(
+            F.when(F.col("id") < 49_690, 0)
+             .otherwise((F.col("id") % 31) + 1).alias("k"),
+            (F.col("id") * 7).alias("payload"))
+        dim = spark.range(0, 32).select(
+            F.col("id").alias("k"), (F.col("id") + 100).alias("attr"))
+        # a bare join: a downstream key-aggregation would pin the
+        # join's output distribution and AQE would (correctly) refuse
+        # to split the skewed partition for it
+        j = fact.join(dim, "k")
+        j.collect()
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        plan = plan.split("== Initial Plan ==")[0]
+        assert "isSkew=true" in plan or "skew=true" in plan, plan
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
