@@ -785,6 +785,57 @@ def s16_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 @register(
+    "s18_csv_permissive_scan",
+    oracle="""
+    SELECT r_regionkey, r_name FROM region
+    UNION ALL
+    SELECT CAST(-1 AS INT), 'corrupt:2'
+    """,
+)
+def s18_csv_permissive_scan(spark: SparkSession,
+                            sf_dir: str) -> DataFrame:
+    """OP-S18 / OP-E1 — the CSV leg of the landing-format surface
+    (s1 text, s2/s12 JSON, S3 parquet, s13/s14 custom connector): a
+    headered CSV stages every region row plus two malformed lines
+    (wrong arity, wrong-typed key). A PERMISSIVE schema-first read
+    parses the good rows and quarantines the rest in ``_corrupt`` —
+    identical contract to the JSON form, proving the skip-on-failure
+    semantics are a property of the SCAN layer, not of one format.
+    Delimited text is still the dominant interchange format at rest;
+    a 100 TB CSV landing zone reads with per-file task parallelism
+    and the same quarantine column."""
+    r = load_table(spark, sf_dir, "region")
+    stage = tempfile.mkdtemp(prefix="csv_permissive_")
+    path = os.path.join(stage, "landing.csv")
+    rows = r.select("r_regionkey", "r_name").collect()  # 5-row dim
+    with open(path, "w") as f:
+        f.write("r_regionkey,r_name\n")
+        for row in rows:
+            f.write(f"{row['r_regionkey']},{row['r_name']}\n")
+        f.write("7,EXTRA,FIELD,HERE\n")      # wrong arity
+        f.write("not-an-int,BADKEY\n")       # wrong-typed key
+    schema = T.StructType([
+        T.StructField("r_regionkey", T.IntegerType()),
+        T.StructField("r_name", T.StringType()),
+        T.StructField("_corrupt", T.StringType()),
+    ])
+    raw = (spark.read.schema(schema)
+           .option("header", "true")
+           .option("mode", "PERMISSIVE")
+           .option("columnNameOfCorruptRecord", "_corrupt")
+           .csv(path)
+           .transform(ckpt))
+    good = (raw.filter(F.col("_corrupt").isNull())
+               .select("r_regionkey", "r_name"))
+    bad_tally = (raw.filter(F.col("_corrupt").isNotNull())
+                    .agg(F.lit(-1).cast("int").alias("r_regionkey"),
+                         F.concat(F.lit("corrupt:"),
+                                  F.count(F.lit(1)).cast("string"))
+                          .alias("r_name")))
+    return good.unionAll(bad_tally)
+
+
+@register(
     "s12_permissive_json_scan",
     oracle="""
     SELECT n_nationkey, n_name FROM nation
