@@ -724,7 +724,8 @@ def t20_streaming_leaderboard(spark: SparkSession,
     SELECT window_start, c_mktsegment, n_purchases, revenue_cents
     FROM w
     WHERE window_start + INTERVAL 1 HOUR
-          <= (SELECT max(ts) FROM events) - INTERVAL 10 MINUTE
+          <= (SELECT max(ts) FROM events WHERE event_type = 'purchase')
+             - INTERVAL 10 MINUTE
     """,
 )
 def t21_stream_static_enrich(spark: SparkSession,
@@ -750,8 +751,17 @@ def t21_stream_static_enrich(spark: SparkSession,
     # contract): per-file batches over a multi-file events dir with
     # interleaved timestamps would advance the watermark mid-run and
     # drop late windows the batch oracle keeps.
+    # The event-time frontier is the PURCHASE stream's: Catalyst
+    # pushes the deterministic type filter below any earlier watermark
+    # node, so the engine's watermark tracks max purchase ts no matter
+    # where withWatermark is written — the oracle seals against the
+    # same max (caught by the t21 micro-data test; a click-only tail
+    # therefore never seals nor withholds purchase windows). The
+    # watermark sits BEFORE the dim join: a purchase whose user has no
+    # dim row still advances the frontier (also pinned by the test).
     s = (events_stream(spark, sf_dir, max_files_per_trigger=1_000_000)
-         .filter(F.col("event_type") == "purchase"))
+         .filter(F.col("event_type") == "purchase")
+         .withWatermark("ts", "10 minutes"))
     dim = (load_table(spark, sf_dir, "customer")
            .select("c_custkey", "c_mktsegment"))
     cents = F.when(
@@ -761,8 +771,7 @@ def t21_stream_static_enrich(spark: SparkSession,
      .cast("long")
     j = (s.join(F.broadcast(dim), s["user_id"] == dim["c_custkey"])
           .select("ts", "c_mktsegment", cents.alias("cents")))
-    agg = (j.withWatermark("ts", "10 minutes")
-            .groupBy(F.window("ts", "1 hour").alias("w"),
+    agg = (j.groupBy(F.window("ts", "1 hour").alias("w"),
                      "c_mktsegment")
             .agg(F.count(F.lit(1)).alias("n_purchases"),
                  F.sum("cents").alias("revenue_cents")))

@@ -43,6 +43,10 @@ SAMPLE = [
     "x7_weighted_sample_ares",      # class-B-keyed reservoir top-k
     "x2_knn_pagerank",              # iterative FP ranks, ckpt barrier
     "s16_zorder_layout",            # bit-interleave grouping
+    "o6_pareto_skyline",            # prefilter + range-window staircase
+    "a15_table_profile",            # mode tiebreak under shuffling
+    "x2_triangle_count",            # orientation under partitioning
+    "x2_incremental_minhash",       # best-match tiebreak
 ]
 
 

@@ -199,3 +199,56 @@ def test_left_outer_seal_is_null_strict_on_one_sided_corpus(spark):
                 f"SELECT * FROM '{d}/events.parquet'")
     sql = entry_mod.oracle_sql()["t13_unconverted_clicks_stream"]
     assert len(con.execute(sql).fetchall()) == 0
+
+
+def test_t21_stream_static_seal_and_enrichment(spark, tmp_path):
+    """t21 on crafted micro-data: the stream-static join must (1) pick
+    up the static dim per purchase, (2) seal exactly the windows whose
+    end + watermark delay has passed the max event time, (3) drop
+    purchases whose user has no dim row (inner join). Window W0
+    (hour 0) seals because max ts = 02:30 puts the watermark at 02:20;
+    window W2 (hour 2, containing the frontier event) must NOT emit."""
+    import pandas as pd
+    from stock_data_warehouse_spark.streaming.jobs import (
+        t21_stream_static_enrich,
+    )
+
+    t0 = pd.Timestamp("2025-06-01 00:00:00")
+    h, m = pd.Timedelta(hours=1), pd.Timedelta(minutes=1)
+    rows = [
+        (1, t0 + 10 * m, 0, "purchase", 10.00, "{}"),   # W0, cust 0
+        (2, t0 + 20 * m, 1, "purchase", 5.50, "{}"),    # W0, cust 1
+        (3, t0 + 30 * m, 9999, "purchase", 7.00, "{}"), # W0, no dim row
+        (4, t0 + h + 10 * m, 0, "purchase", 2.25, "{}"),  # W1
+        # frontier: a purchase from a DIM-LESS user — advances the
+        # watermark (it sits before the join) but emits no row; a
+        # click at the same ts would NOT advance it (the frontier is
+        # the purchase stream's — Catalyst pushes the type filter
+        # below any watermark node)
+        (5, t0 + 2 * h + 30 * m, 9998, "purchase", 1.0, "{}"),
+    ]
+    d = str(tmp_path / "t21_micro")
+    import os
+    os.makedirs(d)
+    pd.DataFrame(rows, columns=[
+        "event_id", "ts", "user_id", "event_type", "value", "props"
+    ]).to_parquet(f"{d}/events.parquet")
+    # the dim comes from customer.parquet in the same dir
+    from stock_data_warehouse_spark.sources.tables import load_table
+    (load_table(spark, "/root/testdata/sf0.001", "customer")
+     .filter("c_custkey < 100")
+     .write.parquet(f"{d}/customer.parquet"))
+
+    out = {(r["window_start"].hour, r["c_mktsegment"]):
+           (r["n_purchases"], r["revenue_cents"])
+           for r in t21_stream_static_enrich(spark, d).collect()}
+    hours = {k[0] for k in out}
+    assert 0 in hours and 1 in hours      # W0, W1 sealed
+    assert 2 not in hours                 # frontier's own window withheld
+    # per-window totals: W0 has custs 0+1 (user 9999 dropped: no dim),
+    # W1 has cust 0 — exact integer cents
+    w0 = [v for k, v in out.items() if k[0] == 0]
+    assert sum(n for n, _ in w0) == 2
+    assert sum(c for _, c in w0) == 1550
+    w1 = [v for k, v in out.items() if k[0] == 1]
+    assert sum(n for n, _ in w1) == 1 and sum(c for _, c in w1) == 225
