@@ -4314,6 +4314,7 @@ def x3_ivfpq_recall_report(spark: SparkSession,
            TRUE AS cells_ok,
            TRUE AS codes_ok,
            TRUE AS inertia_monotone,
+           TRUE AS coarse_inertia_monotone,
            TRUE AS recall_ok
     """,
 )
@@ -4340,6 +4341,9 @@ def x3_ivfpq_learned(spark: SparkSession, sf_dir: str) -> DataFrame:
     - ``codes_ok`` — exactly 8 subspace codes per vector (N×8 rows);
     - ``inertia_monotone`` — 3-round PQ-codebook inertia ≤ 1-round
       (Lloyd's is non-increasing; the grouped trainer's own property);
+    - ``coarse_inertia_monotone`` — the same non-increasing check on
+      the COARSE trainer's own per-iteration log (ADVICE r5 item 2:
+      the coarse training is now verified, not just the PQ codebooks);
     - ``recall_ok`` — mean recall@3 of the learned index over the
       fixed N_QUERIES batch ≥ the medoid index's mean recall − 0.15:
       training must not degrade the index materially (measured:
@@ -4356,13 +4360,15 @@ def x3_ivfpq_learned(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # coarse IVF cells: learned on a bounded 8·K training sample
     # (the FAISS posture — k-means needs ~100·K training points, not
-    # the corpus), then ONE full assignment pass; the per-iteration
-    # training inertias feed the monotonicity verdict without
-    # re-training a shorter twin.
+    # the corpus), then ONE full assignment pass; BOTH trainers' own
+    # per-iteration inertia logs feed the monotonicity verdicts
+    # without re-training shorter twins.
     pq_log: list = []
+    coarse_log: list = []
     coarse = kmeans_fit_assign(n, "vec_id", "e",
                                k=K_COARSE, n_iter=3,
-                               train_sample=8 * K_COARSE)
+                               train_sample=8 * K_COARSE,
+                               inertia_log=coarse_log)
     assigned = (n.join(coarse.select(F.col("id").alias("vec_id"),
                                      "cell"), "vec_id")
                  .select("vec_id", "e", "cell"))
@@ -4456,10 +4462,13 @@ def x3_ivfpq_learned(spark: SparkSession, sf_dir: str) -> DataFrame:
     ncodes = enc3.agg(F.count(F.lit(1)).alias("n_codes"))
     i3 = pq_log[-1].select(F.col("inertia").alias("inertia3"))
     i1 = pq_log[0].select(F.col("inertia").alias("inertia1"))
+    c3 = coarse_log[-1].select(F.col("inertia").alias("cinertia3"))
+    c1 = coarse_log[0].select(F.col("inertia").alias("cinertia1"))
     rl = mean_recall(approx).withColumnRenamed("mr", "r_learned")
     rm = mean_recall(medoid).withColumnRenamed("mr", "r_medoid")
     return (n_total.crossJoin(cells).crossJoin(ncodes)
-            .crossJoin(i3).crossJoin(i1).crossJoin(rl).crossJoin(rm)
+            .crossJoin(i3).crossJoin(i1).crossJoin(c3).crossJoin(c1)
+            .crossJoin(rl).crossJoin(rm)
             .select(
                 "n_vectors",
                 ((F.col("n_assigned") == F.col("n_vectors"))
@@ -4471,5 +4480,7 @@ def x3_ivfpq_learned(spark: SparkSession, sf_dir: str) -> DataFrame:
                 # equality-at-convergence must not flake
                 (F.col("inertia3") <= F.col("inertia1") * 1.0000001)
                  .alias("inertia_monotone"),
+                (F.col("cinertia3") <= F.col("cinertia1") * 1.0000001)
+                 .alias("coarse_inertia_monotone"),
                 (F.col("r_learned") >= F.col("r_medoid") - 0.15)
                  .alias("recall_ok")))

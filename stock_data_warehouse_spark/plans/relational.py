@@ -689,25 +689,38 @@ def o6_pareto_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
     value-predicate — no rank cut, no tiebreak needed, deterministic
     by construction.
 
-    Distributed shape (the classic staircase decomposition): a
-    MONTH-bucket prefilter first — per-bucket max price (one hash
-    agg), suffix-max over strictly-later buckets (a window over the
-    BOUNDED bucket dim), broadcast back; a row survives only if it
-    beats every strictly-later bucket's maximum. Any dominated row
-    pruned here has, by a finite chain of strictly-later witnesses, a
-    dominating row that IS a candidate — so the exact pass over the
-    (small) candidate set loses nothing. The exact pass is a
-    descending RANGE frame ending at -1, which is exactly "max price
-    over strictly later dates" in both engines (equal dates excluded
-    by the range offset, verified cross-engine); candidates ≈ the
-    skyline staircase, so the single-partition window is bounded by
-    the answer size, not the corpus."""
+    Distributed shape (two-level staircase decomposition). Pass 1 —
+    WITHIN-bucket local staircase: a window PARTITIONED on the month
+    bucket (parallel across months, sort local to each bucket) with
+    the same strictly-later RANGE frame prunes any row dominated by a
+    same-bucket later row; each bucket's survivors are its local
+    staircase, bounded by that bucket's answer size — so the NEWEST
+    bucket (which no cross-bucket bound can touch) contributes only
+    its staircase, never the whole month (ADVICE r5 item 1). Pass 2 —
+    CROSS-bucket bound: per-bucket max price (one hash agg),
+    suffix-max over strictly-later buckets (a window over the BOUNDED
+    bucket dim), broadcast back; a survivor must also beat every
+    strictly-later bucket's maximum. Both prunes are lossless: every
+    pruned row has a strictly-later ≥-price witness, and by a finite
+    chain of such witnesses a dominating CANDIDATE exists. The exact
+    pass is a descending RANGE frame ending at -1, which is exactly
+    "max price over strictly later dates" in both engines (equal
+    dates excluded by the range offset, verified cross-engine); its
+    input is Σ(per-bucket staircases) further cut by the cross-bucket
+    bound ≈ the answer staircase — bounded by answer size, not the
+    corpus."""
     o = _t(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderdate", "o_totalprice",
         F.unix_micros(F.col("o_orderdate").cast("timestamp"))
          .alias("dus"),
         F.unix_micros(F.date_trunc("month", "o_orderdate")
                        .cast("timestamp")).alias("mb"))
+    wl = Window.partitionBy("mb").orderBy(F.col("dus").desc()) \
+               .rangeBetween(Window.unboundedPreceding, -1)
+    o = (o.withColumn("llm", F.max("o_totalprice").over(wl))
+          .filter(F.col("llm").isNull()
+                  | (F.col("llm") < F.col("o_totalprice")))
+          .drop("llm"))
     bmax = o.groupBy("mb").agg(F.max("o_totalprice").alias("bp"))
     wb = Window.orderBy(F.col("mb").desc()) \
                .rangeBetween(Window.unboundedPreceding, -1)

@@ -22,7 +22,6 @@ from __future__ import annotations
 
 import json
 import os
-import tempfile
 
 from pyspark.sql import DataFrame, Row, SparkSession, Window
 from pyspark.sql import functions as F
@@ -31,6 +30,7 @@ from pyspark.sql import types as T
 from ..operators.checkpoint import ckpt
 from ..plans.registry import register
 from .tables import load_table
+from ..tmpdirs import mkdtemp as _mkdtemp
 
 
 # ---------------------------------------------------------------------------
@@ -170,7 +170,7 @@ def s1_text_list_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows = (nation.join(region,
                         nation.n_regionkey == region.r_regionkey)
                   .select("r_name", "n_name").collect())
-    stage = tempfile.mkdtemp(prefix="lists_")
+    stage = _mkdtemp(prefix="lists_")
     by_list: dict[str, list[str]] = {}
     for r in rows:
         by_list.setdefault(r["r_name"], []).append(r["n_name"])
@@ -202,7 +202,7 @@ def s2_json_record_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     schema-inferred, so the scan is one pass and the types are stable.
     """
     c = load_table(spark, sf_dir, "customer")
-    stage = tempfile.mkdtemp(prefix="json_scan_")
+    stage = _mkdtemp(prefix="json_scan_")
     c.write.mode("overwrite").json(f"{stage}/customer")
     schema = T.StructType([
         T.StructField("c_custkey", T.LongType()),
@@ -251,7 +251,7 @@ def s8_publish_if_changed(spark: SparkSession, sf_dir: str) -> DataFrame:
     content-hash anti-join and writes nothing (update.yml:33-39's
     commit-if-changed as a deterministic, testable relation)."""
     c = load_table(spark, sf_dir, "customer")
-    target = tempfile.mkdtemp(prefix="publish_")
+    target = _mkdtemp(prefix="publish_")
     first = publish_if_changed(spark, c, target, "c_custkey")
     second = publish_if_changed(spark, c, target, "c_custkey")
     return spark.createDataFrame(
@@ -276,7 +276,7 @@ def s5_per_key_json_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     is executor-side foreachPartition — the driver never sees the
     records."""
     n = load_table(spark, sf_dir, "nation")
-    out = tempfile.mkdtemp(prefix="perkey_json_")
+    out = _mkdtemp(prefix="perkey_json_")
     write_per_key_json(n, "n_name", out)
     files = sorted(os.listdir(out))
     return spark.createDataFrame(
@@ -395,7 +395,7 @@ def s9_sharded_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     mix = (d.filter(hash_coin(F.col("doc_id"), "u") < _UNIFORM_TH)
             .select("doc_id", "lang", "source", "text",
                     shard.alias("shard")))
-    out_dir = tempfile.mkdtemp(prefix="export_")
+    out_dir = _mkdtemp(prefix="export_")
     write_sharded_jsonl(mix, "shard", out_dir)
     return (mix.groupBy("shard")
                .agg(F.count(F.lit(1)).alias("n_docs"),
@@ -513,7 +513,7 @@ def s10_versioned_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_acctbal",
         F.when(F.col("c_nationkey") == 3, F.col("c_acctbal") + 100.0)
          .otherwise(F.col("c_acctbal")))
-    target = tempfile.mkdtemp(prefix="versioned_")
+    target = _mkdtemp(prefix="versioned_")
     publish_versioned(spark, c, target)
     publish_versioned(spark, c2, target)
     publish_versioned(spark, c2, target)  # identical → no new version
@@ -594,7 +594,7 @@ def s11_compaction_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     a self-join of the 4-row range relation — all distributed, no
     footer snooping on the driver."""
     c = load_table(spark, sf_dir, "customer")
-    target = os.path.join(tempfile.mkdtemp(prefix="compact_"), "t")
+    target = os.path.join(_mkdtemp(prefix="compact_"), "t")
     # round-robin: even spread means all 64 partitions are non-empty at
     # every SF (hash-on-key left empty buckets at sf0.001's 150 rows)
     c.repartition(64).write.parquet(target)
@@ -661,7 +661,7 @@ def s17_schema_evolution_scan(spark: SparkSession,
     at planning, not a data pass); the data-side plan is an ordinary
     pruned scan + hash aggregation."""
     c = load_table(spark, sf_dir, "customer")
-    stage = os.path.join(tempfile.mkdtemp(prefix="schema_evo_"), "t")
+    stage = os.path.join(_mkdtemp(prefix="schema_evo_"), "t")
     # generation 1: the column does not exist yet
     (c.filter(F.col("c_custkey") < 75)
       .select("c_custkey", "c_acctbal")
@@ -805,7 +805,7 @@ def s18_csv_permissive_scan(spark: SparkSession,
     a 100 TB CSV landing zone reads with per-file task parallelism
     and the same quarantine column."""
     r = load_table(spark, sf_dir, "region")
-    stage = tempfile.mkdtemp(prefix="csv_permissive_")
+    stage = _mkdtemp(prefix="csv_permissive_")
     path = os.path.join(stage, "landing.csv")
     rows = r.select("r_regionkey", "r_name").collect()  # 5-row dim
     with open(path, "w") as f:
@@ -856,7 +856,7 @@ def s12_permissive_json_scan(spark: SparkSession,
     the quarantine tally, so the oracle checks BOTH that nothing good
     was lost and that exactly the staged corruption was caught."""
     n = load_table(spark, sf_dir, "nation")
-    stage = tempfile.mkdtemp(prefix="permissive_")
+    stage = _mkdtemp(prefix="permissive_")
     path = os.path.join(stage, "landing.jsonl")
     rows = n.select("n_nationkey", "n_name").collect()  # 25-row dim
     with open(path, "w") as f:

@@ -38,7 +38,6 @@ from __future__ import annotations
 
 import itertools
 import os
-import tempfile
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -46,6 +45,7 @@ from pyspark.sql import types as T
 
 from ..operators.checkpoint import ckpt
 from ..plans.registry import register
+from ..tmpdirs import mkdtemp as _mkdtemp
 
 def _events_stream_schema(ts_type: T.DataType) -> T.StructType:
     """Explicit source schema — file streams require one. ``ts`` has
@@ -82,7 +82,7 @@ def events_stream(spark: SparkSession, sf_dir: str,
     """
     from ..sources.tables import event_ts_cols
 
-    stage = tempfile.mkdtemp(prefix="events_stream_")
+    stage = _mkdtemp(prefix="events_stream_")
     os.symlink(f"{sf_dir}/events.parquet", f"{stage}/events.parquet")
     # Same read-time pins as the batch loader (sources/tables.py): the
     # micros branch casts NTZ wall-clock through the session zone, so a
@@ -106,9 +106,21 @@ def events_stream(spark: SparkSession, sf_dir: str,
         "user_id", "event_type", "value", "props")
 
 
-def _run_to_table(stream_df: DataFrame, mode: str) -> DataFrame:
+def _run_to_table(stream_df: DataFrame, mode: str,
+                  require_single_batch: bool = False) -> DataFrame:
     """Run a bounded streaming query to completion into a memory sink
-    and return the materialized table."""
+    and return the materialized table.
+
+    ``require_single_batch`` asserts — from the engine's OWN progress
+    metrics, after the fact — that every source row was admitted in ONE
+    data micro-batch (ADVICE r5 item 3). The t12/t13/t21 oracles rest
+    on that contract: their seal replay assumes the watermark was still
+    at epoch while every row was admitted. The contract is *arranged*
+    by ``max_files_per_trigger=1_000_000``, but if a staged source ever
+    exceeded that (or admission otherwise split batches), rows would be
+    silently dropped as late and the divergence would surface only as
+    an oracle hash mismatch downstream — this turns it into a loud,
+    named failure at the query that violated it instead."""
     name = f"stream_result_{next(_seq)}"
     q = (stream_df.writeStream
          .format("memory")
@@ -117,6 +129,16 @@ def _run_to_table(stream_df: DataFrame, mode: str) -> DataFrame:
          .trigger(availableNow=True)
          .start())
     q.awaitTermination()
+    if require_single_batch:
+        data_batches = [p for p in q.recentProgress
+                        if p["numInputRows"] > 0]
+        if len(data_batches) > 1:
+            raise RuntimeError(
+                f"single-batch contract violated: {name} admitted rows "
+                f"in {len(data_batches)} micro-batches "
+                f"({[p['numInputRows'] for p in data_batches]}); the "
+                "bounded-replay oracle is only valid when the whole "
+                "source lands in one data micro-batch")
     return stream_df.sparkSession.table(name)
 
 
@@ -187,7 +209,7 @@ def t1_microbatch_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     limited micro-batches, each written to a parquet snapshot via
     ``foreachBatch`` — rerunnable on a cron exactly like the reference's
     4×/day workflow, with checkpointed progress instead of re-reading."""
-    out_dir = tempfile.mkdtemp(prefix="t1_refresh_")
+    out_dir = _mkdtemp(prefix="t1_refresh_")
     s = events_stream(spark, sf_dir)
     hourly = (s.withWatermark("ts", "10 minutes")
                .groupBy(F.window("ts", "1 hour").alias("w"))
@@ -454,7 +476,7 @@ def t12_interval_join_stream(spark: SparkSession,
         & (F.col("p_ts") >= F.col("c_ts"))
         & (F.col("p_ts") <= F.col("c_ts")
            + F.expr("INTERVAL 30 MINUTES")))
-    out = _run_to_table(j, "append")
+    out = _run_to_table(j, "append", require_single_batch=True)
     return out.select(
         F.col("c_user").alias("user_id"), "click_id", "purchase_id",
         (F.unix_micros("p_ts") - F.unix_micros("c_ts"))
@@ -546,7 +568,7 @@ def t13_unconverted_clicks_stream(spark: SparkSession,
         & (F.col("p_ts") <= F.col("c_ts")
            + F.expr("INTERVAL 30 MINUTES")),
         "leftOuter")
-    out = _run_to_table(j, "append")
+    out = _run_to_table(j, "append", require_single_batch=True)
     return out.select(
         F.col("c_user").alias("user_id"), "click_id", "purchase_id",
         F.col("purchase_id").isNotNull().alias("converted"))
@@ -579,7 +601,7 @@ def t16_streaming_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     the target table, not the state store."""
     from ..operators.merge import merge_into
 
-    out_dir = tempfile.mkdtemp(prefix="t16_merge_")
+    out_dir = _mkdtemp(prefix="t16_merge_")
     target_path = f"{out_dir}/target"
     cols = ["user_id", "event_id", "ts", "value"]
     spark.createDataFrame(
@@ -652,7 +674,7 @@ def t20_streaming_leaderboard(spark: SparkSession,
     """
     from ..sources.tables import load_table
 
-    out_dir = tempfile.mkdtemp(prefix="t20_leader_")
+    out_dir = _mkdtemp(prefix="t20_leader_")
     stage = f"{out_dir}/stage"
     counts_path = f"{out_dir}/counts"
     # Stage the (already ts-normalized) events as 4 files → 4 batches.
@@ -777,4 +799,4 @@ def t21_stream_static_enrich(spark: SparkSession,
                  F.sum("cents").alias("revenue_cents")))
     out = agg.select(F.col("w.start").alias("window_start"),
                      "c_mktsegment", "n_purchases", "revenue_cents")
-    return _run_to_table(out, "append")
+    return _run_to_table(out, "append", require_single_batch=True)
