@@ -78,6 +78,8 @@ HEADLINE = (
     "x2_triangle_count",          # degree-ordered triangle counting
     "o6_pareto_skyline",          # bucket-prefiltered skyline
     "a15_table_profile",          # one-pass column profiler
+    # round-6 additions
+    "t22_watermark_advance_drops",  # multi-batch watermark + late drops
 )
 
 

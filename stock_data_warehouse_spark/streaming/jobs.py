@@ -800,3 +800,211 @@ def t21_stream_static_enrich(spark: SparkSession,
     out = agg.select(F.col("w.start").alias("window_start"),
                      "c_mktsegment", "n_purchases", "revenue_cents")
     return _run_to_table(out, "append", require_single_batch=True)
+
+
+# ---------------------------------------------------------------------------
+# OP-T22 — the watermark ADVANCES across real micro-batches and late
+# data is actually dropped mid-stream (VERDICT r5 next-round #1)
+# ---------------------------------------------------------------------------
+
+@register(
+    "t22_watermark_advance_drops",
+    oracle="""
+    WITH e AS (
+      SELECT event_id, ts, event_type,
+             CAST(CASE WHEN value < 0
+                  THEN -FLOOR(ABS(value) * 100.0 + 0.5)
+                  ELSE FLOOR(ABS(value) * 100.0 + 0.5) END
+             AS BIGINT) AS cents
+      FROM events
+    ),
+    bounds AS (
+      SELECT epoch_us(MIN(ts)) AS mn, epoch_us(MAX(ts)) AS mx FROM e
+    ),
+    ar AS (
+      SELECT e.*,
+             CASE WHEN event_id % 23 = 0
+                   AND (epoch_us(ts) - mn) * 4 // (mx - mn + 1) < 3
+                  THEN LEAST(
+                    (epoch_us(ts) - mn) * 4 // (mx - mn + 1) + 2, 3)
+                  ELSE (epoch_us(ts) - mn) * 4 // (mx - mn + 1)
+             END AS arrival,
+             (epoch_us(ts) // 3600000000) * 3600000000 + 3600000000
+               AS we_us
+      FROM e, bounds
+    ),
+    slots AS (SELECT unnest([0, 1, 2, 3]::BIGINT[]) AS arrival),
+    bm AS (
+      -- per-batch max event time, ms-floored exactly like Spark's
+      -- EventTimeStats (watermarks are millisecond-resolution);
+      -- an empty batch contributes NULL = leaves the frontier alone
+      SELECT s.arrival,
+             (SELECT MAX((epoch_us(ts) // 1000) * 1000)
+              FROM ar WHERE ar.arrival = s.arrival) AS bmx
+      FROM slots s
+    ),
+    fw AS (
+      -- the LATE-EVENT filter watermark of batch k is the watermark
+      -- that was OPERATIVE in batch k-1, i.e. max event time through
+      -- batch k-2, minus the 10-minute delay (Spark's two-watermark
+      -- semantics: filtering lags eviction by one batch)
+      SELECT arrival,
+             MAX(bmx) OVER (ORDER BY arrival
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 2 PRECEDING)
+               - 600000000 AS filter_wm
+      FROM bm
+    ),
+    flagged AS (
+      SELECT ar.*,
+             (fw.filter_wm IS NOT NULL
+              AND ar.we_us <= fw.filter_wm) AS dropped
+      FROM ar JOIN fw USING (arrival)
+    ),
+    grp AS (
+      SELECT we_us, event_type,
+             COUNT(*) AS n_events, SUM(cents) AS sum_cents
+      FROM flagged WHERE NOT dropped
+      GROUP BY 1, 2
+    ),
+    final_wm AS (
+      SELECT MAX((epoch_us(ts) // 1000) * 1000) - 600000000 AS wm
+      FROM e
+    )
+    SELECT make_timestamp(we_us - 3600000000) AS window_start,
+           event_type, n_events, sum_cents,
+           (SELECT COUNT(*) FROM (
+              SELECT DISTINCT arrival, we_us, event_type
+              FROM flagged WHERE dropped))
+             AS n_late_dropped
+    FROM grp, final_wm
+    WHERE we_us <= final_wm.wm
+    """,
+)
+def t22_watermark_advance_drops(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """OP-T22 — a watermark that genuinely ADVANCES across micro-batches
+    and drops late rows mid-stream: the one Structured Streaming
+    behavior every real deployment hits daily that the bounded
+    one-batch contract (t12/t13/t21) deliberately avoids.
+
+    The events table is staged into FOUR time-quartile files (integer-µs
+    quartile split, exact in both engines), except that a deterministic
+    subset (``event_id % 23 == 0``) is shifted TWO files later than its
+    quartile (capped at the last file) — those rows arrive after the
+    frontier has moved past them. Two, not one, because the late filter
+    lags eviction by one batch: a row arriving one batch late is never
+    behind the (lagged) filter frontier and silently merges; a
+    quartile-0/1 row arriving two batches late is behind its own
+    quartile's sealed top and genuinely DROPS, while a quartile-2 row
+    capped to the last file exercises the merge-late-but-kept path —
+    both behaviors are replayed by the oracle. ``maxFilesPerTrigger=1``
+    + file-mtime ordering makes arrival order = quartile order, so the
+    watermark climbs one quartile per batch and the drop set is fully
+    deterministic.
+
+    The oracle replays Spark's exact two-watermark semantics, pinned by
+    crafted experiment (tests/test_watermark_advance.py) on this exact
+    engine version:
+
+    - the watermark operative in batch k is the ms-floored max event
+      time over batches < k, minus the 10-minute delay (EventTimeStats
+      collects milliseconds);
+    - the LATE-EVENT filter of batch k uses the watermark that was
+      operative in batch *k-1* (one-batch lag — Spark's
+      ``watermarkForLateEvents`` vs ``watermarkForEviction`` split), and
+      drops a row iff its window END <= that frontier (equality drops:
+      an evicted window cannot be reopened, so the lagged filter is
+      exactly "was this window already emitted?");
+    - eviction/emission in batch k seals windows with end <= the
+      CURRENT watermark; the AvailableNow final no-data batch advances
+      the frontier to global-max − delay, so the seal filter is the t7
+      pattern.
+
+    The emitted result therefore contains exactly the on-time-window
+    sums over NON-dropped rows, and ``n_late_dropped`` — read back from
+    the engine's own ``numRowsDroppedByWatermark`` state-operator
+    metrics — is pinned against the oracle's replayed drop count: if
+    Spark ever dropped a different set than the model predicts, the
+    hash comparison fails. One measured subtlety (falsified at sf0.1,
+    where row- and group-counts diverge 2169 vs 1331): the metric
+    counts dropped rows AT THE STATEFUL OPERATOR, which sits behind a
+    partial-aggregate + exchange + merge — one row per (window, type)
+    group per batch — so the oracle counts DISTINCT dropped
+    (batch, window, type) triples, not raw late input rows. Money
+    crosses as integer cents (the t8/t21 class-A kernel), so window
+    sums carry no FP noise.
+
+    Scale: staging is test scaffolding for a landing zone that at 100 TB
+    exists upstream (files arriving per micro-batch IS the production
+    topology); the streaming plan itself is the t7 shape — state keyed
+    on (window, type), pruned as the watermark passes, bounded by the
+    lateness horizon × type cardinality, never by stream length."""
+    from ..sources.tables import load_table
+
+    out_dir = _mkdtemp(prefix="t22_wmadv_")
+    stage = f"{out_dir}/landing"
+    cents = F.when(
+        F.col("value") < 0,
+        -F.floor(F.abs(F.col("value")) * 100.0 + F.lit(0.5)),
+    ).otherwise(F.floor(F.abs(F.col("value")) * 100.0 + F.lit(0.5))) \
+     .cast("long")
+    ev = (load_table(spark, sf_dir, "events")
+          .select("event_id", "ts", "event_type", cents.alias("cents")))
+    mn, mx = ev.agg(F.min(F.unix_micros("ts")),
+                    F.max(F.unix_micros("ts"))).first()
+    # integer-µs quartile index — `div` keeps the arithmetic in longs
+    # (a double division could round a boundary row into the wrong
+    # file on one engine only)
+    q = F.expr(f"((unix_micros(ts) - {mn}) * 4) div ({mx - mn + 1})")
+    arrival = F.when((F.col("event_id") % 23 == 0) & (q < 3),
+                     F.least(q + 2, F.lit(3))).otherwise(q)
+    staged = ev.withColumn("arrival", arrival)
+    base_mtime = 1_700_000_000
+    n_staged = 0
+    for k in range(4):
+        path = f"{stage}/a{k}"
+        part = staged.filter(F.col("arrival") == k).drop("arrival")
+        part.coalesce(1).write.parquet(path)
+        t = base_mtime + 60 * k
+        for root, _dirs, files in os.walk(path):
+            for fn in files:
+                os.utime(os.path.join(root, fn), (t, t))
+        os.utime(path, (t, t))
+    n_staged = spark.read.option("recursiveFileLookup", "true") \
+                         .parquet(stage).count()
+
+    s = (spark.readStream
+         .schema("event_id long, ts timestamp, "
+                 "event_type string, cents long")
+         .option("maxFilesPerTrigger", "1")
+         .option("recursiveFileLookup", "true")
+         .parquet(stage))
+    agg = (s.withWatermark("ts", "10 minutes")
+            .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.sum("cents").alias("sum_cents")))
+    out = agg.select(F.col("w.start").alias("window_start"),
+                     "event_type", "n_events", "sum_cents")
+    name = f"stream_result_{next(_seq)}"
+    sq = (out.writeStream
+          .format("memory")
+          .queryName(name)
+          .outputMode("append")
+          .trigger(availableNow=True)
+          .start())
+    sq.awaitTermination()
+    progress = sq.recentProgress
+    data_batches = [p for p in progress if p["numInputRows"] > 0]
+    admitted = sum(p["numInputRows"] for p in data_batches)
+    # the INVERSE of the t12 contract: this query is only meaningful if
+    # the source really arrived as multiple micro-batches, and every
+    # staged row must have been admitted (drops happen at the stateful
+    # operator, AFTER admission, so input counts are pre-drop)
+    if len(data_batches) < 2 or admitted != n_staged:
+        raise RuntimeError(
+            f"multi-batch contract violated: {len(data_batches)} data "
+            f"micro-batches, {admitted}/{n_staged} rows admitted")
+    dropped = sum(x["numRowsDroppedByWatermark"]
+                  for p in progress for x in p["stateOperators"])
+    return (spark.table(name)
+            .withColumn("n_late_dropped", F.lit(int(dropped))))

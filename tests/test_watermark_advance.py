@@ -1,0 +1,127 @@
+"""Pin Spark's multi-batch watermark semantics with crafted micro-data.
+
+The t22_watermark_advance_drops oracle (streaming/jobs.py) replays
+three engine behaviors that are NOT obvious from the docs and were
+established by experiment on this exact Spark version:
+
+1. the late-event filter of batch k uses the watermark operative in
+   batch k-1 (one-batch lag: ``watermarkForLateEvents`` vs
+   ``watermarkForEviction``), so a row arriving ONE batch late merges
+   silently while a row TWO batches late drops;
+2. the filter predicate is ``window.end <= frontier`` — equality DROPS
+   (an evicted window cannot be reopened);
+3. ``numRowsDroppedByWatermark`` counts rows at the STATEFUL operator,
+   i.e. post-partial-aggregation group rows, not raw inputs.
+
+If a Spark upgrade changes any of these, this file fails first and
+points at the contract, instead of t22 failing as an opaque oracle
+hash mismatch.
+"""
+
+import os
+import shutil
+from datetime import datetime
+
+from pyspark.sql import functions as F
+
+
+def _stage(spark, base, files):
+    """Write each (name, rows, mtime) as one parquet file dir with a
+    pinned modification time so the file-stream admission order is
+    deterministic."""
+    shutil.rmtree(base, ignore_errors=True)
+    os.makedirs(base)
+    for name, rows, mtime in files:
+        df = spark.createDataFrame(
+            [(i, t, 1.0) for i, t in rows],
+            "event_id long, ts timestamp, v double")
+        path = f"{base}/{name}"
+        df.coalesce(1).write.parquet(path)
+        for root, _dirs, fns in os.walk(path):
+            for fn in fns:
+                os.utime(os.path.join(root, fn), (mtime, mtime))
+        os.utime(path, (mtime, mtime))
+
+
+def test_two_watermark_semantics(spark, tmp_path):
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    TS = lambda h, m: datetime(2024, 1, 1, h, m)
+    base = str(tmp_path / "stage")
+    # batch 0: 10:00, 12:10          -> wm after batch 0 = 12:00
+    # batch 1: 10:05 (end 11:00; filter wm = epoch -> MERGES, lesson 1)
+    #          12:20                 -> wm after batch 1 = 12:10
+    # batch 2: filter wm = 12:00 (batch 1's operative wm, NOT 12:10)
+    #   10:08 -> end 11:00 <= 12:00  -> drops
+    #   11:45 -> end 12:00 == 12:00  -> drops (equality, lesson 2)
+    #   12:40 -> end 13:00 >  12:00  -> kept
+    # batch 3: 15:00 advances the frontier so [12,13) seals
+    _stage(spark, base, [
+        ("a", [(1, TS(10, 0)), (2, TS(12, 10))], 1_000_000),
+        ("b", [(3, TS(10, 5)), (4, TS(12, 20))], 2_000_000),
+        ("c", [(5, TS(10, 8)), (6, TS(11, 45)), (7, TS(12, 40))],
+         3_000_000),
+        ("d", [(8, TS(15, 0))], 4_000_000),
+    ])
+    s = (spark.readStream
+         .schema("event_id long, ts timestamp, v double")
+         .option("maxFilesPerTrigger", "1")
+         .option("recursiveFileLookup", "true")
+         .parquet(base))
+    agg = (s.withWatermark("ts", "10 minutes")
+            .groupBy(F.window("ts", "1 hour").alias("w"))
+            .agg(F.count(F.lit(1)).alias("n")))
+    out = agg.select(F.col("w.start").alias("ws"), "n")
+    q = (out.writeStream.format("memory").queryName("wm_semantics")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination()
+
+    got = {str(r["ws"]): r["n"]
+           for r in spark.table("wm_semantics").collect()}
+    # [10,11): rows 1 + 3 (the one-batch-late row MERGED); rows 5
+    # dropped.  [11,12): row 6 dropped at the == boundary -> window
+    # absent.  [12,13): rows 2, 4, 7.  [15,16): unsealed, withheld.
+    assert got == {
+        "2024-01-01 10:00:00": 2,
+        "2024-01-01 12:00:00": 3,
+    }, got
+    dropped_per_batch = [
+        sum(x["numRowsDroppedByWatermark"] for x in p["stateOperators"])
+        for p in q.recentProgress]
+    # rows 5 and 6 fall in DIFFERENT windows -> 2 group rows dropped,
+    # all in batch 2 (lesson 3: the metric counts group rows; here
+    # each dropped window has one row so groups == rows)
+    assert sum(dropped_per_batch) == 2, dropped_per_batch
+    assert dropped_per_batch[2] == 2, dropped_per_batch
+
+
+def test_metric_counts_groups_not_rows(spark, tmp_path):
+    """Two late rows in the SAME window drop as ONE metric row."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    TS = lambda h, m: datetime(2024, 1, 1, h, m)
+    base = str(tmp_path / "stage")
+    _stage(spark, base, [
+        ("a", [(1, TS(10, 0)), (2, TS(12, 10))], 1_000_000),
+        ("b", [(3, TS(12, 20))], 2_000_000),
+        # batch 2, filter wm = 12:00: BOTH rows in [10,11) -> one group
+        ("c", [(4, TS(10, 5)), (5, TS(10, 40)), (6, TS(12, 40))],
+         3_000_000),
+    ])
+    s = (spark.readStream
+         .schema("event_id long, ts timestamp, v double")
+         .option("maxFilesPerTrigger", "1")
+         .option("recursiveFileLookup", "true")
+         .parquet(base))
+    agg = (s.withWatermark("ts", "10 minutes")
+            .groupBy(F.window("ts", "1 hour").alias("w"))
+            .agg(F.count(F.lit(1)).alias("n")))
+    q = (agg.select(F.col("w.start").alias("ws"), "n")
+         .writeStream.format("memory").queryName("wm_groups")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination()
+    total = sum(x["numRowsDroppedByWatermark"]
+                for p in q.recentProgress
+                for x in p["stateOperators"])
+    assert total == 1, [
+        (p["batchId"],
+         [x["numRowsDroppedByWatermark"] for x in p["stateOperators"]])
+        for p in q.recentProgress]
