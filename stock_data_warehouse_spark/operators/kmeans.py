@@ -68,7 +68,8 @@ def kmeans_fit_assign(vectors: DataFrame, id_col: str = "vec_id",
                       vec_col: str = "e", k: int = 8,
                       n_iter: int = 5,
                       train_sample: int | None = None,
-                      inertia_log: list | None = None) -> DataFrame:
+                      inertia_log: list | None = None,
+                      centroids_log: list | None = None) -> DataFrame:
     """Run ``n_iter`` Lloyd iterations from hash-min medoid seeds and
     return ``(id, cell, sq_dist)`` — every vector with its cluster
     under the final trained centroids and squared distance to it.
@@ -88,6 +89,12 @@ def kmeans_fit_assign(vectors: DataFrame, id_col: str = "vec_id",
     TRAINING set to the centroids the iteration started from. Lloyd's
     guarantees the sequence non-increasing; callers use it for the
     monotonicity verdict without re-training a shorter twin.
+
+    ``centroids_log``, if a list, receives the final trained
+    ``(cell, ce)`` centroid relation (K rows, already checkpointed) —
+    callers that need the centroids themselves (residual PQ encodes
+    ``vec − centroid(cell)``, streaming ingest assigns arrivals against
+    a frozen index) read them from here instead of re-deriving.
 
     The per-iteration plan: broadcast the K centroids as a literal
     relation (K is bounded), map-side argmin via ``min(struct)``, then
@@ -130,6 +137,8 @@ def kmeans_fit_assign(vectors: DataFrame, id_col: str = "vec_id",
                              F.transform("dm", lambda s: s["m"])
                              .alias("ce")))
         centroids = ckpt(means)
+    if centroids_log is not None:
+        centroids_log.append(centroids)
     # ONE full-relation assignment against the trained centroids; the
     # result is consumed several times downstream (completeness,
     # inertia, code joins) — truncate its lineage once.
