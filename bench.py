@@ -80,6 +80,8 @@ HEADLINE = (
     "a15_table_profile",          # one-pass column profiler
     # round-6 additions
     "t22_watermark_advance_drops",  # multi-batch watermark + late drops
+    "x3_ivfpq_residual",          # residual-encoded IVF-PQ vs raw
+    "a16_heavy_hitters",          # mergeable Misra-Gries summary
 )
 
 

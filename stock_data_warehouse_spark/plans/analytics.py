@@ -612,3 +612,127 @@ def a15_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.min("val").alias("min_val"),
                       F.max("val").alias("max_val")))
     return stats.join(tops, "col")
+
+
+# ---------------------------------------------------------------------------
+# OP-A16 — heavy hitters via a mergeable Misra-Gries summary
+# (VERDICT r5 next-round #3: the a14-HLL architecture step applied to
+# "top-K frequent tokens", the 100 TB answer where the a15 profiler's
+# exact mode window cannot go)
+# ---------------------------------------------------------------------------
+
+_MG_M = 64   #: summary capacity (counters per partition and merged)
+
+
+@register(
+    "a16_heavy_hitters",
+    oracle=f"""
+    WITH tok AS (
+      SELECT unnest(list_filter(
+               string_split_regex(lower(text), '[^a-z0-9]+'),
+               x -> x <> '')) AS tok
+      FROM documents
+    ),
+    exact AS (SELECT tok, COUNT(*) AS c FROM tok GROUP BY tok),
+    n AS (SELECT COUNT(*) AS n_tokens FROM tok),
+    hh AS (SELECT COUNT(*) AS n_true_hh FROM exact, n
+           WHERE c * {_MG_M + 1} > n_tokens),
+    top AS (SELECT tok AS top_token, c AS top_count FROM exact
+            ORDER BY c DESC, tok LIMIT 1)
+    SELECT n.n_tokens, hh.n_true_hh, top.top_token, top.top_count,
+           TRUE AS sketch_size_ok,
+           TRUE AS containment_ok,
+           TRUE AS bounds_ok
+    FROM n, hh, top
+    """,
+)
+def a16_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OP-A16 — top-frequent tokens via a MERGEABLE Misra-Gries /
+    SpaceSaving summary, judged against the exact count. The a15
+    profiler finds exact modes with a window; at 100 TB the standard
+    answer for "top-K frequent tokens across partitions" is a bounded
+    mergeable summary — the same architecture step a14 took for
+    COUNT(DISTINCT) with HLL (Agarwal et al., "Mergeable Summaries":
+    MG summaries merge with total error ≤ N/(m+1) under ANY merge
+    tree).
+
+    Shape: one Arrow pass per partition (``mapInPandas``) maintains a
+    ≤ m-entry summary — per batch, add exact batch counts, then
+    compress by subtracting the (m+1)-th largest weight and dropping
+    non-positives (the MG decrement, vectorized; memory is bounded by
+    m + one Arrow batch's vocabulary, never the partition's). The ≤ m
+    rows per partition merge with ONE hash agg; the final compress
+    reads the (m+1)-th largest merged weight via a TakeOrdered(m+1) —
+    a literal constant, no single-partition window anywhere.
+
+    The summary itself depends on partitioning and arrival order, so
+    the registered result is the a7/a10-style VERDICT over
+    falsifiable theorems plus exact deterministic columns:
+
+    - ``n_tokens`` / ``n_true_hh`` / ``top_token`` / ``top_count`` —
+      exact, engine-portable (integer threshold compare
+      ``c·(m+1) > N``, no division);
+    - ``sketch_size_ok`` — merged summary has ≤ m entries;
+    - ``containment_ok`` — EVERY true heavy hitter (count > N/(m+1))
+      is present in the sketch: the MG guarantee
+      ``c(x) − ĉ(x) ≤ N/(m+1)`` makes its estimate positive;
+    - ``bounds_ok`` — every sketch estimate is an underestimate within
+      the theorem bound: ``ĉ ≤ c`` and ``(c − ĉ)·(m+1) ≤ N``.
+
+    The exact referee is itself a distributed groupBy (the verdict's
+    cost is the oracle's cost at test SF); a 100 TB deployment ships
+    only the sketch path."""
+    from .extensions import tokens_col
+
+    m = _MG_M
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(F.explode(tokens_col("text")).alias("tok"))
+
+    def mg_partition(batches):
+        import pandas as pd
+        summary = pd.Series(dtype="int64")
+        for pdf in batches:
+            vc = pdf["tok"].value_counts()
+            summary = summary.add(vc, fill_value=0).astype("int64")
+            if len(summary) > m:
+                dth = summary.nlargest(m + 1).iloc[-1]
+                summary = summary[summary > dth] - dth
+        yield pd.DataFrame({"tok": summary.index.astype(str),
+                            "w": summary.to_numpy(dtype="int64")})
+
+    merged = (toks.mapInPandas(mg_partition, "tok string, w long")
+                  .groupBy("tok").agg(F.sum("w").alias("w")))
+    top_mp1 = merged.orderBy(F.col("w").desc(), "tok").limit(m + 1)
+    dth = top_mp1.agg(
+        F.when(F.count(F.lit(1)) == m + 1, F.min("w"))
+         .otherwise(F.lit(0)).alias("d"))
+    sketch = (merged.crossJoin(F.broadcast(dth))
+                    .filter(F.col("w") > F.col("d"))
+                    .select("tok", (F.col("w") - F.col("d"))
+                            .alias("w")))
+
+    exact = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    n_tok = toks.agg(F.count(F.lit(1)).alias("n_tokens"))
+    true_hh = (exact.crossJoin(F.broadcast(n_tok))
+                    .filter(F.col("c") * (m + 1) > F.col("n_tokens")))
+    n_missed = (true_hh.join(sketch, "tok", "left_anti")
+                       .agg(F.count(F.lit(1)).alias("n_missed")))
+    viol = (sketch.join(exact, "tok")
+                  .crossJoin(F.broadcast(n_tok))
+                  .agg(F.sum(F.when(
+                      (F.col("w") > F.col("c"))
+                      | ((F.col("c") - F.col("w")) * (m + 1)
+                         > F.col("n_tokens")), 1).otherwise(0))
+                      .alias("n_viol")))
+    sk_size = sketch.agg(F.count(F.lit(1)).alias("sk_n"))
+    hh_n = true_hh.agg(F.count(F.lit(1)).alias("n_true_hh"))
+    top = (exact.orderBy(F.col("c").desc(), "tok").limit(1)
+                .select(F.col("tok").alias("top_token"),
+                        F.col("c").alias("top_count")))
+    return (n_tok.crossJoin(hh_n).crossJoin(top)
+            .crossJoin(sk_size).crossJoin(n_missed).crossJoin(viol)
+            .select(
+                "n_tokens", "n_true_hh", "top_token", "top_count",
+                (F.col("sk_n") <= m).alias("sketch_size_ok"),
+                (F.col("n_missed") == 0).alias("containment_ok"),
+                (F.col("n_viol") == 0).alias("bounds_ok")))

@@ -154,3 +154,45 @@ def test_pareto_skyline_sound_and_complete(spark):
     for row in all_rows:
         if row[2] not in sky_keys:
             assert any(dominates(s, row) for s in sky), row
+
+
+def test_heavy_hitters_containment_any_partitioning(spark):
+    """The MG summary itself varies with partitioning; the THEOREMS may
+    not: on a skewed crafted stream, every token with count > N/(m+1)
+    must be in the sketch and every estimate must underestimate within
+    N/(m+1) — at 1, 7 and 32 partitions."""
+    import pandas as pd
+    from stock_data_warehouse_spark.plans.analytics import _MG_M
+    from pyspark.sql import functions as F
+
+    m = _MG_M
+    # 2 giants (8k + 4k), 50 mid (100 each), long tail of singletons
+    toks = (["giant_a"] * 8000 + ["giant_b"] * 4000
+            + [f"mid_{i}" for i in range(50) for _ in range(100)]
+            + [f"tail_{i}" for i in range(5000)])
+    n = len(toks)
+    pdf = pd.DataFrame({"tok": toks})
+    base = spark.createDataFrame(pdf)
+    exact = {t: toks.count(t) for t in ("giant_a", "giant_b")}
+    for parts in (1, 7, 32):
+        df = base.repartition(parts)
+
+        def mg_partition(batches):
+            summary = pd.Series(dtype="int64")
+            for b in batches:
+                vc = b["tok"].value_counts()
+                summary = summary.add(vc, fill_value=0).astype("int64")
+                if len(summary) > m:
+                    d = summary.nlargest(m + 1).iloc[-1]
+                    summary = summary[summary > d] - d
+            yield pd.DataFrame({"tok": summary.index.astype(str),
+                                "w": summary.to_numpy(dtype="int64")})
+
+        merged = (df.mapInPandas(mg_partition, "tok string, w long")
+                    .groupBy("tok").agg(F.sum("w").alias("w")))
+        rows = {r["tok"]: r["w"] for r in merged.collect()}
+        for t, c in exact.items():
+            assert c * (m + 1) > n          # really heavy
+            assert t in rows, (parts, t)
+            assert rows[t] <= c, (parts, t, rows[t], c)
+            assert (c - rows[t]) * (m + 1) <= n, (parts, t)
