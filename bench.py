@@ -82,6 +82,7 @@ HEADLINE = (
     "t22_watermark_advance_drops",  # multi-batch watermark + late drops
     "x3_ivfpq_residual",          # residual-encoded IVF-PQ vs raw
     "a16_heavy_hitters",          # mergeable Misra-Gries summary
+    "x3_ivf_ingest",              # append arrivals to a frozen index
 )
 
 
