@@ -4911,3 +4911,120 @@ def x3_ivf_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
                  .alias("codes_ok"),
                 (F.col("r_merged") >= F.col("r_scratch") - 0.15)
                  .alias("recall_ok")))
+
+
+# ---------------------------------------------------------------------------
+# OP-X4 — BM25 lexical retrieval (the classic IR scorer the TF-IDF
+# query stops short of: length-normalized, saturating term frequency)
+# ---------------------------------------------------------------------------
+
+@register(
+    "x4_bm25_topk",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest({SQL_TOKENS}) AS token FROM documents
+    ),
+    dl AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY doc_id),
+    corpus AS (
+      SELECT COUNT(DISTINCT doc_id) AS n_docs,
+             CAST((SELECT SUM(dl) FROM dl) AS DOUBLE)
+               / COUNT(DISTINCT doc_id) AS avgdl
+      FROM tok
+    ),
+    dfv AS (
+      SELECT token, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY token
+    ),
+    terms AS (
+      SELECT token, df FROM dfv
+      WHERE token NOT IN ('the', 'a', 'of', 'and', 'to', 'in')
+      ORDER BY df DESC, token LIMIT 3
+    ),
+    tf AS (
+      SELECT t.doc_id, t.token, COUNT(*) AS tf, MAX(terms.df) AS df
+      FROM tok t JOIN terms USING (token)
+      GROUP BY t.doc_id, t.token
+    ),
+    scored AS (
+      SELECT tf.doc_id, tf.token,
+             ln((n_docs - df + 0.5) / (df + 0.5) + 1)
+               * tf * 2.2
+               / (tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / avgdl)) AS s
+      FROM tf JOIN dl USING (doc_id), corpus
+    ),
+    agg AS (
+      SELECT doc_id,
+             COUNT(*) AS n_terms_matched,
+             CAST(ROUND(CAST(list_reduce(
+               list_prepend(CAST(0 AS DOUBLE),
+                 list(s ORDER BY token)),
+               (a, b) -> a + b) AS DECIMAL(38,10)), 6) AS DOUBLE)
+               AS bm25
+      FROM scored GROUP BY doc_id
+    )
+    SELECT doc_id, n_terms_matched, bm25 FROM agg
+    ORDER BY bm25 DESC, doc_id LIMIT 10
+    """,
+)
+def x4_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OP-X4 — BM25 top-10 retrieval over the document corpus:
+    Okapi BM25 (k1 = 1.2, b = 0.75) for a 3-term query, the query
+    terms themselves derived in-plan (highest-df non-stopword tokens,
+    (df DESC, token) tiebreak) so the whole thing is deterministic and
+    oracle-replayable with zero literals baked in.
+
+    Engine parity: every count (tf, df, N, doc length) is integer;
+    ``avgdl`` is an explicit exact-integer-sum ÷ count (never an
+    incremental AVG, whose accumulation order can differ); the one
+    libm call (``ln``) may differ by 1 ulp between JVM and C — so the
+    per-document score sums its ≤3 term contributions in EXPLICIT
+    token order (sorted fold, the ADC-LUT trick) and goes through the
+    class-B DECIMAL route before the ORDER BY, which ranks on the
+    ROUNDED value + doc_id — both engines sort identical keys.
+    |score| ≲ 60 ≪ 9e5, inside the class-B domain.
+
+    Scale shape: the 3-row term table broadcasts; tf is one (doc,
+    term)-keyed hash agg over the term-filtered token stream (the
+    filter is a broadcast semi-join at the scan); doc lengths reuse
+    the token pass; corpus stats are a 1-row broadcast; final top-10
+    is a TakeOrderedAndProject. No all-pairs, no per-doc Python."""
+    stop = ("the", "a", "of", "and", "to", "in")
+    d = _t(spark, sf_dir, "documents")
+    tok = d.select("doc_id",
+                   F.explode(tokens_col("text")).alias("token"))
+    dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    corpus = (tok.agg(
+        F.count_distinct("doc_id").alias("n_docs"),
+        (F.count(F.lit(1)).cast("double")
+         / F.count_distinct("doc_id")).alias("avgdl")))
+    # note: SUM(dl) over docs == COUNT(*) over tokens — integer-exact
+    dfv = (tok.distinct()
+              .groupBy("token").agg(F.count(F.lit(1)).alias("df")))
+    terms = (dfv.filter(~F.col("token").isin(*stop))
+                .orderBy(F.col("df").desc(), "token").limit(3))
+    tf = (tok.join(F.broadcast(terms), "token")
+             .groupBy("doc_id", "token")
+             .agg(F.count(F.lit(1)).alias("tf"),
+                  F.max("df").alias("df")))
+    scored = (tf.join(dl, "doc_id").crossJoin(F.broadcast(corpus))
+                .select(
+                    "doc_id", "token",
+                    (F.log((F.col("n_docs") - F.col("df") + 0.5)
+                           / (F.col("df") + 0.5) + 1)
+                     * F.col("tf") * 2.2
+                     / (F.col("tf")
+                        + 1.2 * (1 - 0.75
+                                 + 0.75 * F.col("dl")
+                                 / F.col("avgdl")))).alias("s")))
+    agg = (scored.groupBy("doc_id")
+                 .agg(F.count(F.lit(1)).alias("n_terms_matched"),
+                      F.round(
+                          F.aggregate(
+                              F.transform(
+                                  F.array_sort(F.collect_list(
+                                      F.struct("token", "s"))),
+                                  lambda r: r["s"]),
+                              F.lit(0.0), lambda a, b: a + b)
+                          .cast("decimal(38,10)"), 6)
+                       .cast("double").alias("bm25")))
+    return (agg.orderBy(F.col("bm25").desc(), "doc_id").limit(10)
+               .select("doc_id", "n_terms_matched", "bm25"))

@@ -887,3 +887,72 @@ def s12_permissive_json_scan(spark: SparkSession,
                          F.concat(F.lit("corrupt:"), F.col("n"))
                           .alias("n_name")))
     return good.unionByName(bad_tally)
+
+
+# ---------------------------------------------------------------------------
+# OP-S19 — Hive-partitioned layout + partition-pruned scan: the single
+# most important file-skipping mechanism at 100 TB, pinned as a verdict
+# ---------------------------------------------------------------------------
+
+@register(
+    "s19_partition_pruned_scan",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(*) AS n_orders,
+           SUM(CAST(CASE WHEN o_totalprice < 0
+                THEN -FLOOR(ABS(o_totalprice) * 100.0 + 0.5)
+                ELSE FLOOR(ABS(o_totalprice) * 100.0 + 0.5) END
+               AS BIGINT)) AS revenue_cents,
+           TRUE AS pruned_ok
+    FROM orders
+    WHERE o_orderpriority = '1-URGENT'
+    GROUP BY o_orderpriority
+    """,
+)
+def s19_partition_pruned_scan(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """OP-S19 — write the orders table Hive-partitioned by
+    ``o_orderpriority`` (`.../o_orderpriority=1-URGENT/part-*.parquet`)
+    and read it back with an equality predicate. At 100 TB partition
+    pruning is the difference between scanning one directory and
+    scanning the warehouse: the predicate must be consumed at PLANNING
+    time (``PartitionFilters`` on the scan node, resolved against the
+    file index) — not as a post-scan data filter.
+
+    The verdict makes that physical claim falsifiable the j13 way
+    (plan introspection IS the measurement): ``pruned_ok`` is read
+    from the formatted executed plan and requires the equality to
+    appear under ``PartitionFilters`` while the data-filter list
+    carries no residual priority predicate — if a refactor (or an
+    engine change) demoted pruning to a row filter, the committed
+    verdict flips. The data columns (count + class-A integer cents
+    sum) are oracle-exact against a plain filtered aggregate of the
+    source table, proving the partitioned round-trip lost nothing."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderpriority")
+    target = os.path.join(_mkdtemp(prefix="partitioned_"), "t")
+    o.write.partitionBy("o_orderpriority").parquet(target)
+
+    scan = (spark.read.parquet(target)
+            .filter(F.col("o_orderpriority") == "1-URGENT"))
+    cents = F.when(
+        F.col("o_totalprice") < 0,
+        -F.floor(F.abs(F.col("o_totalprice")) * 100.0 + F.lit(0.5)),
+    ).otherwise(
+        F.floor(F.abs(F.col("o_totalprice")) * 100.0 + F.lit(0.5))
+    ).cast("long")
+    agg = (scan.select("o_orderpriority", cents.alias("cents"))
+               .groupBy("o_orderpriority")
+               .agg(F.count(F.lit(1)).alias("n_orders"),
+                    F.sum("cents").alias("revenue_cents")))
+
+    jvm = spark.sparkContext._jvm
+    formatted = jvm.PythonSQLUtils.explainString(
+        scan._jdf.queryExecution(), "formatted")
+    part_lines = [ln for ln in formatted.splitlines()
+                  if "PartitionFilters" in ln]
+    data_lines = [ln for ln in formatted.splitlines()
+                  if "DataFilters" in ln or "PushedFilters" in ln]
+    pruned = (any("1-URGENT" in ln for ln in part_lines)
+              and not any("1-URGENT" in ln for ln in data_lines))
+    return agg.withColumn("pruned_ok", F.lit(bool(pruned)))

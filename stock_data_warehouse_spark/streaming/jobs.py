@@ -65,6 +65,29 @@ def _events_stream_schema(ts_type: T.DataType) -> T.StructType:
 
 _seq = itertools.count()
 
+#: Micro-batch ADMISSION CONTRACT per streaming query — the
+#: maxFilesPerTrigger each registered query runs under, referenced by
+#: the query bodies themselves (single source of truth) and printed as
+#: a PLAN_AUDIT column (VERDICT r5 item 7), so a refactor that silently
+#: flips a query between one-batch replay (the t12/t13/t21 oracle
+#: contract) and per-file batches (the t22 watermark-advance contract)
+#: shows up in the committed audit diff, not as a downstream oracle
+#: mismatch.
+STREAM_ADMISSION: dict[str, int] = {
+    "t1_microbatch_refresh": 1,
+    "t5_sliding_stream": 1,
+    "t6_session_stream": 1,
+    "t7_watermark_tumbling_stream": 1,
+    "t8_stateful_dedup_stream": 1,
+    "t8_stateful_counters_stream": 1,
+    "t12_interval_join_stream": 1_000_000,
+    "t13_unconverted_clicks_stream": 1_000_000,
+    "t16_streaming_merge": 1,
+    "t20_streaming_leaderboard": 1,
+    "t21_stream_static_enrich": 1_000_000,
+    "t22_watermark_advance_drops": 1,
+}
+
 
 def events_stream(spark: SparkSession, sf_dir: str,
                   max_files_per_trigger: int = 1) -> DataFrame:
@@ -459,13 +482,14 @@ def t12_interval_join_stream(spark: SparkSession,
     batch twin would re-join ever-growing history."""
     # single data micro-batch: oracle equality depends on it (see
     # docstring); 1e6 files >> any staged source
-    c = (events_stream(spark, sf_dir, max_files_per_trigger=1_000_000)
+    mft = STREAM_ADMISSION["t12_interval_join_stream"]
+    c = (events_stream(spark, sf_dir, max_files_per_trigger=mft)
          .filter(F.col("event_type") == "click")
          .withWatermark("ts", "30 minutes")
          .select(F.col("user_id").alias("c_user"),
                  F.col("event_id").alias("click_id"),
                  F.col("ts").alias("c_ts")))
-    p = (events_stream(spark, sf_dir, max_files_per_trigger=1_000_000)
+    p = (events_stream(spark, sf_dir, max_files_per_trigger=mft)
          .filter(F.col("event_type") == "purchase")
          .withWatermark("ts", "30 minutes")
          .select(F.col("user_id").alias("p_user"),
@@ -550,13 +574,14 @@ def t13_unconverted_clicks_stream(spark: SparkSession,
     not stream length."""
     # single data micro-batch, as in t12 (load-bearing for the oracle
     # seal: mid-run watermark advancement would evict click state early)
-    c = (events_stream(spark, sf_dir, max_files_per_trigger=1_000_000)
+    mft = STREAM_ADMISSION["t13_unconverted_clicks_stream"]
+    c = (events_stream(spark, sf_dir, max_files_per_trigger=mft)
          .filter(F.col("event_type") == "click")
          .withWatermark("ts", "30 minutes")
          .select(F.col("user_id").alias("c_user"),
                  F.col("event_id").alias("click_id"),
                  F.col("ts").alias("c_ts")))
-    p = (events_stream(spark, sf_dir, max_files_per_trigger=1_000_000)
+    p = (events_stream(spark, sf_dir, max_files_per_trigger=mft)
          .filter(F.col("event_type") == "purchase")
          .withWatermark("ts", "30 minutes")
          .select(F.col("user_id").alias("p_user"),
@@ -700,7 +725,8 @@ def t20_streaming_leaderboard(spark: SparkSession,
 
     q = (spark.readStream
          .schema(ev.schema)
-         .option("maxFilesPerTrigger", "1")
+         .option("maxFilesPerTrigger", str(STREAM_ADMISSION[
+             "t20_streaming_leaderboard"]))
          .parquet(stage)
          .writeStream
          .foreachBatch(apply_batch)
@@ -781,7 +807,10 @@ def t21_stream_static_enrich(spark: SparkSession,
     # therefore never seals nor withholds purchase windows). The
     # watermark sits BEFORE the dim join: a purchase whose user has no
     # dim row still advances the frontier (also pinned by the test).
-    s = (events_stream(spark, sf_dir, max_files_per_trigger=1_000_000)
+    s = (events_stream(
+            spark, sf_dir,
+            max_files_per_trigger=STREAM_ADMISSION[
+                "t21_stream_static_enrich"])
          .filter(F.col("event_type") == "purchase")
          .withWatermark("ts", "10 minutes"))
     dim = (load_table(spark, sf_dir, "customer")
@@ -976,7 +1005,8 @@ def t22_watermark_advance_drops(spark: SparkSession,
     s = (spark.readStream
          .schema("event_id long, ts timestamp, "
                  "event_type string, cents long")
-         .option("maxFilesPerTrigger", "1")
+         .option("maxFilesPerTrigger", str(STREAM_ADMISSION[
+             "t22_watermark_advance_drops"]))
          .option("recursiveFileLookup", "true")
          .parquet(stage))
     agg = (s.withWatermark("ts", "10 minutes")

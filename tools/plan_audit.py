@@ -28,6 +28,9 @@ def main() -> int:
 
     from bench import HEADLINE
     from stock_data_warehouse_spark.session import get_spark
+    from stock_data_warehouse_spark.streaming.jobs import (
+        STREAM_ADMISSION,
+    )
     import __spark_entry__ as entry_mod
 
     spark = get_spark("plan-audit")
@@ -41,10 +44,15 @@ def main() -> int:
     print("Shuffles = data-moving exchanges (hash/range/single-partition)"
           " in the executed (post-AQE) plan; reused exchange subtrees and"
           " broadcast builds are broken out separately. Codegen = distinct"
-          " whole-stage-codegen spans (`*(n)` markers).\n")
+          " whole-stage-codegen spans (`*(n)` markers). Stream admission ="
+          " the maxFilesPerTrigger contract a streaming query runs under"
+          " (streaming/jobs.STREAM_ADMISSION — 1000000 means the bounded"
+          " one-batch oracle replay, 1 means per-file batches with a"
+          " moving watermark); a silent flip between the two shows up"
+          " here as a committed diff (VERDICT r5 item 7).\n")
     print("| query | shuffles | broadcasts | reused | joins "
-          "| pushed filters | codegen spans |")
-    print("|---|---|---|---|---|---|---|")
+          "| pushed filters | codegen spans | stream admission |")
+    print("|---|---|---|---|---|---|---|---|")
     names = sorted(qs) if args.all else list(HEADLINE)
     for name in names:
         if name not in qs:
@@ -53,7 +61,8 @@ def main() -> int:
             df = qs[name](spark, args.sf)
             df.collect()  # drive AQE to the final plan
         except Exception as exc:  # audit must not die on one query
-            print(f"| {name} | ERROR: {type(exc).__name__} | | | | | |")
+            print(f"| {name} | ERROR: {type(exc).__name__} "
+                  "| | | | | | |")
             continue
         plan = df._jdf.queryExecution().executedPlan().toString()
         plan = plan.split("== Initial Plan ==")[0]
@@ -77,10 +86,12 @@ def main() -> int:
                                  "StringContains", "In(")))
         n_wsc = len(set(re.findall(r"\*\((\d+)\)", plan)))
         join_s = ", ".join(j.replace("Join", "") for j in joins) or "—"
+        adm = STREAM_ADMISSION.get(name)
+        adm_s = str(adm) if adm is not None else "—"
         print(f"| {name} | {n_shuffle} | {n_bcast} | {n_reused} "
               f"| {join_s} "
               f"| {nontrivial} predicate / {len(pushed)} scans "
-              f"| {n_wsc} |")
+              f"| {n_wsc} | {adm_s} |")
     return 0
 
 
