@@ -5028,3 +5028,108 @@ def x4_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                        .cast("double").alias("bm25")))
     return (agg.orderBy(F.col("bm25").desc(), "doc_id").limit(10)
                .select("doc_id", "n_terms_matched", "bm25"))
+
+
+# ---------------------------------------------------------------------------
+# OP-X3 — binary (sign) embedding sketch + Hamming top-k: the third
+# standard quantization tier (float → int8 → 1-bit), integer-exact
+# ---------------------------------------------------------------------------
+
+@register(
+    "x3_hamming_topk",
+    oracle=f"""
+    WITH v AS (
+      SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+    ),
+    packed AS (
+      SELECT vec_id,
+             list_reduce(list_prepend(CAST(0 AS BIGINT),
+               list_transform(e[1:32],
+                 x -> CASE WHEN x >= 0 THEN CAST(1 AS BIGINT)
+                      ELSE CAST(0 AS BIGINT) END)),
+               (a, b) -> a * 2 + b) AS hi,
+             list_reduce(list_prepend(CAST(0 AS BIGINT),
+               list_transform(e[33:64],
+                 x -> CASE WHEN x >= 0 THEN CAST(1 AS BIGINT)
+                      ELSE CAST(0 AS BIGINT) END)),
+               (a, b) -> a * 2 + b) AS lo
+      FROM v
+    ),
+    q AS (
+      SELECT vec_id AS query_id, hi AS qhi, lo AS qlo FROM packed
+      WHERE vec_id IN (
+        SELECT vec_id FROM v
+        {_sql_hash_sample(_H_QUERY, N_QUERIES)}
+      )
+    ),
+    scored AS (
+      SELECT q.query_id, p.vec_id AS neighbor_id,
+             bit_count(xor(q.qhi, p.hi))
+               + bit_count(xor(q.qlo, p.lo)) AS hamming
+      FROM q JOIN packed p ON p.vec_id <> q.query_id
+    )
+    SELECT query_id, neighbor_id, hamming FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY query_id
+        ORDER BY hamming, neighbor_id) AS rn
+      FROM scored
+    ) WHERE rn <= 3
+    """,
+)
+def x3_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OP-X3 — 1-bit (sign) embedding sketch with Hamming-distance
+    top-3: the third quantization tier after int8 (x3_int8_topk) and
+    PQ (x3_ivfpq_*) — 64 dims compress to 8 BYTES and distance
+    becomes two XOR+popcount instructions, the cheapest candidate
+    generator in the standard retrieve-then-rerank cascade (binary
+    prefilter → int8/PQ rescore → float rerank).
+
+    Integer-exact end to end — sign bits, packed words, XOR popcounts
+    and the (hamming, neighbor_id) ranking are all integers, so the
+    oracle comparison needs NO rounding kernel anywhere (unique in the
+    x3 family). Bits pack into TWO 32-bit words, not one 64-bit word:
+    a 64-bit left-fold would overflow the sign bit, which Java wraps
+    and DuckDB REJECTS — 2×32 keeps every intermediate < 2^32 in both
+    engines.
+
+    Scale shape: packing is a scan-side projection (the 512-bit float
+    vector never leaves its partition after this); the fixed
+    N_QUERIES hash-rank query batch broadcasts (the family
+    convention), so scoring is a linear broadcast-join pass with two
+    codegen'd popcounts per candidate — the brute-force tier is the
+    RERANK observability baseline here exactly as
+    x3_cosine_topk_bruteforce is for floats; the bucketed scale path
+    for the binary sketch is multi-index hashing over the 32-bit
+    words (split words = LSH bands on Hamming space, the x2 banding
+    argument verbatim)."""
+    e = _t(spark, sf_dir, "embeddings")
+    v = e.select("vec_id", _as_double_vec("embedding").alias("e"))
+
+    def pack(lo_idx: int) -> F.Column:
+        bits = F.transform(
+            F.slice("e", lo_idx, 32),
+            lambda x: F.when(x >= 0, F.lit(1).cast("long"))
+                       .otherwise(F.lit(0).cast("long")))
+        return F.aggregate(bits, F.lit(0).cast("long"),
+                           lambda a, b: a * 2 + b)
+
+    packed = v.select("vec_id", pack(1).alias("hi"),
+                      pack(33).alias("lo"))
+    q_ids = _hash_sample(v.select("vec_id"), N_QUERIES, _H_QUERY)
+    q = (packed.join(F.broadcast(q_ids), "vec_id")
+               .select(F.col("vec_id").alias("query_id"),
+                       F.col("hi").alias("qhi"),
+                       F.col("lo").alias("qlo")))
+    scored = (packed.crossJoin(F.broadcast(q))
+              .filter(F.col("vec_id") != F.col("query_id"))
+              .select("query_id",
+                      F.col("vec_id").alias("neighbor_id"),
+                      (F.bit_count(F.col("qhi").bitwiseXOR(F.col("hi")))
+                       + F.bit_count(F.col("qlo")
+                                     .bitwiseXOR(F.col("lo"))))
+                      .alias("hamming")))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("hamming").asc(), F.col("neighbor_id"))
+    return (scored.withColumn("rn", F.row_number().over(w))
+                  .filter(F.col("rn") <= 3)
+                  .select("query_id", "neighbor_id", "hamming"))

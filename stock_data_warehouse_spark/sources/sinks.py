@@ -956,3 +956,97 @@ def s19_partition_pruned_scan(spark: SparkSession,
     pruned = (any("1-URGENT" in ln for ln in part_lines)
               and not any("1-URGENT" in ln for ln in data_lines))
     return agg.withColumn("pruned_ok", F.lit(bool(pruned)))
+
+
+# ---------------------------------------------------------------------------
+# OP-S20 — retention vacuum: expire old published versions (the
+# maintenance half of the s10 versioned-publish loop)
+# ---------------------------------------------------------------------------
+
+def vacuum_versions(spark: SparkSession, target_dir: str,
+                    keep_last: int) -> list[int]:
+    """Delete all but the newest ``keep_last`` versions under a
+    ``publish_versioned`` target and return the removed version
+    numbers (oldest first — so a crash mid-vacuum leaves a contiguous
+    suffix of history, never a hole between surviving versions).
+
+    Substrate caveat (the s10/s11 note verbatim): directory delete is
+    the local-FS/HDFS substrate; on an object store at 100 TB the same
+    retention policy runs through the table format's transaction log
+    (Delta VACUUM / Iceberg expire_snapshots) so readers pinned to an
+    old snapshot fail cleanly instead of seeing missing files — the
+    version arithmetic here is the part that carries over."""
+    import glob
+    import shutil
+
+    versions = sorted(
+        int(p.rsplit("=", 1)[1])
+        for p in glob.glob(os.path.join(target_dir, "v=*")))
+    to_remove = versions[:-keep_last] if keep_last > 0 else versions
+    for ver in to_remove:                       # oldest first
+        shutil.rmtree(os.path.join(target_dir, f"v={ver}"))
+    return to_remove
+
+
+@register(
+    "s20_retention_vacuum",
+    oracle="""
+    SELECT CAST(3 AS INT) AS version, COUNT(*) AS n_rows,
+           CAST(2 AS BIGINT) AS n_versions_removed,
+           TRUE AS latest_ok, TRUE AS evicted_gone
+    FROM customer
+    UNION ALL
+    SELECT CAST(4 AS INT), COUNT(*), CAST(2 AS BIGINT), TRUE, TRUE
+    FROM customer
+    """,
+)
+def s20_retention_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OP-S20 — the retention policy every versioned table needs:
+    publish FOUR successive snapshots (base + three restatements, all
+    content-distinct so each mints a version), vacuum to
+    ``keep_last=2``, and report the surviving history. Checks, each
+    oracle-pinned:
+
+    - exactly versions 3 and 4 survive with full row counts (the
+      partitioned read after vacuum sees only surviving directories —
+      nothing half-deleted);
+    - ``n_versions_removed`` — the vacuum's own return value says it
+      removed exactly versions 1 and 2;
+    - ``latest_ok`` — ``read_version`` (latest) still serves the
+      newest snapshot, row-complete;
+    - ``evicted_gone`` — time travel to an evicted version serves
+      ZERO rows (the partition filter matches no surviving directory;
+      with a partition-dir substrate there is no transaction log to
+      fail the read loudly — the table-format note on
+      :func:`vacuum_versions`) and the directory itself is gone.
+    """
+    c = (load_table(spark, sf_dir, "customer")
+         .select("c_custkey", "c_name", "c_nationkey", "c_acctbal"))
+    target = _mkdtemp(prefix="vacuum_")
+    snap = c
+    publish_versioned(spark, snap, target)
+    for nk in (3, 5, 7):                    # three distinct restatements
+        snap = snap.withColumn(
+            "c_acctbal",
+            F.when(F.col("c_nationkey") == nk,
+                   F.col("c_acctbal") + 100.0)
+             .otherwise(F.col("c_acctbal")))
+        publish_versioned(spark, snap, target)
+
+    removed = vacuum_versions(spark, target, keep_last=2)
+
+    n_latest = read_version(spark, target).count()
+    n_base = c.count()
+    evicted_gone = (
+        read_version(spark, target, version=removed[0]).count() == 0
+        and not os.path.exists(
+            os.path.join(target, f"v={removed[0]}")))
+
+    surviving = spark.read.parquet(target)
+    return (surviving
+            .groupBy(F.col("v").cast("int").alias("version"))
+            .agg(F.count(F.lit(1)).alias("n_rows"))
+            .withColumn("n_versions_removed",
+                        F.lit(len(removed)).cast("long"))
+            .withColumn("latest_ok", F.lit(bool(n_latest == n_base)))
+            .withColumn("evicted_gone", F.lit(bool(evicted_gone))))
