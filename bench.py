@@ -83,6 +83,9 @@ HEADLINE = (
     "x3_ivfpq_residual",          # residual-encoded IVF-PQ vs raw
     "a16_heavy_hitters",          # mergeable Misra-Gries summary
     "x3_ivf_ingest",              # append arrivals to a frozen index
+    "t23_interval_join_advance",  # stream-stream join, moving frontier
+    "x4_bm25_topk",               # Okapi BM25 lexical retrieval
+    "x3_hamming_topk",            # 1-bit sign sketch + popcount
 )
 
 

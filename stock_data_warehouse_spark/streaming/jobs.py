@@ -86,6 +86,7 @@ STREAM_ADMISSION: dict[str, int] = {
     "t20_streaming_leaderboard": 1,
     "t21_stream_static_enrich": 1_000_000,
     "t22_watermark_advance_drops": 1,
+    "t23_interval_join_advance": 1,
 }
 
 
@@ -831,6 +832,44 @@ def t21_stream_static_enrich(spark: SparkSession,
     return _run_to_table(out, "append", require_single_batch=True)
 
 
+def _stage_timeordered_files(spark: SparkSession, df: DataFrame,
+                             stage: str, n_files: int = 4,
+                             shift_mod: int = 23) -> int:
+    """Stage ``df`` (must carry ``event_id`` + µs-timestamp ``ts``) as
+    ``n_files`` time-quantile parquet files whose file-mtime order is
+    time order — so a ``maxFilesPerTrigger=1`` stream replays history
+    one quantile per micro-batch — EXCEPT that the deterministic
+    ``event_id % shift_mod == 0`` subset is shifted TWO files later
+    than its quantile (capped at the last file): those rows arrive
+    after the watermark frontier passed them. Two, not one, because
+    the late filter lags eviction by one batch (the t22 lesson). The
+    quantile index is integer-µs ``div`` arithmetic, exact in both
+    engines; the t22/t23 oracles replay the same split in SQL.
+
+    Returns the staged row count (read back — the multi-batch asserts
+    compare admission against it)."""
+    mn, mx = df.agg(F.min(F.unix_micros("ts")),
+                    F.max(F.unix_micros("ts"))).first()
+    q = F.expr(f"((unix_micros(ts) - {mn}) * {n_files}) "
+               f"div ({mx - mn + 1})")
+    arrival = F.when(
+        (F.col("event_id") % shift_mod == 0) & (q < n_files - 1),
+        F.least(q + 2, F.lit(n_files - 1))).otherwise(q)
+    staged = df.withColumn("arrival", arrival)
+    base_mtime = 1_700_000_000
+    for k in range(n_files):
+        path = f"{stage}/a{k}"
+        part = staged.filter(F.col("arrival") == k).drop("arrival")
+        part.coalesce(1).write.parquet(path)
+        t = base_mtime + 60 * k
+        for root, _dirs, files in os.walk(path):
+            for fn in files:
+                os.utime(os.path.join(root, fn), (t, t))
+        os.utime(path, (t, t))
+    return spark.read.option("recursiveFileLookup", "true") \
+                     .parquet(stage).count()
+
+
 # ---------------------------------------------------------------------------
 # OP-T22 — the watermark ADVANCES across real micro-batches and late
 # data is actually dropped mid-stream (VERDICT r5 next-round #1)
@@ -979,28 +1018,7 @@ def t22_watermark_advance_drops(spark: SparkSession,
      .cast("long")
     ev = (load_table(spark, sf_dir, "events")
           .select("event_id", "ts", "event_type", cents.alias("cents")))
-    mn, mx = ev.agg(F.min(F.unix_micros("ts")),
-                    F.max(F.unix_micros("ts"))).first()
-    # integer-µs quartile index — `div` keeps the arithmetic in longs
-    # (a double division could round a boundary row into the wrong
-    # file on one engine only)
-    q = F.expr(f"((unix_micros(ts) - {mn}) * 4) div ({mx - mn + 1})")
-    arrival = F.when((F.col("event_id") % 23 == 0) & (q < 3),
-                     F.least(q + 2, F.lit(3))).otherwise(q)
-    staged = ev.withColumn("arrival", arrival)
-    base_mtime = 1_700_000_000
-    n_staged = 0
-    for k in range(4):
-        path = f"{stage}/a{k}"
-        part = staged.filter(F.col("arrival") == k).drop("arrival")
-        part.coalesce(1).write.parquet(path)
-        t = base_mtime + 60 * k
-        for root, _dirs, files in os.walk(path):
-            for fn in files:
-                os.utime(os.path.join(root, fn), (t, t))
-        os.utime(path, (t, t))
-    n_staged = spark.read.option("recursiveFileLookup", "true") \
-                         .parquet(stage).count()
+    n_staged = _stage_timeordered_files(spark, ev, stage)
 
     s = (spark.readStream
          .schema("event_id long, ts timestamp, "
@@ -1037,4 +1055,188 @@ def t22_watermark_advance_drops(spark: SparkSession,
     dropped = sum(x["numRowsDroppedByWatermark"]
                   for p in progress for x in p["stateOperators"])
     return (spark.table(name)
+            .withColumn("n_late_dropped", F.lit(int(dropped))))
+
+
+# ---------------------------------------------------------------------------
+# OP-T23 — stream-stream interval join under an ADVANCING watermark:
+# two-sided state eviction mid-stream, oracle-exact
+# ---------------------------------------------------------------------------
+
+@register(
+    "t23_interval_join_advance",
+    oracle="""
+    WITH e AS (
+      SELECT event_id, ts, user_id, event_type FROM events
+      WHERE event_type IN ('click', 'purchase')
+    ),
+    bounds AS (
+      SELECT epoch_us(MIN(ts)) AS mn, epoch_us(MAX(ts)) AS mx FROM e
+    ),
+    ar AS (
+      SELECT e.*,
+             CASE WHEN event_id % 23 = 0
+                   AND (epoch_us(ts) - mn) * 4 // (mx - mn + 1) < 3
+                  THEN LEAST(
+                    (epoch_us(ts) - mn) * 4 // (mx - mn + 1) + 2, 3)
+                  ELSE (epoch_us(ts) - mn) * 4 // (mx - mn + 1)
+             END AS arrival
+      FROM e, bounds
+    ),
+    slots AS (SELECT unnest([0, 1, 2, 3]::BIGINT[]) AS k),
+    w AS (
+      -- W(k): global frontier operative DURING batch k = min of the
+      -- two sides' ms-floored cumulative maxima through batch k-1,
+      -- minus the 30-minute delay; NULL-strict while either side has
+      -- seen nothing (the t13 lesson)
+      SELECT k,
+             CASE WHEN cm IS NULL OR pm IS NULL THEN NULL
+                  ELSE LEAST(cm, pm) - 1800000000 END AS wm
+      FROM (
+        SELECT s.k,
+               (SELECT MAX((epoch_us(ts) // 1000) * 1000) FROM ar
+                WHERE event_type = 'click' AND arrival < s.k) AS cm,
+               (SELECT MAX((epoch_us(ts) // 1000) * 1000) FROM ar
+                WHERE event_type = 'purchase' AND arrival < s.k) AS pm
+        FROM slots s
+      )
+    ),
+    adm AS (
+      -- late filter of batch k uses W(k-1), equality DROPS
+      SELECT ar.* FROM ar LEFT JOIN w ON w.k = ar.arrival - 1
+      WHERE w.wm IS NULL OR epoch_us(ar.ts) > w.wm
+    ),
+    pairs AS (
+      -- admitted x admitted with the range: NO eviction term. That is
+      -- a THEOREM of Spark's state management, not an omission — the
+      -- condition-derived state watermarks evict a row only once no
+      -- future ADMISSIBLE input can match it (any admitted later row
+      -- has ts above the lagged frontier, which with the range bound
+      -- implies the earlier row's eviction threshold has not passed).
+      -- The ONLY lossy mechanism in a watermarked stream-stream join
+      -- is the late-input filter above, which this oracle replays
+      -- exactly.
+      SELECT c.user_id, c.event_id AS click_id,
+             p.event_id AS purchase_id,
+             epoch_us(p.ts) - epoch_us(c.ts) AS lag_us
+      FROM (SELECT * FROM adm WHERE event_type = 'click') c
+      JOIN (SELECT * FROM adm WHERE event_type = 'purchase') p
+        ON c.user_id = p.user_id
+       AND epoch_us(p.ts) >= epoch_us(c.ts)
+       AND epoch_us(p.ts) - epoch_us(c.ts) <= 1800000000
+    ),
+    drops AS (
+      SELECT COUNT(*) AS n FROM ar LEFT JOIN w ON w.k = ar.arrival - 1
+      WHERE w.wm IS NOT NULL AND epoch_us(ar.ts) <= w.wm
+    )
+    SELECT user_id, click_id, purchase_id, lag_us,
+           (SELECT n FROM drops) AS n_late_dropped
+    FROM pairs
+    """,
+)
+def t23_interval_join_advance(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """OP-T23 — the t12 stream-stream interval join with the watermark
+    genuinely ADVANCING: click and purchase streams replay the events
+    history one time-quartile file per micro-batch (the t22 staging,
+    deterministic late subset included), so two-sided join state is
+    created, matched and EVICTED mid-stream — the full production
+    behavior the bounded one-batch t12 contract deliberately avoids.
+
+    The oracle replays the engine's join semantics, pinned by crafted
+    experiments on this engine version (the t22 discipline, extended):
+
+    - each side's watermark tracks its OWN filtered stream (Catalyst
+      pushes the type filter below the watermark node — the t21
+      frontier lesson); the global frontier is their minimum,
+      NULL-strict while either side is empty (the t13 lesson),
+      ms-floored, minus the 30-minute delay;
+    - the late-input filter of batch k uses the frontier operative in
+      batch k-1 (one-batch lag, as t22) and drops on EQUALITY — on
+      the raw event time of EITHER side (measured: a click 1 min
+      below the frontier dropped exactly like a purchase);
+    - within a batch, inputs JOIN BEFORE eviction (measured: a click
+      whose match window was already behind the new frontier still
+      matched a same-batch purchase), then eviction applies the
+      CURRENT frontier strictly against the condition-derived state
+      watermarks (clicks on c_ts + 30 min, purchases on p_ts —
+      measured via state-row counts across batches);
+    - a pair therefore emits iff BOTH rows pass the input filter and
+      the range matches — with NO eviction term. That absence is the
+      deepest fact the experiments established: eviction is LOSSLESS
+      by construction (a row is evicted only when no future admissible
+      input can match it — admission's lagged frontier plus the range
+      bound prove the earlier row was still in state), so the lagged
+      input filter is the one and only mechanism by which a
+      watermarked stream-stream join loses data. The oracle replays
+      exactly that filter; the 903 dropped rows at sf0.1 are the
+      model's live branch, and the emitted pair set plus the engine's
+      own drop counter both hash-match it.
+
+    ``n_late_dropped`` is read from the engine's own
+    ``numRowsDroppedByWatermark`` (a join drops raw rows — no partial
+    aggregate in front of it, unlike t22's group-row counting) and
+    hash-pinned against the oracle's replayed drop count.
+
+    Scale: identical state economics to t12 — per-key state bounded by
+    arrival rate × the 30-minute horizon, continuously pruned as the
+    frontier advances (this query IS that pruning, verified); staging
+    is test scaffolding for the landing topology (t22 note)."""
+    from ..sources.tables import load_table
+
+    out_dir = _mkdtemp(prefix="t23_joinadv_")
+    stage = f"{out_dir}/landing"
+    ev = (load_table(spark, sf_dir, "events")
+          .filter(F.col("event_type").isin("click", "purchase"))
+          .select("event_id", "ts", "user_id", "event_type"))
+    n_staged = _stage_timeordered_files(spark, ev, stage)
+
+    def src() -> DataFrame:
+        return (spark.readStream
+                .schema("event_id long, ts timestamp, "
+                        "user_id long, event_type string")
+                .option("maxFilesPerTrigger", str(STREAM_ADMISSION[
+                    "t23_interval_join_advance"]))
+                .option("recursiveFileLookup", "true")
+                .parquet(stage))
+
+    c = (src().filter(F.col("event_type") == "click")
+         .withWatermark("ts", "30 minutes")
+         .select(F.col("user_id").alias("c_user"),
+                 F.col("event_id").alias("click_id"),
+                 F.col("ts").alias("c_ts")))
+    p = (src().filter(F.col("event_type") == "purchase")
+         .withWatermark("ts", "30 minutes")
+         .select(F.col("user_id").alias("p_user"),
+                 F.col("event_id").alias("purchase_id"),
+                 F.col("ts").alias("p_ts")))
+    j = c.join(
+        p, (F.col("c_user") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("c_ts"))
+        & (F.col("p_ts") <= F.col("c_ts")
+           + F.expr("INTERVAL 30 MINUTES")))
+    name = f"stream_result_{next(_seq)}"
+    sq = (j.writeStream
+          .format("memory")
+          .queryName(name)
+          .outputMode("append")
+          .trigger(availableNow=True)
+          .start())
+    sq.awaitTermination()
+    progress = sq.recentProgress
+    data_batches = [pr for pr in progress if pr["numInputRows"] > 0]
+    admitted = sum(pr["numInputRows"] for pr in data_batches)
+    # each of the two sources reads every staged file (the type filter
+    # sits above the source), so admission counts each row twice
+    if len(data_batches) < 2 or admitted != 2 * n_staged:
+        raise RuntimeError(
+            f"multi-batch contract violated: {len(data_batches)} data "
+            f"micro-batches, {admitted}/{2 * n_staged} rows admitted")
+    dropped = sum(x["numRowsDroppedByWatermark"]
+                  for pr in progress for x in pr["stateOperators"])
+    return (spark.table(name)
+            .select(F.col("c_user").alias("user_id"), "click_id",
+                    "purchase_id",
+                    (F.unix_micros("p_ts") - F.unix_micros("c_ts"))
+                    .alias("lag_us"))
             .withColumn("n_late_dropped", F.lit(int(dropped))))
