@@ -86,6 +86,7 @@ HEADLINE = (
     "t23_interval_join_advance",  # stream-stream join, moving frontier
     "x4_bm25_topk",               # Okapi BM25 lexical retrieval
     "x3_hamming_topk",            # 1-bit sign sketch + popcount
+    "t24_unconverted_advance",    # outer join, moving frontier
 )
 
 

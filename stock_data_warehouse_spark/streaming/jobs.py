@@ -87,6 +87,7 @@ STREAM_ADMISSION: dict[str, int] = {
     "t21_stream_static_enrich": 1_000_000,
     "t22_watermark_advance_drops": 1,
     "t23_interval_join_advance": 1,
+    "t24_unconverted_advance": 1,
 }
 
 
@@ -1240,3 +1241,164 @@ def t23_interval_join_advance(spark: SparkSession,
                     (F.unix_micros("p_ts") - F.unix_micros("c_ts"))
                     .alias("lag_us"))
             .withColumn("n_late_dropped", F.lit(int(dropped))))
+
+
+# ---------------------------------------------------------------------------
+# OP-T24 — stream-stream LEFT OUTER join under an ADVANCING watermark:
+# null-emission at eviction time, per batch (t13's seal, generalized)
+# ---------------------------------------------------------------------------
+
+@register(
+    "t24_unconverted_advance",
+    oracle="""
+    WITH e AS (
+      SELECT event_id, ts, user_id, event_type FROM events
+      WHERE event_type IN ('click', 'purchase')
+    ),
+    bounds AS (
+      SELECT epoch_us(MIN(ts)) AS mn, epoch_us(MAX(ts)) AS mx FROM e
+    ),
+    ar AS (
+      SELECT e.*,
+             CASE WHEN event_id % 23 = 0
+                   AND (epoch_us(ts) - mn) * 4 // (mx - mn + 1) < 3
+                  THEN LEAST(
+                    (epoch_us(ts) - mn) * 4 // (mx - mn + 1) + 2, 3)
+                  ELSE (epoch_us(ts) - mn) * 4 // (mx - mn + 1)
+             END AS arrival
+      FROM e, bounds
+    ),
+    slots AS (SELECT unnest([0, 1, 2, 3]::BIGINT[]) AS k),
+    w AS (
+      SELECT k,
+             CASE WHEN cm IS NULL OR pm IS NULL THEN NULL
+                  ELSE LEAST(cm, pm) - 1800000000 END AS wm
+      FROM (
+        SELECT s.k,
+               (SELECT MAX((epoch_us(ts) // 1000) * 1000) FROM ar
+                WHERE event_type = 'click' AND arrival < s.k) AS cm,
+               (SELECT MAX((epoch_us(ts) // 1000) * 1000) FROM ar
+                WHERE event_type = 'purchase' AND arrival < s.k) AS pm
+        FROM slots s
+      )
+    ),
+    final_w AS (
+      -- frontier of the final (no-data) batch: cumulative over ALL
+      -- batches, NULL-strict min of the two sides
+      SELECT CASE WHEN cm IS NULL OR pm IS NULL THEN NULL
+                  ELSE LEAST(cm, pm) - 1800000000 END AS wm
+      FROM (
+        SELECT (SELECT MAX((epoch_us(ts) // 1000) * 1000) FROM ar
+                WHERE event_type = 'click') AS cm,
+               (SELECT MAX((epoch_us(ts) // 1000) * 1000) FROM ar
+                WHERE event_type = 'purchase') AS pm
+      )
+    ),
+    adm AS (
+      SELECT ar.* FROM ar LEFT JOIN w ON w.k = ar.arrival - 1
+      WHERE w.wm IS NULL OR epoch_us(ar.ts) > w.wm
+    ),
+    matched AS (
+      -- the t23 theorem: every in-range admitted purchase is visible
+      -- to an admitted click (eviction is lossless), so matched =
+      -- exists admitted purchase in range, independent of batching
+      SELECT c.user_id, c.event_id AS click_id,
+             p.event_id AS purchase_id
+      FROM (SELECT * FROM adm WHERE event_type = 'click') c
+      JOIN (SELECT * FROM adm WHERE event_type = 'purchase') p
+        ON c.user_id = p.user_id
+       AND epoch_us(p.ts) >= epoch_us(c.ts)
+       AND epoch_us(p.ts) - epoch_us(c.ts) <= 1800000000
+    )
+    SELECT user_id, click_id, purchase_id, TRUE AS converted
+    FROM matched
+    UNION ALL
+    -- null rows: admitted, unmatched, and EVICTED by the final
+    -- frontier (strict — an exactly-at-frontier click stays in state)
+    SELECT c.user_id, c.event_id AS click_id,
+           CAST(NULL AS BIGINT) AS purchase_id, FALSE AS converted
+    FROM (SELECT * FROM adm WHERE event_type = 'click') c, final_w
+    WHERE final_w.wm IS NOT NULL
+      AND epoch_us(c.ts) + 1800000000 < final_w.wm
+      AND NOT EXISTS (
+        SELECT 1 FROM matched m WHERE m.click_id = c.event_id)
+    """,
+)
+def t24_unconverted_advance(spark: SparkSession,
+                            sf_dir: str) -> DataFrame:
+    """OP-T24 — the conversion-funnel LEFT OUTER interval join (t13)
+    under a genuinely ADVANCING watermark: matched pairs emit eagerly
+    batch by batch, and a NULL-padded row for an unconverted click
+    emits at the batch whose frontier evicts it — so null-emission
+    happens CONTINUOUSLY as the stream replays, not only at one final
+    seal. The oracle composes the two proven models:
+
+    - admitted rows and matched pairs are exactly t23's (lagged
+      equality-dropping input filter; lossless eviction ⇒ ``converted``
+      is simply "an admitted purchase in range exists", independent of
+      how the stream was batched);
+    - a null row exists iff the click is admitted, unmatched, and
+      STRICTLY behind the final frontier (min of the two sides'
+      cumulative ms-floored maxima − 30 min; the final no-data batch
+      evicts and null-emits everything behind it, the t13 seal —
+      strictness is the measured eviction boundary, and an
+      exactly-at-frontier click is withheld by both engines).
+
+    Together t22/t23/t24 cover the three Structured Streaming
+    stateful shapes (windowed agg, inner join, outer join) under
+    multi-batch event time — each oracle-exact including its drop and
+    null-emission sets. Scale: t13's state economics with the pruning
+    actually exercised per batch."""
+    from ..sources.tables import load_table
+
+    out_dir = _mkdtemp(prefix="t24_outeradv_")
+    stage = f"{out_dir}/landing"
+    ev = (load_table(spark, sf_dir, "events")
+          .filter(F.col("event_type").isin("click", "purchase"))
+          .select("event_id", "ts", "user_id", "event_type"))
+    n_staged = _stage_timeordered_files(spark, ev, stage)
+
+    def src() -> DataFrame:
+        return (spark.readStream
+                .schema("event_id long, ts timestamp, "
+                        "user_id long, event_type string")
+                .option("maxFilesPerTrigger", str(STREAM_ADMISSION[
+                    "t24_unconverted_advance"]))
+                .option("recursiveFileLookup", "true")
+                .parquet(stage))
+
+    c = (src().filter(F.col("event_type") == "click")
+         .withWatermark("ts", "30 minutes")
+         .select(F.col("user_id").alias("c_user"),
+                 F.col("event_id").alias("click_id"),
+                 F.col("ts").alias("c_ts")))
+    p = (src().filter(F.col("event_type") == "purchase")
+         .withWatermark("ts", "30 minutes")
+         .select(F.col("user_id").alias("p_user"),
+                 F.col("event_id").alias("purchase_id"),
+                 F.col("ts").alias("p_ts")))
+    j = c.join(
+        p, (F.col("c_user") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("c_ts"))
+        & (F.col("p_ts") <= F.col("c_ts")
+           + F.expr("INTERVAL 30 MINUTES")),
+        "leftOuter")
+    name = f"stream_result_{next(_seq)}"
+    sq = (j.writeStream
+          .format("memory")
+          .queryName(name)
+          .outputMode("append")
+          .trigger(availableNow=True)
+          .start())
+    sq.awaitTermination()
+    progress = sq.recentProgress
+    data_batches = [pr for pr in progress if pr["numInputRows"] > 0]
+    admitted = sum(pr["numInputRows"] for pr in data_batches)
+    if len(data_batches) < 2 or admitted != 2 * n_staged:
+        raise RuntimeError(
+            f"multi-batch contract violated: {len(data_batches)} data "
+            f"micro-batches, {admitted}/{2 * n_staged} rows admitted")
+    return (spark.table(name)
+            .select(F.col("c_user").alias("user_id"), "click_id",
+                    "purchase_id",
+                    F.col("purchase_id").isNotNull().alias("converted")))
