@@ -368,3 +368,80 @@ def x7_weighted_sample_ares(spark: SparkSession, sf_dir: str) -> DataFrame:
                      key.alias("ares_key"))
              .orderBy(F.col("ares_key").desc(), "doc_id")
              .limit(_ARES_K))
+
+
+# ---------------------------------------------------------------------------
+# OP-X7 — temperature-based source rebalancing (the GPT-3/PaLM mixing
+# lever: sample sources so the mix follows counts^alpha, not counts)
+# ---------------------------------------------------------------------------
+
+@register(
+    "x7_temperature_mix",
+    oracle="""
+    WITH src AS (
+      SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source
+    ),
+    mn AS (SELECT MIN(n_docs) AS cmin FROM src),
+    th AS (
+      SELECT source, n_docs,
+             CAST(ROUND(CAST(POW(CAST(cmin AS DOUBLE) / n_docs, 0.3)
+                  AS DECIMAL(38,10)), 8) AS DOUBLE) AS target_rate,
+             CAST(FLOOR(CAST(ROUND(CAST(POW(CAST(cmin AS DOUBLE)
+                  / n_docs, 0.3) AS DECIMAL(38,10)), 8) AS DOUBLE)
+                  * 16777216) AS BIGINT) AS th
+      FROM src, mn
+    ),
+    sampled AS (
+      SELECT d.source FROM documents d JOIN th USING (source)
+      WHERE CAST(concat('0x', substr(md5(concat('t', ':',
+              CAST(doc_id AS VARCHAR))), 1, 6)) AS BIGINT) < th.th
+    )
+    SELECT t.source, t.n_docs, t.target_rate,
+           (SELECT COUNT(*) FROM sampled s WHERE s.source = t.source)
+             AS n_sampled
+    FROM th t
+    """,
+)
+def x7_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OP-X7 — temperature-rebalanced source mix: per-document keep
+    rate ∝ n_source^(α−1) with α = 0.7, normalized so the RAREST
+    source keeps everything — the expected sampled mix then follows
+    counts^α instead of counts, the standard lever (GPT-3/PaLM
+    multinomial temperature) that stops one giant crawl source from
+    drowning the long tail.
+
+    Engine parity for a DATA-DERIVED rate (the existing x7 queries use
+    config-literal rates; this one's comes from the corpus): the one
+    libm call per source (pow) goes through the class-B DECIMAL route
+    at 8 dp (|rate| ≤ 1 ≪ 9e5) so both engines hold the IDENTICAL
+    rounded double, then the comparison is INTEGER — threshold =
+    floor(rate·16⁶), coin = the first 6 md5 hex digits parsed as a
+    long (Spark ``conv(_,16,10)``, DuckDB ``'0x'|| cast``) — so the
+    sampled SET is bit-deterministic and the per-source sampled counts
+    are integer-exact, not tolerance-checked.
+
+    Scale: the rate table is a ≤#sources-row broadcast; the sampling
+    decision is a scan-level filter (module posture); the whole query
+    adds one bounded agg + one broadcast join to a corpus pass."""
+    d = _t(spark, sf_dir, "documents")
+    src = d.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    cmin = src.agg(F.min("n_docs").alias("cmin"))
+    rate = (F.round(
+        F.pow(F.col("cmin").cast("double") / F.col("n_docs"), 0.3)
+         .cast("decimal(38,10)"), 8).cast("double"))
+    th = (src.crossJoin(F.broadcast(cmin))
+             .select("source", "n_docs", rate.alias("target_rate"))
+             .withColumn("th", F.floor(F.col("target_rate")
+                                       * 16777216).cast("long")))
+    coin = F.conv(
+        F.substring(F.md5(F.concat(F.lit("t"), F.lit(":"),
+                                   F.col("doc_id").cast("string"))),
+                    1, 6), 16, 10).cast("long")
+    hits = (d.join(F.broadcast(th), "source")
+             .filter(coin < F.col("th"))
+             .groupBy("source")
+             .agg(F.count(F.lit(1)).alias("n_sampled")))
+    return (th.join(hits, "source", "left")
+              .select("source", "n_docs", "target_rate",
+                      F.coalesce("n_sampled", F.lit(0))
+                       .cast("long").alias("n_sampled")))

@@ -11,13 +11,25 @@ within the watermark (OP-T8).
 These queries run a bounded stream to completion (AvailableNow) and
 return the materialized batch result — so the driver can collect them —
 but the plan is a genuine streaming plan (StateStore-backed aggregation
-/ dedup operators, not batch hash aggregates). With a single-file source
-the run is deterministic: append mode emits exactly the windows sealed
-by the final watermark (max event time − delay), which the oracles
-replay in SQL as an explicit seal filter — so the streaming plans are
-value-checked, not just rows-counted. The one exception is the
-``applyInPandasWithState`` counter job, whose float accumulation order
-is engine-internal → rows-only.
+/ dedup operators, not batch hash aggregates). Two determinism regimes,
+both oracle-exact, selected per query via ``STREAM_ADMISSION``:
+
+- ONE-BATCH REPLAY (t12/t13/t21): the whole bounded source lands in a
+  single data micro-batch, so the watermark is still at epoch during
+  admission and append mode emits exactly the windows/pairs sealed by
+  the FINAL frontier — the oracle replays that one seal in SQL. The
+  contract is asserted at runtime from the engine's progress metrics.
+- ADVANCING FRONTIER (t22/t23/t24): the source is staged as
+  time-quantile files with a deterministic late subset and streamed
+  per-file, so the watermark climbs each batch and late data is
+  genuinely dropped / state genuinely evicted mid-stream; the oracles
+  replay Spark's exact two-watermark semantics (lagged equality-
+  dropping late filter, ms-floored frontiers, strict eviction,
+  lossless join-state pruning), pinned by the crafted experiments in
+  tests/test_watermark_advance.py.
+
+The one value-level exception is the ``applyInPandasWithState``
+counter job's float path, handled with integer cents.
 
 Scale posture: state is keyed on (window, type) / event_id and pruned by
 the watermark, so state size is bounded by the lateness horizon, not by
