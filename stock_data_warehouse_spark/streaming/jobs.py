@@ -102,6 +102,19 @@ STREAM_ADMISSION: dict[str, int] = {
     "t24_unconverted_advance": 1,
 }
 
+#: State-store partition count for the ADVANCING-FRONTIER replays
+#: (t22/t23/t24). A streaming stateful operator pays a fixed per-
+#: partition-per-batch cost (state store open/commit/snapshot ×2
+#: stores for a join), so a 5-micro-batch bounded replay at 32
+#: partitions spends most of its wall time on empty-partition state
+#: management (measured: t23 at sf0.1 is 22.1 s at 32 partitions vs
+#: 6.7 s at 8 — same results, the oracle models are partition-count
+#: independent by construction). At 100 TB this knob goes UP with
+#: arrival rate × horizon; for the staged replay it is sized to the
+#: data. Applied around the streaming run only, session value
+#: restored in a finally.
+STREAM_STATE_PARTITIONS = 8
+
 
 def events_stream(spark: SparkSession, sf_dir: str,
                   max_files_per_trigger: int = 1) -> DataFrame:
@@ -1047,13 +1060,19 @@ def t22_watermark_advance_drops(spark: SparkSession,
     out = agg.select(F.col("w.start").alias("window_start"),
                      "event_type", "n_events", "sum_cents")
     name = f"stream_result_{next(_seq)}"
-    sq = (out.writeStream
-          .format("memory")
-          .queryName(name)
-          .outputMode("append")
-          .trigger(availableNow=True)
-          .start())
-    sq.awaitTermination()
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions",
+                   str(STREAM_STATE_PARTITIONS))
+    try:
+        sq = (out.writeStream
+              .format("memory")
+              .queryName(name)
+              .outputMode("append")
+              .trigger(availableNow=True)
+              .start())
+        sq.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     progress = sq.recentProgress
     data_batches = [p for p in progress if p["numInputRows"] > 0]
     admitted = sum(p["numInputRows"] for p in data_batches)
@@ -1229,13 +1248,19 @@ def t23_interval_join_advance(spark: SparkSession,
         & (F.col("p_ts") <= F.col("c_ts")
            + F.expr("INTERVAL 30 MINUTES")))
     name = f"stream_result_{next(_seq)}"
-    sq = (j.writeStream
-          .format("memory")
-          .queryName(name)
-          .outputMode("append")
-          .trigger(availableNow=True)
-          .start())
-    sq.awaitTermination()
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions",
+                   str(STREAM_STATE_PARTITIONS))
+    try:
+        sq = (j.writeStream
+              .format("memory")
+              .queryName(name)
+              .outputMode("append")
+              .trigger(availableNow=True)
+              .start())
+        sq.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     progress = sq.recentProgress
     data_batches = [pr for pr in progress if pr["numInputRows"] > 0]
     admitted = sum(pr["numInputRows"] for pr in data_batches)
@@ -1396,13 +1421,19 @@ def t24_unconverted_advance(spark: SparkSession,
            + F.expr("INTERVAL 30 MINUTES")),
         "leftOuter")
     name = f"stream_result_{next(_seq)}"
-    sq = (j.writeStream
-          .format("memory")
-          .queryName(name)
-          .outputMode("append")
-          .trigger(availableNow=True)
-          .start())
-    sq.awaitTermination()
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions",
+                   str(STREAM_STATE_PARTITIONS))
+    try:
+        sq = (j.writeStream
+              .format("memory")
+              .queryName(name)
+              .outputMode("append")
+              .trigger(availableNow=True)
+              .start())
+        sq.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     progress = sq.recentProgress
     data_batches = [pr for pr in progress if pr["numInputRows"] > 0]
     admitted = sum(pr["numInputRows"] for pr in data_batches)
