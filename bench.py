@@ -87,6 +87,8 @@ HEADLINE = (
     "x4_bm25_topk",               # Okapi BM25 lexical retrieval
     "x3_hamming_topk",            # 1-bit sign sketch + popcount
     "t24_unconverted_advance",    # outer join, moving frontier
+    "t25_stateful_dedup_advance", # stateful dedup, moving frontier
+    "a17_count_min",              # declarative CMS vs exact referee
 )
 
 

@@ -736,3 +736,138 @@ def a16_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
                 (F.col("sk_n") <= m).alias("sketch_size_ok"),
                 (F.col("n_missed") == 0).alias("containment_ok"),
                 (F.col("n_viol") == 0).alias("bounds_ok")))
+
+
+# ---------------------------------------------------------------------------
+# OP-A17 — count-min sketch: the OVERESTIMATE twin of a16's
+# Misra-Gries (a16 bounds from below, CMS from above — together the
+# standard mergeable frequency-estimation pair)
+# ---------------------------------------------------------------------------
+
+_CMS_DEPTH = 4      #: hash rows
+_CMS_WIDTH = 1024   #: buckets per row
+
+
+@register(
+    "a17_count_min",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(list_filter(
+               string_split_regex(lower(text), '[^a-z0-9]+'),
+               x -> x <> '')) AS tok
+      FROM documents
+    ),
+    exact AS (SELECT tok, COUNT(*) AS c FROM tok GROUP BY tok),
+    jd AS (SELECT unnest([0, 1, 2, 3]::BIGINT[]) AS j),
+    cells AS (
+      SELECT jd.j,
+             CAST(concat('0x', substr(md5(concat(
+               CAST(jd.j AS VARCHAR), ':', tok)), 1, 6)) AS BIGINT)
+               % {_CMS_WIDTH} AS b,
+             COUNT(*) AS cnt
+      FROM tok, jd GROUP BY 1, 2
+    ),
+    est AS (
+      SELECT e.tok, e.c, MIN(cells.cnt) AS chat
+      FROM exact e
+      CROSS JOIN jd
+      JOIN cells ON cells.j = jd.j
+        AND cells.b = CAST(concat('0x', substr(md5(concat(
+              CAST(jd.j AS VARCHAR), ':', e.tok)), 1, 6)) AS BIGINT)
+              % {_CMS_WIDTH}
+      GROUP BY e.tok, e.c
+    ),
+    halves AS (
+      SELECT jd.j,
+             CAST(concat('0x', substr(md5(concat(
+               CAST(jd.j AS VARCHAR), ':', tok)), 1, 6)) AS BIGINT)
+               % {_CMS_WIDTH} AS b,
+             doc_id % 2 AS half, COUNT(*) AS cnt
+      FROM tok, jd GROUP BY 1, 2, 3
+    ),
+    merged AS (
+      SELECT j, b, SUM(cnt) AS cnt FROM halves GROUP BY j, b
+    )
+    SELECT (SELECT COUNT(*) FROM tok) AS n_tokens,
+           (SELECT COUNT(*) FROM exact) AS n_distinct,
+           (SELECT COUNT(*) FROM est WHERE chat < c) = 0
+             AS never_underestimates,
+           (SELECT MAX(chat - c) FROM est) AS max_overestimate,
+           (SELECT COUNT(*) FROM merged m
+             WHERE NOT EXISTS (SELECT 1 FROM cells c2
+               WHERE c2.j = m.j AND c2.b = m.b AND c2.cnt = m.cnt))
+             = 0 AS mergeable_ok
+    """,
+)
+def a17_count_min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OP-A17 — count-min sketch over the token stream, judged against
+    the exact count: 4 hash rows × 1024 buckets of pure counters. With
+    a16's Misra-Gries this completes the standard mergeable
+    frequency-estimation pair — MG bounds every estimate from BELOW
+    (ĉ ≤ c, error ≤ N/(m+1)), CMS from ABOVE (ĉ ≥ c always; collisions
+    only inflate) — a production pipeline keeps both and brackets the
+    true count.
+
+    Unlike most sketches, CMS is fully DECLARATIVE here — no UDF, no
+    partition-order dependence: the hash is the first 6 hex digits of
+    ``md5(row || ':' || token)`` (byte-identical in both engines,
+    parsed Spark-side via ``conv(_,16,10)`` and DuckDB-side via
+    ``'0x' || cast``), counters are one hash aggregation, and the
+    per-token estimate is a min over 4 broadcast-joined cells — so
+    EVERY output is integer-exact, including ``max_overestimate``,
+    which an oracle can only replay because the whole sketch is a
+    deterministic function of the data:
+
+    - ``never_underestimates`` — the CMS theorem (counters only ever
+      include the token's own occurrences plus collisions);
+    - ``max_overestimate`` — the worst collision inflation, EXACT (any
+      divergence in hashing, bucketing or counting flips it);
+    - ``mergeable_ok`` — counters built per corpus half and summed
+      equal the global counters cell-for-cell (counter merge is the
+      sketch's scale story: partial aggregation IS the merge).
+
+    Scale: the counter table is depth×width = 4096 rows at any corpus
+    size (broadcast); building it is one map-side-combinable hash agg
+    over a ×4 token expansion; estimates are a broadcast join. The
+    exact referee exists for the verdict at test SF (a16 note)."""
+    from .extensions import tokens_col
+    from ..sources.tables import values_df
+
+    d = _t(spark, sf_dir, "documents")
+    tok = d.select("doc_id",
+                   F.explode(tokens_col("text")).alias("tok"))
+    jd = values_df(spark, [(0,), (1,), (2,), (3,)], "j long")
+
+    def bucket(tok_col):
+        return (F.conv(F.substring(F.md5(F.concat(
+            F.col("j").cast("string"), F.lit(":"), tok_col)), 1, 6),
+            16, 10).cast("long") % _CMS_WIDTH)
+
+    tj = tok.crossJoin(F.broadcast(jd))
+    cells = (tj.groupBy("j", bucket(F.col("tok")).alias("b"))
+               .agg(F.count(F.lit(1)).alias("cnt")))
+    exact = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    est = (exact.crossJoin(F.broadcast(jd))
+                .withColumn("b", bucket(F.col("tok")))
+                .join(F.broadcast(cells), ["j", "b"])
+                .groupBy("tok", "c")
+                .agg(F.min("cnt").alias("chat")))
+    halves = (tj.groupBy("j", bucket(F.col("tok")).alias("b"),
+                         (F.col("doc_id") % 2).alias("half"))
+                .agg(F.count(F.lit(1)).alias("cnt")))
+    merged = halves.groupBy("j", "b").agg(F.sum("cnt").alias("cnt"))
+
+    n_tok = tok.agg(F.count(F.lit(1)).alias("n_tokens"))
+    n_dis = exact.agg(F.count(F.lit(1)).alias("n_distinct"))
+    under = est.agg(F.sum(F.when(F.col("chat") < F.col("c"), 1)
+                           .otherwise(0)).alias("n_under"))
+    over = est.agg(F.max(F.col("chat") - F.col("c"))
+                    .alias("max_overestimate"))
+    mism = (merged.join(cells, ["j", "b", "cnt"], "left_anti")
+                  .agg(F.count(F.lit(1)).alias("n_mismatch")))
+    return (n_tok.crossJoin(n_dis).crossJoin(under).crossJoin(over)
+            .crossJoin(mism)
+            .select("n_tokens", "n_distinct",
+                    (F.col("n_under") == 0).alias("never_underestimates"),
+                    "max_overestimate",
+                    (F.col("n_mismatch") == 0).alias("mergeable_ok")))

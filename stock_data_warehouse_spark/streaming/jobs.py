@@ -100,6 +100,7 @@ STREAM_ADMISSION: dict[str, int] = {
     "t22_watermark_advance_drops": 1,
     "t23_interval_join_advance": 1,
     "t24_unconverted_advance": 1,
+    "t25_stateful_dedup_advance": 1,
 }
 
 #: State-store partition count for the ADVANCING-FRONTIER replays
@@ -881,7 +882,16 @@ def _stage_timeordered_files(spark: SparkSession, df: DataFrame,
     arrival = F.when(
         (F.col("event_id") % shift_mod == 0) & (q < n_files - 1),
         F.least(q + 2, F.lit(n_files - 1))).otherwise(q)
-    staged = df.withColumn("arrival", arrival)
+    return _write_arrival_files(spark, df.withColumn("arrival", arrival),
+                                stage, n_files)
+
+
+def _write_arrival_files(spark: SparkSession, staged: DataFrame,
+                         stage: str, n_files: int = 4) -> int:
+    """Write a relation carrying an ``arrival`` column as one parquet
+    file per arrival group with strictly increasing mtimes (admission
+    order = arrival order for a ``maxFilesPerTrigger=1`` stream);
+    returns the staged row count."""
     base_mtime = 1_700_000_000
     for k in range(n_files):
         path = f"{stage}/a{k}"
@@ -1445,3 +1455,140 @@ def t24_unconverted_advance(spark: SparkSession,
             .select(F.col("c_user").alias("user_id"), "click_id",
                     "purchase_id",
                     F.col("purchase_id").isNotNull().alias("converted")))
+
+
+# ---------------------------------------------------------------------------
+# OP-T25 — stateful dedup under an ADVANCING watermark: the fourth and
+# last stateful streaming shape (agg t22, inner join t23, outer t24)
+# ---------------------------------------------------------------------------
+
+@register(
+    "t25_stateful_dedup_advance",
+    oracle="""
+    WITH e AS (
+      SELECT event_id, ts, user_id, event_type FROM events
+    ),
+    bounds AS (
+      SELECT epoch_us(MIN(ts)) AS mn, epoch_us(MAX(ts)) AS mx FROM e
+    ),
+    orig AS (
+      SELECT e.*, (epoch_us(ts) - mn) * 4 // (mx - mn + 1) AS arrival
+      FROM e, bounds
+    ),
+    copies AS (
+      SELECT e.*, LEAST(
+               (epoch_us(ts) - mn) * 4 // (mx - mn + 1) + 2, 3)
+               AS arrival
+      FROM e, bounds WHERE event_id % 13 = 0
+    ),
+    staged AS (
+      SELECT * FROM orig UNION ALL SELECT * FROM copies
+    ),
+    slots AS (SELECT unnest([0, 1, 2, 3]::BIGINT[]) AS k),
+    w AS (
+      SELECT s.k,
+             (SELECT MAX((epoch_us(ts) // 1000) * 1000) FROM staged
+              WHERE arrival < s.k) - 600000000 AS wm
+      FROM slots s
+    ),
+    late AS (
+      SELECT COUNT(*) AS n
+      FROM copies LEFT JOIN w ON w.k = copies.arrival - 1
+      WHERE w.wm IS NOT NULL AND epoch_us(copies.ts) <= w.wm
+    )
+    SELECT event_id, user_id, event_type, ts,
+           (SELECT n FROM late) AS n_late_dropped,
+           (SELECT COUNT(*) FROM copies) - (SELECT n FROM late)
+             AS n_dup_dropped
+    FROM e
+    """,
+)
+def t25_stateful_dedup_advance(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """OP-T25 — ``dropDuplicatesWithinWatermark`` with the frontier
+    genuinely advancing: every ``event_id % 13 == 0`` event is staged
+    TWICE — the original in its time-quartile file, an identical copy
+    two files later — so duplicate state is created, hit and evicted
+    mid-stream. Completes the stateful square: windowed agg (t22),
+    inner join (t23), outer join (t24), dedup (t25), each oracle-exact
+    under multi-batch event time.
+
+    Semantics pinned by crafted experiment (the t22/t23 discipline):
+    the late filter is the same lagged equality-dropping raw-ts
+    predicate as every stateful operator (late copies ARE counted in
+    ``numRowsDroppedByWatermark``); a duplicate hitting LIVE state is
+    silently suppressed (dedup-matches happen before eviction within a
+    batch — measured: a copy arriving after its key's expiry time had
+    passed the frontier but before eviction ran was still suppressed,
+    not re-emitted); state expires at ``ts + delay <= frontier``
+    (equality evicts, measured via state-row counts).
+
+    The oracle needs NO re-emission branch, and that is a small
+    theorem, not an approximation: copies carry the ORIGINAL's exact
+    timestamp, so a copy finding its key's state expired
+    (``ts + delay <= wm``) necessarily has ``ts < wm`` and is
+    late-dropped by the input filter first — re-emission is impossible
+    by construction, every key emits exactly once, and the admitted
+    copies split deterministically into late-dropped (the engine
+    metric, hash-pinned) vs duplicate-suppressed (derived as
+    admitted − late − emitted, also hash-pinned: a single re-emitted
+    key would break BOTH the constant column and the row multiset).
+
+    Scale: dedup state is keyed on event_id and pruned to the lateness
+    horizon every batch — the at-least-once→exactly-once contract (t8)
+    with the pruning actually exercised; staging is the t22 landing
+    scaffold."""
+    from ..sources.tables import load_table
+
+    out_dir = _mkdtemp(prefix="t25_dedupadv_")
+    stage = f"{out_dir}/landing"
+    ev = (load_table(spark, sf_dir, "events")
+          .select("event_id", "ts", "user_id", "event_type"))
+    mn, mx = ev.agg(F.min(F.unix_micros("ts")),
+                    F.max(F.unix_micros("ts"))).first()
+    q = F.expr(f"((unix_micros(ts) - {mn}) * 4) div ({mx - mn + 1})")
+    orig = ev.withColumn("arrival", q)
+    copies = (ev.filter(F.col("event_id") % 13 == 0)
+                .withColumn("arrival", F.least(q + 2, F.lit(3))))
+    n_staged = _write_arrival_files(
+        spark, orig.unionByName(copies), stage)
+
+    s = (spark.readStream
+         .schema("event_id long, ts timestamp, "
+                 "user_id long, event_type string")
+         .option("maxFilesPerTrigger", str(STREAM_ADMISSION[
+             "t25_stateful_dedup_advance"]))
+         .option("recursiveFileLookup", "true")
+         .parquet(stage))
+    out = (s.withWatermark("ts", "10 minutes")
+            .dropDuplicatesWithinWatermark(["event_id"]))
+    name = f"stream_result_{next(_seq)}"
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions",
+                   str(STREAM_STATE_PARTITIONS))
+    try:
+        sq = (out.writeStream
+              .format("memory")
+              .queryName(name)
+              .outputMode("append")
+              .trigger(availableNow=True)
+              .start())
+        sq.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    progress = sq.recentProgress
+    data_batches = [pr for pr in progress if pr["numInputRows"] > 0]
+    admitted = sum(pr["numInputRows"] for pr in data_batches)
+    if len(data_batches) < 2 or admitted != n_staged:
+        raise RuntimeError(
+            f"multi-batch contract violated: {len(data_batches)} data "
+            f"micro-batches, {admitted}/{n_staged} rows admitted")
+    n_late = sum(x["numRowsDroppedByWatermark"]
+                 for pr in progress for x in pr["stateOperators"])
+    result = spark.table(name)
+    n_emitted = result.count()
+    n_dup = admitted - n_late - n_emitted
+    return (result
+            .select("event_id", "user_id", "event_type", "ts")
+            .withColumn("n_late_dropped", F.lit(int(n_late)))
+            .withColumn("n_dup_dropped", F.lit(int(n_dup))))

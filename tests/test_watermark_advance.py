@@ -125,3 +125,46 @@ def test_metric_counts_groups_not_rows(spark, tmp_path):
         (p["batchId"],
          [x["numRowsDroppedByWatermark"] for x in p["stateOperators"]])
         for p in q.recentProgress]
+
+
+def test_dedup_within_watermark_semantics(spark, tmp_path):
+    """Pin dropDuplicatesWithinWatermark's multi-batch behavior (the
+    t25 oracle's contract): (1) a duplicate hitting live state is
+    suppressed even when the key's expiry already passed the new frontier —
+    dedup-matches run before eviction; (2) the late filter is the
+    lagged equality-dropping raw-ts predicate and late rows count in
+    numRowsDroppedByWatermark; (3) suppressed duplicates do NOT count
+    there."""
+    from datetime import datetime
+    from pyspark.sql import functions as F
+    TS = lambda h, m: datetime(2024, 1, 1, h, m)
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    base = str(tmp_path / "stage")
+    _stage(spark, base, [
+        # delay 1h.  b0: A@10:00, M1@13:00 -> wm(b1) = 12:00
+        ("a", [(1, TS(10, 0)), (100, TS(13, 0))], 1_000_000),
+        # b1: A@10:00 dup — state expiry 11:00 < wm 12:00 but dedup
+        # precedes eviction -> suppressed, NOT re-emitted, NOT in the
+        # watermark-drop metric.  M2@14:00 -> wm(b2) = 13:00
+        ("b", [(1, TS(10, 0)), (101, TS(14, 0))], 2_000_000),
+        # b2: A@10:00 again — now 10:00 <= lagged wm 12:00 -> LATE drop
+        # (counted).  B@12:30 fresh (> 12:00) -> emits.
+        ("c", [(1, TS(10, 0)), (2, TS(12, 30))], 3_000_000),
+    ])
+    s = (spark.readStream
+         .schema("event_id long, ts timestamp, v double")
+         .option("maxFilesPerTrigger", "1")
+         .option("recursiveFileLookup", "true")
+         .parquet(base))
+    q = (s.withWatermark("ts", "1 hour")
+          .dropDuplicatesWithinWatermark(["event_id"])
+          .writeStream.format("memory").queryName("dedup_semantics")
+          .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination()
+    got = sorted(r["event_id"]
+                 for r in spark.table("dedup_semantics").collect())
+    assert got == [1, 2, 100, 101], got       # each key exactly once
+    drops = [sum(x["numRowsDroppedByWatermark"]
+                 for x in p["stateOperators"])
+             for p in q.recentProgress]
+    assert sum(drops) == 1 and drops[2] == 1, drops
