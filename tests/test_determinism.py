@@ -47,6 +47,17 @@ SAMPLE = [
     "a15_table_profile",            # mode tiebreak under shuffling
     "x2_triangle_count",            # orientation under partitioning
     "x2_incremental_minhash",       # best-match tiebreak
+    # r6: the advancing-frontier streaming family — drop sets, pair
+    # sets, null-emission and dup/late splits must not depend on the
+    # session's partitioning (the queries pin their own state-store
+    # partition count internally; staging/admission must not leak)
+    "t22_watermark_advance_drops",
+    "t23_interval_join_advance",
+    "t25_stateful_dedup_advance",
+    "a16_heavy_hitters",            # MG verdicts under partitioning
+    "a17_count_min",                # CMS cells under partial-agg plans
+    "x7_temperature_mix",           # data-derived rate, integer coin
+    "x3_hamming_topk",              # packed words + popcount ranks
 ]
 
 
