@@ -89,6 +89,7 @@ HEADLINE = (
     "t24_unconverted_advance",    # outer join, moving frontier
     "t25_stateful_dedup_advance", # stateful dedup, moving frontier
     "a17_count_min",              # declarative CMS vs exact referee
+    "j14_dynamic_partition_pruning",  # runtime scan elision verdict
 )
 
 

@@ -1050,3 +1050,177 @@ def s20_retention_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
                         F.lit(len(removed)).cast("long"))
             .withColumn("latest_ok", F.lit(bool(n_latest == n_base)))
             .withColumn("evicted_gone", F.lit(bool(evicted_gone))))
+
+
+# ---------------------------------------------------------------------------
+# OP-J14 — DYNAMIC partition pruning: the join-driven twin of s19's
+# static pruning (the second of the two big scan-elision mechanisms)
+# ---------------------------------------------------------------------------
+
+@register(
+    "j14_dynamic_partition_pruning",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(*) AS n_orders,
+           SUM(CAST(CASE WHEN o_totalprice < 0
+                THEN -FLOOR(ABS(o_totalprice) * 100.0 + 0.5)
+                ELSE FLOOR(ABS(o_totalprice) * 100.0 + 0.5) END
+               AS BIGINT)) AS revenue_cents,
+           TRUE AS dpp_ok
+    FROM orders
+    WHERE o_orderpriority = '2-HIGH'
+    GROUP BY o_orderpriority
+    """,
+)
+def j14_dynamic_partition_pruning(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    """OP-J14 — dynamic partition pruning: the fact table is
+    Hive-partitioned on the join key and the predicate lives on the
+    DIMENSION side — so no static filter can prune the fact scan at
+    parse time. At plan time Spark injects a ``dynamicpruning``
+    subquery into the fact scan's partition filters: the dim side is
+    evaluated first (reusing the broadcast) and only the surviving
+    join keys' directories are read. At 100 TB this is the mechanism
+    that turns "join facts to this month's dim slice" into a scan of
+    this month's partitions instead of the warehouse — the join-driven
+    twin of s19's static ``PartitionFilters`` verdict, and it only
+    exists when the dim side carries a real selective Filter node
+    (probed while building this query: an unfiltered dim — or a
+    literal VALUES dim whose filter constant-folds away — plans a
+    plain join with no pruning subquery).
+
+    ``dpp_ok`` reads the formatted executed plan (the j13/s19
+    plan-introspection-is-the-measurement pattern) and requires a
+    ``dynamicpruning`` expression over the partition column on the
+    fact scan; the data columns are oracle-exact against a plain
+    filtered aggregate, proving pruning changed the scan, not the
+    answer."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderpriority")
+    target = os.path.join(_mkdtemp(prefix="dpp_"), "t")
+    o.write.partitionBy("o_orderpriority").parquet(target)
+
+    fact = spark.read.parquet(target)
+    # the dim MUST be a real scan with a residual filter: a literal
+    # VALUES dim constant-folds, leaving no Filter node, and DPP's
+    # selective-predicate requirement silently fails (measured — the
+    # first build of this query returned dpp_ok = false with a
+    # LocalRelation dim and true with this one)
+    dim = (load_table(spark, sf_dir, "orders")
+           .select(F.col("o_orderpriority").alias("prio")).distinct()
+           .filter(F.col("prio").startswith("2")))
+    cents = F.when(
+        F.col("o_totalprice") < 0,
+        -F.floor(F.abs(F.col("o_totalprice")) * 100.0 + F.lit(0.5)),
+    ).otherwise(
+        F.floor(F.abs(F.col("o_totalprice")) * 100.0 + F.lit(0.5))
+    ).cast("long")
+    j = (fact.join(dim, fact.o_orderpriority == F.col("prio"))
+             .select("o_orderpriority", cents.alias("cents")))
+    agg = (j.groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("n_orders"),
+                 F.sum("cents").alias("revenue_cents")))
+
+    jvm = spark.sparkContext._jvm
+    formatted = jvm.PythonSQLUtils.explainString(
+        agg._jdf.queryExecution(), "formatted")
+    dpp = ("dynamicpruning" in formatted
+           and any("o_orderpriority" in ln
+                   for ln in formatted.splitlines()
+                   if "dynamicpruning" in ln))
+    return agg.withColumn("dpp_ok", F.lit(bool(dpp)))
+
+
+# ---------------------------------------------------------------------------
+# OP-S21 — right-to-be-forgotten delete: purge a requested user cohort
+# from a published table, tombstone the requests, prove completeness
+# ---------------------------------------------------------------------------
+
+def delete_users(spark: SparkSession, table_path: str,
+                 requests: DataFrame, key: str = "user_id") -> int:
+    """Delete every row whose ``key`` appears in the ``requests``
+    relation from the parquet table at ``table_path`` (anti-join +
+    atomic staged rewrite), append the request keys to a tombstone log
+    next to the table, and return the number of rows removed.
+
+    Scale shape: only the REQUEST KEYS move (a deletion-request table
+    is ≪ the warehouse, so AQE broadcasts it into the anti-join); the
+    rewrite is the s8 staged-swap idiom — at 100 TB on a table format
+    this becomes a MERGE DELETE / deletion-vector commit, with the
+    anti-join shape unchanged. Idempotent by construction: a second
+    run's anti-join removes zero rows and rewrites nothing."""
+    import shutil
+
+    current = spark.read.parquet(table_path)
+    keep = current.join(F.broadcast(requests.select(key).distinct()),
+                        key, "left_anti")
+    n_before = current.count()
+    n_after = keep.count()
+    if n_after != n_before:
+        staging = table_path + ".delete_staging"
+        keep.write.mode("overwrite").parquet(staging)
+        shutil.rmtree(table_path)
+        os.rename(staging, table_path)
+    (requests.select(key).distinct()
+     .withColumn("tombstoned", F.lit(True))
+     .write.mode("append").parquet(table_path + ".tombstones"))
+    return n_before - n_after
+
+
+@register(
+    "s21_gdpr_delete",
+    oracle="""
+    SELECT (SELECT COUNT(*) FROM events) AS n_before,
+           (SELECT COUNT(*) FROM events WHERE user_id % 31 = 0)
+             AS n_deleted,
+           (SELECT COUNT(*) FROM events WHERE user_id % 31 <> 0)
+             AS n_after,
+           (SELECT COUNT(DISTINCT user_id) FROM events
+             WHERE user_id % 31 = 0) AS n_requests,
+           TRUE AS all_deleted,
+           TRUE AS idempotent,
+           TRUE AS tombstones_ok
+    """,
+)
+def s21_gdpr_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OP-S21 — right-to-be-forgotten: a deletion-request table (the
+    deterministic ``user_id % 31 == 0`` cohort) is purged from a
+    published copy of the events table via :func:`delete_users`, run
+    TWICE. Verdict, each column falsifiable:
+
+    - ``n_before`` / ``n_deleted`` / ``n_after`` / ``n_requests`` —
+      exact counts, oracle-pinned;
+    - ``all_deleted`` — an anti-probe of the purged table finds ZERO
+      cohort rows (completeness is checked against the TABLE, not
+      inferred from the delete's return value);
+    - ``idempotent`` — the second run removed exactly 0 rows;
+    - ``tombstones_ok`` — the tombstone log holds exactly the distinct
+      requested keys (the audit-trail half of the contract: you must
+      be able to prove WHO was deleted without retaining their data).
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value")
+    target = os.path.join(_mkdtemp(prefix="gdpr_"), "t")
+    ev.write.parquet(target)
+    requests = (ev.filter(F.col("user_id") % 31 == 0)
+                  .select("user_id").distinct())
+
+    n_before = spark.read.parquet(target).count()
+    n_deleted = delete_users(spark, target, requests)
+    n_deleted_2nd = delete_users(spark, target, requests)
+    after = spark.read.parquet(target)
+    n_after = after.count()
+    n_left_cohort = after.filter(F.col("user_id") % 31 == 0).count()
+    tombs = spark.read.parquet(target + ".tombstones")
+    n_requests = requests.count()
+    tombs_ok = (tombs.select("user_id").distinct().count() == n_requests
+                and tombs.join(requests, "user_id", "left_anti")
+                         .count() == 0)
+    return (spark.range(1).select(
+        F.lit(n_before).alias("n_before"),
+        F.lit(n_deleted).alias("n_deleted"),
+        F.lit(n_after).alias("n_after"),
+        F.lit(n_requests).alias("n_requests"),
+        F.lit(bool(n_left_cohort == 0)).alias("all_deleted"),
+        F.lit(bool(n_deleted_2nd == 0)).alias("idempotent"),
+        F.lit(bool(tombs_ok)).alias("tombstones_ok")))
