@@ -168,3 +168,62 @@ def test_dedup_within_watermark_semantics(spark, tmp_path):
                  for x in p["stateOperators"])
              for p in q.recentProgress]
     assert sum(drops) == 1 and drops[2] == 1, drops
+
+
+def test_join_frontier_null_strict_until_both_sides(spark, tmp_path):
+    """One-sided prefix: purchases first appear in batch 2, so the
+    global join frontier must stay at epoch through batches 0-1 (min
+    of the two sides, NULL-strict — the t13 lesson under multi-batch
+    admission). A click far below the click-side max therefore still
+    matches when its purchase finally arrives; with a non-strict min
+    it would have been late-dropped or evicted."""
+    from datetime import datetime
+    from pyspark.sql import functions as F
+    TS = lambda h, m: datetime(2024, 1, 1, h, m)
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    base = str(tmp_path / "stage")
+    # v doubles as the join key: click 1 and purchase 100 share key 7
+    _stage(spark, base, [
+        # clicks only; click-side max races ahead to 18:00
+        ("a", [(1, TS(10, 0)), (2, TS(18, 0))], 1_000_000),
+        ("b", [(3, TS(18, 30))], 2_000_000),
+        # first purchase ever: matches the 10:00 click — 8.5 hours
+        # behind the click-side frontier, still admitted AND matched
+        ("c", [(100, TS(10, 10)), (101, TS(19, 0))], 3_000_000),
+    ])
+
+    def src(tp):
+        s = (spark.readStream
+             .schema("event_id long, ts timestamp, v double")
+             .option("maxFilesPerTrigger", "1")
+             .option("recursiveFileLookup", "true")
+             .parquet(base))
+        return s.filter(F.col("event_id") < 100 if tp == "c"
+                        else F.col("event_id") >= 100)
+
+    key = F.when(F.col("event_id").isin(1, 100), 7).otherwise(
+        F.col("event_id"))
+    c = (src("c").withWatermark("ts", "30 minutes")
+         .select(key.alias("ck"),
+                 F.col("event_id").alias("click_id"),
+                 F.col("ts").alias("c_ts")))
+    p = (src("p").withWatermark("ts", "30 minutes")
+         .select(key.alias("pk"),
+                 F.col("event_id").alias("purchase_id"),
+                 F.col("ts").alias("p_ts")))
+    j = c.join(p, (F.col("ck") == F.col("pk"))
+               & (F.col("p_ts") >= F.col("c_ts"))
+               & (F.col("p_ts") <= F.col("c_ts")
+                  + F.expr("INTERVAL 30 MINUTES")))
+    q = (j.writeStream.format("memory").queryName("null_strict")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination()
+    got = sorted((r["click_id"], r["purchase_id"])
+                 for r in spark.table("null_strict").collect())
+    assert got == [(1, 100)], got
+    # and nothing was ever dropped: the frontier was epoch while every
+    # row was admitted (purchases appeared only in the final file)
+    drops = sum(x["numRowsDroppedByWatermark"]
+                for pr in q.recentProgress
+                for x in pr["stateOperators"])
+    assert drops == 0, drops
