@@ -48,6 +48,7 @@ once the dependency exists.
 
 from __future__ import annotations
 
+import inspect
 import itertools
 import os
 
@@ -157,6 +158,29 @@ def events_stream(spark: SparkSession, sf_dir: str,
         "user_id", "event_type", "value", "props")
 
 
+# ADVICE r6 item 1: these queries admit via events_stream's DEFAULT
+# max_files_per_trigger rather than passing STREAM_ADMISSION[name]
+# explicitly (as t12/t13/t21 do), so the dict entry would be a silent
+# lie if the default ever drifted. Assert the contract at import time:
+# editing either side without the other fails loudly, not as a
+# downstream oracle mismatch.
+_DEFAULT_ADMISSION_QUERIES = (
+    "t1_microbatch_refresh", "t5_sliding_stream", "t6_session_stream",
+    "t7_watermark_tumbling_stream", "t8_stateful_dedup_stream",
+    "t8_stateful_counters_stream", "t16_streaming_merge",
+    "t20_streaming_leaderboard",
+)
+_default_mft = inspect.signature(
+    events_stream).parameters["max_files_per_trigger"].default
+for _q in _DEFAULT_ADMISSION_QUERIES:
+    if STREAM_ADMISSION[_q] != _default_mft:
+        raise AssertionError(
+            f"STREAM_ADMISSION[{_q!r}] = {STREAM_ADMISSION[_q]} but "
+            f"events_stream's default max_files_per_trigger is "
+            f"{_default_mft}; the query admits via the default, so the "
+            "dict no longer describes the actual contract")
+
+
 def _run_to_table(stream_df: DataFrame, mode: str,
                   require_single_batch: bool = False) -> DataFrame:
     """Run a bounded streaming query to completion into a memory sink
@@ -191,6 +215,71 @@ def _run_to_table(stream_df: DataFrame, mode: str,
                 "bounded-replay oracle is only valid when the whole "
                 "source lands in one data micro-batch")
     return stream_df.sparkSession.table(name)
+
+
+def _run_advancing(stream_df: DataFrame, n_staged: int,
+                   sides: int = 1,
+                   mode: str = "append") -> tuple[DataFrame, int]:
+    """Run an ADVANCING-FRONTIER bounded replay (t22-family) to a
+    memory sink; returns ``(result_table, n_dropped_by_watermark)``.
+
+    Owns the three contracts every advancing query needs, in one place
+    so they cannot drift (ADVICE r6 item 4):
+
+    - **state-partition pinning**: ``spark.sql.shuffle.partitions`` is
+      set to :data:`STREAM_STATE_PARTITIONS` around the run (fixed
+      per-partition-per-batch state-store cost; results are
+      partition-count independent by construction) and restored in a
+      ``finally``;
+    - **scan-partition pinning** (ADVICE r6 item 2): t22's drop metric
+      counts post-partial-agg GROUP rows, which matches the oracle's
+      DISTINCT (batch, window, type) model only while each staged
+      arrival file scans as exactly ONE input partition. That held
+      implicitly (files under the 4 MB open-cost floor); pin it
+      explicitly — ``maxPartitionBytes`` up and ``minPartitionNum`` to
+      1 so ``maxSplitBytes = max(openCost, totalBytes/1)`` can never
+      split a file — instead of relying on file sizes staying small at
+      bigger SFs;
+    - **the multi-batch admission contract** (inverse of t12's): the
+      replay is only meaningful if the source really arrived as
+      multiple micro-batches and every staged row was admitted
+      (drops happen at the stateful operator AFTER admission, so input
+      counts are pre-drop). ``sides=2`` for stream-stream joins, where
+      each source scans every staged file.
+    """
+    spark = stream_df.sparkSession
+    name = f"stream_result_{next(_seq)}"
+    pinned = {"spark.sql.shuffle.partitions": str(STREAM_STATE_PARTITIONS),
+              "spark.sql.files.maxPartitionBytes": str(8 * 1024 ** 3),
+              "spark.sql.files.minPartitionNum": "1"}
+    prev = {k: spark.conf.get(k, None) for k in pinned}
+    for k, v in pinned.items():
+        spark.conf.set(k, v)
+    try:
+        sq = (stream_df.writeStream
+              .format("memory")
+              .queryName(name)
+              .outputMode(mode)
+              .trigger(availableNow=True)
+              .start())
+        sq.awaitTermination()
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    progress = sq.recentProgress
+    data_batches = [pr for pr in progress if pr["numInputRows"] > 0]
+    admitted = sum(pr["numInputRows"] for pr in data_batches)
+    if len(data_batches) < 2 or admitted != sides * n_staged:
+        raise RuntimeError(
+            f"multi-batch contract violated: {len(data_batches)} data "
+            f"micro-batches, {admitted}/{sides * n_staged} rows "
+            "admitted")
+    dropped = sum(x["numRowsDroppedByWatermark"]
+                  for pr in progress for x in pr["stateOperators"])
+    return spark.table(name), int(dropped)
 
 
 @register(
@@ -891,7 +980,14 @@ def _write_arrival_files(spark: SparkSession, staged: DataFrame,
     """Write a relation carrying an ``arrival`` column as one parquet
     file per arrival group with strictly increasing mtimes (admission
     order = arrival order for a ``maxFilesPerTrigger=1`` stream);
-    returns the staged row count."""
+    returns the staged row count.
+
+    Contract (ADVICE r6 item 2): downstream oracles that model
+    post-partial-agg drop metrics (t22) assume each staged file scans
+    as exactly ONE input partition — ``_run_advancing`` pins the scan
+    confs (``maxPartitionBytes`` up, ``minPartitionNum`` 1) so a bigger
+    SF or a session conf change cannot split a file and inflate the
+    engine metric."""
     base_mtime = 1_700_000_000
     for k in range(n_files):
         path = f"{stage}/a{k}"
@@ -1069,35 +1165,8 @@ def t22_watermark_advance_drops(spark: SparkSession,
                  F.sum("cents").alias("sum_cents")))
     out = agg.select(F.col("w.start").alias("window_start"),
                      "event_type", "n_events", "sum_cents")
-    name = f"stream_result_{next(_seq)}"
-    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions",
-                   str(STREAM_STATE_PARTITIONS))
-    try:
-        sq = (out.writeStream
-              .format("memory")
-              .queryName(name)
-              .outputMode("append")
-              .trigger(availableNow=True)
-              .start())
-        sq.awaitTermination()
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
-    progress = sq.recentProgress
-    data_batches = [p for p in progress if p["numInputRows"] > 0]
-    admitted = sum(p["numInputRows"] for p in data_batches)
-    # the INVERSE of the t12 contract: this query is only meaningful if
-    # the source really arrived as multiple micro-batches, and every
-    # staged row must have been admitted (drops happen at the stateful
-    # operator, AFTER admission, so input counts are pre-drop)
-    if len(data_batches) < 2 or admitted != n_staged:
-        raise RuntimeError(
-            f"multi-batch contract violated: {len(data_batches)} data "
-            f"micro-batches, {admitted}/{n_staged} rows admitted")
-    dropped = sum(x["numRowsDroppedByWatermark"]
-                  for p in progress for x in p["stateOperators"])
-    return (spark.table(name)
-            .withColumn("n_late_dropped", F.lit(int(dropped))))
+    table, dropped = _run_advancing(out, n_staged)
+    return table.withColumn("n_late_dropped", F.lit(dropped))
 
 
 # ---------------------------------------------------------------------------
@@ -1257,37 +1326,15 @@ def t23_interval_join_advance(spark: SparkSession,
         & (F.col("p_ts") >= F.col("c_ts"))
         & (F.col("p_ts") <= F.col("c_ts")
            + F.expr("INTERVAL 30 MINUTES")))
-    name = f"stream_result_{next(_seq)}"
-    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions",
-                   str(STREAM_STATE_PARTITIONS))
-    try:
-        sq = (j.writeStream
-              .format("memory")
-              .queryName(name)
-              .outputMode("append")
-              .trigger(availableNow=True)
-              .start())
-        sq.awaitTermination()
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
-    progress = sq.recentProgress
-    data_batches = [pr for pr in progress if pr["numInputRows"] > 0]
-    admitted = sum(pr["numInputRows"] for pr in data_batches)
     # each of the two sources reads every staged file (the type filter
     # sits above the source), so admission counts each row twice
-    if len(data_batches) < 2 or admitted != 2 * n_staged:
-        raise RuntimeError(
-            f"multi-batch contract violated: {len(data_batches)} data "
-            f"micro-batches, {admitted}/{2 * n_staged} rows admitted")
-    dropped = sum(x["numRowsDroppedByWatermark"]
-                  for pr in progress for x in pr["stateOperators"])
-    return (spark.table(name)
+    table, dropped = _run_advancing(j, n_staged, sides=2)
+    return (table
             .select(F.col("c_user").alias("user_id"), "click_id",
                     "purchase_id",
                     (F.unix_micros("p_ts") - F.unix_micros("c_ts"))
                     .alias("lag_us"))
-            .withColumn("n_late_dropped", F.lit(int(dropped))))
+            .withColumn("n_late_dropped", F.lit(dropped)))
 
 
 # ---------------------------------------------------------------------------
@@ -1430,28 +1477,8 @@ def t24_unconverted_advance(spark: SparkSession,
         & (F.col("p_ts") <= F.col("c_ts")
            + F.expr("INTERVAL 30 MINUTES")),
         "leftOuter")
-    name = f"stream_result_{next(_seq)}"
-    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions",
-                   str(STREAM_STATE_PARTITIONS))
-    try:
-        sq = (j.writeStream
-              .format("memory")
-              .queryName(name)
-              .outputMode("append")
-              .trigger(availableNow=True)
-              .start())
-        sq.awaitTermination()
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
-    progress = sq.recentProgress
-    data_batches = [pr for pr in progress if pr["numInputRows"] > 0]
-    admitted = sum(pr["numInputRows"] for pr in data_batches)
-    if len(data_batches) < 2 or admitted != 2 * n_staged:
-        raise RuntimeError(
-            f"multi-batch contract violated: {len(data_batches)} data "
-            f"micro-batches, {admitted}/{2 * n_staged} rows admitted")
-    return (spark.table(name)
+    table, _dropped = _run_advancing(j, n_staged, sides=2)
+    return (table
             .select(F.col("c_user").alias("user_id"), "click_id",
                     "purchase_id",
                     F.col("purchase_id").isNotNull().alias("converted")))
@@ -1562,32 +1589,9 @@ def t25_stateful_dedup_advance(spark: SparkSession,
          .parquet(stage))
     out = (s.withWatermark("ts", "10 minutes")
             .dropDuplicatesWithinWatermark(["event_id"]))
-    name = f"stream_result_{next(_seq)}"
-    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions",
-                   str(STREAM_STATE_PARTITIONS))
-    try:
-        sq = (out.writeStream
-              .format("memory")
-              .queryName(name)
-              .outputMode("append")
-              .trigger(availableNow=True)
-              .start())
-        sq.awaitTermination()
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
-    progress = sq.recentProgress
-    data_batches = [pr for pr in progress if pr["numInputRows"] > 0]
-    admitted = sum(pr["numInputRows"] for pr in data_batches)
-    if len(data_batches) < 2 or admitted != n_staged:
-        raise RuntimeError(
-            f"multi-batch contract violated: {len(data_batches)} data "
-            f"micro-batches, {admitted}/{n_staged} rows admitted")
-    n_late = sum(x["numRowsDroppedByWatermark"]
-                 for pr in progress for x in pr["stateOperators"])
-    result = spark.table(name)
+    result, n_late = _run_advancing(out, n_staged)
     n_emitted = result.count()
-    n_dup = admitted - n_late - n_emitted
+    n_dup = n_staged - n_late - n_emitted
     return (result
             .select("event_id", "user_id", "event_type", "ts")
             .withColumn("n_late_dropped", F.lit(int(n_late)))
