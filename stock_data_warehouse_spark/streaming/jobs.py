@@ -102,6 +102,7 @@ STREAM_ADMISSION: dict[str, int] = {
     "t23_interval_join_advance": 1,
     "t24_unconverted_advance": 1,
     "t25_stateful_dedup_advance": 1,
+    "t26_session_advance": 1,
 }
 
 #: State-store partition count for the ADVANCING-FRONTIER replays
@@ -1596,3 +1597,188 @@ def t25_stateful_dedup_advance(spark: SparkSession,
             .select("event_id", "user_id", "event_type", "ts")
             .withColumn("n_late_dropped", F.lit(int(n_late)))
             .withColumn("n_dup_dropped", F.lit(int(n_dup))))
+
+
+# ---------------------------------------------------------------------------
+# OP-T26 — session windows under an ADVANCING watermark: the one
+# stateful operator whose state MERGES (VERDICT r6 next-round #1)
+# ---------------------------------------------------------------------------
+
+@register(
+    "t26_session_advance",
+    oracle="""
+    WITH e AS (
+      SELECT event_id, ts, user_id, epoch_us(ts) AS us,
+             CAST(CASE WHEN value < 0
+                  THEN -FLOOR(ABS(value) * 100.0 + 0.5)
+                  ELSE FLOOR(ABS(value) * 100.0 + 0.5) END
+             AS BIGINT) AS cents
+      FROM events
+    ),
+    b AS (SELECT MIN(us) AS mn, MAX(us) AS mx FROM e),
+    g AS (SELECT e.*, (us - mn) * 4 // (mx - mn + 1) AS qt FROM e, b),
+    tq AS (SELECT qt, MAX(us) AS qmax FROM g GROUP BY qt),
+    fr AS (SELECT
+       (SELECT (MAX(us) // 1000) * 1000 FROM g WHERE qt = 0) AS f0,
+       (SELECT (MAX(us) // 1000) * 1000 FROM g WHERE qt = 1) AS f1,
+       (SELECT (MAX(us) // 1000) * 1000 FROM g) AS ffinal),
+    p AS (
+      SELECT g.*, tq.qmax,
+             LAG(us) OVER (PARTITION BY user_id
+                           ORDER BY us, event_id) AS prev_us
+      FROM g JOIN tq USING (qt)
+    ),
+    s AS (
+      SELECT p.*,
+             (us + 1800000000 <=
+              CASE WHEN qt = 0 THEN f0 ELSE f1 END - 600000000)
+               AS will_drop,
+             (event_id % 23 = 0 AND qt < 3 AND us < qmax
+              AND (us + 1800000000 <=
+                   CASE WHEN qt = 0 THEN f0 ELSE f1 END - 600000000
+                   OR prev_us IS NULL
+                   OR prev_us < us - 1800000000)) AS shifted
+      FROM p, fr
+    ),
+    adm AS (SELECT * FROM s WHERE NOT (shifted AND will_drop)),
+    o AS (
+      SELECT adm.*,
+             CASE WHEN LAG(us) OVER (PARTITION BY user_id
+                    ORDER BY us, event_id) IS NULL
+                    OR us - LAG(us) OVER (PARTITION BY user_id
+                         ORDER BY us, event_id) > 1800000000
+                  THEN 1 ELSE 0 END AS brk
+      FROM adm
+    ),
+    i AS (
+      SELECT o.*,
+             SUM(brk) OVER (PARTITION BY user_id ORDER BY us, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      FROM o
+    ),
+    sess AS (
+      SELECT user_id, MIN(us) AS s_us, MAX(us) + 1800000000 AS e_us,
+             COUNT(*) AS n_events, SUM(cents) AS sum_cents
+      FROM i GROUP BY user_id, sid
+    ),
+    drops AS (SELECT COUNT(*) AS n FROM s WHERE shifted AND will_drop)
+    SELECT user_id, make_timestamp(s_us) AS session_start,
+           make_timestamp(e_us) AS session_end, n_events, sum_cents,
+           (SELECT n FROM drops) AS n_late_dropped
+    FROM sess, fr
+    WHERE e_us <= ffinal - 600000000
+    """,
+)
+def t26_session_advance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OP-T26 — per-user ``session_window(ts, '30 minutes')`` with the
+    watermark genuinely ADVANCING: the last corner of the t22-t25
+    square, and the only one whose state MERGES — a late row can fuse
+    two open sessions, and a late row that DROPS changes the session
+    partition itself (the sessions it would have bridged stay split).
+
+    Semantics pinned by crafted experiment on this engine version
+    (tests/test_watermark_advance.py::test_session_window_semantics and
+    ::test_session_reopen_after_seal):
+
+    - the late filter is the t22 lagged frontier applied to the row's
+      INITIAL window end (``ts + gap <= frontier`` drops, equality
+      drops) — NOT the raw event time joins/dedup use;
+    - ``numRowsDroppedByWatermark`` counts RAW late rows (no partial
+      aggregate precedes the session operator — unlike t22, whose
+      metric counts post-partial-agg group rows);
+    - sessions merge ON TOUCH (an event exactly ``gap`` after the
+      previous one extends the session) and an admitted late row merges
+      into LIVE same-key state, bridging/extending sessions mid-stream;
+    - a session seals (emits, in append mode) once its end <= the
+      CURRENT frontier, equality seals — and a sealed session is GONE:
+      an admitted row whose initial window overlaps a sealed session
+      re-opens NOTHING and emits a second, overlapping session row
+      (the split-session behavior, pinned by experiment).
+
+    That last behavior is the modeling hazard: a global gaps-and-
+    islands oracle is exact ONLY if no admitted late row lands within
+    ``gap`` of an already-sealed same-key session. The staging
+    CONSTRUCTS that guarantee instead of assuming it — the late-shift
+    subset (``event_id % 23 == 0``, quantile < 3, shifted two files
+    later, the t22 rule) is additionally restricted to rows that
+    either (a) certainly DROP at arrival (initial window end <= the
+    lagged frontier, a pure function of the quantile maxima — these
+    are the bridge-splitting drops the operator exists to exercise),
+    or (b) have NO same-key predecessor within the merge window
+    (strictly less than ``gap`` before, so they can only START a
+    session or be extended by LIVE later state, never touch a sealed
+    one). Rows at their quantile's exact maximum never shift, so every
+    file's max — hence the whole frontier schedule — is shift-
+    invariant and computable in one pass by both engines. The oracle
+    replays the same arithmetic: admitted = all minus (shifted AND
+    will-drop), global per-user islands with merge-on-touch over the
+    admitted set, sessions emitted iff end <= the final frontier
+    (ms-floored global max minus the 10-minute delay), and the
+    engine's own raw-row drop counter hash-pinned as a column.
+
+    Scale: session state is keyed on user_id (unbounded cardinality —
+    partitions by key), bounded per key by the lateness horizon, and
+    continuously pruned as the frontier seals sessions; staging is the
+    t22 landing scaffold; money crosses as integer cents (class-A)."""
+    from ..sources.tables import load_table
+
+    GAP_US = 1_800_000_000
+    DELAY_US = 600_000_000
+    out_dir = _mkdtemp(prefix="t26_sessadv_")
+    stage = f"{out_dir}/landing"
+    cents = F.when(
+        F.col("value") < 0,
+        -F.floor(F.abs(F.col("value")) * 100.0 + F.lit(0.5)),
+    ).otherwise(F.floor(F.abs(F.col("value")) * 100.0 + F.lit(0.5))) \
+     .cast("long")
+    ev = (load_table(spark, sf_dir, "events")
+          .select("event_id", "ts", "user_id", cents.alias("cents"),
+                  F.unix_micros("ts").alias("us")))
+    mn, mx = ev.agg(F.min("us"), F.max("us")).first()
+    q = F.expr(f"((us - {mn}) * 4) div ({mx - mn + 1})")
+    # bounded metadata collect (4 rows): the per-quantile maxima that
+    # define the shift-invariant frontier schedule
+    qmax = {r["qt"]: r["qmax"]
+            for r in ev.groupBy(q.alias("qt"))
+                       .agg(F.max("us").alias("qmax")).collect()}
+    f0 = (qmax[0] // 1000) * 1000
+    f1 = (qmax[1] // 1000) * 1000
+    qmax_col = (F.when(q == 0, F.lit(qmax[0]))
+                 .when(q == 1, F.lit(qmax[1]))
+                 .when(q == 2, F.lit(qmax[2]))
+                 .otherwise(F.lit(qmax[3])))
+    prev_us = F.lag("us").over(
+        Window.partitionBy("user_id").orderBy("us", "event_id"))
+    will_drop = (F.col("us") + GAP_US
+                 <= F.when(q == 0, F.lit(f0)).otherwise(F.lit(f1))
+                 - DELAY_US)
+    staged = ev.withColumn("prev_us", prev_us)
+    shifted = ((F.col("event_id") % 23 == 0) & (q < 3)
+               & (F.col("us") < qmax_col)
+               & (will_drop | F.col("prev_us").isNull()
+                  | (F.col("prev_us") < F.col("us") - GAP_US)))
+    arrival = F.when(shifted, F.least(q + 2, F.lit(3))).otherwise(q)
+    n_staged = _write_arrival_files(
+        spark,
+        staged.withColumn("arrival", arrival)
+              .select("event_id", "ts", "user_id", "cents", "arrival"),
+        stage)
+
+    s = (spark.readStream
+         .schema("event_id long, ts timestamp, "
+                 "user_id long, cents long")
+         .option("maxFilesPerTrigger", str(STREAM_ADMISSION[
+             "t26_session_advance"]))
+         .option("recursiveFileLookup", "true")
+         .parquet(stage))
+    agg = (s.withWatermark("ts", "10 minutes")
+            .groupBy(F.session_window("ts", "30 minutes").alias("w"),
+                     "user_id")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.sum("cents").alias("sum_cents")))
+    out = agg.select("user_id",
+                     F.col("w.start").alias("session_start"),
+                     F.col("w.end").alias("session_end"),
+                     "n_events", "sum_cents")
+    table, dropped = _run_advancing(out, n_staged)
+    return table.withColumn("n_late_dropped", F.lit(dropped))

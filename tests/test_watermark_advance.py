@@ -227,3 +227,148 @@ def test_join_frontier_null_strict_until_both_sides(spark, tmp_path):
                 for pr in q.recentProgress
                 for x in pr["stateOperators"])
     assert drops == 0, drops
+
+
+
+def _stage_keyed(spark, base, files):
+    """Like _stage but rows are (event_id, ts, key) with v = the key."""
+    shutil.rmtree(base, ignore_errors=True)
+    os.makedirs(base)
+    for name, rows, mtime in files:
+        df = spark.createDataFrame(
+            [(i, t, float(k)) for i, t, k in rows],
+            "event_id long, ts timestamp, v double")
+        path = f"{base}/{name}"
+        df.coalesce(1).write.parquet(path)
+        for root, _dirs, fns in os.walk(path):
+            for fn in fns:
+                os.utime(os.path.join(root, fn), (mtime, mtime))
+        os.utime(path, (mtime, mtime))
+
+
+def _run_session(spark, base, qname):
+    s = (spark.readStream
+         .schema("event_id long, ts timestamp, v double")
+         .option("maxFilesPerTrigger", "1")
+         .option("recursiveFileLookup", "true")
+         .parquet(base))
+    agg = (s.withWatermark("ts", "10 minutes")
+            .groupBy(F.session_window("ts", "30 minutes").alias("w"),
+                     "v")
+            .agg(F.count(F.lit(1)).alias("n")))
+    q = (agg.select(F.col("w.start").alias("ws"),
+                    F.col("w.end").alias("we"), "v", "n")
+         .writeStream.format("memory").queryName(qname)
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination()
+    rows = sorted((str(r["ws"]), str(r["we"]), r["v"], r["n"])
+                  for r in spark.table(qname).collect())
+    prog = [(p["batchId"],
+             sum(x["numRowsDroppedByWatermark"]
+                 for x in p["stateOperators"]),
+             p["sink"]["numOutputRows"]) for p in q.recentProgress]
+    return rows, prog
+
+
+def test_session_window_semantics(spark, tmp_path):
+    """Pin the session-window streaming semantics the t26 oracle
+    replays (gap 30m, delay 10m; v is the session key):
+
+    1. an admitted one-batch-late row MERGES into live session state
+       and can BRIDGE two open sessions (state merge — the behavior
+       unique to sessions);
+    2. the late filter is the lagged frontier applied to the row's
+       INITIAL window end (ts + gap), equality drops — a row whose raw
+       ts is behind the frontier but whose window end is ahead is
+       still admitted;
+    3. numRowsDroppedByWatermark counts RAW rows (two same-session
+       late rows count 2 — no partial aggregate precedes the session
+       operator, unlike the t22 windowed agg whose metric counts
+       group rows);
+    4. sessions merge ON TOUCH (an event exactly gap after the
+       previous one extends the session);
+    5. a session seals once end <= the CURRENT frontier — equality
+       SEALS (emits in that same batch, not the next).
+    """
+    from datetime import datetime
+    TS = lambda h, m: datetime(2024, 1, 1, h, m)
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+    # --- lessons 1, 2, 4: merge/bridge, window-end filter, touch
+    _stage_keyed(spark, str(tmp_path / "s1"), [
+        # b0: {10:00,10:20} one session; 12:00 another -> wm(b1)=11:50
+        ("a", [(1, TS(10, 0), 1), (2, TS(10, 20), 1),
+               (3, TS(12, 0), 1)], 1_000_000),
+        # b1 (filter=epoch): 10:40 merges -> [10:00,11:10) seals at
+        # eviction 11:50; 12:30 TOUCHES [12:00,12:30) -> extends (4)
+        ("b", [(4, TS(10, 40), 1), (5, TS(12, 30), 1)], 2_000_000),
+        # b2 (filter=11:50): 10:30 end 11:00 <= 11:50 -> drop;
+        # 11:35 end 12:05 > 11:50 -> ADMITTED though raw ts < frontier
+        # (2), and BRIDGES into [12:00,13:00) -> [11:35,13:00) n=3 (1);
+        # 13:30 advances the final frontier to 13:20 so it seals
+        ("c", [(6, TS(10, 30), 1), (7, TS(11, 35), 1),
+               (8, TS(13, 30), 1)], 3_000_000),
+    ])
+    rows, _ = _run_session(spark, str(tmp_path / "s1"), "sess_sem1")
+    assert rows == [
+        ("2024-01-01 10:00:00", "2024-01-01 11:10:00", 1.0, 3),
+        ("2024-01-01 11:35:00", "2024-01-01 13:00:00", 1.0, 3),
+    ], rows
+
+    # --- lessons 3, 5: raw-row metric, filter-equality drop,
+    # seal-equality emission
+    _stage_keyed(spark, str(tmp_path / "s2"), [
+        ("a", [(1, TS(12, 0), 9)], 1_000_000),   # wm(b1) = 11:50
+        ("b", [(2, TS(14, 0), 9)], 2_000_000),   # wm(b2) = 13:50
+        # b2: filter frontier 11:50, eviction frontier 13:50
+        #   k1: 10:00 + 10:10 both late, SAME would-be session -> the
+        #       metric counts 2 raw rows, not 1 merged partial (3)
+        #   k2: end 11:50 == filter frontier -> equality DROPS
+        #   k3: end 13:50 == eviction frontier -> seals IN b2 (5)
+        #   k9: 14:30 keeps the final session open (end 15:00 > 14:20)
+        ("c", [(3, TS(10, 0), 1), (4, TS(10, 10), 1),
+               (5, TS(11, 20), 2), (6, TS(13, 20), 3),
+               (7, TS(14, 30), 9)], 3_000_000),
+    ])
+    rows, prog = _run_session(spark, str(tmp_path / "s2"), "sess_sem2")
+    assert rows == [
+        ("2024-01-01 12:00:00", "2024-01-01 12:30:00", 9.0, 1),
+        ("2024-01-01 13:20:00", "2024-01-01 13:50:00", 3.0, 1),
+    ], rows
+    by_batch = {b: (d, o) for b, d, o in prog}
+    assert by_batch[2][0] == 3, prog          # 2 raw k1 rows + k2
+    assert by_batch[2][1] == 2, prog          # k9 [12:00,12:30) + k3
+                                              # sealed IN batch 2
+
+
+def test_session_reopen_after_seal(spark, tmp_path):
+    """Pin the SPLIT-SESSION hazard the t26 staging constructs away:
+    an ADMITTED late row whose initial window overlaps an already-
+    SEALED same-key session re-opens nothing — the engine emits a
+    second, overlapping session row. A global gaps-and-islands model
+    would have produced ONE merged session, which is why t26's
+    late-shift subset excludes kept rows with a same-key predecessor
+    within the merge window (they could land next to a sealed
+    session); if a Spark upgrade ever changes this to re-open or
+    retract, this pin fails first."""
+    from datetime import datetime
+    TS = lambda h, m: datetime(2024, 1, 1, h, m)
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    _stage_keyed(spark, str(tmp_path / "s3"), [
+        # b0: k1@10:00; k9@10:45 -> wm(b1) = 10:35
+        ("a", [(1, TS(10, 0), 1), (2, TS(10, 45), 9)], 1_000_000),
+        # b1: eviction 10:35 seals k1 [10:00,10:30); -> wm(b2) = 11:20
+        ("b", [(3, TS(11, 30), 9)], 2_000_000),
+        # b2: k1@10:15 — filter frontier (lagged) = 10:35; end 10:45 >
+        # 10:35 -> ADMITTED; ts 10:15 < sealed end 10:30 -> overlaps
+        # the emitted session. 13:00 seals everything left (wm 12:50).
+        ("c", [(4, TS(10, 15), 1), (5, TS(13, 0), 9)], 3_000_000),
+    ])
+    rows, prog = _run_session(spark, str(tmp_path / "s3"), "sess_sem3")
+    assert rows == [
+        ("2024-01-01 10:00:00", "2024-01-01 10:30:00", 1.0, 1),
+        ("2024-01-01 10:15:00", "2024-01-01 10:45:00", 1.0, 1),  # split!
+        ("2024-01-01 10:45:00", "2024-01-01 11:15:00", 9.0, 1),
+        ("2024-01-01 11:30:00", "2024-01-01 12:00:00", 9.0, 1),
+    ], rows
+    assert sum(d for _b, d, _o in prog) == 0, prog  # admitted, not late
