@@ -871,3 +871,261 @@ def a17_count_min(spark: SparkSession, sf_dir: str) -> DataFrame:
                     (F.col("n_under") == 0).alias("never_underestimates"),
                     "max_overestimate",
                     (F.col("n_mismatch") == 0).alias("mergeable_ok")))
+
+
+# ---------------------------------------------------------------------------
+# OP-A18 — mergeable quantile rollup: per-day rank-preserving sampled
+# summaries merged up to event_type (VERDICT r6 next-round #3)
+# ---------------------------------------------------------------------------
+
+_QR_K = 32  # max samples kept per (event_type, day) summary
+
+
+@register(
+    "a18_quantile_rollup",
+    oracle=f"""
+    WITH e AS (
+      SELECT event_id, event_type, CAST(ts AS DATE) AS day,
+             CAST(CASE WHEN value < 0
+                  THEN -FLOOR(ABS(value) * 100.0 + 0.5)
+                  ELSE FLOOR(ABS(value) * 100.0 + 0.5) END
+             AS BIGINT) AS cents
+      FROM events
+    ),
+    dc AS (
+      SELECT event_type, day, COUNT(*) AS n_d,
+             (COUNT(*) + {_QR_K - 1}) // {_QR_K} AS s_d
+      FROM e GROUP BY event_type, day
+    ),
+    rk AS (
+      SELECT e.*, dc.n_d, dc.s_d,
+             ROW_NUMBER() OVER (PARTITION BY e.event_type, e.day
+                                ORDER BY e.cents, e.event_id) AS r
+      FROM e JOIN dc USING (event_type, day)
+    ),
+    samples AS (
+      SELECT event_type, day, cents, r FROM rk
+      WHERE r % s_d = 0 OR r = n_d
+    ),
+    cand AS (SELECT DISTINCT event_type, cents AS v FROM samples),
+    perday AS (
+      SELECT c.event_type, c.v, s.day, MAX(s.r) AS mr
+      FROM cand c JOIN samples s
+        ON s.event_type = c.event_type AND s.cents <= c.v
+      GROUP BY c.event_type, c.v, s.day
+    ),
+    est AS (
+      SELECT event_type, v, SUM(mr) AS est_rank
+      FROM perday GROUP BY event_type, v
+    ),
+    est_half AS (
+      SELECT event_type, v, SUM(mr) AS est_rank FROM (
+        SELECT event_type, v, EXTRACT(DAY FROM day) % 2 AS half,
+               SUM(mr) AS mr
+        FROM perday GROUP BY event_type, v, half)
+      GROUP BY event_type, v
+    ),
+    merge_chk AS (
+      SELECT e1.event_type,
+             COUNT(*) FILTER (WHERE e1.est_rank <> e2.est_rank) = 0
+               AS merge_ok
+      FROM est e1 JOIN est_half e2
+        ON e1.event_type = e2.event_type AND e1.v = e2.v
+      GROUP BY e1.event_type
+    ),
+    tot AS (
+      SELECT event_type, COUNT(*) AS n_rows FROM e GROUP BY event_type
+    ),
+    bound AS (
+      SELECT event_type, SUM(s_d - 1) AS err_bound FROM dc
+      GROUP BY event_type
+    ),
+    sumsz AS (
+      SELECT event_type, COUNT(*) AS summary_rows FROM samples
+      GROUP BY event_type
+    ),
+    phis AS (
+      SELECT * FROM (VALUES ('p50', 1, 2), ('p90', 9, 10),
+                            ('p99', 99, 100)) AS t(phi, num, den)
+    ),
+    targets AS (
+      SELECT t.event_type, p.phi, t.n_rows,
+             (p.num * t.n_rows + p.den - 1) // p.den AS target_rank
+      FROM tot t CROSS JOIN phis p
+    ),
+    estq AS (
+      SELECT tg.event_type, tg.phi, tg.n_rows, tg.target_rank,
+             MIN(est.v) AS est_cents
+      FROM targets tg JOIN est
+        ON est.event_type = tg.event_type
+       AND est.est_rank >= tg.target_rank
+      GROUP BY tg.event_type, tg.phi, tg.n_rows, tg.target_rank
+    ),
+    gr AS (
+      SELECT event_type, cents,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY cents, event_id) AS grk
+      FROM e
+    ),
+    exactq AS (
+      SELECT tg.event_type, tg.phi, gr.cents AS exact_cents
+      FROM targets tg JOIN gr
+        ON gr.event_type = tg.event_type AND gr.grk = tg.target_rank
+    ),
+    ranks AS (
+      SELECT q.event_type, q.phi,
+             COUNT(*) FILTER (WHERE e.cents < q.est_cents) + 1
+               AS first_rank,
+             COUNT(*) FILTER (WHERE e.cents <= q.est_cents)
+               AS last_rank
+      FROM estq q JOIN e ON e.event_type = q.event_type
+      GROUP BY q.event_type, q.phi
+    )
+    SELECT q.event_type, q.phi, q.n_rows, q.target_rank,
+           q.est_cents, x.exact_cents, r.first_rank, r.last_rank,
+           b.err_bound, z.summary_rows,
+           (r.last_rank >= q.target_rank
+            AND r.first_rank <= q.target_rank + b.err_bound)
+             AS within_bound,
+           m.merge_ok
+    FROM estq q
+    JOIN exactq x ON x.event_type = q.event_type AND x.phi = q.phi
+    JOIN ranks r ON r.event_type = q.event_type AND r.phi = q.phi
+    JOIN bound b ON b.event_type = q.event_type
+    JOIN sumsz z ON z.event_type = q.event_type
+    JOIN merge_chk m ON m.event_type = q.event_type
+    """,
+)
+def a18_quantile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OP-A18 — the third member of the mergeable-sketch family
+    (cardinality = a14 HLL rollup, frequency = a16 MG + a17 CMS,
+    quantiles = THIS): per-(event_type, day) bounded summaries merged
+    up to event_type, with quantiles estimated from the merged summary
+    and the rank-error THEOREM checked as a verdict column.
+
+    The summary is a deterministic rank-preserving sample: each day's
+    rows sorted by (cents, event_id), keep ranks divisible by
+    ``s_d = ceil(n_d / k)`` plus the day maximum — at most k+1 pairs
+    (value, exact local rank) per day, so a month rolls up from
+    ~30·(k+1) rows regardless of N. The merge is ADDITIVE: the
+    estimated rank of any value v is the sum over days of the largest
+    sampled rank at-or-below v, each term undercounting the day's true
+    CDF by < s_d; the p-quantile estimate is the smallest sampled
+    value whose merged rank reaches ``ceil(p·N)``. Everything is
+    integer arithmetic on class-A cents, so the whole estimator — not
+    just its output — is hash-exact cross-engine (the a17 property).
+
+    Verdict columns, each falsifiable:
+
+    - ``within_bound`` — the theorem: the estimate's true value-range
+      ``[first_rank, last_rank]`` satisfies ``last_rank >= target`` and
+      ``first_rank <= target + E`` where ``E = Σ_d (s_d − 1)`` is the
+      summed per-day sampling slack (proof: the merged CDF never
+      overcounts, and at the estimate's sampled predecessor it was
+      still below target while undercounting by at most E);
+    - ``exact_cents`` — the true ``quantile_disc`` referee value at the
+      target rank (full-sort referee = verdict infrastructure at test
+      SF, the a16/a17 note);
+    - ``merge_ok`` — the a17 cell-for-cell mergeability pin: ranks
+      merged via odd/even-day subtotals equal the day-direct merge for
+      EVERY candidate value (associativity of the summary merge);
+    - ``summary_rows`` — the bounded-size claim, pinned.
+
+    Scale: day summaries build with one window per (type, day)
+    partition (high-cardinality composite key) + one filter; the
+    rollup's candidate×sample join touches only summary-sized
+    relations (Θ((D·k)²) per type, N-independent), so re-aggregating a
+    year to any grain costs proportional to the number of summaries,
+    never the number of events — the a14 architecture, for quantiles.
+    """
+    ev = (_t(spark, sf_dir, "events")
+          .select("event_id", "event_type",
+                  F.to_date("ts").alias("day"),
+                  F.when(F.col("value") < 0,
+                         -F.floor(F.abs(F.col("value")) * 100.0
+                                  + F.lit(0.5)))
+                   .otherwise(F.floor(F.abs(F.col("value")) * 100.0
+                                      + F.lit(0.5)))
+                   .cast("long").alias("cents")))
+    dc = (ev.groupBy("event_type", "day")
+            .agg(F.count(F.lit(1)).alias("n_d"))
+            .withColumn("s_d", F.expr(f"(n_d + {_QR_K - 1}) div {_QR_K}")))
+    r = F.row_number().over(
+        Window.partitionBy("event_type", "day")
+              .orderBy("cents", "event_id"))
+    rk = ev.withColumn("r", r).join(dc, ["event_type", "day"])
+    samples = (rk.filter((F.col("r") % F.col("s_d") == 0)
+                         | (F.col("r") == F.col("n_d")))
+                 .select("event_type", "day", "cents", "r"))
+    cand = samples.select("event_type",
+                          F.col("cents").alias("v")).distinct()
+    s = samples.alias("s")
+    c = cand.alias("c")
+    perday = (c.join(s, (F.col("s.event_type") == F.col("c.event_type"))
+                     & (F.col("s.cents") <= F.col("c.v")))
+               .groupBy(F.col("c.event_type").alias("event_type"),
+                        "v", F.col("s.day").alias("day"))
+               .agg(F.max("s.r").alias("mr")))
+    est = (perday.groupBy("event_type", "v")
+                 .agg(F.sum("mr").alias("est_rank")))
+    est_half = (perday
+                .groupBy("event_type", "v",
+                         (F.dayofmonth("day") % 2).alias("half"))
+                .agg(F.sum("mr").alias("mr"))
+                .groupBy("event_type", "v")
+                .agg(F.sum("mr").alias("est_rank_h")))
+    merge_chk = (est.join(est_half, ["event_type", "v"])
+                 .groupBy("event_type")
+                 .agg((F.sum(F.when(F.col("est_rank")
+                                    != F.col("est_rank_h"), 1)
+                             .otherwise(0)) == 0).alias("merge_ok")))
+    tot = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_rows"))
+    bound = (dc.groupBy("event_type")
+               .agg(F.sum(F.col("s_d") - 1).alias("err_bound")))
+    sumsz = (samples.groupBy("event_type")
+                    .agg(F.count(F.lit(1)).alias("summary_rows")))
+    from ..sources.tables import values_df
+    phis = values_df(spark, [("p50", 1, 2), ("p90", 9, 10),
+                             ("p99", 99, 100)],
+                     "phi string, num long, den long")
+    targets = (tot.crossJoin(F.broadcast(phis))
+               .select("event_type", "phi", "n_rows",
+                       F.expr("(num * n_rows + den - 1) div den")
+                        .alias("target_rank")))
+    estq = (targets.alias("tg")
+            .join(est.alias("e2"),
+                  (F.col("e2.event_type") == F.col("tg.event_type"))
+                  & (F.col("e2.est_rank") >= F.col("tg.target_rank")))
+            .groupBy(F.col("tg.event_type").alias("event_type"),
+                     "phi", "n_rows", "target_rank")
+            .agg(F.min("e2.v").alias("est_cents")))
+    grk = F.row_number().over(
+        Window.partitionBy("event_type").orderBy("cents", "event_id"))
+    gr = ev.withColumn("grk", grk)
+    exactq = (gr.join(F.broadcast(targets),
+                      (gr["event_type"] == targets["event_type"])
+                      & (gr["grk"] == targets["target_rank"]))
+                .select(gr["event_type"], targets["phi"],
+                        F.col("cents").alias("exact_cents")))
+    ranks = (ev.join(F.broadcast(estq.select("event_type", "phi",
+                                             "est_cents")),
+                     "event_type")
+             .groupBy("event_type", "phi")
+             .agg((F.sum(F.when(F.col("cents") < F.col("est_cents"), 1)
+                         .otherwise(0)) + 1).alias("first_rank"),
+                  F.sum(F.when(F.col("cents") <= F.col("est_cents"), 1)
+                        .otherwise(0)).alias("last_rank")))
+    return (estq
+            .join(exactq, ["event_type", "phi"])
+            .join(ranks, ["event_type", "phi"])
+            .join(bound, "event_type")
+            .join(sumsz, "event_type")
+            .join(merge_chk, "event_type")
+            .select("event_type", "phi", "n_rows", "target_rank",
+                    "est_cents", "exact_cents", "first_rank",
+                    "last_rank", "err_bound", "summary_rows",
+                    ((F.col("last_rank") >= F.col("target_rank"))
+                     & (F.col("first_rank")
+                        <= F.col("target_rank") + F.col("err_bound")))
+                    .alias("within_bound"),
+                    "merge_ok"))
