@@ -85,11 +85,18 @@ HEADLINE = (
     "x3_ivf_ingest",              # append arrivals to a frozen index
     "t23_interval_join_advance",  # stream-stream join, moving frontier
     "x4_bm25_topk",               # Okapi BM25 lexical retrieval
-    "x3_hamming_topk",            # 1-bit sign sketch + popcount
     "t24_unconverted_advance",    # outer join, moving frontier
     "t25_stateful_dedup_advance", # stateful dedup, moving frontier
     "a17_count_min",              # declarative CMS vs exact referee
     "j14_dynamic_partition_pruning",  # runtime scan elision verdict
+    # round 7 (VERDICT r6 item 2, the r4 int8 precedent replayed): the
+    # per-query full-sort brute Hamming scan (x3_hamming_topk) is
+    # demoted to referee; the headline carries the banded
+    # multi-index-hashing form plus the composed serving cascade.
+    "x3_hamming_banded",          # banded Hamming candidates + rerank
+    "x3_cascade_topk",            # hamming → int8 → float cascade
+    "t26_session_advance",        # session windows, moving frontier
+    "a18_quantile_rollup",        # mergeable quantile summaries
 )
 
 
