@@ -103,6 +103,7 @@ STREAM_ADMISSION: dict[str, int] = {
     "t24_unconverted_advance": 1,
     "t25_stateful_dedup_advance": 1,
     "t26_session_advance": 1,
+    "t27_state_timeout_advance": 1,
 }
 
 #: State-store partition count for the ADVANCING-FRONTIER replays
@@ -385,10 +386,17 @@ def cents_half_up(values) -> int:
     wrong" #2). The kernel removes that contract from the correctness
     path; the 2-dp property itself is still pinned (with this
     kernel's tie behavior) in tests/test_property_kernels.py."""
+    return int(cents_half_up_vec(values).sum())
+
+
+def cents_half_up_vec(values):
+    """Per-row int64 cents via the same class-A half-up kernel (the
+    t27 sessionizer needs per-row values to split islands before
+    summing)."""
     import numpy as np
     v = np.asarray(values, dtype="float64")
     mag = np.floor(np.abs(v) * 100.0 + 0.5)
-    return int(np.where(v < 0, -mag, mag).sum())
+    return np.where(v < 0, -mag, mag).astype("int64")
 
 
 @register(
@@ -1782,3 +1790,260 @@ def t26_session_advance(spark: SparkSession, sf_dir: str) -> DataFrame:
                      "n_events", "sum_cents")
     table, dropped = _run_advancing(out, n_staged)
     return table.withColumn("n_late_dropped", F.lit(dropped))
+
+
+# ---------------------------------------------------------------------------
+# OP-T27 — custom-state EVENT-TIME TIMEOUT under an advancing frontier
+# (VERDICT r6 next-round #6): applyInPandasWithState sessionize-with-
+# timeout — state that emits ON TIMEOUT as the watermark passes it
+# ---------------------------------------------------------------------------
+
+@register(
+    "t27_state_timeout_advance",
+    oracle="""
+    WITH e AS (
+      SELECT event_id, ts, user_id, epoch_us(ts) AS us,
+             CAST(CASE WHEN value < 0
+                  THEN -FLOOR(ABS(value) * 100.0 + 0.5)
+                  ELSE FLOOR(ABS(value) * 100.0 + 0.5) END
+             AS BIGINT) AS cents
+      FROM events
+    ),
+    b AS (SELECT MIN(us) AS mn, MAX(us) AS mx FROM e),
+    g AS (SELECT e.*, (us - mn) * 4 // (mx - mn + 1) AS qt FROM e, b),
+    tq AS (SELECT qt, MAX(us) AS qmax FROM g GROUP BY qt),
+    fr AS (SELECT
+       (SELECT (MAX(us) // 1000) * 1000 FROM g WHERE qt = 0) AS f0,
+       (SELECT (MAX(us) // 1000) * 1000 FROM g WHERE qt = 1) AS f1,
+       (SELECT MAX(us) // 1000 - 600000 FROM g) AS final_wm_ms),
+    p AS (
+      SELECT g.*, tq.qmax,
+             LAG(us) OVER (PARTITION BY user_id
+                           ORDER BY us, event_id) AS prev_us,
+             LEAD(us) OVER (PARTITION BY user_id
+                            ORDER BY us, event_id) AS next_us
+      FROM g JOIN tq USING (qt)
+    ),
+    s AS (
+      SELECT p.*,
+             (us <= CASE WHEN qt = 0 THEN f0 ELSE f1 END - 600000000)
+               AS will_drop,
+             (event_id % 23 = 0 AND qt < 3 AND us < qmax
+              AND ((us <= CASE WHEN qt = 0 THEN f0 ELSE f1 END
+                          - 600000000)
+                   OR ((prev_us IS NULL OR prev_us < us - 1800000000)
+                       AND (next_us IS NULL
+                            OR next_us > us + 1800000000))))
+               AS shifted
+      FROM p, fr
+    ),
+    adm AS (SELECT * FROM s WHERE NOT (shifted AND will_drop)),
+    o AS (
+      SELECT adm.*,
+             CASE WHEN LAG(us) OVER (PARTITION BY user_id
+                    ORDER BY us, event_id) IS NULL
+                    OR us - LAG(us) OVER (PARTITION BY user_id
+                         ORDER BY us, event_id) > 1800000000
+                  THEN 1 ELSE 0 END AS brk
+      FROM adm
+    ),
+    i AS (
+      SELECT o.*,
+             SUM(brk) OVER (PARTITION BY user_id ORDER BY us, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      FROM o
+    ),
+    sess AS (
+      SELECT user_id, sid, MIN(us) AS s_us, MAX(us) AS e_us,
+             COUNT(*) AS n_events, SUM(cents) AS sum_cents,
+             sid = MAX(sid) OVER (PARTITION BY user_id) AS is_last
+      FROM i GROUP BY user_id, sid
+    ),
+    drops AS (SELECT COUNT(*) AS n FROM s WHERE shifted AND will_drop)
+    SELECT user_id, make_timestamp(s_us) AS session_start,
+           make_timestamp(e_us) AS session_end, n_events, sum_cents,
+           (SELECT n FROM drops) AS n_late_dropped
+    FROM sess, fr
+    WHERE NOT is_last
+       OR (e_us + 1800000000) // 1000 < final_wm_ms
+    """,
+)
+def t27_state_timeout_advance(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """OP-T27 — the custom-state analog of t26: per-user sessionization
+    in ``applyInPandasWithState`` with an EVENT-TIME TIMEOUT, replayed
+    over the advancing-frontier staging so state actually EMITS ON
+    TIMEOUT mid-stream (the sessionize-with-timeout idiom every
+    hand-rolled stateful pipeline uses where ``session_window``'s
+    fixed shape doesn't fit).
+
+    The function keeps ONE open island (gap 30 min, merge on touch)
+    per user: batch rows sweep-merge with the state interval, closed
+    islands emit immediately (``by data``), the survivor re-arms
+    ``setTimeoutTimestamp(last_ts + gap)`` — and when the frontier
+    passes that mark with no new data, the engine invokes the group
+    with ``hasTimedOut`` and the open session emits from state alone.
+
+    Engine semantics pinned by crafted experiment
+    (tests/test_watermark_advance.py::test_custom_state_timeout):
+
+    - the late filter is the LAGGED raw-ts equality-dropping predicate
+      (the join/dedup rule, not t26's window-end rule — no window
+      struct in the key), and ``numRowsDroppedByWatermark`` counts raw
+      rows;
+    - a timeout fires at the first batch whose CURRENT (eviction)
+      watermark is STRICTLY past the mark (``T < wm``; equality does
+      NOT fire — measured) and the group got no data that batch;
+    - the AvailableNow final no-data batch only runs if the last data
+      batch ADVANCED the watermark — guaranteed here because the
+      quantile-max rows never shift, so file 3 always carries the
+      global max;
+    - an expired mark can't be re-armed (``setTimeoutTimestamp``
+      rejects timestamps behind the watermark), so the function bumps
+      to ``wm + 1 ms`` — which the next batch's quantile-sized
+      frontier jump always passes, making "bumped" and "T <
+      final frontier" the same emission rule.
+
+    The oracle therefore needs no per-batch replay: admitted rows are
+    the t26 arithmetic with the raw-ts drop rule, sessions are global
+    per-user islands, every non-last island is closed by data (its
+    successor's first admitted row arrives ≤ one batch after its own
+    last member — shifted rows are either dropped or ISOLATED
+    singletons, so no admitted late row can re-open or prematurely
+    split an island; the t26 hazard analysis, strengthened to
+    two-sided isolation), and the LAST island emits iff its
+    ms-floored timeout mark is strictly below the final frontier —
+    otherwise it is still sitting in the state store when the stream
+    ends, exactly as a production pipeline would find it.
+
+    Scale: state is one bounded tuple per user key (partitioned,
+    pruned by timeout); Arrow batches carry one user's per-batch rows;
+    money is per-row integer cents (class-A kernel) so island sums are
+    order-exact; staging is the t22 landing scaffold."""
+    from pyspark.sql.streaming.state import (
+        GroupState, GroupStateTimeout,
+    )
+    import pandas as pd
+    from ..sources.tables import load_table
+
+    GAP_US = 1_800_000_000
+    DELAY_US = 600_000_000
+    out_dir = _mkdtemp(prefix="t27_stateadv_")
+    stage = f"{out_dir}/landing"
+    cents = F.when(
+        F.col("value") < 0,
+        -F.floor(F.abs(F.col("value")) * 100.0 + F.lit(0.5)),
+    ).otherwise(F.floor(F.abs(F.col("value")) * 100.0 + F.lit(0.5))) \
+     .cast("long")
+    ev = (load_table(spark, sf_dir, "events")
+          .select("event_id", "ts", "user_id", "value",
+                  F.unix_micros("ts").alias("us")))
+    mn, mx = ev.agg(F.min("us"), F.max("us")).first()
+    q = F.expr(f"((us - {mn}) * 4) div ({mx - mn + 1})")
+    qmax = {r["qt"]: r["qmax"]
+            for r in ev.groupBy(q.alias("qt"))
+                       .agg(F.max("us").alias("qmax")).collect()}
+    f0 = (qmax[0] // 1000) * 1000
+    f1 = (qmax[1] // 1000) * 1000
+    qmax_col = (F.when(q == 0, F.lit(qmax[0]))
+                 .when(q == 1, F.lit(qmax[1]))
+                 .when(q == 2, F.lit(qmax[2]))
+                 .otherwise(F.lit(qmax[3])))
+    ukey = Window.partitionBy("user_id").orderBy("us", "event_id")
+    staged = (ev.withColumn("prev_us", F.lag("us").over(ukey))
+                .withColumn("next_us", F.lead("us").over(ukey)))
+    will_drop = (F.col("us")
+                 <= F.when(q == 0, F.lit(f0)).otherwise(F.lit(f1))
+                 - DELAY_US)
+    isolated = ((F.col("prev_us").isNull()
+                 | (F.col("prev_us") < F.col("us") - GAP_US))
+                & (F.col("next_us").isNull()
+                   | (F.col("next_us") > F.col("us") + GAP_US)))
+    shifted = ((F.col("event_id") % 23 == 0) & (q < 3)
+               & (F.col("us") < qmax_col) & (will_drop | isolated))
+    arrival = F.when(shifted, F.least(q + 2, F.lit(3))).otherwise(q)
+    n_staged = _write_arrival_files(
+        spark,
+        staged.withColumn("arrival", arrival)
+              .select("event_id", "ts", "user_id", "value", "arrival"),
+        stage)
+
+    out_schema = T.StructType([
+        T.StructField("user_id", T.LongType()),
+        T.StructField("s_us", T.LongType()),
+        T.StructField("e_us", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("sum_cents", T.LongType()),
+    ])
+    state_schema = T.StructType([
+        T.StructField("s", T.LongType()),
+        T.StructField("e", T.LongType()),
+        T.StructField("n", T.LongType()),
+        T.StructField("c", T.LongType()),
+    ])
+
+    def sessionize(key, pdfs, state: GroupState):
+        if state.hasTimedOut:
+            s_, e_, n_, c_ = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "s_us": [s_], "e_us": [e_],
+                 "n_events": [n_], "sum_cents": [c_]})
+            return
+        items = [tuple(state.get)] if state.exists else []
+        for pdf in pdfs:
+            if len(pdf) == 0:
+                continue
+            # explicit unit: Arrow may hand pandas ns- or µs-resolution
+            # datetimes depending on version — pin µs before the cast
+            uss = pdf["ts"].to_numpy(dtype="datetime64[us]") \
+                           .astype("int64")
+            cts = cents_half_up_vec(pdf["value"].to_numpy())
+            items.extend((int(u), int(u), 1, int(c))
+                         for u, c in zip(uss, cts))
+        if not items:
+            return
+        items.sort(key=lambda x: (x[0], x[1]))
+        merged = [list(items[0])]
+        for it in items[1:]:
+            last = merged[-1]
+            if it[0] - last[1] <= GAP_US:
+                last[1] = max(last[1], it[1])
+                last[2] += it[2]
+                last[3] += it[3]
+            else:
+                merged.append(list(it))
+        closed, keep = merged[:-1], merged[-1]
+        state.update(tuple(keep))
+        t_ms = (keep[1] + GAP_US) // 1000
+        wm = state.getCurrentWatermarkMs()
+        state.setTimeoutTimestamp(max(t_ms, wm + 1))
+        if closed:
+            yield pd.DataFrame(
+                {"user_id": [key[0]] * len(closed),
+                 "s_us": [i[0] for i in closed],
+                 "e_us": [i[1] for i in closed],
+                 "n_events": [i[2] for i in closed],
+                 "sum_cents": [i[3] for i in closed]})
+
+    s = (spark.readStream
+         .schema("event_id long, ts timestamp, "
+                 "user_id long, value double")
+         .option("maxFilesPerTrigger", str(STREAM_ADMISSION[
+             "t27_state_timeout_advance"]))
+         .option("recursiveFileLookup", "true")
+         .parquet(stage))
+    sess = (s.withWatermark("ts", "10 minutes")
+             .groupBy("user_id")
+             .applyInPandasWithState(
+                 sessionize, out_schema, state_schema,
+                 "append", GroupStateTimeout.EventTimeTimeout))
+    table, dropped = _run_advancing(sess, n_staged)
+    return (table
+            .select("user_id",
+                    F.timestamp_micros(F.col("s_us"))
+                     .alias("session_start"),
+                    F.timestamp_micros(F.col("e_us"))
+                     .alias("session_end"),
+                    "n_events", "sum_cents")
+            .withColumn("n_late_dropped", F.lit(dropped)))

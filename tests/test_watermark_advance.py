@@ -372,3 +372,122 @@ def test_session_reopen_after_seal(spark, tmp_path):
         ("2024-01-01 11:30:00", "2024-01-01 12:00:00", 9.0, 1),
     ], rows
     assert sum(d for _b, d, _o in prog) == 0, prog  # admitted, not late
+
+
+def test_custom_state_timeout_semantics(spark, tmp_path):
+    """Pin the applyInPandasWithState + EventTimeTimeout behaviors the
+    t27 oracle replays (gap 30m, delay 10m, v is the key):
+
+    1. the late filter is the LAGGED raw-ts equality-dropping
+       predicate (joins/dedup rule — no window struct in the key) and
+       numRowsDroppedByWatermark counts raw rows;
+    2. a pending event-time timeout fires at the first batch whose
+       CURRENT watermark passes it and the group got no data;
+    3. firing is STRICT: timeoutTimestamp == watermark does NOT fire;
+    4. the AvailableNow final no-data batch runs only when the last
+       data batch advanced the watermark — so state whose mark is not
+       strictly below the final frontier is simply still open when
+       the stream ends.
+    """
+    from datetime import datetime
+    import pandas as pd
+    from pyspark.sql.streaming.state import (
+        GroupState, GroupStateTimeout,
+    )
+    TS = lambda h, m: datetime(2024, 1, 1, h, m)
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    GAP_US = 1_800_000_000
+
+    out_schema = "k double, s_us long, e_us long, n long, by string"
+    state_schema = "s long, e long, n long"
+
+    def sessionize(key, pdfs, state: GroupState):
+        if state.hasTimedOut:
+            s_, e_, n_ = state.get
+            state.remove()
+            yield pd.DataFrame({"k": [key[0]], "s_us": [s_],
+                                "e_us": [e_], "n": [n_],
+                                "by": ["timeout"]})
+            return
+        items = [list(state.get)] if state.exists else []
+        for pdf in pdfs:
+            if len(pdf):
+                us = pdf["ts"].to_numpy(dtype="datetime64[us]") \
+                              .astype("int64")
+                items.extend([int(u), int(u), 1] for u in us)
+        if not items:
+            return
+        items.sort()
+        merged = [items[0]]
+        for it in items[1:]:
+            if it[0] - merged[-1][1] <= GAP_US:
+                merged[-1][1] = max(merged[-1][1], it[1])
+                merged[-1][2] += it[2]
+            else:
+                merged.append(it)
+        closed, keep = merged[:-1], merged[-1]
+        state.update(tuple(keep))
+        t_ms = (keep[1] + GAP_US) // 1000
+        state.setTimeoutTimestamp(
+            max(t_ms, state.getCurrentWatermarkMs() + 1))
+        if closed:
+            yield pd.DataFrame(
+                {"k": [key[0]] * len(closed),
+                 "s_us": [i[0] for i in closed],
+                 "e_us": [i[1] for i in closed],
+                 "n": [i[2] for i in closed],
+                 "by": ["data"] * len(closed)})
+
+    def run(base, qname):
+        s = (spark.readStream
+             .schema("event_id long, ts timestamp, v double")
+             .option("maxFilesPerTrigger", "1")
+             .option("recursiveFileLookup", "true")
+             .parquet(base))
+        st = (s.withWatermark("ts", "10 minutes")
+               .groupBy("v")
+               .applyInPandasWithState(
+                   sessionize, out_schema, state_schema,
+                   "append", GroupStateTimeout.EventTimeTimeout))
+        q = (st.writeStream.format("memory").queryName(qname)
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination()
+        rows = sorted((r["k"],
+                       datetime.utcfromtimestamp(r["s_us"] / 1e6)
+                       .strftime("%H:%M"), r["n"], r["by"])
+                      for r in spark.table(qname).collect())
+        drops = [sum(x["numRowsDroppedByWatermark"]
+                     for x in p["stateOperators"])
+                 for p in q.recentProgress]
+        return rows, drops
+
+    # scenario A: lagged raw-ts filter + mid-stream timeout firing
+    _stage_keyed(spark, str(tmp_path / "c1"), [
+        # b0: k1 {10:00,10:10}; k2 {10:05}; k9 12:00 -> wm(b1)=11:50
+        ("a", [(1, TS(10, 0), 1), (2, TS(10, 10), 1),
+               (3, TS(10, 5), 2), (4, TS(12, 0), 9)], 1_000_000),
+        # b1: k1 11:30 closes its session BY DATA; k9 14:00 ->
+        # wm(b2)=13:50; k2's 10:35 mark < 11:50 -> fires BY TIMEOUT
+        ("b", [(5, TS(11, 30), 1), (6, TS(14, 0), 9)], 2_000_000),
+        # b2: lagged filter = 11:50 (NOT the operative 13:50):
+        # k4@11:50 drops on equality, k7@10:30 drops, k6@11:55 kept
+        ("c", [(7, TS(11, 50), 4), (8, TS(11, 55), 6),
+               (9, TS(10, 30), 7)], 3_000_000),
+    ])
+    rows, drops = run(str(tmp_path / "c1"), "cst1")
+    assert (1.0, "10:00", 2, "data") in rows, rows       # closed by data
+    assert (2.0, "10:05", 1, "timeout") in rows, rows    # fired mid-stream
+    assert (1.0, "11:30", 1, "timeout") in rows, rows    # fired at b2
+    assert sum(drops) == 2 and drops[2] == 2, drops      # raw rows, lagged
+
+    # scenario B: STRICT firing — T == final watermark stays open
+    _stage_keyed(spark, str(tmp_path / "c2"), [
+        ("a", [(1, TS(12, 0), 9)], 1_000_000),
+        ("b", [(2, TS(14, 0), 9)], 2_000_000),
+        # k8's mark = 14:20 + 30m = 14:50:00.000 == final wm (15:00-10m)
+        ("c", [(3, TS(14, 20), 8), (4, TS(15, 0), 9)], 3_000_000),
+    ])
+    rows, _ = run(str(tmp_path / "c2"), "cst2")
+    assert not any(r[0] == 8.0 for r in rows), rows      # still open
+    assert (9.0, "12:00", 1, "data") in rows, rows
+    assert (9.0, "14:00", 1, "data") in rows, rows
