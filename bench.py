@@ -96,7 +96,9 @@ HEADLINE = (
     "x3_hamming_banded",          # banded Hamming candidates + rerank
     "x3_cascade_topk",            # hamming → int8 → float cascade
     "t26_session_advance",        # session windows, moving frontier
+    "t27_state_timeout_advance",  # custom-state event-time timeout
     "a18_quantile_rollup",        # mergeable quantile summaries
+    "t28_sliding_advance",        # sliding windows, moving frontier
 )
 
 

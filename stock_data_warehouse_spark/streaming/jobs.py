@@ -104,6 +104,7 @@ STREAM_ADMISSION: dict[str, int] = {
     "t25_stateful_dedup_advance": 1,
     "t26_session_advance": 1,
     "t27_state_timeout_advance": 1,
+    "t28_sliding_advance": 1,
 }
 
 #: State-store partition count for the ADVANCING-FRONTIER replays
@@ -2047,3 +2048,137 @@ def t27_state_timeout_advance(spark: SparkSession,
                      .alias("session_end"),
                     "n_events", "sum_cents")
             .withColumn("n_late_dropped", F.lit(dropped)))
+
+
+# ---------------------------------------------------------------------------
+# OP-T28 — SLIDING windows under an advancing watermark: completes the
+# window-type coverage (tumbling t22, session t26, sliding t28)
+# ---------------------------------------------------------------------------
+
+@register(
+    "t28_sliding_advance",
+    oracle="""
+    WITH e AS (
+      SELECT event_id, ts, event_type,
+             CAST(CASE WHEN value < 0
+                  THEN -FLOOR(ABS(value) * 100.0 + 0.5)
+                  ELSE FLOOR(ABS(value) * 100.0 + 0.5) END
+             AS BIGINT) AS cents
+      FROM events
+    ),
+    bounds AS (
+      SELECT epoch_us(MIN(ts)) AS mn, epoch_us(MAX(ts)) AS mx FROM e
+    ),
+    ar AS (
+      SELECT e.*,
+             CASE WHEN event_id % 23 = 0
+                   AND (epoch_us(ts) - mn) * 4 // (mx - mn + 1) < 3
+                  THEN LEAST(
+                    (epoch_us(ts) - mn) * 4 // (mx - mn + 1) + 2, 3)
+                  ELSE (epoch_us(ts) - mn) * 4 // (mx - mn + 1)
+             END AS arrival
+      FROM e, bounds
+    ),
+    ks AS (SELECT unnest([0, 1, 2, 3]::BIGINT[]) AS k),
+    ex AS (
+      -- each event expands to its FOUR sliding windows (1 h / 15 min)
+      SELECT ar.*,
+             (epoch_us(ts) // 900000000) * 900000000
+               - k * 900000000 + 3600000000 AS we_us
+      FROM ar, ks
+    ),
+    slots AS (SELECT unnest([0, 1, 2, 3]::BIGINT[]) AS arrival),
+    bm AS (
+      SELECT s.arrival,
+             (SELECT MAX((epoch_us(ts) // 1000) * 1000)
+              FROM ar WHERE ar.arrival = s.arrival) AS bmx
+      FROM slots s
+    ),
+    fw AS (
+      SELECT arrival,
+             MAX(bmx) OVER (ORDER BY arrival
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 2 PRECEDING)
+               - 600000000 AS filter_wm
+      FROM bm
+    ),
+    flagged AS (
+      SELECT ex.*,
+             (fw.filter_wm IS NOT NULL
+              AND ex.we_us <= fw.filter_wm) AS dropped
+      FROM ex JOIN fw USING (arrival)
+    ),
+    grp AS (
+      SELECT we_us, event_type,
+             COUNT(*) AS n_events, SUM(cents) AS sum_cents
+      FROM flagged WHERE NOT dropped
+      GROUP BY 1, 2
+    ),
+    final_wm AS (
+      SELECT MAX((epoch_us(ts) // 1000) * 1000) - 600000000 AS wm
+      FROM e
+    )
+    SELECT make_timestamp(we_us - 3600000000) AS window_start,
+           event_type, n_events, sum_cents,
+           (SELECT COUNT(*) FROM (
+              SELECT DISTINCT arrival, we_us, event_type
+              FROM flagged WHERE dropped))
+             AS n_late_dropped
+    FROM grp, final_wm
+    WHERE we_us <= final_wm.wm
+    """,
+)
+def t28_sliding_advance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OP-T28 — t22's advancing-frontier replay with SLIDING windows
+    (1 hour every 15 minutes): each event belongs to FOUR overlapping
+    windows, which adds the one semantics tumbling couldn't show — a
+    single late event's windows drop PARTIALLY. Its older windows
+    (end <= the lagged frontier, equality drops) are discarded while
+    its newer windows still merge, so one input row is simultaneously
+    "late" and "on time" depending on the window.
+
+    Pinned by crafted experiment (the t22 discipline, slide variant):
+    the late filter is applied per EXPANDED (event, window) row — a
+    row at 11:10 under a frontier of 11:50 lost [10:30, 11:30) but
+    landed in [11:00, 12:00) — and ``numRowsDroppedByWatermark``
+    still counts post-partial-agg GROUP rows, so two late events
+    sharing a dropped window count ONCE; the oracle counts DISTINCT
+    dropped (batch, window, type) triples exactly as t22 (the
+    single-scan-partition-per-file contract is pinned by
+    ``_run_advancing``). Frontier schedule, ms-floored maxima, seal
+    filter and the two-batch shift staging are t22's verbatim.
+
+    With t22 (tumbling), t26 (session) and this, every window type
+    Structured Streaming offers is oracle-exact under a genuinely
+    advancing watermark. Scale: state ∝ open windows × type
+    cardinality — ×4 tumbling's for the overlap, still bounded by the
+    lateness horizon, pruned every batch; the ×4 input expansion is
+    the documented cost of sliding windows at any scale."""
+    from ..sources.tables import load_table
+
+    out_dir = _mkdtemp(prefix="t28_slideadv_")
+    stage = f"{out_dir}/landing"
+    cents = F.when(
+        F.col("value") < 0,
+        -F.floor(F.abs(F.col("value")) * 100.0 + F.lit(0.5)),
+    ).otherwise(F.floor(F.abs(F.col("value")) * 100.0 + F.lit(0.5))) \
+     .cast("long")
+    ev = (load_table(spark, sf_dir, "events")
+          .select("event_id", "ts", "event_type", cents.alias("cents")))
+    n_staged = _stage_timeordered_files(spark, ev, stage)
+
+    s = (spark.readStream
+         .schema("event_id long, ts timestamp, "
+                 "event_type string, cents long")
+         .option("maxFilesPerTrigger", str(STREAM_ADMISSION[
+             "t28_sliding_advance"]))
+         .option("recursiveFileLookup", "true")
+         .parquet(stage))
+    agg = (s.withWatermark("ts", "10 minutes")
+            .groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"),
+                     "event_type")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.sum("cents").alias("sum_cents")))
+    out = agg.select(F.col("w.start").alias("window_start"),
+                     "event_type", "n_events", "sum_cents")
+    table, dropped = _run_advancing(out, n_staged)
+    return table.withColumn("n_late_dropped", F.lit(dropped))

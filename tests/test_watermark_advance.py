@@ -491,3 +491,45 @@ def test_custom_state_timeout_semantics(spark, tmp_path):
     assert not any(r[0] == 8.0 for r in rows), rows      # still open
     assert (9.0, "12:00", 1, "data") in rows, rows
     assert (9.0, "14:00", 1, "data") in rows, rows
+
+
+def test_sliding_window_partial_drops(spark, tmp_path):
+    """Pin the sliding-window late semantics the t28 oracle replays
+    (window 1h / slide 30m here, delay 10m): the late filter applies
+    per EXPANDED (event, window) row — one late event's older window
+    drops (end <= lagged frontier) while its newer window still
+    merges — and the drop metric counts post-partial-agg GROUP rows
+    (two late events sharing a dropped window count once, the t22
+    counting)."""
+    from datetime import datetime
+    TS = lambda h, m: datetime(2024, 1, 1, h, m)
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    base = str(tmp_path / "sl")
+    _stage(spark, base, [
+        ("a", [(1, TS(10, 0)), (2, TS(12, 0))], 1_000_000),  # wm->11:50
+        ("b", [(3, TS(12, 40))], 2_000_000),                 # wm->12:30
+        # b2 (lagged filter 11:50): 11:10 and 11:15 both lose
+        # [10:30,11:30) (end 11:30 <= 11:50) but land in [11:00,12:00)
+        ("c", [(4, TS(11, 10)), (5, TS(11, 15)), (6, TS(14, 0))],
+         3_000_000),
+    ])
+    s = (spark.readStream
+         .schema("event_id long, ts timestamp, v double")
+         .option("maxFilesPerTrigger", "1")
+         .option("recursiveFileLookup", "true")
+         .parquet(base))
+    agg = (s.withWatermark("ts", "10 minutes")
+            .groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+            .agg(F.count(F.lit(1)).alias("n")))
+    q = (agg.select(F.col("w.start").alias("ws"), "n")
+         .writeStream.format("memory").queryName("slide_sem")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination()
+    got = {str(r["ws"]): r["n"]
+           for r in spark.table("slide_sem").collect()}
+    assert got.get("2024-01-01 11:00:00") == 2, got  # newer window kept
+    assert "2024-01-01 10:30:00" not in got, got     # older window gone
+    drops = [sum(x["numRowsDroppedByWatermark"]
+                 for x in p["stateOperators"])
+             for p in q.recentProgress]
+    assert sum(drops) == 1 and drops[2] == 1, drops  # one GROUP row
