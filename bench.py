@@ -99,6 +99,7 @@ HEADLINE = (
     "t27_state_timeout_advance",  # custom-state event-time timeout
     "a18_quantile_rollup",        # mergeable quantile summaries
     "t28_sliding_advance",        # sliding windows, moving frontier
+    "t29_chained_pipeline_advance",  # join -> window agg, one query
 )
 
 

@@ -105,6 +105,7 @@ STREAM_ADMISSION: dict[str, int] = {
     "t26_session_advance": 1,
     "t27_state_timeout_advance": 1,
     "t28_sliding_advance": 1,
+    "t29_chained_pipeline_advance": 1,
 }
 
 #: State-store partition count for the ADVANCING-FRONTIER replays
@@ -2181,4 +2182,164 @@ def t28_sliding_advance(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = agg.select(F.col("w.start").alias("window_start"),
                      "event_type", "n_events", "sum_cents")
     table, dropped = _run_advancing(out, n_staged)
+    return table.withColumn("n_late_dropped", F.lit(dropped))
+
+
+# ---------------------------------------------------------------------------
+# OP-T29 — CHAINED stateful operators under an advancing frontier:
+# stream-stream interval join feeding a windowed aggregation, the
+# multi-stateful pipeline shape (Spark 3.5+ watermark propagation)
+# ---------------------------------------------------------------------------
+
+@register(
+    "t29_chained_pipeline_advance",
+    oracle="""
+    WITH e AS (
+      SELECT event_id, ts, user_id, event_type FROM events
+      WHERE event_type IN ('click', 'purchase')
+    ),
+    bounds AS (
+      SELECT epoch_us(MIN(ts)) AS mn, epoch_us(MAX(ts)) AS mx FROM e
+    ),
+    ar AS (
+      SELECT e.*,
+             CASE WHEN event_id % 23 = 0
+                   AND (epoch_us(ts) - mn) * 4 // (mx - mn + 1) < 3
+                  THEN LEAST(
+                    (epoch_us(ts) - mn) * 4 // (mx - mn + 1) + 2, 3)
+                  ELSE (epoch_us(ts) - mn) * 4 // (mx - mn + 1)
+             END AS arrival
+      FROM e, bounds
+    ),
+    slots AS (SELECT unnest([0, 1, 2, 3]::BIGINT[]) AS k),
+    w AS (
+      SELECT k,
+             CASE WHEN cm IS NULL OR pm IS NULL THEN NULL
+                  ELSE LEAST(cm, pm) - 1800000000 END AS wm
+      FROM (
+        SELECT s.k,
+               (SELECT MAX((epoch_us(ts) // 1000) * 1000) FROM ar
+                WHERE event_type = 'click' AND arrival < s.k) AS cm,
+               (SELECT MAX((epoch_us(ts) // 1000) * 1000) FROM ar
+                WHERE event_type = 'purchase' AND arrival < s.k) AS pm
+        FROM slots s
+      )
+    ),
+    final_w AS (
+      SELECT CASE WHEN cm IS NULL OR pm IS NULL THEN NULL
+                  ELSE LEAST(cm, pm) - 1800000000 END AS wm
+      FROM (
+        SELECT (SELECT MAX((epoch_us(ts) // 1000) * 1000) FROM ar
+                WHERE event_type = 'click') AS cm,
+               (SELECT MAX((epoch_us(ts) // 1000) * 1000) FROM ar
+                WHERE event_type = 'purchase') AS pm
+      )
+    ),
+    adm AS (
+      SELECT ar.* FROM ar LEFT JOIN w ON w.k = ar.arrival - 1
+      WHERE w.wm IS NULL OR epoch_us(ar.ts) > w.wm
+    ),
+    pairs AS (
+      SELECT c.user_id,
+             epoch_us(p.ts) AS p_us,
+             epoch_us(p.ts) - epoch_us(c.ts) AS lag_us
+      FROM (SELECT * FROM adm WHERE event_type = 'click') c
+      JOIN (SELECT * FROM adm WHERE event_type = 'purchase') p
+        ON c.user_id = p.user_id
+       AND epoch_us(p.ts) >= epoch_us(c.ts)
+       AND epoch_us(p.ts) - epoch_us(c.ts) <= 1800000000
+    ),
+    grp AS (
+      SELECT (p_us // 3600000000) * 3600000000 + 3600000000 AS we_us,
+             COUNT(*) AS n_pairs, SUM(lag_us) AS sum_lag_us
+      FROM pairs GROUP BY 1
+    ),
+    drops AS (
+      SELECT COUNT(*) AS n FROM ar LEFT JOIN w ON w.k = ar.arrival - 1
+      WHERE w.wm IS NOT NULL AND epoch_us(ar.ts) <= w.wm
+    )
+    SELECT make_timestamp(we_us - 3600000000) AS window_start,
+           n_pairs, sum_lag_us,
+           (SELECT n FROM drops) AS n_late_dropped
+    FROM grp, final_w
+    WHERE we_us < final_w.wm - 1800000000
+    """,
+)
+def t29_chained_pipeline_advance(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """OP-T29 — CHAINED stateful operators with the frontier genuinely
+    advancing: the t23 stream-stream interval join feeding a tumbling
+    1-hour aggregation on the purchase time — the multi-stateful
+    pipeline shape (join → window rollup) that production funnels run
+    as ONE streaming query, exercising Spark's cross-operator
+    watermark propagation.
+
+    Semantics pinned by crafted experiment
+    (tests/test_watermark_advance.py::test_chained_join_agg_frontier):
+
+    - the downstream aggregation does NOT seal against the global
+      watermark: its frontier is DELAYED by the join's event-time
+      interval (30 min — the maximum lateness of a join output row
+      relative to the inputs), and the seal comparison is STRICT —
+      a window ending exactly at ``wm − 30 min`` is withheld, the
+      opposite equality behavior of the unchained t7/t22 agg
+      (measured at the exact millisecond boundary, both sides);
+    - drops at the aggregation are IMPOSSIBLE, and that is a theorem
+      of the composition, not an observation: a pair admitted at the
+      join in batch k has ``p_ts`` above the lagged global frontier,
+      while the agg's (delayed, lagged) filter sits 30 minutes BELOW
+      that — so the join's lagged input filter (t23's losslessness
+      result) remains the ONLY drop mechanism in the entire chained
+      pipeline, and the engine's summed drop counters equal the
+      join-side model count exactly (the agg contributing anything
+      would surface as a hash mismatch);
+    - pair content per window is therefore batching-independent:
+      admitted × admitted within the range, grouped on the purchase
+      hour, windows emitted iff strictly below the delayed final
+      frontier.
+
+    Scale: the same two-tier state economics as t23 plus one more
+    keyed store for open windows — both pruned by their own frontier
+    every batch; the chained shape saves an entire intermediate
+    landing zone + second job at 100 TB (the join's output never
+    materializes). ``sum_lag_us`` is an integer column, so the
+    per-window aggregate carries no FP noise."""
+    from ..sources.tables import load_table
+
+    out_dir = _mkdtemp(prefix="t29_chainadv_")
+    stage = f"{out_dir}/landing"
+    ev = (load_table(spark, sf_dir, "events")
+          .filter(F.col("event_type").isin("click", "purchase"))
+          .select("event_id", "ts", "user_id", "event_type"))
+    n_staged = _stage_timeordered_files(spark, ev, stage)
+
+    def src() -> DataFrame:
+        return (spark.readStream
+                .schema("event_id long, ts timestamp, "
+                        "user_id long, event_type string")
+                .option("maxFilesPerTrigger", str(STREAM_ADMISSION[
+                    "t29_chained_pipeline_advance"]))
+                .option("recursiveFileLookup", "true")
+                .parquet(stage))
+
+    c = (src().filter(F.col("event_type") == "click")
+         .withWatermark("ts", "30 minutes")
+         .select(F.col("user_id").alias("c_user"),
+                 F.col("ts").alias("c_ts")))
+    p = (src().filter(F.col("event_type") == "purchase")
+         .withWatermark("ts", "30 minutes")
+         .select(F.col("user_id").alias("p_user"),
+                 F.col("ts").alias("p_ts")))
+    j = c.join(
+        p, (F.col("c_user") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("c_ts"))
+        & (F.col("p_ts") <= F.col("c_ts")
+           + F.expr("INTERVAL 30 MINUTES")))
+    agg = (j.groupBy(F.window("p_ts", "1 hour").alias("w"))
+            .agg(F.count(F.lit(1)).alias("n_pairs"),
+                 F.sum(F.unix_micros("p_ts") - F.unix_micros("c_ts"))
+                  .alias("sum_lag_us")))
+    out = agg.select(F.col("w.start").alias("window_start"),
+                     "n_pairs", "sum_lag_us")
+    table, dropped = _run_advancing(out, n_staged, sides=2)
     return table.withColumn("n_late_dropped", F.lit(dropped))

@@ -533,3 +533,77 @@ def test_sliding_window_partial_drops(spark, tmp_path):
                  for x in p["stateOperators"])
              for p in q.recentProgress]
     assert sum(drops) == 1 and drops[2] == 1, drops  # one GROUP row
+
+
+def test_chained_join_agg_frontier(spark, tmp_path):
+    """Pin the chained-stateful watermark propagation the t29 oracle
+    relies on: a windowed agg DOWNSTREAM of a stream-stream interval
+    join seals against the global watermark DELAYED by the join's
+    event-time interval (30 min), and the comparison is STRICT — a
+    window ending exactly at wm − 30 min is withheld (the opposite
+    equality behavior of the unchained t7/t22 agg). Probed at the
+    exact millisecond boundary: wm − 30 min == window end → withheld;
+    one millisecond past → sealed. Also: no drops at either operator
+    (the composition theorem — the join's lagged input filter is the
+    only loss mechanism in the chain)."""
+    from datetime import datetime
+
+    def stage_typed(base, files):
+        shutil.rmtree(base, ignore_errors=True)
+        os.makedirs(base)
+        for name, rows, mtime in files:
+            df = spark.createDataFrame(
+                [(i, t, float(k), tp) for i, t, k, tp in rows],
+                "event_id long, ts timestamp, v double, tp string")
+            path = f"{base}/{name}"
+            df.coalesce(1).write.parquet(path)
+            for root, _dirs, fns in os.walk(path):
+                for fn in fns:
+                    os.utime(os.path.join(root, fn), (mtime, mtime))
+            os.utime(path, (mtime, mtime))
+
+    def run(tag, top):
+        base = str(tmp_path / f"ch{tag}")
+        TS = lambda h, m: datetime(2024, 1, 1, h, m)
+        stage_typed(base, [
+            ("a", [(1, TS(10, 0), 1, "c"), (2, TS(10, 1), 1, "p")],
+             1_000_000),
+            ("b", [(3, top, 9, "c"), (4, top, 9, "p")], 2_000_000),
+        ])
+
+        def src(tp):
+            s = (spark.readStream
+                 .schema("event_id long, ts timestamp, "
+                         "v double, tp string")
+                 .option("maxFilesPerTrigger", "1")
+                 .option("recursiveFileLookup", "true")
+                 .parquet(base))
+            return s.filter(F.col("tp") == tp)
+
+        c = (src("c").withWatermark("ts", "10 minutes")
+             .select(F.col("v").alias("ck"), F.col("ts").alias("c_ts")))
+        p = (src("p").withWatermark("ts", "10 minutes")
+             .select(F.col("v").alias("pk"), F.col("ts").alias("p_ts")))
+        j = c.join(p, (F.col("ck") == F.col("pk"))
+                   & (F.col("p_ts") >= F.col("c_ts"))
+                   & (F.col("p_ts") <= F.col("c_ts")
+                      + F.expr("INTERVAL 30 MINUTES")))
+        agg = (j.groupBy(F.window("p_ts", "1 hour").alias("w"))
+                .agg(F.count(F.lit(1)).alias("n")))
+        q = (agg.select(F.col("w.start").alias("ws"), "n")
+             .writeStream.format("memory").queryName(f"chain{tag}")
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination()
+        drops = sum(x["numRowsDroppedByWatermark"]
+                    for pr in q.recentProgress
+                    for x in pr["stateOperators"])
+        return ({str(r["ws"]): r["n"]
+                 for r in spark.table(f"chain{tag}").collect()}, drops)
+
+    # window [10,11): E = 11:00. wm = top - 10m; agg frontier = wm - 30m
+    got, drops = run("b1", datetime(2024, 1, 1, 11, 40, 0, 0))
+    assert "2024-01-01 10:00:00" not in got, got   # frontier == E: held
+    assert drops == 0, drops
+    got, drops = run("b2", datetime(2024, 1, 1, 11, 40, 0, 1000))
+    assert got.get("2024-01-01 10:00:00") == 1, got  # 1 ms past: sealed
+    assert drops == 0, drops
