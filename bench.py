@@ -100,6 +100,7 @@ HEADLINE = (
     "a18_quantile_rollup",        # mergeable quantile summaries
     "t28_sliding_advance",        # sliding windows, moving frontier
     "t29_chained_pipeline_advance",  # join -> window agg, one query
+    "x3_hamming_multiprobe",      # banded recall dial (9 probes/band)
 )
 
 

@@ -5607,3 +5607,224 @@ def x3_cascade_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                       (F.col("n_hits_cascade")
                        >= F.col("n_hits_hamming"))
                       .alias("cascade_ge_hamming")))
+
+
+# ---------------------------------------------------------------------------
+# OP-X3 — multiprobe banded Hamming: probe each band's 1-bit flips,
+# extending the pigeonhole guarantee from radius 7 to radius 15
+# ---------------------------------------------------------------------------
+
+@register(
+    "x3_hamming_multiprobe",
+    oracle=f"""
+    WITH v AS (
+      SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+    ),
+    packed AS ({_SQL_PACKED}),
+    jd AS (SELECT unnest([0, 1, 2, 3, 4, 5, 6, 7]::BIGINT[]) AS j),
+    bl AS (
+      SELECT vec_id, j, {_SQL_BAND} AS bv
+      FROM packed, jd
+    ),
+    qids AS (
+      SELECT vec_id FROM v {_sql_hash_sample(_H_QUERY, N_QUERIES)}
+    ),
+    fd AS (SELECT unnest([-1, 0, 1, 2, 3, 4, 5, 6, 7]::BIGINT[]) AS f),
+    qp AS (
+      -- probe set: each query band value plus its 8 single-bit flips
+      SELECT bl.vec_id AS query_id, j,
+             CASE WHEN f = -1 THEN bv
+                  ELSE xor(bv, 1 << f) END AS bv
+      FROM bl JOIN qids USING (vec_id), fd
+    ),
+    cand AS (
+      SELECT DISTINCT qp.query_id, bl.vec_id AS neighbor_id
+      FROM qp JOIN bl
+        ON bl.j = qp.j AND bl.bv = qp.bv
+       AND bl.vec_id <> qp.query_id
+    ),
+    nc AS (
+      SELECT query_id, COUNT(*) AS n_candidates
+      FROM cand GROUP BY query_id
+    ),
+    scored AS (
+      SELECT c.query_id, c.neighbor_id,
+             bit_count(xor(pq.hi, pn.hi))
+               + bit_count(xor(pq.lo, pn.lo)) AS hamming
+      FROM cand c
+      JOIN packed pq ON pq.vec_id = c.query_id
+      JOIN packed pn ON pn.vec_id = c.neighbor_id
+    ),
+    top3 AS (
+      SELECT query_id, neighbor_id, hamming FROM (
+        SELECT *, ROW_NUMBER() OVER (
+          PARTITION BY query_id
+          ORDER BY hamming, neighbor_id) AS rn
+        FROM scored) WHERE rn <= 3
+    ),
+    scand AS (
+      SELECT DISTINCT qb.query_id, bl.vec_id AS neighbor_id
+      FROM (SELECT bl.vec_id AS query_id, j, bv
+            FROM bl JOIN qids USING (vec_id)) qb
+      JOIN bl ON bl.j = qb.j AND bl.bv = qb.bv
+             AND bl.vec_id <> qb.query_id
+    ),
+    stop3 AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT c.query_id, c.neighbor_id, ROW_NUMBER() OVER (
+                 PARTITION BY c.query_id
+                 ORDER BY bit_count(xor(pq.hi, pn.hi))
+                          + bit_count(xor(pq.lo, pn.lo)),
+                          c.neighbor_id) AS rn
+        FROM scand c
+        JOIN packed pq ON pq.vec_id = c.query_id
+        JOIN packed pn ON pn.vec_id = c.neighbor_id)
+      WHERE rn <= 3
+    ),
+    brute AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT q.vec_id AS query_id, p.vec_id AS neighbor_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY bit_count(xor(q.hi, p.hi))
+                          + bit_count(xor(q.lo, p.lo)),
+                          p.vec_id) AS rn
+        FROM (SELECT packed.* FROM packed JOIN qids USING (vec_id)) q
+        JOIN packed p ON p.vec_id <> q.vec_id) WHERE rn <= 3
+    ),
+    hits_m AS (
+      SELECT COUNT(*) AS n FROM top3 t
+      JOIN brute b ON b.query_id = t.query_id
+                  AND b.neighbor_id = t.neighbor_id
+    ),
+    hits_s AS (
+      SELECT COUNT(*) AS n FROM stop3 t
+      JOIN brute b ON b.query_id = t.query_id
+                  AND b.neighbor_id = t.neighbor_id
+    )
+    SELECT t.query_id, t.neighbor_id, t.hamming, nc.n_candidates,
+           (SELECT n FROM hits_m) AS n_hits_multi,
+           (SELECT n FROM hits_s) AS n_hits_single,
+           (SELECT n FROM hits_m) >= (SELECT n FROM hits_s)
+             AS multi_ge_single
+    FROM top3 t JOIN nc USING (query_id)
+    """,
+)
+def x3_hamming_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OP-X3 — multiprobe banded Hamming: per (query, band), probe the
+    band value AND its 8 single-bit flips (9 probes/band). By
+    pigeonhole, a neighbor within Hamming radius 15 now has some band
+    differing in ≤ 1 bit, hence colliding with a probe — doubling the
+    banded tier's guarantee radius (7 → 15) for a 9× probe-side (not
+    corpus-side) cost: the corpus is still banded ONCE; only the
+    broadcast probe relation grows (8·9·N_QUERIES rows). This is the
+    standard recall/cost dial of multi-index hashing — probe more
+    band variants when recall matters, never touch the stored index.
+
+    Verdict columns: per-query ``n_candidates`` (the honest cost of
+    the wider net), ``n_hits_multi`` vs ``n_hits_single`` — recall@3
+    against the brute referee for the multiprobe and the exact-probe
+    tier over the SAME bands — and ``multi_ge_single``, which is a
+    small THEOREM, not an observation: single-probe candidates are a
+    subset of multiprobe candidates, and a true top-3 hit displaced
+    from a superset's top-3 would need 3 strictly-better candidates,
+    all themselves members of the 3-element truth set — impossible.
+    The oracle replays every candidate set band-for-band (all integer
+    arithmetic), so a single wrong collision anywhere flips the hash.
+
+    Scale: identical plan shape to x3_hamming_banded — corpus bands
+    are a scan projection, probes broadcast, rerank windows run over
+    candidate-sized input; the probe multiplier trades broadcast size
+    for recall with zero additional corpus passes."""
+    e = _t(spark, sf_dir, "embeddings")
+    v = e.select("vec_id", _as_double_vec("embedding").alias("e"))
+
+    def pack(lo_idx: int) -> F.Column:
+        bits = F.transform(
+            F.slice("e", lo_idx, 32),
+            lambda x: F.when(x >= 0, F.lit(1).cast("long"))
+                       .otherwise(F.lit(0).cast("long")))
+        return F.aggregate(bits, F.lit(0).cast("long"),
+                           lambda a, b: a * 2 + b)
+
+    packed = v.select("vec_id", pack(1).alias("hi"),
+                      pack(33).alias("lo"))
+    band_exprs = [F.expr(f"({w} div {d}) % 256")
+                  for w in ("hi", "lo")
+                  for d in (16777216, 65536, 256, 1)]
+    bl = packed.select(
+        "vec_id", F.posexplode(F.array(*band_exprs)).alias("j", "bv"))
+    qids = _hash_sample(v.select("vec_id"), N_QUERIES, _H_QUERY)
+    qb = (bl.join(F.broadcast(qids), "vec_id")
+            .select(F.col("vec_id").alias("query_id"), "j", "bv"))
+    from ..sources.tables import values_df
+    fd = values_df(spark, [(f,) for f in range(-1, 8)], "f long")
+    qp = (qb.crossJoin(F.broadcast(fd))
+            .select("query_id", "j",
+                    F.when(F.col("f") == -1, F.col("bv"))
+                     .otherwise(F.expr("bv ^ shiftleft(1, f)"))
+                     .alias("bv"))
+            .distinct())
+
+    def candidates(probe_df: DataFrame) -> DataFrame:
+        return (bl.join(F.broadcast(probe_df),
+                        (bl["j"] == probe_df["j"])
+                        & (bl["bv"] == probe_df["bv"])
+                        & (bl["vec_id"] != probe_df["query_id"]))
+                  .select("query_id", bl["vec_id"].alias("neighbor_id"))
+                  .distinct())
+
+    def rerank(cand: DataFrame) -> DataFrame:
+        pq = packed.select(F.col("vec_id").alias("query_id"),
+                           F.col("hi").alias("qhi"),
+                           F.col("lo").alias("qlo"))
+        scored = (cand.join(F.broadcast(pq), "query_id")
+                  .join(packed,
+                        packed["vec_id"] == F.col("neighbor_id"))
+                  .select("query_id", "neighbor_id",
+                          (F.bit_count(F.col("qhi")
+                                       .bitwiseXOR(F.col("hi")))
+                           + F.bit_count(F.col("qlo")
+                                         .bitwiseXOR(F.col("lo"))))
+                          .alias("hamming")))
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("hamming").asc(), F.col("neighbor_id"))
+        return (scored.withColumn("rn", F.row_number().over(w))
+                      .filter(F.col("rn") <= 3)
+                      .select("query_id", "neighbor_id", "hamming"))
+
+    mcand = candidates(qp)
+    nc = mcand.groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("n_candidates"))
+    top3 = rerank(mcand)
+    stop3 = rerank(candidates(qb)).select("query_id", "neighbor_id")
+
+    qpk = packed.join(F.broadcast(qids), "vec_id").select(
+        F.col("vec_id").alias("query_id"),
+        F.col("hi").alias("qhi"), F.col("lo").alias("qlo"))
+    bw = Window.partitionBy("query_id").orderBy(
+        F.col("bham").asc(), F.col("neighbor_id"))
+    brute = (packed.crossJoin(F.broadcast(qpk))
+             .filter(F.col("vec_id") != F.col("query_id"))
+             .select("query_id",
+                     F.col("vec_id").alias("neighbor_id"),
+                     (F.bit_count(F.col("qhi").bitwiseXOR(F.col("hi")))
+                      + F.bit_count(F.col("qlo")
+                                    .bitwiseXOR(F.col("lo"))))
+                     .alias("bham"))
+             .withColumn("rn", F.row_number().over(bw))
+             .filter(F.col("rn") <= 3)
+             .select("query_id", "neighbor_id"))
+    hits_m = (top3.join(brute, ["query_id", "neighbor_id"])
+              .agg(F.count(F.lit(1)).alias("n_hits_multi")))
+    hits_s = (stop3.join(brute, ["query_id", "neighbor_id"])
+              .agg(F.count(F.lit(1)).alias("n_hits_single")))
+    return (top3.join(nc, "query_id")
+                .crossJoin(F.broadcast(hits_m))
+                .crossJoin(F.broadcast(hits_s))
+                .select("query_id", "neighbor_id", "hamming",
+                        "n_candidates", "n_hits_multi",
+                        "n_hits_single",
+                        (F.col("n_hits_multi")
+                         >= F.col("n_hits_single"))
+                        .alias("multi_ge_single")))
