@@ -101,6 +101,7 @@ HEADLINE = (
     "t28_sliding_advance",        # sliding windows, moving frontier
     "t29_chained_pipeline_advance",  # join -> window agg, one query
     "x3_hamming_multiprobe",      # banded recall dial (9 probes/band)
+    "a19_quantile_compaction",    # two-level summary halving ladder
 )
 
 

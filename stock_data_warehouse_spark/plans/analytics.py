@@ -1129,3 +1129,280 @@ def a18_quantile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
                         <= F.col("target_rank") + F.col("err_bound")))
                     .alias("within_bound"),
                     "merge_ok"))
+
+
+# ---------------------------------------------------------------------------
+# OP-A19 — two-level quantile compaction ladder: day summaries union
+# into weeks, weeks RECOMPRESS by rank-halving, month estimates carry
+# a data-derived two-level error bound
+# ---------------------------------------------------------------------------
+
+@register(
+    "a19_quantile_compaction",
+    oracle=f"""
+    WITH e AS (
+      SELECT event_id, event_type, CAST(ts AS DATE) AS day,
+             (EXTRACT(DAY FROM CAST(ts AS DATE)) - 1) // 7 AS wk,
+             CAST(CASE WHEN value < 0
+                  THEN -FLOOR(ABS(value) * 100.0 + 0.5)
+                  ELSE FLOOR(ABS(value) * 100.0 + 0.5) END
+             AS BIGINT) AS cents
+      FROM events
+    ),
+    dc AS (
+      SELECT event_type, day, COUNT(*) AS n_d,
+             (COUNT(*) + {_QR_K - 1}) // {_QR_K} AS s_d
+      FROM e GROUP BY event_type, day
+    ),
+    rk AS (
+      SELECT e.*, dc.n_d, dc.s_d,
+             ROW_NUMBER() OVER (PARTITION BY e.event_type, e.day
+                                ORDER BY e.cents, e.event_id) AS r
+      FROM e JOIN dc USING (event_type, day)
+    ),
+    samples AS (
+      SELECT event_type, wk, day, cents, r FROM rk
+      WHERE r % s_d = 0 OR r = n_d
+    ),
+    wcand AS (
+      SELECT DISTINCT event_type, wk, cents AS v FROM samples
+    ),
+    wrank AS (
+      -- week-additive est rank of every week sample value
+      SELECT c.event_type, c.wk, c.v, SUM(mr) AS wr
+      FROM wcand c JOIN (
+        SELECT c2.event_type, c2.wk, c2.v, s.day, MAX(s.r) AS mr
+        FROM wcand c2 JOIN samples s
+          ON s.event_type = c2.event_type AND s.wk = c2.wk
+         AND s.cents <= c2.v
+        GROUP BY c2.event_type, c2.wk, c2.v, s.day) g
+        ON g.event_type = c.event_type AND g.wk = c.wk AND g.v = c.v
+      GROUP BY c.event_type, c.wk, c.v
+    ),
+    wpos AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type, wk
+                                   ORDER BY v) AS pos,
+             COUNT(*) OVER (PARTITION BY event_type, wk) AS npos
+      FROM wrank
+    ),
+    kept AS (
+      -- halving compaction: odd positions + the week maximum
+      SELECT * FROM wpos WHERE pos % 2 = 1 OR pos = npos
+    ),
+    gap AS (
+      -- exact extra undercount introduced per week: the largest est
+      -- rank gap between consecutive KEPT samples
+      SELECT event_type, wk,
+             COALESCE(MAX(wr - pwr), 0) AS g_w
+      FROM (
+        SELECT event_type, wk, wr,
+               LAG(wr) OVER (PARTITION BY event_type, wk
+                             ORDER BY v) AS pwr
+        FROM kept)
+      WHERE pwr IS NOT NULL
+      GROUP BY event_type, wk
+    ),
+    bound AS (
+      SELECT d.event_type,
+             d.e1 + COALESCE(g.e2, 0) AS err_bound
+      FROM (SELECT event_type, SUM(s_d - 1) AS e1 FROM dc
+            GROUP BY event_type) d
+      LEFT JOIN (SELECT event_type, SUM(g_w) AS e2 FROM gap
+                 GROUP BY event_type) g USING (event_type)
+    ),
+    mcand AS (SELECT DISTINCT event_type, v FROM kept),
+    est AS (
+      -- month estimate from the RECOMPRESSED week summaries
+      SELECT c.event_type, c.v, SUM(mw) AS est_rank
+      FROM mcand c JOIN (
+        SELECT c2.event_type, c2.v, k.wk, MAX(k.wr) AS mw
+        FROM mcand c2 JOIN kept k
+          ON k.event_type = c2.event_type AND k.v <= c2.v
+        GROUP BY c2.event_type, c2.v, k.wk) g
+        ON g.event_type = c.event_type AND g.v = c.v
+      GROUP BY c.event_type, c.v
+    ),
+    tot AS (
+      SELECT event_type, COUNT(*) AS n_rows FROM e GROUP BY event_type
+    ),
+    sz AS (
+      SELECT s.event_type, s.n_day, k.n_week FROM
+        (SELECT event_type, COUNT(*) AS n_day FROM samples
+         GROUP BY event_type) s
+      JOIN (SELECT event_type, COUNT(*) AS n_week FROM kept
+            GROUP BY event_type) k USING (event_type)
+    ),
+    phis AS (
+      SELECT * FROM (VALUES ('p50', 1, 2), ('p90', 9, 10),
+                            ('p99', 99, 100)) AS t(phi, num, den)
+    ),
+    targets AS (
+      SELECT t.event_type, p.phi, t.n_rows,
+             (p.num * t.n_rows + p.den - 1) // p.den AS target_rank
+      FROM tot t CROSS JOIN phis p
+    ),
+    estq AS (
+      SELECT tg.event_type, tg.phi, tg.n_rows, tg.target_rank,
+             MIN(est.v) AS est_cents
+      FROM targets tg JOIN est
+        ON est.event_type = tg.event_type
+       AND est.est_rank >= tg.target_rank
+      GROUP BY tg.event_type, tg.phi, tg.n_rows, tg.target_rank
+    ),
+    ranks AS (
+      SELECT q.event_type, q.phi,
+             COUNT(*) FILTER (WHERE e.cents < q.est_cents) + 1
+               AS first_rank,
+             COUNT(*) FILTER (WHERE e.cents <= q.est_cents)
+               AS last_rank
+      FROM estq q JOIN e ON e.event_type = q.event_type
+      GROUP BY q.event_type, q.phi
+    )
+    SELECT q.event_type, q.phi, q.n_rows, q.target_rank, q.est_cents,
+           r.first_rank, r.last_rank, b.err_bound,
+           z.n_day AS summary_rows_day,
+           z.n_week AS summary_rows_week,
+           (r.last_rank >= q.target_rank
+            AND r.first_rank <= q.target_rank + b.err_bound)
+             AS within_bound
+    FROM estq q
+    JOIN ranks r ON r.event_type = q.event_type AND r.phi = q.phi
+    JOIN bound b ON b.event_type = q.event_type
+    JOIN sz z ON z.event_type = q.event_type
+    """,
+)
+def a19_quantile_compaction(spark: SparkSession,
+                            sf_dir: str) -> DataFrame:
+    """OP-A19 — the COMPACTION LADDER a18 deliberately skipped: day
+    summaries union into calendar weeks, each week RECOMPRESSES by
+    rank-halving (keep every other sample in value order, plus the
+    week maximum — the KLL/MRL collapse step, deterministic), and the
+    month quantile is estimated from the recompressed week summaries
+    alone. This is how a real pipeline keeps summary size constant
+    while rolling up a year: levels halve, error grows by a measured
+    amount per collapse.
+
+    The two-level error bound is DATA-DERIVED, not just a worst-case
+    constant: level 1 contributes a18's Σ(s_d − 1) sampling slack;
+    level 2 contributes, per week, the largest week-additive rank gap
+    between consecutive KEPT samples (``g_w`` — exactly the
+    undercount a query value falling in a halved-away gap can suffer,
+    computable in both engines because the whole estimator is integer
+    arithmetic on class-A cents). ``within_bound`` checks the same
+    interval theorem as a18 against the summed bound; the
+    ``summary_rows_week < summary_rows_day`` pair pins that the
+    ladder actually compressed. The estimator remains hash-exact
+    end-to-end — the oracle replays sampling, union, halving, gap
+    measurement and the final rank sum value-for-value.
+
+    Scale: every post-scan relation is summary-sized (the day pass is
+    a18's window+filter); each additional ladder level halves the
+    carried rows for one more additive ``g`` term — re-aggregating a
+    year costs Θ(levels × summary), never Θ(events)."""
+    ev = (_t(spark, sf_dir, "events")
+          .select("event_id", "event_type",
+                  F.to_date("ts").alias("day"),
+                  F.when(F.col("value") < 0,
+                         -F.floor(F.abs(F.col("value")) * 100.0
+                                  + F.lit(0.5)))
+                   .otherwise(F.floor(F.abs(F.col("value")) * 100.0
+                                      + F.lit(0.5)))
+                   .cast("long").alias("cents"))
+          .withColumn("wk", ((F.dayofmonth("day") - 1)
+                             / 7).cast("long")))
+    dc = (ev.groupBy("event_type", "day")
+            .agg(F.count(F.lit(1)).alias("n_d"))
+            .withColumn("s_d",
+                        F.expr(f"(n_d + {_QR_K - 1}) div {_QR_K}")))
+    r = F.row_number().over(
+        Window.partitionBy("event_type", "day")
+              .orderBy("cents", "event_id"))
+    rk = ev.withColumn("r", r).join(dc, ["event_type", "day"])
+    samples = (rk.filter((F.col("r") % F.col("s_d") == 0)
+                         | (F.col("r") == F.col("n_d")))
+                 .select("event_type", "wk", "day", "cents", "r"))
+    wcand = (samples.select("event_type", "wk",
+                            F.col("cents").alias("v")).distinct())
+    wrank = (wcand.alias("c")
+             .join(samples.alias("s"),
+                   (F.col("s.event_type") == F.col("c.event_type"))
+                   & (F.col("s.wk") == F.col("c.wk"))
+                   & (F.col("s.cents") <= F.col("c.v")))
+             .groupBy(F.col("c.event_type").alias("event_type"),
+                      F.col("c.wk").alias("wk"), "v",
+                      F.col("s.day").alias("day"))
+             .agg(F.max("s.r").alias("mr"))
+             .groupBy("event_type", "wk", "v")
+             .agg(F.sum("mr").alias("wr")))
+    wwin = Window.partitionBy("event_type", "wk").orderBy("v")
+    wpos = (wrank.withColumn("pos", F.row_number().over(wwin))
+                 .withColumn("npos", F.count(F.lit(1)).over(
+                     Window.partitionBy("event_type", "wk"))))
+    kept = wpos.filter((F.col("pos") % 2 == 1)
+                       | (F.col("pos") == F.col("npos")))
+    gap = (kept.withColumn("pwr", F.lag("wr").over(wwin))
+               .filter(F.col("pwr").isNotNull())
+               .groupBy("event_type", "wk")
+               .agg(F.max(F.col("wr") - F.col("pwr")).alias("g_w")))
+    e1 = (dc.groupBy("event_type")
+            .agg(F.sum(F.col("s_d") - 1).alias("e1")))
+    e2 = gap.groupBy("event_type").agg(F.sum("g_w").alias("e2"))
+    bound = (e1.join(e2, "event_type", "left")
+               .select("event_type",
+                       (F.col("e1") + F.coalesce(F.col("e2"),
+                                                 F.lit(0)))
+                       .alias("err_bound")))
+    mcand = kept.select("event_type", "v").distinct()
+    est = (mcand.alias("c")
+           .join(kept.alias("k"),
+                 (F.col("k.event_type") == F.col("c.event_type"))
+                 & (F.col("k.v") <= F.col("c.v")))
+           .groupBy(F.col("c.event_type").alias("event_type"),
+                    F.col("c.v").alias("v"),
+                    F.col("k.wk").alias("wk"))
+           .agg(F.max("k.wr").alias("mw"))
+           .groupBy("event_type", "v")
+           .agg(F.sum("mw").alias("est_rank")))
+    tot = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_rows"))
+    sz = (samples.groupBy("event_type")
+          .agg(F.count(F.lit(1)).alias("summary_rows_day"))
+          .join(kept.groupBy("event_type")
+                    .agg(F.count(F.lit(1)).alias("summary_rows_week")),
+                "event_type"))
+    from ..sources.tables import values_df
+    phis = values_df(spark, [("p50", 1, 2), ("p90", 9, 10),
+                             ("p99", 99, 100)],
+                     "phi string, num long, den long")
+    targets = (tot.crossJoin(F.broadcast(phis))
+               .select("event_type", "phi", "n_rows",
+                       F.expr("(num * n_rows + den - 1) div den")
+                        .alias("target_rank")))
+    estq = (targets.alias("tg")
+            .join(est.alias("e2x"),
+                  (F.col("e2x.event_type") == F.col("tg.event_type"))
+                  & (F.col("e2x.est_rank") >= F.col("tg.target_rank")))
+            .groupBy(F.col("tg.event_type").alias("event_type"),
+                     "phi", "n_rows", "target_rank")
+            .agg(F.min("e2x.v").alias("est_cents")))
+    ranks = (ev.join(F.broadcast(estq.select("event_type", "phi",
+                                             "est_cents")),
+                     "event_type")
+             .groupBy("event_type", "phi")
+             .agg((F.sum(F.when(F.col("cents") < F.col("est_cents"),
+                                1).otherwise(0)) + 1)
+                  .alias("first_rank"),
+                  F.sum(F.when(F.col("cents") <= F.col("est_cents"),
+                               1).otherwise(0)).alias("last_rank")))
+    return (estq
+            .join(ranks, ["event_type", "phi"])
+            .join(bound, "event_type")
+            .join(sz, "event_type")
+            .select("event_type", "phi", "n_rows", "target_rank",
+                    "est_cents", "first_rank", "last_rank",
+                    "err_bound", "summary_rows_day",
+                    "summary_rows_week",
+                    ((F.col("last_rank") >= F.col("target_rank"))
+                     & (F.col("first_rank")
+                        <= F.col("target_rank") + F.col("err_bound")))
+                    .alias("within_bound")))
