@@ -102,6 +102,7 @@ HEADLINE = (
     "t29_chained_pipeline_advance",  # join -> window agg, one query
     "x3_hamming_multiprobe",      # banded recall dial (9 probes/band)
     "a19_quantile_compaction",    # two-level summary halving ladder
+    "x4_hybrid_rrf",              # BM25 + vector reciprocal-rank fusion
 )
 
 

@@ -5828,3 +5828,182 @@ def x3_hamming_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
                         (F.col("n_hits_multi")
                          >= F.col("n_hits_single"))
                         .alias("multi_ge_single")))
+
+
+# ---------------------------------------------------------------------------
+# OP-X4 + OP-X3 composed — hybrid retrieval: BM25 lexical ranking and
+# vector cosine ranking fused by reciprocal-rank fusion (the RAG shape)
+# ---------------------------------------------------------------------------
+
+@register(
+    "x4_hybrid_rrf",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest({SQL_TOKENS}) AS token FROM documents
+    ),
+    dl AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY doc_id),
+    corpus AS (
+      SELECT COUNT(DISTINCT doc_id) AS n_docs,
+             CAST((SELECT SUM(dl) FROM dl) AS DOUBLE)
+               / COUNT(DISTINCT doc_id) AS avgdl
+      FROM tok
+    ),
+    dfv AS (
+      SELECT token, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY token
+    ),
+    terms AS (
+      SELECT token, df FROM dfv
+      WHERE token NOT IN ('the', 'a', 'of', 'and', 'to', 'in')
+      ORDER BY df DESC, token LIMIT 3
+    ),
+    tf AS (
+      SELECT t.doc_id, t.token, COUNT(*) AS tf, MAX(terms.df) AS df
+      FROM tok t JOIN terms USING (token)
+      GROUP BY t.doc_id, t.token
+    ),
+    scored AS (
+      SELECT tf.doc_id, tf.token,
+             ln((n_docs - df + 0.5) / (df + 0.5) + 1)
+               * tf * 2.2
+               / (tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / avgdl)) AS s
+      FROM tf JOIN dl USING (doc_id), corpus
+    ),
+    agg AS (
+      SELECT doc_id,
+             CAST(ROUND(CAST(list_reduce(
+               list_prepend(CAST(0 AS DOUBLE),
+                 list(s ORDER BY token)),
+               (a, b) -> a + b) AS DECIMAL(38,10)), 6) AS DOUBLE)
+               AS bm25
+      FROM scored GROUP BY doc_id
+    ),
+    lex AS (
+      SELECT doc_id, ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id)
+               AS lex_rank
+      FROM (SELECT * FROM agg ORDER BY bm25 DESC, doc_id LIMIT 50)
+    ),
+    v AS (
+      SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+    ),
+    n AS (
+      SELECT vec_id, e, sqrt({_sql_dot('e', 'e')}) AS nrm FROM v
+    ),
+    q AS (SELECT * FROM n {_sql_hash_sample(_H_QUERY, 1)}),
+    cosr AS (
+      SELECT b.vec_id, {_sql_dot('q.e', 'b.e')} / (q.nrm * b.nrm)
+               AS cos
+      FROM n b, q WHERE b.vec_id <> q.vec_id
+    ),
+    vecr AS (
+      SELECT vec_id AS doc_id,
+             ROW_NUMBER() OVER (ORDER BY cos DESC, vec_id) AS vec_rank
+      FROM (SELECT * FROM cosr ORDER BY cos DESC, vec_id LIMIT 50)
+    ),
+    fused AS (
+      SELECT COALESCE(l.doc_id, r.doc_id) AS doc_id,
+             l.lex_rank, r.vec_rank,
+             COALESCE(1.0 / (60 + l.lex_rank), 0)
+               + COALESCE(1.0 / (60 + r.vec_rank), 0) AS rrf
+      FROM lex l FULL OUTER JOIN vecr r ON l.doc_id = r.doc_id
+    )
+    SELECT doc_id, lex_rank, vec_rank,
+           (CASE WHEN rrf < 0 THEN -FLOOR(ABS(rrf) * 1000000.0 + 0.5)
+                 ELSE FLOOR(ABS(rrf) * 1000000.0 + 0.5) END
+            / 1000000.0 + 0.0) AS rrf_score
+    FROM fused ORDER BY rrf DESC, doc_id LIMIT 10
+    """,
+)
+def x4_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OP-X4 + OP-X3 composed — HYBRID retrieval, the production RAG
+    serving shape: the x4_bm25 lexical ranking and a vector cosine
+    ranking (query = the hash-rank-1 embedding, the family
+    convention) fused by reciprocal-rank fusion,
+    ``rrf = Σ 1/(60 + rank)`` — the standard score-free fusion that
+    needs no calibration between BM25's unbounded scores and cosine's
+    [−1, 1].
+
+    Engine parity by construction: both per-side rankings reduce to
+    INTEGER ranks before fusion (BM25 ranks on its class-B-rounded
+    score as in x4_bm25; cosine on the association-matched raw fold),
+    each side is a TakeOrdered top-50 then a 50-row rank window, and
+    ``1.0/(60+rank)`` is one IEEE division of small integers —
+    bit-identical in both engines — summed in fixed lexical-then-
+    vector order. A doc missing from one side contributes 0 from it
+    (the COALESCE outer-join form). Ties between single-side docs
+    with equal reciprocal scores break on doc_id.
+
+    Scale: each side is its own family's scale plan (bm25: broadcast
+    term join + bounded aggs; cosine: broadcast 1-query scan — the
+    banded/IVF tiers slot in unchanged as the candidate generator at
+    corpus scale); the fusion itself joins two 50-row relations —
+    free at any N. doc_id ≡ vec_id is the corpus contract (the
+    embeddings table is the documents table's vector column at 100
+    TB; here they are separate test tables sharing the id domain)."""
+    stop = ("the", "a", "of", "and", "to", "in")
+    d = _t(spark, sf_dir, "documents")
+    tok = d.select("doc_id",
+                   F.explode(tokens_col("text")).alias("token"))
+    dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    corpus = (tok.agg(
+        F.count_distinct("doc_id").alias("n_docs"),
+        (F.count(F.lit(1)).cast("double")
+         / F.count_distinct("doc_id")).alias("avgdl")))
+    dfv = (tok.distinct()
+              .groupBy("token").agg(F.count(F.lit(1)).alias("df")))
+    terms = (dfv.filter(~F.col("token").isin(*stop))
+                .orderBy(F.col("df").desc(), "token").limit(3))
+    tf = (tok.join(F.broadcast(terms), "token")
+             .groupBy("doc_id", "token")
+             .agg(F.count(F.lit(1)).alias("tf"),
+                  F.max("df").alias("df")))
+    scored = (tf.join(dl, "doc_id").crossJoin(F.broadcast(corpus))
+                .select(
+                    "doc_id", "token",
+                    (F.log((F.col("n_docs") - F.col("df") + 0.5)
+                           / (F.col("df") + 0.5) + 1)
+                     * F.col("tf") * 2.2
+                     / (F.col("tf")
+                        + 1.2 * (1 - 0.75
+                                 + 0.75 * F.col("dl")
+                                 / F.col("avgdl")))).alias("s")))
+    agg = (scored.groupBy("doc_id")
+                 .agg(F.round(
+                     F.aggregate(
+                         F.transform(
+                             F.array_sort(F.collect_list(
+                                 F.struct("token", "s"))),
+                             lambda r: r["s"]),
+                         F.lit(0.0), lambda a, b: a + b)
+                     .cast("decimal(38,10)"), 6)
+                  .cast("double").alias("bm25")))
+    lex = (agg.orderBy(F.col("bm25").desc(), "doc_id").limit(50)
+              .withColumn("lex_rank", F.row_number().over(
+                  Window.orderBy(F.col("bm25").desc(), "doc_id")))
+              .select("doc_id", "lex_rank"))
+
+    e = _t(spark, sf_dir, "embeddings")
+    v = e.select("vec_id", _as_double_vec("embedding").alias("e"))
+    n = v.withColumn("nrm", F.sqrt(_dot(F.col("e"), F.col("e"))))
+    q = (_hash_sample(n, 1, _H_QUERY)
+         .select(F.col("vec_id").alias("qid"),
+                 F.col("e").alias("qe"), F.col("nrm").alias("qnrm")))
+    cosr = (n.crossJoin(F.broadcast(q))
+             .filter(F.col("vec_id") != F.col("qid"))
+             .select("vec_id",
+                     (_dot(F.col("qe"), F.col("e"))
+                      / (F.col("qnrm") * F.col("nrm"))).alias("cos")))
+    vecr = (cosr.orderBy(F.col("cos").desc(), "vec_id").limit(50)
+                .withColumn("vec_rank", F.row_number().over(
+                    Window.orderBy(F.col("cos").desc(), "vec_id")))
+                .select(F.col("vec_id").alias("doc_id"), "vec_rank"))
+
+    fused = (lex.join(vecr, "doc_id", "full_outer")
+             .select("doc_id", "lex_rank", "vec_rank",
+                     (F.coalesce(1.0 / (60 + F.col("lex_rank")),
+                                 F.lit(0.0))
+                      + F.coalesce(1.0 / (60 + F.col("vec_rank")),
+                                   F.lit(0.0))).alias("rrf")))
+    return (fused.orderBy(F.col("rrf").desc(), "doc_id").limit(10)
+                 .select("doc_id", "lex_rank", "vec_rank",
+                         round_half_up(F.col("rrf"), 6)
+                          .alias("rrf_score")))
