@@ -5099,9 +5099,10 @@ def x3_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     codegen'd popcounts per candidate — the brute-force tier is the
     RERANK observability baseline here exactly as
     x3_cosine_topk_bruteforce is for floats; the bucketed scale path
-    for the binary sketch is multi-index hashing over the 32-bit
-    words (split words = LSH bands on Hamming space, the x2 banding
-    argument verbatim)."""
+    — multi-index hashing over the 32-bit words — is now IMPLEMENTED
+    as x3_hamming_banded / x3_hamming_multiprobe (r7), which carry
+    the headline slot; this brute scan is demoted to their in-query
+    recall referee (the r4 int8 demotion replayed)."""
     e = _t(spark, sf_dir, "embeddings")
     v = e.select("vec_id", _as_double_vec("embedding").alias("e"))
 
