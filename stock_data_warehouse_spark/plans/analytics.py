@@ -1406,3 +1406,162 @@ def a19_quantile_compaction(spark: SparkSession,
                      & (F.col("first_rank")
                         <= F.col("target_rank") + F.col("err_bound")))
                     .alias("within_bound")))
+
+
+# ---------------------------------------------------------------------------
+# OP-A20 — declarative data-quality expectations suite
+# ---------------------------------------------------------------------------
+
+#: Per-row expectations: (name, violation predicate, allowed violation
+#: percent). The predicate string is shared VERBATIM by the Spark plan
+#: (``F.expr``) and the DuckDB oracle, so the two sides cannot drift —
+#: the a16/a17 "constants are the spec" pattern. ``allowed_pct`` is the
+#: dbt/Great-Expectations ``mostly`` knob: a check passes when
+#: violations ≤ pct% of rows (0 = strict).
+_DQ_ROW_CHECKS = {
+    "orders": (
+        ("orders_custkey_not_null", "o_custkey IS NULL", 0),
+        ("orders_status_in_domain",
+         "o_orderstatus NOT IN ('O', 'F', 'P')", 0),
+        ("orders_totalprice_positive", "o_totalprice <= 0", 0),
+    ),
+    "lineitem": (
+        ("lineitem_qty_in_1_50", "l_quantity < 1 OR l_quantity > 50", 0),
+        ("lineitem_discount_in_0_01",
+         "l_discount < 0 OR l_discount > 0.1", 0),
+        ("lineitem_tax_in_0_01", "l_tax < 0 OR l_tax > 0.1", 0),
+    ),
+    "customer": (
+        ("customer_acctbal_mostly_nonneg", "c_acctbal < 0", 15),
+        ("customer_segment_not_blank",
+         "c_mktsegment IS NULL OR trim(c_mktsegment) = ''", 0),
+    ),
+}
+
+
+def _dq_oracle() -> str:
+    parts = []
+    for table, checks in _DQ_ROW_CHECKS.items():
+        for name, pred, pct in checks:
+            parts.append(
+                f"SELECT '{name}' AS expectation,"
+                f" (SELECT COUNT(*) FROM {table}) AS n_rows,"
+                f" (SELECT COUNT(CASE WHEN {pred} THEN 1 END)"
+                f" FROM {table}) AS n_violations,"
+                f" {pct} AS allowed_pct")
+    parts.append(
+        "SELECT 'orders_orderkey_unique' AS expectation,"
+        " (SELECT COUNT(*) FROM orders) AS n_rows,"
+        " (SELECT COUNT(*) - COUNT(DISTINCT o_orderkey) FROM orders)"
+        " AS n_violations, 0 AS allowed_pct")
+    parts.append(
+        "SELECT 'orders_fk_customer' AS expectation,"
+        " (SELECT COUNT(*) FROM orders) AS n_rows,"
+        " (SELECT COUNT(*) FROM orders o WHERE NOT EXISTS"
+        " (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))"
+        " AS n_violations, 0 AS allowed_pct")
+    parts.append(
+        "SELECT 'lineitem_fk_orders' AS expectation,"
+        " (SELECT COUNT(*) FROM lineitem) AS n_rows,"
+        " (SELECT COUNT(*) FROM lineitem l WHERE NOT EXISTS"
+        " (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey))"
+        " AS n_violations, 0 AS allowed_pct")
+    parts.append(
+        "SELECT 'lineitem_ship_after_order' AS expectation,"
+        " (SELECT COUNT(*) FROM lineitem l JOIN orders o"
+        "  ON o.o_orderkey = l.l_orderkey) AS n_rows,"
+        " (SELECT COUNT(CASE WHEN l.l_shipdate < o.o_orderdate"
+        "  THEN 1 END) FROM lineitem l JOIN orders o"
+        "  ON o.o_orderkey = l.l_orderkey) AS n_violations,"
+        " 0 AS allowed_pct")
+    body = " UNION ALL ".join(parts)
+    return (f"SELECT expectation, n_rows, n_violations,"
+            f" (n_violations * 100 <= n_rows * allowed_pct) AS passed"
+            f" FROM ({body})")
+
+
+@register("a20_dq_expectations", oracle=_dq_oracle())
+def a20_dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OP-A20 — the declarative data-quality gate (deequ / dbt-test /
+    Great Expectations shape) a warehouse runs on every load: a suite
+    of named constraints — NOT NULL, value domains, numeric ranges, a
+    ``mostly`` threshold, key uniqueness, two referential-integrity
+    checks, and a cross-table temporal-consistency rule — each emitting
+    (expectation, n_rows, n_violations, passed) so the load pipeline
+    can gate on ``passed`` and alert on the violation counts.
+
+    Scale shape: ONE aggregation pass per TABLE computes every per-row
+    check for that table (conditional counts inside a single agg, then
+    ``stack`` to long — the a15 profiler posture: cost is one scan per
+    table, not one per check); uniqueness rides the same orders agg
+    pattern as a distinct-count; the FK audits are shuffle anti-joins
+    on the key (the standard big-big integrity check — co-locatable via
+    bucketing, j13's layout); the temporal rule is one shuffle join on
+    o_orderkey. Nothing is per-check-per-scan and nothing collects.
+    ``passed`` is integer arithmetic (violations·100 ≤ rows·pct) so the
+    mostly-threshold compare is engine-exact. The suite is crafted so
+    all three outcomes occur on this data: strict passes, a mostly-pass
+    (c_acctbal: ~8% negative < 15% allowed), and a genuine failure
+    (l_shipdate < o_orderdate on ~48% of lines — the synthetic
+    generator draws them independently), exercising the gate's red
+    path, not just the green one.
+    """
+    parts = []
+    for table, checks in _DQ_ROW_CHECKS.items():
+        df = _t(spark, sf_dir, table)
+        aggs = [F.count(F.lit(1)).alias("n_rows")]
+        for name, pred, _pct in checks:
+            aggs.append(
+                F.count(F.when(F.expr(pred), F.lit(1))).alias(name))
+        one = df.agg(*aggs)
+        stack_items = ", ".join(
+            f"'{name}', {name}, {pct}" for name, _p, pct in checks)
+        parts.append(one.select(
+            "n_rows",
+            F.expr(f"stack({len(checks)}, {stack_items})"
+                   " AS (expectation, n_violations, allowed_pct)")))
+
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    lineitem = _t(spark, sf_dir, "lineitem")
+
+    parts.append(orders.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        (F.count(F.lit(1)) - F.count_distinct("o_orderkey"))
+        .alias("n_violations"))
+        .select(F.lit("orders_orderkey_unique").alias("expectation"),
+                "n_rows", "n_violations",
+                F.lit(0).alias("allowed_pct")))
+
+    def fk(child: DataFrame, key: str, parent: DataFrame, pkey: str,
+           name: str) -> DataFrame:
+        n = child.agg(F.count(F.lit(1)).alias("n_rows"))
+        viol = (child.join(parent, child[key] == parent[pkey],
+                           "left_anti")
+                     .agg(F.count(F.lit(1)).alias("n_violations")))
+        return n.crossJoin(viol).select(
+            F.lit(name).alias("expectation"), "n_rows", "n_violations",
+            F.lit(0).alias("allowed_pct"))
+
+    parts.append(fk(orders, "o_custkey", customer, "c_custkey",
+                    "orders_fk_customer"))
+    parts.append(fk(lineitem, "l_orderkey", orders, "o_orderkey",
+                    "lineitem_fk_orders"))
+
+    j = lineitem.join(orders,
+                      lineitem.l_orderkey == orders.o_orderkey)
+    parts.append(j.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count(F.when(F.col("l_shipdate") < F.col("o_orderdate"),
+                       F.lit(1))).alias("n_violations"))
+        .select(F.lit("lineitem_ship_after_order").alias("expectation"),
+                "n_rows", "n_violations",
+                F.lit(0).alias("allowed_pct")))
+
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.select(
+        "expectation", "n_rows", "n_violations",
+        (F.col("n_violations") * 100
+         <= F.col("n_rows") * F.col("allowed_pct")).alias("passed"))
