@@ -1498,3 +1498,94 @@ def j13_bucketed_cojoin_report(spark: SparkSession,
         spark.sql(f"DROP TABLE IF EXISTS {db}.orders_b")
         spark.sql(f"DROP DATABASE IF EXISTS {db}")
         shutil.rmtree(wh, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# OP-J15 — runtime bloom-filter join (the row-level twin of j14's DPP)
+# ---------------------------------------------------------------------------
+
+@register(
+    "j15_runtime_bloom_join",
+    oracle="""
+    SELECT o.o_orderpriority,
+           COUNT(*) AS n_items,
+           SUM(CAST(CASE WHEN l.l_extendedprice < 0
+                THEN -FLOOR(ABS(l.l_extendedprice) * 100.0 + 0.5)
+                ELSE FLOOR(ABS(l.l_extendedprice) * 100.0 + 0.5) END
+               AS BIGINT)) AS revenue_cents,
+           TRUE AS bloom_ok
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderpriority = '2-HIGH'
+    GROUP BY o.o_orderpriority
+    """,
+)
+def j15_runtime_bloom_join(spark: SparkSession,
+                           sf_dir: str) -> DataFrame:
+    """OP-J15 — runtime bloom-filter pushdown: the selective predicate
+    lives on the DIMENSION side of a shuffle join, so neither static
+    pushdown nor j14's partition pruning can thin the fact side — the
+    fact table isn't partitioned on the join key and the qualifying
+    keys are only known after filtering the dim. Spark's runtime-filter
+    rule (`InjectRuntimeFilter`) plans a `bloom_filter_agg` subquery
+    over the filtered dim's join keys and pushes
+    ``might_contain(bloom, xxhash64(l_orderkey))`` into the FACT SCAN's
+    data filters, so non-matching fact rows die at the scan instead of
+    traveling through the exchange — at 100 TB this is the difference
+    between shuffling the whole lineitem table and shuffling the ~20%
+    that can possibly join (row-group stats can even skip whole
+    parquet pages). The mechanism is the row-level twin of j14:
+    DPP elides *directories*, the bloom filter elides *rows*.
+
+    ``bloom_ok`` introspects the formatted plan (the j13/j14/s19
+    plan-introspection-is-the-measurement pattern) and requires BOTH
+    halves: the creation-side ``bloom_filter_agg`` subquery AND a
+    ``might_contain(..)`` probe over ``l_orderkey`` in a Filter
+    condition. Thresholds are pinned around the plan build because the
+    defaults (10 GB application-side scan) are sized for clusters, not
+    the test SF; the broadcast threshold is disabled so the join
+    actually shuffles — with a broadcast join Spark skips injection
+    since the probe side would not pay an exchange. Values are
+    oracle-exact against the plain filtered join (class-A cents fold),
+    proving the filter changed the scan, not the answer."""
+    pins = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter."
+        "creationSideThreshold": "100MB",
+        "spark.sql.optimizer.runtime.bloomFilter."
+        "applicationSideScanSizeThreshold": "1KB",
+    }
+    prev = {k: spark.conf.get(k) for k in pins}
+    try:
+        for k, v in pins.items():
+            spark.conf.set(k, v)
+        li = _t(spark, sf_dir, "lineitem")
+        dim = (_t(spark, sf_dir, "orders")
+               .filter(F.col("o_orderpriority") == "2-HIGH")
+               .select("o_orderkey", "o_orderpriority"))
+        cents = F.when(
+            F.col("l_extendedprice") < 0,
+            -F.floor(F.abs(F.col("l_extendedprice")) * 100.0
+                     + F.lit(0.5)),
+        ).otherwise(
+            F.floor(F.abs(F.col("l_extendedprice")) * 100.0
+                    + F.lit(0.5))
+        ).cast("long")
+        agg = (li.join(dim, li.l_orderkey == dim.o_orderkey)
+                 .groupBy("o_orderpriority")
+                 .agg(F.count(F.lit(1)).alias("n_items"),
+                      F.sum(cents).alias("revenue_cents")))
+        jvm = spark.sparkContext._jvm
+        formatted = jvm.PythonSQLUtils.explainString(
+            agg._jdf.queryExecution(), "formatted")
+        probe_ok = any(
+            "might_contain" in ln and "l_orderkey" in ln
+            for ln in formatted.splitlines())
+        bloom = probe_ok and "bloom_filter_agg" in formatted
+        # the conf pins only need to cover PLANNING (injection is an
+        # optimizer rule); ckpt materializes under them so the restored
+        # session conf can never re-plan this subtree differently
+        return ckpt(agg.withColumn("bloom_ok", F.lit(bool(bloom))))
+    finally:
+        for k, v in prev.items():
+            spark.conf.set(k, v)
