@@ -6008,3 +6008,170 @@ def x4_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
                  .select("doc_id", "lex_rank", "vec_rank",
                          round_half_up(F.col("rrf"), 6)
                           .alias("rrf_score")))
+
+
+# ---------------------------------------------------------------------------
+# OP-X3 — metadata-filtered vector search: pre-filter vs post-filter
+# ---------------------------------------------------------------------------
+
+@register(
+    "x3_filtered_topk",
+    oracle=f"""
+    WITH v AS (
+      SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings
+    ),
+    n0 AS (
+      SELECT vec_id, label, e, sqrt({_sql_dot('e', 'e')}) AS nrm FROM v
+    ),
+    n AS (SELECT * FROM n0 WHERE nrm > 0),
+    q AS (SELECT vec_id AS query_id, label AS qlabel, e AS qe,
+                 nrm AS qnrm FROM n
+          {_sql_hash_sample(_H_QUERY, N_QUERIES)}),
+    pre AS (
+      SELECT q.query_id, q.qlabel, b.vec_id AS neighbor_id,
+             {_sql_dot('b.e', 'q.qe')} / (b.nrm * q.qnrm) AS cos
+      FROM n b JOIN q ON b.label = q.qlabel
+                     AND b.vec_id <> q.query_id
+    ),
+    truth AS (
+      SELECT query_id, qlabel, neighbor_id, rn FROM (
+        SELECT *, ROW_NUMBER() OVER (
+          PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rn
+        FROM pre
+      ) WHERE rn <= 3
+    ),
+    truth_str AS (
+      SELECT query_id,
+             string_agg(CAST(neighbor_id AS VARCHAR), ','
+                        ORDER BY rn) AS truth_ids
+      FROM truth GROUP BY query_id
+    ),
+    allp AS (
+      SELECT q.query_id, q.qlabel, b.vec_id AS neighbor_id,
+             b.label AS nlabel,
+             {_sql_dot('b.e', 'q.qe')} / (b.nrm * q.qnrm) AS cos
+      FROM n b JOIN q ON b.vec_id <> q.query_id
+    ),
+    gtop AS (
+      SELECT query_id, qlabel, neighbor_id, nlabel, rn_g FROM (
+        SELECT *, ROW_NUMBER() OVER (
+          PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rn_g
+        FROM allp
+      ) WHERE rn_g <= 12
+    ),
+    post AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id, ROW_NUMBER() OVER (
+          PARTITION BY query_id ORDER BY rn_g) AS rp
+        FROM gtop WHERE nlabel = qlabel
+      ) WHERE rp <= 3
+    ),
+    postn AS (
+      SELECT query_id, COUNT(*) AS n_post FROM post GROUP BY query_id
+    ),
+    ov AS (
+      SELECT t.query_id, COUNT(*) AS n_overlap
+      FROM truth t JOIN post p
+        ON t.query_id = p.query_id AND t.neighbor_id = p.neighbor_id
+      GROUP BY t.query_id
+    )
+    SELECT q.query_id, q.qlabel AS label, ts.truth_ids,
+           COALESCE(pn.n_post, 0) AS n_post,
+           COALESCE(ov.n_overlap, 0) AS n_overlap,
+           (COALESCE(pn.n_post, 0) < 3) AS starved
+    FROM q
+    JOIN truth_str ts ON ts.query_id = q.query_id
+    LEFT JOIN postn pn ON pn.query_id = q.query_id
+    LEFT JOIN ov ON ov.query_id = q.query_id
+    """,
+)
+def x3_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OP-X3 — metadata-filtered similarity search, the most common
+    production ANN request after plain top-k ("nearest neighbors
+    *within category X*"), demonstrated both ways the literature and
+    every vector DB implement it:
+
+    - **Pre-filter (the graded headline)**: candidates come from an
+      equality join on the metadata key — the corpus behaves as a
+      label-sharded index and a query touches only its shard (~N/L
+      rows for L labels). At 100 TB the shard is itself IVF/banded-
+      indexed (x3_ivf_topk / x3_hamming_banded compose unchanged
+      inside the shard); recall vs the filtered truth is 1 by
+      construction. The join shuffles nothing: the 32-query batch
+      broadcasts, the corpus streams through map-side.
+    - **Post-filter (the in-query referee)**: search the UNFILTERED
+      index top-12 (4× oversampling), then apply the predicate — the
+      cheap strategy every single-index deployment tries first. With
+      10 labels the expected same-label survivors in 12 global hits is
+      ~1.2, so most queries STARVE (fewer than k results) — ``starved``
+      and ``n_overlap`` make that cost a falsifiable integer verdict
+      instead of folklore, the documented reason filtered-ANN engines
+      partition or use predicate-aware traversal.
+
+    Everything the driver hashes is integer/string-exact: the top-3
+    id list is rank-ordered into a comma string (collect then sort by
+    rank — collect_list is order-unstable, the struct sort fixes it),
+    and both engines rank on the identical left-to-right cosine fold.
+    Zero-norm vectors are excluded on both sides (cosine undefined).
+    """
+    e = _t(spark, sf_dir, "embeddings")
+    v = e.select("vec_id", "label", _as_double_vec("embedding").alias("e"))
+    n = (v.withColumn("nrm", F.sqrt(_dot(F.col("e"), F.col("e"))))
+          .filter(F.col("nrm") > 0))
+    q = (_hash_sample(n, N_QUERIES, _H_QUERY)
+         .select(F.col("vec_id").alias("query_id"),
+                 F.col("label").alias("qlabel"),
+                 F.col("e").alias("qe"), F.col("nrm").alias("qnrm")))
+    corpus = n.repartition(spark.sparkContext.defaultParallelism,
+                           "vec_id")
+    cos = (_dot(F.col("e"), F.col("qe"))
+           / (F.col("nrm") * F.col("qnrm")))
+
+    pre = (corpus.join(F.broadcast(q),
+                       (F.col("label") == F.col("qlabel"))
+                       & (F.col("vec_id") != F.col("query_id")))
+                 .select("query_id", "qlabel",
+                         F.col("vec_id").alias("neighbor_id"),
+                         cos.alias("cos")))
+    wt = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id"))
+    truth = (pre.withColumn("rn", F.row_number().over(wt))
+                .filter(F.col("rn") <= 3)
+                .select("query_id", "neighbor_id", "rn"))
+    truth_str = (truth.groupBy("query_id")
+                 .agg(F.array_join(F.transform(
+                     F.array_sort(F.collect_list(
+                         F.struct("rn", "neighbor_id"))),
+                     lambda s: s["neighbor_id"].cast("string")), ",")
+                     .alias("truth_ids")))
+
+    allp = (corpus.join(F.broadcast(q),
+                        F.col("vec_id") != F.col("query_id"))
+                  .select("query_id", "qlabel",
+                          F.col("vec_id").alias("neighbor_id"),
+                          F.col("label").alias("nlabel"),
+                          cos.alias("cos")))
+    glob = (allp.withColumn("rn_g", F.row_number().over(wt))
+                .filter(F.col("rn_g") <= 12))
+    wp = Window.partitionBy("query_id").orderBy("rn_g")
+    post = (glob.filter(F.col("nlabel") == F.col("qlabel"))
+                .withColumn("rp", F.row_number().over(wp))
+                .filter(F.col("rp") <= 3)
+                .select("query_id", "neighbor_id"))
+    postn = post.groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("n_post"))
+    ov = (truth.join(post, ["query_id", "neighbor_id"])
+               .groupBy("query_id")
+               .agg(F.count(F.lit(1)).alias("n_overlap")))
+
+    return (q.select("query_id", F.col("qlabel").alias("label"))
+             .join(truth_str, "query_id")
+             .join(postn, "query_id", "left")
+             .join(ov, "query_id", "left")
+             .select("query_id", "label", "truth_ids",
+                     F.coalesce("n_post", F.lit(0)).cast("long")
+                      .alias("n_post"),
+                     F.coalesce("n_overlap", F.lit(0)).cast("long")
+                      .alias("n_overlap"),
+                     (F.coalesce("n_post", F.lit(0)) < 3)
+                      .alias("starved")))
