@@ -6175,3 +6175,189 @@ def x3_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                       .alias("n_overlap"),
                      (F.coalesce("n_post", F.lit(0)) < 3)
                       .alias("starved")))
+
+
+# ---------------------------------------------------------------------------
+# OP-X3 — tombstone deletes from a frozen index (the lifecycle's third
+# act: x3_ivf_topk trains, x3_ivf_ingest appends, this deletes)
+# ---------------------------------------------------------------------------
+
+@register(
+    "x3_ivf_delete",
+    oracle=f"""
+    WITH v AS (
+      SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+    ),
+    n0 AS (
+      SELECT vec_id, e, sqrt({_sql_dot('e', 'e')}) AS nrm FROM v
+    ),
+    n AS (SELECT * FROM n0 WHERE nrm > 0),
+    cent AS (SELECT vec_id AS cid, e AS ce, nrm AS cnrm FROM n
+             {_sql_hash_sample(_H_CENT, K_COARSE)}),
+    assigned AS (
+      SELECT vec_id, e, nrm, cid,
+             (vec_id % 11 = 3) AS is_tomb
+      FROM (
+        SELECT n.vec_id, n.e, n.nrm, cent.cid,
+               ROW_NUMBER() OVER (
+                 PARTITION BY n.vec_id
+                 ORDER BY {_sql_dot('n.e', 'cent.ce')}
+                          / (n.nrm * cent.cnrm) DESC, cent.cid) AS rc
+        FROM n CROSS JOIN cent
+      ) WHERE rc = 1
+    ),
+    live AS (SELECT vec_id, e, nrm FROM n WHERE vec_id % 11 <> 3),
+    q AS (SELECT vec_id AS query_id, e AS qe, nrm AS qnrm FROM live
+          {_sql_hash_sample(_H_QUERY, N_QUERIES)}),
+    qa AS (
+      SELECT query_id, qe, qnrm, cid AS qcell FROM (
+        SELECT q.query_id, q.qe, q.qnrm, cent.cid,
+               ROW_NUMBER() OVER (
+                 PARTITION BY q.query_id
+                 ORDER BY {_sql_dot('q.qe', 'cent.ce')}
+                          / (q.qnrm * cent.cnrm) DESC, cent.cid) AS rc
+        FROM q CROSS JOIN cent
+      ) WHERE rc = 1
+    ),
+    cand AS (
+      SELECT qa.query_id, a.vec_id AS neighbor_id, a.is_tomb,
+             {_sql_dot('a.e', 'qa.qe')} / (a.nrm * qa.qnrm) AS cos
+      FROM assigned a JOIN qa
+        ON a.cid = qa.qcell AND a.vec_id <> qa.query_id
+    ),
+    before_top AS (
+      SELECT query_id, neighbor_id, is_tomb, rn FROM (
+        SELECT *, ROW_NUMBER() OVER (
+          PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rn
+        FROM cand
+      ) WHERE rn <= 3
+    ),
+    after_top AS (
+      SELECT query_id, neighbor_id, rn FROM (
+        SELECT *, ROW_NUMBER() OVER (
+          PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rn
+        FROM cand WHERE NOT is_tomb
+      ) WHERE rn <= 3
+    ),
+    bs AS (
+      SELECT query_id,
+             string_agg(CAST(neighbor_id AS VARCHAR), ','
+                        ORDER BY rn) AS before_ids,
+             COUNT(CASE WHEN is_tomb THEN 1 END) AS n_tomb_before
+      FROM before_top GROUP BY query_id
+    ),
+    asx AS (
+      SELECT query_id,
+             string_agg(CAST(neighbor_id AS VARCHAR), ','
+                        ORDER BY rn) AS after_ids
+      FROM after_top GROUP BY query_id
+    )
+    SELECT bs.query_id, bs.before_ids, asx.after_ids, bs.n_tomb_before,
+           (bs.before_ids <> asx.after_ids) AS changed,
+           ((bs.before_ids <> asx.after_ids) = (bs.n_tomb_before > 0))
+             AS changed_iff_hit
+    FROM bs JOIN asx ON asx.query_id = bs.query_id
+    """,
+)
+def x3_ivf_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OP-X3 — deletes against a FROZEN index, the third act of the
+    index lifecycle (train: x3_ivf_topk / ingest: x3_ivf_ingest /
+    delete: here) and the FAISS ``remove_ids`` / vector-DB tombstone
+    path: ~9% of the corpus (``vec_id % 11 = 3``) is deleted by
+    writing a TOMBSTONE relation — the stored postings, centroids and
+    codes are never rewritten; search masks tombstones with an
+    anti-join at candidate-gather time and a background vacuum
+    rewrites postings only when the dead fraction crosses a threshold
+    (the s20 retention posture applied to an index).
+
+    Scale shape: candidates are CELL-pruned before the mask, so the
+    anti-join touches (queries × cell size) candidate rows against the
+    tombstone keys — at 100 TB the mask is a bloom prefilter + exact
+    anti-join (x1_bloom posture), never a corpus rewrite. The verdict
+    is a small theorem made falsifiable: masking can only remove
+    candidates, so a query's top-3 changes IFF a tombstone sat in its
+    pre-delete top-3 (``changed_iff_hit``, pinned per query), with the
+    before/after id lists rank-ordered into strings (integer-exact
+    hash) and ``n_tomb_before`` counting the evidence. Queries are
+    sampled from the LIVE set (a deleted entity no longer queries);
+    tombstoned vectors still ASSIGN to cells (they are in the stored
+    postings — deletion is logical, which is the point).
+    """
+    e = _t(spark, sf_dir, "embeddings")
+    v = e.select("vec_id", _as_double_vec("embedding").alias("e"))
+    n = (v.withColumn("nrm", F.sqrt(_dot(F.col("e"), F.col("e"))))
+          .filter(F.col("nrm") > 0))
+    cent = (_hash_sample(n, K_COARSE, _H_CENT)
+            .select(F.col("vec_id").alias("cid"),
+                    F.col("e").alias("ce"), F.col("nrm").alias("cnrm")))
+
+    def assign(df, idc, vec, nrmc):
+        """Nearest-centroid argmax via min(struct) — single map-side
+        partial agg, no per-vector sort window (CLAUDE.md argmin rule).
+        """
+        scored = (df.repartition(
+                      spark.sparkContext.defaultParallelism, idc)
+                    .crossJoin(F.broadcast(cent)))
+        neg = -(_dot(F.col(vec), F.col("ce"))
+                / (F.col(nrmc) * F.col("cnrm")))
+        best = (scored.groupBy(idc)
+                      .agg(F.min(F.struct(neg.alias("negcos"),
+                                          F.col("cid"))).alias("b")))
+        return best.select(idc, F.col("b.cid").alias("cell"))
+
+    tomb = F.col("vec_id") % 11 == 3
+    assigned = (n.join(assign(n, "vec_id", "e", "nrm"), "vec_id")
+                 .withColumn("is_tomb", tomb))
+    live = n.filter(~tomb)
+    q = (_hash_sample(live, N_QUERIES, _H_QUERY)
+         .select(F.col("vec_id").alias("query_id"),
+                 F.col("e").alias("qe"), F.col("nrm").alias("qnrm")))
+    qa = (q.join(assign(q.select(F.col("query_id").alias("vec_id"),
+                                 F.col("qe").alias("e"),
+                                 F.col("qnrm").alias("nrm")),
+                        "vec_id", "e", "nrm")
+            .select(F.col("vec_id").alias("query_id"),
+                    F.col("cell").alias("qcell")), "query_id"))
+
+    # logical delete = anti-join against the tombstone RELATION (the
+    # production shape: requests arrive as a table, not a predicate)
+    tombstones = n.filter(tomb).select(
+        F.col("vec_id").alias("tomb_id"))
+
+    cand = (assigned.join(F.broadcast(qa),
+                          (F.col("cell") == F.col("qcell"))
+                          & (F.col("vec_id") != F.col("query_id")))
+                    .select("query_id",
+                            F.col("vec_id").alias("neighbor_id"),
+                            "is_tomb",
+                            (_dot(F.col("e"), F.col("qe"))
+                             / (F.col("nrm") * F.col("qnrm")))
+                            .alias("cos")))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id"))
+    before = (cand.withColumn("rn", F.row_number().over(w))
+                  .filter(F.col("rn") <= 3))
+    masked = cand.join(tombstones,
+                       cand.neighbor_id == tombstones.tomb_id,
+                       "left_anti")
+    after = (masked.withColumn("rn", F.row_number().over(w))
+                   .filter(F.col("rn") <= 3))
+
+    def ids_str(df):
+        return F.array_join(F.transform(
+            F.array_sort(F.collect_list(
+                F.struct("rn", "neighbor_id"))),
+            lambda s: s["neighbor_id"].cast("string")), ",")
+
+    bs = (before.groupBy("query_id")
+                .agg(ids_str(before).alias("before_ids"),
+                     F.count(F.when(F.col("is_tomb"), F.lit(1)))
+                      .alias("n_tomb_before")))
+    asx = (after.groupBy("query_id")
+                .agg(ids_str(after).alias("after_ids")))
+    changed = F.col("before_ids") != F.col("after_ids")
+    return (bs.join(asx, "query_id")
+              .select("query_id", "before_ids", "after_ids",
+                      "n_tomb_before", changed.alias("changed"),
+                      (changed == (F.col("n_tomb_before") > 0))
+                       .alias("changed_iff_hit")))
