@@ -550,3 +550,154 @@ def p21_try_arith_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
          .alias("overflow_add"),
         F.try_element_at(F.array(F.lit("a"), F.lit("b")),
                          F.col("l_linenumber")).alias("elem_or_null"))
+
+
+# ---------------------------------------------------------------------------
+# OP-P22 — URL canonicalization + canonical-URL dedup (web-corpus
+# curation: the first pass every crawl-derived training set runs)
+# ---------------------------------------------------------------------------
+
+@register(
+    "p22_url_canonicalize",
+    oracle="""
+    WITH raw AS (
+      SELECT doc_id,
+             'HTTPS://WWW.' || UPPER(source) || '.Example.COM:443/Path/'
+             || CAST(doc_id % 3 AS VARCHAR) || '/?utm_source=feed&b='
+             || CAST(doc_id % 2 AS VARCHAR) || '&a=1'
+             || CASE WHEN doc_id % 2 = 0
+                     THEN '&utm_campaign=promo' ELSE '' END
+             || '#sec' AS url
+      FROM documents
+    ),
+    parts AS (
+      SELECT doc_id, url,
+             lower(split_part(split_part(url, '#', 1), '://', 1))
+               AS scheme,
+             split_part(split_part(url, '#', 1), '://', 2) AS rest
+      FROM raw
+    ),
+    hp AS (
+      SELECT *, split_part(rest, '/', 1) AS hostport,
+             substr(rest, length(split_part(rest, '/', 1)) + 1)
+               AS pathq
+      FROM parts
+    ),
+    comp AS (
+      SELECT doc_id, url, scheme,
+             CASE WHEN lower(split_part(hostport, ':', 1))
+                       LIKE 'www.%'
+                  THEN substr(lower(split_part(hostport, ':', 1)), 5)
+                  ELSE lower(split_part(hostport, ':', 1)) END AS host,
+             split_part(hostport, ':', 2) AS port,
+             split_part(pathq, '?', 1) AS path,
+             split_part(pathq, '?', 2) AS query
+      FROM hp
+    ),
+    norm AS (
+      SELECT doc_id, url,
+             scheme || '://'
+             || CASE WHEN port = ''
+                       OR (scheme = 'https' AND port = '443')
+                       OR (scheme = 'http' AND port = '80')
+                     THEN host ELSE host || ':' || port END
+             || CASE WHEN path = '/' THEN path
+                     ELSE trim(TRAILING '/' FROM path) END
+             || CASE WHEN array_to_string(list_sort(list_filter(
+                         string_split(query, '&'),
+                         p -> p <> '' AND NOT starts_with(p, 'utm_'))),
+                         '&') <> ''
+                     THEN '?' || array_to_string(list_sort(list_filter(
+                         string_split(query, '&'),
+                         p -> p <> '' AND NOT starts_with(p, 'utm_'))),
+                         '&')
+                     ELSE '' END AS url_norm
+      FROM comp
+    )
+    SELECT doc_id, url AS url_raw, url_norm,
+           (doc_id = MIN(doc_id) OVER (PARTITION BY url_norm))
+             AS is_keeper
+    FROM norm
+    """,
+)
+def p22_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OP-P22 — URL canonicalization, the first dedup pass of every
+    crawl-derived corpus (Common Crawl WAT/CDX curation): lowercase
+    scheme and host (path case is PRESERVED — it is significant),
+    strip the fragment, drop the scheme's default port, strip a
+    leading ``www.``, remove tracking parameters (``utm_*``), SORT the
+    surviving query parameters (param order is non-semantic), and trim
+    the trailing path slash — then exact-dedup on the canonical form,
+    keeping the lowest doc_id per group (total-order tiebreak).
+
+    The raw URLs are synthesized deterministically from doc columns
+    (the corpus ships no URL field — the synthesis is scaffolding, the
+    NORMALIZER is the operator; production swaps in the real column).
+    Everything is pure string algebra shared between engines —
+    ``split_part``/``substring_index``, ``trim(TRAILING ...)``,
+    split→filter→sort→join for the params (binary collation on both
+    sides, so the sort is identical) — no regex, no UDF: at 100 TB
+    this is a scan-side projection plus ONE shuffle for the keeper
+    window on the canonical key (or a min-aggregate join, x1's exact-
+    dedup shape). Distinct canonical cardinality is bounded by
+    (source × path × param) combinatorics here; in production the
+    window partitions on the full canonical-URL key — unbounded
+    cardinality is exactly what hash partitioning wants."""
+    from pyspark.sql import Window
+
+    d = _t(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("HTTPS://WWW."), F.upper("source"),
+        F.lit(".Example.COM:443/Path/"),
+        (F.col("doc_id") % 3).cast("string"),
+        F.lit("/?utm_source=feed&b="),
+        (F.col("doc_id") % 2).cast("string"), F.lit("&a=1"),
+        F.when(F.col("doc_id") % 2 == 0,
+               F.lit("&utm_campaign=promo")).otherwise(F.lit("")),
+        F.lit("#sec"))
+    c = (d.select("doc_id", url.alias("url_raw"))
+          .withColumn("nofrag",
+                      F.substring_index(F.col("url_raw"), "#", 1))
+          .withColumn("scheme",
+                      F.lower(F.substring_index("nofrag", "://", 1)))
+          .withColumn("rest", F.substring_index("nofrag", "://", -1))
+          .withColumn("hostport", F.substring_index("rest", "/", 1))
+          .withColumn("pathq",
+                      F.expr("substr(rest, length(hostport) + 1)"))
+          .withColumn("host0",
+                      F.lower(F.substring_index("hostport", ":", 1)))
+          .withColumn("host",
+                      F.when(F.col("host0").startswith("www."),
+                             F.expr("substr(host0, 5)"))
+                       .otherwise(F.col("host0")))
+          .withColumn("port",
+                      F.when(F.col("hostport").contains(":"),
+                             F.substring_index("hostport", ":", -1))
+                       .otherwise(F.lit("")))
+          .withColumn("path", F.substring_index("pathq", "?", 1))
+          .withColumn("query",
+                      F.when(F.col("pathq").contains("?"),
+                             F.substring_index("pathq", "?", -1))
+                       .otherwise(F.lit("")))
+          .withColumn("params", F.array_join(
+              F.array_sort(F.filter(
+                  F.split(F.col("query"), "&", -1),
+                  lambda p: (p != "") & ~p.startswith("utm_"))), "&")))
+    hostport_norm = F.when(
+        (F.col("port") == "")
+        | ((F.col("scheme") == "https") & (F.col("port") == "443"))
+        | ((F.col("scheme") == "http") & (F.col("port") == "80")),
+        F.col("host")).otherwise(
+        F.concat(F.col("host"), F.lit(":"), F.col("port")))
+    path_norm = F.when(F.col("path") == "/", F.col("path")) \
+                 .otherwise(F.expr("trim(TRAILING '/' FROM path)"))
+    url_norm = F.concat(
+        F.col("scheme"), F.lit("://"), hostport_norm, path_norm,
+        F.when(F.col("params") != "",
+               F.concat(F.lit("?"), F.col("params")))
+         .otherwise(F.lit("")))
+    n = c.withColumn("url_norm", url_norm)
+    w = Window.partitionBy("url_norm")
+    return n.select(
+        "doc_id", "url_raw", "url_norm",
+        (F.col("doc_id") == F.min("doc_id").over(w)).alias("is_keeper"))
