@@ -465,3 +465,125 @@ def t18_trending_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_events").desc(), "event_type")
     return (hourly.withColumn("rnk", F.row_number().over(rank_w))
                   .filter(F.col("rnk") <= 3))
+
+
+# ---------------------------------------------------------------------------
+# OP-T31 — capped sessionization: inactivity gap + max-duration split
+# ---------------------------------------------------------------------------
+
+_CAP_GAP_US = 6 * 3600 * 1_000_000    #: 6-hour inactivity gap (t6's)
+_CAP_MAX_US = 12 * 3600 * 1_000_000   #: 12-hour session-duration cap
+
+
+@register(
+    "t31_session_cap",
+    oracle=f"""
+    WITH e AS (
+      SELECT user_id, event_id, epoch_us(ts) AS us,
+             CAST(CASE WHEN value < 0
+                  THEN -FLOOR(ABS(value) * 100.0 + 0.5)
+                  ELSE FLOOR(ABS(value) * 100.0 + 0.5) END
+             AS BIGINT) AS cents
+      FROM events
+    ),
+    o AS (
+      SELECT e.*,
+             CASE WHEN us - LAG(us) OVER (
+                    PARTITION BY user_id ORDER BY us, event_id)
+                  <= {_CAP_GAP_US} THEN 0 ELSE 1 END AS brk
+      FROM e
+    ),
+    s AS (
+      SELECT o.*,
+             SUM(brk) OVER (PARTITION BY user_id ORDER BY us, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      FROM o
+    ),
+    a AS (
+      SELECT s.*,
+             MIN(us) OVER (PARTITION BY user_id, sid) AS anchor_us
+      FROM s
+    ),
+    sl AS (
+      SELECT user_id, sid, anchor_us,
+             (us - anchor_us) // {_CAP_MAX_US} AS slice_idx,
+             us, cents
+      FROM a
+    ),
+    g AS (
+      SELECT user_id, sid, anchor_us, slice_idx,
+             MIN(us) AS slice_start_us, MAX(us) AS slice_end_us,
+             COUNT(*) AS n_events, SUM(cents) AS sum_cents
+      FROM sl GROUP BY 1, 2, 3, 4
+    )
+    SELECT user_id,
+           make_timestamp(anchor_us) AS session_start,
+           slice_idx,
+           make_timestamp(slice_start_us) AS slice_start,
+           make_timestamp(slice_end_us) AS slice_end,
+           n_events, sum_cents,
+           (COUNT(*) OVER (PARTITION BY user_id, sid) > 1) AS was_split
+    FROM g
+    """,
+)
+def t31_session_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OP-T31 — capped sessionization: per-user inactivity-gap sessions
+    (t6's 6-hour gap) additionally SPLIT when they exceed a maximum
+    duration — the GA4/Amplitude session-cap rule ("a session cannot
+    run longer than X even with continuous activity", the guard
+    against bot traffic and midnight-crossing analytics). Spark's
+    ``session_window`` has no max-duration knob, so the operator is
+    composed from first principles: lag-gap-cumsum sessionization
+    (each per-user window partition stays bounded — user_id is the
+    unbounded-cardinality partitioning CLAUDE.md's scale posture
+    wants), a per-session anchor via ``min() over``, then the cap
+    slice as integer-µs division from the anchor — every slice
+    boundary is deterministic arithmetic, no iteration, and the
+    timer-anchored-at-session-start semantics is the documented GA4
+    variant (a slice's timer does NOT restart on activity).
+
+    Output: one row per non-empty slice with observed bounds
+    (first/last event), the slice index, the class-A cents sum, and a
+    ``was_split`` flag (anchor session produced >1 slice — 8 sessions
+    at sf0.001, 135 at sf0.01 exceed the cap, so the split path is
+    exercised at every SF). Scale shape: two window passes + one agg,
+    all partitioned on user_id; no joins, no collect.
+    """
+    e = (_t(spark, sf_dir, "events")
+         .select("user_id", "event_id",
+                 F.unix_micros("ts").alias("us"),
+                 F.when(F.col("value") < 0,
+                        -F.floor(F.abs(F.col("value")) * 100.0
+                                 + F.lit(0.5)))
+                  .otherwise(F.floor(F.abs(F.col("value")) * 100.0
+                                     + F.lit(0.5)))
+                  .cast("long").alias("cents")))
+    wo = Window.partitionBy("user_id").orderBy("us", "event_id")
+    brk = F.when(
+        F.col("us") - F.lag("us").over(wo) <= _CAP_GAP_US,
+        F.lit(0)).otherwise(F.lit(1))
+    s = (e.withColumn("brk", brk)
+          .withColumn("sid", F.sum("brk").over(
+              wo.rowsBetween(Window.unboundedPreceding, 0))))
+    a = s.withColumn("anchor_us", F.min("us").over(
+        Window.partitionBy("user_id", "sid")))
+    sl = a.withColumn(
+        "slice_idx",
+        F.expr(f"(us - anchor_us) div {_CAP_MAX_US}"))
+    g = (sl.groupBy("user_id", "sid", "anchor_us", "slice_idx")
+           .agg(F.min("us").alias("slice_start_us"),
+                F.max("us").alias("slice_end_us"),
+                F.count(F.lit(1)).alias("n_events"),
+                F.sum("cents").alias("sum_cents")))
+    wsplit = Window.partitionBy("user_id", "sid")
+    return (g.withColumn("was_split",
+                         F.count(F.lit(1)).over(wsplit) > 1)
+             .select("user_id",
+                     F.timestamp_micros("anchor_us")
+                      .alias("session_start"),
+                     "slice_idx",
+                     F.timestamp_micros("slice_start_us")
+                      .alias("slice_start"),
+                     F.timestamp_micros("slice_end_us")
+                      .alias("slice_end"),
+                     "n_events", "sum_cents", "was_split"))
