@@ -1589,3 +1589,90 @@ def j15_runtime_bloom_join(spark: SparkSession,
     finally:
         for k, v in prev.items():
             spark.conf.set(k, v)
+
+
+# ---------------------------------------------------------------------------
+# OP-J16 — binned (equi-bucketed) range join: the scale twin of j9's theta
+# ---------------------------------------------------------------------------
+
+_J16_STRIDE = 12_000          # band start spacing
+_J16_WIDTH = 36_000           # band width (3x stride => every price hits ~3)
+_J16_BANDS = [                # (range_id, lo, hi) — half-open [lo, hi)
+    (i, float(i * _J16_STRIDE), float(i * _J16_STRIDE + _J16_WIDTH))
+    for i in range(36)
+]
+_J16_BANDS_SQL = "VALUES " + ", ".join(
+    f"({i}, {lo}, {hi})" for i, lo, hi in _J16_BANDS)
+
+
+@register(
+    "j16_binned_range_join",
+    oracle=f"""
+    WITH ranges(range_id, lo, hi) AS ({_J16_BANDS_SQL})
+    SELECT r.range_id,
+           COUNT(*) AS n_orders,
+           SUM(CAST(CASE WHEN o.o_totalprice < 0
+                THEN -FLOOR(ABS(o.o_totalprice) * 100.0 + 0.5)
+                ELSE FLOOR(ABS(o.o_totalprice) * 100.0 + 0.5) END
+               AS BIGINT)) AS revenue_cents,
+           TRUE AS equi_ok
+    FROM orders o
+    JOIN ranges r ON o.o_totalprice >= r.lo AND o.o_totalprice < r.hi
+    GROUP BY r.range_id
+    """,
+)
+def j16_binned_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OP-J16 — interval join against OVERLAPPING ranges via bin
+    decomposition, the equi-join scale twin of ``j9_range_join``.
+
+    j9's broadcast-nested-loop plan is only sane because its tier dim
+    is O(1) AND the tiers partition the domain; with R overlapping
+    ranges a theta join evaluates R predicates per fact row — O(N x R)
+    compare work that a 1000-executor cluster pays on every one of the
+    100 TB's rows. The standard fix (the geo-IP / genomics interval-
+    join idiom): pick a bin width W, EXPLODE each range across the
+    ceil(width/W) bins it overlaps (dim-side blowup only — bounded), map
+    each fact row to the single bin ``floor(x / W)``, equi-join on the
+    bin id, and apply the exact ``lo <= x < hi`` residual. Compare work
+    drops to O(N x overlap) with an ordinary broadcast HASH join the
+    planner can reason about — and the residual filter makes bin
+    mechanics invisible to the result, so the oracle is the plain theta
+    join. Coverage proof: range [lo, hi) with lo, hi integer multiples
+    of W spans exactly bins floor(lo/W) .. floor((hi-1)/W); a fact row
+    lands in floor(x/W), which is inside that span iff lo <= x < hi can
+    hold. Prices carry 2 decimals, so the float quotient is >= 8e-7
+    away from the nearest integer boundary unless exactly on it —
+    floor is decided identically everywhere.
+
+    ``equi_ok`` introspects the formatted plan (the j13/j14/j15
+    pattern): no nested-loop join anywhere, and the bin equi-key is a
+    real broadcast hash join. Values: exact class-A cents fold."""
+    w = float(_J16_STRIDE)
+    ranges = values_df(spark, _J16_BANDS,
+                       "range_id int, lo double, hi double")
+    binned_ranges = ranges.withColumn(
+        "bin",
+        F.explode(F.sequence(F.floor(F.col("lo") / w),
+                             F.floor((F.col("hi") - 1.0) / w))))
+    o = _t(spark, sf_dir, "orders").select("o_totalprice")
+    fact = o.withColumn("bin", F.floor(F.col("o_totalprice") / w))
+    cents = F.when(
+        F.col("o_totalprice") < 0,
+        -F.floor(F.abs(F.col("o_totalprice")) * 100.0 + F.lit(0.5)),
+    ).otherwise(
+        F.floor(F.abs(F.col("o_totalprice")) * 100.0 + F.lit(0.5))
+    ).cast("long")
+    agg = (
+        fact.join(F.broadcast(binned_ranges), "bin")
+        .filter((F.col("o_totalprice") >= F.col("lo"))
+                & (F.col("o_totalprice") < F.col("hi")))
+        .groupBy("range_id")
+        .agg(F.count(F.lit(1)).alias("n_orders"),
+             F.sum(cents).alias("revenue_cents"))
+    )
+    jvm = spark.sparkContext._jvm
+    formatted = jvm.PythonSQLUtils.explainString(
+        agg._jdf.queryExecution(), "formatted")
+    equi_ok = ("NestedLoop" not in formatted
+               and "BroadcastHashJoin" in formatted)
+    return agg.withColumn("equi_ok", F.lit(bool(equi_ok)))
