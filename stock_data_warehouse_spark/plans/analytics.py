@@ -18,6 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.scalars import sql_round_half_up
 from ..sources.tables import load_table
 from .registry import register
 
@@ -1565,3 +1566,160 @@ def a20_dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
         "expectation", "n_rows", "n_violations",
         (F.col("n_violations") * 100
          <= F.col("n_rows") * F.col("allowed_pct")).alias("passed"))
+
+
+# ---------------------------------------------------------------------------
+# A21 — KMV (k-minimum-values) sketch: distinct-count SET ALGEBRA.
+# The mergeable-sketch family's missing operation: HLL (a14) unions but
+# cannot intersect; KMV supports union AND intersection estimates from
+# the sketches alone (Beyer et al., "On Synopses for Distinct-Value
+# Estimation Under Multiset Operations", SIGMOD'07).
+# ---------------------------------------------------------------------------
+
+_KMV_K = 256
+_KMV_DENOM = float(1 << 60)  # 15 hex digits => 60-bit uniform integer
+
+
+def _kmv_u(key: F.Column) -> F.Column:
+    """Engine-portable uniform(0,1) hash: md5 -> first 15 hex digits ->
+    60-bit int -> divide by 2^60. Both engines parse the identical hex
+    substring, so ``u`` is bit-identical cross-engine."""
+    h = F.md5(F.concat(F.lit("kmv:"), key.cast("string")))
+    return (F.conv(F.substring(h, 1, 15), 16, 10).cast("long")
+            / F.lit(_KMV_DENOM))
+
+
+_SQL_KMV_U = ("(('0x' || substr(md5('kmv:' || CAST({k} AS VARCHAR)), 1, 15))"
+              "::BIGINT) / 1152921504606846976.0")
+
+
+@register(
+    "a21_kmv_set_ops",
+    oracle=f"""
+    WITH dist AS (
+      SELECT DISTINCT l_orderkey AS k, l_returnflag AS flag
+      FROM lineitem WHERE l_returnflag IN ('R', 'N')
+    ),
+    h AS (
+      SELECT k, flag, {_SQL_KMV_U.format(k='k')} AS u FROM dist
+    ),
+    sa AS (SELECT DISTINCT u FROM h WHERE flag = 'R'
+           ORDER BY u LIMIT {_KMV_K}),
+    sb AS (SELECT DISTINCT u FROM h WHERE flag = 'N'
+           ORDER BY u LIMIT {_KMV_K}),
+    m AS (SELECT DISTINCT u
+          FROM (SELECT u FROM sa UNION SELECT u FROM sb)
+          ORDER BY u LIMIT {_KMV_K}),
+    est AS (
+      SELECT ({_KMV_K} - 1) / (SELECT MAX(u) FROM sa) AS raw_a,
+             ({_KMV_K} - 1) / (SELECT MAX(u) FROM sb) AS raw_b,
+             ({_KMV_K} - 1) / (SELECT MAX(u) FROM m)  AS raw_u,
+             (SELECT COUNT(*) FROM m
+              WHERE u IN (SELECT u FROM sa)
+                AND u IN (SELECT u FROM sb)) AS n_both
+    ),
+    ex AS (
+      SELECT COUNT(DISTINCT CASE WHEN flag = 'R' THEN k END) AS exact_a,
+             COUNT(DISTINCT CASE WHEN flag = 'N' THEN k END) AS exact_b,
+             COUNT(DISTINCT k) AS exact_union,
+             COUNT(DISTINCT CASE WHEN is_both THEN k END) AS exact_inter
+      FROM (SELECT k, flag,
+                   COUNT(DISTINCT flag) OVER (PARTITION BY k) = 2 AS is_both
+            FROM dist)
+    )
+    SELECT {_KMV_K} AS k_param,
+           {{ra}} AS est_a, {{rb}} AS est_b, {{ru}} AS est_union,
+           {{ri}} AS est_inter,
+           ex.exact_a, ex.exact_b, ex.exact_union, ex.exact_inter,
+           (ABS({{ra}} - ex.exact_a) <= 0.25 * ex.exact_a
+            AND ABS({{rb}} - ex.exact_b) <= 0.25 * ex.exact_b
+            AND ABS({{ru}} - ex.exact_union) <= 0.25 * ex.exact_union
+            AND ABS({{ri}} - ex.exact_inter) <= 0.35 * ex.exact_inter)
+             AS bound_ok
+    FROM est, ex
+    """.format(
+        ra=sql_round_half_up("est.raw_a", 4),
+        rb=sql_round_half_up("est.raw_b", 4),
+        ru=sql_round_half_up("est.raw_u", 4),
+        ri=sql_round_half_up(
+            "(est.n_both / 256.0) * (255 / (SELECT MAX(u) FROM m))", 4),
+    ),
+)
+def a21_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A21 — KMV distinct-value sketch with UNION and INTERSECTION
+    estimates, next to the exact answers and a theorem-bound verdict.
+
+    Completes the mergeable-sketch program (a14 HLL cardinality, a16
+    Misra-Gries / a17 count-min frequency, a18/a19 quantiles) with the
+    one operation HLL structurally lacks: set intersection. A KMV
+    sketch is the K smallest values of a uniform hash over the set;
+    the estimator is (K-1)/u_(K). Two sketches MERGE by taking the K
+    smallest of their union (pure sketch algebra — the warehouse never
+    revisits raw data), and Jaccard is estimated inside the merged
+    sketch: every merged value u <= u_union(K) that belongs to set A is
+    necessarily among A's own K minima (fewer than K union values sit
+    below it), so membership probes against the SKETCHES are exact —
+    rho = |M intersect sk_A intersect sk_B| / K and
+    inter_est = rho * union_est (Beyer et al., SIGMOD'07).
+
+    Scale shape: the per-set sketch is ``orderBy(u).limit(K)`` —
+    Spark's TakeOrdered, which computes per-partition partial top-K
+    and merges K-sized summaries on the driver: that IS the KMV merge
+    operator, distributed for free. Everything downstream operates on
+    <= K-row relations (broadcast-sized constants at any SF). Hash is
+    the portable md5->60-bit recipe, so every estimate is bit-exact
+    cross-engine (class-A rounding at 4dp); the bound columns are the
+    falsifiable verdict (rel. std. err ~ 1/sqrt(K-2) ~ 6.3%; 0.25 is a
+    ~4-sigma gate, 0.35 for the compounded intersection).
+
+    Sets: orderkeys with a returned line (R) vs with a delivered-clean
+    line (N) — 11k/11k with ~8k overlap at sf0.01."""
+    from ..functions.scalars import round_half_up
+    k = _KMV_K
+    li = _t(spark, sf_dir, "lineitem")
+    dist = (li.filter(F.col("l_returnflag").isin("R", "N"))
+              .select(F.col("l_orderkey").alias("k"),
+                      F.col("l_returnflag").alias("flag"))
+              .distinct())
+    h = dist.select("k", "flag", _kmv_u(F.col("k")).alias("u"))
+    sk_a = (h.filter(F.col("flag") == "R").select("u").distinct()
+             .orderBy("u").limit(k))
+    sk_b = (h.filter(F.col("flag") == "N").select("u").distinct()
+             .orderBy("u").limit(k))
+    merged = (sk_a.union(sk_b).distinct().orderBy("u").limit(k))
+    est_a = sk_a.agg(((k - 1) / F.max("u")).alias("raw_a"))
+    est_b = sk_b.agg(((k - 1) / F.max("u")).alias("raw_b"))
+    est_u = merged.agg(((k - 1) / F.max("u")).alias("raw_u"),
+                       F.max("u").alias("uk"))
+    n_both = (merged.join(sk_a, "u", "left_semi")
+                    .join(sk_b, "u", "left_semi")
+                    .agg(F.count(F.lit(1)).alias("n_both")))
+    exact = (dist.groupBy("k")
+                 .agg(F.countDistinct("flag").alias("nf"),
+                      F.max(F.when(F.col("flag") == "R", 1)
+                             .otherwise(0)).alias("in_a"),
+                      F.max(F.when(F.col("flag") == "N", 1)
+                             .otherwise(0)).alias("in_b"))
+                 .agg(F.sum("in_a").alias("exact_a"),
+                      F.sum("in_b").alias("exact_b"),
+                      F.count(F.lit(1)).alias("exact_union"),
+                      F.sum(F.when(F.col("nf") == 2, 1)
+                             .otherwise(0)).alias("exact_inter")))
+    row = (est_a.crossJoin(est_b).crossJoin(est_u)
+                .crossJoin(n_both).crossJoin(exact))
+    ra = round_half_up(F.col("raw_a"), 4)
+    rb = round_half_up(F.col("raw_b"), 4)
+    ru = round_half_up(F.col("raw_u"), 4)
+    ri = round_half_up(
+        (F.col("n_both") / F.lit(float(k))) * ((k - 1) / F.col("uk")), 4)
+    return row.select(
+        F.lit(k).alias("k_param"),
+        ra.alias("est_a"), rb.alias("est_b"), ru.alias("est_union"),
+        ri.alias("est_inter"),
+        "exact_a", "exact_b", "exact_union", "exact_inter",
+        ((F.abs(ra - F.col("exact_a")) <= 0.25 * F.col("exact_a"))
+         & (F.abs(rb - F.col("exact_b")) <= 0.25 * F.col("exact_b"))
+         & (F.abs(ru - F.col("exact_union"))
+            <= 0.25 * F.col("exact_union"))
+         & (F.abs(ri - F.col("exact_inter"))
+            <= 0.35 * F.col("exact_inter"))).alias("bound_ok"))
