@@ -262,3 +262,74 @@ def w7_ratio_to_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round((F.col("nation_rev") / F.sum("nation_rev").over(w))
                 .cast("decimal(38,10)"), 6)
          .cast("double").alias("share_of_region"))
+
+
+# ---------------------------------------------------------------------------
+# OP-W8 — gaps-and-islands: per-user consecutive-active-day streaks
+# ---------------------------------------------------------------------------
+
+@register(
+    "w8_streak_islands",
+    oracle="""
+    WITH d AS (
+      SELECT DISTINCT user_id, ts::DATE AS day FROM events
+    ),
+    r AS (
+      SELECT user_id, day,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY day) AS rn
+      FROM d
+    ),
+    isl AS (
+      SELECT user_id, day - CAST(rn AS INTEGER) AS grp,
+             COUNT(*) AS len, MIN(day) AS start_day
+      FROM r GROUP BY user_id, day - CAST(rn AS INTEGER)
+    ),
+    best AS (
+      SELECT user_id, start_day AS longest_start
+      FROM (SELECT *, ROW_NUMBER() OVER (
+              PARTITION BY user_id
+              ORDER BY len DESC, start_day) AS rk FROM isl)
+      WHERE rk = 1
+    )
+    SELECT i.user_id,
+           COUNT(*) AS n_streaks,
+           SUM(i.len) AS n_active_days,
+           MAX(i.len) AS max_streak,
+           CAST(MIN(b.longest_start) AS VARCHAR) AS longest_start
+    FROM isl i JOIN best b ON i.user_id = b.user_id
+    GROUP BY i.user_id
+    """,
+)
+def w8_streak_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OP-W8 — the gaps-and-islands idiom: maximal runs of consecutive
+    active days per user (streak analytics — the retention-adjacent
+    report every event warehouse serves). The classic O(n) trick: after
+    deduping to (user, day), ``day - row_number()`` is constant within
+    a consecutive run and strictly changes across a gap, so islands
+    fall out of ONE window + ONE hash agg — no self-join, no recursive
+    walk. Scale: the window partitions on the unbounded-cardinality
+    user key (per-user day lists are bounded by calendar span); both
+    aggs partial map-side. Longest-streak pick uses the struct-argmin
+    idiom (min of (-len, start_day)) — tiebreak = earliest start, total
+    order guaranteed because start_day is unique per (user, island)."""
+    ev = _t(spark, sf_dir, "events")
+    d = (ev.select("user_id", F.to_date("ts").alias("day"))
+           .distinct())
+    w = Window.partitionBy("user_id").orderBy("day")
+    r = d.withColumn("rn", F.row_number().over(w))
+    isl = (r.withColumn("grp", F.date_sub(F.col("day"),
+                                          F.col("rn").cast("int")))
+             .groupBy("user_id", "grp")
+             .agg(F.count(F.lit(1)).alias("len"),
+                  F.min("day").alias("start_day")))
+    return (isl.groupBy("user_id")
+               .agg(F.count(F.lit(1)).alias("n_streaks"),
+                    F.sum("len").alias("n_active_days"),
+                    F.max("len").alias("max_streak"),
+                    F.min(F.struct((-F.col("len")).alias("neg_len"),
+                                   F.col("start_day").alias("s")))
+                     .alias("pick"))
+               .select("user_id", "n_streaks", "n_active_days",
+                       "max_streak",
+                       F.col("pick.s").cast("string").alias("longest_start")))
