@@ -6361,3 +6361,165 @@ def x3_ivf_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
                       "n_tomb_before", changed.alias("changed"),
                       (changed == (F.col("n_tomb_before") > 0))
                        .alias("changed_iff_hit")))
+
+
+# ---------------------------------------------------------------------------
+# OP-X3 — MMR diversified retrieval (the serving-side post-processor)
+# ---------------------------------------------------------------------------
+
+_MMR_POOL = 8     #: candidate pool size per query (C)
+_MMR_LAM = 0.7    #: relevance weight; (1 - lambda) penalizes redundancy
+
+
+def _sql_mmr_cos(ce: str, cn: str, se: str, sn: str) -> str:
+    return f"{_sql_dot(ce, se)} / ({cn} * {sn})"
+
+
+@register(
+    "x3_mmr_diversify",
+    oracle=f"""
+    WITH v AS (
+      SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+    ),
+    n AS (
+      SELECT vec_id, e, sqrt({_sql_dot('e', 'e')}) AS nrm FROM v
+    ),
+    q AS (
+      SELECT vec_id AS qid, e AS qe, nrm AS qn FROM n
+      {_sql_hash_sample(_H_QUERY, N_QUERIES)}
+    ),
+    pool AS (
+      SELECT qid, cid, ce, cn, rel,
+             ROW_NUMBER() OVER (PARTITION BY qid
+                                ORDER BY rel DESC, cid) AS rn
+      FROM (SELECT q.qid, n.vec_id AS cid, n.e AS ce, n.nrm AS cn,
+                   {_sql_dot('q.qe', 'n.e')} / (q.qn * n.nrm) AS rel
+            FROM q JOIN n ON n.vec_id <> q.qid)
+    ),
+    p8 AS (SELECT * FROM pool WHERE rn <= {_MMR_POOL}),
+    s1 AS (SELECT qid, cid AS id1, ce AS e1, cn AS n1, rel AS score1
+           FROM p8 WHERE rn = 1),
+    c2 AS (
+      SELECT p.qid, p.cid, p.ce, p.cn,
+             {_MMR_LAM} * p.rel - {1 - _MMR_LAM} *
+               ({_sql_mmr_cos('p.ce', 'p.cn', 's.e1', 's.n1')}) AS score
+      FROM p8 p JOIN s1 s ON p.qid = s.qid AND p.cid <> s.id1
+    ),
+    s2 AS (
+      SELECT qid, cid AS id2, ce AS e2, cn AS n2, score AS score2
+      FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+                       ORDER BY score DESC, cid) AS rk FROM c2)
+      WHERE rk = 1
+    ),
+    c3 AS (
+      SELECT p.qid, p.cid,
+             {_MMR_LAM} * p.rel - {1 - _MMR_LAM} * GREATEST(
+               {_sql_mmr_cos('p.ce', 'p.cn', 'a.e1', 'a.n1')},
+               {_sql_mmr_cos('p.ce', 'p.cn', 'b.e2', 'b.n2')}) AS score
+      FROM p8 p
+      JOIN s1 a ON p.qid = a.qid
+      JOIN s2 b ON p.qid = b.qid
+      WHERE p.cid <> a.id1 AND p.cid <> b.id2
+    ),
+    s3 AS (
+      SELECT qid, cid AS id3, score AS score3
+      FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+                       ORDER BY score DESC, cid) AS rk FROM c3)
+      WHERE rk = 1
+    )
+    SELECT qid AS query_id, 1 AS sel_rank, id1 AS selected_id,
+           {sql_round_half_up('score1', 6)} AS mmr_score
+    FROM s1
+    UNION ALL
+    SELECT qid, 2, id2, {sql_round_half_up('score2', 6)} FROM s2
+    UNION ALL
+    SELECT qid, 3, id3, {sql_round_half_up('score3', 6)} FROM s3
+    """,
+)
+def x3_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OP-X3 — Maximal Marginal Relevance (Carbonell & Goldstein '98):
+    greedy diversified top-3, score = 0.7*rel - 0.3*max_sim_to_selected.
+    The serving-side post-processor every RAG stack runs between
+    retrieval and the prompt — near-duplicate hits waste context tokens
+    (the x2 dedup program's point, applied at query time).
+
+    Shape: relevance pool = top-C (C=8) per query — at 100 TB that pool
+    comes from any ANN tier (x3_cascade_topk); here it's the exact scan
+    so the oracle replays it. The MMR loop itself NEVER touches the
+    corpus: it joins <=C-row relations per query, O(Q * C^2) with Q, C
+    literal constants — driver-free sketch algebra like a21. Greedy
+    steps unroll to k=3 dataframe stages (selection argmax = struct-min
+    idiom on (-score, cid)); the pool is ckpt'd once, because 4
+    downstream consumers would otherwise re-run the QxN scan per use
+    (the r5 multi-consumed-relation rule). Scores are identical-bits
+    class-A folds cross-engine (same literal 0.7/0.3, same fold order),
+    so the greedy DECISIONS match bit-for-bit; displayed scores are
+    6dp half-up."""
+    lam, pen = _MMR_LAM, 1 - _MMR_LAM
+    e = _t(spark, sf_dir, "embeddings")
+    n = (e.select("vec_id", _as_double_vec("embedding").alias("e"))
+          .withColumn("nrm", F.sqrt(_dot(F.col("e"), F.col("e")))))
+    q = (_hash_sample(n, N_QUERIES, _H_QUERY)
+         .select(F.col("vec_id").alias("qid"), F.col("e").alias("qe"),
+                 F.col("nrm").alias("qn")))
+    corpus = n.repartition(spark.sparkContext.defaultParallelism,
+                           "vec_id")
+    rel = _dot(F.col("qe"), F.col("e")) / (F.col("qn") * F.col("nrm"))
+    pairs = (corpus.join(F.broadcast(q), F.col("vec_id") != F.col("qid"))
+                   .select("qid", F.col("vec_id").alias("cid"),
+                           F.col("e").alias("ce"),
+                           F.col("nrm").alias("cn"), rel.alias("rel")))
+    w = Window.partitionBy("qid").orderBy(F.col("rel").desc(), "cid")
+    p8 = ckpt(pairs.withColumn("rn", F.row_number().over(w))
+                   .filter(F.col("rn") <= _MMR_POOL))
+    s1 = (p8.filter(F.col("rn") == 1)
+            .select("qid", F.col("cid").alias("id1"),
+                    F.col("ce").alias("e1"), F.col("cn").alias("n1"),
+                    F.col("rel").alias("score1")))
+
+    def _cos(se: str, sn: str) -> F.Column:
+        return (_dot(F.col("ce"), F.col(se))
+                / (F.col("cn") * F.col(sn)))
+
+    c2 = (p8.join(s1, "qid")
+            .filter(F.col("cid") != F.col("id1"))
+            .withColumn("score",
+                        F.lit(lam) * F.col("rel")
+                        - F.lit(pen) * _cos("e1", "n1")))
+    s2 = (c2.groupBy("qid")
+            .agg(F.min(F.struct((-F.col("score")).alias("neg"),
+                                F.col("cid").alias("cid"),
+                                F.col("ce").alias("ce"),
+                                F.col("cn").alias("cn"))).alias("pk"))
+            .select("qid", F.col("pk.cid").alias("id2"),
+                    F.col("pk.ce").alias("e2"),
+                    F.col("pk.cn").alias("n2"),
+                    (-F.col("pk.neg")).alias("score2")))
+    c3 = (p8.join(s1, "qid").join(s2, "qid")
+            .filter((F.col("cid") != F.col("id1"))
+                    & (F.col("cid") != F.col("id2")))
+            .withColumn("score",
+                        F.lit(lam) * F.col("rel")
+                        - F.lit(pen) * F.greatest(_cos("e1", "n1"),
+                                                  _cos("e2", "n2"))))
+    s3 = (c3.groupBy("qid")
+            .agg(F.min(F.struct((-F.col("score")).alias("neg"),
+                                F.col("cid").alias("cid"))).alias("pk"))
+            .select("qid", F.col("pk.cid").alias("id3"),
+                    (-F.col("pk.neg")).alias("score3")))
+    out1 = s1.select(F.col("qid").alias("query_id"),
+                     F.lit(1).alias("sel_rank"),
+                     F.col("id1").alias("selected_id"),
+                     round_half_up(F.col("score1"), 6)
+                      .alias("mmr_score"))
+    out2 = s2.select(F.col("qid").alias("query_id"),
+                     F.lit(2).alias("sel_rank"),
+                     F.col("id2").alias("selected_id"),
+                     round_half_up(F.col("score2"), 6)
+                      .alias("mmr_score"))
+    out3 = s3.select(F.col("qid").alias("query_id"),
+                     F.lit(3).alias("sel_rank"),
+                     F.col("id3").alias("selected_id"),
+                     round_half_up(F.col("score3"), 6)
+                      .alias("mmr_score"))
+    return out1.unionByName(out2).unionByName(out3)
