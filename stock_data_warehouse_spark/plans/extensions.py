@@ -6523,3 +6523,76 @@ def x3_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
                      round_half_up(F.col("score3"), 6)
                       .alias("mmr_score"))
     return out1.unionByName(out2).unionByName(out3)
+
+
+# ---------------------------------------------------------------------------
+# OP-X9 — epoch-seeded global shuffle -> shard assignment
+# ---------------------------------------------------------------------------
+
+_SHUF_SHARDS = 16
+_SHUF_DENOM = 1152921504606846976  # 2^60 — the kmv 15-hex-digit domain
+
+
+@register(
+    "x9_epoch_shuffle",
+    oracle=f"""
+    WITH ep AS (SELECT UNNEST([1, 2]) AS epoch),
+    h AS (
+      SELECT ep.epoch, d.doc_id, d.n_chars,
+             ('0x' || substr(md5('ep' || ep.epoch || ':'
+                                 || CAST(d.doc_id AS VARCHAR)), 1, 15)
+             )::BIGINT AS hk
+      FROM documents d CROSS JOIN ep
+    )
+    SELECT epoch,
+           CAST(hk % {_SHUF_SHARDS} AS INTEGER) AS shard_id,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+           CAST(SUM(hk % 1000000007) AS BIGINT) AS h_fold,
+           MIN({{'h': hk, 'i': doc_id}}).i AS first_id,
+           MAX({{'h': hk, 'i': doc_id}}).i AS last_id
+    FROM h GROUP BY epoch, hk % {_SHUF_SHARDS}
+    """,
+)
+def x9_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OP-X9 — the training-loader's global shuffle: every epoch, each
+    document gets a fresh deterministic pseudo-random key
+    ``h = md5('ep<epoch>:' || doc_id)`` (60-bit, the a21 portable
+    recipe); shard = h mod S, within-shard order = (h, doc_id). That is
+    the standard seeded-reshuffle contract (same corpus, different
+    epoch -> a different but replayable permutation) with no RNG state
+    anywhere — resumable from any row because the key is a pure
+    function of (epoch, doc_id).
+
+    Scale shape: ONE scan, ONE hash agg — shard assignment is
+    map-side arithmetic, never a global sort (the within-shard order is
+    DEFINED by sorting on h at read time, so verifying the SET pins the
+    permutation: set equality under a deterministic sort key implies
+    order equality). Verdict columns per (epoch, shard): exact count,
+    payload bytes, a modular fold of the keys (integer-exact), and the
+    permutation's endpoints via the struct-argmin/argmax idiom. Epochs
+    1 and 2 both emitted — the reshuffle is visibly different while
+    both stay hash-exact."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    ep = d.withColumn("epoch", F.explode(F.array(F.lit(1), F.lit(2))))
+    hk = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("ep"), F.col("epoch").cast("string"),
+                           F.lit(":"), F.col("doc_id").cast("string"))),
+            1, 15), 16, 10).cast("long")
+    h = ep.withColumn("hk", hk)
+    return (h.groupBy("epoch",
+                      (F.col("hk") % _SHUF_SHARDS).cast("int")
+                       .alias("shard_id"))
+             .agg(F.count(F.lit(1)).alias("n_docs"),
+                  F.sum("n_chars").alias("n_chars"),
+                  F.sum(F.col("hk") % 1000000007).alias("h_fold"),
+                  F.min(F.struct(F.col("hk").alias("hk"),
+                                 F.col("doc_id").alias("doc_id")))
+                   .alias("fst"),
+                  F.max(F.struct(F.col("hk").alias("hk"),
+                                 F.col("doc_id").alias("doc_id")))
+                   .alias("lst"))
+             .select("epoch", "shard_id", "n_docs", "n_chars", "h_fold",
+                     F.col("fst.doc_id").alias("first_id"),
+                     F.col("lst.doc_id").alias("last_id")))
