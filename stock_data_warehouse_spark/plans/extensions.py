@@ -6596,3 +6596,84 @@ def x9_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
              .select("epoch", "shard_id", "n_docs", "n_chars", "h_fold",
                      F.col("fst.doc_id").alias("first_id"),
                      F.col("lst.doc_id").alias("last_id")))
+
+
+# ---------------------------------------------------------------------------
+# OP-X4 — bigram language-model scoring (the conditional-prob step up
+# from x4_unigram_logprob)
+# ---------------------------------------------------------------------------
+
+@register(
+    "x4_bigram_lm",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {SQL_TOKENS} AS ts FROM documents
+    ),
+    bg AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(ts)),
+                                   i -> ts[i] || ' ' || ts[i + 1]))
+               AS bigram
+      FROM toks WHERE len(ts) >= 2
+    ),
+    bcnt AS (
+      SELECT bigram, COUNT(*) AS bc FROM bg GROUP BY bigram
+      ORDER BY bc DESC, bigram LIMIT {VOCAB_K}
+    ),
+    ccnt AS (
+      SELECT split_part(bigram, ' ', 1) AS w1, COUNT(*) AS cc
+      FROM bg GROUP BY split_part(bigram, ' ', 1)
+      ORDER BY cc DESC, w1 LIMIT {VOCAB_K}
+    )
+    SELECT g.doc_id, COUNT(*) AS n_bigrams,
+           CAST(ROUND(CAST(AVG(ln(COALESCE(CAST(b.bc AS DOUBLE), 0.5)
+                                  / COALESCE(CAST(c.cc AS DOUBLE), 0.5)))
+                           AS DECIMAL(38,10)), 6) AS DOUBLE)
+             AS avg_logprob
+    FROM bg g
+    LEFT JOIN bcnt b ON g.bigram = b.bigram
+    LEFT JOIN ccnt c ON split_part(g.bigram, ' ', 1) = c.w1
+    GROUP BY g.doc_id
+    """,
+)
+def x4_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OP-X4 — per-document mean bigram CONDITIONAL log-probability
+    ``ln(c(w1 w2) / c(w1·))`` under a corpus-trained model: the
+    KenLM-order-2 quality signal (fluency, not just vocabulary — a doc
+    of frequent words in implausible ORDER scores low here but fine
+    under x4_unigram_logprob). Out-of-model bigrams and contexts floor
+    at a 0.5 pseudo-count (an absent numerator with a present context
+    is the true "never seen in this order" penalty; both absent is
+    neutral by construction).
+
+    Same scale contract as the unigram form: bigram expansion is an
+    in-row array transform (no self-join of the token stream —
+    position adjacency is resolved INSIDE the array before the
+    explode); both model tables are Heaps'-unbounded raw but truncated
+    to the VOCAB_K head by distributed TakeOrdered, so the scoring
+    joins broadcast; the only shuffle keyed on doc_id. Mean-of-logs is
+    decimal-routed 6dp (class B: libm ln + order-dependent sum)."""
+    d = _t(spark, sf_dir, "documents")
+    ts = tokens_col("text")
+    bigrams = F.transform(
+        F.sequence(F.lit(1), F.size("ts") - 1),
+        lambda i: F.concat(F.element_at(F.col("ts"), i), F.lit(" "),
+                           F.element_at(F.col("ts"), i + 1)))
+    bg = (d.select("doc_id", ts.alias("ts"))
+           .filter(F.size("ts") >= 2)
+           .select("doc_id", F.explode(bigrams).alias("bigram")))
+    bcnt = (bg.groupBy("bigram").agg(F.count(F.lit(1)).alias("bc"))
+              .orderBy(F.col("bc").desc(), "bigram").limit(VOCAB_K))
+    ccnt = (bg.groupBy(F.substring_index("bigram", " ", 1).alias("w1"))
+              .agg(F.count(F.lit(1)).alias("cc"))
+              .orderBy(F.col("cc").desc(), "w1").limit(VOCAB_K))
+    lp = F.log(F.coalesce(F.col("bc").cast("double"), F.lit(0.5))
+               / F.coalesce(F.col("cc").cast("double"), F.lit(0.5)))
+    return (bg.join(F.broadcast(bcnt), "bigram", "left")
+              .join(F.broadcast(ccnt),
+                    F.substring_index("bigram", " ", 1) == F.col("w1"),
+                    "left")
+              .groupBy("doc_id")
+              .agg(F.count(F.lit(1)).alias("n_bigrams"),
+                   F.round(F.avg(lp).cast("decimal(38,10)"), 6)
+                    .cast("double").alias("avg_logprob")))
