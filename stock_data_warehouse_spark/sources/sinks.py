@@ -1232,3 +1232,63 @@ def s21_gdpr_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(bool(n_left_cohort == 0)).alias("all_deleted"),
         F.lit(bool(n_deleted_2nd == 0)).alias("idempotent"),
         F.lit(bool(tombs_ok)).alias("tombstones_ok")))
+
+
+# ---------------------------------------------------------------------------
+# OP-S22 — ORC landing/interchange format round-trip with pushdown pin
+# ---------------------------------------------------------------------------
+
+@register(
+    "s22_orc_roundtrip",
+    oracle="""
+    SELECT s_nationkey,
+           COUNT(*) AS n_suppliers,
+           SUM(CAST(CASE WHEN s_acctbal < 0
+                THEN -FLOOR(ABS(s_acctbal) * 100.0 + 0.5)
+                ELSE FLOOR(ABS(s_acctbal) * 100.0 + 0.5) END
+               AS BIGINT)) AS acct_cents,
+           TRUE AS orc_pushdown_ok
+    FROM supplier
+    WHERE s_acctbal >= 0
+    GROUP BY s_nationkey
+    """,
+)
+def s22_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OP-S22 — the ORC leg of the landing-format surface (s1 text,
+    s2/s12 JSON, S3 parquet, s18 CSV, s13/s14 custom connector): the
+    supplier table is round-tripped through columnar ORC and read back
+    FILTERED, proving Spark's second first-class columnar format
+    carries the same scan-layer contracts as parquet — schema
+    preserved (including DECIMAL-free doubles), predicate pushdown
+    reaching the ORC reader, per-stripe parallelism.
+
+    ``orc_pushdown_ok`` pins the contract the format exists for: the
+    formatted plan of the filtered read-back must show the
+    ``s_acctbal`` predicate in the ORC scan's PushedFilters (stripe
+    and row-group level statistics skip at 100 TB — the same class of
+    I/O elision as parquet row groups). Values are oracle-exact against
+    the parquet original: a lossless round-trip is the claim, so the
+    referee never touches the ORC copy."""
+    sup = load_table(spark, sf_dir, "supplier")
+    stage = _mkdtemp(prefix="orc_roundtrip_")
+    path = os.path.join(stage, "supplier_orc")
+    (sup.select("s_suppkey", "s_nationkey", "s_acctbal")
+        .write.mode("overwrite").orc(path))
+    back = spark.read.orc(path).filter(F.col("s_acctbal") >= 0)
+    jvm = spark.sparkContext._jvm
+    formatted = jvm.PythonSQLUtils.explainString(
+        back._jdf.queryExecution(), "formatted")
+    pushed = any(
+        "PushedFilters" in ln and "s_acctbal" in ln
+        and "[]" not in ln
+        for ln in formatted.splitlines())
+    cents = F.when(
+        F.col("s_acctbal") < 0,
+        -F.floor(F.abs(F.col("s_acctbal")) * 100.0 + F.lit(0.5)),
+    ).otherwise(
+        F.floor(F.abs(F.col("s_acctbal")) * 100.0 + F.lit(0.5))
+    ).cast("long")
+    return (back.groupBy("s_nationkey")
+                .agg(F.count(F.lit(1)).alias("n_suppliers"),
+                     F.sum(cents).alias("acct_cents"))
+                .withColumn("orc_pushdown_ok", F.lit(bool(pushed))))
