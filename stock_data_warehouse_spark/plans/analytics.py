@@ -1723,3 +1723,68 @@ def a21_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= 0.25 * F.col("exact_union"))
          & (F.abs(ri - F.col("exact_inter"))
             <= 0.35 * F.col("exact_inter"))).alias("bound_ok"))
+
+
+# ---------------------------------------------------------------------------
+# A22 — cumulative distinct users (the first-seen-flag linearization)
+# ---------------------------------------------------------------------------
+
+@register(
+    "a22_cumulative_distinct",
+    oracle="""
+    WITH first_seen AS (
+      SELECT event_type, user_id, MIN(ts::DATE) AS first_day
+      FROM events GROUP BY event_type, user_id
+    ),
+    daily AS (
+      SELECT e.event_type, e.day, e.n_events, e.n_active,
+             COALESCE(f.n_new, 0) AS n_new
+      FROM (SELECT event_type, ts::DATE AS day,
+                   COUNT(*) AS n_events,
+                   COUNT(DISTINCT user_id) AS n_active
+            FROM events GROUP BY event_type, ts::DATE) e
+      LEFT JOIN (SELECT event_type, first_day AS day,
+                        COUNT(*) AS n_new
+                 FROM first_seen GROUP BY event_type, first_day) f
+        ON e.event_type = f.event_type AND e.day = f.day
+    )
+    SELECT event_type, CAST(day AS VARCHAR) AS day, n_events, n_active,
+           n_new,
+           SUM(n_new) OVER (PARTITION BY event_type ORDER BY day
+                            ROWS UNBOUNDED PRECEDING)
+             AS cum_distinct_users
+    FROM daily
+    """,
+)
+def a22_cumulative_distinct(spark: SparkSession,
+                            sf_dir: str) -> DataFrame:
+    """A22 — running distinct-user counts per event type: the
+    dashboard's "total unique users to date" line. The naive form —
+    COUNT(DISTINCT) over an ever-growing window — re-scans every prior
+    day's users per output row (quadratic state, and Spark refuses
+    DISTINCT in a running frame anyway). The linearization: a user
+    contributes to the cumulative line exactly once, on their FIRST
+    day — so compute first_seen = min(day) per (type, user) (one hash
+    agg, map-side combinable), count the newcomers per day, and a
+    running SUM over the bounded daily series equals the running
+    distinct count, term for term. The only window runs over the
+    per-day aggregate (rows = calendar days — bounded), never over raw
+    events; both heavy aggs shuffle once on high-cardinality keys."""
+    ev = _t(spark, sf_dir, "events")
+    daily = (ev.groupBy("event_type", F.to_date("ts").alias("day"))
+               .agg(F.count(F.lit(1)).alias("n_events"),
+                    F.countDistinct("user_id").alias("n_active")))
+    first_seen = (ev.groupBy("event_type", "user_id")
+                    .agg(F.min(F.to_date("ts")).alias("day"))
+                    .groupBy("event_type", "day")
+                    .agg(F.count(F.lit(1)).alias("n_new")))
+    w = (Window.partitionBy("event_type").orderBy("day")
+               .rowsBetween(Window.unboundedPreceding, 0))
+    return (daily.join(first_seen, ["event_type", "day"], "left")
+                 .withColumn("n_new", F.coalesce("n_new", F.lit(0)))
+                 .withColumn("cum_distinct_users",
+                             F.sum("n_new").over(w))
+                 .select("event_type",
+                         F.col("day").cast("string").alias("day"),
+                         "n_events", "n_active", "n_new",
+                         "cum_distinct_users"))
