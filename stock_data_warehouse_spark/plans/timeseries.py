@@ -587,3 +587,61 @@ def t31_session_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
                      F.timestamp_micros("slice_end_us")
                       .alias("slice_end"),
                      "n_events", "sum_cents", "was_split"))
+
+
+# ---------------------------------------------------------------------------
+# T32 — event-type transition matrix (the Markov / Sankey shape)
+# ---------------------------------------------------------------------------
+
+@register(
+    "t32_event_transitions",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, event_type,
+             LEAD(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS next_type
+      FROM events
+    ),
+    pairs AS (
+      SELECT event_type AS from_type, next_type AS to_type,
+             COUNT(*) AS n_transitions
+      FROM ordered WHERE next_type IS NOT NULL
+      GROUP BY event_type, next_type
+    )
+    SELECT from_type, to_type, n_transitions,
+           CAST(ROUND(CAST(
+             n_transitions / CAST(SUM(n_transitions) OVER (
+               PARTITION BY from_type) AS DOUBLE)
+             AS DECIMAL(38,10)), 6) AS DOUBLE) AS p_transition
+    FROM pairs
+    """,
+)
+def t32_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T32 — first-order transition matrix over each user's event
+    stream: P(next event type | current), the Markov estimate behind
+    every product-analytics Sankey / "what do users do after X" view.
+
+    Shape: ONE window (lead over the unbounded-cardinality user key,
+    order (ts, event_id) — the unique-last-key total order every
+    window here carries) + ONE hash agg to the bounded type-pair
+    matrix (≤ |types|² rows). The row-normalization runs over that
+    bounded matrix, not over events — a 25-row window at any corpus
+    size. Probability is integer-ratio class-B-routed at 6dp (the
+    division is two exact BIGINTs, but the quotient feeds AVG-free
+    ROUND — decimal quantization keeps both engines on the same side
+    of any representability edge)."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (ev.withColumn("next_type",
+                           F.lead("event_type").over(w))
+               .filter(F.col("next_type").isNotNull())
+               .groupBy(F.col("event_type").alias("from_type"),
+                        F.col("next_type").alias("to_type"))
+               .agg(F.count(F.lit(1)).alias("n_transitions")))
+    wm = Window.partitionBy("from_type")
+    return pairs.select(
+        "from_type", "to_type", "n_transitions",
+        F.round((F.col("n_transitions")
+                 / F.sum("n_transitions").over(wm).cast("double"))
+                .cast("decimal(38,10)"), 6)
+         .cast("double").alias("p_transition"))
