@@ -6677,3 +6677,179 @@ def x4_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
               .agg(F.count(F.lit(1)).alias("n_bigrams"),
                    F.round(F.avg(lp).cast("decimal(38,10)"), 6)
                     .cast("double").alias("avg_logprob")))
+
+
+# ---------------------------------------------------------------------------
+# OP-X3 — index compaction / vacuum: the fourth act of the lifecycle
+# ---------------------------------------------------------------------------
+
+@register(
+    "x3_index_compaction",
+    oracle=f"""
+    WITH v AS (
+      SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+    ),
+    n0 AS (
+      SELECT vec_id, e, sqrt({_sql_dot('e', 'e')}) AS nrm FROM v
+    ),
+    n AS (SELECT * FROM n0 WHERE nrm > 0),
+    cent AS (SELECT vec_id AS cid, e AS ce, nrm AS cnrm FROM n
+             WHERE vec_id % 7 <> 2
+             {_sql_hash_sample(_H_CENT, K_COARSE)}),
+    posts AS (
+      SELECT vec_id, e, nrm, cid, (vec_id % 11 = 3) AS is_tomb
+      FROM (
+        SELECT n.vec_id, n.e, n.nrm, cent.cid,
+               ROW_NUMBER() OVER (
+                 PARTITION BY n.vec_id
+                 ORDER BY {_sql_dot('n.e', 'cent.ce')}
+                          / (n.nrm * cent.cnrm) DESC, cent.cid) AS rc
+        FROM n CROSS JOIN cent
+      ) WHERE rc = 1
+    ),
+    live AS (SELECT vec_id, e, nrm FROM n WHERE vec_id % 11 <> 3),
+    q AS (SELECT vec_id AS query_id, e AS qe, nrm AS qnrm FROM live
+          {_sql_hash_sample(_H_QUERY, N_QUERIES)}),
+    qa AS (
+      SELECT query_id, qe, qnrm, cid AS qcell FROM (
+        SELECT q.query_id, q.qe, q.qnrm, cent.cid,
+               ROW_NUMBER() OVER (
+                 PARTITION BY q.query_id
+                 ORDER BY {_sql_dot('q.qe', 'cent.ce')}
+                          / (q.qnrm * cent.cnrm) DESC, cent.cid) AS rc
+        FROM q CROSS JOIN cent
+      ) WHERE rc = 1
+    ),
+    top3 AS (
+      SELECT query_id, neighbor_id, rn FROM (
+        SELECT *, ROW_NUMBER() OVER (
+          PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rn
+        FROM (
+          SELECT qa.query_id, p.vec_id AS neighbor_id,
+                 {_sql_dot('p.e', 'qa.qe')} / (p.nrm * qa.qnrm) AS cos
+          FROM posts p JOIN qa
+            ON p.cid = qa.qcell AND p.vec_id <> qa.query_id
+          WHERE NOT p.is_tomb
+        )
+      ) WHERE rn <= 3
+    ),
+    stats AS (
+      SELECT COUNT(CASE WHEN is_tomb THEN 1 END) AS n_dead,
+             COUNT(*) AS n_postings
+      FROM posts
+    )
+    SELECT t.query_id,
+           string_agg(CAST(t.neighbor_id AS VARCHAR), ','
+                      ORDER BY t.rn) AS composite_ids,
+           string_agg(CAST(t.neighbor_id AS VARCHAR), ','
+                      ORDER BY t.rn) AS compacted_ids,
+           TRUE AS lists_equal,
+           s.n_dead, s.n_postings,
+           (s.n_dead * 10 >= s.n_postings) AS vacuum_due
+    FROM top3 t CROSS JOIN stats s
+    GROUP BY t.query_id, s.n_dead, s.n_postings
+    """,
+)
+def x3_index_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OP-X3 — compaction/vacuum, the fourth act of the index
+    lifecycle (train: x3_ivf_topk, ingest: x3_ivf_ingest, delete:
+    x3_ivf_delete, compact: here — the FAISS rebuild-from-live /
+    vector-DB segment-merge path). Two physically DIFFERENT serving
+    plans are run side by side over a frozen-centroid IVF with ~9%
+    tombstones: the COMPOSITE index masks tombstones with an anti-join
+    at candidate-gather time (every query pays the mask), and the
+    COMPACTED index materializes the postings rewrite once (ckpt — the
+    staged-rewrite s11/s20 posture applied to an index) and serves
+    mask-free. The verdict is the rewrite-correctness theorem made
+    falsifiable per query: identical frozen centroids + identical live
+    set imply identical candidate sets, so the rank-ordered top-3
+    strings must be equal ROW FOR ROW (``lists_equal``, hash-pinned
+    against the oracle's canonical computation), while ``vacuum_due``
+    pins the integer trigger policy (dead fraction >= 10%) that decides
+    WHEN the rewrite pays for itself. Centroids are trained on the
+    base partition only (vec_id % 7 <> 2 — the x3_ivf_ingest split),
+    so delta rows flow through ingest-assigned cells, never a retrain:
+    compaction rewrites POSTINGS, not the model."""
+    e = _t(spark, sf_dir, "embeddings")
+    v = e.select("vec_id", _as_double_vec("embedding").alias("e"))
+    n = (v.withColumn("nrm", F.sqrt(_dot(F.col("e"), F.col("e"))))
+          .filter(F.col("nrm") > 0))
+    base = n.filter(F.col("vec_id") % 7 != 2)
+    cent = (_hash_sample(base, K_COARSE, _H_CENT)
+            .select(F.col("vec_id").alias("cid"),
+                    F.col("e").alias("ce"),
+                    F.col("nrm").alias("cnrm")))
+
+    def assign(df, idc):
+        scored = (df.repartition(
+                      spark.sparkContext.defaultParallelism, idc)
+                    .crossJoin(F.broadcast(cent)))
+        neg = -(_dot(F.col("e"), F.col("ce"))
+                / (F.col("nrm") * F.col("cnrm")))
+        return (scored.groupBy(idc)
+                      .agg(F.min(F.struct(neg.alias("negcos"),
+                                          F.col("cid"))).alias("b"))
+                      .select(idc, F.col("b.cid").alias("cell")))
+
+    tomb = F.col("vec_id") % 11 == 3
+    postings = (n.join(assign(n, "vec_id"), "vec_id")
+                 .withColumn("is_tomb", tomb))
+    tombstones = (n.filter(tomb)
+                   .select(F.col("vec_id").alias("tomb_id")))
+    live = n.filter(~tomb)
+    q = (_hash_sample(live, N_QUERIES, _H_QUERY)
+         .select(F.col("vec_id").alias("query_id"),
+                 F.col("e").alias("qe"), F.col("nrm").alias("qnrm")))
+    qa = (q.join(assign(q.select(F.col("query_id").alias("vec_id"),
+                                 F.col("qe").alias("e"),
+                                 F.col("qnrm").alias("nrm")), "vec_id")
+                  .select(F.col("vec_id").alias("query_id"),
+                          F.col("cell").alias("qcell")), "query_id"))
+
+    def gather(posts):
+        return (posts.join(F.broadcast(qa),
+                           (F.col("cell") == F.col("qcell"))
+                           & (F.col("vec_id") != F.col("query_id")))
+                     .select("query_id",
+                             F.col("vec_id").alias("neighbor_id"),
+                             (_dot(F.col("e"), F.col("qe"))
+                              / (F.col("nrm") * F.col("qnrm")))
+                             .alias("cos")))
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id"))
+
+    def top3_ids(cand, out):
+        t = cand.withColumn("rn", F.row_number().over(w)) \
+                .filter(F.col("rn") <= 3)
+        return (t.groupBy("query_id")
+                 .agg(F.array_join(F.transform(
+                          F.array_sort(F.collect_list(
+                              F.struct("rn", "neighbor_id"))),
+                          lambda s: s["neighbor_id"].cast("string")),
+                      ",").alias(out)))
+
+    # composite serving: mask at query time, after the cell gather
+    composite_cand = gather(postings).join(
+        tombstones, F.col("neighbor_id") == F.col("tomb_id"),
+        "left_anti")
+    # compacted serving: postings rewritten ONCE (materialized), no
+    # query-time mask
+    compacted_posts = ckpt(postings.join(
+        tombstones, postings.vec_id == tombstones.tomb_id,
+        "left_anti"))
+    compacted_cand = gather(compacted_posts)
+
+    stats = postings.agg(
+        F.sum(F.when(F.col("is_tomb"), 1).otherwise(0)).alias("n_dead"),
+        F.count(F.lit(1)).alias("n_postings"))
+    out = (top3_ids(composite_cand, "composite_ids")
+           .join(top3_ids(compacted_cand, "compacted_ids"), "query_id")
+           .crossJoin(F.broadcast(stats)))
+    return out.select(
+        "query_id", "composite_ids", "compacted_ids",
+        (F.col("composite_ids") == F.col("compacted_ids"))
+         .alias("lists_equal"),
+        "n_dead", "n_postings",
+        (F.col("n_dead") * 10 >= F.col("n_postings"))
+         .alias("vacuum_due"))
