@@ -1788,3 +1788,140 @@ def a22_cumulative_distinct(spark: SparkSession,
                          F.col("day").cast("string").alias("day"),
                          "n_events", "n_active", "n_new",
                          "cum_distinct_users"))
+
+
+# ---------------------------------------------------------------------------
+# F3 — first/last-touch revenue attribution
+# ---------------------------------------------------------------------------
+
+_F3_CENTS_SQL = """SUM(CAST(CASE WHEN {v} < 0
+      THEN -FLOOR(ABS({v}) * 100.0 + 0.5)
+      ELSE FLOOR(ABS({v}) * 100.0 + 0.5) END AS BIGINT))"""
+
+
+@register(
+    "f3_attribution",
+    oracle=f"""
+    WITH touch AS (
+      SELECT user_id, ts, event_id,
+             CASE CAST(json_extract_string(props, '$.k') AS BIGINT) % 4
+               WHEN 0 THEN 'search' WHEN 1 THEN 'social'
+               WHEN 2 THEN 'email' ELSE 'direct' END AS channel
+      FROM events WHERE event_type IN ('click', 'view')
+    ),
+    purch AS (
+      SELECT event_id AS pid, user_id, ts AS pts,
+             CAST(CASE WHEN value < 0
+                  THEN -FLOOR(ABS(value) * 100.0 + 0.5)
+                  ELSE FLOOR(ABS(value) * 100.0 + 0.5) END
+                  AS BIGINT) AS cents
+      FROM events WHERE event_type = 'purchase'
+    ),
+    cand AS (
+      SELECT p.pid, p.cents, t.channel, t.ts AS tts, t.event_id AS tid
+      FROM purch p JOIN touch t
+        ON t.user_id = p.user_id
+       AND t.ts < p.pts AND t.ts >= p.pts - INTERVAL 7 DAY
+    ),
+    lastt AS (
+      SELECT pid, cents, channel FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY pid
+                    ORDER BY tts DESC, tid DESC) AS rn FROM cand
+      ) WHERE rn = 1
+    ),
+    firstt AS (
+      SELECT pid, cents, channel FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY pid
+                    ORDER BY tts ASC, tid ASC) AS rn FROM cand
+      ) WHERE rn = 1
+    ),
+    unattr AS (
+      SELECT pid, cents, 'none' AS channel FROM purch
+      WHERE pid NOT IN (SELECT DISTINCT pid FROM cand)
+    ),
+    l AS (SELECT channel, COUNT(*) AS n_last,
+                 SUM(cents) AS cents_last
+          FROM (SELECT * FROM lastt UNION ALL SELECT * FROM unattr)
+          GROUP BY channel),
+    f AS (SELECT channel, COUNT(*) AS n_first,
+                 SUM(cents) AS cents_first
+          FROM (SELECT * FROM firstt UNION ALL SELECT * FROM unattr)
+          GROUP BY channel)
+    SELECT COALESCE(l.channel, f.channel) AS channel,
+           COALESCE(l.n_last, 0) AS n_last,
+           COALESCE(l.cents_last, 0) AS cents_last,
+           COALESCE(f.n_first, 0) AS n_first,
+           COALESCE(f.cents_first, 0) AS cents_first
+    FROM l FULL OUTER JOIN f ON l.channel = f.channel
+    """,
+)
+def f3_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F3 — first-touch vs last-touch revenue attribution: every
+    purchase credits its full value to one touchpoint (latest /
+    earliest qualifying click-or-view by the same user within a 7-day
+    lookback), unmatched purchases land in the 'none' bucket so the
+    models' totals reconcile to gross revenue by construction. The
+    marketing-analytics staple; channels derive deterministically from
+    the touch's props (k mod 4 — the synthetic stand-in for a UTM
+    source, same mapping both engines).
+
+    Shape: ONE user-keyed join between two filtered scans of the same
+    events table — per-user candidate fan-out is bounded by per-user
+    activity inside the lookback window, never the corpus. Both
+    attribution picks are the struct-argmin/argmax idiom ((ts,
+    event_id) — unique last key), one map-side-combinable agg each;
+    the final channel matrix is a bounded full-outer join. Credited
+    value rides as a class-A integer cents fold end to end."""
+    ev = _t(spark, sf_dir, "events")
+    chan = (F.get_json_object("props", "$.k").cast("bigint") % 4)
+    channel = (F.when(chan == 0, "search").when(chan == 1, "social")
+                .when(chan == 2, "email").otherwise("direct"))
+    touch = (ev.filter(F.col("event_type").isin("click", "view"))
+               .select("user_id", F.col("ts").alias("tts"),
+                       F.col("event_id").alias("tid"),
+                       channel.alias("channel")))
+    cents = F.when(
+        F.col("value") < 0,
+        -F.floor(F.abs(F.col("value")) * 100.0 + F.lit(0.5)),
+    ).otherwise(
+        F.floor(F.abs(F.col("value")) * 100.0 + F.lit(0.5))
+    ).cast("long")
+    purch = (ev.filter(F.col("event_type") == "purchase")
+               .select(F.col("event_id").alias("pid"), "user_id",
+                       F.col("ts").alias("pts"), cents.alias("cents")))
+    cand = (purch.join(touch, "user_id")
+                 .filter((F.col("tts") < F.col("pts"))
+                         & (F.col("tts")
+                            >= F.col("pts") - F.expr("INTERVAL 7 DAYS"))))
+    lastt = (cand.groupBy("pid")
+                 .agg(F.first("cents").alias("cents"),
+                      F.max(F.struct("tts", "tid", "channel"))
+                       .alias("pk"))
+                 .select("pid", "cents",
+                         F.col("pk.channel").alias("channel")))
+    firstt = (cand.groupBy("pid")
+                  .agg(F.first("cents").alias("cents"),
+                       F.min(F.struct("tts", "tid", "channel"))
+                        .alias("pk"))
+                  .select("pid", "cents",
+                          F.col("pk.channel").alias("channel")))
+    unattr = (purch.join(cand.select("pid").distinct(), "pid",
+                         "left_anti")
+                   .select("pid", "cents",
+                           F.lit("none").alias("channel")))
+    l = (lastt.unionByName(unattr)
+              .groupBy("channel")
+              .agg(F.count(F.lit(1)).alias("n_last"),
+                   F.sum("cents").alias("cents_last")))
+    f = (firstt.unionByName(unattr)
+               .groupBy("channel")
+               .agg(F.count(F.lit(1)).alias("n_first"),
+                    F.sum("cents").alias("cents_first")))
+    return (l.join(f, "channel", "full_outer")
+             .select("channel",
+                     F.coalesce("n_last", F.lit(0)).alias("n_last"),
+                     F.coalesce("cents_last", F.lit(0))
+                      .alias("cents_last"),
+                     F.coalesce("n_first", F.lit(0)).alias("n_first"),
+                     F.coalesce("cents_first", F.lit(0))
+                      .alias("cents_first")))
