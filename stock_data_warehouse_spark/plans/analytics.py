@@ -1925,3 +1925,91 @@ def f3_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
                      F.coalesce("n_first", F.lit(0)).alias("n_first"),
                      F.coalesce("cents_first", F.lit(0))
                       .alias("cents_first")))
+
+
+# ---------------------------------------------------------------------------
+# A23 — PSI distribution-drift monitor
+# ---------------------------------------------------------------------------
+
+_PSI_BINW = 70_000.0
+_PSI_BINS = 8  # bins 0..6 of width 70k + the open-ended top bin 7
+
+
+@register(
+    "a23_psi_drift",
+    oracle=f"""
+    WITH binned AS (
+      SELECT LEAST(CAST(FLOOR(o_totalprice / {_PSI_BINW}) AS INTEGER),
+                   {_PSI_BINS - 1}) AS bin_id,
+             (o_orderdate < TIMESTAMP '1996-01-01 00:00:00') AS is_base
+      FROM orders
+    ),
+    cnt AS (
+      SELECT bin_id,
+             COUNT(CASE WHEN is_base THEN 1 END) AS n_base,
+             COUNT(CASE WHEN NOT is_base THEN 1 END) AS n_cur
+      FROM binned GROUP BY bin_id
+    ),
+    tot AS (
+      SELECT SUM(n_base) AS tb, SUM(n_cur) AS tc FROM cnt
+    ),
+    term AS (
+      SELECT bin_id, n_base, n_cur,
+             CAST(ROUND(CAST(
+               ((n_cur + 0.5) / (tc + {_PSI_BINS * 0.5})
+                - (n_base + 0.5) / (tb + {_PSI_BINS * 0.5}))
+               * ln(((n_cur + 0.5) / (tc + {_PSI_BINS * 0.5}))
+                    / ((n_base + 0.5) / (tb + {_PSI_BINS * 0.5})))
+               AS DECIMAL(38,10)), 6) AS DOUBLE) AS psi_term
+      FROM cnt CROSS JOIN tot
+    )
+    SELECT bin_id, n_base, n_cur, psi_term,
+           CAST(ROUND(SUM(CAST(psi_term AS DECIMAL(38,10))) OVER (), 6)
+                AS DOUBLE) AS psi_total,
+           (SUM(CAST(psi_term AS DECIMAL(38,10))) OVER () >= 0.1)
+             AS drift_alert
+    FROM term
+    """,
+)
+def a23_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A23 — Population Stability Index between a baseline period and
+    the current period of the order-value distribution: THE standard
+    production monitor for feature/score drift (PSI >= 0.1 = watch,
+    >= 0.25 = act). Terms are (q - p) * ln(q / p) per fixed bin with
+    a 0.5 Laplace floor so an empty bin can't blow the log.
+
+    Shape: one scan -> conditional-count hash agg into a LITERAL
+    8-bin histogram (edges declared, never a driver-side quantile
+    probe), totals via a bounded cross join, every window over the
+    8-row histogram. Determinism: bin fractions are exact int ratios,
+    the libm ln routes through DECIMAL(38,10) at 6dp (class B), and
+    the TOTAL is a sum of DECIMAL-cast terms — exact, order-free —
+    so even the alert boolean is hash-pinned cross-engine."""
+    o = _t(spark, sf_dir, "orders")
+    smooth = _PSI_BINS * 0.5
+    binned = o.select(
+        F.least(F.floor(F.col("o_totalprice") / _PSI_BINW).cast("int"),
+                F.lit(_PSI_BINS - 1)).alias("bin_id"),
+        (F.col("o_orderdate")
+         < F.lit("1996-01-01 00:00:00").cast("timestamp"))
+         .alias("is_base"))
+    cnt = (binned.groupBy("bin_id")
+                 .agg(F.sum(F.when(F.col("is_base"), 1).otherwise(0))
+                       .alias("n_base"),
+                      F.sum(F.when(~F.col("is_base"), 1).otherwise(0))
+                       .alias("n_cur")))
+    tot = cnt.agg(F.sum("n_base").alias("tb"),
+                  F.sum("n_cur").alias("tc"))
+    p = (F.col("n_base") + 0.5) / (F.col("tb") + smooth)
+    q = (F.col("n_cur") + 0.5) / (F.col("tc") + smooth)
+    term = (cnt.crossJoin(F.broadcast(tot))
+               .withColumn("psi_term",
+                           F.round(((q - p) * F.log(q / p))
+                                   .cast("decimal(38,10)"), 6)
+                            .cast("double")))
+    w = Window.partitionBy()
+    total = F.sum(F.col("psi_term").cast("decimal(38,10)")).over(w)
+    return term.select(
+        "bin_id", "n_base", "n_cur", "psi_term",
+        F.round(total, 6).cast("double").alias("psi_total"),
+        (total >= 0.1).alias("drift_alert"))
