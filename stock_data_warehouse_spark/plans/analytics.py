@@ -2013,3 +2013,91 @@ def a23_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         "bin_id", "n_base", "n_cur", "psi_term",
         F.round(total, 6).cast("double").alias("psi_total"),
         (total >= 0.1).alias("drift_alert"))
+
+
+# ---------------------------------------------------------------------------
+# A24 — RFM quintile segmentation
+# ---------------------------------------------------------------------------
+
+@register(
+    "a24_rfm_segments",
+    oracle="""
+    WITH base AS (
+      SELECT c.c_mktsegment AS mktsegment, c.c_custkey AS ck,
+             MAX(o.o_orderdate) AS last_d,
+             COUNT(*) AS n_orders,
+             SUM(CAST(CASE WHEN o.o_totalprice < 0
+                  THEN -FLOOR(ABS(o.o_totalprice) * 100.0 + 0.5)
+                  ELSE FLOOR(ABS(o.o_totalprice) * 100.0 + 0.5) END
+                 AS BIGINT)) AS cents
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      GROUP BY c.c_mktsegment, c.c_custkey
+    ),
+    sc AS (
+      SELECT mktsegment, cents,
+             CAST(FLOOR(((ROW_NUMBER() OVER (PARTITION BY mktsegment
+                            ORDER BY last_d, ck) - 1) * 5.0)
+                        / (COUNT(*) OVER (PARTITION BY mktsegment))
+                  ) AS INTEGER) + 1 AS r_score,
+             CAST(FLOOR(((ROW_NUMBER() OVER (PARTITION BY mktsegment
+                            ORDER BY n_orders, ck) - 1) * 5.0)
+                        / (COUNT(*) OVER (PARTITION BY mktsegment))
+                  ) AS INTEGER) + 1 AS f_score,
+             CAST(FLOOR(((ROW_NUMBER() OVER (PARTITION BY mktsegment
+                            ORDER BY cents, ck) - 1) * 5.0)
+                        / (COUNT(*) OVER (PARTITION BY mktsegment))
+                  ) AS INTEGER) + 1 AS m_score
+      FROM base
+    )
+    SELECT mktsegment, r_score, f_score, m_score,
+           COUNT(*) AS n_customers, SUM(cents) AS cents_total
+    FROM sc GROUP BY mktsegment, r_score, f_score, m_score
+    """,
+)
+def a24_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A24 — RFM (recency / frequency / monetary) quintile scoring,
+    segment-relative (the standard CRM segmentation: a customer is
+    scored against their own stratum). Scores are pure rank
+    arithmetic — ``floor((rn - 1) * 5 / n) + 1`` over the (metric,
+    custkey) total order — so every score is engine-exact: no
+    percentile estimation, no float thresholds, and the integer
+    quotient can't sit on a representability edge (numerators are
+    small exact ints).
+
+    Shape: one fact->dim join + per-customer hash agg (shuffles on
+    the unbounded custkey), then three rank windows over the CUSTOMER
+    dim partitioned by the 5 bounded segments — dim-sized sorts,
+    never fact-sized (the w6 posture); at 100 TB the same scores
+    come from a18's mergeable quantile summary as broadcast
+    thresholds instead of exact ranks (documented trade: exact ranks
+    are the oracle-checkable form). Output is the bounded
+    (segment x 5^3) matrix."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    cents = F.when(
+        F.col("o_totalprice") < 0,
+        -F.floor(F.abs(F.col("o_totalprice")) * 100.0 + F.lit(0.5)),
+    ).otherwise(
+        F.floor(F.abs(F.col("o_totalprice")) * 100.0 + F.lit(0.5))
+    ).cast("long")
+    base = (o.join(c, o.o_custkey == c.c_custkey)
+             .groupBy(F.col("c_mktsegment").alias("mktsegment"),
+                      F.col("c_custkey").alias("ck"))
+             .agg(F.max("o_orderdate").alias("last_d"),
+                  F.count(F.lit(1)).alias("n_orders"),
+                  F.sum(cents).alias("cents")))
+
+    def score(order_col: str) -> F.Column:
+        w = Window.partitionBy("mktsegment").orderBy(order_col, "ck")
+        n = F.count(F.lit(1)).over(Window.partitionBy("mktsegment"))
+        return (F.floor(((F.row_number().over(w) - 1) * 5.0) / n)
+                 .cast("int") + 1)
+
+    sc = base.select(
+        "mktsegment", "cents",
+        score("last_d").alias("r_score"),
+        score("n_orders").alias("f_score"),
+        score("cents").alias("m_score"))
+    return (sc.groupBy("mktsegment", "r_score", "f_score", "m_score")
+              .agg(F.count(F.lit(1)).alias("n_customers"),
+                   F.sum("cents").alias("cents_total")))
