@@ -6853,3 +6853,70 @@ def x3_index_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_dead", "n_postings",
         (F.col("n_dead") * 10 >= F.col("n_postings"))
          .alias("vacuum_due"))
+
+
+# ---------------------------------------------------------------------------
+# OP-X4 — n-gram novelty: how much NEW text does each document add?
+# ---------------------------------------------------------------------------
+
+@register(
+    "x4_ngram_novelty",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {SQL_TOKENS} AS t FROM documents
+    ),
+    grams AS (
+      SELECT doc_id, unnest({SQL_SHINGLES}) AS gram FROM toks
+    ),
+    first_intro AS (
+      SELECT gram, MIN(doc_id) AS intro_doc FROM grams GROUP BY gram
+    )
+    SELECT g.doc_id,
+           COUNT(*) AS n_grams,
+           COUNT(CASE WHEN f.intro_doc = g.doc_id THEN 1 END)
+             AS n_novel,
+           (CASE WHEN (COUNT(CASE WHEN f.intro_doc = g.doc_id
+                                  THEN 1 END) * 1.0 / COUNT(*)) < 0
+                 THEN -FLOOR(ABS(COUNT(CASE WHEN f.intro_doc = g.doc_id
+                                             THEN 1 END) * 1.0
+                                 / COUNT(*)) * 1000000.0 + 0.5)
+                 ELSE FLOOR(ABS(COUNT(CASE WHEN f.intro_doc = g.doc_id
+                                           THEN 1 END) * 1.0
+                               / COUNT(*)) * 1000000.0 + 0.5)
+            END / 1000000.0 + 0.0) AS novelty
+    FROM grams g JOIN first_intro f ON g.gram = f.gram
+    GROUP BY g.doc_id
+    """,
+)
+def x4_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OP-X4 — per-document 3-gram NOVELTY against the corpus in
+    ingestion order: the fraction of a doc's distinct 3-grams whose
+    FIRST introduction (min doc_id) is the doc itself. The
+    diversity-curation signal dedup doesn't give you — a doc can be
+    non-duplicate yet contribute nothing new (novelty ~ 0: recombined
+    boilerplate), and a training-mix curator caps exactly that tail
+    (the "contributes new n-grams" criterion from deduplicating-
+    training-data practice, applied corpus-wide).
+
+    Shape: one shingle explode (distinct per doc, the x2 pipeline's
+    shingle algebra), a gram->min(doc_id) hash agg (map-side
+    combinable — the inverted index never materializes per-doc
+    lists), and an equi-join back on the gram key; everything shuffles
+    on gram / doc_id, both unbounded keys. The novelty ratio is an
+    exact int ratio through the class-A floor kernel at 6dp."""
+    d = _t(spark, sf_dir, "documents")
+    grams = (d.select("doc_id",
+                      F.explode(shingles_col(tokens_col("text")))
+                       .alias("gram")))
+    first_intro = (grams.groupBy("gram")
+                        .agg(F.min("doc_id").alias("intro_doc")))
+    return (grams.join(first_intro, "gram")
+                 .groupBy("doc_id")
+                 .agg(F.count(F.lit(1)).alias("n_grams"),
+                      F.count(F.when(F.col("intro_doc")
+                                     == F.col("doc_id"), 1))
+                       .alias("n_novel"))
+                 .select("doc_id", "n_grams", "n_novel",
+                         round_half_up(
+                             F.col("n_novel") * 1.0 / F.col("n_grams"),
+                             6).alias("novelty")))
