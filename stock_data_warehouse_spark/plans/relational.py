@@ -1676,3 +1676,82 @@ def j16_binned_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     equi_ok = ("NestedLoop" not in formatted
                and "BroadcastHashJoin" in formatted)
     return agg.withColumn("equi_ok", F.lit(bool(equi_ok)))
+
+
+# ---------------------------------------------------------------------------
+# OP-J17 — nearest-in-time join (the symmetric as-of variant)
+# ---------------------------------------------------------------------------
+
+@register(
+    "j17_asof_nearest",
+    oracle="""
+    WITH purch AS (
+      SELECT event_id AS pid, user_id, ts AS pts
+      FROM events WHERE event_type = 'purchase'
+    ),
+    clk AS (
+      SELECT event_id AS cid, user_id, ts AS cts
+      FROM events WHERE event_type = 'click'
+    ),
+    cand AS (
+      SELECT p.pid, p.user_id, p.pts, c.cid, c.cts,
+             ABS(epoch_us(p.pts) - epoch_us(c.cts)) AS delta_us
+      FROM purch p JOIN clk c
+        ON c.user_id = p.user_id
+       AND c.cts >= p.pts - INTERVAL 3 DAY
+       AND c.cts <= p.pts + INTERVAL 3 DAY
+    ),
+    pick AS (
+      SELECT pid, cid, cts, delta_us FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY pid
+                    ORDER BY delta_us, cts, cid) AS rn
+        FROM cand
+      ) WHERE rn = 1
+    )
+    SELECT p.pid, p.user_id,
+           (k.cid IS NOT NULL) AS matched,
+           k.delta_us, k.cts AS click_ts, k.cid AS click_id
+    FROM purch p LEFT JOIN pick k ON p.pid = k.pid
+    """,
+)
+def j17_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OP-J17 — NEAREST-neighbor-in-time join: each purchase matched
+    to the temporally closest click by the same user within a ±3-day
+    tolerance band. The symmetric sibling of j10's backward as-of —
+    the sensor-alignment / log-correlation shape (match a reading to
+    the closest calibration, either side) that native ASOF JOIN
+    syntax (backward-only) cannot express, so it's composed: banded
+    candidate join + struct-argmin on (|delta|, ts, id) — tolerance
+    bounds the fan-out, the argmin partial-aggregates map-side, ties
+    break earlier-then-id (total order). Unmatched purchases survive
+    the left join with NULLs — the tolerance is a semantic guard, not
+    a filter. One shuffle on user_id for the candidates, one on pid
+    for the argmin; at scale the tolerance band is what keeps this
+    from being j11's cross join."""
+    ev = _t(spark, sf_dir, "events")
+    purch = (ev.filter(F.col("event_type") == "purchase")
+               .select(F.col("event_id").alias("pid"), "user_id",
+                       F.col("ts").alias("pts")))
+    clk = (ev.filter(F.col("event_type") == "click")
+             .select(F.col("event_id").alias("cid"),
+                     F.col("user_id").alias("c_user"),
+                     F.col("ts").alias("cts")))
+    cand = (purch.join(clk, (F.col("c_user") == F.col("user_id"))
+                       & (F.col("cts")
+                          >= F.col("pts") - F.expr("INTERVAL 3 DAYS"))
+                       & (F.col("cts")
+                          <= F.col("pts") + F.expr("INTERVAL 3 DAYS")))
+                 .select("pid",
+                         F.abs(F.unix_micros("pts")
+                               - F.unix_micros("cts")).alias("delta_us"),
+                         "cts", "cid"))
+    pick = (cand.groupBy("pid")
+                .agg(F.min(F.struct("delta_us", "cts", "cid"))
+                      .alias("pk"))
+                .select("pid", F.col("pk.delta_us").alias("delta_us"),
+                        F.col("pk.cts").alias("click_ts"),
+                        F.col("pk.cid").alias("click_id")))
+    return (purch.join(pick, "pid", "left")
+                 .select("pid", "user_id",
+                         F.col("click_id").isNotNull().alias("matched"),
+                         "delta_us", "click_ts", "click_id"))
