@@ -399,16 +399,14 @@ def x2_neardup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
                      .alias("recall_ok")))
 
 
-def _portable_bands(d: DataFrame) -> DataFrame:
-    """Portable-md5 MinHash band hashes ``(doc_id, band_idx,
-    band_hash)`` over any (doc_id, text) relation — the signature/band
-    pipeline shared by x2_neardup_minhash_portable and the incremental
-    ingest form, byte-replayable in DuckDB."""
+def _portable_sig(d: DataFrame, n_hashes: int = 16) -> DataFrame:
+    """Portable-md5 MinHash signatures ``(doc_id, sig)`` over any
+    (doc_id, text) relation — byte-replayable in DuckDB (string MIN of
+    salted md5 hex per hash index)."""
     spark = d.sparkSession
     sh = (d.select("doc_id", shingles_col(tokens_col("text")).alias("s"))
            .repartition(spark.sparkContext.defaultParallelism, "doc_id")
            .filter(F.size("s") > 0))
-    n_hashes, band_rows = 16, 4
 
     def salted_md5(i: int):
         # Returns a UNARY lambda: a two-parameter lambda (even via a
@@ -417,12 +415,21 @@ def _portable_bands(d: DataFrame) -> DataFrame:
         prefix = f"{i}:"
         return lambda x: F.md5(F.concat(F.lit(prefix), x))
 
-    sig = sh.select(
+    return sh.select(
         "doc_id",
         F.array(*[
             F.array_min(F.transform("s", salted_md5(i)))
             for i in range(n_hashes)
         ]).alias("sig"))
+
+
+def _portable_bands(d: DataFrame) -> DataFrame:
+    """Portable-md5 MinHash band hashes ``(doc_id, band_idx,
+    band_hash)`` over any (doc_id, text) relation — the signature/band
+    pipeline shared by x2_neardup_minhash_portable and the incremental
+    ingest form, byte-replayable in DuckDB."""
+    n_hashes, band_rows = 16, 4
+    sig = _portable_sig(d, n_hashes)
     return sig.select(
         "doc_id",
         F.posexplode(F.array(*[
@@ -6920,3 +6927,152 @@ def x4_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
                          round_half_up(
                              F.col("n_novel") * 1.0 / F.col("n_grams"),
                              6).alias("novelty")))
+
+
+# ---------------------------------------------------------------------------
+# OP-X2 — MinHash estimator-quality report (est vs exact Jaccard)
+# ---------------------------------------------------------------------------
+
+@register(
+    "x2_minhash_estimate_report",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {SQL_TOKENS} AS t FROM documents
+    ),
+    shingled AS (
+      SELECT doc_id, s FROM (SELECT doc_id, {SQL_SHINGLES} AS s
+                             FROM toks) WHERE len(s) > 0
+    ),
+    mh AS (
+      SELECT t1.doc_id, t.i,
+             min(md5(CAST(t.i AS VARCHAR) || ':' || t1.shingle)) AS mh
+      FROM (SELECT doc_id, unnest(s) AS shingle FROM shingled) t1
+      CROSS JOIN range(16) t(i)
+      GROUP BY t1.doc_id, t.i
+    ),
+    bands AS (
+      SELECT doc_id, i // 4 AS band_idx,
+             md5(string_agg(mh, '|' ORDER BY i)) AS band_hash
+      FROM mh GROUP BY doc_id, i // 4
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+       AND a.doc_id < b.doc_id
+    ),
+    est AS (
+      SELECT c.doc_a, c.doc_b,
+             COUNT(CASE WHEN ma.mh = mb.mh THEN 1 END) AS n_match
+      FROM cand c
+      JOIN mh ma ON ma.doc_id = c.doc_a
+      JOIN mh mb ON mb.doc_id = c.doc_b AND mb.i = ma.i
+      GROUP BY c.doc_a, c.doc_b
+    ),
+    tok AS (SELECT doc_id, unnest(s) AS shingle FROM shingled),
+    sizes AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id),
+    common AS (
+      SELECT c.doc_a, c.doc_b, COUNT(*) AS n_common
+      FROM cand c
+      JOIN tok a ON a.doc_id = c.doc_a
+      JOIN tok b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+      GROUP BY c.doc_a, c.doc_b
+    ),
+    pairs AS (
+      SELECT e.doc_a, e.doc_b,
+             e.n_match / 16.0 AS est_raw,
+             CAST(m.n_common AS DOUBLE)
+               / (sa.n + sb.n - m.n_common) AS exact_raw
+      FROM est e
+      JOIN common m ON m.doc_a = e.doc_a AND m.doc_b = e.doc_b
+      JOIN sizes sa ON e.doc_a = sa.doc_id
+      JOIN sizes sb ON e.doc_b = sb.doc_id
+    )
+    SELECT doc_a, doc_b,
+           {sql_round_half_up('est_raw', 6)} AS est_jac,
+           {sql_round_half_up('exact_raw', 6)} AS exact_jac,
+           {sql_round_half_up('ABS(est_raw - exact_raw)', 6)}
+             AS abs_err,
+           CAST(ROUND(SUM(CAST({sql_round_half_up(
+                 'ABS(est_raw - exact_raw)', 6)} AS DECIMAL(38,10)))
+               OVER () / COUNT(*) OVER (), 6) AS DOUBLE) AS mae
+    FROM pairs
+    """,
+)
+def x2_minhash_estimate_report(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """OP-X2 — estimator-quality report for the portable MinHash
+    family: for every banded candidate pair, the 16-hash signature
+    estimate (matching-minima fraction — the unbiased Pr[min match] =
+    J estimator) NEXT TO the exact Jaccard, with per-pair absolute
+    error and the corpus MAE. The x3_recall_report posture applied to
+    the dedup sketches: a sketch you deploy at 100 TB needs its
+    accuracy MEASURED on your corpus, not assumed from the theorem
+    (16 hashes → std err ~ sqrt(J(1-J)/16) ~ 0.12 at J=0.5; the MAE
+    column is the falsifiable form).
+
+    Scale shape: candidates come from the SAME banding join the dedup
+    pipeline already runs (pigeonhole, no all-pairs); the estimate is
+    a zip_with equality fold over two 16-element arrays (constant per
+    pair); exact Jaccard is computed ONLY for candidate pairs via the
+    inverted-index join (Σdf² bounded). Ratios are exact int/16 and
+    int ratios (class-A floor kernel); the MAE total rides a DECIMAL
+    sum over 6dp-quantized terms — exact and order-free."""
+    d = _t(spark, sf_dir, "documents")
+    sig = ckpt(_portable_sig(d))
+    bands = _portable_bands(d)
+    cand = (bands.alias("a")
+            .join(bands.alias("b"),
+                  (F.col("a.band_idx") == F.col("b.band_idx"))
+                  & (F.col("a.band_hash") == F.col("b.band_hash"))
+                  & (F.col("a.doc_id") < F.col("b.doc_id")))
+            .select(F.col("a.doc_id").alias("doc_a"),
+                    F.col("b.doc_id").alias("doc_b"))
+            .distinct())
+    sa = sig.select(F.col("doc_id").alias("doc_a"),
+                    F.col("sig").alias("sig_a"))
+    sb = sig.select(F.col("doc_id").alias("doc_b"),
+                    F.col("sig").alias("sig_b"))
+    est = (cand.join(sa, "doc_a").join(sb, "doc_b")
+               .withColumn(
+                   "est_raw",
+                   F.aggregate(
+                       F.zip_with("sig_a", "sig_b",
+                                  lambda x, y: (x == y).cast("int")),
+                       F.lit(0),
+                       lambda acc, x: acc + x) / F.lit(16.0)))
+    sh = (d.select("doc_id",
+                   shingles_col(tokens_col("text")).alias("s"))
+           .filter(F.size("s") > 0))
+    tok = sh.select("doc_id", F.explode("s").alias("shingle"))
+    sizes = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    common = (cand
+              .join(tok.select(F.col("doc_id").alias("doc_a"),
+                               "shingle"), "doc_a")
+              .join(tok.select(F.col("doc_id").alias("doc_b2"),
+                               F.col("shingle").alias("shingle_b")),
+                    (F.col("doc_b") == F.col("doc_b2"))
+                    & (F.col("shingle_b") == F.col("shingle")))
+              .groupBy("doc_a", "doc_b")
+              .agg(F.count(F.lit(1)).alias("n_common")))
+    pairs = (est.select("doc_a", "doc_b", "est_raw")
+                .join(common, ["doc_a", "doc_b"])
+                .join(sizes.select(F.col("doc_id").alias("doc_a"),
+                                   F.col("n").alias("na")), "doc_a")
+                .join(sizes.select(F.col("doc_id").alias("doc_b"),
+                                   F.col("n").alias("nb")), "doc_b")
+                .withColumn("exact_raw",
+                            F.col("n_common").cast("double")
+                            / (F.col("na") + F.col("nb")
+                               - F.col("n_common"))))
+    err6 = round_half_up(F.abs(F.col("est_raw") - F.col("exact_raw")),
+                         6)
+    w = Window.partitionBy()
+    return pairs.select(
+        "doc_a", "doc_b",
+        round_half_up(F.col("est_raw"), 6).alias("est_jac"),
+        round_half_up(F.col("exact_raw"), 6).alias("exact_jac"),
+        err6.alias("abs_err"),
+        F.round(F.sum(err6.cast("decimal(38,10)")).over(w)
+                / F.count(F.lit(1)).over(w), 6)
+         .cast("double").alias("mae"))
