@@ -2101,3 +2101,115 @@ def a24_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (sc.groupBy("mktsegment", "r_score", "f_score", "m_score")
               .agg(F.count(F.lit(1)).alias("n_customers"),
                    F.sum("cents").alias("cents_total")))
+
+
+# ---------------------------------------------------------------------------
+# A25 — Benford first-digit audit
+# ---------------------------------------------------------------------------
+
+_BENFORD = [  # (digit, log10(1 + 1/d)) — shortest-round-trip literals,
+    # parsed to the identical double by Python, Spark and DuckDB
+    (1, 0.3010299956639812), (2, 0.17609125905568124),
+    (3, 0.12493873660829992), (4, 0.09691001300805642),
+    (5, 0.07918124604762482), (6, 0.06694678963061322),
+    (7, 0.05799194697768673), (8, 0.05115252244738129),
+    (9, 0.04575749056067514),
+]
+_BENFORD_SQL = "VALUES " + ", ".join(
+    f"({d}, {repr(p)}::DOUBLE)" for d, p in _BENFORD)
+
+
+@register(
+    "a25_benford_audit",
+    oracle=f"""
+    WITH cents AS (
+      SELECT CAST(CASE WHEN o_totalprice < 0
+               THEN -FLOOR(ABS(o_totalprice) * 100.0 + 0.5)
+               ELSE FLOOR(ABS(o_totalprice) * 100.0 + 0.5) END
+             AS BIGINT) AS c
+      FROM orders
+    ),
+    obs AS (
+      SELECT CAST(substr(CAST(c AS VARCHAR), 1, 1) AS INTEGER)
+               AS digit,
+             COUNT(*) AS n_obs
+      FROM cents WHERE c > 0 GROUP BY 1
+    ),
+    bp(digit, p) AS ({_BENFORD_SQL}),
+    t AS (
+      SELECT bp.digit, COALESCE(o.n_obs, 0) AS n_obs, bp.p,
+             (SELECT SUM(n_obs) FROM obs) AS n_total
+      FROM bp LEFT JOIN obs o ON bp.digit = o.digit
+    ),
+    term AS (
+      SELECT digit, n_obs, p, n_total,
+             CAST(ROUND(CAST(
+               (n_obs - n_total * p) * (n_obs - n_total * p)
+               / (n_total * p) AS DECIMAL(38,10)), 6) AS DOUBLE)
+               AS chi2_term
+      FROM t
+    )
+    SELECT digit, n_obs,
+           CAST(ROUND(CAST(n_total * p AS DECIMAL(38,10)), 2)
+                AS DOUBLE) AS n_expected,
+           {{share}} AS obs_share,
+           chi2_term,
+           CAST(ROUND(SUM(CAST(chi2_term AS DECIMAL(38,10)))
+                      OVER (), 6) AS DOUBLE) AS chi2_total,
+           (SUM(CAST(chi2_term AS DECIMAL(38,10))) OVER () < 21.955)
+             AS benford_ok
+    FROM term
+    """.format(share=sql_round_half_up("n_obs * 1.0 / n_total", 6)),
+)
+def a25_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A25 — Benford's-law first-digit audit of order values: the
+    classic forensic/data-quality screen (fabricated or truncated
+    monetary data drifts from the log-uniform leading-digit law;
+    auditors gate on the chi-square). Synthetic TPC-H-ish prices are
+    NOT Benford-distributed — the audit honestly FLAGS them, which is
+    the point of running it against a fixed critical value
+    (chi2_0.995,8 = 21.955).
+
+    Determinism end to end: leading digit is taken from the VARCHAR
+    form of the integer cents (BIGINT-to-string is identical in both
+    engines — never a double format), expected counts are N x literal
+    Benford doubles (shortest-round-trip reprs parse to identical
+    bits), chi-square terms route through DECIMAL at 6dp and the
+    total is an order-free DECIMAL sum, so even the pass/fail boolean
+    is hash-pinned. Shape: one scan -> 9-row conditional-count agg;
+    every window runs over the 9-row digit table."""
+    o = _t(spark, sf_dir, "orders")
+    from ..sources.tables import values_df
+    cents = F.when(
+        F.col("o_totalprice") < 0,
+        -F.floor(F.abs(F.col("o_totalprice")) * 100.0 + F.lit(0.5)),
+    ).otherwise(
+        F.floor(F.abs(F.col("o_totalprice")) * 100.0 + F.lit(0.5))
+    ).cast("long")
+    obs = (o.select(cents.alias("c"))
+            .filter(F.col("c") > 0)
+            .groupBy(F.substring(F.col("c").cast("string"), 1, 1)
+                      .cast("int").alias("digit"))
+            .agg(F.count(F.lit(1)).alias("n_obs")))
+    bp = values_df(spark, _BENFORD, "digit int, p double")
+    tot = obs.agg(F.sum("n_obs").alias("n_total"))
+    t = (bp.join(obs, "digit", "left")
+           .withColumn("n_obs", F.coalesce("n_obs", F.lit(0)))
+           .crossJoin(F.broadcast(tot)))
+    exp = F.col("n_total") * F.col("p")
+    term = t.withColumn(
+        "chi2_term",
+        F.round(((F.col("n_obs") - exp) * (F.col("n_obs") - exp) / exp)
+                .cast("decimal(38,10)"), 6).cast("double"))
+    w = Window.partitionBy()
+    chi2_total = F.sum(F.col("chi2_term").cast("decimal(38,10)")).over(w)
+    from ..functions.scalars import round_half_up
+    return term.select(
+        "digit", "n_obs",
+        F.round(exp.cast("decimal(38,10)"), 2).cast("double")
+         .alias("n_expected"),
+        round_half_up(F.col("n_obs") * 1.0 / F.col("n_total"), 6)
+         .alias("obs_share"),
+        "chi2_term",
+        F.round(chi2_total, 6).cast("double").alias("chi2_total"),
+        (chi2_total < 21.955).alias("benford_ok"))
