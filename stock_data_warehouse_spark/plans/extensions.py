@@ -7076,3 +7076,103 @@ def x2_minhash_estimate_report(spark: SparkSession,
         F.round(F.sum(err6.cast("decimal(38,10)")).over(w)
                 / F.count(F.lit(1)).over(w), 6)
          .cast("double").alias("mae"))
+
+
+# ---------------------------------------------------------------------------
+# OP-X6 — reliability diagram + expected calibration error
+# ---------------------------------------------------------------------------
+
+_ECE_STOPS = ("the", "of", "and", "to", "in", "is", "a")
+_ECE_STOPS_SQL = "[" + ", ".join(f"'{w}'" for w in _ECE_STOPS) + "]"
+
+
+@register(
+    "x6_ece_report",
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id,
+             CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+             LEAST(len(list_filter({SQL_TOKENS},
+                       x -> list_contains({_ECE_STOPS_SQL}, x))) * 5.0
+                   / GREATEST(len({SQL_TOKENS}), 1), 1.0) AS p
+      FROM documents
+    ),
+    binned AS (
+      SELECT LEAST(CAST(FLOOR(p * 10) AS INTEGER), 9) AS bin_id, p, y
+      FROM scored
+    ),
+    agg AS (
+      SELECT bin_id, COUNT(*) AS n_docs,
+             CAST(ROUND(CAST(AVG(p) AS DECIMAL(38,10)), 6) AS DOUBLE)
+               AS mean_conf,
+             {{obs}} AS obs_rate
+      FROM binned GROUP BY bin_id
+    ),
+    gapped AS (
+      SELECT *, ABS(mean_conf - obs_rate) AS gap,
+             SUM(n_docs) OVER () AS n_total
+      FROM agg
+    )
+    SELECT bin_id, n_docs, mean_conf, obs_rate,
+           {{gap6}} AS gap,
+           CAST(ROUND(SUM(CAST({{wterm}} AS DECIMAL(38,10)))
+                      OVER (), 6) AS DOUBLE) AS ece
+    FROM gapped
+    """.format(
+        obs=sql_round_half_up("SUM(y) * 1.0 / COUNT(*)", 6),
+        gap6=sql_round_half_up("gap", 6),
+        wterm=sql_round_half_up("gap * n_docs / n_total", 8),
+    ),
+)
+def x6_ece_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OP-X6 — reliability diagram + Expected Calibration Error for a
+    classifier score against ground truth: the standard trust audit
+    for any model-scored pipeline stage (an LLM-judge or quality
+    classifier whose confidences feed downstream thresholds MUST be
+    calibration-checked, or its 0.9 doesn't mean 90%). The
+    "classifier" here is the deterministic stopword-density English
+    detector (score = capped 5x stopword ratio) judged against the
+    lang label — a real (weak) predictor, so bins are populated at
+    both ends and the gap columns measure genuine miscalibration.
+
+    Shape: one scan computes (y, p) per doc in-row (array algebra, no
+    model server in the loop), one 10-row hash agg; every window runs
+    over the bounded bin table. Determinism: p is an exact int ratio
+    (class A), per-bin mean confidence decimal-routes the
+    order-dependent AVG (class B), observed rate is an int ratio
+    through the floor kernel, and ECE is an order-free DECIMAL sum of
+    8dp-quantized weighted gaps — hash-exact to the last column."""
+    d = _t(spark, sf_dir, "documents")
+    toks = tokens_col("text")
+    stops = F.array(*[F.lit(w) for w in _ECE_STOPS])
+    p = F.least(
+        F.size(F.filter(toks,
+                        lambda x: F.array_contains(stops, x))) * 5.0
+        / F.greatest(F.size(toks), F.lit(1)),
+        F.lit(1.0))
+    scored = d.select(
+        "doc_id",
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("y"),
+        p.alias("p"))
+    binned = scored.select(
+        F.least(F.floor(F.col("p") * 10).cast("int"), F.lit(9))
+         .alias("bin_id"), "p", "y")
+    agg = (binned.groupBy("bin_id")
+                 .agg(F.count(F.lit(1)).alias("n_docs"),
+                      F.round(F.avg("p").cast("decimal(38,10)"), 6)
+                       .cast("double").alias("mean_conf"),
+                      round_half_up(
+                          F.sum("y") * 1.0 / F.count(F.lit(1)), 6)
+                       .alias("obs_rate")))
+    w = Window.partitionBy()
+    gap = F.abs(F.col("mean_conf") - F.col("obs_rate"))
+    gapped = agg.withColumn("gap_raw", gap) \
+                .withColumn("n_total",
+                            F.sum("n_docs").over(w))
+    wterm = round_half_up(
+        F.col("gap_raw") * F.col("n_docs") / F.col("n_total"), 8)
+    return gapped.select(
+        "bin_id", "n_docs", "mean_conf", "obs_rate",
+        round_half_up(F.col("gap_raw"), 6).alias("gap"),
+        F.round(F.sum(wterm.cast("decimal(38,10)")).over(w), 6)
+         .cast("double").alias("ece"))
