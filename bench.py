@@ -103,6 +103,13 @@ HEADLINE = (
     "x3_hamming_multiprobe",      # banded recall dial (9 probes/band)
     "a19_quantile_compaction",    # two-level summary halving ladder
     "x4_hybrid_rrf",              # BM25 + vector reciprocal-rank fusion
+    # round-7 second batch: the scale-pattern newcomers
+    "j15_runtime_bloom_join",     # bloom-pushdown shuffle join (plan-pinned)
+    "j16_binned_range_join",      # overlapping-interval join by bin equi-join
+    "a21_kmv_set_ops",            # KMV sketch union/intersection algebra
+    "x9_epoch_shuffle",           # seeded reshuffle -> shard assignment
+    "x4_bigram_lm",               # order-2 LM scoring, broadcast model
+    "x3_index_compaction",        # postings vacuum vs query-time mask
 )
 
 

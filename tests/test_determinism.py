@@ -58,6 +58,14 @@ SAMPLE = [
     "a17_count_min",                # CMS cells under partial-agg plans
     "x7_temperature_mix",           # data-derived rate, integer coin
     "x3_hamming_topk",              # packed words + popcount ranks
+    # r7 second batch: the hash/argmin-heavy newcomers
+    "a21_kmv_set_ops",              # K-min sketches under TakeOrdered merges
+    "x9_epoch_shuffle",             # seeded shard folds + endpoint argmins
+    "x3_mmr_diversify",             # greedy argmax chain over ckpt'd pool
+    "w8_streak_islands",            # islands + struct-argmin longest pick
+    "f3_attribution",               # struct-argmax picks + none bucket
+    "x3_index_compaction",          # rewrite-vs-mask equality per query
+    "j16_binned_range_join",        # bin decomposition + residual filter
 ]
 
 

@@ -385,3 +385,52 @@ def test_aqe_splits_skewed_join_partition(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_binned_range_join_is_hash_not_nested_loop(spark):
+    """The j16 bin decomposition must plan as a broadcast HASH join on
+    the bin key — no nested-loop anywhere (the O(N×R) theta shape it
+    exists to replace)."""
+    from stock_data_warehouse_spark.plans.relational import (
+        j16_binned_range_join,
+    )
+    plan = _executed_plan(j16_binned_range_join(spark, SF))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "NestedLoop" not in plan, plan
+
+
+def test_bigram_lm_broadcasts_both_model_tables(spark):
+    """The bigram scoring pass joins BOTH truncated model tables as
+    broadcasts — the exploded bigram stream never shuffles for a
+    join (only the model aggs and the doc agg exchange)."""
+    from stock_data_warehouse_spark.plans.extensions import x4_bigram_lm
+
+    plan = _executed_plan(x4_bigram_lm(spark, SF))
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_epoch_shuffle_single_exchange(spark):
+    """x9_epoch_shuffle is scan → explode → ONE partial+final hash
+    agg: exactly one exchange, no join, no window."""
+    from stock_data_warehouse_spark.plans.extensions import (
+        x9_epoch_shuffle,
+    )
+    plan = _executed_plan(x9_epoch_shuffle(spark, SF))
+    assert plan.count("Exchange") == 1, plan
+    assert "Join" not in plan, plan
+    assert "Window" not in plan, plan
+
+
+def test_cumulative_distinct_window_over_daily_aggregate(spark):
+    """a22's running sum must window over the per-day AGGREGATE, never
+    raw events: the window input is post-aggregation (both heavy aggs
+    exchange first), and no window partitions globally."""
+    from stock_data_warehouse_spark.plans.analytics import (
+        a22_cumulative_distinct,
+    )
+    plan = _executed_plan(a22_cumulative_distinct(spark, SF))
+    win = plan.split("Window", 1)
+    assert len(win) == 2, plan
+    assert "HashAggregate" in win[1], plan
+    assert "SinglePartition" not in win[0], plan
