@@ -2213,3 +2213,77 @@ def a25_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "chi2_term",
         F.round(chi2_total, 6).cast("double").alias("chi2_total"),
         (chi2_total < 21.955).alias("benford_ok"))
+
+
+# ---------------------------------------------------------------------------
+# A26 — A/B assignment + sample-ratio-mismatch guardrail
+# ---------------------------------------------------------------------------
+
+@register(
+    "a26_ab_srm_check",
+    oracle="""
+    WITH assigned AS (
+      SELECT c_mktsegment AS mktsegment,
+             CASE WHEN substr(md5('ab' || ':'
+                               || CAST(c_custkey AS VARCHAR)), 1, 1)
+                       < '8'
+                  THEN 'A' ELSE 'B' END AS variant
+      FROM customer
+    ),
+    cnt AS (
+      SELECT mktsegment,
+             COUNT(CASE WHEN variant = 'A' THEN 1 END) AS n_a,
+             COUNT(CASE WHEN variant = 'B' THEN 1 END) AS n_b
+      FROM assigned GROUP BY mktsegment
+    )
+    SELECT mktsegment, n_a, n_b,
+           CAST(ROUND(CAST(
+             (n_a - (n_a + n_b) / 2.0) * (n_a - (n_a + n_b) / 2.0)
+               / ((n_a + n_b) / 2.0)
+             + (n_b - (n_a + n_b) / 2.0) * (n_b - (n_a + n_b) / 2.0)
+               / ((n_a + n_b) / 2.0)
+             AS DECIMAL(38,10)), 6) AS DOUBLE) AS chi2,
+           ((n_a - (n_a + n_b) / 2.0) * (n_a - (n_a + n_b) / 2.0)
+              / ((n_a + n_b) / 2.0)
+            + (n_b - (n_a + n_b) / 2.0) * (n_b - (n_a + n_b) / 2.0)
+              / ((n_a + n_b) / 2.0)) > 3.841 AS srm_flag
+    FROM cnt
+    """,
+)
+def a26_ab_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A26 — deterministic experiment assignment + the Sample-Ratio-
+    Mismatch guardrail: units are bucketed 50/50 by a salted md5 coin
+    (pure function of the unit key — sticky across sessions, no
+    assignment table to store or replicate: the standard production
+    hash-bucketing), then each stratum's observed split is chi-square
+    tested against the designed ratio (1 df, 3.841 = 95%). SRM is the
+    first check every experimentation platform runs — a mismatch means
+    the assignment or logging is broken and the experiment is void.
+
+    Shape: one dim scan -> conditional-count agg to the bounded
+    stratum table; the test statistic is arithmetic over two exact
+    ints per row. The coin is the x7 hash_coin recipe (first hex digit
+    < '8' = exactly 1/2 of the uniform hex domain), so assignment is
+    replayable byte-for-byte in both engines; chi2 decimal-routes the
+    one float division chain."""
+    from .sampling import hash_coin
+    c = _t(spark, sf_dir, "customer")
+    assigned = c.select(
+        F.col("c_mktsegment").alias("mktsegment"),
+        F.when(F.substring(
+                   F.md5(F.concat(F.lit("ab"), F.lit(":"),
+                                  F.col("c_custkey").cast("string"))),
+                   1, 1) < "8", "A").otherwise("B").alias("variant"))
+    cnt = (assigned.groupBy("mktsegment")
+                   .agg(F.count(F.when(F.col("variant") == "A", 1))
+                         .alias("n_a"),
+                        F.count(F.when(F.col("variant") == "B", 1))
+                         .alias("n_b")))
+    e = (F.col("n_a") + F.col("n_b")) / 2.0
+    chi2 = ((F.col("n_a") - e) * (F.col("n_a") - e) / e
+            + (F.col("n_b") - e) * (F.col("n_b") - e) / e)
+    return cnt.select(
+        "mktsegment", "n_a", "n_b",
+        F.round(chi2.cast("decimal(38,10)"), 6).cast("double")
+         .alias("chi2"),
+        (chi2 > 3.841).alias("srm_flag"))
