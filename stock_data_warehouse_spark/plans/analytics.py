@@ -2266,7 +2266,6 @@ def a26_ab_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     < '8' = exactly 1/2 of the uniform hex domain), so assignment is
     replayable byte-for-byte in both engines; chi2 decimal-routes the
     one float division chain."""
-    from .sampling import hash_coin
     c = _t(spark, sf_dir, "customer")
     assigned = c.select(
         F.col("c_mktsegment").alias("mktsegment"),
