@@ -1292,3 +1292,101 @@ def s22_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .agg(F.count(F.lit(1)).alias("n_suppliers"),
                      F.sum(cents).alias("acct_cents"))
                 .withColumn("orc_pushdown_ok", F.lit(bool(pushed))))
+
+
+# ---------------------------------------------------------------------------
+# OP-S23 — snapshot diff: row-level content-hash delta between versions
+# ---------------------------------------------------------------------------
+
+@register(
+    "s23_snapshot_diff",
+    oracle="""
+    WITH v1 AS (
+      SELECT o_custkey AS ck, COUNT(*) AS n_orders,
+             SUM(CAST(CASE WHEN o_totalprice < 0
+                  THEN -FLOOR(ABS(o_totalprice) * 100.0 + 0.5)
+                  ELSE FLOOR(ABS(o_totalprice) * 100.0 + 0.5) END
+                 AS BIGINT)) AS cents
+      FROM orders
+      WHERE o_orderdate < TIMESTAMP '1996-06-01 00:00:00'
+      GROUP BY o_custkey
+    ),
+    v2 AS (
+      SELECT o_custkey AS ck, COUNT(*) AS n_orders,
+             SUM(CAST(CASE WHEN o_totalprice < 0
+                  THEN -FLOOR(ABS(o_totalprice) * 100.0 + 0.5)
+                  ELSE FLOOR(ABS(o_totalprice) * 100.0 + 0.5) END
+                 AS BIGINT)) AS cents
+      FROM orders GROUP BY o_custkey
+    ),
+    d AS (
+      SELECT COALESCE(v2.ck, v1.ck) AS ck,
+             CASE
+               WHEN v1.ck IS NULL THEN 'added'
+               WHEN v2.ck IS NULL THEN 'removed'
+               WHEN sha256(CAST(v1.n_orders AS VARCHAR) || '|'
+                           || CAST(v1.cents AS VARCHAR))
+                    = sha256(CAST(v2.n_orders AS VARCHAR) || '|'
+                             || CAST(v2.cents AS VARCHAR))
+                 THEN 'unchanged'
+               ELSE 'changed'
+             END AS status,
+             COALESCE(v2.cents, 0) - COALESCE(v1.cents, 0)
+               AS cents_delta
+      FROM v1 FULL OUTER JOIN v2 ON v1.ck = v2.ck
+    )
+    SELECT status, COUNT(*) AS n_keys,
+           SUM(cents_delta) AS cents_delta
+    FROM d GROUP BY status
+    """,
+)
+def s23_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OP-S23 — version-to-version snapshot diff at ROW granularity:
+    which keys were added / changed / unchanged (/ removed) between a
+    cutoff-date build of a per-customer aggregate and today's build —
+    the table-format "time-travel diff" every incremental publish
+    pipeline wants before it overwrites (the s8 publish-if-changed
+    contract refined from table-level to key-level, and the audit
+    view behind t13's MERGE: the diff IS the change set).
+
+    Change detection compares 32-byte sha2 CONTENT HASHES of the
+    canonicalized row payload, not column lists — on a 400-column
+    table the comparison cost stays constant and the hash can be
+    stored per row in the manifest for the next diff (content-
+    addressed rows, the s10 substrate). Shape: two aggs over the
+    same scan lineage + ONE full-outer join on the key + a bounded
+    status agg; integer cents arithmetic end to end."""
+    o = load_table(spark, sf_dir, "orders")
+    cents = F.when(
+        F.col("o_totalprice") < 0,
+        -F.floor(F.abs(F.col("o_totalprice")) * 100.0 + F.lit(0.5)),
+    ).otherwise(
+        F.floor(F.abs(F.col("o_totalprice")) * 100.0 + F.lit(0.5))
+    ).cast("long")
+
+    def snap(df):
+        return (df.groupBy(F.col("o_custkey").alias("ck"))
+                  .agg(F.count(F.lit(1)).alias("n_orders"),
+                       F.sum(cents).alias("cents"))
+                  .withColumn(
+                      "row_hash",
+                      F.sha2(F.concat_ws(
+                          "|", F.col("n_orders").cast("string"),
+                          F.col("cents").cast("string")), 256)))
+
+    cutoff = F.lit("1996-06-01 00:00:00").cast("timestamp")
+    v1 = snap(o.filter(F.col("o_orderdate") < cutoff)).alias("v1")
+    v2 = snap(o).alias("v2")
+    d = (v1.join(v2, F.col("v1.ck") == F.col("v2.ck"), "full_outer")
+           .select(
+               F.when(F.col("v1.ck").isNull(), "added")
+                .when(F.col("v2.ck").isNull(), "removed")
+                .when(F.col("v1.row_hash") == F.col("v2.row_hash"),
+                      "unchanged")
+                .otherwise("changed").alias("status"),
+               (F.coalesce(F.col("v2.cents"), F.lit(0))
+                - F.coalesce(F.col("v1.cents"), F.lit(0)))
+                .alias("cents_delta")))
+    return (d.groupBy("status")
+             .agg(F.count(F.lit(1)).alias("n_keys"),
+                  F.sum("cents_delta").alias("cents_delta")))
