@@ -1840,11 +1840,11 @@ _F3_CENTS_SQL = """SUM(CAST(CASE WHEN {v} < 0
       WHERE pid NOT IN (SELECT DISTINCT pid FROM cand)
     ),
     l AS (SELECT channel, COUNT(*) AS n_last,
-                 SUM(cents) AS cents_last
+                 CAST(SUM(cents) AS BIGINT) AS cents_last
           FROM (SELECT * FROM lastt UNION ALL SELECT * FROM unattr)
           GROUP BY channel),
     f AS (SELECT channel, COUNT(*) AS n_first,
-                 SUM(cents) AS cents_first
+                 CAST(SUM(cents) AS BIGINT) AS cents_first
           FROM (SELECT * FROM firstt UNION ALL SELECT * FROM unattr)
           GROUP BY channel)
     SELECT COALESCE(l.channel, f.channel) AS channel,
@@ -2050,7 +2050,8 @@ def a23_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM base
     )
     SELECT mktsegment, r_score, f_score, m_score,
-           COUNT(*) AS n_customers, SUM(cents) AS cents_total
+           COUNT(*) AS n_customers,
+           CAST(SUM(cents) AS BIGINT) AS cents_total
     FROM sc GROUP BY mktsegment, r_score, f_score, m_score
     """,
 )

@@ -1611,10 +1611,10 @@ _J16_BANDS_SQL = "VALUES " + ", ".join(
     WITH ranges(range_id, lo, hi) AS ({_J16_BANDS_SQL})
     SELECT r.range_id,
            COUNT(*) AS n_orders,
-           SUM(CAST(CASE WHEN o.o_totalprice < 0
+           CAST(SUM(CAST(CASE WHEN o.o_totalprice < 0
                 THEN -FLOOR(ABS(o.o_totalprice) * 100.0 + 0.5)
                 ELSE FLOOR(ABS(o.o_totalprice) * 100.0 + 0.5) END
-               AS BIGINT)) AS revenue_cents,
+               AS BIGINT)) AS BIGINT) AS revenue_cents,
            TRUE AS equi_ok
     FROM orders o
     JOIN ranges r ON o.o_totalprice >= r.lo AND o.o_totalprice < r.hi

@@ -1243,10 +1243,10 @@ def s21_gdpr_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT s_nationkey,
            COUNT(*) AS n_suppliers,
-           SUM(CAST(CASE WHEN s_acctbal < 0
+           CAST(SUM(CAST(CASE WHEN s_acctbal < 0
                 THEN -FLOOR(ABS(s_acctbal) * 100.0 + 0.5)
                 ELSE FLOOR(ABS(s_acctbal) * 100.0 + 0.5) END
-               AS BIGINT)) AS acct_cents,
+               AS BIGINT)) AS BIGINT) AS acct_cents,
            TRUE AS orc_pushdown_ok
     FROM supplier
     WHERE s_acctbal >= 0
@@ -1336,7 +1336,7 @@ def s22_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM v1 FULL OUTER JOIN v2 ON v1.ck = v2.ck
     )
     SELECT status, COUNT(*) AS n_keys,
-           SUM(cents_delta) AS cents_delta
+           CAST(SUM(cents_delta) AS BIGINT) AS cents_delta
     FROM d GROUP BY status
     """,
 )
