@@ -333,3 +333,86 @@ def w8_streak_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
                .select("user_id", "n_streaks", "n_active_days",
                        "max_streak",
                        F.col("pick.s").cast("string").alias("longest_start")))
+
+
+# ---------------------------------------------------------------------------
+# OP-W9 — EWMA without recursion: literal decay weights over the
+# bounded daily aggregate
+# ---------------------------------------------------------------------------
+
+_EWMA_ALPHA = 0.3
+_EWMA_SPAN = 31  # the events window is 30 days; k = 0..30 covers it
+_EWMA_W = [(k, (1 - _EWMA_ALPHA) ** k) for k in range(_EWMA_SPAN)]
+_EWMA_W_SQL = "VALUES " + ", ".join(
+    f"({k}, {w!r}::DOUBLE)" for k, w in _EWMA_W)
+
+
+@register(
+    "w9_ewma_daily",
+    oracle=f"""
+    WITH daily AS (
+      SELECT event_type, ts::DATE AS day,
+             CAST(SUM(CAST(CASE WHEN value < 0
+                  THEN -FLOOR(ABS(value) * 100.0 + 0.5)
+                  ELSE FLOOR(ABS(value) * 100.0 + 0.5) END
+                 AS BIGINT)) AS BIGINT) AS cents
+      FROM events GROUP BY event_type, ts::DATE
+    ),
+    wts(k, w) AS ({_EWMA_W_SQL}),
+    pairs AS (
+      SELECT t.event_type, t.day, f.cents, wts.w
+      FROM daily t
+      JOIN daily f ON f.event_type = t.event_type
+                  AND f.day <= t.day
+      JOIN wts ON wts.k = t.day - f.day
+    )
+    SELECT event_type, CAST(day AS VARCHAR) AS day,
+           CAST(ROUND(SUM(CAST(cents * w AS DECIMAL(38,10)))
+                      / SUM(CAST(w AS DECIMAL(38,10))), 4)
+                AS DOUBLE) AS ewma_cents
+    FROM pairs GROUP BY event_type, day
+    """,
+)
+def w9_ewma_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OP-W9 — exponentially weighted moving average of daily revenue
+    per event type (pandas ``adjust=True`` semantics:
+    ewma_t = sum_k w_k v_(t-k) / sum_k w_k, w_k = (1-a)^k, a = 0.3).
+    EWMA is RECURSIVE in its usual form — the one shape SQL windows
+    can't express — so it's linearized: the decay weights are a
+    31-row LITERAL dim (shortest-round-trip double reprs, identical
+    bits in both engines), and each output day joins the bounded
+    per-day aggregate against itself within the decay horizon.
+
+    Scale: the self-join runs over the DAILY AGGREGATE (calendar-
+    bounded, never raw events) keyed on (type, day-gap); raw events
+    contribute through one hash agg. Numerator and denominator are
+    DECIMAL sums of exactly-cast products — order-free — and the
+    single rounding happens after the division (class-B decimal
+    route), so the smoothed series is hash-exact."""
+    ev = _t(spark, sf_dir, "events")
+    cents = F.when(
+        F.col("value") < 0,
+        -F.floor(F.abs(F.col("value")) * 100.0 + F.lit(0.5)),
+    ).otherwise(
+        F.floor(F.abs(F.col("value")) * 100.0 + F.lit(0.5))
+    ).cast("long")
+    daily = (ev.groupBy("event_type", F.to_date("ts").alias("day"))
+               .agg(F.sum(cents).alias("cents")))
+    from ..sources.tables import values_df
+    wts = values_df(spark, _EWMA_W, "k int, w double")
+    t = daily.select("event_type", F.col("day").alias("t_day"))
+    f = daily.select(F.col("event_type").alias("f_type"),
+                     F.col("day").alias("f_day"), "cents")
+    pairs = (t.join(f, (F.col("f_type") == F.col("event_type"))
+                    & (F.col("f_day") <= F.col("t_day")))
+              .join(F.broadcast(wts),
+                    F.datediff(F.col("t_day"), F.col("f_day"))
+                    == F.col("k")))
+    num = F.sum((F.col("cents") * F.col("w")).cast("decimal(38,10)"))
+    den = F.sum(F.col("w").cast("decimal(38,10)"))
+    return (pairs.groupBy("event_type", F.col("t_day"))
+                 .agg(F.round(num / den, 4).cast("double")
+                       .alias("ewma_cents"))
+                 .select("event_type",
+                         F.col("t_day").cast("string").alias("day"),
+                         "ewma_cents"))
