@@ -445,3 +445,78 @@ def x7_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
               .select("source", "n_docs", "target_rate",
                       F.coalesce("n_sampled", F.lit(0))
                        .cast("long").alias("n_sampled")))
+
+
+
+
+# ---------------------------------------------------------------------------
+# OP-X7g — group-aware (leakage-safe) split assignment
+# ---------------------------------------------------------------------------
+
+_SQL_GROUP_SPLIT_CASE = "\n               ".join(
+    f"WHEN {_sql_coin('source', 'gsplit')} < '{_hex_threshold(cum)}' "
+    f"THEN '{name}'"
+    for name, cum in _SPLITS[:-1])
+
+
+@register(
+    "x7_group_split",
+    oracle=f"""
+    WITH assigned AS (
+      SELECT doc_id, source,
+             CASE
+               {_SQL_GROUP_SPLIT_CASE}
+               ELSE '{_SPLITS[-1][0]}'
+             END AS split
+      FROM documents
+    ),
+    leak AS (
+      SELECT COUNT(*) AS n_leaky FROM (
+        SELECT source FROM assigned
+        GROUP BY source HAVING COUNT(DISTINCT split) > 1
+      )
+    )
+    SELECT split, COUNT(*) AS n_docs,
+           COUNT(DISTINCT source) AS n_groups,
+           (leak.n_leaky = 0) AS leak_free
+    FROM assigned CROSS JOIN leak
+    GROUP BY split, leak.n_leaky
+    """,
+)
+def x7_group_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OP-X7 — GROUP-aware train/valid/test assignment: the split coin
+    hashes the GROUP key (source), never the document, so all
+    documents of one source land in one split. This is the leakage
+    rule every ML split must obey when rows within a group are
+    correlated (near-duplicate crawls of one site, frames of one
+    video, records of one patient): doc-level splitting
+    (x7_split_assignment) puts siblings on both sides of the
+    train/eval wall and inflates eval scores.
+
+    Shape: the assignment is still a pure scan-level hash function —
+    no group table to join, no shuffle to assign (the coin recomputes
+    identically wherever the row is); the audit agg shuffles once on
+    source. ``leak_free`` is the falsifiable form of the guarantee,
+    computed from the assigned relation (a source appearing in two
+    splits would flip it). Split shares land near 90/5/5 in
+    EXPECTATION over groups — per-corpus shares wobble with group
+    sizes, which is the documented price of leakage safety."""
+    d = _t(spark, sf_dir, "documents")
+    coin = hash_coin(F.col("source"), "gsplit")
+    split = None
+    for name, cum in _SPLITS[:-1]:
+        cond = coin < _hex_threshold(cum)
+        split = (F.when(cond, name) if split is None
+                 else split.when(cond, name))
+    split = split.otherwise(_SPLITS[-1][0])
+    assigned = d.select("doc_id", "source", split.alias("split"))
+    leak = (assigned.groupBy("source")
+                    .agg(F.countDistinct("split").alias("ns"))
+                    .agg(F.sum(F.when(F.col("ns") > 1, 1)
+                                .otherwise(0)).alias("n_leaky")))
+    return (assigned.groupBy("split")
+                    .agg(F.count(F.lit(1)).alias("n_docs"),
+                         F.countDistinct("source").alias("n_groups"))
+                    .crossJoin(F.broadcast(leak))
+                    .select("split", "n_docs", "n_groups",
+                            (F.col("n_leaky") == 0).alias("leak_free")))
