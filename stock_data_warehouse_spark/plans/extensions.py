@@ -7176,3 +7176,76 @@ def x6_ece_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         round_half_up(F.col("gap_raw"), 6).alias("gap"),
         F.round(F.sum(wterm.cast("decimal(38,10)")).over(w), 6)
          .cast("double").alias("ece"))
+
+
+# ---------------------------------------------------------------------------
+# OP-X2 — survivorship: the golden record over a duplicate cluster
+# ---------------------------------------------------------------------------
+
+@register(
+    "x2_survivorship",
+    oracle="""
+    WITH clustered AS (
+      SELECT p_brand, p_type, p_size, p_partkey, p_name,
+             p_retailprice,
+             string_split(p_name, ' ')[-1] AS noun
+      FROM part
+    ),
+    modes AS (
+      SELECT p_brand, p_type, p_size,
+             MIN({'c': -cnt, 'v': noun}).v AS noun_mode
+      FROM (SELECT p_brand, p_type, p_size, noun,
+                   COUNT(*) AS cnt
+            FROM clustered
+            GROUP BY p_brand, p_type, p_size, noun)
+      GROUP BY p_brand, p_type, p_size
+    )
+    SELECT c.p_brand, c.p_type, c.p_size,
+           COUNT(*) AS n_members,
+           MIN(c.p_name) AS golden_name,
+           CAST(ROUND(CAST(MAX(c.p_retailprice) AS DECIMAL(38,10)), 2)
+                AS DOUBLE) AS best_price,
+           MIN(m.noun_mode) AS noun_mode
+    FROM clustered c
+    JOIN modes m ON m.p_brand = c.p_brand AND m.p_type = c.p_type
+                AND m.p_size = c.p_size
+    GROUP BY c.p_brand, c.p_type, c.p_size
+    HAVING COUNT(*) >= 2
+    """,
+)
+def x2_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OP-X2 (entity resolution, act two) — SURVIVORSHIP: after
+    duplicates are clustered (here: the deterministic blocking key
+    (brand, type, size) — the x2_fuzzy/cluster output in a full MDM
+    loop), one GOLDEN RECORD is built per cluster by per-field merge
+    rules, each a named aggregate: minimum name (stable canonical
+    id), maximum retail price (most-favorable-value rule), modal
+    container (most-frequent-value rule, tie -> lexicographically
+    smallest via the struct-argmin on (-count, value)). Every rule is
+    a map-side-combinable aggregate, so the golden-record build is
+    two hash aggs on the cluster key — no window over members, no
+    driver-side merge; singleton clusters are filtered (nothing to
+    merge). Field rules are the MDM staples — the point is each is
+    total-ordered (ties broken by value), so the golden record is
+    bit-identical under any partitioning."""
+    p = _t(spark, sf_dir, "part")
+    keys = ["p_brand", "p_type", "p_size"]
+    noun = F.element_at(F.split("p_name", " "), -1)
+    modes = (p.withColumn("noun", noun)
+              .groupBy(*keys, "noun")
+              .agg(F.count(F.lit(1)).alias("cnt"))
+              .groupBy(*keys)
+              .agg(F.min(F.struct((-F.col("cnt")).alias("c"),
+                                  F.col("noun").alias("v")))
+                    .alias("pk"))
+              .select(*keys, F.col("pk.v").alias("noun_mode")))
+    return (p.groupBy(*keys)
+             .agg(F.count(F.lit(1)).alias("n_members"),
+                  F.min("p_name").alias("golden_name"),
+                  F.round(F.max("p_retailprice")
+                           .cast("decimal(38,10)"), 2)
+                   .cast("double").alias("best_price"))
+             .filter(F.col("n_members") >= 2)
+             .join(modes, keys)
+             .select("p_brand", "p_type", "p_size", "n_members",
+                     "golden_name", "best_price", "noun_mode"))
