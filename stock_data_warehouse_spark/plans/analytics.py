@@ -2287,3 +2287,131 @@ def a26_ab_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(chi2.cast("decimal(38,10)"), 6).cast("double")
          .alias("chi2"),
         (chi2 > 3.841).alias("srm_flag"))
+
+
+# ---------------------------------------------------------------------------
+# A27 — two-proportion z-test on an experiment metric
+# ---------------------------------------------------------------------------
+
+@register(
+    "a27_ab_conversion_ztest",
+    oracle="""
+    WITH per_user AS (
+      SELECT user_id,
+             CASE WHEN substr(md5('ab' || ':'
+                               || CAST(user_id AS VARCHAR)), 1, 1)
+                       < '8'
+                  THEN 'A' ELSE 'B' END AS variant,
+             COUNT(CASE WHEN event_type = 'purchase' THEN 1 END)
+               AS n_purch
+      FROM events GROUP BY user_id
+    ),
+    tot AS (
+      SELECT COUNT(*) AS n_users, SUM(n_purch) AS total_purch
+      FROM per_user
+    ),
+    cnt AS (
+      SELECT variant, COUNT(*) AS n_units,
+             COUNT(CASE WHEN n_purch * t.n_users > t.total_purch
+                        THEN 1 END) AS n_conv
+      FROM per_user CROSS JOIN tot t
+      GROUP BY variant
+    ),
+    wide AS (
+      SELECT MAX(CASE WHEN variant = 'A' THEN n_units END) AS na,
+             MAX(CASE WHEN variant = 'A' THEN n_conv END) AS ca,
+             MAX(CASE WHEN variant = 'B' THEN n_units END) AS nb,
+             MAX(CASE WHEN variant = 'B' THEN n_conv END) AS cb
+      FROM cnt
+    ),
+    stat AS (
+      SELECT na, ca, nb, cb,
+             (ca * 1.0 / na - cb * 1.0 / nb)
+               / NULLIF(sqrt(((ca + cb) * 1.0 / (na + nb))
+                             * (1 - (ca + cb) * 1.0 / (na + nb))
+                             * (1.0 / na + 1.0 / nb)), 0) AS z_raw
+      FROM wide
+    )
+    SELECT na AS n_a, ca AS conv_a, nb AS n_b, cb AS conv_b,
+           (CASE WHEN (ca * 1.0 / na) < 0
+                 THEN -FLOOR(ABS(ca * 1.0 / na) * 1000000.0 + 0.5)
+                 ELSE FLOOR(ABS(ca * 1.0 / na) * 1000000.0 + 0.5)
+            END / 1000000.0 + 0.0) AS rate_a,
+           (CASE WHEN (cb * 1.0 / nb) < 0
+                 THEN -FLOOR(ABS(cb * 1.0 / nb) * 1000000.0 + 0.5)
+                 ELSE FLOOR(ABS(cb * 1.0 / nb) * 1000000.0 + 0.5)
+            END / 1000000.0 + 0.0) AS rate_b,
+           CAST(ROUND(CAST(z_raw AS DECIMAL(38,10)), 4) AS DOUBLE)
+             AS z_score,
+           COALESCE(ABS(z_raw) > 1.96, FALSE) AS significant
+    FROM stat
+    """,
+)
+def a27_ab_conversion_ztest(spark: SparkSession,
+                            sf_dir: str) -> DataFrame:
+    """A27 — the readout half of the experimentation pair (a26 checks
+    the assignment, this tests the metric): two-proportion z-test on
+    user-level conversion between hash-assigned variants. The metric —
+    "above-average purchaser" (purchase count x n_users >
+    total_purchases, an INTEGER compare, never a float threshold) —
+    splits near 50/50 at any SF, so the statistic is well-conditioned;
+    under the null (variant = hash of the user id, independent of
+    behavior by construction) the test correctly reads NOT significant
+    at 95% — the honest A/A validation every platform runs before
+    trusting its readout pipeline. The degenerate all-convert corner
+    is guarded (NULLIF denominator -> NULL z, not-significant), not
+    assumed away.
+
+    Shape: one per-user conditional agg + a 1-row totals broadcast +
+    a 2-row variant agg; the statistic is arithmetic over four exact
+    ints, libm sqrt decimal-routed at 4dp (class B), rates exact int
+    ratios through the floor kernel."""
+    ev = _t(spark, sf_dir, "events")
+    per_user = (ev.groupBy("user_id")
+                  .agg(F.count(F.when(F.col("event_type") == "purchase",
+                                      1)).alias("n_purch"))
+                  .withColumn(
+                      "variant",
+                      F.when(F.substring(
+                                 F.md5(F.concat(
+                                     F.lit("ab"), F.lit(":"),
+                                     F.col("user_id").cast("string"))),
+                                 1, 1) < "8", "A").otherwise("B")))
+    tot = per_user.agg(F.count(F.lit(1)).alias("n_users"),
+                       F.sum("n_purch").alias("total_purch"))
+    cnt = (per_user.crossJoin(F.broadcast(tot))
+                   .groupBy("variant")
+                   .agg(F.count(F.lit(1)).alias("n_units"),
+                        F.count(F.when(
+                            F.col("n_purch") * F.col("n_users")
+                            > F.col("total_purch"), 1))
+                         .alias("n_conv")))
+    wide = cnt.agg(
+        F.max(F.when(F.col("variant") == "A",
+                     F.col("n_units"))).alias("na"),
+        F.max(F.when(F.col("variant") == "A",
+                     F.col("n_conv"))).alias("ca"),
+        F.max(F.when(F.col("variant") == "B",
+                     F.col("n_units"))).alias("nb"),
+        F.max(F.when(F.col("variant") == "B",
+                     F.col("n_conv"))).alias("cb"))
+    p_pool = (F.col("ca") + F.col("cb")) * 1.0 / (F.col("na")
+                                                  + F.col("nb"))
+    denom = F.nullif(
+        F.sqrt(p_pool * (1 - p_pool)
+               * (1.0 / F.col("na") + 1.0 / F.col("nb"))),
+        F.lit(0.0))
+    z_raw = ((F.col("ca") * 1.0 / F.col("na")
+              - F.col("cb") * 1.0 / F.col("nb")) / denom)
+    from ..functions.scalars import round_half_up
+    return wide.select(
+        F.col("na").alias("n_a"), F.col("ca").alias("conv_a"),
+        F.col("nb").alias("n_b"), F.col("cb").alias("conv_b"),
+        round_half_up(F.col("ca") * 1.0 / F.col("na"), 6)
+         .alias("rate_a"),
+        round_half_up(F.col("cb") * 1.0 / F.col("nb"), 6)
+         .alias("rate_b"),
+        F.round(z_raw.cast("decimal(38,10)"), 4).cast("double")
+         .alias("z_score"),
+        F.coalesce(F.abs(z_raw) > 1.96, F.lit(False))
+         .alias("significant"))
