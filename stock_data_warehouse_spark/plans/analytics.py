@@ -566,7 +566,8 @@ _PROFILE_COLS = [
              MIN(val) AS min_val, MAX(val) AS max_val
       FROM long GROUP BY col
     )
-    SELECT s.col, s.n_rows, s.n_nulls, s.n_distinct,
+    SELECT s.col, s.n_rows, CAST(s.n_nulls AS BIGINT) AS n_nulls,
+           s.n_distinct,
            s.min_val, s.max_val, t.top_val, t.top_n
     FROM stats s JOIN tops t ON s.col = t.col
     """,
@@ -938,8 +939,8 @@ _QR_K = 32  # max samples kept per (event_type, day) summary
       SELECT event_type, COUNT(*) AS n_rows FROM e GROUP BY event_type
     ),
     bound AS (
-      SELECT event_type, SUM(s_d - 1) AS err_bound FROM dc
-      GROUP BY event_type
+      SELECT event_type, CAST(SUM(s_d - 1) AS BIGINT) AS err_bound
+      FROM dc GROUP BY event_type
     ),
     sumsz AS (
       SELECT event_type, COUNT(*) AS summary_rows FROM samples
@@ -1205,7 +1206,7 @@ def a18_quantile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     bound AS (
       SELECT d.event_type,
-             d.e1 + COALESCE(g.e2, 0) AS err_bound
+             CAST(d.e1 + COALESCE(g.e2, 0) AS BIGINT) AS err_bound
       FROM (SELECT event_type, SUM(s_d - 1) AS e1 FROM dc
             GROUP BY event_type) d
       LEFT JOIN (SELECT event_type, SUM(g_w) AS e2 FROM gap
@@ -1750,9 +1751,9 @@ def a21_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT event_type, CAST(day AS VARCHAR) AS day, n_events, n_active,
            n_new,
-           SUM(n_new) OVER (PARTITION BY event_type ORDER BY day
-                            ROWS UNBOUNDED PRECEDING)
-             AS cum_distinct_users
+           CAST(SUM(n_new) OVER (PARTITION BY event_type
+                            ORDER BY day ROWS UNBOUNDED PRECEDING)
+                AS BIGINT) AS cum_distinct_users
     FROM daily
     """,
 )

@@ -2339,9 +2339,11 @@ def x5_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM c
     )
     SELECT source, bin, doc_id,
-           greatest(tok_start, bin * 512) - tok_start AS off_in_doc,
-           least(cum, (bin + 1) * 512)
-             - greatest(tok_start, bin * 512) AS n_tok_in_bin
+           CAST(greatest(tok_start, bin * 512) - tok_start AS BIGINT)
+             AS off_in_doc,
+           CAST(least(cum, (bin + 1) * 512)
+             - greatest(tok_start, bin * 512) AS BIGINT)
+             AS n_tok_in_bin
     FROM spans
     """,
 )
@@ -2817,22 +2819,22 @@ def _cogroup_funnel(_key, clicks, purchases):
     "x6_cogroup_funnel",
     oracle="""
     SELECT user_id,
-           SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
-             AS n_clicks,
-           SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
-             AS n_purchases,
-           SUM(CASE WHEN event_type = 'purchase' THEN
+           CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_clicks,
+           CAST(SUM(CASE WHEN event_type = 'purchase'
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_purchases,
+           CAST(SUM(CASE WHEN event_type = 'purchase' THEN
                  CAST(CASE WHEN value < 0
                       THEN -FLOOR(ABS(value) * 100.0 + 0.5)
                       ELSE FLOOR(ABS(value) * 100.0 + 0.5) END
-                 AS BIGINT) ELSE 0 END) AS purchase_cents,
-           CASE WHEN SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0
-                         END) = 0 THEN NULL
+                 AS BIGINT) ELSE 0 END) AS BIGINT) AS purchase_cents,
+           CAST(CASE WHEN SUM(CASE WHEN event_type = 'click'
+                              THEN 1 ELSE 0 END) = 0 THEN NULL
                 ELSE (SUM(CASE WHEN event_type = 'purchase' THEN 1
                           ELSE 0 END) * 10000)
                      // SUM(CASE WHEN event_type = 'click' THEN 1
                             ELSE 0 END)
-           END AS conv_bp
+           END AS BIGINT) AS conv_bp
     FROM events
     WHERE event_type IN ('click', 'purchase')
     GROUP BY user_id
@@ -2937,13 +2939,14 @@ def _register_x8_funnel_oracle() -> None:
       FROM flagged
     )
     SELECT source, COUNT(*) AS n_total,
-           SUM(CASE WHEN is_surv THEN 1 ELSE 0 END) AS n_after_dedup,
-           SUM(CASE WHEN is_surv AND ok_quality THEN 1 ELSE 0 END)
-             AS n_after_quality,
-           SUM(CASE WHEN is_surv AND ok_quality AND ok_sample
-               THEN 1 ELSE 0 END) AS n_after_sample,
-           SUM(CASE WHEN is_surv AND ok_quality AND ok_sample
-               THEN n_tok ELSE 0 END) AS kept_tokens
+           CAST(SUM(CASE WHEN is_surv THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_after_dedup,
+           CAST(SUM(CASE WHEN is_surv AND ok_quality
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_after_quality,
+           CAST(SUM(CASE WHEN is_surv AND ok_quality AND ok_sample
+               THEN 1 ELSE 0 END) AS BIGINT) AS n_after_sample,
+           CAST(SUM(CASE WHEN is_surv AND ok_quality AND ok_sample
+               THEN n_tok ELSE 0 END) AS BIGINT) AS kept_tokens
     FROM f
     GROUP BY source
     """
@@ -3160,8 +3163,9 @@ def x4_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
       ) WHERE rn <= 3
     )
     SELECT bf.query_id, COUNT(*) AS n_true,
-           COALESCE(SUM(CASE WHEN lsh.neighbor_id IS NOT NULL
-                             THEN 1 ELSE 0 END), 0) AS n_hit,
+           CAST(COALESCE(SUM(CASE WHEN lsh.neighbor_id IS NOT NULL
+                             THEN 1 ELSE 0 END), 0) AS BIGINT)
+             AS n_hit,
            {sql_round_half_up('''SUM(CASE WHEN lsh.neighbor_id IS NOT
                 NULL THEN 1 ELSE 0 END) / COUNT(*)''', 6)} AS recall
     FROM bf LEFT JOIN lsh
@@ -3812,8 +3816,10 @@ def _bpe_sql_iter(i: int) -> str:
            (SELECT merged FROM b2) AS merge_2,
            (SELECT merged FROM b3) AS merge_3,
            (SELECT COUNT(*) FROM s0) AS n_docs,
-           (SELECT SUM(n0) FROM s0) AS symbols_before,
-           (SELECT SUM(n3) FROM final) AS symbols_after
+           (SELECT CAST(SUM(n0) AS BIGINT) FROM s0)
+             AS symbols_before,
+           (SELECT CAST(SUM(n3) AS BIGINT) FROM final)
+             AS symbols_after
     """,
 )
 def x4_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4246,8 +4252,9 @@ def x3_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
       ) WHERE rn <= 3
     )
     SELECT t.query_id, COUNT(*) AS n_true,
-           COALESCE(SUM(CASE WHEN a.neighbor_id IS NOT NULL
-                             THEN 1 ELSE 0 END), 0) AS n_hit,
+           CAST(COALESCE(SUM(CASE WHEN a.neighbor_id IS NOT NULL
+                             THEN 1 ELSE 0 END), 0) AS BIGINT)
+             AS n_hit,
            {sql_round_half_up('''SUM(CASE WHEN a.neighbor_id IS NOT
                 NULL THEN 1 ELSE 0 END) / COUNT(*)''', 6)} AS recall
     FROM truth t LEFT JOIN approx a

@@ -1509,10 +1509,10 @@ def j13_bucketed_cojoin_report(spark: SparkSession,
     oracle="""
     SELECT o.o_orderpriority,
            COUNT(*) AS n_items,
-           SUM(CAST(CASE WHEN l.l_extendedprice < 0
+           CAST(SUM(CAST(CASE WHEN l.l_extendedprice < 0
                 THEN -FLOOR(ABS(l.l_extendedprice) * 100.0 + 0.5)
                 ELSE FLOOR(ABS(l.l_extendedprice) * 100.0 + 0.5) END
-               AS BIGINT)) AS revenue_cents,
+               AS BIGINT)) AS BIGINT) AS revenue_cents,
            TRUE AS bloom_ok
     FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
     WHERE o.o_orderpriority = '2-HIGH'

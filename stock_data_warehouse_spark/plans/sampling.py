@@ -261,7 +261,8 @@ def _x7_budget_oracle() -> str:
              {_sql_coin('doc_id', 'cap')} AS coin
       FROM documents
     )
-    SELECT doc_id, source, n_tokens, cum_tokens FROM (
+    SELECT doc_id, source, n_tokens,
+           CAST(cum_tokens AS BIGINT) AS cum_tokens FROM (
       SELECT doc_id, source, n_tokens,
              SUM(n_tokens) OVER (
                PARTITION BY source ORDER BY coin, doc_id

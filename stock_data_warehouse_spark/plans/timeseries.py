@@ -324,7 +324,7 @@ def t14_tumbling_distinct_users(spark: SparkSession,
                AS session_id
       FROM ordered
     )
-    SELECT user_id, session_id,
+    SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
            MIN(ts) AS session_start,
            COUNT(*) AS n_events,
            string_agg(event_type, '>' ORDER BY ts, event_id) AS path
@@ -513,7 +513,8 @@ _CAP_MAX_US = 12 * 3600 * 1_000_000   #: 12-hour session-duration cap
     g AS (
       SELECT user_id, sid, anchor_us, slice_idx,
              MIN(us) AS slice_start_us, MAX(us) AS slice_end_us,
-             COUNT(*) AS n_events, SUM(cents) AS sum_cents
+             COUNT(*) AS n_events,
+             CAST(SUM(cents) AS BIGINT) AS sum_cents
       FROM sl GROUP BY 1, 2, 3, 4
     )
     SELECT user_id,

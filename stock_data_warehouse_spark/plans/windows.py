@@ -294,7 +294,7 @@ def w7_ratio_to_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT i.user_id,
            COUNT(*) AS n_streaks,
-           SUM(i.len) AS n_active_days,
+           CAST(SUM(i.len) AS BIGINT) AS n_active_days,
            MAX(i.len) AS max_streak,
            CAST(MIN(b.longest_start) AS VARCHAR) AS longest_start
     FROM isl i JOIN best b ON i.user_id = b.user_id

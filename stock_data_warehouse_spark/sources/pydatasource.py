@@ -161,7 +161,7 @@ def s13_python_datasource_feed(spark: SparkSession,
     )
     SELECT shard,
            COUNT(*) AS n_quotes,
-           SUM(price_cents) AS sum_cents,
+           CAST(SUM(price_cents) AS BIGINT) AS sum_cents,
            MIN(price_cents) AS min_cents,
            MAX(price_cents) AS max_cents
     FROM feed GROUP BY shard

@@ -393,7 +393,7 @@ def write_sharded_jsonl(df: DataFrame, shard_col: str,
             < '400000'
     )
     SELECT shard, COUNT(*) AS n_docs,
-           SUM(strlen(text)) AS n_chars
+           CAST(SUM(strlen(text)) AS BIGINT) AS n_chars
     FROM mix GROUP BY shard
     """,
 )
@@ -640,11 +640,12 @@ def s11_compaction_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT c_mktsegment AS segment,
            COUNT(*) AS n_rows,
-           SUM(CASE WHEN c_custkey < 75 THEN 1 ELSE 0 END) AS n_v1,
-           SUM(CAST(CASE WHEN c_acctbal < 0
+           CAST(SUM(CASE WHEN c_custkey < 75 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_v1,
+           CAST(SUM(CAST(CASE WHEN c_acctbal < 0
                     THEN -FLOOR(ABS(c_acctbal) * 100.0 + 0.5)
                     ELSE FLOOR(ABS(c_acctbal) * 100.0 + 0.5) END
-               AS BIGINT)) AS sum_bal_cents
+               AS BIGINT)) AS BIGINT) AS sum_bal_cents
     FROM (
       SELECT c_custkey, c_acctbal,
              CASE WHEN c_custkey < 75 THEN NULL
@@ -908,10 +909,10 @@ def s12_permissive_json_scan(spark: SparkSession,
     oracle="""
     SELECT o_orderpriority,
            COUNT(*) AS n_orders,
-           SUM(CAST(CASE WHEN o_totalprice < 0
+           CAST(SUM(CAST(CASE WHEN o_totalprice < 0
                 THEN -FLOOR(ABS(o_totalprice) * 100.0 + 0.5)
                 ELSE FLOOR(ABS(o_totalprice) * 100.0 + 0.5) END
-               AS BIGINT)) AS revenue_cents,
+               AS BIGINT)) AS BIGINT) AS revenue_cents,
            TRUE AS pruned_ok
     FROM orders
     WHERE o_orderpriority = '1-URGENT'
@@ -1071,10 +1072,10 @@ def s20_retention_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT o_orderpriority,
            COUNT(*) AS n_orders,
-           SUM(CAST(CASE WHEN o_totalprice < 0
+           CAST(SUM(CAST(CASE WHEN o_totalprice < 0
                 THEN -FLOOR(ABS(o_totalprice) * 100.0 + 0.5)
                 ELSE FLOOR(ABS(o_totalprice) * 100.0 + 0.5) END
-               AS BIGINT)) AS revenue_cents,
+               AS BIGINT)) AS BIGINT) AS revenue_cents,
            TRUE AS dpp_ok
     FROM orders
     WHERE o_orderpriority = '2-HIGH'

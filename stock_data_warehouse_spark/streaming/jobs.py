@@ -406,12 +406,12 @@ def cents_half_up_vec(values):
     oracle="""
     SELECT user_id,
            COUNT(*) AS n_events,
-           SUM(CAST(CASE WHEN value < 0
+           CAST(SUM(CAST(CASE WHEN value < 0
                     THEN -FLOOR(ABS(value) * 100.0 + 0.5)
                     ELSE FLOOR(ABS(value) * 100.0 + 0.5) END
-               AS BIGINT)) AS sum_cents,
-           SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
-             AS n_errors
+               AS BIGINT)) AS BIGINT) AS sum_cents,
+           CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_errors
     FROM events
     GROUP BY user_id
     """,
@@ -894,7 +894,7 @@ def t20_streaming_leaderboard(spark: SparkSession,
     w AS (
       SELECT window_start, c_mktsegment,
              COUNT(*) AS n_purchases,
-             SUM(cents) AS revenue_cents
+             CAST(SUM(cents) AS BIGINT) AS revenue_cents
       FROM enriched GROUP BY 1, 2
     )
     SELECT window_start, c_mktsegment, n_purchases, revenue_cents
@@ -1073,7 +1073,7 @@ def _write_arrival_files(spark: SparkSession, staged: DataFrame,
     ),
     grp AS (
       SELECT we_us, event_type,
-             COUNT(*) AS n_events, SUM(cents) AS sum_cents
+             COUNT(*) AS n_events, CAST(SUM(cents) AS BIGINT) AS sum_cents
       FROM flagged WHERE NOT dropped
       GROUP BY 1, 2
     ),
@@ -1668,7 +1668,7 @@ def t25_stateful_dedup_advance(spark: SparkSession,
     ),
     sess AS (
       SELECT user_id, MIN(us) AS s_us, MAX(us) + 1800000000 AS e_us,
-             COUNT(*) AS n_events, SUM(cents) AS sum_cents
+             COUNT(*) AS n_events, CAST(SUM(cents) AS BIGINT) AS sum_cents
       FROM i GROUP BY user_id, sid
     ),
     drops AS (SELECT COUNT(*) AS n FROM s WHERE shifted AND will_drop)
@@ -1857,7 +1857,7 @@ def t26_session_advance(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     sess AS (
       SELECT user_id, sid, MIN(us) AS s_us, MAX(us) AS e_us,
-             COUNT(*) AS n_events, SUM(cents) AS sum_cents,
+             COUNT(*) AS n_events, CAST(SUM(cents) AS BIGINT) AS sum_cents,
              sid = MAX(sid) OVER (PARTITION BY user_id) AS is_last
       FROM i GROUP BY user_id, sid
     ),
@@ -2110,7 +2110,7 @@ def t27_state_timeout_advance(spark: SparkSession,
     ),
     grp AS (
       SELECT we_us, event_type,
-             COUNT(*) AS n_events, SUM(cents) AS sum_cents
+             COUNT(*) AS n_events, CAST(SUM(cents) AS BIGINT) AS sum_cents
       FROM flagged WHERE NOT dropped
       GROUP BY 1, 2
     ),
@@ -2251,7 +2251,7 @@ def t28_sliding_advance(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     grp AS (
       SELECT (p_us // 3600000000) * 3600000000 + 3600000000 AS we_us,
-             COUNT(*) AS n_pairs, SUM(lag_us) AS sum_lag_us
+             COUNT(*) AS n_pairs, CAST(SUM(lag_us) AS BIGINT) AS sum_lag_us
       FROM pairs GROUP BY 1
     ),
     drops AS (
