@@ -6994,16 +6994,20 @@ def x4_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
       JOIN common m ON m.doc_a = e.doc_a AND m.doc_b = e.doc_b
       JOIN sizes sa ON e.doc_a = sa.doc_id
       JOIN sizes sb ON e.doc_b = sb.doc_id
+    ),
+    tot AS (
+      SELECT CAST(ROUND(SUM(CAST({sql_round_half_up(
+                 'ABS(est_raw - exact_raw)', 6)} AS DECIMAL(38,10)))
+               / COUNT(*), 6) AS DOUBLE) AS mae
+      FROM pairs
     )
     SELECT doc_a, doc_b,
            {sql_round_half_up('est_raw', 6)} AS est_jac,
            {sql_round_half_up('exact_raw', 6)} AS exact_jac,
            {sql_round_half_up('ABS(est_raw - exact_raw)', 6)}
              AS abs_err,
-           CAST(ROUND(SUM(CAST({sql_round_half_up(
-                 'ABS(est_raw - exact_raw)', 6)} AS DECIMAL(38,10)))
-               OVER () / COUNT(*) OVER (), 6) AS DOUBLE) AS mae
-    FROM pairs
+           tot.mae
+    FROM pairs CROSS JOIN tot
     """,
 )
 def x2_minhash_estimate_report(spark: SparkSession,
@@ -7074,15 +7078,20 @@ def x2_minhash_estimate_report(spark: SparkSession,
                                - F.col("n_common"))))
     err6 = round_half_up(F.abs(F.col("est_raw") - F.col("exact_raw")),
                          6)
-    w = Window.partitionBy()
-    return pairs.select(
+    # the corpus MAE is a 1-row aggregate broadcast back onto the pair
+    # rows — never a global (single-partition) window over a relation
+    # whose size scales with the corpus
+    tot = pairs.agg(
+        F.round(F.sum(err6.cast("decimal(38,10)"))
+                / F.count(F.lit(1)), 6)
+         .cast("double").alias("mae"))
+    return (pairs.crossJoin(F.broadcast(tot))
+                 .select(
         "doc_a", "doc_b",
         round_half_up(F.col("est_raw"), 6).alias("est_jac"),
         round_half_up(F.col("exact_raw"), 6).alias("exact_jac"),
         err6.alias("abs_err"),
-        F.round(F.sum(err6.cast("decimal(38,10)")).over(w)
-                / F.count(F.lit(1)).over(w), 6)
-         .cast("double").alias("mae"))
+        "mae"))
 
 
 # ---------------------------------------------------------------------------
