@@ -2416,3 +2416,90 @@ def a27_ab_conversion_ztest(spark: SparkSession,
          .alias("z_score"),
         F.coalesce(F.abs(z_raw) > 1.96, F.lit(False))
          .alias("significant"))
+
+
+# ---------------------------------------------------------------------------
+# F4 — k-step window funnel (strict order, bounded step gap)
+# ---------------------------------------------------------------------------
+
+@register(
+    "f4_window_funnel",
+    oracle="""
+    WITH u AS (SELECT DISTINCT user_id FROM events),
+    c1 AS (
+      SELECT user_id, MIN(ts) AS t1 FROM events
+      WHERE event_type = 'click' GROUP BY user_id
+    ),
+    c2 AS (
+      SELECT e.user_id, MIN(e.ts) AS t2
+      FROM events e JOIN c1 ON c1.user_id = e.user_id
+      WHERE e.event_type = 'view'
+        AND e.ts > c1.t1 AND e.ts <= c1.t1 + INTERVAL 3 DAY
+      GROUP BY e.user_id
+    ),
+    c3 AS (
+      SELECT e.user_id, MIN(e.ts) AS t3
+      FROM events e JOIN c2 ON c2.user_id = e.user_id
+      WHERE e.event_type = 'purchase'
+        AND e.ts > c2.t2 AND e.ts <= c2.t2 + INTERVAL 3 DAY
+      GROUP BY e.user_id
+    )
+    SELECT u.user_id,
+           (CASE WHEN c1.user_id IS NULL THEN 0
+                 WHEN c2.user_id IS NULL THEN 1
+                 WHEN c3.user_id IS NULL THEN 2 ELSE 3 END)
+             AS steps_completed,
+           CAST(CASE WHEN c3.user_id IS NOT NULL
+                THEN epoch_us(c3.t3) - epoch_us(c1.t1) END AS BIGINT)
+             AS funnel_us
+    FROM u
+    LEFT JOIN c1 ON c1.user_id = u.user_id
+    LEFT JOIN c2 ON c2.user_id = u.user_id
+    LEFT JOIN c3 ON c3.user_id = u.user_id
+    """,
+)
+def f4_window_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F4 — the k-step WINDOW FUNNEL (ClickHouse ``windowFunnel`` /
+    Amplitude "did A then B then C" semantics): click -> view ->
+    purchase in strict time order, each step within 3 days of the
+    previous, matched GREEDILY from the earliest qualifying event
+    (t1 = first click; t_k = first step-k event inside t_{k-1}'s gap
+    window). f1's two-step funnel counts eventual conversion; this
+    one enforces ORDER and PER-STEP deadlines — the form product
+    funnels actually use — and emits per-user depth plus end-to-end
+    latency for the completers.
+
+    Shape: k-1 user-keyed join+min stages over filtered scans — each
+    stage is one hash agg on the unbounded user key with per-user
+    fan-out bounded by activity inside the gap window; no window
+    functions, no per-user sort, no cross-step state. Greedy-earliest
+    is deterministic (MIN over exact timestamps), so depth and
+    latency are integer/µs-exact cross-engine."""
+    ev = _t(spark, sf_dir, "events")
+    u = ev.select("user_id").distinct()
+    c1 = (ev.filter(F.col("event_type") == "click")
+            .groupBy("user_id").agg(F.min("ts").alias("t1")))
+    c2 = (ev.filter(F.col("event_type") == "view")
+            .join(c1, "user_id")
+            .filter((F.col("ts") > F.col("t1"))
+                    & (F.col("ts")
+                       <= F.col("t1") + F.expr("INTERVAL 3 DAYS")))
+            .groupBy("user_id").agg(F.min("ts").alias("t2")))
+    c3 = (ev.filter(F.col("event_type") == "purchase")
+            .join(c2, "user_id")
+            .filter((F.col("ts") > F.col("t2"))
+                    & (F.col("ts")
+                       <= F.col("t2") + F.expr("INTERVAL 3 DAYS")))
+            .groupBy("user_id").agg(F.min("ts").alias("t3")))
+    return (u.join(c1, "user_id", "left")
+             .join(c2, "user_id", "left")
+             .join(c3, "user_id", "left")
+             .select(
+                 "user_id",
+                 F.when(F.col("t1").isNull(), 0)
+                  .when(F.col("t2").isNull(), 1)
+                  .when(F.col("t3").isNull(), 2)
+                  .otherwise(3).alias("steps_completed"),
+                 F.when(F.col("t3").isNotNull(),
+                        F.unix_micros("t3") - F.unix_micros("t1"))
+                  .cast("long").alias("funnel_us")))
