@@ -106,6 +106,7 @@ STREAM_ADMISSION: dict[str, int] = {
     "t27_state_timeout_advance": 1,
     "t28_sliding_advance": 1,
     "t29_chained_pipeline_advance": 1,
+    "t33_exactly_once_sink": 1,
 }
 
 #: State-store partition count for the ADVANCING-FRONTIER replays
@@ -2343,3 +2344,124 @@ def t29_chained_pipeline_advance(spark: SparkSession,
                      "n_pairs", "sum_lag_us")
     table, dropped = _run_advancing(out, n_staged, sides=2)
     return table.withColumn("n_late_dropped", F.lit(dropped))
+
+
+@register(
+    "t33_exactly_once_sink",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(CASE WHEN value < 0
+                THEN -FLOOR(ABS(value) * 100.0 + 0.5)
+                ELSE FLOOR(ABS(value) * 100.0 + 0.5) END
+               AS BIGINT)) AS BIGINT) AS sum_cents,
+           TRUE AS replay_skipped,
+           TRUE AS no_duplicate_batches
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def t33_exactly_once_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T33 — EXACTLY-ONCE append sink under at-least-once delivery:
+    ``foreachBatch`` gives at-least-once (a crashed batch is
+    re-delivered with the SAME batch id), so the standard production
+    idiom makes the writer idempotent ON THE BATCH ID — each batch's
+    rows land in a ``batch=<id>`` partition directory and the id is
+    recorded in a commit manifest; a writer invocation whose id is
+    already committed SKIPS (the Delta/Iceberg txn-log contract,
+    hand-built on parquet like the s8/s10 substrate).
+
+    The retry is not assumed — it is SIMULATED: after the stream
+    completes, the LAST batch's writer call is replayed verbatim
+    (same id, same rows) and the verdict columns pin that (a) the
+    replay wrote nothing (``replay_skipped``) and (b) no batch
+    directory holds two writes' worth of rows
+    (``no_duplicate_batches``, checked against the manifest's
+    recorded per-batch row counts). Values: the union of all batch
+    partitions must equal the plain batch aggregate over events —
+    i.e. every event counted EXACTLY once end to end, which is the
+    oracle. Scale: the sink appends one partition dir per batch (no
+    rewrite of history), the manifest is one tiny JSON per batch
+    (bounded by batch count, the s6 manifest posture), and skip
+    detection is an O(1) manifest lookup, never a data read."""
+    import json as _json
+
+    out_dir = _mkdtemp(prefix="t33_sink_")
+    data_dir = f"{out_dir}/data"
+    manifest_dir = f"{out_dir}/manifest"
+    os.makedirs(data_dir)
+    os.makedirs(manifest_dir)
+    cents = F.when(
+        F.col("value") < 0,
+        -F.floor(F.abs(F.col("value")) * 100.0 + F.lit(0.5)),
+    ).otherwise(
+        F.floor(F.abs(F.col("value")) * 100.0 + F.lit(0.5))
+    ).cast("long")
+    last: dict = {}
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        mpath = f"{manifest_dir}/batch-{batch_id}.json"
+        if os.path.exists(mpath):  # replay of a committed batch
+            return
+        agg = (batch_df
+               .groupBy("event_type")
+               .agg(F.count(F.lit(1)).alias("n_events"),
+                    F.sum(cents).alias("sum_cents")))
+        rows = agg.collect()  # micro-batch × |types| — bounded
+        n = sum(r["n_events"] for r in rows)
+        (spark.createDataFrame(rows, agg.schema)
+              .write.mode("errorifexists")
+              .parquet(f"{data_dir}/batch={batch_id}"))
+        with open(mpath, "w") as f:
+            _json.dump({"batch_id": batch_id, "n_events": int(n)}, f)
+        last["df"] = spark.createDataFrame(rows, agg.schema)
+        last["id"] = batch_id
+
+    mft = STREAM_ADMISSION["t33_exactly_once_sink"]
+    q = (events_stream(spark, sf_dir, max_files_per_trigger=mft)
+         .writeStream
+         .foreachBatch(lambda df, bid: write_batch(df, bid))
+         .option("checkpointLocation", f"{out_dir}/checkpoint")
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination()
+
+    # simulate the at-least-once retry: replay the last committed batch
+    before = set(os.listdir(data_dir))
+    if "id" in last:
+        # the writer sees the same (rows, batch_id) pair a second time
+        agg_again = last["df"]
+
+        def replay() -> None:
+            mpath = f"{manifest_dir}/batch-{last['id']}.json"
+            if os.path.exists(mpath):
+                return
+            agg_again.write.mode("errorifexists").parquet(
+                f"{data_dir}/batch={last['id']}")
+
+        replay()
+    replay_skipped = set(os.listdir(data_dir)) == before
+
+    # manifest-vs-data reconciliation: each batch dir holds exactly the
+    # row count its commit recorded (a duplicated write would double it)
+    table = spark.read.option("basePath", data_dir).parquet(
+        f"{data_dir}/batch=*")
+    per_batch = {r["batch"]: r["n"] for r in
+                 (table.groupBy("batch")
+                       .agg(F.sum("n_events").alias("n")).collect())}
+    committed = {}
+    for name in os.listdir(manifest_dir):
+        with open(f"{manifest_dir}/{name}") as f:
+            m = _json.load(f)
+        committed[m["batch_id"]] = m["n_events"]
+    no_dupes = (len(per_batch) == len(committed)
+                and all(per_batch.get(b) == n
+                        for b, n in committed.items()))
+
+    return (table.groupBy("event_type")
+                 .agg(F.sum("n_events").alias("n_events"),
+                      F.sum("sum_cents").alias("sum_cents"))
+                 .withColumn("replay_skipped",
+                             F.lit(bool(replay_skipped)))
+                 .withColumn("no_duplicate_batches",
+                             F.lit(bool(no_dupes))))
