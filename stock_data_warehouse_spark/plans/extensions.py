@@ -7265,3 +7265,96 @@ def x2_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame:
              .join(modes, keys)
              .select("p_brand", "p_type", "p_size", "n_members",
                      "golden_name", "best_price", "noun_mode"))
+
+
+# ---------------------------------------------------------------------------
+# OP-X5 — video near-dup by frame-fingerprint containment
+# ---------------------------------------------------------------------------
+
+@register(
+    "x5_video_neardup",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, text, strlen(text) // 16 AS n_frames
+      FROM documents
+    ),
+    k8 AS (
+      SELECT doc_id, text, n_frames,
+             greatest(n_frames // 8, 1) AS stride,
+             unnest(range(0, 8)) AS k
+      FROM t WHERE n_frames > 0
+    ),
+    fp AS (
+      SELECT DISTINCT doc_id,
+             list_reduce(list_prepend(CAST(0 AS BIGINT),
+               list_transform(range(k * stride * 16 + 1,
+                                    k * stride * 16 + 17),
+                 i -> CAST(ascii(substr(text, CAST(i AS INTEGER), 1))
+                           AS BIGINT))),
+               (acc, x) -> (acc * 131 + x) % 1000000007) AS cs
+      FROM k8 WHERE k * stride < n_frames
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM fp GROUP BY doc_id),
+    shared AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             COUNT(*) AS n_shared
+      FROM fp a JOIN fp b
+        ON a.cs = b.cs AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT s.doc_a, s.doc_b, s.n_shared,
+           LEAST(sa.n, sb.n) AS n_min,
+           (CASE WHEN (s.n_shared * 1.0 / LEAST(sa.n, sb.n)) < 0
+                 THEN -FLOOR(ABS(s.n_shared * 1.0 / LEAST(sa.n, sb.n))
+                             * 1000000.0 + 0.5)
+                 ELSE FLOOR(ABS(s.n_shared * 1.0 / LEAST(sa.n, sb.n))
+                            * 1000000.0 + 0.5)
+            END / 1000000.0 + 0.0) AS containment
+    FROM shared s
+    JOIN sizes sa ON s.doc_a = sa.doc_id
+    JOIN sizes sb ON s.doc_b = sb.doc_id
+    WHERE 2 * s.n_shared >= LEAST(sa.n, sb.n)
+    """,
+)
+def x5_video_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OP-X5 (video path, act two) — near-duplicate VIDEOS by frame-
+    fingerprint containment: two clips are near-dups when at least
+    half of the shorter one's sampled-frame fingerprints appear in the
+    other (re-encodes, trims and re-uploads share frames; byte hashes
+    don't match across containers, frame fingerprints do). Composes
+    the x5_frame_sample fan-out (Arrow mapInPandas, deterministic stub
+    fingerprinter standing in for a perceptual hash) with the x2
+    inverted-index candidate discipline: pairs come from an EQUALITY
+    join on the fingerprint (cost Σ df² over fingerprints), never an
+    all-pairs video comparison, and the containment gate is integer
+    arithmetic (2·shared >= min) so candidate survival is
+    engine-exact. Fingerprints are deduped per video first (≤8 rows
+    each — the bounded signature the index stores at 100 TB)."""
+    from ..operators.multimodal import frame_sample
+
+    d = _t(spark, sf_dir, "documents")
+    payloads = d.select(
+        "doc_id", F.encode("text", "UTF-8").alias("payload"))
+    fp = (frame_sample(payloads)
+          .select("doc_id", F.col("frame_checksum").alias("cs"))
+          .distinct())
+    sizes = fp.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = fp.select(F.col("doc_id").alias("doc_a"), "cs")
+    b = fp.select(F.col("doc_id").alias("doc_b"),
+                  F.col("cs").alias("cs_b"))
+    shared = (a.join(b, (F.col("cs") == F.col("cs_b"))
+                     & (F.col("doc_a") < F.col("doc_b")))
+               .groupBy("doc_a", "doc_b")
+               .agg(F.count(F.lit(1)).alias("n_shared")))
+    sa = sizes.select(F.col("doc_id").alias("doc_a"),
+                      F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"),
+                      F.col("n").alias("nb"))
+    n_min = F.least(F.col("na"), F.col("nb"))
+    return (shared.join(sa, "doc_a").join(sb, "doc_b")
+                  .filter(2 * F.col("n_shared") >= n_min)
+                  .select("doc_a", "doc_b", "n_shared",
+                          n_min.alias("n_min"),
+                          round_half_up(
+                              F.col("n_shared") * 1.0 / n_min, 6)
+                           .alias("containment")))
