@@ -7358,3 +7358,116 @@ def x5_video_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
                           round_half_up(
                               F.col("n_shared") * 1.0 / n_min, 6)
                            .alias("containment")))
+
+
+# ---------------------------------------------------------------------------
+# OP-X8 — curation pipeline v2: dedup -> novelty floor -> group split
+# ---------------------------------------------------------------------------
+
+@register(
+    "x8_curation_v2",
+    oracle=f"""
+    WITH surv AS (
+      SELECT doc_id, source, text,
+             ROW_NUMBER() OVER (PARTITION BY text ORDER BY doc_id) = 1
+               AS is_surv
+      FROM documents
+    ),
+    toks AS (
+      SELECT doc_id, {SQL_TOKENS} AS t FROM documents
+    ),
+    grams AS (
+      SELECT doc_id, unnest({SQL_SHINGLES}) AS gram FROM toks
+    ),
+    intro AS (
+      SELECT gram, MIN(doc_id) AS intro_doc FROM grams GROUP BY gram
+    ),
+    nov AS (
+      SELECT g.doc_id, COUNT(*) AS n_grams,
+             COUNT(CASE WHEN i.intro_doc = g.doc_id THEN 1 END)
+               AS n_novel
+      FROM grams g JOIN intro i ON g.gram = i.gram
+      GROUP BY g.doc_id
+    ),
+    staged AS (
+      SELECT s.doc_id, s.source, s.is_surv,
+             s.is_surv AND COALESCE(
+               10 * n.n_novel >= 3 * n.n_grams, FALSE) AS ok_novel,
+             CASE
+               WHEN substr(md5('gsplit' || ':' || s.source), 1, 6)
+                    < 'e66666' THEN 'train'
+               ELSE 'holdout'
+             END AS split,
+             COALESCE(len(t.t), 0) AS n_tok
+      FROM surv s
+      LEFT JOIN nov n ON n.doc_id = s.doc_id
+      LEFT JOIN toks t ON t.doc_id = s.doc_id
+    )
+    SELECT source, COUNT(*) AS n_total,
+           CAST(SUM(CASE WHEN is_surv THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_after_dedup,
+           CAST(SUM(CASE WHEN ok_novel THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_after_novelty,
+           CAST(SUM(CASE WHEN ok_novel AND split = 'train'
+               THEN 1 ELSE 0 END) AS BIGINT) AS n_train,
+           CAST(SUM(CASE WHEN ok_novel AND split = 'train'
+               THEN n_tok ELSE 0 END) AS BIGINT) AS train_tokens
+    FROM staged GROUP BY source
+    """,
+)
+def x8_curation_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OP-X8 — the curation funnel, second generation: exact-dedup
+    survivors -> 3-gram NOVELTY floor (x4_ngram_novelty's signal as a
+    gate: a doc must introduce >=30% of its own 3-grams, filtering
+    recombined boilerplate dedup can't see) -> GROUP-aware split
+    (x7_group_split's leakage rule at ~90% train by source hash), with
+    per-source admitted-token accounting. The point is the
+    composition: each signal was verified standalone; this pins that
+    they compose in ONE pass over the corpus — every stage is a column
+    (flag), never an intermediate materialization, so the funnel
+    reads the documents table exactly twice (once for the dedup/token
+    pass, once for the gram inventory) regardless of stage count.
+
+    All gates are integer arithmetic (10·novel >= 3·grams; hex-coin
+    threshold) — stage survival is engine-exact, and the funnel
+    counts are the falsifiable columns."""
+    from .sampling import hash_coin, _hex_threshold
+    d = _t(spark, sf_dir, "documents")
+    w = Window.partitionBy("text").orderBy("doc_id")
+    surv = d.select(
+        "doc_id", "source", "text",
+        (F.row_number().over(w) == 1).alias("is_surv"))
+    grams = (d.select("doc_id",
+                      F.explode(shingles_col(tokens_col("text")))
+                       .alias("gram")))
+    intro = grams.groupBy("gram").agg(F.min("doc_id").alias("intro"))
+    nov = (grams.join(intro, "gram")
+                .groupBy("doc_id")
+                .agg(F.count(F.lit(1)).alias("n_grams"),
+                     F.count(F.when(F.col("intro") == F.col("doc_id"),
+                                    1)).alias("n_novel")))
+    staged = (surv.join(nov, "doc_id", "left")
+                  .withColumn(
+                      "ok_novel",
+                      F.col("is_surv")
+                      & F.coalesce(10 * F.col("n_novel")
+                                   >= 3 * F.col("n_grams"),
+                                   F.lit(False)))
+                  .withColumn(
+                      "split",
+                      F.when(hash_coin(F.col("source"), "gsplit")
+                             < _hex_threshold(0.90), "train")
+                       .otherwise("holdout"))
+                  .withColumn("n_tok",
+                              F.coalesce(F.size(tokens_col("text")),
+                                         F.lit(0))))
+    train = F.col("ok_novel") & (F.col("split") == "train")
+    return (staged.groupBy("source")
+                  .agg(F.count(F.lit(1)).alias("n_total"),
+                       F.sum(F.col("is_surv").cast("long"))
+                        .alias("n_after_dedup"),
+                       F.sum(F.col("ok_novel").cast("long"))
+                        .alias("n_after_novelty"),
+                       F.sum(train.cast("long")).alias("n_train"),
+                       F.sum(F.when(train, F.col("n_tok"))
+                              .otherwise(0)).alias("train_tokens")))
