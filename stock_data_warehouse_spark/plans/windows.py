@@ -416,3 +416,84 @@ def w9_ewma_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
                  .select("event_type",
                          F.col("t_day").cast("string").alias("day"),
                          "ewma_cents"))
+
+
+# ---------------------------------------------------------------------------
+# OP-W10 — running peak / maximum drawdown (window over window)
+# ---------------------------------------------------------------------------
+
+@register(
+    "w10_max_drawdown",
+    oracle="""
+    WITH flows AS (
+      SELECT user_id, ts, event_id,
+             CAST(CASE WHEN event_type = 'purchase'
+                  THEN CAST(CASE WHEN value < 0
+                       THEN -FLOOR(ABS(value) * 100.0 + 0.5)
+                       ELSE FLOOR(ABS(value) * 100.0 + 0.5) END
+                       AS BIGINT)
+                  ELSE -CAST(CASE WHEN value < 0
+                       THEN -FLOOR(ABS(value) * 100.0 + 0.5)
+                       ELSE FLOOR(ABS(value) * 100.0 + 0.5) END
+                       AS BIGINT) END AS BIGINT) AS flow
+      FROM events WHERE event_type IN ('purchase', 'error')
+    ),
+    cum AS (
+      SELECT user_id, ts, event_id, flow,
+             CAST(SUM(flow) OVER w AS BIGINT) AS equity
+      FROM flows
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS UNBOUNDED PRECEDING)
+    ),
+    dd AS (
+      SELECT user_id, equity,
+             CAST(MAX(equity) OVER w AS BIGINT) AS peak
+      FROM cum
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS UNBOUNDED PRECEDING)
+    )
+    SELECT user_id,
+           CAST(MAX(peak) AS BIGINT) AS peak_cents,
+           CAST(MAX(peak - equity) AS BIGINT) AS max_drawdown_cents,
+           CAST(MIN(equity) AS BIGINT) AS trough_cents,
+           COUNT(*) AS n_flows
+    FROM dd GROUP BY user_id
+    """,
+)
+def w10_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OP-W10 — maximum drawdown per account: purchases credit, errors
+    debit a synthetic equity curve, and the drawdown is the largest
+    peak-to-trough drop — THE risk metric of the reference's domain
+    (a fetcher feeding portfolio analytics ends up serving exactly
+    this). The interesting shape is WINDOW OVER WINDOW: a running SUM
+    (equity) feeds a running MAX (peak) over the same (ts, event_id)
+    total order, then one hash agg takes max(peak - equity). Both
+    windows partition on the unbounded user key and share ONE sort —
+    Catalyst collapses same-spec windows into a single Window node, so
+    the chain costs one exchange + one sort, not two. Everything is
+    integer cents end to end: running sums, peaks and drawdowns are
+    hash-exact with no rounding route needed."""
+    ev = _t(spark, sf_dir, "events")
+    cents = F.when(
+        F.col("value") < 0,
+        -F.floor(F.abs(F.col("value")) * 100.0 + F.lit(0.5)),
+    ).otherwise(
+        F.floor(F.abs(F.col("value")) * 100.0 + F.lit(0.5))
+    ).cast("long")
+    flows = (ev.filter(F.col("event_type").isin("purchase", "error"))
+               .select("user_id", "ts", "event_id",
+                       F.when(F.col("event_type") == "purchase", cents)
+                        .otherwise(-cents).cast("long").alias("flow")))
+    w = (Window.partitionBy("user_id").orderBy("ts", "event_id")
+               .rowsBetween(Window.unboundedPreceding, 0))
+    curve = (flows.withColumn("equity",
+                              F.sum("flow").over(w).cast("long"))
+                  .withColumn("peak",
+                              F.max("equity").over(w).cast("long")))
+    return (curve.groupBy("user_id")
+                 .agg(F.max("peak").cast("long").alias("peak_cents"),
+                      F.max(F.col("peak") - F.col("equity"))
+                       .cast("long").alias("max_drawdown_cents"),
+                      F.min("equity").cast("long")
+                       .alias("trough_cents"),
+                      F.count(F.lit(1)).alias("n_flows")))
