@@ -7471,3 +7471,96 @@ def x8_curation_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
                        F.sum(train.cast("long")).alias("n_train"),
                        F.sum(F.when(train, F.col("n_tok"))
                               .otherwise(0)).alias("train_tokens")))
+
+
+# ---------------------------------------------------------------------------
+# OP-X4 — Zipf-law fit over the token frequency spectrum
+# ---------------------------------------------------------------------------
+
+_ZIPF_K = 256  # head of the spectrum the regression runs over
+
+
+@register(
+    "x4_zipf_fit",
+    oracle=f"""
+    WITH tok AS (
+      SELECT unnest({SQL_TOKENS}) AS token FROM documents
+    ),
+    vocab AS (
+      SELECT token, COUNT(*) AS cnt FROM tok GROUP BY token
+      ORDER BY cnt DESC, token LIMIT {_ZIPF_K}
+    ),
+    ranked AS (
+      SELECT ln(CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, token)
+                     AS DOUBLE)) AS x,
+             ln(CAST(cnt AS DOUBLE)) AS y
+      FROM vocab
+    ),
+    sums AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+             CAST(SUM(CAST(x AS DECIMAL(38,18))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(y AS DECIMAL(38,18))) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(x * y AS DECIMAL(38,18))) AS DOUBLE) AS sxy,
+             CAST(SUM(CAST(x * x AS DECIMAL(38,18))) AS DOUBLE) AS sxx
+      FROM ranked
+    )
+    SELECT CAST(n AS BIGINT) AS n_ranks,
+           CAST(ROUND(CAST(
+             (n * sxy - sx * sy) / (n * sxx - sx * sx)
+             AS DECIMAL(38,10)), 4) AS DOUBLE) AS zipf_slope,
+           CAST(ROUND(CAST(
+             (sy - sx * ((n * sxy - sx * sy) / (n * sxx - sx * sx)))
+             / n AS DECIMAL(38,10)), 4) AS DOUBLE) AS log_intercept,
+           ((n * sxy - sx * sy) / (n * sxx - sx * sx)
+            BETWEEN -2.0 AND -0.5) AS zipf_like
+    FROM sums
+    """,
+)
+def x4_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OP-X4 — least-squares fit of the Zipf exponent over the head of
+    the token frequency spectrum (log count vs log rank, top 256
+    types): natural corpora fit slope ~ -1; template-generated or
+    heavily duplicated text bends the spectrum — the cheap
+    synthetic-data / corpus-health screen run next to the quality
+    gates (and an honest flag on THIS synthetic corpus, whichever way
+    it reads).
+
+    Shape: one token explode -> vocab hash agg -> distributed
+    TakeOrdered to the literal 256-row head; the regression runs
+    entirely over that bounded table as ONE aggregate row — sums of
+    products are DECIMAL(38,18)-cast (exact, order-free; the inputs
+    are libm logs of identical ints, so identical bits cross-engine)
+    then cast back to DOUBLE before the slope algebra (decimal
+    MULTIPLICATION would promote scales differently per engine —
+    measured: DuckDB promotes to scale 36 and overflows), and the
+    slope/intercept divisions round through the decimal route at
+    4dp. The zipf_like gate compares the raw decimal ratio, so
+    even the boolean is engine-exact."""
+    d = _t(spark, sf_dir, "documents")
+    tok = d.select(F.explode(tokens_col("text")).alias("token"))
+    vocab = (tok.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+                .orderBy(F.col("cnt").desc(), "token")
+                .limit(_ZIPF_K))
+    w = Window.orderBy(F.col("cnt").desc(), "token")
+    ranked = vocab.select(
+        F.log(F.row_number().over(w).cast("double")).alias("x"),
+        F.log(F.col("cnt").cast("double")).alias("y"))
+    dec = "decimal(38,18)"
+    sums = ranked.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(F.col("x").cast(dec)).cast("double").alias("sx"),
+        F.sum(F.col("y").cast(dec)).cast("double").alias("sy"),
+        F.sum((F.col("x") * F.col("y")).cast(dec)).cast("double")
+         .alias("sxy"),
+        F.sum((F.col("x") * F.col("x")).cast(dec)).cast("double")
+         .alias("sxx"))
+    slope = ((F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+             / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")))
+    intercept = (F.col("sy") - F.col("sx") * slope) / F.col("n")
+    return sums.select(
+        F.col("n").cast("long").alias("n_ranks"),
+        F.round(slope.cast("decimal(38,10)"), 4).cast("double")
+         .alias("zipf_slope"),
+        F.round(intercept.cast("decimal(38,10)"), 4).cast("double")
+         .alias("log_intercept"),
+        slope.between(-2.0, -0.5).alias("zipf_like"))
