@@ -521,3 +521,69 @@ def x7_group_split(spark: SparkSession, sf_dir: str) -> DataFrame:
                     .crossJoin(F.broadcast(leak))
                     .select("split", "n_docs", "n_groups",
                             (F.col("n_leaky") == 0).alias("leak_free")))
+
+
+# ---------------------------------------------------------------------------
+# OP-X7k — k-fold cross-validation assignment
+# ---------------------------------------------------------------------------
+
+_KFOLD = 5
+
+
+@register(
+    "x7_kfold_assignment",
+    oracle=f"""
+    WITH assigned AS (
+      SELECT doc_id,
+             CAST(('0x' || substr(md5('fold:'
+                    || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+                  % {_KFOLD} AS INTEGER) AS fold
+      FROM documents
+    ),
+    tot AS (SELECT COUNT(*) AS n_total,
+                   COUNT(DISTINCT doc_id) AS n_ids
+            FROM assigned)
+    SELECT a.fold,
+           COUNT(*) AS n_test,
+           CAST(t.n_total - COUNT(*) AS BIGINT) AS n_train,
+           (SUM(CASE WHEN a.fold BETWEEN 0 AND {_KFOLD - 1}
+                THEN 1 ELSE 0 END) = COUNT(*)) AS fold_in_range,
+           (t.n_total = t.n_ids) AS disjoint_and_complete
+    FROM assigned a CROSS JOIN tot t
+    GROUP BY a.fold, t.n_total, t.n_ids
+    """,
+)
+def x7_kfold_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OP-X7 — k-fold cross-validation assignment (k = 5): fold =
+    60-bit md5 hash of the unit key mod k — every document is in
+    EXACTLY one test fold and k-1 train folds, with no fold table to
+    store (the a21/x9 portable-hash recipe; re-derivable anywhere,
+    so each of the k training jobs recomputes membership as a scan
+    filter instead of joining an assignment table). The CV contract
+    is emitted as verdict columns: folds in range, and
+    disjoint-and-complete (each unit assigned once — keyed off the
+    distinct-id count, falsifiable if the corpus ever carried
+    duplicate ids). Per-fold test/train counts are the report every
+    CV harness logs; the hash-mod spread makes them near-equal
+    without a balancing shuffle. Shape: one scan, one bounded agg."""
+    d = _t(spark, sf_dir, "documents")
+    fold = (F.conv(F.substring(
+                F.md5(F.concat(F.lit("fold:"),
+                               F.col("doc_id").cast("string"))),
+                1, 15), 16, 10).cast("long") % _KFOLD).cast("int")
+    assigned = d.select("doc_id", fold.alias("fold"))
+    tot = assigned.agg(F.count(F.lit(1)).alias("n_total"),
+                       F.countDistinct("doc_id").alias("n_ids"))
+    return (assigned.crossJoin(F.broadcast(tot))
+                    .groupBy("fold", "n_total", "n_ids")
+                    .agg(F.count(F.lit(1)).alias("n_test"),
+                         F.sum(F.when(F.col("fold")
+                                      .between(0, _KFOLD - 1), 1)
+                                .otherwise(0)).alias("n_in_range"))
+                    .select("fold", "n_test",
+                            (F.col("n_total") - F.col("n_test"))
+                             .cast("long").alias("n_train"),
+                            (F.col("n_in_range") == F.col("n_test"))
+                             .alias("fold_in_range"),
+                            (F.col("n_total") == F.col("n_ids"))
+                             .alias("disjoint_and_complete")))
