@@ -2503,3 +2503,90 @@ def f4_window_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.when(F.col("t3").isNotNull(),
                         F.unix_micros("t3") - F.unix_micros("t1"))
                   .cast("long").alias("funnel_us")))
+
+
+# ---------------------------------------------------------------------------
+# A28 — Gini concentration of revenue (Lorenz rank formula)
+# ---------------------------------------------------------------------------
+
+@register(
+    "a28_gini_concentration",
+    oracle="""
+    WITH base AS (
+      SELECT c.c_mktsegment AS mktsegment, c.c_custkey AS ck,
+             SUM(CAST(CASE WHEN o.o_totalprice < 0
+                  THEN -FLOOR(ABS(o.o_totalprice) * 100.0 + 0.5)
+                  ELSE FLOOR(ABS(o.o_totalprice) * 100.0 + 0.5) END
+                 AS BIGINT)) AS cents
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      GROUP BY c.c_mktsegment, c.c_custkey
+    ),
+    ranked AS (
+      SELECT mktsegment, cents,
+             ROW_NUMBER() OVER (PARTITION BY mktsegment
+                                ORDER BY cents, ck) AS i
+      FROM base
+    ),
+    sums AS (
+      SELECT mktsegment, COUNT(*) AS n,
+             CAST(SUM(cents) AS BIGINT) AS s0,
+             CAST(SUM(i * cents) AS BIGINT) AS s1
+      FROM ranked GROUP BY mktsegment
+    )
+    SELECT mktsegment, n,
+           CAST(s0 AS BIGINT) AS total_cents,
+           CAST(ROUND(CAST(
+             CAST(2 * s1 - (n + 1) * s0 AS DOUBLE)
+             / (CAST(n AS DOUBLE) * s0)
+             AS DECIMAL(38,10)), 6) AS DOUBLE) AS gini,
+           (CAST(2 * s1 - (n + 1) * s0 AS DOUBLE)
+            / (CAST(n AS DOUBLE) * s0) BETWEEN 0 AND 1)
+             AS gini_in_range
+    FROM sums
+    """,
+)
+def a28_gini_concentration(spark: SparkSession,
+                           sf_dir: str) -> DataFrame:
+    """A28 — Gini coefficient of customer revenue per segment (the
+    Lorenz-curve rank formula G = (2·Σ i·x_i − (n+1)·Σx) / (n·Σx)
+    over ascending-sorted spend): the concentration metric behind
+    "top 1% of customers drive X%" — revenue-risk reporting every
+    commercial warehouse serves, and the inequality-audit twin of
+    a23's PSI (PSI watches the distribution drift, Gini watches its
+    concentration).
+
+    Determinism: spend is integer cents, the rank is a total order
+    ((cents, custkey)), and both Σx and Σ i·x are exact BIGINT sums —
+    the ONLY float op is the final division, decimal-routed at 6dp,
+    with the 0 ≤ G ≤ 1 sanity gate compared on the raw ratio
+    identically in both engines. Shape: fact→dim join + per-customer
+    agg (unbounded-key shuffles), one rank window per 5-segment
+    stratum over the CUSTOMER dim (the w6/a24 posture), one bounded
+    final agg."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    cents = F.when(
+        F.col("o_totalprice") < 0,
+        -F.floor(F.abs(F.col("o_totalprice")) * 100.0 + F.lit(0.5)),
+    ).otherwise(
+        F.floor(F.abs(F.col("o_totalprice")) * 100.0 + F.lit(0.5))
+    ).cast("long")
+    base = (o.join(c, o.o_custkey == c.c_custkey)
+             .groupBy(F.col("c_mktsegment").alias("mktsegment"),
+                      F.col("c_custkey").alias("ck"))
+             .agg(F.sum(cents).alias("cents")))
+    w = Window.partitionBy("mktsegment").orderBy("cents", "ck")
+    ranked = base.withColumn("i", F.row_number().over(w))
+    sums = (ranked.groupBy("mktsegment")
+                  .agg(F.count(F.lit(1)).alias("n"),
+                       F.sum("cents").alias("s0"),
+                       F.sum(F.col("i") * F.col("cents")).alias("s1")))
+    g = ((2 * F.col("s1") - (F.col("n") + 1) * F.col("s0"))
+         .cast("double")
+         / (F.col("n").cast("double") * F.col("s0")))
+    return sums.select(
+        "mktsegment", "n",
+        F.col("s0").cast("long").alias("total_cents"),
+        F.round(g.cast("decimal(38,10)"), 6).cast("double")
+         .alias("gini"),
+        g.between(0.0, 1.0).alias("gini_in_range"))
