@@ -7564,3 +7564,103 @@ def x4_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(intercept.cast("decimal(38,10)"), 4).cast("double")
          .alias("log_intercept"),
         slope.between(-2.0, -0.5).alias("zipf_like"))
+
+
+# ---------------------------------------------------------------------------
+# OP-X4 — classifier confusion matrix + per-class precision/recall
+# ---------------------------------------------------------------------------
+
+@register(
+    "x4_lang_confusion",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, lang, {SQL_TOKENS} AS toks FROM documents
+    ),
+    pred AS (
+      SELECT doc_id, lang,
+             CASE
+               WHEN CAST(len(list_filter(toks, x -> x IN
+                    ('the', 'a', 'of', 'and', 'to', 'in'))) AS DOUBLE)
+                    / len(toks) >= 0.08 THEN 'en'
+               WHEN len(list_filter(toks, x -> x IN
+                    ('der', 'die', 'das', 'und'))) > 0 THEN 'de'
+               WHEN len(list_filter(toks, x -> x IN
+                    ('le', 'la', 'et', 'les'))) > 0 THEN 'fr'
+               WHEN len(list_filter(toks, x -> x IN
+                    ('el', 'los', 'las', 'y'))) > 0 THEN 'es'
+               ELSE 'und'
+             END AS predicted
+      FROM t
+    ),
+    cell AS (
+      SELECT lang, predicted, COUNT(*) AS n FROM pred
+      GROUP BY lang, predicted
+    ),
+    m AS (
+      SELECT c.lang, c.predicted, c.n,
+             SUM(c.n) OVER (PARTITION BY c.lang) AS row_tot,
+             SUM(c.n) OVER (PARTITION BY c.predicted) AS col_tot,
+             SUM(c.n) OVER () AS grand,
+             SUM(CASE WHEN c.lang = c.predicted THEN c.n END)
+               OVER () AS diag
+      FROM cell c
+    )
+    SELECT lang, predicted, n,
+           {{recall}} AS class_recall,
+           {{precision}} AS class_precision,
+           {{accuracy}} AS overall_accuracy
+    FROM m
+    """.format(
+        recall=sql_round_half_up("n * 1.0 / row_tot", 6),
+        precision=sql_round_half_up("n * 1.0 / col_tot", 6),
+        accuracy=sql_round_half_up("COALESCE(diag, 0) * 1.0 / grand",
+                                   6),
+    ),
+)
+def x4_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OP-X4 — the confusion matrix for the x4_lang_id_heuristic
+    classifier against the labeled lang, with per-cell recall (share
+    of the true class landing in this prediction), per-cell precision
+    (share of this prediction that is this true class) and overall
+    accuracy — the multiclass sibling of x6_ece_report's binary
+    reliability audit: before a classifier gates a 100 TB pipeline,
+    its error STRUCTURE (which classes it confuses, not just how
+    often) has to be on a dashboard. On this synthetic shared-
+    vocabulary corpus the matrix honestly shows the heuristic
+    collapsing toward en/und — exactly the failure a confusion view
+    exists to expose.
+
+    Shape: the classifier runs inside the scan (pure projection), one
+    hash agg to the bounded |langs|x|preds| matrix, and every window
+    runs over that bounded matrix. All ratios are exact int ratios
+    through the class-A floor kernel."""
+    stop_en = ("the", "a", "of", "and", "to", "in")
+    d = _t(spark, sf_dir, "documents")
+    t = d.select("lang", tokens_col("text").alias("toks"))
+
+    def hits(words):
+        return F.size(F.filter("toks", lambda x: x.isin(*words)))
+
+    pred = (F.when(hits(stop_en) * F.lit(1.0) / F.size("toks") >= 0.08,
+                   "en")
+            .when(hits(("der", "die", "das", "und")) > 0, "de")
+            .when(hits(("le", "la", "et", "les")) > 0, "fr")
+            .when(hits(("el", "los", "las", "y")) > 0, "es")
+            .otherwise("und"))
+    cell = (t.select("lang", pred.alias("predicted"))
+             .groupBy("lang", "predicted")
+             .agg(F.count(F.lit(1)).alias("n")))
+    row_tot = F.sum("n").over(Window.partitionBy("lang"))
+    col_tot = F.sum("n").over(Window.partitionBy("predicted"))
+    wg = Window.partitionBy()
+    grand = F.sum("n").over(wg)
+    diag = F.sum(F.when(F.col("lang") == F.col("predicted"),
+                        F.col("n"))).over(wg)
+    return cell.select(
+        "lang", "predicted", "n",
+        round_half_up(F.col("n") * 1.0 / row_tot, 6)
+         .alias("class_recall"),
+        round_half_up(F.col("n") * 1.0 / col_tot, 6)
+         .alias("class_precision"),
+        round_half_up(F.coalesce(diag, F.lit(0)) * 1.0 / grand, 6)
+         .alias("overall_accuracy"))
