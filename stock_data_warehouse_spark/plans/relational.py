@@ -1755,3 +1755,92 @@ def j17_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
                  .select("pid", "user_id",
                          F.col("click_id").isNotNull().alias("matched"),
                          "delta_us", "click_ts", "click_id"))
+
+
+# ---------------------------------------------------------------------------
+# OP-J18 — point-in-time (feature-store) join with a serving delay
+# ---------------------------------------------------------------------------
+
+@register(
+    "j18_pit_features",
+    oracle="""
+    WITH labels AS (
+      SELECT event_id AS pid, user_id, ts AS pts,
+             ts - INTERVAL 1 HOUR AS cutoff
+      FROM events WHERE event_type = 'purchase'
+    ),
+    ck AS (
+      SELECT user_id, ts, COUNT(*) AS n FROM events
+      WHERE event_type = 'click' GROUP BY user_id, ts
+    ),
+    ckcum AS (
+      SELECT user_id, ts,
+             CAST(SUM(n) OVER (PARTITION BY user_id ORDER BY ts
+                               ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               AS cum
+      FROM ck
+    ),
+    err AS (
+      SELECT user_id, ts, MAX(value) AS v FROM events
+      WHERE event_type = 'error' GROUP BY user_id, ts
+    ),
+    f1 AS (
+      SELECT l.pid, l.user_id, l.pts, l.cutoff, c.cum
+      FROM labels l
+      ASOF LEFT JOIN ckcum c
+        ON l.user_id = c.user_id AND c.ts <= l.cutoff
+    )
+    SELECT f1.pid, f1.user_id,
+           CAST(COALESCE(f1.cum, 0) AS BIGINT) AS f_clicks_asof,
+           e.v AS f_last_error_value
+    FROM f1
+    ASOF LEFT JOIN err e
+      ON f1.user_id = e.user_id AND e.ts <= f1.cutoff
+    """,
+)
+def j18_pit_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OP-J18 — the feature-store POINT-IN-TIME join: every label
+    event (purchase) is enriched with feature values exactly as a
+    model SERVING at that moment would have seen them — as-of the
+    label time MINUS a 1-hour serving delay (features take time to
+    land; joining at label time leaks the future, the classic
+    training/serving skew bug PIT-correctness exists to prevent).
+    Two feature relations ride the same contract: a cumulative
+    click-count profile and the latest error reading.
+
+    Shape: each feature is the j10 union-tag-window as-of form — ONE
+    shuffle on the user key, no range candidate explosion (an
+    unbounded-lookback candidate join would pay per-label fan-out of
+    the user's whole history). Features are pre-aggregated per (user,
+    ts) so the carried-forward pick has a total order (the j10
+    MAX-per-ts discipline); the serving delay is a pure column shift
+    on the label side, so the same plan serves any delay. Oracle =
+    DuckDB's native ASOF joins over the identical pre-aggregations."""
+    from ..operators.joins import asof_join
+    ev = _t(spark, sf_dir, "events")
+    labels = (ev.filter(F.col("event_type") == "purchase")
+                .select(F.col("event_id").alias("pid"), "user_id",
+                        F.col("ts").alias("pts"),
+                        (F.col("ts") - F.expr("INTERVAL 1 HOUR"))
+                         .alias("cutoff")))
+    ck = (ev.filter(F.col("event_type") == "click")
+            .groupBy("user_id", "ts")
+            .agg(F.count(F.lit(1)).alias("n")))
+    wc = (Window.partitionBy("user_id").orderBy("ts")
+                .rowsBetween(Window.unboundedPreceding, 0))
+    ckcum = ck.select("user_id", "ts",
+                      F.sum("n").over(wc).cast("long").alias("cum"))
+    err = (ev.filter(F.col("event_type") == "error")
+             .groupBy("user_id", "ts")
+             .agg(F.max("value").alias("v")))
+    f1 = asof_join(labels, ckcum, on="user_id",
+                   left_ts="cutoff", right_ts="ts",
+                   right_value_cols=["cum"])
+    f1 = f1.select("pid", "user_id", "cutoff",
+                   F.coalesce("right_cum", F.lit(0)).cast("long")
+                    .alias("f_clicks_asof"))
+    f2 = asof_join(f1, err, on="user_id",
+                   left_ts="cutoff", right_ts="ts",
+                   right_value_cols=["v"])
+    return f2.select("pid", "user_id", "f_clicks_asof",
+                     F.col("right_v").alias("f_last_error_value"))
