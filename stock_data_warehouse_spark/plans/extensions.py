@@ -7664,3 +7664,103 @@ def x4_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
          .alias("class_precision"),
         round_half_up(F.coalesce(diag, F.lit(0)) * 1.0 / grand, 6)
          .alias("overall_accuracy"))
+
+
+# ---------------------------------------------------------------------------
+# OP-X9 — length bucketing: the inference-batching padding report
+# ---------------------------------------------------------------------------
+
+_LB_BATCH = 8
+
+
+@register(
+    "x9_length_bucketing",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, len({SQL_TOKENS}) AS n_tok,
+             ('0x' || substr(md5('lb:' || CAST(doc_id AS VARCHAR)),
+                             1, 15))::BIGINT AS h
+      FROM documents
+      WHERE len({SQL_TOKENS}) > 0
+    ),
+    bucketed AS (
+      SELECT doc_id, n_tok, h,
+             CAST(FLOOR(ln(CAST(n_tok AS DOUBLE)) / ln(2.0))
+                  AS INTEGER) AS bucket
+      FROM d
+    ),
+    batched AS (
+      SELECT bucket, n_tok,
+             CAST((ROW_NUMBER() OVER (PARTITION BY bucket
+                     ORDER BY h, doc_id) - 1) // {_LB_BATCH}
+                  AS BIGINT) AS batch_idx
+      FROM bucketed
+    ),
+    per_batch AS (
+      SELECT bucket, batch_idx, COUNT(*) AS n_docs,
+             CAST(SUM(n_tok) AS BIGINT) AS payload_tok,
+             MAX(n_tok) AS max_tok
+      FROM batched GROUP BY bucket, batch_idx
+    )
+    SELECT bucket,
+           COUNT(*) AS n_batches,
+           CAST(SUM(n_docs) AS BIGINT) AS n_docs,
+           CAST(SUM(payload_tok) AS BIGINT) AS payload_tok,
+           CAST(SUM(n_docs * max_tok - payload_tok) AS BIGINT)
+             AS padding_tok,
+           {{eff}} AS batch_efficiency
+    FROM per_batch
+    GROUP BY bucket
+    """.format(eff=sql_round_half_up(
+        "SUM(payload_tok) * 1.0 / SUM(n_docs * max_tok)", 6)),
+)
+def x9_length_bucketing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OP-X9 — LENGTH BUCKETING for inference/training batching: docs
+    group into power-of-two length buckets (floor(log2(n_tok))),
+    each bucket packs into fixed-size batches in deterministic hash
+    order, and the report prices the thing bucketing exists to
+    minimize — PADDING (every batch pays batch_size x max_len
+    tokens; payload/capacity is the efficiency a serving stack
+    watches; without bucketing, mixing a 10-token doc into a
+    1000-token batch wastes 99% of its slot). Deterministic end to
+    end: the bucket is floor of a log ratio whose operands are
+    identical doubles (log2 of an int — the quotient sits far from
+    integer boundaries for n <= ~1e6 except exact powers of two,
+    where both engines compute ln(2^k)/ln(2) on identical bits),
+    batch order is the x9 seeded-hash permutation, and all padding
+    arithmetic is exact integers. Shape: one scan, a per-bucket
+    row_number window (bounded ~20 buckets x corpus/20 rows — the
+    batching step a real loader runs per shard, documented), two
+    hash aggs."""
+    d = (_t(spark, sf_dir, "documents")
+         .select("doc_id", F.size(tokens_col("text")).alias("n_tok"))
+         .filter(F.col("n_tok") > 0)
+         .withColumn("h", F.conv(F.substring(
+             F.md5(F.concat(F.lit("lb:"),
+                            F.col("doc_id").cast("string"))),
+             1, 15), 16, 10).cast("long")))
+    bucketed = d.withColumn(
+        "bucket",
+        F.floor(F.log(F.col("n_tok").cast("double"))
+                / F.log(F.lit(2.0))).cast("int"))
+    wb = Window.partitionBy("bucket").orderBy("h", "doc_id")
+    batched = bucketed.withColumn(
+        "batch_idx",
+        F.floor((F.row_number().over(wb) - 1) / _LB_BATCH)
+         .cast("long"))
+    per_batch = (batched.groupBy("bucket", "batch_idx")
+                        .agg(F.count(F.lit(1)).alias("n_docs"),
+                             F.sum("n_tok").alias("payload_tok"),
+                             F.max("n_tok").alias("max_tok")))
+    return (per_batch.groupBy("bucket")
+                     .agg(F.count(F.lit(1)).alias("n_batches"),
+                          F.sum("n_docs").alias("n_docs"),
+                          F.sum("payload_tok").alias("payload_tok"),
+                          F.sum(F.col("n_docs") * F.col("max_tok")
+                                - F.col("payload_tok"))
+                           .alias("padding_tok"),
+                          round_half_up(
+                              F.sum("payload_tok") * 1.0
+                              / F.sum(F.col("n_docs")
+                                      * F.col("max_tok")), 6)
+                           .alias("batch_efficiency")))
