@@ -2590,3 +2590,87 @@ def a28_gini_concentration(spark: SparkSession,
         F.round(g.cast("decimal(38,10)"), 6).cast("double")
          .alias("gini"),
         g.between(0.0, 1.0).alias("gini_in_range"))
+
+
+# ---------------------------------------------------------------------------
+# A29 — weekday-seasonal anomaly detection
+# ---------------------------------------------------------------------------
+
+@register(
+    "a29_weekday_anomaly",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, ts::DATE AS day,
+             CAST(SUM(CAST(CASE WHEN value < 0
+                  THEN -FLOOR(ABS(value) * 100.0 + 0.5)
+                  ELSE FLOOR(ABS(value) * 100.0 + 0.5) END
+                 AS BIGINT)) AS BIGINT) AS cents
+      FROM events GROUP BY event_type, ts::DATE
+    ),
+    wd AS (
+      SELECT *, CAST(isodow(day) - 1 AS INTEGER) AS weekday FROM daily
+    ),
+    base AS (
+      SELECT event_type, weekday,
+             COUNT(*) AS n,
+             CAST(SUM(cents) AS BIGINT) AS s,
+             CAST(SUM(cents * cents) AS BIGINT) AS ss
+      FROM wd GROUP BY event_type, weekday
+    )
+    SELECT w.event_type, CAST(w.day AS VARCHAR) AS day, w.cents,
+           w.weekday,
+           CAST(ROUND(CAST(b.s * 1.0 / b.n AS DECIMAL(38,10)), 2)
+                AS DOUBLE) AS wd_mean,
+           CAST(ROUND(CAST(
+             sqrt((b.ss - b.s * (b.s * 1.0 / b.n)) / b.n)
+             AS DECIMAL(38,10)), 4) AS DOUBLE) AS wd_std,
+           (ABS(w.cents - b.s * 1.0 / b.n)
+            > 2 * sqrt((b.ss - b.s * (b.s * 1.0 / b.n)) / b.n))
+             AS is_anomaly
+    FROM wd w JOIN base b
+      ON w.event_type = b.event_type AND w.weekday = b.weekday
+    """,
+)
+def a29_weekday_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A29 — anomaly detection against a WEEKDAY-SEASONAL baseline:
+    each (type, day) revenue is compared to the mean and population
+    std of ITS OWN WEEKDAY (t11's global z-score flags every weekend
+    of a weekly-cyclic metric; deseasonalizing by weekday is the
+    standard first fix, and the 2-sigma gate is per-stratum). Weekday
+    comes from ISO day-of-week so Monday = 0 in BOTH engines (Spark
+    ``weekday`` vs DuckDB ``isodow - 1`` — the off-by-one between
+    engines' default dayofweek is a classic silent bug, pinned here
+    by the oracle).
+
+    Determinism: daily revenue is exact cents; Σx and Σx² are exact
+    BIGINTs, so mean/std are pure functions of identical ints — the
+    2-sigma comparison runs on identical doubles (displayed values
+    decimal-routed). Shape: two bounded hash aggs (days × types,
+    weekdays × types) + a bounded join; raw events touch only the
+    first agg."""
+    ev = _t(spark, sf_dir, "events")
+    cents = F.when(
+        F.col("value") < 0,
+        -F.floor(F.abs(F.col("value")) * 100.0 + F.lit(0.5)),
+    ).otherwise(
+        F.floor(F.abs(F.col("value")) * 100.0 + F.lit(0.5))
+    ).cast("long")
+    daily = (ev.groupBy("event_type", F.to_date("ts").alias("day"))
+               .agg(F.sum(cents).alias("cents")))
+    wd = daily.withColumn("weekday", F.weekday("day").cast("int"))
+    base = (wd.groupBy("event_type", "weekday")
+              .agg(F.count(F.lit(1)).alias("n"),
+                   F.sum("cents").alias("s"),
+                   F.sum(F.col("cents") * F.col("cents")).alias("ss")))
+    mean = F.col("s") * 1.0 / F.col("n")
+    std = F.sqrt((F.col("ss") - F.col("s") * mean) / F.col("n"))
+    return (wd.join(base, ["event_type", "weekday"])
+              .select("event_type",
+                      F.col("day").cast("string").alias("day"),
+                      "cents", "weekday",
+                      F.round(mean.cast("decimal(38,10)"), 2)
+                       .cast("double").alias("wd_mean"),
+                      F.round(std.cast("decimal(38,10)"), 4)
+                       .cast("double").alias("wd_std"),
+                      (F.abs(F.col("cents") - mean) > 2 * std)
+                       .alias("is_anomaly")))
