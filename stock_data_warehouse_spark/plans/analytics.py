@@ -2674,3 +2674,99 @@ def a29_weekday_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
                        .cast("double").alias("wd_std"),
                       (F.abs(F.col("cents") - mean) > 2 * std)
                        .alias("is_anomaly")))
+
+
+# ---------------------------------------------------------------------------
+# A30 — cohort LTV curves (cumulative revenue by signup cohort)
+# ---------------------------------------------------------------------------
+
+@register(
+    "a30_cohort_ltv",
+    oracle="""
+    WITH first_seen AS (
+      SELECT user_id, MIN(ts::DATE) AS first_day FROM events
+      GROUP BY user_id
+    ),
+    flows AS (
+      SELECT e.user_id,
+             CAST(date_diff('day', f.first_day, e.ts::DATE) // 7
+                  AS INTEGER) AS age_week,
+             CAST(FLOOR(date_part('day', f.first_day) / 7)
+                  AS INTEGER) AS cohort,
+             CAST(CASE WHEN e.value < 0
+                  THEN -FLOOR(ABS(e.value) * 100.0 + 0.5)
+                  ELSE FLOOR(ABS(e.value) * 100.0 + 0.5) END
+                  AS BIGINT) AS cents
+      FROM events e JOIN first_seen f ON e.user_id = f.user_id
+      WHERE e.event_type = 'purchase'
+    ),
+    cohort_sizes AS (
+      SELECT CAST(FLOOR(date_part('day', first_day) / 7) AS INTEGER)
+               AS cohort,
+             COUNT(*) AS n_users
+      FROM first_seen GROUP BY 1
+    ),
+    wk AS (
+      SELECT cohort, age_week,
+             CAST(SUM(cents) AS BIGINT) AS week_cents
+      FROM flows GROUP BY cohort, age_week
+    )
+    SELECT w.cohort, w.age_week, s.n_users, w.week_cents,
+           CAST(SUM(w.week_cents) OVER (PARTITION BY w.cohort
+                  ORDER BY w.age_week ROWS UNBOUNDED PRECEDING)
+                AS BIGINT) AS cum_cents,
+           CAST(ROUND(CAST(
+             SUM(w.week_cents) OVER (PARTITION BY w.cohort
+                 ORDER BY w.age_week ROWS UNBOUNDED PRECEDING)
+             * 1.0 / s.n_users AS DECIMAL(38,10)), 2) AS DOUBLE)
+             AS ltv_per_user_cents
+    FROM wk w JOIN cohort_sizes s ON w.cohort = s.cohort
+    """,
+)
+def a30_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A30 — lifetime-value curves by signup cohort: users cohort by
+    first-seen week, purchase revenue accumulates by weeks-since-
+    signup, and the per-user LTV curve is the number a subscription /
+    marketplace business actually steers by (f2's retention says WHO
+    comes back; this says what they're WORTH as the cohort ages —
+    the same matrix, money-valued). Cohorting reuses the a22
+    first-seen discipline (one MIN per user, never a window over raw
+    events); the cumulative curve runs over the bounded cohort x
+    age-week matrix.
+
+    Determinism: cohort and age derive from integer day arithmetic
+    (day-of-month // 7 and datediff // 7 — exact), revenue is exact
+    cents, the running sum is BIGINT-exact, and only the per-user
+    normalization is decimal-routed. Shape: one MIN agg + one
+    fact-side join-agg (both user-keyed), then matrix-sized windows
+    and joins."""
+    ev = _t(spark, sf_dir, "events")
+    first_seen = (ev.groupBy("user_id")
+                    .agg(F.min(F.to_date("ts")).alias("first_day")))
+    cohort = F.floor(F.dayofmonth("first_day") / 7).cast("int")
+    cents = F.when(
+        F.col("value") < 0,
+        -F.floor(F.abs(F.col("value")) * 100.0 + F.lit(0.5)),
+    ).otherwise(
+        F.floor(F.abs(F.col("value")) * 100.0 + F.lit(0.5))
+    ).cast("long")
+    flows = (ev.filter(F.col("event_type") == "purchase")
+               .join(first_seen, "user_id")
+               .select(cohort.alias("cohort"),
+                       F.floor(F.datediff(F.to_date("ts"),
+                                          F.col("first_day")) / 7)
+                        .cast("int").alias("age_week"),
+                       cents.alias("cents")))
+    sizes = (first_seen.groupBy(cohort.alias("cohort"))
+                       .agg(F.count(F.lit(1)).alias("n_users")))
+    wk = (flows.groupBy("cohort", "age_week")
+               .agg(F.sum("cents").alias("week_cents")))
+    w = (Window.partitionBy("cohort").orderBy("age_week")
+               .rowsBetween(Window.unboundedPreceding, 0))
+    cum = F.sum("week_cents").over(w).cast("long")
+    return (wk.join(sizes, "cohort")
+              .select("cohort", "age_week", "n_users", "week_cents",
+                      cum.alias("cum_cents"),
+                      F.round((cum * 1.0 / F.col("n_users"))
+                              .cast("decimal(38,10)"), 2)
+                       .cast("double").alias("ltv_per_user_cents")))
