@@ -7764,3 +7764,111 @@ def x9_length_bucketing(spark: SparkSession, sf_dir: str) -> DataFrame:
                               / F.sum(F.col("n_docs")
                                       * F.col("max_tok")), 6)
                            .alias("batch_efficiency")))
+
+
+# ---------------------------------------------------------------------------
+# OP-X6 — inter-judge agreement (Cohen's kappa)
+# ---------------------------------------------------------------------------
+
+@register(
+    "x6_judge_agreement",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, {SQL_TOKENS} AS toks, text FROM documents
+    ),
+    judged AS (
+      SELECT doc_id,
+             CASE WHEN CAST(len(list_filter(toks, x -> x IN
+                    ('the', 'a', 'of', 'and', 'to', 'in'))) AS DOUBLE)
+                    / GREATEST(len(toks), 1) >= 0.08
+                  THEN 'keep' ELSE 'drop' END AS judge_a,
+             CASE WHEN len(toks) >= 20 THEN 'keep' ELSE 'drop' END
+               AS judge_b
+      FROM t
+    ),
+    cell AS (
+      SELECT judge_a, judge_b, COUNT(*) AS n FROM judged
+      GROUP BY judge_a, judge_b
+    ),
+    sums AS (
+      SELECT CAST(SUM(n) AS DOUBLE) AS total,
+             CAST(SUM(CASE WHEN judge_a = judge_b THEN n ELSE 0 END)
+                  AS DOUBLE) AS agree,
+             CAST(SUM(CASE WHEN judge_a = 'keep' THEN n ELSE 0 END)
+                  AS DOUBLE) AS a_keep,
+             CAST(SUM(CASE WHEN judge_b = 'keep' THEN n ELSE 0 END)
+                  AS DOUBLE) AS b_keep
+      FROM cell
+    )
+    SELECT c.judge_a, c.judge_b, c.n,
+           {{po}} AS p_observed,
+           {{pe}} AS p_expected,
+           CAST(ROUND(CAST(
+             ((s.agree / s.total)
+              - ((s.a_keep / s.total) * (s.b_keep / s.total)
+                 + ((s.total - s.a_keep) / s.total)
+                   * ((s.total - s.b_keep) / s.total)))
+             / NULLIF(1 - ((s.a_keep / s.total) * (s.b_keep / s.total)
+                 + ((s.total - s.a_keep) / s.total)
+                   * ((s.total - s.b_keep) / s.total)), 0)
+             AS DECIMAL(38,10)), 4) AS DOUBLE) AS cohen_kappa
+    FROM cell c CROSS JOIN sums s
+    """.format(
+        po=sql_round_half_up("s.agree / s.total", 6),
+        pe=sql_round_half_up(
+            "(s.a_keep / s.total) * (s.b_keep / s.total)"
+            " + ((s.total - s.a_keep) / s.total)"
+            " * ((s.total - s.b_keep) / s.total)", 6),
+    ),
+)
+def x6_judge_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OP-X6 — inter-judge agreement: Cohen's kappa between two
+    independent keep/drop judges (a stopword-density judge and a
+    length judge) with the full agreement matrix. THE metric for
+    "can I trust one LLM-judge, or do my judges only agree by
+    chance": raw agreement p_o is meaningless when both judges mostly
+    say keep — kappa subtracts the chance agreement p_e implied by
+    each judge's marginal keep-rate, which is exactly the correction
+    a judged-data pipeline needs before promoting a single judge to a
+    gate (the x6_ece/x4_confusion audit family's third member:
+    calibration, error structure, agreement).
+
+    Shape: both judges run inside the scan (pure projections), one
+    hash agg to the 2x2 matrix, and kappa is arithmetic over four
+    exact counts — marginals as identical-bit double ratios, the
+    kappa division NULLIF-guarded and decimal-routed at 4dp."""
+    d = _t(spark, sf_dir, "documents")
+    toks = tokens_col("text")
+    stops = F.array(*[F.lit(w) for w in
+                      ("the", "a", "of", "and", "to", "in")])
+    judge_a = F.when(
+        F.size(F.filter(toks, lambda x: F.array_contains(stops, x)))
+        * F.lit(1.0) / F.greatest(F.size(toks), F.lit(1)) >= 0.08,
+        "keep").otherwise("drop")
+    judge_b = F.when(F.size(toks) >= 20, "keep").otherwise("drop")
+    cell = (d.select(judge_a.alias("judge_a"),
+                     judge_b.alias("judge_b"))
+             .groupBy("judge_a", "judge_b")
+             .agg(F.count(F.lit(1)).alias("n")))
+    sums = cell.agg(
+        F.sum("n").cast("double").alias("total"),
+        F.sum(F.when(F.col("judge_a") == F.col("judge_b"),
+                     F.col("n")).otherwise(0))
+         .cast("double").alias("agree"),
+        F.sum(F.when(F.col("judge_a") == "keep", F.col("n"))
+               .otherwise(0)).cast("double").alias("a_keep"),
+        F.sum(F.when(F.col("judge_b") == "keep", F.col("n"))
+               .otherwise(0)).cast("double").alias("b_keep"))
+    po = F.col("agree") / F.col("total")
+    pe = ((F.col("a_keep") / F.col("total"))
+          * (F.col("b_keep") / F.col("total"))
+          + ((F.col("total") - F.col("a_keep")) / F.col("total"))
+          * ((F.col("total") - F.col("b_keep")) / F.col("total")))
+    kappa = (po - pe) / F.nullif(1 - pe, F.lit(0.0))
+    from ..functions.scalars import round_half_up as _rhu
+    return (cell.crossJoin(F.broadcast(sums))
+                .select("judge_a", "judge_b", "n",
+                        _rhu(po, 6).alias("p_observed"),
+                        _rhu(pe, 6).alias("p_expected"),
+                        F.round(kappa.cast("decimal(38,10)"), 4)
+                         .cast("double").alias("cohen_kappa")))
