@@ -2770,3 +2770,110 @@ def a30_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.round((cum * 1.0 / F.col("n_users"))
                               .cast("decimal(38,10)"), 2)
                        .cast("double").alias("ltv_per_user_cents")))
+
+
+# ---------------------------------------------------------------------------
+# A31 — market-basket association rules (support / confidence / lift)
+# ---------------------------------------------------------------------------
+
+@register(
+    "a31_market_basket",
+    oracle="""
+    WITH ot AS (
+      SELECT DISTINCT l.l_orderkey AS ok, p.p_type AS item
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    ),
+    n AS (SELECT COUNT(DISTINCT ok) AS n_baskets FROM ot),
+    sup AS (SELECT item, COUNT(*) AS n_item FROM ot GROUP BY item),
+    pairs AS (
+      SELECT a.item AS item_a, b.item AS item_b, COUNT(*) AS n_ab
+      FROM ot a JOIN ot b ON a.ok = b.ok AND a.item < b.item
+      GROUP BY a.item, b.item
+    )
+    SELECT p.item_a, p.item_b, p.n_ab,
+           sa.n_item AS n_a, sb.n_item AS n_b,
+           (CASE WHEN (p.n_ab * 1.0 / n.n_baskets) < 0
+                 THEN -FLOOR(ABS(p.n_ab * 1.0 / n.n_baskets)
+                             * 1000000.0 + 0.5)
+                 ELSE FLOOR(ABS(p.n_ab * 1.0 / n.n_baskets)
+                            * 1000000.0 + 0.5)
+            END / 1000000.0 + 0.0) AS support,
+           (CASE WHEN (p.n_ab * 1.0 / sa.n_item) < 0
+                 THEN -FLOOR(ABS(p.n_ab * 1.0 / sa.n_item)
+                             * 1000000.0 + 0.5)
+                 ELSE FLOOR(ABS(p.n_ab * 1.0 / sa.n_item)
+                            * 1000000.0 + 0.5)
+            END / 1000000.0 + 0.0) AS conf_a_to_b,
+           (CASE WHEN (p.n_ab * 1.0 / sb.n_item) < 0
+                 THEN -FLOOR(ABS(p.n_ab * 1.0 / sb.n_item)
+                             * 1000000.0 + 0.5)
+                 ELSE FLOOR(ABS(p.n_ab * 1.0 / sb.n_item)
+                            * 1000000.0 + 0.5)
+            END / 1000000.0 + 0.0) AS conf_b_to_a,
+           (CASE WHEN (p.n_ab * 1.0 * n.n_baskets
+                       / (sa.n_item * sb.n_item)) < 0
+                 THEN -FLOOR(ABS(p.n_ab * 1.0 * n.n_baskets
+                                 / (sa.n_item * sb.n_item))
+                             * 1000000.0 + 0.5)
+                 ELSE FLOOR(ABS(p.n_ab * 1.0 * n.n_baskets
+                                / (sa.n_item * sb.n_item))
+                            * 1000000.0 + 0.5)
+            END / 1000000.0 + 0.0) AS lift
+    FROM pairs p
+    JOIN sup sa ON p.item_a = sa.item
+    JOIN sup sb ON p.item_b = sb.item
+    CROSS JOIN n
+    """,
+)
+def a31_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A31 — pairwise association rules over order baskets (items =
+    part types): support, both confidence directions and lift — the
+    "customers who bought X also bought Y" engine in its exact form.
+    Lift > 1 is genuine affinity; confidence alone is inflated for
+    popular items, which is why the lift column exists.
+
+    Shape: baskets reduce to a DISTINCT (order, item) relation first
+    (dedup before pair expansion — the x2_fuzzy discipline); pair
+    counting is a self-join ON THE BASKET KEY, so the blow-up is
+    Σ basket_size², bounded by basket width, never |items|² — and at
+    a real catalog scale the standard support-threshold prune drops
+    rare items BEFORE pairing (documented; the 6-type demo keeps all
+    pairs so the oracle sees the full matrix). Supports and the
+    basket total are single hash aggs; every ratio is an exact int
+    ratio through the class-A floor kernel."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    ot = (li.join(F.broadcast(p.select("p_partkey", "p_type")),
+                  li.l_partkey == p.p_partkey)
+            .select(F.col("l_orderkey").alias("ok"),
+                    F.col("p_type").alias("item"))
+            .distinct())
+    n = ot.agg(F.countDistinct("ok").alias("n_baskets"))
+    sup = ot.groupBy("item").agg(F.count(F.lit(1)).alias("n_item"))
+    a = ot.select("ok", F.col("item").alias("item_a"))
+    b = ot.select(F.col("ok").alias("ok_b"),
+                  F.col("item").alias("item_b"))
+    pairs = (a.join(b, (F.col("ok") == F.col("ok_b"))
+                    & (F.col("item_a") < F.col("item_b")))
+              .groupBy("item_a", "item_b")
+              .agg(F.count(F.lit(1)).alias("n_ab")))
+    sa = sup.select(F.col("item").alias("item_a"),
+                    F.col("n_item").alias("n_a"))
+    sb = sup.select(F.col("item").alias("item_b"),
+                    F.col("n_item").alias("n_b"))
+    from ..functions.scalars import round_half_up as _rhu
+    return (pairs.join(F.broadcast(sa), "item_a")
+                 .join(F.broadcast(sb), "item_b")
+                 .crossJoin(F.broadcast(n))
+                 .select("item_a", "item_b", "n_ab", "n_a", "n_b",
+                         _rhu(F.col("n_ab") * 1.0
+                              / F.col("n_baskets"), 6)
+                          .alias("support"),
+                         _rhu(F.col("n_ab") * 1.0 / F.col("n_a"), 6)
+                          .alias("conf_a_to_b"),
+                         _rhu(F.col("n_ab") * 1.0 / F.col("n_b"), 6)
+                          .alias("conf_b_to_a"),
+                         _rhu(F.col("n_ab") * 1.0
+                              * F.col("n_baskets")
+                              / (F.col("n_a") * F.col("n_b")), 6)
+                          .alias("lift")))
