@@ -7872,3 +7872,114 @@ def x6_judge_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
                         _rhu(pe, 6).alias("p_expected"),
                         F.round(kappa.cast("decimal(38,10)"), 4)
                          .cast("double").alias("cohen_kappa")))
+
+
+# ---------------------------------------------------------------------------
+# OP-X2 — blocking-recall report: does the banding catch the true dups?
+# ---------------------------------------------------------------------------
+
+#: 1 - (1 - J^r)^b at the J = 0.8 threshold with r = 4 rows x b = 4
+#: bands — the S-curve catch probability the banding promises.
+_BLOCK_THEORY = 0.8784974492729345
+
+
+@register(
+    "x2_blocking_recall_report",
+    oracle=f"""
+    WITH {_SQL_JPAIRS},
+    shingled AS (SELECT doc_id, s FROM sh WHERE len(s) > 0),
+    mh AS (
+      SELECT t1.doc_id, t.i,
+             min(md5(CAST(t.i AS VARCHAR) || ':' || t1.shingle)) AS mh
+      FROM (SELECT doc_id, unnest(s) AS shingle FROM shingled) t1
+      CROSS JOIN range(16) t(i)
+      GROUP BY t1.doc_id, t.i
+    ),
+    bands AS (
+      SELECT doc_id, i // 4 AS band_idx,
+             md5(string_agg(mh, '|' ORDER BY i)) AS band_hash
+      FROM mh GROUP BY doc_id, i // 4
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+       AND a.doc_id < b.doc_id
+    ),
+    caught AS (
+      SELECT COUNT(*) AS n FROM jpairs j
+      WHERE EXISTS (SELECT 1 FROM cand c
+                    WHERE c.doc_a = j.doc_a AND c.doc_b = j.doc_b)
+    )
+    SELECT (SELECT COUNT(*) FROM jpairs) AS n_truth,
+           (SELECT COUNT(*) FROM cand) AS n_candidates,
+           caught.n AS n_caught,
+           (CASE WHEN (caught.n * 1.0
+                       / NULLIF((SELECT COUNT(*) FROM jpairs), 0)) < 0
+                 THEN -FLOOR(ABS(caught.n * 1.0
+                       / NULLIF((SELECT COUNT(*) FROM jpairs), 0))
+                             * 1000000.0 + 0.5)
+                 ELSE FLOOR(ABS(caught.n * 1.0
+                       / NULLIF((SELECT COUNT(*) FROM jpairs), 0))
+                            * 1000000.0 + 0.5)
+            END / 1000000.0 + 0.0) AS blocking_recall,
+           (CASE WHEN (caught.n * 1.0
+                       / NULLIF((SELECT COUNT(*) FROM cand), 0)) < 0
+                 THEN -FLOOR(ABS(caught.n * 1.0
+                       / NULLIF((SELECT COUNT(*) FROM cand), 0))
+                             * 1000000.0 + 0.5)
+                 ELSE FLOOR(ABS(caught.n * 1.0
+                       / NULLIF((SELECT COUNT(*) FROM cand), 0))
+                            * 1000000.0 + 0.5)
+            END / 1000000.0 + 0.0) AS candidate_precision,
+           {_BLOCK_THEORY!r}::DOUBLE AS theory_catch_at_08
+    FROM caught
+    """,
+)
+def x2_blocking_recall_report(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """OP-X2 — the third leg of the dedup observability tripod:
+    x2_minhash_estimate_report measures the SIGNATURE's accuracy,
+    x3_recall_report measures ANN recall — this measures the
+    BLOCKING: of the exact near-dup pairs (Jaccard >= 0.8), what
+    fraction does the 4x4 banding actually surface as candidates
+    (blocking recall — every miss is a duplicate that SHIPS), and
+    what fraction of surfaced candidates are real (candidate
+    precision — the rerank bill). The S-curve theory value
+    1-(1-J^r)^b at the threshold rides along as a literal so the
+    measured recall is read against what the banding PROMISED
+    (per-pair catch is Bernoulli in the signature draw; corpus
+    recall converges to the curve integrated over the true-J
+    distribution, which sits above 0.8 here — so measured >= theory
+    is the expected reading, not a tautology).
+
+    Shape: truth pairs come from the inverted-index exact pipeline
+    (Σdf² bounded), candidates from the same banding join the
+    production dedup runs — the report adds one semi-join and three
+    bounded counts on top of relations both pipelines already
+    build."""
+    truth = _jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    bands = _portable_bands(_t(spark, sf_dir, "documents"))
+    cand = (bands.alias("a")
+            .join(bands.alias("b"),
+                  (F.col("a.band_idx") == F.col("b.band_idx"))
+                  & (F.col("a.band_hash") == F.col("b.band_hash"))
+                  & (F.col("a.doc_id") < F.col("b.doc_id")))
+            .select(F.col("a.doc_id").alias("doc_a"),
+                    F.col("b.doc_id").alias("doc_b"))
+            .distinct())
+    caught = truth.join(cand, ["doc_a", "doc_b"], "left_semi")
+    nt = truth.agg(F.count(F.lit(1)).alias("n_truth"))
+    nc = cand.agg(F.count(F.lit(1)).alias("n_candidates"))
+    ng = caught.agg(F.count(F.lit(1)).alias("n_caught"))
+    from ..functions.scalars import round_half_up as _rhu
+    return (nt.crossJoin(nc).crossJoin(ng)
+              .select("n_truth", "n_candidates", "n_caught",
+                      _rhu(F.col("n_caught") * 1.0
+                           / F.nullif(F.col("n_truth"), F.lit(0)), 6)
+                       .alias("blocking_recall"),
+                      _rhu(F.col("n_caught") * 1.0
+                           / F.nullif(F.col("n_candidates"),
+                                      F.lit(0)), 6)
+                       .alias("candidate_precision"),
+                      F.lit(_BLOCK_THEORY).alias("theory_catch_at_08")))
