@@ -2877,3 +2877,81 @@ def a31_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
                               * F.col("n_baskets")
                               / (F.col("n_a") * F.col("n_b")), 6)
                           .alias("lift")))
+
+
+# ---------------------------------------------------------------------------
+# A32 — differentially-private count release (Laplace mechanism)
+# ---------------------------------------------------------------------------
+
+_DP_EPS = 1.0
+
+
+@register(
+    "a32_dp_release",
+    oracle=f"""
+    WITH cnt AS (
+      SELECT c_mktsegment AS mktsegment, COUNT(*) AS true_count
+      FROM customer GROUP BY c_mktsegment
+    ),
+    coin AS (
+      SELECT mktsegment, true_count,
+             (('0x' || substr(md5('dp:' || mktsegment), 1, 15))::BIGINT)
+               / 1152921504606846976.0 AS u
+      FROM cnt
+    ),
+    noise AS (
+      SELECT mktsegment, true_count, u,
+             -(1.0 / {_DP_EPS}) * (CASE WHEN u >= 0.5 THEN 1.0
+                                        ELSE -1.0 END)
+               * ln(1.0 - 2.0 * ABS(u - 0.5)) AS x
+      FROM coin
+    )
+    SELECT mktsegment, true_count,
+           CAST(true_count + CAST(CASE WHEN x < 0
+                THEN -FLOOR(ABS(x) + 0.5)
+                ELSE FLOOR(ABS(x) + 0.5) END AS BIGINT)
+             AS BIGINT) AS released_count,
+           {_DP_EPS!r}::DOUBLE AS epsilon,
+           CAST(ROUND(CAST(x AS DECIMAL(38,10)), 4) AS DOUBLE)
+             AS noise_drawn
+    FROM noise
+    """,
+)
+def a32_dp_release(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A32 — Laplace-mechanism count release: each published group
+    count carries additive Laplace(1/eps) noise (sensitivity 1 for a
+    count), the textbook epsilon-DP release a privacy-gated warehouse
+    applies before counts leave the boundary. The draw inverts the
+    Laplace CDF on a uniform coin; HERE the coin is the portable
+    md5-of-group-key hash so the whole release is replayable and
+    oracle-exact — the swap for production is one line (a CSPRNG per
+    release), everything else (inverse-CDF transform, sensitivity
+    bookkeeping, integer rounding of the release) is the shipped
+    mechanism, verified. Released counts round to integers (standard
+    for count queries), so the headline column is hash-exact with no
+    float route; the raw draw is decimal-routed for display.
+
+    Shape: one hash agg + pure projections — the mechanism adds zero
+    shuffles at any scale; epsilon accounting is a literal column the
+    downstream budget ledger sums."""
+    c = _t(spark, sf_dir, "customer")
+    cnt = (c.groupBy(F.col("c_mktsegment").alias("mktsegment"))
+            .agg(F.count(F.lit(1)).alias("true_count")))
+    u = (F.conv(F.substring(
+            F.md5(F.concat(F.lit("dp:"), F.col("mktsegment"))),
+            1, 15), 16, 10).cast("long")
+         / F.lit(1152921504606846976.0))
+    x = (-(1.0 / _DP_EPS)
+         * F.when(u >= 0.5, F.lit(1.0)).otherwise(F.lit(-1.0))
+         * F.log(1.0 - 2.0 * F.abs(u - 0.5)))
+    noisy = cnt.withColumn("x", x)
+    rounded = F.when(
+        F.col("x") < 0, -F.floor(F.abs(F.col("x")) + F.lit(0.5)),
+    ).otherwise(F.floor(F.abs(F.col("x")) + F.lit(0.5))).cast("long")
+    return noisy.select(
+        "mktsegment", "true_count",
+        (F.col("true_count") + rounded).cast("long")
+         .alias("released_count"),
+        F.lit(_DP_EPS).alias("epsilon"),
+        F.round(F.col("x").cast("decimal(38,10)"), 4).cast("double")
+         .alias("noise_drawn"))
