@@ -587,3 +587,123 @@ def x7_kfold_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
                              .alias("fold_in_range"),
                             (F.col("n_total") == F.col("n_ids"))
                              .alias("disjoint_and_complete")))
+
+
+# ---------------------------------------------------------------------------
+# OP-X7p — Poisson bootstrap: resampled confidence without resampling
+# ---------------------------------------------------------------------------
+
+#: Poisson(1) CDF thresholds for k = 0..5 — shortest-round-trip doubles,
+#: identical literals in both engines; draws above k=5 (P ~ 6e-4)
+#: truncate to 6 (standard bootstrap practice at this tail).
+_POIS_CDF = (0.36787944117144233, 0.7357588823428847,
+             0.9196986029286058, 0.9810118431238463,
+             0.9963401531726563, 0.9994058151824183)
+_N_REPLICAS = 3
+
+
+def _pois_sql(u: str) -> str:
+    cases = " ".join(
+        f"WHEN {u} < {t!r} THEN {k}"
+        for k, t in enumerate(_POIS_CDF))
+    return f"(CASE {cases} ELSE 6 END)"
+
+
+@register(
+    "x7_poisson_bootstrap",
+    oracle=f"""
+    WITH base AS (
+      SELECT o_orderkey,
+             CAST(CASE WHEN o_totalprice < 0
+                  THEN -FLOOR(ABS(o_totalprice) * 100.0 + 0.5)
+                  ELSE FLOOR(ABS(o_totalprice) * 100.0 + 0.5) END
+                  AS BIGINT) AS cents
+      FROM orders
+    ),
+    reps AS (SELECT UNNEST(range({_N_REPLICAS})) AS replica),
+    weighted AS (
+      SELECT r.replica, b.cents,
+             {_pois_sql("(('0x' || substr(md5('boot' "
+                        "|| CAST(r.replica AS VARCHAR) || ':' "
+                        "|| CAST(b.o_orderkey AS VARCHAR)), 1, 15))"
+                        "::BIGINT) / 1152921504606846976.0")} AS w
+      FROM base b CROSS JOIN reps r
+    ),
+    stats AS (
+      SELECT replica,
+             CAST(SUM(w) AS BIGINT) AS n_eff,
+             CAST(SUM(w * cents) AS BIGINT) AS wsum
+      FROM weighted GROUP BY replica
+    ),
+    truth AS (
+      SELECT COUNT(*) AS n, CAST(SUM(cents) AS BIGINT) AS s FROM base
+    )
+    SELECT st.replica, st.n_eff,
+           CAST(ROUND(CAST(st.wsum * 1.0 / st.n_eff
+                AS DECIMAL(38,10)), 2) AS DOUBLE) AS replica_mean,
+           CAST(ROUND(CAST(t.s * 1.0 / t.n
+                AS DECIMAL(38,10)), 2) AS DOUBLE) AS point_mean,
+           (ABS(st.wsum * 1.0 / st.n_eff - t.s * 1.0 / t.n)
+            < 0.05 * (t.s * 1.0 / t.n)) AS replica_within_5pct
+    FROM stats st CROSS JOIN truth t
+    """,
+)
+def x7_poisson_bootstrap(spark: SparkSession,
+                         sf_dir: str) -> DataFrame:
+    """OP-X7 — the POISSON BOOTSTRAP: distributed confidence
+    estimation without materializing resamples. A classical bootstrap
+    draws n rows with replacement — impossible to coordinate across
+    executors; the Poisson trick gives every row an independent
+    Poisson(1) weight per replica (multinomial -> Poisson
+    approximation), so each replica is ONE weighted aggregation over
+    the same scan and replicas differ only in the hash salt. The
+    replica spread of the statistic is its sampling distribution —
+    the standard scalable CI recipe (and the one-line route to a
+    jackknife/bag-of-little-bootstraps ladder).
+
+    Determinism: the Poisson draw inverts the CDF (literal
+    thresholds, k <= 6 truncation) on the portable md5 coin keyed by
+    (replica, orderkey) — integer weights, exact BIGINT weighted
+    sums, only the final mean decimal-routed; the within-5% gate
+    compares raw identical doubles. Shape: one scan x replicas (a
+    projection fan-out, no shuffle growth), one hash agg per
+    replica."""
+    o = _t(spark, sf_dir, "orders")
+    cents = F.when(
+        F.col("o_totalprice") < 0,
+        -F.floor(F.abs(F.col("o_totalprice")) * 100.0 + F.lit(0.5)),
+    ).otherwise(
+        F.floor(F.abs(F.col("o_totalprice")) * 100.0 + F.lit(0.5))
+    ).cast("long")
+    base = o.select("o_orderkey", cents.alias("cents"))
+    reps = base.withColumn(
+        "replica",
+        F.explode(F.array(*[F.lit(i) for i in range(_N_REPLICAS)])))
+    u = (F.conv(F.substring(
+            F.md5(F.concat(F.lit("boot"),
+                           F.col("replica").cast("string"),
+                           F.lit(":"),
+                           F.col("o_orderkey").cast("string"))),
+            1, 15), 16, 10).cast("long")
+         / F.lit(1152921504606846976.0))
+    w = F.lit(6)
+    for k, t in reversed(list(enumerate(_POIS_CDF))):
+        w = F.when(u < t, F.lit(k)).otherwise(w)
+    weighted = reps.withColumn("w", w)
+    stats = (weighted.groupBy("replica")
+                     .agg(F.sum("w").alias("n_eff"),
+                          F.sum(F.col("w") * F.col("cents"))
+                           .alias("wsum")))
+    truth = base.agg(F.count(F.lit(1)).alias("n"),
+                     F.sum("cents").alias("s"))
+    rmean = F.col("wsum") * 1.0 / F.col("n_eff")
+    pmean = F.col("s") * 1.0 / F.col("n")
+    return (stats.crossJoin(F.broadcast(truth))
+                 .select("replica",
+                         F.col("n_eff").cast("long").alias("n_eff"),
+                         F.round(rmean.cast("decimal(38,10)"), 2)
+                          .cast("double").alias("replica_mean"),
+                         F.round(pmean.cast("decimal(38,10)"), 2)
+                          .cast("double").alias("point_mean"),
+                         (F.abs(rmean - pmean) < 0.05 * pmean)
+                          .alias("replica_within_5pct")))
