@@ -646,3 +646,113 @@ def t32_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
                  / F.sum("n_transitions").over(wm).cast("double"))
                 .cast("decimal(38,10)"), 6)
          .cast("double").alias("p_transition"))
+
+
+# ---------------------------------------------------------------------------
+# T34 — RSI technical indicator over the daily series
+# ---------------------------------------------------------------------------
+
+_RSI_N = 5
+
+
+@register(
+    "t34_rsi_indicator",
+    oracle=f"""
+    WITH daily AS (
+      SELECT event_type, ts::DATE AS day,
+             CAST(SUM(CAST(CASE WHEN value < 0
+                  THEN -FLOOR(ABS(value) * 100.0 + 0.5)
+                  ELSE FLOOR(ABS(value) * 100.0 + 0.5) END
+                 AS BIGINT)) AS BIGINT) AS cents
+      FROM events GROUP BY event_type, ts::DATE
+    ),
+    diffs AS (
+      SELECT event_type, day, cents,
+             cents - LAG(cents) OVER (PARTITION BY event_type
+                                      ORDER BY day) AS d
+      FROM daily
+    ),
+    gl AS (
+      SELECT event_type, day, cents,
+             CAST(GREATEST(d, 0) AS BIGINT) AS gain,
+             CAST(GREATEST(-d, 0) AS BIGINT) AS loss,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY day) AS rn
+      FROM diffs WHERE d IS NOT NULL
+    ),
+    win AS (
+      SELECT event_type, day, cents, rn,
+             CAST(SUM(gain) OVER w AS BIGINT) AS g,
+             CAST(SUM(loss) OVER w AS BIGINT) AS l,
+             COUNT(*) OVER w AS nw
+      FROM gl
+      WINDOW w AS (PARTITION BY event_type ORDER BY day
+                   ROWS BETWEEN {_RSI_N - 1} PRECEDING AND CURRENT ROW)
+    )
+    SELECT event_type, CAST(day AS VARCHAR) AS day, cents, g AS gains,
+           l AS losses,
+           CASE WHEN g + l = 0 THEN NULL ELSE
+             (CASE WHEN (100.0 * g / (g + l)) < 0
+                   THEN -FLOOR(ABS(100.0 * g / (g + l))
+                               * 10000.0 + 0.5)
+                   ELSE FLOOR(ABS(100.0 * g / (g + l))
+                              * 10000.0 + 0.5)
+              END / 10000.0 + 0.0) END AS rsi,
+           (g + l > 0 AND 100.0 * g / (g + l) > 70) AS overbought,
+           (g + l > 0 AND 100.0 * g / (g + l) < 30) AS oversold
+    FROM win WHERE nw = {_RSI_N}
+    """,
+)
+def t34_rsi_indicator(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T34 — the Relative Strength Index (Cutler's simple-average
+    form) over each event type's daily revenue series: RSI =
+    100·G/(G+L) over a trailing {N}-day window of gains vs losses,
+    with the standard 70/30 overbought/oversold gates — the
+    reference's DOMAIN (a stock-data fetcher feeds exactly this class
+    of technical indicator) served from the warehouse. Cutler's
+    variant is used deliberately: Wilder's smoothing is a recursion
+    (EWMA-coupled) while the simple average is a frame window, so the
+    indicator stays declarative — and since RSI = 100·G/(G+L) with G,
+    L exact BIGINT sums, the indicator and both gates are integer-
+    ratio exact (floor kernel at 4dp; flat windows -> NULL, guarded
+    identically in both engines).
+
+    Shape: one daily hash agg over raw events, then lag + frame
+    windows over the bounded (type, day) series — the same
+    partitioned-series discipline as w9/a29; warm-up rows (incomplete
+    windows) are excluded by the window row count, not by date
+    arithmetic."""
+    ev = _t(spark, sf_dir, "events")
+    cents = F.when(
+        F.col("value") < 0,
+        -F.floor(F.abs(F.col("value")) * 100.0 + F.lit(0.5)),
+    ).otherwise(
+        F.floor(F.abs(F.col("value")) * 100.0 + F.lit(0.5))
+    ).cast("long")
+    daily = (ev.groupBy("event_type", F.to_date("ts").alias("day"))
+               .agg(F.sum(cents).alias("cents")))
+    wo = Window.partitionBy("event_type").orderBy("day")
+    diffs = (daily.withColumn("d", F.col("cents")
+                              - F.lag("cents").over(wo))
+                  .filter(F.col("d").isNotNull()))
+    gl = (diffs.withColumn("gain",
+                           F.greatest(F.col("d"), F.lit(0))
+                            .cast("long"))
+               .withColumn("loss",
+                           F.greatest(-F.col("d"), F.lit(0))
+                            .cast("long")))
+    wf = (Window.partitionBy("event_type").orderBy("day")
+                .rowsBetween(-(_RSI_N - 1), 0))
+    win = (gl.withColumn("g", F.sum("gain").over(wf).cast("long"))
+             .withColumn("l", F.sum("loss").over(wf).cast("long"))
+             .withColumn("nw", F.count(F.lit(1)).over(wf))
+             .filter(F.col("nw") == _RSI_N))
+    from ..functions.scalars import round_half_up as _rhu
+    rsi_raw = 100.0 * F.col("g") / (F.col("g") + F.col("l"))
+    has = F.col("g") + F.col("l") > 0
+    return win.select(
+        "event_type", F.col("day").cast("string").alias("day"),
+        "cents", F.col("g").alias("gains"), F.col("l").alias("losses"),
+        F.when(has, _rhu(rsi_raw, 4)).alias("rsi"),
+        (has & (rsi_raw > 70)).alias("overbought"),
+        (has & (rsi_raw < 30)).alias("oversold"))
