@@ -7983,3 +7983,90 @@ def x2_blocking_recall_report(spark: SparkSession,
                                       F.lit(0)), 6)
                        .alias("candidate_precision"),
                       F.lit(_BLOCK_THEORY).alias("theory_catch_at_08")))
+
+
+# ---------------------------------------------------------------------------
+# OP-X6 — preference-pair construction (the DPO/RLHF data shape)
+# ---------------------------------------------------------------------------
+
+@register(
+    "x6_preference_pairs",
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id, source,
+             len(list_filter({SQL_TOKENS}, x -> x IN
+                 ('the', 'a', 'of', 'and', 'to', 'in'))) * 1000
+               // GREATEST(len({SQL_TOKENS}), 1) AS score
+      FROM documents
+    ),
+    best AS (
+      SELECT source, doc_id AS chosen_id, score AS chosen_score
+      FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY source
+              ORDER BY score DESC, doc_id) AS rn FROM scored)
+      WHERE rn = 1
+    ),
+    worst AS (
+      SELECT source, doc_id AS rejected_id, score AS rejected_score
+      FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY source
+              ORDER BY score ASC, doc_id) AS rn FROM scored)
+      WHERE rn = 1
+    )
+    SELECT b.source, b.chosen_id, b.chosen_score,
+           w.rejected_id, w.rejected_score,
+           CAST(b.chosen_score - w.rejected_score AS BIGINT)
+             AS score_margin,
+           (b.chosen_score > w.rejected_score) AS pair_valid
+    FROM best b JOIN worst w ON b.source = w.source
+    WHERE b.chosen_id <> w.rejected_id
+    """,
+)
+def x6_preference_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OP-X6 — PREFERENCE-PAIR construction, the DPO/RLHF-data shape:
+    per prompt group (source = the stand-in for "responses to one
+    prompt"), the highest- and lowest-scored responses become the
+    (chosen, rejected) pair, with the score margin carried (margin-
+    aware losses weight by it) and degenerate pairs dropped — equal
+    scores teach nothing (``pair_valid`` gates; a same-doc pair is
+    excluded outright). The scorer here is the deterministic
+    stopword-density judge scaled to integer permille, so selection
+    and margins are INTEGER-exact — in production the scores arrive
+    from a reward model and this exact plan consumes them.
+
+    Shape: score is a scan projection; chosen/rejected are the
+    struct-argmin/argmax idiom per group key (map-side partial, no
+    per-group sort materialization beyond the agg); the final join is
+    group-keyed. One scan, two aggs, one join at any scale."""
+    d = _t(spark, sf_dir, "documents")
+    toks = tokens_col("text")
+    stops = F.array(*[F.lit(w) for w in
+                      ("the", "a", "of", "and", "to", "in")])
+    score = (F.size(F.filter(toks,
+                             lambda x: F.array_contains(stops, x)))
+             * 1000 / F.greatest(F.size(toks), F.lit(1))
+             ).cast("long")
+    scored = d.select("doc_id", "source", score.alias("score"))
+    best = (scored.groupBy("source")
+                  .agg(F.min(F.struct((-F.col("score")).alias("neg"),
+                                      F.col("doc_id").alias("id")))
+                        .alias("pk"))
+                  .select("source", F.col("pk.id").alias("chosen_id"),
+                          (-F.col("pk.neg")).cast("long")
+                           .alias("chosen_score")))
+    worst = (scored.groupBy("source")
+                   .agg(F.min(F.struct(F.col("score").alias("s"),
+                                       F.col("doc_id").alias("id")))
+                         .alias("pk"))
+                   .select("source",
+                           F.col("pk.id").alias("rejected_id"),
+                           F.col("pk.s").cast("long")
+                            .alias("rejected_score")))
+    return (best.join(worst, "source")
+                .filter(F.col("chosen_id") != F.col("rejected_id"))
+                .select("source", "chosen_id", "chosen_score",
+                        "rejected_id", "rejected_score",
+                        (F.col("chosen_score")
+                         - F.col("rejected_score")).cast("long")
+                         .alias("score_margin"),
+                        (F.col("chosen_score")
+                         > F.col("rejected_score"))
+                         .alias("pair_valid")))
