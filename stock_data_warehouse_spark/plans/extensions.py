@@ -8070,3 +8070,98 @@ def x6_preference_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                         (F.col("chosen_score")
                          > F.col("rejected_score"))
                          .alias("pair_valid")))
+
+
+# ---------------------------------------------------------------------------
+# OP-X2 — cross-split near-dup contamination (the leakage MEASUREMENT)
+# ---------------------------------------------------------------------------
+
+@register(
+    "x2_cross_split_contamination",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {SQL_TOKENS} AS t FROM documents
+    ),
+    shingled AS (
+      SELECT doc_id, s FROM (SELECT doc_id, {SQL_SHINGLES} AS s
+                             FROM toks) WHERE len(s) > 0
+    ),
+    mh AS (
+      SELECT t1.doc_id, t.i,
+             min(md5(CAST(t.i AS VARCHAR) || ':' || t1.shingle)) AS mh
+      FROM (SELECT doc_id, unnest(s) AS shingle FROM shingled) t1
+      CROSS JOIN range(16) t(i)
+      GROUP BY t1.doc_id, t.i
+    ),
+    bands AS (
+      SELECT doc_id, i // 4 AS band_idx,
+             md5(string_agg(mh, '|' ORDER BY i)) AS band_hash,
+             (doc_id % 10 = 7) AS is_eval
+      FROM mh GROUP BY doc_id, i // 4
+    ),
+    hits AS (
+      SELECT DISTINCT e.doc_id AS eval_id
+      FROM bands e JOIN bands tr
+        ON e.band_idx = tr.band_idx AND e.band_hash = tr.band_hash
+       AND e.is_eval AND NOT tr.is_eval
+    ),
+    pop AS (
+      SELECT COUNT(DISTINCT CASE WHEN doc_id % 10 = 7
+                            THEN doc_id END) AS n_eval,
+             COUNT(DISTINCT CASE WHEN doc_id % 10 <> 7
+                            THEN doc_id END) AS n_train
+      FROM shingled
+    )
+    SELECT pop.n_eval, pop.n_train,
+           (SELECT COUNT(*) FROM hits) AS n_contaminated,
+           (CASE WHEN ((SELECT COUNT(*) FROM hits) * 1.0
+                       / NULLIF(pop.n_eval, 0)) < 0
+                 THEN -FLOOR(ABS((SELECT COUNT(*) FROM hits) * 1.0
+                       / NULLIF(pop.n_eval, 0)) * 1000000.0 + 0.5)
+                 ELSE FLOOR(ABS((SELECT COUNT(*) FROM hits) * 1.0
+                       / NULLIF(pop.n_eval, 0)) * 1000000.0 + 0.5)
+            END / 1000000.0 + 0.0) AS contamination_rate,
+           ((SELECT COUNT(*) FROM hits) > 0) AS quarantine_needed
+    FROM pop
+    """,
+)
+def x2_cross_split_contamination(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """OP-X2 — NEAR-duplicate contamination ACROSS a train/eval split:
+    the fraction of eval documents with a banded MinHash collision
+    against any train document. x4_decontaminate catches verbatim
+    n-gram overlap; paraphrased or lightly-edited leakage slips that
+    net and THIS one — the banding that powers dedup pointed across
+    the split boundary — is the standard second check (and the
+    measured justification for x7_group_split: a doc-keyed split of a
+    correlated corpus lights this metric up). The split here is the
+    deterministic doc_id % 10 = 7 eval slice, so the oracle replays
+    membership exactly.
+
+    Shape: ONE banding pass over the whole corpus (the same relation
+    the dedup pipeline already builds — the split tag rides along as
+    a column), one band-equality join restricted eval-vs-train (no
+    all-pairs, no second pass), bounded count aggs. Rate is an exact
+    int ratio; the quarantine flag is the actionable output."""
+    bands = (_portable_bands(_t(spark, sf_dir, "documents"))
+             .withColumn("is_eval", F.col("doc_id") % 10 == 7))
+    e = bands.filter(F.col("is_eval")).alias("e")
+    tr = bands.filter(~F.col("is_eval")).alias("t")
+    hits = (e.join(tr, (F.col("e.band_idx") == F.col("t.band_idx"))
+                   & (F.col("e.band_hash") == F.col("t.band_hash")))
+             .select(F.col("e.doc_id").alias("eval_id"))
+             .distinct())
+    pop = (bands.select("doc_id", "is_eval").distinct()
+                .agg(F.sum(F.when(F.col("is_eval"), 1).otherwise(0))
+                      .cast("long").alias("n_eval"),
+                     F.sum(F.when(~F.col("is_eval"), 1).otherwise(0))
+                      .cast("long").alias("n_train")))
+    nh = hits.agg(F.count(F.lit(1)).alias("n_contaminated"))
+    from ..functions.scalars import round_half_up as _rhu
+    return (pop.crossJoin(F.broadcast(nh))
+               .select("n_eval", "n_train", "n_contaminated",
+                       _rhu(F.col("n_contaminated") * 1.0
+                            / F.nullif(F.col("n_eval"), F.lit(0)), 6)
+                        .alias("contamination_rate"),
+                       (F.col("n_contaminated") > 0)
+                        .alias("quarantine_needed")))
