@@ -1391,3 +1391,108 @@ def s23_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (d.groupBy("status")
              .agg(F.count(F.lit(1)).alias("n_keys"),
                   F.sum("cents_delta").alias("cents_delta")))
+
+
+# ---------------------------------------------------------------------------
+# OP-S24 — dynamic partition overwrite (the surgical backfill)
+# ---------------------------------------------------------------------------
+
+@register(
+    "s24_dynamic_overwrite",
+    oracle="""
+    WITH final AS (
+      SELECT event_type, ts::DATE AS day,
+             CASE WHEN ts::DATE = DATE '2024-01-10'
+                  THEN CAST(CASE WHEN value < 0
+                       THEN -FLOOR(ABS(value) * 100.0 + 0.5)
+                       ELSE FLOOR(ABS(value) * 100.0 + 0.5) END
+                       AS BIGINT) * 2
+                  ELSE CAST(CASE WHEN value < 0
+                       THEN -FLOOR(ABS(value) * 100.0 + 0.5)
+                       ELSE FLOOR(ABS(value) * 100.0 + 0.5) END
+                       AS BIGINT) END AS cents
+      FROM events
+    )
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(cents) AS BIGINT) AS sum_cents,
+           TRUE AS only_target_partition_touched
+    FROM final
+    GROUP BY event_type
+    """,
+)
+def s24_dynamic_overwrite(spark: SparkSession,
+                          sf_dir: str) -> DataFrame:
+    """OP-S24 — DYNAMIC partition overwrite, the surgical backfill:
+    a day-partitioned table gets one corrected day rewritten
+    (2024-01-10's values doubled — the simulated fix) via
+    ``partitionOverwriteMode=dynamic`` INSERT OVERWRITE, which
+    replaces ONLY the partitions present in the incoming frame. The
+    STATIC default would truncate the whole table first — the classic
+    backfill catastrophe this mode exists to prevent; at 100 TB the
+    difference is rewriting one day vs rewriting years.
+
+    The non-interference claim is verified by CONTENT, not by trust:
+    every untouched partition's row-group content hash (sha2 over its
+    sorted event ids + cents) is captured before and after the
+    overwrite, and ``only_target_partition_touched`` requires all
+    untouched hashes equal AND the target's hash changed. Values:
+    the final table must equal the plain batch expectation with the
+    one day doubled — oracle-exact end to end."""
+    from ..operators.checkpoint import ckpt as _ckpt
+    out = _mkdtemp(prefix="s24_dynover_")
+    table = os.path.join(out, "events_by_day")
+    ev = load_table(spark, sf_dir, "events")
+    cents = F.when(
+        F.col("value") < 0,
+        -F.floor(F.abs(F.col("value")) * 100.0 + F.lit(0.5)),
+    ).otherwise(
+        F.floor(F.abs(F.col("value")) * 100.0 + F.lit(0.5))
+    ).cast("long")
+    base = ev.select("event_id", "event_type",
+                     F.to_date("ts").alias("day"),
+                     cents.alias("cents"))
+    (base.write.mode("overwrite").partitionBy("day").parquet(table))
+
+    def part_hashes():
+        t = spark.read.parquet(table)
+        return {r["day"]: r["h"] for r in
+                (t.groupBy("day")
+                  .agg(F.sha2(F.concat_ws(",", F.array_join(
+                      F.transform(
+                          F.array_sort(F.collect_list(
+                              F.struct("event_id", "cents"))),
+                          lambda s: F.concat_ws(
+                              ":", s["event_id"].cast("string"),
+                              s["cents"].cast("string"))), "|")),
+                      256).alias("h"))
+                  .collect())}
+
+    before = part_hashes()
+    target = "2024-01-10"
+    fix = (base.filter(F.col("day") == F.lit(target).cast("date"))
+               .withColumn("cents", F.col("cents") * 2))
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode",
+                          "STATIC")
+    try:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode",
+                       "dynamic")
+        fix.write.mode("overwrite").partitionBy("day").parquet(table)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode",
+                       prev)
+    after = part_hashes()
+    import datetime as _dt
+    tkey = _dt.date(2024, 1, 10)
+    untouched_ok = all(after.get(d) == h for d, h in before.items()
+                       if d != tkey)
+    target_changed = (tkey not in before
+                      or after.get(tkey) != before[tkey])
+    ok = bool(untouched_ok and target_changed
+              and set(after) == set(before))
+    return (spark.read.parquet(table)
+                 .groupBy("event_type")
+                 .agg(F.count(F.lit(1)).alias("n_events"),
+                      F.sum("cents").alias("sum_cents"))
+                 .withColumn("only_target_partition_touched",
+                             F.lit(ok)))
