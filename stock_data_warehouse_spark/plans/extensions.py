@@ -8165,3 +8165,91 @@ def x2_cross_split_contamination(spark: SparkSession,
                         .alias("contamination_rate"),
                        (F.col("n_contaminated") > 0)
                         .alias("quarantine_needed")))
+
+
+# ---------------------------------------------------------------------------
+# OP-X3 — OOD scoring: distance-to-centroid outlier detection
+# ---------------------------------------------------------------------------
+
+@register(
+    "x3_ood_score",
+    oracle=f"""
+    WITH v AS (
+      SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+    ),
+    n AS (
+      SELECT vec_id, e, sqrt({_sql_dot('e', 'e')}) AS nrm FROM v
+      WHERE sqrt({_sql_dot('e', 'e')}) > 0
+    ),
+    cent AS (SELECT vec_id AS cid, e AS ce, nrm AS cnrm FROM n
+             {_sql_hash_sample(_H_CENT, K_COARSE)}),
+    best AS (
+      SELECT vec_id, cid, cos FROM (
+        SELECT n.vec_id, cent.cid,
+               {_sql_dot('n.e', 'cent.ce')} / (n.nrm * cent.cnrm)
+                 AS cos,
+               ROW_NUMBER() OVER (
+                 PARTITION BY n.vec_id
+                 ORDER BY {_sql_dot('n.e', 'cent.ce')}
+                          / (n.nrm * cent.cnrm) DESC, cent.cid) AS rc
+        FROM n CROSS JOIN cent
+      ) WHERE rc = 1
+    ),
+    scored AS (
+      SELECT vec_id, cid AS nearest_cell, 1.0 - cos AS ood_raw
+      FROM best
+    ),
+    th AS (
+      SELECT quantile_cont(ood_raw, 0.95) AS q95 FROM scored
+    )
+    SELECT s.vec_id, s.nearest_cell,
+           {{ood6}} AS ood_score,
+           (s.ood_raw > th.q95) AS is_outlier,
+           {{q6}} AS threshold_q95
+    FROM scored s CROSS JOIN th
+    """.format(ood6=sql_round_half_up("s.ood_raw", 6),
+               q6=sql_round_half_up("th.q95", 6)),
+)
+def x3_ood_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OP-X3 — out-of-distribution scoring: each vector's cosine
+    distance to its nearest coarse centroid (the SAME frozen K_COARSE
+    hash-rank centroids the IVF index uses — the OOD monitor rides
+    the index's own geometry for free), flagged against the corpus's
+    own 95th-percentile distance. The serving guardrail in front of
+    any embedding consumer: a query far from every cell either gets
+    routed to a fallback or logged for drift review (the a23 monitor
+    for the vector side of the house).
+
+    Determinism: distances are the identical-bit class-A folds of the
+    x3 family; the threshold is an exact-interpolation quantile over
+    identical doubles (both engines' continuous quantile on the same
+    sorted set), and the flag compares raw identicals. Shape: the
+    IVF assignment broadcast join (N x K, linear) + one scalar
+    quantile agg; the argmin is the struct-min idiom."""
+    e = _t(spark, sf_dir, "embeddings")
+    v = e.select("vec_id", _as_double_vec("embedding").alias("e"))
+    n = (v.withColumn("nrm", F.sqrt(_dot(F.col("e"), F.col("e"))))
+          .filter(F.col("nrm") > 0))
+    cent = (_hash_sample(n, K_COARSE, _H_CENT)
+            .select(F.col("vec_id").alias("cid"),
+                    F.col("e").alias("ce"),
+                    F.col("nrm").alias("cnrm")))
+    scored = (n.repartition(spark.sparkContext.defaultParallelism,
+                            "vec_id")
+               .crossJoin(F.broadcast(cent)))
+    neg = -(_dot(F.col("e"), F.col("ce"))
+            / (F.col("nrm") * F.col("cnrm")))
+    best = (scored.groupBy("vec_id")
+                  .agg(F.min(F.struct(neg.alias("negcos"),
+                                      F.col("cid"))).alias("b"))
+                  .select("vec_id",
+                          F.col("b.cid").alias("nearest_cell"),
+                          (1.0 + F.col("b.negcos")).alias("ood_raw")))
+    th = best.agg(F.expr("percentile(ood_raw, 0.95)").alias("q95"))
+    from ..functions.scalars import round_half_up as _rhu
+    return (best.crossJoin(F.broadcast(th))
+                .select("vec_id", "nearest_cell",
+                        _rhu(F.col("ood_raw"), 6).alias("ood_score"),
+                        (F.col("ood_raw") > F.col("q95"))
+                         .alias("is_outlier"),
+                        _rhu(F.col("q95"), 6).alias("threshold_q95")))
