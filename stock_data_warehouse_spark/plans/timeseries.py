@@ -756,3 +756,70 @@ def t34_rsi_indicator(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(has, _rhu(rsi_raw, 4)).alias("rsi"),
         (has & (rsi_raw > 70)).alias("overbought"),
         (has & (rsi_raw < 30)).alias("oversold"))
+
+
+# ---------------------------------------------------------------------------
+# T35 — out-of-orderness profile (the watermark-sizing report)
+# ---------------------------------------------------------------------------
+
+@register(
+    "t35_disorder_profile",
+    oracle="""
+    WITH arrival AS (
+      SELECT event_type, ts,
+             MAX(ts) OVER (PARTITION BY event_type
+                           ORDER BY event_id
+                           ROWS UNBOUNDED PRECEDING) AS frontier
+      FROM events
+    ),
+    lag AS (
+      SELECT event_type,
+             epoch_us(frontier) - epoch_us(ts) AS lag_us
+      FROM arrival
+    )
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CASE WHEN lag_us > 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_late,
+           CAST(MAX(lag_us) AS BIGINT) AS max_lag_us,
+           CAST(quantile_cont(lag_us, 0.95) AS BIGINT)
+             AS p95_lag_us,
+           CAST(quantile_cont(lag_us, 0.99) AS BIGINT)
+             AS p99_lag_us
+    FROM lag GROUP BY event_type
+    """,
+)
+def t35_disorder_profile(spark: SparkSession,
+                         sf_dir: str) -> DataFrame:
+    """T35 — the OUT-OF-ORDERNESS profile: per event type, how far
+    behind the running event-time frontier do events arrive (lag =
+    frontier-at-arrival minus own ts; arrival order = event_id, the
+    ingest sequence)? This report is how a watermark delay is
+    actually SIZED — the t22-family queries all assume a chosen
+    lateness horizon; p95/p99/max of this distribution is where that
+    number comes from (pick the watermark at p99 and you quantify
+    exactly the drop rate you signed up for). The t-family's
+    observability closer: every streaming query here gets its one
+    free parameter justified by a measurement.
+
+    Determinism: the frontier is a running MAX over the (event_id)
+    total order — exact timestamps, integer µs lags; quantiles are
+    exact continuous interpolation over identical integer sets,
+    floored to BIGINT in both engines. Shape: one running-max window
+    per type (the series discipline) + one bounded agg."""
+    ev = _t(spark, sf_dir, "events")
+    w = (Window.partitionBy("event_type").orderBy("event_id")
+               .rowsBetween(Window.unboundedPreceding, 0))
+    lag = (ev.withColumn("frontier", F.max("ts").over(w))
+             .select("event_type",
+                     (F.unix_micros("frontier") - F.unix_micros("ts"))
+                      .alias("lag_us")))
+    return (lag.groupBy("event_type")
+               .agg(F.count(F.lit(1)).alias("n_events"),
+                    F.sum(F.when(F.col("lag_us") > 0, 1).otherwise(0))
+                     .cast("long").alias("n_late"),
+                    F.max("lag_us").cast("long").alias("max_lag_us"),
+                    F.expr("percentile(lag_us, 0.95)").cast("long")
+                     .alias("p95_lag_us"),
+                    F.expr("percentile(lag_us, 0.99)").cast("long")
+                     .alias("p99_lag_us")))
