@@ -2955,3 +2955,128 @@ def a32_dp_release(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(_DP_EPS).alias("epsilon"),
         F.round(F.col("x").cast("decimal(38,10)"), 4).cast("double")
          .alias("noise_drawn"))
+
+
+# ---------------------------------------------------------------------------
+# A33 — Kaplan-Meier survival (time to first purchase, right-censored)
+# ---------------------------------------------------------------------------
+
+@register(
+    "a33_kaplan_meier",
+    oracle="""
+    WITH per_user AS (
+      SELECT user_id,
+             MIN(ts::DATE) AS t0,
+             MIN(CASE WHEN event_type = 'purchase'
+                 THEN ts::DATE END) AS te,
+             MAX(ts::DATE) AS tc
+      FROM events GROUP BY user_id
+    ),
+    obs AS (
+      SELECT user_id,
+             CASE WHEN te IS NOT NULL
+                  THEN date_diff('day', t0, te)
+                  ELSE date_diff('day', t0, tc) END AS t,
+             (te IS NOT NULL) AS ev
+      FROM per_user
+    ),
+    grid AS (
+      SELECT t,
+             CAST(SUM(CASE WHEN ev THEN 1 ELSE 0 END) AS BIGINT)
+               AS d,
+             COUNT(*) AS m
+      FROM obs GROUP BY t
+    ),
+    risk AS (
+      SELECT t, d,
+             CAST(SUM(m) OVER (ORDER BY t DESC
+                               ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               AS n
+      FROM grid
+    ),
+    ev_times AS (
+      SELECT t, d, n,
+             CASE WHEN d < n THEN ln(1.0 - d * 1.0 / n) END AS lnterm
+      FROM risk WHERE d > 0
+    ),
+    surv AS (
+      SELECT t, d, n,
+             SUM(CAST(ROUND(CAST(lnterm AS DECIMAL(38,18)), 12)
+                      AS DECIMAL(38,18)))
+               OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) AS lnsum,
+             MAX(CASE WHEN d = n THEN 1 ELSE 0 END)
+               OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) AS absorbed
+      FROM ev_times
+    )
+    SELECT t AS day_t, n AS n_at_risk, d AS n_events,
+           (CASE WHEN (d * 1.0 / n) < 0
+                 THEN -FLOOR(ABS(d * 1.0 / n) * 1000000.0 + 0.5)
+                 ELSE FLOOR(ABS(d * 1.0 / n) * 1000000.0 + 0.5)
+            END / 1000000.0 + 0.0) AS hazard,
+           CASE WHEN absorbed = 1 THEN 0.0 ELSE
+             CAST(ROUND(CAST(exp(CAST(lnsum AS DOUBLE))
+                  AS DECIMAL(38,10)), 6) AS DOUBLE) END AS survival
+    FROM surv
+    """,
+)
+def a33_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A33 — Kaplan-Meier estimate of time-to-first-purchase with
+    REAL right-censoring: a user who never purchases is censored at
+    their own last-activity day (observation genuinely ends there),
+    so the naive "fraction converted by day t" is biased and the KM
+    product over per-day hazards Π(1 − d_i/n_i) is the correct
+    estimator — the survival-analysis workhorse (churn, conversion
+    lag, time-to-failure) that plain SQL aggregation gets WRONG under
+    censoring, served declaratively.
+
+    Shape: one per-user agg (three MINs/MAX — map-side) collapses the
+    corpus; everything after runs on the bounded day grid: at-risk
+    counts are a reverse running sum, hazards exact int ratios, and
+    the cumulative product is linearized as exp(Σ ln(1−h)) with the
+    Σ an order-free DECIMAL sum of 12dp-quantized terms (the one
+    libm chain, decimal-routed at the end — class B)."""
+    ev = _t(spark, sf_dir, "events")
+    per_user = (ev.groupBy("user_id")
+                  .agg(F.min(F.to_date("ts")).alias("t0"),
+                       F.min(F.when(F.col("event_type") == "purchase",
+                                    F.to_date("ts"))).alias("te"),
+                       F.max(F.to_date("ts")).alias("tc")))
+    obs = per_user.select(
+        F.when(F.col("te").isNotNull(),
+               F.datediff("te", "t0"))
+         .otherwise(F.datediff("tc", "t0")).alias("t"),
+        F.col("te").isNotNull().alias("ev"))
+    grid = (obs.groupBy("t")
+               .agg(F.sum(F.when(F.col("ev"), 1).otherwise(0))
+                     .cast("long").alias("d"),
+                    F.count(F.lit(1)).alias("m")))
+    wdesc = (Window.orderBy(F.col("t").desc())
+                   .rowsBetween(Window.unboundedPreceding, 0))
+    risk = grid.withColumn("n", F.sum("m").over(wdesc).cast("long"))
+    evt = (risk.filter(F.col("d") > 0)
+               .withColumn(
+                   "lnterm",
+                   F.when(F.col("d") < F.col("n"),
+                          F.log(1.0 - F.col("d") * 1.0
+                                / F.col("n")))))
+    wasc = (Window.orderBy("t")
+                  .rowsBetween(Window.unboundedPreceding, 0))
+    surv = (evt.withColumn(
+                "lnsum",
+                F.sum(F.round(F.col("lnterm").cast("decimal(38,18)"),
+                              12).cast("decimal(38,18)")).over(wasc))
+               .withColumn(
+                "absorbed",
+                F.max(F.when(F.col("d") == F.col("n"), 1)
+                       .otherwise(0)).over(wasc)))
+    from ..functions.scalars import round_half_up as _rhu
+    return surv.select(
+        F.col("t").alias("day_t"),
+        F.col("n").alias("n_at_risk"),
+        F.col("d").alias("n_events"),
+        _rhu(F.col("d") * 1.0 / F.col("n"), 6).alias("hazard"),
+        F.when(F.col("absorbed") == 1, F.lit(0.0))
+         .otherwise(
+             F.round(F.exp(F.col("lnsum").cast("double"))
+                      .cast("decimal(38,10)"), 6)
+              .cast("double")).alias("survival"))
