@@ -3080,3 +3080,103 @@ def a33_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
              F.round(F.exp(F.col("lnsum").cast("double"))
                       .cast("decimal(38,10)"), 6)
               .cast("double")).alias("survival"))
+
+
+# ---------------------------------------------------------------------------
+# A34 — ABC (Pareto) classification of the part catalog
+# ---------------------------------------------------------------------------
+
+@register(
+    "a34_abc_classification",
+    oracle="""
+    WITH rev AS (
+      SELECT p.p_partkey AS pk,
+             SUM(CAST(CASE WHEN l.l_extendedprice < 0
+                  THEN -FLOOR(ABS(l.l_extendedprice) * 100.0 + 0.5)
+                  ELSE FLOOR(ABS(l.l_extendedprice) * 100.0 + 0.5) END
+                 AS BIGINT)) AS cents
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      GROUP BY p.p_partkey
+    ),
+    ranked AS (
+      SELECT pk, cents,
+             CAST(SUM(cents) OVER (ORDER BY cents DESC, pk
+                                   ROWS UNBOUNDED PRECEDING)
+                  AS BIGINT) AS cum,
+             CAST(SUM(cents) OVER () AS BIGINT) AS total
+      FROM rev
+    ),
+    classed AS (
+      SELECT pk, cents,
+             CASE WHEN cum * 100 <= total * 80 THEN 'A'
+                  WHEN cum * 100 <= total * 95 THEN 'B'
+                  ELSE 'C' END AS abc
+      FROM ranked
+    )
+    SELECT abc, COUNT(*) AS n_parts,
+           CAST(SUM(cents) AS BIGINT) AS class_cents,
+           (CASE WHEN (SUM(cents) * 1.0
+                       / (SELECT SUM(cents) FROM rev)) < 0
+                 THEN -FLOOR(ABS(SUM(cents) * 1.0
+                       / (SELECT SUM(cents) FROM rev))
+                             * 1000000.0 + 0.5)
+                 ELSE FLOOR(ABS(SUM(cents) * 1.0
+                       / (SELECT SUM(cents) FROM rev))
+                            * 1000000.0 + 0.5)
+            END / 1000000.0 + 0.0) AS revenue_share
+    FROM classed GROUP BY abc
+    """,
+)
+def a34_abc_classification(spark: SparkSession,
+                           sf_dir: str) -> DataFrame:
+    """A34 — ABC / Pareto classification of the part catalog by
+    revenue: parts rank by revenue, class A holds the head up to 80%
+    of cumulative revenue, B to 95%, C the tail — the inventory-
+    management standard (A gets daily counts, C gets annual) and the
+    operational OUTPUT of a28's Gini measurement (Gini says revenue
+    is concentrated; ABC says exactly which SKUs carry it).
+
+    Determinism: class boundaries are INTEGER cross-multiplications
+    (cum·100 <= total·80 — no float thresholds, no representability
+    edge), cumulative revenue is BIGINT-exact over the (cents desc,
+    partkey) total order. Shape: fact→dim join + per-part agg
+    (unbounded-key shuffles), then ONE ranked cumulative window over
+    the PART DIM (dim-sized like a24/a28 — at a larger catalog the
+    same classification comes from the a18 summary's cumulative
+    ranks), and a 3-row class agg."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    cents = F.when(
+        F.col("l_extendedprice") < 0,
+        -F.floor(F.abs(F.col("l_extendedprice")) * 100.0
+                 + F.lit(0.5)),
+    ).otherwise(
+        F.floor(F.abs(F.col("l_extendedprice")) * 100.0 + F.lit(0.5))
+    ).cast("long")
+    rev = (li.join(F.broadcast(p.select("p_partkey")),
+                   li.l_partkey == p.p_partkey)
+             .groupBy(F.col("p_partkey").alias("pk"))
+             .agg(F.sum(cents).alias("cents")))
+    wcum = (Window.orderBy(F.col("cents").desc(), "pk")
+                  .rowsBetween(Window.unboundedPreceding, 0))
+    wall = Window.partitionBy()
+    ranked = (rev.withColumn("cum",
+                             F.sum("cents").over(wcum).cast("long"))
+                 .withColumn("total",
+                             F.sum("cents").over(wall).cast("long")))
+    classed = ranked.withColumn(
+        "abc",
+        F.when(F.col("cum") * 100 <= F.col("total") * 80, "A")
+         .when(F.col("cum") * 100 <= F.col("total") * 95, "B")
+         .otherwise("C"))
+    from ..functions.scalars import round_half_up as _rhu
+    return (classed.groupBy("abc")
+                   .agg(F.count(F.lit(1)).alias("n_parts"),
+                        F.sum("cents").alias("class_cents"),
+                        F.first("total").alias("_tot"))
+                   .select("abc", "n_parts",
+                           F.col("class_cents").cast("long")
+                            .alias("class_cents"),
+                           _rhu(F.col("class_cents") * 1.0
+                                / F.col("_tot"), 6)
+                            .alias("revenue_share")))
