@@ -1844,3 +1844,65 @@ def j18_pit_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                    right_value_cols=["v"])
     return f2.select("pid", "user_id", "f_clicks_asof",
                      F.col("right_v").alias("f_last_error_value"))
+
+
+# ---------------------------------------------------------------------------
+# OP-O7 — top-k WITH TIES (rank semantics, not row_number)
+# ---------------------------------------------------------------------------
+
+@register(
+    "o7_topk_with_ties",
+    oracle="""
+    WITH v AS (
+      SELECT o_orderpriority AS priority,
+             CAST(CASE WHEN o_totalprice < 0
+                  THEN -FLOOR(ABS(o_totalprice) * 100.0 + 0.5)
+                  ELSE FLOOR(ABS(o_totalprice) * 100.0 + 0.5) END
+                  AS BIGINT) // 1000000 AS value_mcents
+      FROM orders
+    ),
+    g AS (
+      SELECT priority, value_mcents, COUNT(*) AS n_orders
+      FROM v GROUP BY priority, value_mcents
+    ),
+    r AS (
+      SELECT priority, value_mcents, n_orders,
+             RANK() OVER (PARTITION BY priority
+                          ORDER BY value_mcents DESC) AS value_rank
+      FROM g
+    )
+    SELECT priority, value_mcents, n_orders, value_rank
+    FROM r WHERE value_rank <= 3
+    """,
+)
+def o7_topk_with_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OP-O7 — top-k WITH TIES (ANSI ``FETCH FIRST k ROWS WITH
+    TIES``): the top 3 order-value BANDS per priority keep every
+    order in a tied band — ``row_number`` top-k (o1/o2) silently
+    truncates ties by the tiebreak key, which is correct for "give me
+    3 rows" and WRONG for "give me the 3 highest values"; rank()
+    keeps the full tied band, which is the semantics reports about
+    thresholds ("all orders in the top 3 price bands") actually
+    mean. Values band to million-cents so ties genuinely occur and
+    the distinction is exercised, not hypothetical.
+
+    Shape: pre-aggregate to (priority, band) BEFORE ranking — the
+    rank window runs over the bounded band table, never raw orders
+    (the t32 discipline); banding and counts are exact integer
+    arithmetic."""
+    o = _t(spark, sf_dir, "orders")
+    cents = F.when(
+        F.col("o_totalprice") < 0,
+        -F.floor(F.abs(F.col("o_totalprice")) * 100.0 + F.lit(0.5)),
+    ).otherwise(
+        F.floor(F.abs(F.col("o_totalprice")) * 100.0 + F.lit(0.5))
+    ).cast("long")
+    g = (o.select(F.col("o_orderpriority").alias("priority"),
+                  F.floor(cents / 1000000).cast("long")
+                   .alias("value_mcents"))
+          .groupBy("priority", "value_mcents")
+          .agg(F.count(F.lit(1)).alias("n_orders")))
+    w = Window.partitionBy("priority").orderBy(
+        F.col("value_mcents").desc())
+    return (g.withColumn("value_rank", F.rank().over(w))
+             .filter(F.col("value_rank") <= 3))
