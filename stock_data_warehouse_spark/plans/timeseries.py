@@ -823,3 +823,101 @@ def t35_disorder_profile(spark: SparkSession,
                      .alias("p95_lag_us"),
                     F.expr("percentile(lag_us, 0.99)").cast("long")
                      .alias("p99_lag_us")))
+
+
+# ---------------------------------------------------------------------------
+# T36 — peak concurrency (the +1/-1 interval sweep)
+# ---------------------------------------------------------------------------
+
+@register(
+    "t36_peak_concurrency",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id)
+                       <= INTERVAL 6 HOUR THEN 0 ELSE 1 END
+               AS new_session
+      FROM events
+    ),
+    s AS (
+      SELECT user_id, ts, event_id,
+             SUM(new_session) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS sid
+      FROM ordered
+    ),
+    sess AS (
+      SELECT user_id, sid, MIN(ts) AS s_start,
+             MAX(ts) + INTERVAL 6 HOUR AS s_end
+      FROM s GROUP BY user_id, sid
+    ),
+    deltas AS (
+      SELECT s_start AS at_ts, 1 AS delta, user_id, sid FROM sess
+      UNION ALL
+      SELECT s_end, -1, user_id, sid FROM sess
+    ),
+    swept AS (
+      SELECT at_ts, delta,
+             CAST(SUM(delta) OVER (
+               ORDER BY at_ts, delta, user_id, sid
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS live
+      FROM deltas
+    )
+    SELECT CAST(at_ts::DATE AS VARCHAR) AS day,
+           CAST(MAX(live) AS BIGINT) AS peak_concurrent,
+           CAST(SUM(CASE WHEN delta = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_session_starts
+    FROM swept GROUP BY at_ts::DATE
+    """,
+)
+def t36_peak_concurrency(spark: SparkSession,
+                         sf_dir: str) -> DataFrame:
+    """T36 — PEAK CONCURRENCY via the classic +1/-1 interval sweep:
+    sessionized intervals (the t15 gap rule, 6h inactivity + 6h
+    linger) emit +1 at start and -1 at end; the running sum over the
+    global endpoint order is the number of live sessions at every
+    instant, and its per-day MAX is the capacity number an ops team
+    actually provisions for (the interval-stabbing maximum — a
+    GROUP BY can count sessions touching a day, but not how many
+    overlap at once).
+
+    Determinism: the sweep order ends in (delta, user, sid) so a
+    start and an end at the identical microsecond order the same way
+    in both engines (-1 before +1: a session ending exactly as
+    another starts does not inflate the peak — pinned by the order,
+    not by luck). Scale: sessionization is the per-user series
+    discipline; the ONE global-order sweep is the algorithm's
+    inherent total order — at 100 TB it runs per day-partition with
+    boundary carry-in (documented), which this per-day output shape
+    is already cut for."""
+    ev = _t(spark, sf_dir, "events")
+    wu = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    s = (ev.withColumn(
+            "new_session",
+            F.when(F.col("ts") - F.lag("ts").over(wu)
+                   <= F.expr("INTERVAL 6 HOURS"), 0).otherwise(1))
+           .withColumn("sid", F.sum("new_session").over(
+               wu.rowsBetween(Window.unboundedPreceding, 0))))
+    sess = (s.groupBy("user_id", "sid")
+             .agg(F.min("ts").alias("s_start"),
+                  (F.max("ts") + F.expr("INTERVAL 6 HOURS"))
+                   .alias("s_end")))
+    starts = sess.select(F.col("s_start").alias("at_ts"),
+                         F.lit(1).alias("delta"), "user_id", "sid")
+    ends = sess.select(F.col("s_end").alias("at_ts"),
+                       F.lit(-1).alias("delta"), "user_id", "sid")
+    deltas = starts.unionByName(ends)
+    wsweep = (Window.orderBy("at_ts", "delta", "user_id", "sid")
+                    .rowsBetween(Window.unboundedPreceding, 0))
+    swept = deltas.withColumn("live",
+                              F.sum("delta").over(wsweep).cast("long"))
+    return (swept.groupBy(F.to_date("at_ts").alias("day"))
+                 .agg(F.max("live").cast("long")
+                       .alias("peak_concurrent"),
+                      F.sum(F.when(F.col("delta") == 1, 1)
+                             .otherwise(0)).cast("long")
+                       .alias("n_session_starts"))
+                 .select(F.col("day").cast("string").alias("day"),
+                         "peak_concurrent", "n_session_starts"))
