@@ -8253,3 +8253,116 @@ def x3_ood_score(spark: SparkSession, sf_dir: str) -> DataFrame:
                         (F.col("ood_raw") > F.col("q95"))
                          .alias("is_outlier"),
                         _rhu(F.col("q95"), 6).alias("threshold_q95")))
+
+
+# ---------------------------------------------------------------------------
+# OP-X5 — VAD trim: voiced-run detection over sampled frames
+# ---------------------------------------------------------------------------
+
+@register(
+    "x5_vad_trim",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, text, strlen(text) // 16 AS n_frames
+      FROM documents
+    ),
+    k8 AS (
+      SELECT doc_id, text, n_frames,
+             greatest(n_frames // 8, 1) AS stride,
+             unnest(range(0, 8)) AS k
+      FROM t WHERE n_frames > 0
+    ),
+    fr AS (
+      SELECT doc_id, CAST(k AS INTEGER) AS pos,
+             list_reduce(list_prepend(CAST(0 AS BIGINT),
+               list_transform(range(k * stride * 16 + 1,
+                                    k * stride * 16 + 17),
+                 i -> CAST(ascii(substr(text, CAST(i AS INTEGER), 1))
+                           AS BIGINT))),
+               (acc, x) -> (acc * 131 + x) % 1000000007) AS energy
+      FROM k8 WHERE k * stride < n_frames
+    ),
+    voiced AS (
+      SELECT doc_id, pos, energy,
+             (energy % 4 <> 0) AS is_voiced
+      FROM fr
+    ),
+    runs AS (
+      SELECT doc_id, pos - ROW_NUMBER() OVER (
+               PARTITION BY doc_id ORDER BY pos) AS grp,
+             COUNT(*) OVER (PARTITION BY doc_id) AS dummy
+      FROM voiced WHERE is_voiced
+    ),
+    islands AS (
+      SELECT doc_id, COUNT(*) AS run_len
+      FROM runs GROUP BY doc_id, grp
+    )
+    SELECT v.doc_id,
+           COUNT(*) AS n_frames,
+           CAST(SUM(CASE WHEN v.is_voiced THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_voiced,
+           CAST(MIN(CASE WHEN v.is_voiced THEN v.pos END)
+                AS INTEGER) AS trim_start,
+           CAST(MAX(CASE WHEN v.is_voiced THEN v.pos END)
+                AS INTEGER) AS trim_end,
+           CAST(COALESCE((SELECT MAX(run_len) FROM islands i
+                          WHERE i.doc_id = v.doc_id), 0) AS BIGINT)
+             AS longest_voiced_run
+    FROM voiced v GROUP BY v.doc_id
+    """,
+)
+def x5_vad_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OP-X5 (audio path) — voice-activity trimming over sampled
+    frames: per-frame "energy" (the deterministic stub fingerprint
+    standing in for RMS over decoded samples — swap one function for
+    a real decoder, the x5 contract) gates frames voiced/silent, and
+    the report carries what an audio-curation pipeline trims and
+    filters by: leading/trailing silence bounds (trim_start/end),
+    voiced density, and the LONGEST continUOUS voiced run (w8's
+    gaps-and-islands applied to frame positions — clips whose longest
+    run is sub-second are noise, the standard VAD-based quality
+    gate).
+
+    Shape: the frame fan-out is the Arrow mapInPandas path (no
+    shuffle), islands cost one per-doc window over <=8 frame rows,
+    and every output is integer-exact (the energy gate is a modular
+    test on the integer fingerprint — deterministic in both
+    engines)."""
+    from ..operators.multimodal import frame_sample
+
+    d = _t(spark, sf_dir, "documents")
+    payloads = d.select(
+        "doc_id", F.encode("text", "UTF-8").alias("payload"))
+    fr = (frame_sample(payloads)
+          .select("doc_id",
+                  (F.col("frame_idx")
+                   / F.greatest(F.floor(F.col("n_frames") / 8),
+                                F.lit(1))).cast("int").alias("pos"),
+                  F.col("frame_checksum").alias("energy")))
+    voiced = fr.withColumn("is_voiced", F.col("energy") % 4 != 0)
+    runs = (voiced.filter(F.col("is_voiced"))
+                  .withColumn(
+                      "grp",
+                      F.col("pos") - F.row_number().over(
+                          Window.partitionBy("doc_id")
+                                .orderBy("pos"))))
+    islands = (runs.groupBy("doc_id", "grp")
+                   .agg(F.count(F.lit(1)).alias("run_len"))
+                   .groupBy("doc_id")
+                   .agg(F.max("run_len").alias("longest")))
+    base = (voiced.groupBy("doc_id")
+                  .agg(F.count(F.lit(1)).alias("n_frames"),
+                       F.sum(F.when(F.col("is_voiced"), 1)
+                              .otherwise(0)).cast("long")
+                        .alias("n_voiced"),
+                       F.min(F.when(F.col("is_voiced"),
+                                    F.col("pos"))).cast("int")
+                        .alias("trim_start"),
+                       F.max(F.when(F.col("is_voiced"),
+                                    F.col("pos"))).cast("int")
+                        .alias("trim_end")))
+    return (base.join(islands, "doc_id", "left")
+                .select("doc_id", "n_frames", "n_voiced",
+                        "trim_start", "trim_end",
+                        F.coalesce("longest", F.lit(0)).cast("long")
+                         .alias("longest_voiced_run")))
