@@ -3180,3 +3180,69 @@ def a34_abc_classification(spark: SparkSession,
                            _rhu(F.col("class_cents") * 1.0
                                 / F.col("_tot"), 6)
                             .alias("revenue_share")))
+
+
+# ---------------------------------------------------------------------------
+# A35 — reorder-interval distribution (inter-purchase gaps)
+# ---------------------------------------------------------------------------
+
+@register(
+    "a35_reorder_intervals",
+    oracle="""
+    WITH ordered AS (
+      SELECT c.c_mktsegment AS mktsegment, o.o_custkey,
+             o.o_orderdate,
+             LAG(o.o_orderdate) OVER (PARTITION BY o.o_custkey
+               ORDER BY o.o_orderdate, o.o_orderkey) AS prev_d
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    ),
+    gaps AS (
+      SELECT mktsegment,
+             date_diff('day', prev_d, o_orderdate) AS gap_days
+      FROM ordered WHERE prev_d IS NOT NULL
+    )
+    SELECT mktsegment,
+           COUNT(*) AS n_gaps,
+           CAST(FLOOR(quantile_cont(gap_days, 0.5)) AS BIGINT)
+             AS median_gap_days,
+           CAST(FLOOR(quantile_cont(gap_days, 0.9)) AS BIGINT)
+             AS p90_gap_days,
+           CAST(MAX(gap_days) AS BIGINT) AS max_gap_days
+    FROM gaps GROUP BY mktsegment
+    """,
+)
+def a35_reorder_intervals(spark: SparkSession,
+                          sf_dir: str) -> DataFrame:
+    """A35 — the reorder-interval distribution: per segment, the gaps
+    between a customer's consecutive orders (median / p90 / max days
+    between purchases) — the number behind replenishment reminders,
+    churn definitions ("inactive = 2x the p90 reorder gap") and
+    inventory cadence; a33's survival curve measures time-to-FIRST
+    conversion, this measures the steady-state rhythm after it.
+
+    Shape: one lag window per customer ((date, orderkey) total
+    order — the unbounded-key series discipline), then a bounded
+    per-segment agg; quantiles are exact continuous interpolation
+    over identical integer day-gaps, FLOORED explicitly before the
+    BIGINT cast — DuckDB's double->BIGINT cast ROUNDS while Spark's
+    truncates (caught live: a 457.5 p90 split 457 vs 458), so a bare
+    cast of any fractional double is never oracle-safe."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate",
+                                                "o_orderkey")
+    gaps = (o.join(F.broadcast(c.select("c_custkey", "c_mktsegment")),
+                   o.o_custkey == c.c_custkey)
+             .withColumn("prev_d", F.lag("o_orderdate").over(w))
+             .filter(F.col("prev_d").isNotNull())
+             .select(F.col("c_mktsegment").alias("mktsegment"),
+                     F.datediff("o_orderdate", "prev_d")
+                      .alias("gap_days")))
+    return (gaps.groupBy("mktsegment")
+                .agg(F.count(F.lit(1)).alias("n_gaps"),
+                     F.floor(F.expr("percentile(gap_days, 0.5)"))
+                      .cast("long").alias("median_gap_days"),
+                     F.floor(F.expr("percentile(gap_days, 0.9)"))
+                      .cast("long").alias("p90_gap_days"),
+                     F.max("gap_days").cast("long")
+                      .alias("max_gap_days")))

@@ -782,9 +782,9 @@ def t34_rsi_indicator(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(SUM(CASE WHEN lag_us > 0 THEN 1 ELSE 0 END)
                 AS BIGINT) AS n_late,
            CAST(MAX(lag_us) AS BIGINT) AS max_lag_us,
-           CAST(quantile_cont(lag_us, 0.95) AS BIGINT)
+           CAST(FLOOR(quantile_cont(lag_us, 0.95)) AS BIGINT)
              AS p95_lag_us,
-           CAST(quantile_cont(lag_us, 0.99) AS BIGINT)
+           CAST(FLOOR(quantile_cont(lag_us, 0.99)) AS BIGINT)
              AS p99_lag_us
     FROM lag GROUP BY event_type
     """,
@@ -805,7 +805,8 @@ def t35_disorder_profile(spark: SparkSession,
     Determinism: the frontier is a running MAX over the (event_id)
     total order — exact timestamps, integer µs lags; quantiles are
     exact continuous interpolation over identical integer sets,
-    floored to BIGINT in both engines. Shape: one running-max window
+    FLOORED explicitly before the BIGINT cast (DuckDB's double cast
+    rounds, Spark's truncates — the a35 lesson applied here). Shape: one running-max window
     per type (the series discipline) + one bounded agg."""
     ev = _t(spark, sf_dir, "events")
     w = (Window.partitionBy("event_type").orderBy("event_id")
@@ -819,10 +820,10 @@ def t35_disorder_profile(spark: SparkSession,
                     F.sum(F.when(F.col("lag_us") > 0, 1).otherwise(0))
                      .cast("long").alias("n_late"),
                     F.max("lag_us").cast("long").alias("max_lag_us"),
-                    F.expr("percentile(lag_us, 0.95)").cast("long")
-                     .alias("p95_lag_us"),
-                    F.expr("percentile(lag_us, 0.99)").cast("long")
-                     .alias("p99_lag_us")))
+                    F.floor(F.expr("percentile(lag_us, 0.95)"))
+                     .cast("long").alias("p95_lag_us"),
+                    F.floor(F.expr("percentile(lag_us, 0.99)"))
+                     .cast("long").alias("p99_lag_us")))
 
 
 # ---------------------------------------------------------------------------
