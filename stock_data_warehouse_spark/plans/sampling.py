@@ -707,3 +707,120 @@ def x7_poisson_bootstrap(spark: SparkSession,
                           .cast("double").alias("point_mean"),
                          (F.abs(rmean - pmean) < 0.05 * pmean)
                           .alias("replica_within_5pct")))
+
+
+# ---------------------------------------------------------------------------
+# OP-X7s — covariate balance (standardized mean difference)
+# ---------------------------------------------------------------------------
+
+_SMD_SQL_ONE = """
+      SELECT '{name}' AS covariate,
+             COUNT(CASE WHEN variant = 'A' THEN 1 END) AS n_a,
+             COUNT(CASE WHEN variant = 'B' THEN 1 END) AS n_b,
+             CAST(SUM(CASE WHEN variant = 'A' THEN {col} END)
+                  AS BIGINT) AS sa,
+             CAST(SUM(CASE WHEN variant = 'B' THEN {col} END)
+                  AS BIGINT) AS sb,
+             CAST(SUM(CASE WHEN variant = 'A' THEN {col} * {col} END)
+                  AS BIGINT) AS qa,
+             CAST(SUM(CASE WHEN variant = 'B' THEN {col} * {col} END)
+                  AS BIGINT) AS qb
+      FROM per_user"""
+
+
+@register(
+    "x7_smd_balance",
+    oracle=f"""
+    WITH per_user AS (
+      SELECT user_id,
+             CASE WHEN substr(md5('ab' || ':'
+                               || CAST(user_id AS VARCHAR)), 1, 1)
+                       < '8' THEN 'A' ELSE 'B' END AS variant,
+             COUNT(*) AS n_events,
+             COUNT(CASE WHEN event_type = 'purchase' THEN 1 END)
+               AS n_purch,
+             COUNT(DISTINCT ts::DATE) AS active_days
+      FROM events GROUP BY user_id
+    ),
+    wide AS (
+      {_SMD_SQL_ONE.format(name='n_events', col='n_events')}
+      UNION ALL
+      {_SMD_SQL_ONE.format(name='n_purch', col='n_purch')}
+      UNION ALL
+      {_SMD_SQL_ONE.format(name='active_days', col='active_days')}
+    ),
+    stat AS (
+      SELECT covariate, n_a, n_b,
+             (sa * 1.0 / n_a - sb * 1.0 / n_b)
+               / NULLIF(sqrt(((qa * 1.0 / n_a
+                               - (sa * 1.0 / n_a) * (sa * 1.0 / n_a))
+                              + (qb * 1.0 / n_b
+                                 - (sb * 1.0 / n_b)
+                                   * (sb * 1.0 / n_b))) / 2.0), 0)
+               AS smd_raw
+      FROM wide
+    )
+    SELECT covariate, n_a, n_b,
+           CAST(ROUND(CAST(smd_raw AS DECIMAL(38,10)), 4) AS DOUBLE)
+             AS smd,
+           COALESCE(ABS(smd_raw) < 0.1, TRUE) AS balanced
+    FROM stat
+    """,
+)
+def x7_smd_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OP-X7 — covariate BALANCE between experiment arms: the
+    standardized mean difference (mean_A − mean_B over the pooled
+    std) of each pre-treatment covariate, gated at the conventional
+    |SMD| < 0.1. The middle check of the experimentation trio — a26
+    validates the SPLIT (SRM), this validates that the arms are
+    COMPARABLE on what they brought in (a lucky-but-lopsided draw
+    biases the readout even when the ratio is perfect), a27 reads the
+    metric. Under hash assignment the arms are balanced in
+    expectation — the honest A/A reading — and the gate would catch a
+    seed collision or key-correlated assignment bug.
+
+    Determinism: per-arm Σx and Σx² are exact BIGINTs over integer
+    covariates, so means/variances are pure functions of identical
+    ints; the one sqrt chain is NULLIF-guarded and decimal-routed at
+    4dp while the gate compares the raw identical doubles. Shape: one
+    per-user agg + a 3-covariate conditional-sum agg (the unpivot is
+    three aliased aggregates, not a scan per covariate)."""
+    ev = _t(spark, sf_dir, "events")
+    per_user = (ev.groupBy("user_id")
+                  .agg(F.count(F.lit(1)).alias("n_events"),
+                       F.count(F.when(
+                           F.col("event_type") == "purchase", 1))
+                        .alias("n_purch"),
+                       F.countDistinct(F.to_date("ts"))
+                        .alias("active_days"))
+                  .withColumn(
+                      "variant",
+                      F.when(F.substring(
+                                 F.md5(F.concat(
+                                     F.lit("ab"), F.lit(":"),
+                                     F.col("user_id").cast("string"))),
+                                 1, 1) < "8", "A").otherwise("B")))
+    rows = []
+    for name in ("n_events", "n_purch", "active_days"):
+        c = F.col(name)
+        rows.append(per_user.agg(
+            F.lit(name).alias("covariate"),
+            F.count(F.when(F.col("variant") == "A", 1)).alias("n_a"),
+            F.count(F.when(F.col("variant") == "B", 1)).alias("n_b"),
+            F.sum(F.when(F.col("variant") == "A", c)).alias("sa"),
+            F.sum(F.when(F.col("variant") == "B", c)).alias("sb"),
+            F.sum(F.when(F.col("variant") == "A", c * c)).alias("qa"),
+            F.sum(F.when(F.col("variant") == "B", c * c)).alias("qb")))
+    wide = rows[0].unionByName(rows[1]).unionByName(rows[2])
+    ma = F.col("sa") * 1.0 / F.col("n_a")
+    mb = F.col("sb") * 1.0 / F.col("n_b")
+    va = F.col("qa") * 1.0 / F.col("n_a") - ma * ma
+    vb = F.col("qb") * 1.0 / F.col("n_b") - mb * mb
+    smd_raw = (ma - mb) / F.nullif(F.sqrt((va + vb) / 2.0),
+                                   F.lit(0.0))
+    return wide.select(
+        "covariate", "n_a", "n_b",
+        F.round(smd_raw.cast("decimal(38,10)"), 4).cast("double")
+         .alias("smd"),
+        F.coalesce(F.abs(smd_raw) < 0.1, F.lit(True))
+         .alias("balanced"))
