@@ -2067,13 +2067,18 @@ def a24_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     small exact ints).
 
     Shape: one fact->dim join + per-customer hash agg (shuffles on
-    the unbounded custkey), then three rank windows over the CUSTOMER
-    dim partitioned by the 5 bounded segments — dim-sized sorts,
-    never fact-sized (the w6 posture); at 100 TB the same scores
-    come from a18's mergeable quantile summary as broadcast
-    thresholds instead of exact ranks (documented trade: exact ranks
-    are the oracle-checkable form). Output is the bounded
-    (segment x 5^3) matrix."""
+    the unbounded custkey), then three EXACT ranks via the two-level
+    staircase (operators/staircase.py — VERDICT r7 item 1): recency
+    and frequency order keys are tie-heavy, so buckets are
+    (key value, floor(custkey/8192)) — each bucket ≤ 8192 rows BY
+    CONSTRUCTION and the rank windows partition on (segment, key,
+    block), count growing with the data; the near-unique monetary key
+    buckets by sub-octave value band floor(16·log2(cents+1)).
+    Per-bucket counts (one hash agg each) become strictly-earlier
+    prefix offsets over the second-level bucket dim and join back
+    broadcast; segment sizes come from a 5-row agg, not a count
+    window. No window's partition count is independent of N. Output
+    is the bounded (segment x 5^3) matrix."""
     o = _t(spark, sf_dir, "orders")
     c = _t(spark, sf_dir, "customer")
     cents = F.when(
@@ -2088,18 +2093,30 @@ def a24_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
              .agg(F.max("o_orderdate").alias("last_d"),
                   F.count(F.lit(1)).alias("n_orders"),
                   F.sum(cents).alias("cents")))
+    from ..operators.staircase import bucketed_row_number
+    nseg = base.groupBy("mktsegment").agg(F.count(F.lit(1)).alias("_n"))
+    b = (base.withColumn("_ckb", F.floor(F.col("ck") / 8192))
+             .withColumn("_vb",
+                         F.floor(F.log2(F.col("cents") + 1) * 16)))
+    b = bucketed_row_number(
+        b, ["mktsegment"], ["last_d", "_ckb"],
+        [F.col("last_d"), F.col("_ckb")], [F.col("ck")], out="_rr")
+    b = bucketed_row_number(
+        b, ["mktsegment"], ["n_orders", "_ckb"],
+        [F.col("n_orders"), F.col("_ckb")], [F.col("ck")], out="_rf")
+    b = bucketed_row_number(
+        b, ["mktsegment"], ["_vb"], [F.col("_vb")],
+        [F.col("cents"), F.col("ck")], out="_rm")
 
-    def score(order_col: str) -> F.Column:
-        w = Window.partitionBy("mktsegment").orderBy(order_col, "ck")
-        n = F.count(F.lit(1)).over(Window.partitionBy("mktsegment"))
-        return (F.floor(((F.row_number().over(w) - 1) * 5.0) / n)
+    def score(rn: str) -> F.Column:
+        return (F.floor(((F.col(rn) - 1) * 5.0) / F.col("_n"))
                  .cast("int") + 1)
 
-    sc = base.select(
-        "mktsegment", "cents",
-        score("last_d").alias("r_score"),
-        score("n_orders").alias("f_score"),
-        score("cents").alias("m_score"))
+    sc = (b.join(F.broadcast(nseg), "mktsegment")
+           .select("mktsegment", "cents",
+                   score("_rr").alias("r_score"),
+                   score("_rf").alias("f_score"),
+                   score("_rm").alias("m_score")))
     return (sc.groupBy("mktsegment", "r_score", "f_score", "m_score")
               .agg(F.count(F.lit(1)).alias("n_customers"),
                    F.sum("cents").alias("cents_total")))
@@ -2560,9 +2577,12 @@ def a28_gini_concentration(spark: SparkSession,
     the ONLY float op is the final division, decimal-routed at 6dp,
     with the 0 ≤ G ≤ 1 sanity gate compared on the raw ratio
     identically in both engines. Shape: fact→dim join + per-customer
-    agg (unbounded-key shuffles), one rank window per 5-segment
-    stratum over the CUSTOMER dim (the w6/a24 posture), one bounded
-    final agg."""
+    agg (unbounded-key shuffles), then the rank i via the two-level
+    staircase (operators/staircase.py, VERDICT r7 item 1): buckets
+    are sub-octave value bands floor(16·log2(cents+1)), the rank
+    window partitions on (segment, band) — count growing with the
+    data, never a 5-partition corpus sort — and per-band counts join
+    back broadcast as prefix offsets; one bounded final agg."""
     o = _t(spark, sf_dir, "orders")
     c = _t(spark, sf_dir, "customer")
     cents = F.when(
@@ -2575,8 +2595,12 @@ def a28_gini_concentration(spark: SparkSession,
              .groupBy(F.col("c_mktsegment").alias("mktsegment"),
                       F.col("c_custkey").alias("ck"))
              .agg(F.sum(cents).alias("cents")))
-    w = Window.partitionBy("mktsegment").orderBy("cents", "ck")
-    ranked = base.withColumn("i", F.row_number().over(w))
+    from ..operators.staircase import bucketed_row_number
+    ranked = bucketed_row_number(
+        base.withColumn("_vb",
+                        F.floor(F.log2(F.col("cents") + 1) * 16)),
+        ["mktsegment"], ["_vb"], [F.col("_vb")],
+        [F.col("cents"), F.col("ck")], out="i")
     sums = (ranked.groupBy("mktsegment")
                   .agg(F.count(F.lit(1)).alias("n"),
                        F.sum("cents").alias("s0"),
@@ -3140,10 +3164,15 @@ def a34_abc_classification(spark: SparkSession,
     (cum·100 <= total·80 — no float thresholds, no representability
     edge), cumulative revenue is BIGINT-exact over the (cents desc,
     partkey) total order. Shape: fact→dim join + per-part agg
-    (unbounded-key shuffles), then ONE ranked cumulative window over
-    the PART DIM (dim-sized like a24/a28 — at a larger catalog the
-    same classification comes from the a18 summary's cumulative
-    ranks), and a 3-row class agg."""
+    (unbounded-key shuffles), then the cumulative revenue via the
+    two-level staircase (operators/staircase.py, VERDICT r7 item 1):
+    descending sub-octave value bands floor(16·log2(cents+1)), the
+    cumulative window partitions on the band (count growing with the
+    data — never one global sort partition), per-band BIGINT sums
+    broadcast back as strictly-earlier prefix offsets (exact:
+    integer addition is order-free); the grand total is a 1-row agg
+    cross-joined broadcast, not an all-rows window; and a 3-row
+    class agg."""
     li = _t(spark, sf_dir, "lineitem")
     p = _t(spark, sf_dir, "part")
     cents = F.when(
@@ -3157,13 +3186,14 @@ def a34_abc_classification(spark: SparkSession,
                    li.l_partkey == p.p_partkey)
              .groupBy(F.col("p_partkey").alias("pk"))
              .agg(F.sum(cents).alias("cents")))
-    wcum = (Window.orderBy(F.col("cents").desc(), "pk")
-                  .rowsBetween(Window.unboundedPreceding, 0))
-    wall = Window.partitionBy()
-    ranked = (rev.withColumn("cum",
-                             F.sum("cents").over(wcum).cast("long"))
-                 .withColumn("total",
-                             F.sum("cents").over(wall).cast("long")))
+    from ..operators.staircase import bucketed_cumsum
+    tot = rev.agg(F.sum("cents").cast("long").alias("total"))
+    ranked = bucketed_cumsum(
+        rev.withColumn("_vb",
+                       F.floor(F.log2(F.col("cents") + 1) * 16)),
+        [], ["_vb"], [F.col("_vb").desc()],
+        [F.col("cents").desc(), F.col("pk")],
+        F.col("cents"), out="cum").crossJoin(F.broadcast(tot))
     classed = ranked.withColumn(
         "abc",
         F.when(F.col("cum") * 100 <= F.col("total") * 80, "A")

@@ -804,26 +804,107 @@ def t35_disorder_profile(spark: SparkSession,
 
     Determinism: the frontier is a running MAX over the (event_id)
     total order — exact timestamps, integer µs lags; quantiles are
-    exact continuous interpolation over identical integer sets,
+    exact continuous interpolation (lo + (hi−lo)·frac, the formula
+    both engines' exact quantiles use, on identical integer ranks),
     FLOORED explicitly before the BIGINT cast (DuckDB's double cast
-    rounds, Spark's truncates — the a35 lesson applied here). Shape: one running-max window
-    per type (the series discipline) + one bounded agg."""
+    rounds, Spark's truncates — the a35 lesson applied here).
+
+    Scale shape (VERDICT r7 item 1 — event_type is a ~5-value key, so
+    partitioning windows/aggregates on it alone is a corpus-sized
+    buffer per task): the running max decomposes two-level over
+    fixed-width event_id blocks (operators/staircase.py — local
+    running max per (type, block), strictly-earlier block maxes
+    broadcast back; exact because max is associative); the p95/p99
+    come from a BUCKETED-EXACT RANK LOOKUP instead of Spark's
+    buffering `percentile()` aggregate: per-(type, sub-octave lag
+    band) counts cumulate over the second-level band dim to locate
+    the band holding each target rank; single-valued bands (the
+    giant lag=0 tie mass) answer directly with no sort, multi-valued
+    target bands rank ONLY their own rows locally. No task ever
+    holds more than one value band of one type."""
     ev = _t(spark, sf_dir, "events")
-    w = (Window.partitionBy("event_type").orderBy("event_id")
-               .rowsBetween(Window.unboundedPreceding, 0))
-    lag = (ev.withColumn("frontier", F.max("ts").over(w))
-             .select("event_type",
-                     (F.unix_micros("frontier") - F.unix_micros("ts"))
-                      .alias("lag_us")))
-    return (lag.groupBy("event_type")
+    from ..operators.staircase import bucketed_running_max
+    fr = bucketed_running_max(
+        ev.withColumn("_eb", F.floor(F.col("event_id") / 65536)),
+        ["event_type"], ["_eb"], [F.col("_eb")],
+        [F.col("event_id")], F.col("ts"), out="frontier")
+    lb = F.floor(F.log2(F.col("lag_us") + 1) * 8).cast("long")
+    lag = fr.select(
+        "event_type",
+        (F.unix_micros("frontier") - F.unix_micros("ts"))
+         .alias("lag_us")).withColumn("_lb", lb)
+    pern = (lag.groupBy("event_type")
                .agg(F.count(F.lit(1)).alias("n_events"),
                     F.sum(F.when(F.col("lag_us") > 0, 1).otherwise(0))
                      .cast("long").alias("n_late"),
-                    F.max("lag_us").cast("long").alias("max_lag_us"),
-                    F.floor(F.expr("percentile(lag_us, 0.95)"))
-                     .cast("long").alias("p95_lag_us"),
-                    F.floor(F.expr("percentile(lag_us, 0.99)"))
-                     .cast("long").alias("p99_lag_us")))
+                    F.max("lag_us").cast("long").alias("max_lag_us")))
+    # target ranks: pos = (n-1)*p; value = v[floor] + Δ·(pos-floor) —
+    # the shared exact-quantile interpolation, reproduced on looked-up
+    # rank values instead of a per-group buffered array.
+    spec = pern.select("event_type", "n_events")
+    for tag, p in (("p95", 0.95), ("p99", 0.99)):
+        pos = (F.col("n_events") - 1).cast("double") * F.lit(p)
+        r0 = F.floor(pos).cast("long")
+        spec = (spec.withColumn(f"_{tag}_r0", r0)
+                    .withColumn(f"_{tag}_r1",
+                                F.least(r0 + 1,
+                                        F.col("n_events") - 1))
+                    .withColumn(f"_{tag}_f", pos - F.floor(pos)))
+    needs = (spec.select(
+                "event_type",
+                F.explode(F.array("_p95_r0", "_p95_r1",
+                                  "_p99_r0", "_p99_r1")).alias("rk"))
+                 .distinct())
+    bstats = (lag.groupBy("event_type", "_lb")
+                 .agg(F.count(F.lit(1)).alias("_bn"),
+                      F.min("lag_us").alias("_bmin"),
+                      F.max("lag_us").alias("_bmax")))
+    wb = (Window.partitionBy("event_type").orderBy("_lb")
+                .rowsBetween(Window.unboundedPreceding, -1))
+    bcum = bstats.withColumn(
+        "_before", F.coalesce(F.sum("_bn").over(wb), F.lit(0)))
+    tb = (needs.join(bcum, "event_type")
+               .filter((F.col("rk") >= F.col("_before"))
+                       & (F.col("rk")
+                          < F.col("_before") + F.col("_bn"))))
+    direct = (tb.filter(F.col("_bmin") == F.col("_bmax"))
+                .select("event_type", "rk",
+                        F.col("_bmin").alias("v")))
+    multi = (tb.filter(F.col("_bmin") != F.col("_bmax"))
+               .select("event_type", "_lb", "rk",
+                       (F.col("rk") - F.col("_before")).alias("lrk")))
+    wl = Window.partitionBy("event_type", "_lb").orderBy("lag_us")
+    looked = (lag.join(F.broadcast(
+                    multi.select("event_type", "_lb").distinct()),
+                    ["event_type", "_lb"])
+                 .withColumn("lrn",
+                             F.row_number().over(wl).cast("long") - 1)
+                 .join(F.broadcast(multi), ["event_type", "_lb"])
+                 .filter(F.col("lrn") == F.col("lrk"))
+                 .select("event_type", "rk",
+                         F.col("lag_us").alias("v")))
+    vals = direct.unionByName(looked)
+    out = spec
+    for tag in ("p95", "p99"):
+        v0 = vals.select("event_type",
+                         F.col("rk").alias(f"_{tag}_r0"),
+                         F.col("v").alias(f"_{tag}_v0"))
+        v1 = vals.select("event_type",
+                         F.col("rk").alias(f"_{tag}_r1"),
+                         F.col("v").alias(f"_{tag}_v1"))
+        out = (out.join(F.broadcast(v0), ["event_type", f"_{tag}_r0"])
+                  .join(F.broadcast(v1), ["event_type", f"_{tag}_r1"]))
+
+    def _q(tag: str) -> F.Column:
+        v0, v1 = F.col(f"_{tag}_v0"), F.col(f"_{tag}_v1")
+        return (F.floor(v0 + (v1 - v0) * F.col(f"_{tag}_f"))
+                 .cast("long"))
+
+    res = out.select("event_type", _q("p95").alias("p95_lag_us"),
+                     _q("p99").alias("p99_lag_us"))
+    return (pern.join(F.broadcast(res), "event_type")
+                .select("event_type", "n_events", "n_late",
+                        "max_lag_us", "p95_lag_us", "p99_lag_us"))
 
 
 # ---------------------------------------------------------------------------
@@ -889,10 +970,14 @@ def t36_peak_concurrency(spark: SparkSession,
     in both engines (-1 before +1: a session ending exactly as
     another starts does not inflate the peak — pinned by the order,
     not by luck). Scale: sessionization is the per-user series
-    discipline; the ONE global-order sweep is the algorithm's
-    inherent total order — at 100 TB it runs per day-partition with
-    boundary carry-in (documented), which this per-day output shape
-    is already cut for."""
+    discipline; the global-order sweep runs DECOMPOSED per
+    day-partition with boundary carry-in (the two-level staircase,
+    operators/staircase.py — VERDICT r7 item 1): each day's endpoints
+    sweep locally in their own partition (count growing with the
+    time span), a day-level agg sums each day's net Σdelta, and the
+    strictly-earlier-day prefix (live sessions carried over midnight)
+    joins back broadcast — exact, since +1/−1 addition is order-free
+    across the day boundary."""
     ev = _t(spark, sf_dir, "events")
     wu = Window.partitionBy("user_id").orderBy("ts", "event_id")
     s = (ev.withColumn(
@@ -909,11 +994,14 @@ def t36_peak_concurrency(spark: SparkSession,
                          F.lit(1).alias("delta"), "user_id", "sid")
     ends = sess.select(F.col("s_end").alias("at_ts"),
                        F.lit(-1).alias("delta"), "user_id", "sid")
-    deltas = starts.unionByName(ends)
-    wsweep = (Window.orderBy("at_ts", "delta", "user_id", "sid")
-                    .rowsBetween(Window.unboundedPreceding, 0))
-    swept = deltas.withColumn("live",
-                              F.sum("delta").over(wsweep).cast("long"))
+    deltas = (starts.unionByName(ends)
+                    .withColumn("_day", F.to_date("at_ts")))
+    from ..operators.staircase import bucketed_cumsum
+    swept = bucketed_cumsum(
+        deltas, [], ["_day"], [F.col("_day")],
+        [F.col("at_ts"), F.col("delta"), F.col("user_id"),
+         F.col("sid")],
+        F.col("delta"), out="live")
     return (swept.groupBy(F.to_date("at_ts").alias("day"))
                  .agg(F.max("live").cast("long")
                        .alias("peak_concurrent"),

@@ -434,3 +434,107 @@ def test_cumulative_distinct_window_over_daily_aggregate(spark):
     assert len(win) == 2, plan
     assert "HashAggregate" in win[1], plan
     assert "SinglePartition" not in win[0], plan
+
+
+# ---------------------------------------------------------------------------
+# Two-level staircase pins (r7 verdict item 1): the five exact
+# global-order statistics must never run a window whose partition count
+# is independent of N over a data-sized relation.
+# ---------------------------------------------------------------------------
+
+_STAIR_MARKERS = ("_vb", "_ckb", "_eb", "_lb", "_day")
+
+
+def _window_specs(plan: str) -> list[tuple[list[str], list[str]]]:
+    """Parse every windowspecdefinition(...) in an executed plan into
+    (partition keys, order keys) — paren-matched (the frame spec nests
+    parens), split on top-level commas; order keys carry ASC/DESC."""
+    specs = []
+    needle = "windowspecdefinition("
+    i = plan.find(needle)
+    while i != -1:
+        j = i + len(needle)
+        depth, start, parts = 1, j, []
+        while depth:
+            ch = plan[j]
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+                if depth == 0:
+                    parts.append(plan[start:j].strip())
+            elif ch == "," and depth == 1:
+                parts.append(plan[start:j].strip())
+                start = j + 1
+            j += 1
+        part_keys = [p for p in parts
+                     if " ASC" not in p and " DESC" not in p
+                     and not p.startswith("specifiedwindowframe")]
+        order_keys = [p for p in parts
+                      if " ASC" in p or " DESC" in p]
+        specs.append((part_keys, order_keys))
+        i = plan.find(needle, j)
+    return specs
+
+
+def _assert_staircase_windows(plan: str,
+                              allowed_unbounded: tuple[str, ...] = ()):
+    """Every window must either partition/order on a staircase bucket
+    column (level 1 = data-sized but bucket-partitioned; level 2 =
+    bucket-dim-sized, identified by ordering on the bucket), or
+    partition on an explicitly allowed unbounded-cardinality key
+    (per-key series discipline, e.g. t36's per-user sessionization)."""
+    specs = _window_specs(plan)
+    assert specs, plan
+    for part_keys, order_keys in specs:
+        keys = part_keys + order_keys
+        ok = any(m in k for m in _STAIR_MARKERS for k in keys) or any(
+            any(u in p for p in part_keys) for u in allowed_unbounded)
+        assert ok, (part_keys, order_keys, plan)
+
+
+def test_rfm_ranks_are_bucket_partitioned(spark):
+    from stock_data_warehouse_spark.plans.analytics import (
+        a24_rfm_segments,
+    )
+    plan = _executed_plan(a24_rfm_segments(spark, SF))
+    _assert_staircase_windows(plan)
+
+
+def test_gini_rank_is_bucket_partitioned(spark):
+    from stock_data_warehouse_spark.plans.analytics import (
+        a28_gini_concentration,
+    )
+    plan = _executed_plan(a28_gini_concentration(spark, SF))
+    _assert_staircase_windows(plan)
+
+
+def test_abc_cumulative_is_bucket_partitioned(spark):
+    """a34 additionally must not compute the grand total via an
+    all-rows window: the only SinglePartition stages allowed are the
+    bucket-dim offset window and the 1-row total agg."""
+    from stock_data_warehouse_spark.plans.analytics import (
+        a34_abc_classification,
+    )
+    plan = _executed_plan(a34_abc_classification(spark, SF))
+    _assert_staircase_windows(plan)
+    for part_keys, order_keys in _window_specs(plan):
+        if not part_keys:  # global window ⇒ must be the bucket dim
+            assert any("_vb" in k for k in order_keys), plan
+
+
+def test_disorder_profile_has_no_buffering_percentile(spark):
+    from stock_data_warehouse_spark.plans.timeseries import (
+        t35_disorder_profile,
+    )
+    plan = _executed_plan(t35_disorder_profile(spark, SF))
+    _assert_staircase_windows(plan)
+    assert "percentile(" not in plan, plan
+
+
+def test_peak_concurrency_sweeps_per_day(spark):
+    from stock_data_warehouse_spark.plans.timeseries import (
+        t36_peak_concurrency,
+    )
+    plan = _executed_plan(t36_peak_concurrency(spark, SF))
+    _assert_staircase_windows(plan, allowed_unbounded=("user_id",))
