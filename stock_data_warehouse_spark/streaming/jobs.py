@@ -99,6 +99,7 @@ STREAM_ADMISSION: dict[str, int] = {
     "t20_streaming_leaderboard": 1,
     "t21_stream_static_enrich": 1_000_000,
     "t22_watermark_advance_drops": 1,
+    "t30_restart_recovery": 1,
     "t23_interval_join_advance": 1,
     "t24_unconverted_advance": 1,
     "t25_stateful_dedup_advance": 1,
@@ -1178,6 +1179,231 @@ def t22_watermark_advance_drops(spark: SparkSession,
     out = agg.select(F.col("w.start").alias("window_start"),
                      "event_type", "n_events", "sum_cents")
     table, dropped = _run_advancing(out, n_staged)
+    return table.withColumn("n_late_dropped", F.lit(dropped))
+
+
+# ---------------------------------------------------------------------------
+# T30 — checkpoint-restart recovery: stop a stateful streaming query
+# mid-stream, reopen from its checkpoint, oracle-exact final state
+# (VERDICT r7 next-round #3)
+# ---------------------------------------------------------------------------
+
+
+def _run_restartable(spark: SparkSession, hold: str, live: str,
+                     data_dir: str, ck_dir: str,
+                     build_out, n_files: int, split_at: int,
+                     n_staged: int) -> tuple[DataFrame, int]:
+    """Run an advancing-frontier replay in TWO query lifetimes against
+    ONE checkpoint: tranche A (staged files ``[0, split_at)``) runs to
+    AvailableNow completion and the query object is discarded; the
+    remaining files move into the landing zone and a BRAND-NEW query —
+    fresh ``readStream``, fresh ``writeStream`` — reopens the same
+    checkpoint and drains the rest.  The sink is the durable parquet
+    FILE sink (exactly-once via the ``_spark_metadata`` manifest — a
+    memory sink dies with the query, which is exactly what a restart
+    test must not depend on), and the read-back goes through that
+    manifest, so only committed batches count.
+
+    What recovery must restore for the result to be oracle-exact:
+    the file-source log (files of tranche A must NOT re-admit), the
+    state store (windows still open at the stop must finish with
+    tranche-B rows merged in), and the WATERMARK (the frontier earned
+    from tranche A must keep dropping tranche-B late rows — if
+    recovery lost it, the shifted-late rows would be admitted and the
+    hash would diverge).  Pins the same scan/state confs as
+    :func:`_run_advancing`, across BOTH lifetimes."""
+    import shutil
+
+    pinned = {"spark.sql.shuffle.partitions": str(STREAM_STATE_PARTITIONS),
+              "spark.sql.files.maxPartitionBytes": str(8 * 1024 ** 3),
+              "spark.sql.files.minPartitionNum": "1"}
+    prev = {k: spark.conf.get(k, None) for k in pinned}
+    for k, v in pinned.items():
+        spark.conf.set(k, v)
+    progresses = []
+    try:
+        for lo, hi in ((0, split_at), (split_at, n_files)):
+            for i in range(lo, hi):
+                shutil.move(f"{hold}/a{i}", f"{live}/a{i}")
+            sq = (build_out().writeStream
+                  .format("parquet")
+                  .option("path", data_dir)
+                  .option("checkpointLocation", ck_dir)
+                  .outputMode("append")
+                  .trigger(availableNow=True)
+                  .start())
+            sq.awaitTermination()
+            progresses.append(sq.recentProgress)
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    data_batches = [pr for run in progresses for pr in run
+                    if pr["numInputRows"] > 0]
+    admitted = sum(pr["numInputRows"] for pr in data_batches)
+    per_run = [sum(1 for pr in run if pr["numInputRows"] > 0)
+               for run in progresses]
+    if min(per_run) < 2 or admitted != n_staged:
+        raise RuntimeError(
+            f"restart contract violated: data batches per lifetime "
+            f"{per_run} (need >=2 each so BOTH lifetimes advance the "
+            f"frontier), {admitted}/{n_staged} rows admitted")
+    dropped = sum(x["numRowsDroppedByWatermark"]
+                  for run in progresses for pr in run
+                  for x in pr["stateOperators"])
+    return spark.read.parquet(data_dir), int(dropped)
+
+
+@register(
+    "t30_restart_recovery",
+    oracle="""
+    WITH e AS (
+      SELECT event_id, ts, event_type,
+             CAST(CASE WHEN value < 0
+                  THEN -FLOOR(ABS(value) * 100.0 + 0.5)
+                  ELSE FLOOR(ABS(value) * 100.0 + 0.5) END
+             AS BIGINT) AS cents
+      FROM events
+    ),
+    bounds AS (
+      SELECT epoch_us(MIN(ts)) AS mn, epoch_us(MAX(ts)) AS mx FROM e
+    ),
+    ar AS (
+      SELECT e.*,
+             CASE WHEN event_id % 23 = 0
+                   AND (epoch_us(ts) - mn) * 4 // (mx - mn + 1) < 3
+                  THEN LEAST(
+                    (epoch_us(ts) - mn) * 4 // (mx - mn + 1) + 2, 3)
+                  ELSE (epoch_us(ts) - mn) * 4 // (mx - mn + 1)
+             END AS arrival,
+             (epoch_us(ts) // 3600000000) * 3600000000 + 3600000000
+               AS we_us
+      FROM e, bounds
+    ),
+    slots AS (SELECT unnest([0, 1, 2, 3]::BIGINT[]) AS arrival),
+    bm AS (
+      SELECT s.arrival,
+             (SELECT MAX((epoch_us(ts) // 1000) * 1000)
+              FROM ar WHERE ar.arrival = s.arrival) AS bmx
+      FROM slots s
+    ),
+    fw AS (
+      -- the late filter of batch k lags eviction by one batch
+      -- (max through k-2) EXCEPT at the first batch of the RESTARTED
+      -- lifetime (arrival = 2): recovery initializes BOTH watermarks
+      -- from the single committed value, so the lag collapses and
+      -- the filter there is the full frontier through batch k-1
+      SELECT arrival,
+             CASE WHEN arrival = 2
+                  THEN MAX(bmx) OVER (ORDER BY arrival
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                  ELSE MAX(bmx) OVER (ORDER BY arrival
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 2 PRECEDING)
+             END - 600000000 AS filter_wm
+      FROM bm
+    ),
+    flagged AS (
+      SELECT ar.*,
+             (fw.filter_wm IS NOT NULL
+              AND ar.we_us <= fw.filter_wm) AS dropped
+      FROM ar JOIN fw USING (arrival)
+    ),
+    grp AS (
+      SELECT we_us, event_type,
+             COUNT(*) AS n_events, CAST(SUM(cents) AS BIGINT) AS sum_cents
+      FROM flagged WHERE NOT dropped
+      GROUP BY 1, 2
+    ),
+    final_wm AS (
+      SELECT MAX((epoch_us(ts) // 1000) * 1000) - 600000000 AS wm
+      FROM e
+    )
+    SELECT make_timestamp(we_us - 3600000000) AS window_start,
+           event_type, n_events, sum_cents,
+           (SELECT COUNT(*) FROM (
+              SELECT DISTINCT arrival, we_us, event_type
+              FROM flagged WHERE dropped))
+             AS n_late_dropped
+    FROM grp, final_wm
+    WHERE we_us <= final_wm.wm
+    """,
+)
+def t30_restart_recovery(spark: SparkSession,
+                         sf_dir: str) -> DataFrame:
+    """T30 — CHECKPOINT-RESTART RECOVERY, the single most exercised
+    durability behavior in production streaming (VERDICT r7 item 3:
+    t33 only simulates sink-side replay; this actually stops a
+    stateful query mid-stream and reopens it from its checkpoint).
+
+    The t22 aggregation runs in TWO query lifetimes over one
+    checkpoint: staged quartile files a0–a1, AvailableNow completion,
+    query discarded; files a2–a3 land; a brand-new query resumes from
+    the checkpoint and drains them. The final table must be the
+    uninterrupted computation — which requires the checkpoint to
+    restore (a) the file-source log (a0/a1 never re-admit: the
+    parquet sink's manifest would show duplicate windows), (b) the
+    aggregation state (windows still open at the stop complete with
+    tranche-B rows), and (c) the WATERMARK (the frontier earned
+    before the stop keeps dropping tranche-B's shifted-late rows —
+    lose it and the drop set collapses to zero and every hash
+    diverges).
+
+    One restart-specific semantic, pinned by crafted experiment
+    (tests/test_watermark_advance.py): Spark persists ONE watermark
+    value per commit, so on restart ``watermarkForLateEvents`` and
+    ``watermarkForEviction`` both initialize from it — the late
+    filter's usual one-batch lag COLLAPSES at the first recovered
+    batch (filter = frontier through a1, not through a0), then
+    resumes within the new lifetime. The oracle replays exactly that:
+    batch 2 filters at max-through-1, batch 3 at max-through-1 (lag
+    restored). Emission through the durable parquet FILE sink is
+    exactly-once across the restart via the ``_spark_metadata``
+    manifest, and the result is read back THROUGH the manifest.
+    Drops are the engine's own numRowsDroppedByWatermark, summed over
+    both lifetimes, pinned against the oracle's replayed count
+    (distinct dropped (batch, window, type) groups — the t22 metric
+    model).
+
+    Scale: recovery cost is state-store + source-log + one commit
+    replay — independent of history length; this bounded replay IS
+    the weekly production drill (deploy, crash, failover) at landing-
+    zone scale."""
+    from ..sources.tables import load_table
+
+    out_dir = _mkdtemp(prefix="t30_restart_")
+    hold = f"{out_dir}/hold"
+    live = f"{out_dir}/landing"
+    os.makedirs(live, exist_ok=True)
+    cents = F.when(
+        F.col("value") < 0,
+        -F.floor(F.abs(F.col("value")) * 100.0 + F.lit(0.5)),
+    ).otherwise(F.floor(F.abs(F.col("value")) * 100.0 + F.lit(0.5))) \
+     .cast("long")
+    ev = (load_table(spark, sf_dir, "events")
+          .select("event_id", "ts", "event_type", cents.alias("cents")))
+    n_staged = _stage_timeordered_files(spark, ev, hold)
+
+    def build_out() -> DataFrame:
+        s = (spark.readStream
+             .schema("event_id long, ts timestamp, "
+                     "event_type string, cents long")
+             .option("maxFilesPerTrigger", str(STREAM_ADMISSION[
+                 "t30_restart_recovery"]))
+             .option("recursiveFileLookup", "true")
+             .parquet(live))
+        agg = (s.withWatermark("ts", "10 minutes")
+                .groupBy(F.window("ts", "1 hour").alias("w"),
+                         "event_type")
+                .agg(F.count(F.lit(1)).alias("n_events"),
+                     F.sum("cents").alias("sum_cents")))
+        return agg.select(F.col("w.start").alias("window_start"),
+                          "event_type", "n_events", "sum_cents")
+
+    table, dropped = _run_restartable(
+        spark, hold, live, f"{out_dir}/data", f"{out_dir}/checkpoint",
+        build_out, n_files=4, split_at=2, n_staged=n_staged)
     return table.withColumn("n_late_dropped", F.lit(dropped))
 
 

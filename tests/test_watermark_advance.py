@@ -607,3 +607,69 @@ def test_chained_join_agg_frontier(spark, tmp_path):
     got, drops = run("b2", datetime(2024, 1, 1, 11, 40, 0, 1000))
     assert got.get("2024-01-01 10:00:00") == 1, got  # 1 ms past: sealed
     assert drops == 0, drops
+
+
+def test_restart_collapses_filter_lag(spark, tmp_path):
+    """Pin the t30 restart semantics: Spark commits ONE watermark value
+    per batch, so a restarted query seeds BOTH watermarkForLateEvents
+    and watermarkForEviction from it — the late filter's one-batch lag
+    COLLAPSES at the first recovered batch, then resumes.
+
+    Crafted so the collapse is load-bearing: row 4 (end 13:00) passes
+    the uninterrupted lag-2 filter (12:45, from batch a's max 12:55)
+    but is behind the restart-collapsed filter (13:15, from batch b's
+    max 13:25) — if recovery kept the lagged frontier, row 4 would
+    merge into [12,13) and the assertions below fail. Also pins the
+    rest of the recovery contract: tranche-A files never re-admit
+    (exact window counts through the parquet sink's manifest), and
+    aggregation state survives the restart (row 3, admitted before the
+    stop, finishes [13,14) together with post-restart row 5)."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    TS = lambda h, m: datetime(2024, 1, 1, h, m)  # noqa: E731
+    hold = str(tmp_path / "hold")
+    live = str(tmp_path / "live")
+    data = str(tmp_path / "data")
+    ck = str(tmp_path / "ck")
+    os.makedirs(live)
+    _stage(spark, hold, [
+        ("a", [(1, TS(10, 0)), (2, TS(12, 55))], 1_000_000),
+        ("b", [(3, TS(13, 25))], 2_000_000),
+        ("c", [(4, TS(12, 30)), (5, TS(13, 40))], 3_000_000),
+        ("d", [(6, TS(16, 0))], 4_000_000),
+    ])
+
+    def run(names):
+        for n in names:
+            shutil.move(f"{hold}/{n}", f"{live}/{n}")
+        s = (spark.readStream
+             .schema("event_id long, ts timestamp, v double")
+             .option("maxFilesPerTrigger", "1")
+             .option("recursiveFileLookup", "true")
+             .parquet(live))
+        agg = (s.withWatermark("ts", "10 minutes")
+                .groupBy(F.window("ts", "1 hour").alias("w"))
+                .agg(F.count(F.lit(1)).alias("n")))
+        out = agg.select(F.col("w.start").alias("ws"), "n")
+        q = (out.writeStream.format("parquet").option("path", data)
+             .option("checkpointLocation", ck).outputMode("append")
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+        return q.recentProgress
+
+    p1 = run(["a", "b"])   # lifetime 1: watermark ends at 13:15
+    p2 = run(["c", "d"])   # lifetime 2: brand-new query, same ck
+
+    got = {str(r["ws"]): r["n"]
+           for r in spark.read.parquet(data).collect()}
+    assert got == {
+        "2024-01-01 10:00:00": 1,   # sealed by lifetime 1's final batch
+        "2024-01-01 12:00:00": 1,   # row 4 did NOT merge (collapsed lag)
+        "2024-01-01 13:00:00": 2,   # state recovered: row 3 + row 5
+    }, got
+
+    def drops(ps):
+        return sum(x["numRowsDroppedByWatermark"]
+                   for p in ps for x in p["stateOperators"])
+
+    assert drops(p1) == 0, p1
+    assert drops(p2) == 1, p2   # exactly row 4, at the collapsed filter
