@@ -39,11 +39,17 @@ and each micro-batch is a normal distributed job.
 Spark-4's ``transformWithStateInPandas`` (the successor stateful API —
 typed ValueState, RocksDB provider, timers) was prototyped for the t8
 counters but is NOT registrable in this environment: its state-server
-protocol imports ``google.protobuf``, which is broken in the container
-(`ImportError: cannot import name 'descriptor'`) and cannot be
-installed. ``applyInPandasWithState`` covers the OP-T8 contract; the
-TWS form is a drop-in rewrite (same per-key int64 state, same oracle)
-once the dependency exists.
+protocol imports ``google.protobuf``, which is absent in the container
+and cannot be installed. Re-verified round 8 (2026-08-15): the query
+now STARTS (the lazy ``pyspark.sql.streaming.proto`` package import
+succeeds) but hangs forever at batch 0 with ``numInputRows: 0`` — the
+executor-side worker dies on
+``pyspark.sql.streaming.proto.StateMessage_pb2`` →
+``ModuleNotFoundError: No module named 'google'`` while the JVM state
+server keeps waiting, so the failure mode is a silent hang, worse than
+the old import error. ``applyInPandasWithState`` covers the OP-T8/t27
+contracts; the TWS form is a drop-in rewrite (same per-key int64
+state, same oracle) once the dependency exists.
 """
 
 from __future__ import annotations
@@ -2636,12 +2642,19 @@ def t33_exactly_once_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.sum(cents).alias("sum_cents")))
         rows = agg.collect()  # micro-batch × |types| — bounded
         n = sum(r["n_events"] for r in rows)
-        (spark.createDataFrame(rows, agg.schema)
-              .write.mode("errorifexists")
-              .parquet(f"{data_dir}/batch={batch_id}"))
+        # one LocalRelation for both consumers (ADVICE r7: the
+        # createDataFrame RDD path spawns Python workers per action)
+        from ..sources.tables import values_df
+        batch_agg = values_df(
+            spark,
+            [(r["event_type"], r["n_events"], r["sum_cents"])
+             for r in rows],
+            "event_type string, n_events bigint, sum_cents bigint")
+        (batch_agg.write.mode("errorifexists")
+                  .parquet(f"{data_dir}/batch={batch_id}"))
         with open(mpath, "w") as f:
             _json.dump({"batch_id": batch_id, "n_events": int(n)}, f)
-        last["df"] = spark.createDataFrame(rows, agg.schema)
+        last["df"] = batch_agg
         last["id"] = batch_id
 
     mft = STREAM_ADMISSION["t33_exactly_once_sink"]

@@ -92,6 +92,12 @@ def main() -> int:
               f"| {join_s} "
               f"| {nontrivial} predicate / {len(pushed)} scans "
               f"| {n_wsc} | {adm_s} |")
+    audited = [n for n in names if n in qs]
+    print(f"\nAudited {len(audited)} of {len(qs)} registered queries.")
+    if args.all and len(audited) != len(qs):
+        print(f"ERROR: --all audit covered {len(audited)} != "
+              f"{len(qs)} registered queries", file=sys.stderr)
+        return 1
     return 0
 
 
