@@ -120,6 +120,99 @@ def bucketed_cumsum(df: DataFrame, part_cols: list[str],
               .drop("_lc", "_off"))
 
 
+def default_value_bucket(v: Column) -> Column:
+    """Sign-aware sub-octave value band for a LONG column — monotone in
+    ``v`` over the full range (negative values band mirror-image below
+    zero), so it is always an order-consistent bucket for a rank/
+    quantile decomposition.  Band width is 1/8 octave: single-valued at
+    small magnitudes (tie masses like lag 0 resolve with no sort),
+    a few percent of a log-uniform corpus at large ones."""
+    pos = F.floor(F.log2(v + 1) * 8)
+    neg = -F.floor(F.log2(-v + 1) * 8) - 1
+    return F.when(v < 0, neg).otherwise(pos).cast("long")
+
+
+def bucketed_exact_quantiles(df: DataFrame, part_cols: list[str],
+                             value: str,
+                             probs: list[float]) -> DataFrame:
+    """EXACT interpolated quantiles of a LONG column per group —
+    ``lo + (hi − lo) · frac`` at rank positions ``(n−1)·p``, the formula
+    both Spark's ``percentile()`` and DuckDB's ``quantile_cont`` use —
+    WITHOUT the buffering aggregate either engine runs it as (one
+    array of every group value in one aggregator).
+
+    Bucketed rank lookup instead: per-(group, value band) counts
+    cumulate over the second-level band dim to locate the band holding
+    each target rank; SINGLE-valued bands (tie masses) answer directly
+    with no sort; multi-valued target bands rank only their own rows
+    (one band of one group per task).  Returns one row per group:
+    ``part_cols + [q0, q1, ...]`` (double, one per prob, in order).
+
+    Exactness: rank values are exact longs; ``frac`` is the same
+    ``(n−1)·p`` double both engines compute; ties make the
+    interpolation collapse to the exact value (``lo + Δ·f`` with
+    ``Δ = 0``), so there is no two-product cancellation hazard."""
+    n_col = F.count(F.lit(1)).alias("_n")
+    spec = df.groupBy(*part_cols).agg(n_col) if part_cols \
+        else df.agg(n_col)
+    for i, p in enumerate(probs):
+        pos = (F.col("_n") - 1).cast("double") * F.lit(p)
+        r0 = F.floor(pos).cast("long")
+        spec = (spec.withColumn(f"_q{i}_r0", r0)
+                    .withColumn(f"_q{i}_r1",
+                                F.least(r0 + 1, F.col("_n") - 1))
+                    .withColumn(f"_q{i}_f", pos - F.floor(pos)))
+    rks = F.array(*[F.col(f"_q{i}_r{j}")
+                    for i in range(len(probs)) for j in (0, 1)])
+    needs = (spec.select(*part_cols, F.explode(rks).alias("_rk"))
+                 .distinct())
+    b = df.withColumn("_qb", default_value_bucket(F.col(value)))
+    bstats = (b.groupBy(*(part_cols + ["_qb"]))
+               .agg(F.count(F.lit(1)).alias("_bn"),
+                    F.min(value).alias("_bmin"),
+                    F.max(value).alias("_bmax")))
+    wb = (Window.partitionBy(*part_cols).orderBy("_qb")
+                .rowsBetween(Window.unboundedPreceding, -1))
+    bcum = bstats.withColumn(
+        "_before", F.coalesce(F.sum("_bn").over(wb), F.lit(0)))
+    tb = ((needs.join(bcum, part_cols) if part_cols
+           else needs.crossJoin(bcum))
+          .filter((F.col("_rk") >= F.col("_before"))
+                  & (F.col("_rk") < F.col("_before") + F.col("_bn"))))
+    direct = (tb.filter(F.col("_bmin") == F.col("_bmax"))
+                .select(*part_cols, "_rk",
+                        F.col("_bmin").alias("_v")))
+    multi = (tb.filter(F.col("_bmin") != F.col("_bmax"))
+               .select(*part_cols, "_qb", "_rk",
+                       (F.col("_rk") - F.col("_before"))
+                       .alias("_lrk")))
+    mkeys = part_cols + ["_qb"]
+    wl = Window.partitionBy(*mkeys).orderBy(value)
+    looked = (b.join(F.broadcast(multi.select(*mkeys).distinct()),
+                     mkeys)
+               .withColumn("_lrn",
+                           F.row_number().over(wl).cast("long") - 1)
+               .join(F.broadcast(multi), mkeys)
+               .filter(F.col("_lrn") == F.col("_lrk"))
+               .select(*part_cols, "_rk", F.col(value).alias("_v")))
+    vals = direct.unionByName(looked)
+    out = spec
+    for i in range(len(probs)):
+        v0 = vals.select(*part_cols, F.col("_rk").alias(f"_q{i}_r0"),
+                         F.col("_v").alias(f"_q{i}_v0"))
+        v1 = vals.select(*part_cols, F.col("_rk").alias(f"_q{i}_r1"),
+                         F.col("_v").alias(f"_q{i}_v1"))
+        k0, k1 = part_cols + [f"_q{i}_r0"], part_cols + [f"_q{i}_r1"]
+        out = (out.join(F.broadcast(v0), k0)
+                  .join(F.broadcast(v1), k1))
+    qcols = []
+    for i in range(len(probs)):
+        v0, v1 = F.col(f"_q{i}_v0"), F.col(f"_q{i}_v1")
+        qcols.append((v0 + (v1 - v0) * F.col(f"_q{i}_f"))
+                     .alias(f"q{i}"))
+    return out.select(*part_cols, F.col("_n").alias("n"), *qcols)
+
+
 def bucketed_running_max(df: DataFrame, part_cols: list[str],
                          bucket_cols: list[str],
                          bucket_order: list[Column],

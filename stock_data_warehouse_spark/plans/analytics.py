@@ -3276,3 +3276,572 @@ def a35_reorder_intervals(spark: SparkSession,
                       .cast("long").alias("p90_gap_days"),
                      F.max("gap_days").cast("long")
                       .alias("max_gap_days")))
+
+
+# ---------------------------------------------------------------------------
+# A36 — Herfindahl-Hirschman concentration index (r8)
+# ---------------------------------------------------------------------------
+
+@register(
+    "a36_hhi_concentration",
+    oracle="""
+    WITH base AS (
+      SELECT c.c_mktsegment AS mktsegment, c.c_custkey AS ck,
+             SUM(CAST(CASE WHEN o.o_totalprice < 0
+                  THEN -FLOOR(ABS(o.o_totalprice) * 100.0 + 0.5)
+                  ELSE FLOOR(ABS(o.o_totalprice) * 100.0 + 0.5) END
+                 AS BIGINT)) AS cents
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      GROUP BY 1, 2
+    ),
+    sums AS (
+      SELECT mktsegment, COUNT(*) AS n_customers,
+             CAST(SUM(cents) AS BIGINT) AS s0,
+             SUM(CAST(cents AS DOUBLE) * cents) AS s2
+      FROM base GROUP BY mktsegment
+    )
+    SELECT mktsegment, n_customers,
+           CAST(ROUND(CAST(
+             10000.0 * s2 / (CAST(s0 AS DOUBLE) * s0)
+             AS DECIMAL(38,10)), 6) AS DOUBLE) AS hhi,
+           CAST(ROUND(CAST(
+             CAST(s0 AS DOUBLE) * s0 / s2
+             AS DECIMAL(38,10)), 4) AS DOUBLE) AS effective_n
+    FROM sums
+    """,
+)
+def a36_hhi_concentration(spark: SparkSession,
+                          sf_dir: str) -> DataFrame:
+    """A36 — the Herfindahl-Hirschman index of customer revenue per
+    segment: HHI = 10000·Σ share_i² (the antitrust-standard
+    concentration scalar — regulators flag markets above 2500) plus
+    its reciprocal "effective N" (the number of EQUAL-sized customers
+    that would give the same concentration). Completes the
+    concentration triple: a28's Gini measures inequality of the
+    distribution, a34's ABC names the head, HHI is the single number
+    a quarterly board deck carries.
+
+    Determinism: per-customer spend is exact cents; Σx is BIGINT;
+    Σx² sums per-row products that are each exact in a double
+    (cents² < 2^53), so the only noise is summation order at ~1e-16
+    relative — absorbed by the class-B DECIMAL route on the final
+    bounded ratios (HHI ≤ 10000, effective_n ≤ n, both ≪ 9e5). Shape:
+    fact→dim join + per-customer agg (unbounded-key shuffles) + one
+    5-row agg; no window anywhere."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    cents = F.when(
+        F.col("o_totalprice") < 0,
+        -F.floor(F.abs(F.col("o_totalprice")) * 100.0 + F.lit(0.5)),
+    ).otherwise(
+        F.floor(F.abs(F.col("o_totalprice")) * 100.0 + F.lit(0.5))
+    ).cast("long")
+    base = (o.join(c, o.o_custkey == c.c_custkey)
+             .groupBy(F.col("c_mktsegment").alias("mktsegment"),
+                      F.col("c_custkey").alias("ck"))
+             .agg(F.sum(cents).alias("cents")))
+    sums = (base.groupBy("mktsegment")
+                .agg(F.count(F.lit(1)).alias("n_customers"),
+                     F.sum("cents").cast("long").alias("s0"),
+                     F.sum(F.col("cents").cast("double")
+                           * F.col("cents")).alias("s2")))
+    s0d = F.col("s0").cast("double")
+    return sums.select(
+        "mktsegment", "n_customers",
+        F.round((10000.0 * F.col("s2") / (s0d * s0d))
+                .cast("decimal(38,10)"), 6).cast("double")
+         .alias("hhi"),
+        F.round((s0d * s0d / F.col("s2"))
+                .cast("decimal(38,10)"), 4).cast("double")
+         .alias("effective_n"))
+
+
+# ---------------------------------------------------------------------------
+# A39 — top-decile revenue share (staircase-ranked head report, r8)
+# ---------------------------------------------------------------------------
+
+@register(
+    "a39_top_decile_share",
+    oracle="""
+    WITH base AS (
+      SELECT c.c_mktsegment AS mktsegment, c.c_custkey AS ck,
+             SUM(CAST(CASE WHEN o.o_totalprice < 0
+                  THEN -FLOOR(ABS(o.o_totalprice) * 100.0 + 0.5)
+                  ELSE FLOOR(ABS(o.o_totalprice) * 100.0 + 0.5) END
+                 AS BIGINT)) AS cents
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT mktsegment, cents,
+             ROW_NUMBER() OVER (PARTITION BY mktsegment
+                                ORDER BY cents DESC, ck) AS rn,
+             COUNT(*) OVER (PARTITION BY mktsegment) AS n,
+             CAST(SUM(cents) OVER (PARTITION BY mktsegment)
+                  AS BIGINT) AS total
+      FROM base
+    )
+    SELECT mktsegment,
+           CAST(MAX(n) AS BIGINT) AS n_customers,
+           CAST((MAX(n) + 9) // 10 AS BIGINT) AS top_n,
+           CAST(SUM(CASE WHEN rn <= (n + 9) // 10
+                         THEN cents ELSE 0 END) AS BIGINT)
+             AS top_cents,
+           CAST(MAX(total) AS BIGINT) AS total_cents,
+           CAST(ROUND(CAST(
+             SUM(CASE WHEN rn <= (n + 9) // 10
+                      THEN cents ELSE 0 END) * 1.0 / MAX(total)
+             AS DECIMAL(38,10)), 6) AS DOUBLE) AS top_share
+    FROM ranked GROUP BY mktsegment
+    """,
+)
+def a39_top_decile_share(spark: SparkSession,
+                         sf_dir: str) -> DataFrame:
+    """A39 — "the top 10% of customers drive X% of revenue": the
+    head-share report that operationalizes a28's Gini (the number
+    account teams actually quote). The decile cut is an exact rank
+    over (cents desc, custkey) — no percentile estimation — and
+    ceil(n/10) is integer arithmetic.
+
+    Scale shape: the rank comes from the two-level staircase
+    (operators/staircase.py — descending sub-octave cents bands, rank
+    window partitions on (segment, band), per-band counts broadcast
+    back as prefix offsets); segment sizes/totals come from a 5-row
+    agg cross-joined broadcast, NOT count/sum windows (the oracle's
+    COUNT(*) OVER form is the semantic spec, not the plan)."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    cents = F.when(
+        F.col("o_totalprice") < 0,
+        -F.floor(F.abs(F.col("o_totalprice")) * 100.0 + F.lit(0.5)),
+    ).otherwise(
+        F.floor(F.abs(F.col("o_totalprice")) * 100.0 + F.lit(0.5))
+    ).cast("long")
+    base = (o.join(c, o.o_custkey == c.c_custkey)
+             .groupBy(F.col("c_mktsegment").alias("mktsegment"),
+                      F.col("c_custkey").alias("ck"))
+             .agg(F.sum(cents).alias("cents")))
+    from ..operators.staircase import bucketed_row_number
+    ranked = bucketed_row_number(
+        base.withColumn("_vb",
+                        F.floor(F.log2(F.col("cents") + 1) * 16)),
+        ["mktsegment"], ["_vb"], [F.col("_vb").desc()],
+        [F.col("cents").desc(), F.col("ck")], out="rn")
+    seg = (base.groupBy("mktsegment")
+               .agg(F.count(F.lit(1)).alias("n_customers"),
+                    F.sum("cents").cast("long").alias("total_cents")))
+    top_n = ((F.col("n_customers") + 9) / 10).cast("long")
+    return (ranked.join(F.broadcast(seg), "mktsegment")
+                  .groupBy("mktsegment")
+                  .agg(F.max("n_customers").cast("long")
+                        .alias("n_customers"),
+                       F.max(top_n).alias("top_n"),
+                       F.sum(F.when(
+                           F.col("rn")
+                           <= (F.col("n_customers") + 9) / 10,
+                           F.col("cents")).otherwise(0))
+                        .cast("long").alias("top_cents"),
+                       F.max("total_cents").alias("total_cents"))
+                  .select("mktsegment", "n_customers", "top_n",
+                          "top_cents", "total_cents",
+                          F.round((F.col("top_cents") * 1.0
+                                   / F.col("total_cents"))
+                                  .cast("decimal(38,10)"), 6)
+                           .cast("double").alias("top_share")))
+
+
+# ---------------------------------------------------------------------------
+# A37 — new-vs-returning daily mix (r8)
+# ---------------------------------------------------------------------------
+
+@register(
+    "a37_new_vs_returning",
+    oracle="""
+    WITH flagged AS (
+      SELECT o_orderdate,
+             (ROW_NUMBER() OVER (PARTITION BY o_custkey
+                ORDER BY o_orderdate, o_orderkey) = 1) AS is_first
+      FROM orders
+    )
+    SELECT CAST(o_orderdate AS VARCHAR) AS day,
+           CAST(SUM(CASE WHEN is_first THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_new,
+           CAST(SUM(CASE WHEN is_first THEN 0 ELSE 1 END) AS BIGINT)
+             AS n_returning
+    FROM flagged GROUP BY o_orderdate
+    """,
+)
+def a37_new_vs_returning(spark: SparkSession,
+                         sf_dir: str) -> DataFrame:
+    """A37 — the daily NEW vs RETURNING order mix: an order is "new"
+    iff it is its customer's first ever (by the (date, orderkey)
+    total order — the tiebreak makes two same-day orders classify
+    deterministically: exactly one is the first). The growth-
+    accounting daily that sits beside a22's cumulative-distinct
+    curve: a22 counts how many users the business has ever seen,
+    this says whether today's volume is acquisition or retention.
+
+    Shape: one first-order window per customer (unbounded-key series
+    discipline) + a bounded per-day agg; integer counts end to
+    end."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate",
+                                                "o_orderkey")
+    flagged = o.withColumn("is_first",
+                           F.row_number().over(w) == 1)
+    return (flagged.groupBy(F.col("o_orderdate").cast("string")
+                             .alias("day"))
+                   .agg(F.sum(F.when(F.col("is_first"), 1)
+                               .otherwise(0)).cast("long")
+                         .alias("n_new"),
+                        F.sum(F.when(F.col("is_first"), 0)
+                               .otherwise(1)).cast("long")
+                         .alias("n_returning")))
+
+
+# ---------------------------------------------------------------------------
+# A38 — cohort retention triangle (r8)
+# ---------------------------------------------------------------------------
+
+@register(
+    "a38_retention_triangle",
+    oracle="""
+    WITH first_o AS (
+      SELECT o_custkey, MIN(o_orderdate) AS fd
+      FROM orders GROUP BY o_custkey
+    ),
+    act AS (
+      SELECT o.o_custkey,
+             strftime(f.fd, '%Y-%m') AS cohort_month,
+             (year(o.o_orderdate) * 12 + month(o.o_orderdate))
+             - (year(f.fd) * 12 + month(f.fd)) AS months_since
+      FROM orders o JOIN first_o f ON o.o_custkey = f.o_custkey
+    )
+    SELECT cohort_month, months_since,
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT)
+             AS n_active_customers,
+           COUNT(*) AS n_orders
+    FROM act GROUP BY 1, 2
+    """,
+)
+def a38_retention_triangle(spark: SparkSession,
+                           sf_dir: str) -> DataFrame:
+    """A38 — the cohort retention TRIANGLE: customers grouped by the
+    month of their first order, activity counted per months-since-
+    acquisition offset — the (cohort × age) matrix every retention
+    dashboard renders as the classic staircase heat-map. a30's LTV
+    cohorts track money along the same axes; this tracks the headcount
+    that money divides by.
+
+    Determinism: month arithmetic is pure integers (y·12+m), cohort
+    labels are zero-padded 'YYYY-MM' strings in both engines. Shape:
+    per-customer min agg + one custkey-shuffle join back to facts +
+    a bounded (months × ages) grid agg with an exact distinct count
+    (grid cells are bounded, the distinct shuffles on (cell, user) —
+    the a5 posture)."""
+    o = _t(spark, sf_dir, "orders")
+    first_o = (o.groupBy("o_custkey")
+                .agg(F.min("o_orderdate").alias("fd")))
+    act = (o.join(first_o, "o_custkey")
+            .select("o_custkey",
+                    F.date_format("fd", "yyyy-MM")
+                     .alias("cohort_month"),
+                    ((F.year("o_orderdate") * 12
+                      + F.month("o_orderdate"))
+                     - (F.year("fd") * 12 + F.month("fd")))
+                    .alias("months_since")))
+    return (act.groupBy("cohort_month", "months_since")
+               .agg(F.countDistinct("o_custkey").cast("long")
+                     .alias("n_active_customers"),
+                    F.count(F.lit(1)).alias("n_orders")))
+
+
+# ---------------------------------------------------------------------------
+# A40 — median + MAD robust dispersion via bucketed-exact rank lookup
+# (r8 — the o8 staircase quantile machinery as a first-class report)
+# ---------------------------------------------------------------------------
+
+@register(
+    "a40_mad_dispersion",
+    oracle="""
+    WITH ordc AS (
+      SELECT c.c_mktsegment AS mktsegment,
+             CAST(CASE WHEN o.o_totalprice < 0
+                  THEN -FLOOR(ABS(o.o_totalprice) * 100.0 + 0.5)
+                  ELSE FLOOR(ABS(o.o_totalprice) * 100.0 + 0.5) END
+                 AS BIGINT) AS cents
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    ),
+    med AS (
+      SELECT mktsegment, COUNT(*) AS n_orders,
+             quantile_cont(cents, 0.5) AS med
+      FROM ordc GROUP BY mktsegment
+    ),
+    dev AS (
+      SELECT o.mktsegment,
+             ABS(2 * o.cents - CAST(2 * m.med AS BIGINT)) AS dev2
+      FROM ordc o JOIN med m USING (mktsegment)
+    ),
+    mad AS (
+      SELECT mktsegment, quantile_cont(dev2, 0.5) / 2 AS mad_cents
+      FROM dev GROUP BY mktsegment
+    )
+    SELECT m.mktsegment, m.n_orders, m.med AS median_cents,
+           d.mad_cents
+    FROM med m JOIN mad d USING (mktsegment)
+    """,
+)
+def a40_mad_dispersion(spark: SparkSession,
+                       sf_dir: str) -> DataFrame:
+    """A40 — median + MAD (median absolute deviation) of order value
+    per segment: the robust location/dispersion pair that outlier-
+    immune pricing and anomaly thresholds use where mean/std (a29)
+    would be dragged by whales. TWO exact global-order statistics per
+    group, both via the bucketed-exact rank lookup
+    (operators/staircase.py bucketed_exact_quantiles — no buffering
+    percentile aggregate, no window partitioned on the 5-value
+    segment key; the t35 machinery promoted to a first-class report).
+
+    Exactness across the two stages: the median of integers is an
+    exact half-integer (lo + Δ·0.5 — representable), so DOUBLING it
+    gives an exact BIGINT and the deviations |2x − 2·med| stay pure
+    integers; the MAD is then half the exact median of those — every
+    value bit-exact in both engines, no rounding route needed
+    anywhere."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    cents = F.when(
+        F.col("o_totalprice") < 0,
+        -F.floor(F.abs(F.col("o_totalprice")) * 100.0 + F.lit(0.5)),
+    ).otherwise(
+        F.floor(F.abs(F.col("o_totalprice")) * 100.0 + F.lit(0.5))
+    ).cast("long")
+    ordc = (o.join(F.broadcast(c.select("c_custkey", "c_mktsegment")),
+                   o.o_custkey == c.c_custkey)
+             .select(F.col("c_mktsegment").alias("mktsegment"),
+                     cents.alias("cents")))
+    from ..operators.checkpoint import ckpt
+    from ..operators.staircase import bucketed_exact_quantiles
+    # the median is a whole rank-lookup pipeline consumed by THREE
+    # downstream relations (dev ×2 inner consumers + the final join);
+    # ckpt the 5-row result or the lookup re-runs ~9x (the CLAUDE.md
+    # "expensive multi-consumed relation" case, measured 16.5s -> ~8s)
+    med = ckpt(bucketed_exact_quantiles(ordc, ["mktsegment"], "cents",
+                                        [0.5])
+               .select("mktsegment", F.col("n").alias("n_orders"),
+                       F.col("q0").alias("med")))
+    dev = (ordc.join(F.broadcast(
+                med.select("mktsegment",
+                           (F.col("med") * 2).cast("long")
+                            .alias("m2"))), "mktsegment")
+               .select("mktsegment",
+                       F.abs(2 * F.col("cents") - F.col("m2"))
+                        .alias("dev2")))
+    mad = (bucketed_exact_quantiles(dev, ["mktsegment"], "dev2",
+                                    [0.5])
+           .select("mktsegment",
+                   (F.col("q0") / 2).alias("mad_cents")))
+    return (med.join(F.broadcast(mad), "mktsegment")
+               .select("mktsegment", "n_orders",
+                       F.col("med").alias("median_cents"),
+                       "mad_cents"))
+
+
+# ---------------------------------------------------------------------------
+# A41 — supplier scorecard with staircase nation rank (r8)
+# ---------------------------------------------------------------------------
+
+@register(
+    "a41_supplier_scorecard",
+    oracle=f"""
+    WITH per_s AS (
+      SELECT l_suppkey AS sk,
+             COUNT(*) AS n_lines,
+             CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_returns,
+             CAST(SUM(CAST(CASE WHEN l_extendedprice < 0
+                  THEN -FLOOR(ABS(l_extendedprice) * 100.0 + 0.5)
+                  ELSE FLOOR(ABS(l_extendedprice) * 100.0 + 0.5) END
+                 AS BIGINT)) AS BIGINT) AS revenue_cents
+      FROM lineitem GROUP BY 1
+    ),
+    named AS (
+      SELECT n.n_name AS nation, p.sk, p.n_lines, p.n_returns,
+             p.revenue_cents,
+             ROW_NUMBER() OVER (PARTITION BY n.n_name
+               ORDER BY p.revenue_cents DESC, p.sk) AS nation_rank
+      FROM per_s p
+      JOIN supplier s ON p.sk = s.s_suppkey
+      JOIN nation n ON s.s_nationkey = n.n_nationkey
+    )
+    SELECT sk AS s_suppkey, nation, n_lines, n_returns,
+           revenue_cents,
+           {sql_round_half_up('n_returns * 1.0 / n_lines', 6)}
+             AS return_rate,
+           nation_rank,
+           (nation_rank <= 3) AS is_top3
+    FROM named
+    """,
+)
+def a41_supplier_scorecard(spark: SparkSession,
+                           sf_dir: str) -> DataFrame:
+    """A41 — the supplier SCORECARD: per supplier, line volume,
+    return-flag rate (the quality signal this schema carries) and
+    exact revenue rank WITHIN its nation with a top-3 flag — the
+    vendor-management quarterly (who gets the renewal call, who gets
+    the audit). The rank question is a24/a28's shape on the SUPPLIER
+    dim: partitioning a window on the ~25-value nation key alone is
+    the bounded-cardinality trap, so the rank runs as the two-level
+    staircase (descending revenue bands within nation, per-band
+    counts broadcast back as offsets).
+
+    Determinism: revenue is exact cents, the rank order
+    (revenue desc, suppkey) is total, and the return rate is an
+    integer ratio through the class-A floor kernel. Shape: one
+    fact agg on suppkey (unbounded-key shuffle), broadcast dim joins
+    (supplier→nation), staircase rank, no corpus-sized sort."""
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    cents = F.when(
+        F.col("l_extendedprice") < 0,
+        -F.floor(F.abs(F.col("l_extendedprice")) * 100.0
+                 + F.lit(0.5)),
+    ).otherwise(
+        F.floor(F.abs(F.col("l_extendedprice")) * 100.0 + F.lit(0.5))
+    ).cast("long")
+    per_s = (li.groupBy(F.col("l_suppkey").alias("sk"))
+               .agg(F.count(F.lit(1)).alias("n_lines"),
+                    F.sum(F.when(F.col("l_returnflag") == "R", 1)
+                           .otherwise(0)).cast("long")
+                     .alias("n_returns"),
+                    F.sum(cents).cast("long")
+                     .alias("revenue_cents")))
+    named = (per_s.join(s, per_s.sk == s.s_suppkey)
+                  .join(F.broadcast(n),
+                        s.s_nationkey == n.n_nationkey)
+                  .select("sk", F.col("n_name").alias("nation"),
+                          "n_lines", "n_returns", "revenue_cents"))
+    from ..operators.staircase import bucketed_row_number
+    ranked = bucketed_row_number(
+        named.withColumn(
+            "_vb", F.floor(F.log2(F.col("revenue_cents") + 1) * 16)),
+        ["nation"], ["_vb"], [F.col("_vb").desc()],
+        [F.col("revenue_cents").desc(), F.col("sk")],
+        out="nation_rank")
+    from ..functions.scalars import round_half_up as _rhu
+    return ranked.select(
+        F.col("sk").alias("s_suppkey"), "nation", "n_lines",
+        "n_returns", "revenue_cents",
+        _rhu(F.col("n_returns") * 1.0 / F.col("n_lines"), 6)
+         .alias("return_rate"),
+        F.col("nation_rank").cast("long").alias("nation_rank"),
+        (F.col("nation_rank") <= 3).alias("is_top3"))
+
+
+# ---------------------------------------------------------------------------
+# A43 — CUSUM changepoint detection on the daily revenue series (r8)
+# ---------------------------------------------------------------------------
+
+@register(
+    "a43_cusum_changepoint",
+    oracle=f"""
+    WITH daily AS (
+      SELECT event_type, ts::DATE AS day,
+             CAST(SUM(CAST(CASE WHEN value < 0
+                  THEN -FLOOR(ABS(value) * 100.0 + 0.5)
+                  ELSE FLOOR(ABS(value) * 100.0 + 0.5) END
+                 AS BIGINT)) AS BIGINT) AS cents
+      FROM events GROUP BY 1, 2
+    ),
+    tot AS (
+      SELECT event_type, COUNT(*) AS n_days,
+             CAST(SUM(cents) AS BIGINT) AS total
+      FROM daily GROUP BY event_type
+    ),
+    cum AS (
+      SELECT d.event_type, d.day, t.n_days, t.total,
+             CAST(SUM(d.cents) OVER (PARTITION BY d.event_type
+               ORDER BY d.day ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               AS cum_cents,
+             CAST(ROW_NUMBER() OVER (PARTITION BY d.event_type
+               ORDER BY d.day) AS BIGINT) AS t_idx
+      FROM daily d JOIN tot t USING (event_type)
+    ),
+    dev AS (
+      SELECT event_type, day, n_days, total,
+             ABS(n_days * cum_cents - t_idx * total) AS absdev
+      FROM cum
+    ),
+    best AS (
+      SELECT event_type,
+             MIN({{'a': -absdev, 'd': day}}) AS b
+      FROM dev GROUP BY event_type
+    )
+    SELECT d.event_type, CAST(d.n_days AS BIGINT) AS n_days,
+           d.total AS total_cents,
+           CAST(b.b.d AS VARCHAR) AS change_day,
+           CAST(-b.b.a AS BIGINT) AS max_absdev_scaled,
+           {sql_round_half_up(
+               '(-b.b.a) * 1.0 / (d.n_days * d.total)', 6)}
+             AS cusum_stat
+    FROM best b JOIN (SELECT DISTINCT event_type, n_days, total
+                      FROM dev) d USING (event_type)
+    """,
+)
+def a43_cusum_changepoint(spark: SparkSession,
+                          sf_dir: str) -> DataFrame:
+    """A43 — CUSUM changepoint detection per event type: the day
+    where the cumulative deviation of daily revenue from its overall
+    mean peaks — the classic "when did the level shift?" screen
+    (a29 flags single anomalous DAYS against a seasonal baseline;
+    CUSUM finds the persistent REGIME change a single-day test can't
+    see).
+
+    All-integer trick: the CUSUM statistic Σ_{{d≤t}}(x_d − x̄) is kept
+    EXACT by scaling by n — n·cum_t − t·total is pure BIGINT (no
+    float mean, no accumulation noise), the argmax day falls out of
+    one min(struct(−absdev, day)) (tiebreak: earliest day), and only
+    the displayed normalized statistic divides (class-A floor kernel:
+    an integer ratio). Shape: one bounded (type × day) agg off the
+    facts; the running window and the argmax run over the DAY-DIM
+    aggregate (the a22 discipline), never raw events."""
+    ev = _t(spark, sf_dir, "events")
+    cents = F.when(
+        F.col("value") < 0,
+        -F.floor(F.abs(F.col("value")) * 100.0 + F.lit(0.5)),
+    ).otherwise(
+        F.floor(F.abs(F.col("value")) * 100.0 + F.lit(0.5))
+    ).cast("long")
+    daily = (ev.groupBy("event_type", F.to_date("ts").alias("day"))
+               .agg(F.sum(cents).alias("cents")))
+    tot = (daily.groupBy("event_type")
+                .agg(F.count(F.lit(1)).alias("n_days"),
+                     F.sum("cents").cast("long").alias("total")))
+    w = (Window.partitionBy("event_type").orderBy("day")
+               .rowsBetween(Window.unboundedPreceding, 0))
+    cum = (daily.join(F.broadcast(tot), "event_type")
+                .withColumn("cum_cents",
+                            F.sum("cents").over(w).cast("long"))
+                .withColumn("t_idx",
+                            F.row_number().over(
+                                Window.partitionBy("event_type")
+                                      .orderBy("day")).cast("long")))
+    dev = cum.withColumn(
+        "absdev",
+        F.abs(F.col("n_days") * F.col("cum_cents")
+              - F.col("t_idx") * F.col("total")))
+    best = (dev.groupBy("event_type")
+               .agg(F.min(F.struct((-F.col("absdev")).alias("a"),
+                                   F.col("day").alias("d")))
+                     .alias("b"),
+                    F.max("n_days").cast("long").alias("n_days"),
+                    F.max("total").alias("total_cents")))
+    from ..functions.scalars import round_half_up as _rhu
+    return best.select(
+        "event_type", "n_days", "total_cents",
+        F.col("b.d").cast("string").alias("change_day"),
+        (-F.col("b.a")).cast("long").alias("max_absdev_scaled"),
+        _rhu((-F.col("b.a")) * 1.0
+             / (F.col("n_days") * F.col("total_cents")), 6)
+         .alias("cusum_stat"))

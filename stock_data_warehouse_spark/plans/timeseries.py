@@ -828,80 +828,21 @@ def t35_disorder_profile(spark: SparkSession,
         ev.withColumn("_eb", F.floor(F.col("event_id") / 65536)),
         ["event_type"], ["_eb"], [F.col("_eb")],
         [F.col("event_id")], F.col("ts"), out="frontier")
-    lb = F.floor(F.log2(F.col("lag_us") + 1) * 8).cast("long")
     lag = fr.select(
         "event_type",
         (F.unix_micros("frontier") - F.unix_micros("ts"))
-         .alias("lag_us")).withColumn("_lb", lb)
+         .alias("lag_us"))
     pern = (lag.groupBy("event_type")
                .agg(F.count(F.lit(1)).alias("n_events"),
                     F.sum(F.when(F.col("lag_us") > 0, 1).otherwise(0))
                      .cast("long").alias("n_late"),
                     F.max("lag_us").cast("long").alias("max_lag_us")))
-    # target ranks: pos = (n-1)*p; value = v[floor] + Δ·(pos-floor) —
-    # the shared exact-quantile interpolation, reproduced on looked-up
-    # rank values instead of a per-group buffered array.
-    spec = pern.select("event_type", "n_events")
-    for tag, p in (("p95", 0.95), ("p99", 0.99)):
-        pos = (F.col("n_events") - 1).cast("double") * F.lit(p)
-        r0 = F.floor(pos).cast("long")
-        spec = (spec.withColumn(f"_{tag}_r0", r0)
-                    .withColumn(f"_{tag}_r1",
-                                F.least(r0 + 1,
-                                        F.col("n_events") - 1))
-                    .withColumn(f"_{tag}_f", pos - F.floor(pos)))
-    needs = (spec.select(
-                "event_type",
-                F.explode(F.array("_p95_r0", "_p95_r1",
-                                  "_p99_r0", "_p99_r1")).alias("rk"))
-                 .distinct())
-    bstats = (lag.groupBy("event_type", "_lb")
-                 .agg(F.count(F.lit(1)).alias("_bn"),
-                      F.min("lag_us").alias("_bmin"),
-                      F.max("lag_us").alias("_bmax")))
-    wb = (Window.partitionBy("event_type").orderBy("_lb")
-                .rowsBetween(Window.unboundedPreceding, -1))
-    bcum = bstats.withColumn(
-        "_before", F.coalesce(F.sum("_bn").over(wb), F.lit(0)))
-    tb = (needs.join(bcum, "event_type")
-               .filter((F.col("rk") >= F.col("_before"))
-                       & (F.col("rk")
-                          < F.col("_before") + F.col("_bn"))))
-    direct = (tb.filter(F.col("_bmin") == F.col("_bmax"))
-                .select("event_type", "rk",
-                        F.col("_bmin").alias("v")))
-    multi = (tb.filter(F.col("_bmin") != F.col("_bmax"))
-               .select("event_type", "_lb", "rk",
-                       (F.col("rk") - F.col("_before")).alias("lrk")))
-    wl = Window.partitionBy("event_type", "_lb").orderBy("lag_us")
-    looked = (lag.join(F.broadcast(
-                    multi.select("event_type", "_lb").distinct()),
-                    ["event_type", "_lb"])
-                 .withColumn("lrn",
-                             F.row_number().over(wl).cast("long") - 1)
-                 .join(F.broadcast(multi), ["event_type", "_lb"])
-                 .filter(F.col("lrn") == F.col("lrk"))
-                 .select("event_type", "rk",
-                         F.col("lag_us").alias("v")))
-    vals = direct.unionByName(looked)
-    out = spec
-    for tag in ("p95", "p99"):
-        v0 = vals.select("event_type",
-                         F.col("rk").alias(f"_{tag}_r0"),
-                         F.col("v").alias(f"_{tag}_v0"))
-        v1 = vals.select("event_type",
-                         F.col("rk").alias(f"_{tag}_r1"),
-                         F.col("v").alias(f"_{tag}_v1"))
-        out = (out.join(F.broadcast(v0), ["event_type", f"_{tag}_r0"])
-                  .join(F.broadcast(v1), ["event_type", f"_{tag}_r1"]))
-
-    def _q(tag: str) -> F.Column:
-        v0, v1 = F.col(f"_{tag}_v0"), F.col(f"_{tag}_v1")
-        return (F.floor(v0 + (v1 - v0) * F.col(f"_{tag}_f"))
-                 .cast("long"))
-
-    res = out.select("event_type", _q("p95").alias("p95_lag_us"),
-                     _q("p99").alias("p99_lag_us"))
+    from ..operators.staircase import bucketed_exact_quantiles
+    qs = bucketed_exact_quantiles(lag, ["event_type"], "lag_us",
+                                  [0.95, 0.99])
+    res = qs.select("event_type",
+                    F.floor("q0").cast("long").alias("p95_lag_us"),
+                    F.floor("q1").cast("long").alias("p99_lag_us"))
     return (pern.join(F.broadcast(res), "event_type")
                 .select("event_type", "n_events", "n_late",
                         "max_lag_us", "p95_lag_us", "p99_lag_us"))

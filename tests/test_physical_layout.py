@@ -442,7 +442,7 @@ def test_cumulative_distinct_window_over_daily_aggregate(spark):
 # is independent of N over a data-sized relation.
 # ---------------------------------------------------------------------------
 
-_STAIR_MARKERS = ("_vb", "_ckb", "_eb", "_lb", "_day")
+_STAIR_MARKERS = ("_vb", "_ckb", "_eb", "_lb", "_qb", "_day")
 
 
 def _window_specs(plan: str) -> list[tuple[list[str], list[str]]]:
