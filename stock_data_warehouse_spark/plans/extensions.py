@@ -8366,3 +8366,78 @@ def x5_vad_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
                         "trim_start", "trim_end",
                         F.coalesce("longest", F.lit(0)).cast("long")
                          .alias("longest_voiced_run")))
+
+
+# ---------------------------------------------------------------------------
+# X4 — per-document keyword extraction (integer-scaled tf-idf top-5, r8)
+# ---------------------------------------------------------------------------
+
+@register(
+    "x4_keyword_topk",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest({SQL_TOKENS}) AS token FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, token, COUNT(*) AS tf
+      FROM tok GROUP BY 1, 2
+    ),
+    df AS (
+      SELECT token, COUNT(*) AS df FROM tf GROUP BY token
+    ),
+    scored AS (
+      SELECT t.doc_id, t.token, t.tf,
+             CAST(t.tf * FLOOR((SELECT COUNT(*) FROM documents)
+                               * 1000000.0 / d.df) AS BIGINT)
+               AS score
+      FROM tf t JOIN df d USING (token)
+    )
+    SELECT doc_id, token, tf, score,
+           CAST(rn AS BIGINT) AS rank
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                ORDER BY score DESC, token) AS rn
+      FROM scored
+    )
+    WHERE rn <= 5
+    """,
+)
+def x4_keyword_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4 — per-document KEYWORD EXTRACTION: the top-5 terms of each
+    document by an integer-scaled tf·idf score — the lightweight
+    tagging pass a corpus pipeline runs to build facet indexes and
+    dedup blocking keys (x2's fuzzy/blocking families consume exactly
+    such keys). x4_tfidf ranks globally; this ranks WITHIN each doc.
+
+    Integer-scaled on purpose: idf_s = floor(N·10⁶ / df) and
+    score = tf · idf_s are pure BIGINT functions of exact counts
+    (the float division is a correctly-rounded quotient of exact
+    longs, identical in both engines, floored immediately — the
+    class-A int-ratio argument), so the (score desc, token) rank
+    order carries NO float-noise tie hazard the way a raw
+    ln(N/df)·tf ranking would (1-ulp ln noise flips equal-score
+    neighbors). Monotone in df for fixed tf like true idf; the
+    ordering differs from ln-idf only across (tf, df) trade-offs far
+    from ties. Shape: explode → two map-side-combinable aggs, a
+    broadcast-sized df table joined back, one rank window per doc
+    (unbounded key ✓)."""
+    d = _t(spark, sf_dir, "documents")
+    tok = d.select("doc_id",
+                   F.explode(tokens_col("text")).alias("token"))
+    tf = tok.groupBy("doc_id", "token").agg(
+        F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = d.agg(F.count(F.lit(1)).alias("_nd"))
+    scored = (tf.join(dfreq, "token")
+                .crossJoin(F.broadcast(n_docs))
+                .select("doc_id", "token", "tf",
+                        (F.col("tf")
+                         * F.floor(F.col("_nd") * 1000000.0
+                                   / F.col("df")))
+                        .cast("long").alias("score")))
+    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(),
+                                             "token")
+    return (scored.withColumn("rn", F.row_number().over(w))
+                  .filter(F.col("rn") <= 5)
+                  .select("doc_id", "token", "tf", "score",
+                          F.col("rn").cast("long").alias("rank")))

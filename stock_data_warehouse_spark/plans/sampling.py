@@ -824,3 +824,115 @@ def x7_smd_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
          .alias("smd"),
         F.coalesce(F.abs(smd_raw) < 0.1, F.lit(True))
          .alias("balanced"))
+
+
+# ---------------------------------------------------------------------------
+# X9 — curriculum shard assignment (staircase-ranked difficulty, r8)
+# ---------------------------------------------------------------------------
+
+from .extensions import SQL_TOKENS as _SQL_TOKENS  # noqa: E402
+
+
+@register(
+    "x9_curriculum_shards",
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id, len({_SQL_TOKENS}) AS n_tokens FROM documents
+    ),
+    ranked AS (
+      SELECT doc_id, n_tokens,
+             ROW_NUMBER() OVER (ORDER BY n_tokens, doc_id) AS rn,
+             COUNT(*) OVER () AS n
+      FROM scored
+    )
+    SELECT doc_id, n_tokens, CAST(rn AS BIGINT) AS rank,
+           CAST(((rn - 1) * 8) // n AS INTEGER) AS shard
+    FROM ranked
+    """,
+)
+def x9_curriculum_shards(spark: SparkSession,
+                         sf_dir: str) -> DataFrame:
+    """X9 — CURRICULUM shard assignment: documents ranked easiest →
+    hardest (difficulty proxy: token count; short docs first) and cut
+    into 8 equal-population shards a curriculum-learning schedule
+    trains through in order — the ordered counterpart of
+    x9_epoch_shuffle (which deliberately destroys order) and the
+    packing family's upstream: shard k feeds epoch k's packer.
+
+    The global rank is the exact two-level staircase
+    (operators/staircase.py): token counts are tie-heavy, so buckets
+    are (n_tokens, floor(doc_id/8192)) — ≤ 8192 rows per bucket BY
+    CONSTRUCTION, rank-window partition count grows with the corpus,
+    per-bucket counts broadcast back as prefix offsets. The shard cut
+    ((rn−1)·8) div n is pure integer arithmetic — no float boundary
+    can move a document across shards between engines."""
+    d = _t(spark, sf_dir, "documents")
+    from ..plans.extensions import tokens_col
+    scored = d.select("doc_id",
+                      F.size(tokens_col("text")).alias("n_tokens"))
+    from ..operators.staircase import bucketed_row_number
+    ranked = bucketed_row_number(
+        scored.withColumn("_ckb", F.floor(F.col("doc_id") / 8192)),
+        [], ["n_tokens", "_ckb"],
+        [F.col("n_tokens"), F.col("_ckb")], [F.col("doc_id")],
+        out="rank")
+    n = scored.agg(F.count(F.lit(1)).alias("_n"))
+    return (ranked.crossJoin(F.broadcast(n))
+                  .select("doc_id", "n_tokens", "rank",
+                          F.expr("CAST(((rank - 1) * 8) div _n "
+                                 "AS INT)").alias("shard")))
+
+
+# ---------------------------------------------------------------------------
+# X7 — exact-quota stratified sample (staircase coin rank, r8)
+# ---------------------------------------------------------------------------
+
+@register(
+    "x7_stratified_quota",
+    oracle=f"""
+    WITH coined AS (
+      SELECT doc_id, lang, source,
+             {_sql_coin('doc_id', 'q')} AS coin
+      FROM documents
+    ),
+    ranked AS (
+      SELECT doc_id, lang, source, coin,
+             ROW_NUMBER() OVER (PARTITION BY lang
+                                ORDER BY coin, doc_id) AS rn,
+             COUNT(*) OVER (PARTITION BY lang) AS n
+      FROM coined
+    )
+    SELECT doc_id, lang, source, CAST(rn AS BIGINT) AS stratum_rank
+    FROM ranked WHERE rn <= (n + 4) // 5
+    """,
+)
+def x7_stratified_quota(spark: SparkSession,
+                        sf_dir: str) -> DataFrame:
+    """X7 — EXACT-QUOTA stratified sampling: exactly ceil(n_s/5) docs
+    per language stratum (a hard 20% quota), selected by hash-coin
+    order — the complement of x7_stratified_mix, whose coin-threshold
+    filter hits each stratum's rate only in EXPECTATION (binomial
+    noise ±√n). Exact quotas are what eval-set construction and
+    budgeted labeling runs contract for ("exactly 2,000 per
+    language"), and the coin order keeps the pick reproducible and
+    membership-stable under corpus growth *within* the kept prefix.
+
+    The within-stratum rank is the staircase again (lang is a
+    BOUNDED key — the a24/a41 trap): buckets are the coin's 2-hex-
+    char prefix (256 order-consistent bands of the uniform coin, so
+    bucket sizes are balanced n_s/256), per-bucket counts broadcast
+    back; the quota cut (n+4) div 5 is pure integers."""
+    d = _t(spark, sf_dir, "documents")
+    coined = d.select("doc_id", "lang", "source",
+                      hash_coin(F.col("doc_id"), "q").alias("coin"))
+    from ..operators.staircase import bucketed_row_number
+    ranked = bucketed_row_number(
+        coined.withColumn("_cb", F.substring("coin", 1, 2)),
+        ["lang"], ["_cb"], [F.col("_cb")],
+        [F.col("coin"), F.col("doc_id")], out="rn")
+    nlang = d.groupBy("lang").agg(F.count(F.lit(1)).alias("_n"))
+    return (ranked.join(F.broadcast(nlang), "lang")
+                  .filter(F.col("rn")
+                          <= (F.col("_n") + 4) / 5)
+                  .select("doc_id", "lang", "source",
+                          F.col("rn").alias("stratum_rank")))

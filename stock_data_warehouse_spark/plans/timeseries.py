@@ -951,3 +951,109 @@ def t36_peak_concurrency(spark: SparkSession,
                        .alias("n_session_starts"))
                  .select(F.col("day").cast("string").alias("day"),
                          "peak_concurrent", "n_session_starts"))
+
+
+# ---------------------------------------------------------------------------
+# J19 — keyed interval-overlap join over sessionized activity (r8)
+# ---------------------------------------------------------------------------
+
+@register(
+    "j19_session_overlap",
+    oracle="""
+    WITH c_s AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id)
+                       <= INTERVAL 6 HOUR THEN 0 ELSE 1 END AS ns
+      FROM events WHERE event_type = 'click'
+    ),
+    c_sess AS (
+      SELECT user_id,
+             SUM(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS UNBOUNDED PRECEDING) AS sid,
+             ts
+      FROM c_s
+    ),
+    c AS (
+      SELECT user_id, sid AS click_sid, MIN(ts) AS cs, MAX(ts) AS ce,
+             COUNT(*) AS click_events
+      FROM c_sess GROUP BY 1, 2
+    ),
+    p_s AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id)
+                       <= INTERVAL 6 HOUR THEN 0 ELSE 1 END AS ns
+      FROM events WHERE event_type = 'purchase'
+    ),
+    p_sess AS (
+      SELECT user_id,
+             SUM(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS UNBOUNDED PRECEDING) AS sid,
+             ts
+      FROM p_s
+    ),
+    p AS (
+      SELECT user_id, sid AS purchase_sid, MIN(ts) AS ps,
+             MAX(ts) AS pe, COUNT(*) AS purchase_events
+      FROM p_sess GROUP BY 1, 2
+    )
+    SELECT c.user_id, c.click_sid, p.purchase_sid,
+           c.click_events, p.purchase_events,
+           CAST(epoch_us(LEAST(c.ce, p.pe))
+                - epoch_us(GREATEST(c.cs, p.ps)) AS BIGINT)
+             AS overlap_us
+    FROM c JOIN p ON c.user_id = p.user_id
+     AND c.cs <= p.pe AND p.ps <= c.ce
+    """,
+)
+def j19_session_overlap(spark: SparkSession,
+                        sf_dir: str) -> DataFrame:
+    """J19 — KEYED INTERVAL-OVERLAP JOIN: each user's click sessions
+    joined to their purchase sessions wherever the two intervals
+    overlap (closed-interval predicate ``c.start ≤ p.end AND
+    p.start ≤ c.end``), with the overlap duration — "was the buyer
+    browsing while they bought?", the attribution primitive that
+    point-in-time joins (j18) and as-of joins (j10) can't express
+    because BOTH sides are intervals. Completes the join family's
+    range coverage: j9 theta on scalars, j16 binned scalar ranges,
+    j19 interval×interval.
+
+    Determinism: sessionization is the t15/t36 gap rule over the
+    (ts, event_id) total order on each filtered stream; interval
+    endpoints are exact min/max timestamps, the overlap is integer
+    µs. Scale: the join is EQUI on the unbounded user_id (one
+    shuffle per side, co-partitioned) and the overlap predicate
+    evaluates within each user's bounded session lists — never a
+    keyless interval cross-product; a keyless version would band by
+    calendar slice (the j16/o6 bucketing), which the day-banded t36
+    sweep already demonstrates."""
+    ev = _t(spark, sf_dir, "events")
+
+    def sess(etype: str, sid_name: str, n_name: str) -> DataFrame:
+        e = ev.filter(F.col("event_type") == etype)
+        wu = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        s = (e.withColumn(
+                "ns",
+                F.when(F.col("ts") - F.lag("ts").over(wu)
+                       <= F.expr("INTERVAL 6 HOURS"), 0).otherwise(1))
+              .withColumn("sid", F.sum("ns").over(
+                  wu.rowsBetween(Window.unboundedPreceding, 0))))
+        return (s.groupBy("user_id", F.col("sid").alias(sid_name))
+                 .agg(F.min("ts").alias(f"{sid_name}_s"),
+                      F.max("ts").alias(f"{sid_name}_e"),
+                      F.count(F.lit(1)).alias(n_name)))
+
+    c = sess("click", "click_sid", "click_events")
+    p = sess("purchase", "purchase_sid", "purchase_events")
+    return (c.join(p, (c.user_id == p.user_id)
+                   & (F.col("click_sid_s") <= F.col("purchase_sid_e"))
+                   & (F.col("purchase_sid_s")
+                      <= F.col("click_sid_e")))
+             .select(c.user_id, "click_sid", "purchase_sid",
+                     "click_events", "purchase_events",
+                     (F.unix_micros(F.least("click_sid_e",
+                                            "purchase_sid_e"))
+                      - F.unix_micros(F.greatest("click_sid_s",
+                                                 "purchase_sid_s")))
+                     .cast("long").alias("overlap_us")))

@@ -497,3 +497,69 @@ def w10_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.min("equity").cast("long")
                        .alias("trough_cents"),
                       F.count(F.lit(1)).alias("n_flows")))
+
+
+# ---------------------------------------------------------------------------
+# W11 — rolling 30-day exact median over the daily aggregate (r8)
+# ---------------------------------------------------------------------------
+
+@register(
+    "w11_rolling_median_30d",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, ts::DATE AS day,
+             CAST(SUM(CAST(CASE WHEN value < 0
+                  THEN -FLOOR(ABS(value) * 100.0 + 0.5)
+                  ELSE FLOOR(ABS(value) * 100.0 + 0.5) END
+                 AS BIGINT)) AS BIGINT) AS cents
+      FROM events GROUP BY 1, 2
+    )
+    SELECT event_type, CAST(day AS VARCHAR) AS day, cents,
+           CAST(COUNT(*) OVER w AS BIGINT) AS n_window,
+           quantile_cont(cents, 0.5) OVER w AS med30
+    FROM daily
+    WINDOW w AS (PARTITION BY event_type ORDER BY day
+                 ROWS BETWEEN 29 PRECEDING AND CURRENT ROW)
+    """,
+)
+def w11_rolling_median_30d(spark: SparkSession,
+                           sf_dir: str) -> DataFrame:
+    """W11 — rolling 30-day EXACT median of daily revenue per type:
+    the robust trend line ops dashboards draw where a rolling mean
+    (t-family moving averages) would chase every spike; the rolling
+    twin of a40's static median+MAD.
+
+    The frame is BOUNDED (≤ 30 rows), so the exact median is safe to
+    compute from the frame itself: sort_array(collect_list) over the
+    window + the shared lo + (hi−lo)·frac interpolation on 1-indexed
+    positions — bounded buffering is the legitimate case the
+    UNBOUNDED-group percentile ban (t35/a40) does not cover. Window
+    input is the per-day AGGREGATE (the a22 discipline), never raw
+    events; cents are exact longs so every interpolated median is an
+    exact half-integer, hash-stable with no rounding route."""
+    ev = _t(spark, sf_dir, "events")
+    cents = F.when(
+        F.col("value") < 0,
+        -F.floor(F.abs(F.col("value")) * 100.0 + F.lit(0.5)),
+    ).otherwise(
+        F.floor(F.abs(F.col("value")) * 100.0 + F.lit(0.5))
+    ).cast("long")
+    daily = (ev.groupBy("event_type", F.to_date("ts").alias("day"))
+               .agg(F.sum(cents).alias("cents")))
+    w = (Window.partitionBy("event_type").orderBy("day")
+               .rowsBetween(-29, 0))
+    arr = F.sort_array(F.collect_list("cents").over(w))
+    out = (daily.withColumn("_arr", arr)
+                .withColumn("n_window",
+                            F.size("_arr").cast("long")))
+    pos = (F.col("n_window") - 1).cast("double") * F.lit(0.5)
+    lo = F.floor(pos).cast("int")
+    frac = pos - F.floor(pos)
+    v0 = F.element_at("_arr", lo + 1).cast("double")
+    v1 = F.element_at(
+        "_arr",
+        F.least(lo + 2, F.col("n_window").cast("int"))).cast("double")
+    return out.select(
+        "event_type", F.col("day").cast("string").alias("day"),
+        "cents", "n_window",
+        (v0 + (v1 - v0) * frac).alias("med30"))
