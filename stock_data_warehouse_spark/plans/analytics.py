@@ -3845,3 +3845,124 @@ def a43_cusum_changepoint(spark: SparkSession,
         _rhu((-F.col("b.a")) * 1.0
              / (F.col("n_days") * F.col("total_cents")), 6)
          .alias("cusum_stat"))
+
+
+# ---------------------------------------------------------------------------
+# A44 — discount lift by band (r8)
+# ---------------------------------------------------------------------------
+
+@register(
+    "a44_discount_lift",
+    oracle=f"""
+    WITH banded AS (
+      SELECT CAST(FLOOR(l_discount * 100.0 + 0.5) AS INTEGER)
+               AS discount_pct,
+             CAST(FLOOR(l_quantity) AS BIGINT) AS qty
+      FROM lineitem
+    ),
+    per_band AS (
+      SELECT discount_pct, COUNT(*) AS n_lines,
+             CAST(SUM(qty) AS BIGINT) AS sum_qty
+      FROM banded GROUP BY discount_pct
+    ),
+    base AS (
+      SELECT n_lines AS c0, sum_qty AS s0 FROM per_band
+      WHERE discount_pct = 0
+    )
+    SELECT discount_pct, n_lines, sum_qty,
+           {sql_round_half_up('sum_qty * 1.0 / n_lines', 6)}
+             AS avg_qty,
+           {sql_round_half_up(
+               'sum_qty * 1.0 * base.c0 / (n_lines * base.s0)', 6)}
+             AS qty_lift_vs_full_price
+    FROM per_band, base
+    """,
+)
+def a44_discount_lift(spark: SparkSession,
+                      sf_dir: str) -> DataFrame:
+    """A44 — DISCOUNT LIFT: average quantity per line by discount
+    band, expressed as a lift multiple against the zero-discount
+    baseline — the promotion-effectiveness readout pricing teams run
+    weekly ("does 5% off actually move units?"), and the descriptive
+    sibling of a26/a27's experimental readouts (same contrast, no
+    randomization).
+
+    Determinism: bands are floor(d·100 + 0.5) on the clean
+    hundredths grid; quantities are integral doubles floored to
+    BIGINT (floor on both sides — the a35 cast-rounding hazard rule);
+    avg and lift are pure integer ratios (s_b·c_0)/(c_b·s_0) through
+    the class-A floor kernel — no float mean ever materializes.
+    Shape: one scan → 11-row band agg; the baseline is a 1-row
+    cross-join. Map-side combine does all the work."""
+    li = _t(spark, sf_dir, "lineitem")
+    banded = li.select(
+        F.floor(F.col("l_discount") * 100.0 + F.lit(0.5))
+         .cast("int").alias("discount_pct"),
+        F.floor("l_quantity").cast("long").alias("qty"))
+    per_band = (banded.groupBy("discount_pct")
+                      .agg(F.count(F.lit(1)).alias("n_lines"),
+                           F.sum("qty").cast("long")
+                            .alias("sum_qty")))
+    base = (per_band.filter(F.col("discount_pct") == 0)
+                    .select(F.col("n_lines").alias("c0"),
+                            F.col("sum_qty").alias("s0")))
+    from ..functions.scalars import round_half_up as _rhu
+    return (per_band.crossJoin(F.broadcast(base))
+                    .select("discount_pct", "n_lines", "sum_qty",
+                            _rhu(F.col("sum_qty") * 1.0
+                                 / F.col("n_lines"), 6)
+                             .alias("avg_qty"),
+                            _rhu(F.col("sum_qty") * 1.0 * F.col("c0")
+                                 / (F.col("n_lines") * F.col("s0")),
+                                 6)
+                             .alias("qty_lift_vs_full_price")))
+
+
+# ---------------------------------------------------------------------------
+# A45 — basket-size distribution via staircase quantiles (r8)
+# ---------------------------------------------------------------------------
+
+@register(
+    "a45_basket_quantiles",
+    oracle="""
+    WITH per_order AS (
+      SELECT l_orderkey, COUNT(*) AS n_lines
+      FROM lineitem GROUP BY l_orderkey
+    )
+    SELECT COUNT(*) AS n_orders,
+           quantile_cont(n_lines, 0.5) AS p50_lines,
+           quantile_cont(n_lines, 0.9) AS p90_lines,
+           quantile_cont(n_lines, 0.99) AS p99_lines,
+           CAST(MAX(n_lines) AS BIGINT) AS max_lines
+    FROM per_order
+    """,
+)
+def a45_basket_quantiles(spark: SparkSession,
+                         sf_dir: str) -> DataFrame:
+    """A45 — the BASKET-SIZE distribution: exact p50/p90/p99/max of
+    lines per order — the fulfillment-capacity number (pick-list
+    length) and the denominator sanity check under every
+    per-order average this warehouse serves.
+
+    A GLOBAL exact quantile over an unbounded relation — precisely
+    the shape the r7 verdict flagged — so it runs as the bucketed-
+    exact rank lookup (operators/staircase.py, no partition spec at
+    all: the part_cols=[] path): basket sizes are tiny tie-heavy
+    integers, so every band is single-valued and the lookup answers
+    from the band counts alone, ZERO sorts of any data-sized
+    relation. Interpolated values are exact (integer or
+    half-integer), hash-stable unrounded."""
+    li = _t(spark, sf_dir, "lineitem")
+    per_order = (li.groupBy("l_orderkey")
+                   .agg(F.count(F.lit(1)).alias("n_lines")))
+    from ..operators.staircase import bucketed_exact_quantiles
+    qs = bucketed_exact_quantiles(per_order, [], "n_lines",
+                                  [0.5, 0.9, 0.99])
+    mx = per_order.agg(F.max("n_lines").cast("long")
+                        .alias("max_lines"))
+    return (qs.crossJoin(F.broadcast(mx))
+              .select(F.col("n").alias("n_orders"),
+                      F.col("q0").alias("p50_lines"),
+                      F.col("q1").alias("p90_lines"),
+                      F.col("q2").alias("p99_lines"),
+                      "max_lines"))

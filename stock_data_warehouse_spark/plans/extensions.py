@@ -8441,3 +8441,94 @@ def x4_keyword_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                   .filter(F.col("rn") <= 5)
                   .select("doc_id", "token", "tf", "score",
                           F.col("rn").cast("long").alias("rank")))
+
+
+# ---------------------------------------------------------------------------
+# X6 — precision/recall threshold sweep (the PR curve, r8)
+# ---------------------------------------------------------------------------
+
+_PR_THRESHOLDS = [-0.3, -0.2, -0.1, 0.0, 0.1, 0.2, 0.3]
+_PR_SQL_TH = "VALUES " + ", ".join(
+    f"({repr(t)}::DOUBLE)" for t in _PR_THRESHOLDS)
+
+
+@register(
+    "x6_pr_curve",
+    oracle=f"""
+    WITH pts AS (
+      SELECT CAST(embedding[1] AS DOUBLE) AS score,
+             (label >= 5) AS y
+      FROM embeddings
+    ),
+    th(t) AS ({_PR_SQL_TH}),
+    cm AS (
+      SELECT th.t,
+             CAST(SUM(CASE WHEN score >= th.t AND y
+                           THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+             CAST(SUM(CASE WHEN score >= th.t AND NOT y
+                           THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+             CAST(SUM(CASE WHEN score < th.t AND y
+                           THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+             CAST(SUM(CASE WHEN score < th.t AND NOT y
+                           THEN 1 ELSE 0 END) AS BIGINT) AS tn
+      FROM pts, th GROUP BY th.t
+    )
+    SELECT t AS threshold, tp, fp, fn, tn,
+           CASE WHEN tp + fp > 0 THEN
+             {sql_round_half_up('tp * 1.0 / (tp + fp)', 6)} END
+             AS precision,
+           CASE WHEN tp + fn > 0 THEN
+             {sql_round_half_up('tp * 1.0 / (tp + fn)', 6)} END
+             AS recall,
+           CASE WHEN 2 * tp + fp + fn > 0 THEN
+             {sql_round_half_up('2.0 * tp / (2 * tp + fp + fn)', 6)}
+             END AS f1
+    FROM cm
+    """,
+)
+def x6_pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X6 — the PRECISION/RECALL THRESHOLD SWEEP: confusion counts +
+    precision/recall/F1 at 7 operating points of a scalar classifier
+    score — the curve every filtering-model deployment reads before
+    picking its production threshold (x6_ece_report checks the
+    score's CALIBRATION; this picks the CUTOFF; the two together are
+    the eval loop of the x6 classification family). Score = the raw
+    first embedding component (a deterministic stand-in for a model
+    logit — no arithmetic, so not even 1 ulp of cross-engine noise),
+    labels binarized at >= 5.
+
+    Shape: ONE scan, a 7-row literal threshold dim cross-joined
+    (each row evaluates all 7 thresholds map-side), a 7-row agg —
+    the sweep costs one pass regardless of how many operating points
+    are on the curve. All metrics are integer ratios (class-A floor
+    kernel), NULL-guarded where a degenerate threshold empties a
+    denominator."""
+    e = _t(spark, sf_dir, "embeddings")
+    from ..sources.tables import values_df
+    pts = e.select(
+        F.element_at(_as_double_vec("embedding"), 1).alias("score"),
+        (F.col("label") >= 5).alias("y"))
+    th = values_df(spark, [(t,) for t in _PR_THRESHOLDS], "t double")
+    pred = F.col("score") >= F.col("t")
+    cm = (pts.crossJoin(F.broadcast(th))
+             .groupBy("t")
+             .agg(F.sum(F.when(pred & F.col("y"), 1).otherwise(0))
+                   .cast("long").alias("tp"),
+                  F.sum(F.when(pred & ~F.col("y"), 1).otherwise(0))
+                   .cast("long").alias("fp"),
+                  F.sum(F.when(~pred & F.col("y"), 1).otherwise(0))
+                   .cast("long").alias("fn"),
+                  F.sum(F.when(~pred & ~F.col("y"), 1).otherwise(0))
+                   .cast("long").alias("tn")))
+    tp, fp, fn = F.col("tp"), F.col("fp"), F.col("fn")
+    return cm.select(
+        F.col("t").alias("threshold"), "tp", "fp", "fn", "tn",
+        F.when(tp + fp > 0,
+               round_half_up(tp * 1.0 / (tp + fp), 6))
+         .alias("precision"),
+        F.when(tp + fn > 0,
+               round_half_up(tp * 1.0 / (tp + fn), 6))
+         .alias("recall"),
+        F.when(2 * tp + fp + fn > 0,
+               round_half_up(2.0 * tp / (2 * tp + fp + fn), 6))
+         .alias("f1"))

@@ -26,6 +26,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.scalars import sql_round_half_up
 from ..sources.tables import load_table
 from .registry import register
 
@@ -1057,3 +1058,67 @@ def j19_session_overlap(spark: SparkSession,
                       - F.unix_micros(F.greatest("click_sid_s",
                                                  "purchase_sid_s")))
                      .cast("long").alias("overlap_us")))
+
+
+# ---------------------------------------------------------------------------
+# T37 — inactivity churn by acquisition cohort (r8)
+# ---------------------------------------------------------------------------
+
+@register(
+    "t37_inactivity_churn",
+    oracle=f"""
+    WITH per_user AS (
+      SELECT user_id, MIN(ts) AS first_ts, MAX(ts) AS last_ts
+      FROM events GROUP BY user_id
+    ),
+    bound AS (SELECT MAX(ts) AS mx FROM events),
+    flagged AS (
+      SELECT strftime(first_ts, '%Y-%m') AS cohort_month,
+             (last_ts < mx - INTERVAL 30 DAY) AS churned
+      FROM per_user, bound
+    )
+    SELECT cohort_month,
+           COUNT(*) AS n_users,
+           CAST(SUM(CASE WHEN churned THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_churned,
+           {sql_round_half_up(
+               'SUM(CASE WHEN churned THEN 1 ELSE 0 END) * 1.0 '
+               '/ COUNT(*)', 6)} AS churn_rate
+    FROM flagged GROUP BY cohort_month
+    """,
+)
+def t37_inactivity_churn(spark: SparkSession,
+                         sf_dir: str) -> DataFrame:
+    """T37 — INACTIVITY CHURN by acquisition cohort: a user is
+    churned iff their last event is more than 30 days behind the
+    corpus frontier, reported per first-seen month — the standard
+    activity-based churn definition (a35's reorder-gap p90 is how
+    the 30-day horizon gets CHOSEN; this applies it), and the
+    user-level twin of a38's order-level retention triangle.
+
+    Determinism: per-user first/last are exact µs timestamps over
+    an unbounded-key agg; the churn cut compares against one global
+    max minus a literal interval (exact µs arithmetic both
+    engines); cohort labels are zero-padded months; the rate is a
+    class-A integer ratio. Shape: one per-user agg (unbounded-key
+    shuffle) + a 1-row bound cross-joined broadcast + a bounded
+    month agg."""
+    ev = _t(spark, sf_dir, "events")
+    per_user = (ev.groupBy("user_id")
+                  .agg(F.min("ts").alias("first_ts"),
+                       F.max("ts").alias("last_ts")))
+    bound = ev.agg(F.max("ts").alias("mx"))
+    flagged = (per_user.crossJoin(F.broadcast(bound))
+                       .select(F.date_format("first_ts", "yyyy-MM")
+                                .alias("cohort_month"),
+                               (F.col("last_ts")
+                                < F.col("mx")
+                                - F.expr("INTERVAL 30 DAYS"))
+                               .alias("churned")))
+    from ..functions.scalars import round_half_up as _rhu
+    ch = F.sum(F.when(F.col("churned"), 1).otherwise(0))
+    return (flagged.groupBy("cohort_month")
+                   .agg(F.count(F.lit(1)).alias("n_users"),
+                        ch.cast("long").alias("n_churned"),
+                        _rhu(ch * 1.0 / F.count(F.lit(1)), 6)
+                         .alias("churn_rate")))
