@@ -3966,3 +3966,114 @@ def a45_basket_quantiles(spark: SparkSession,
                       F.col("q1").alias("p90_lines"),
                       F.col("q2").alias("p99_lines"),
                       "max_lines"))
+
+
+# ---------------------------------------------------------------------------
+# A46 — ABC class migration between halves (r8)
+# ---------------------------------------------------------------------------
+
+@register(
+    "a46_abc_migration",
+    oracle="""
+    WITH bounds AS (
+      SELECT epoch_us(MIN(l_shipdate)) AS mn,
+             epoch_us(MAX(l_shipdate)) AS mx
+      FROM lineitem
+    ),
+    rev AS (
+      SELECT CASE WHEN epoch_us(l_shipdate) <= (mn + mx) // 2
+                  THEN 'H1' ELSE 'H2' END AS half,
+             l_partkey AS pk,
+             CAST(SUM(CAST(CASE WHEN l_extendedprice < 0
+                  THEN -FLOOR(ABS(l_extendedprice) * 100.0 + 0.5)
+                  ELSE FLOOR(ABS(l_extendedprice) * 100.0 + 0.5) END
+                 AS BIGINT)) AS BIGINT) AS cents
+      FROM lineitem, bounds
+      GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT half, pk,
+             CAST(SUM(cents) OVER (PARTITION BY half
+               ORDER BY cents DESC, pk
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+             CAST(SUM(cents) OVER (PARTITION BY half) AS BIGINT)
+               AS total
+      FROM rev
+    ),
+    classed AS (
+      SELECT half, pk,
+             CASE WHEN cum * 100 <= total * 80 THEN 'A'
+                  WHEN cum * 100 <= total * 95 THEN 'B'
+                  ELSE 'C' END AS abc
+      FROM ranked
+    )
+    SELECT COALESCE(c1.abc, 'N') AS class_h1,
+           COALESCE(c2.abc, 'N') AS class_h2,
+           COUNT(*) AS n_parts
+    FROM (SELECT pk, abc FROM classed WHERE half = 'H1') c1
+    FULL OUTER JOIN (SELECT pk, abc FROM classed WHERE half = 'H2')
+      c2 ON c1.pk = c2.pk
+    GROUP BY 1, 2
+    """,
+)
+def a46_abc_migration(spark: SparkSession,
+                      sf_dir: str) -> DataFrame:
+    """A46 — ABC CLASS MIGRATION: the part catalog classified twice
+    (first vs second half of the ship-date span, split at the exact
+    epoch-µs midpoint) and cross-tabulated — which SKUs climbed
+    into class A, which fell out, which are new ('N') to a half. a34
+    is the snapshot; this is the movement report inventory planners
+    actually act on (a demoted A-part means freeing counted-daily
+    shelf space).
+
+    Both cumulative classifications run as the two-level staircase
+    (descending sub-octave bands WITHIN each half — part_cols carry
+    the half label through the decomposition), per-half totals via a
+    2-row agg; the migration matrix is a full-outer self-join on
+    partkey (unbounded key, co-partitioned) into a ≤ 16-row grid.
+    Class boundaries stay integer cross-multiplications; the split
+    is pure integer µs arithmetic — every line lands in exactly the
+    same half in both engines."""
+    li = _t(spark, sf_dir, "lineitem")
+    sd_us = F.unix_micros(F.col("l_shipdate").cast("timestamp"))
+    b = li.agg(F.min(sd_us).alias("mn"), F.max(sd_us).alias("mx"))
+    cents = F.when(
+        F.col("l_extendedprice") < 0,
+        -F.floor(F.abs(F.col("l_extendedprice")) * 100.0
+                 + F.lit(0.5)),
+    ).otherwise(
+        F.floor(F.abs(F.col("l_extendedprice")) * 100.0 + F.lit(0.5))
+    ).cast("long")
+    half = F.when(
+        sd_us <= F.expr("(mn + mx) div 2"), "H1").otherwise("H2")
+    rev = (li.crossJoin(F.broadcast(b))
+             .groupBy(half.alias("half"),
+                      F.col("l_partkey").alias("pk"))
+             .agg(F.sum(cents).alias("cents")))
+    from ..operators.staircase import bucketed_cumsum
+    tot = (rev.groupBy("half")
+              .agg(F.sum("cents").cast("long").alias("total")))
+    ranked = (bucketed_cumsum(
+        rev.withColumn("_vb",
+                       F.floor(F.log2(F.col("cents") + 1) * 16)),
+        ["half"], ["_vb"], [F.col("_vb").desc()],
+        [F.col("cents").desc(), F.col("pk")],
+        F.col("cents"), out="cum")
+        .join(F.broadcast(tot), "half"))
+    classed = ranked.select(
+        "half", "pk",
+        F.when(F.col("cum") * 100 <= F.col("total") * 80, "A")
+         .when(F.col("cum") * 100 <= F.col("total") * 95, "B")
+         .otherwise("C").alias("abc"))
+    c1 = (classed.filter(F.col("half") == "H1")
+                 .select(F.col("pk").alias("pk1"),
+                         F.col("abc").alias("abc1")))
+    c2 = (classed.filter(F.col("half") == "H2")
+                 .select(F.col("pk").alias("pk2"),
+                         F.col("abc").alias("abc2")))
+    return (c1.join(c2, c1.pk1 == c2.pk2, "full_outer")
+              .groupBy(F.coalesce("abc1", F.lit("N"))
+                        .alias("class_h1"),
+                       F.coalesce("abc2", F.lit("N"))
+                        .alias("class_h2"))
+              .agg(F.count(F.lit(1)).alias("n_parts")))

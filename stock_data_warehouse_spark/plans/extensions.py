@@ -8532,3 +8532,132 @@ def x6_pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(2 * tp + fp + fn > 0,
                round_half_up(2.0 * tp / (2 * tp + fp + fn), 6))
          .alias("f1"))
+
+
+# ---------------------------------------------------------------------------
+# X8 — curation funnel v3: quality gate → exact lang quota →
+# curriculum shards (r8 — composes this round's sampling/ranking ops)
+# ---------------------------------------------------------------------------
+
+@register(
+    "x8_curation_v3",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, lang, {SQL_TOKENS} AS toks,
+             substr(md5('q3' || ':' || CAST(doc_id AS VARCHAR)),
+                    1, 6) AS coin
+      FROM documents
+    ),
+    q AS (
+      SELECT doc_id, lang, coin, len(toks) AS n_tok,
+             (len(toks) >= 20
+              AND CAST(len(list_filter(toks, x -> x IN
+                  ('the', 'a', 'of', 'and', 'to', 'in'))) AS DOUBLE)
+                  / len(toks) BETWEEN 0.05 AND 0.6) AS ok_q
+      FROM t
+    ),
+    ranked AS (
+      SELECT *,
+             CASE WHEN ok_q THEN ROW_NUMBER() OVER (
+               PARTITION BY lang, ok_q ORDER BY coin, doc_id) END
+               AS qrn,
+             CASE WHEN ok_q THEN COUNT(*) OVER (
+               PARTITION BY lang, ok_q) END AS qn
+      FROM q
+    ),
+    kept AS (
+      SELECT *, (ok_q AND qrn <= (qn + 1) // 2) AS ok_quota
+      FROM ranked
+    ),
+    sharded AS (
+      SELECT *,
+             CASE WHEN ok_quota THEN
+               ((ROW_NUMBER() OVER (PARTITION BY ok_quota
+                   ORDER BY n_tok, doc_id) - 1) * 4)
+               // (COUNT(*) OVER (PARTITION BY ok_quota)) END
+               AS shard
+      FROM kept
+    )
+    SELECT lang, COUNT(*) AS n_total,
+           CAST(SUM(CASE WHEN ok_q THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_quality,
+           CAST(SUM(CASE WHEN ok_quota THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_quota,
+           CAST(SUM(CASE WHEN ok_quota AND shard = 0
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_shard0,
+           CAST(SUM(CASE WHEN ok_quota AND shard = 1
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_shard1,
+           CAST(SUM(CASE WHEN ok_quota AND shard = 2
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_shard2,
+           CAST(SUM(CASE WHEN ok_quota AND shard = 3
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_shard3
+    FROM sharded GROUP BY lang
+    """,
+)
+def x8_curation_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X8 — curation funnel v3, composing this round's operators into
+    the shape a training run actually consumes: (1) the x4 quality
+    gate (≥ 20 tokens, stopword ratio in [0.05, 0.6]), (2) an EXACT
+    50% per-language quota over survivors (x7_stratified_quota's coin
+    rank — budget contracts, not in-expectation rates), (3) the
+    curriculum cut (x9_curriculum_shards' easiest→hardest global rank
+    into 4 shards). Reported per language: the funnel counts plus the
+    shard mix — the at-a-glance answer to "what does each language
+    contribute to each curriculum phase?" (v2 reports dedup/novelty/
+    split by source; v3 reports quality/quota/curriculum by
+    language — the two dashboards a curation review reads together).
+
+    Both exact ranks run as the two-level staircase (coin-prefix
+    buckets within language; (n_tok, 8192-doc-block) buckets
+    globally); quota and shard cuts are pure integer arithmetic.
+    The oracle's window form is the semantic spec; the engine plan
+    never partitions a window on the bounded lang key or globally."""
+    d = _t(spark, sf_dir, "documents")
+    from ..plans.sampling import hash_coin
+    toks = tokens_col("text")
+    stop = F.size(F.filter(
+        toks, lambda x: x.isin("the", "a", "of", "and", "to", "in")))
+    q = d.select(
+        "doc_id", "lang",
+        hash_coin(F.col("doc_id"), "q3").alias("coin"),
+        F.size(toks).alias("n_tok"),
+        ((F.size(toks) >= 20)
+         & (stop.cast("double") / F.size(toks))
+         .between(0.05, 0.6)).alias("ok_q"))
+    from ..operators.checkpoint import ckpt
+    from ..operators.staircase import bucketed_row_number
+    q = ckpt(q)  # three downstream consumers re-tokenize otherwise
+    qdocs = q.filter(F.col("ok_q"))
+    qn = qdocs.groupBy("lang").agg(F.count(F.lit(1)).alias("_qn"))
+    quota = (bucketed_row_number(
+        qdocs.withColumn("_cb", F.substring("coin", 1, 2)),
+        ["lang"], ["_cb"], [F.col("_cb")],
+        [F.col("coin"), F.col("doc_id")], out="_qrn")
+        .join(F.broadcast(qn), "lang")
+        .filter(F.col("_qrn") <= (F.col("_qn") + 1) / 2)
+        .select("doc_id"))
+    # quota/shard relations are DATA-sized (half the corpus) — join
+    # on doc_id co-partitioned, never broadcast
+    kept = q.join(quota.select(
+        "doc_id", F.lit(True).alias("ok_quota")), "doc_id", "left")
+    surv = kept.filter(F.col("ok_quota"))
+    ns = surv.agg(F.count(F.lit(1)).alias("_n"))
+    sharded = (bucketed_row_number(
+        surv.withColumn("_ckb", F.floor(F.col("doc_id") / 8192)),
+        [], ["n_tok", "_ckb"], [F.col("n_tok"), F.col("_ckb")],
+        [F.col("doc_id")], out="_rn")
+        .crossJoin(F.broadcast(ns))
+        .select("doc_id",
+                F.expr("((_rn - 1) * 4) div _n").alias("shard")))
+    full = kept.join(sharded, "doc_id", "left")
+    agg = [F.count(F.lit(1)).alias("n_total"),
+           F.sum(F.when(F.col("ok_q"), 1).otherwise(0)).cast("long")
+            .alias("n_quality"),
+           F.sum(F.when(F.col("ok_quota"), 1).otherwise(0))
+            .cast("long").alias("n_quota")]
+    for k in range(4):
+        agg.append(
+            F.sum(F.when(F.col("ok_quota") & (F.col("shard") == k),
+                         1).otherwise(0)).cast("long")
+             .alias(f"n_shard{k}"))
+    return full.groupBy("lang").agg(*agg)

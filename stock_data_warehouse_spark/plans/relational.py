@@ -1906,3 +1906,78 @@ def o7_topk_with_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("value_mcents").desc())
     return (g.withColumn("value_rank", F.rank().over(w))
              .filter(F.col("value_rank") <= 3))
+
+
+# ---------------------------------------------------------------------------
+# O9 — diversified (capped-per-group) top-k (r8)
+# ---------------------------------------------------------------------------
+
+@register(
+    "o9_capped_topk",
+    oracle="""
+    WITH cents AS (
+      SELECT o_orderkey, c.c_mktsegment AS mktsegment,
+             CAST(CASE WHEN o_totalprice < 0
+                  THEN -FLOOR(ABS(o_totalprice) * 100.0 + 0.5)
+                  ELSE FLOOR(ABS(o_totalprice) * 100.0 + 0.5) END
+             AS BIGINT) AS cents
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    ),
+    seg_ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY mktsegment
+               ORDER BY cents DESC, o_orderkey) AS segment_rank
+      FROM cents
+    ),
+    capped AS (SELECT * FROM seg_ranked WHERE segment_rank <= 3)
+    SELECT CAST(ROW_NUMBER() OVER (ORDER BY cents DESC, o_orderkey)
+                AS BIGINT) AS global_rank,
+           mktsegment, o_orderkey, cents,
+           CAST(segment_rank AS BIGINT) AS segment_rank
+    FROM capped
+    QUALIFY global_rank <= 12
+    """,
+)
+def o9_capped_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O9 — DIVERSIFIED top-k: the 12 highest-value orders overall,
+    capped at 3 per market segment — the feed-builder primitive
+    ("top stories, but never four from one outlet") that plain top-k
+    (o1) and per-group top-k (o2) bracket but neither expresses;
+    the relational cousin of x3_mmr_diversify's embedding-space
+    diversification.
+
+    Two-phase and scale-safe: phase 1 ranks within segment via the
+    two-level staircase (segment is the bounded-cardinality trap —
+    descending cents bands, per-band counts broadcast back) and cuts
+    to ≤ 3·|segments| rows; phase 2 re-ranks the BOUNDED candidate
+    set globally (≤ 15 rows — a window there is free). Total order
+    (cents desc, orderkey) end to end, so the ranks and the cut are
+    engine-exact."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    cents = F.when(
+        F.col("o_totalprice") < 0,
+        -F.floor(F.abs(F.col("o_totalprice")) * 100.0 + F.lit(0.5)),
+    ).otherwise(
+        F.floor(F.abs(F.col("o_totalprice")) * 100.0 + F.lit(0.5))
+    ).cast("long")
+    base = (o.join(F.broadcast(c.select("c_custkey", "c_mktsegment")),
+                   o.o_custkey == c.c_custkey)
+             .select("o_orderkey",
+                     F.col("c_mktsegment").alias("mktsegment"),
+                     cents.alias("cents")))
+    from ..operators.staircase import bucketed_row_number
+    ranked = bucketed_row_number(
+        base.withColumn("_vb",
+                        F.floor(F.log2(F.col("cents") + 1) * 16)),
+        ["mktsegment"], ["_vb"], [F.col("_vb").desc()],
+        [F.col("cents").desc(), F.col("o_orderkey")],
+        out="segment_rank")
+    capped = ranked.filter(F.col("segment_rank") <= 3)
+    wg = Window.orderBy(F.col("cents").desc(), "o_orderkey")
+    return (capped.withColumn("global_rank",
+                              F.row_number().over(wg).cast("long"))
+                  .filter(F.col("global_rank") <= 12)
+                  .select("global_rank", "mktsegment", "o_orderkey",
+                          "cents",
+                          F.col("segment_rank").cast("long")
+                           .alias("segment_rank")))
