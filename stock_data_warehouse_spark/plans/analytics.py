@@ -4077,3 +4077,105 @@ def a46_abc_migration(spark: SparkSession,
                        F.coalesce("abc2", F.lit("N"))
                         .alias("class_h2"))
               .agg(F.count(F.lit(1)).alias("n_parts")))
+
+
+# ---------------------------------------------------------------------------
+# A47 — least-squares trend over the daily series, integer-exact (r8)
+# ---------------------------------------------------------------------------
+
+@register(
+    "a47_trend_regression",
+    oracle=f"""
+    WITH daily AS (
+      SELECT event_type, ts::DATE AS day,
+             CAST(SUM(CAST(CASE WHEN value < 0
+                  THEN -FLOOR(ABS(value) * 100.0 + 0.5)
+                  ELSE FLOOR(ABS(value) * 100.0 + 0.5) END
+                 AS BIGINT)) AS BIGINT) AS cents
+      FROM events GROUP BY 1, 2
+    ),
+    idx AS (
+      SELECT event_type, cents,
+             CAST(ROW_NUMBER() OVER (PARTITION BY event_type
+               ORDER BY day) - 1 AS BIGINT) AS x
+      FROM daily
+    ),
+    s AS (
+      SELECT event_type,
+             COUNT(*) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx,
+             CAST(SUM(x * x) AS BIGINT) AS sxx,
+             CAST(SUM(cents) AS BIGINT) AS sy,
+             CAST(SUM(x * cents) AS BIGINT) AS sxy,
+             SUM(CAST(cents AS DOUBLE) * cents) AS syy
+      FROM idx GROUP BY event_type
+    )
+    SELECT event_type, n,
+           {sql_round_half_up(
+               '(n * sxy - sx * sy) * 1.0 / (n * sxx - sx * sx)', 4)}
+             AS slope_cents_per_day,
+           {sql_round_half_up(
+               '(sy * 1.0 / n) - ((n * sxy - sx * sy) * 1.0 '
+               '/ (n * sxx - sx * sx)) * (sx * 1.0 / n)', 2)}
+             AS intercept_cents,
+           CAST(ROUND(CAST(
+             ((n * sxy - sx * sy) * 1.0 * (n * sxy - sx * sy))
+             / ((n * sxx - sx * sx) * (n * syy - sy * 1.0 * sy))
+             AS DECIMAL(38,10)), 6) AS DOUBLE) AS r2
+    FROM s
+    """,
+)
+def a47_trend_regression(spark: SparkSession,
+                         sf_dir: str) -> DataFrame:
+    """A47 — the least-squares TREND of daily revenue per type:
+    slope (cents/day), intercept, and R² from the closed-form sums
+    formula — the "is this line going up?" number under every a43
+    changepoint and w9 smoothing curve (CUSUM says WHEN the level
+    shifted; the slope says the direction and rate; R² says whether
+    a line is even the right story).
+
+    Integer-exact core: x is the 0-based day index (exact rank over
+    the bounded day dim), so n, Σx, Σx², Σy, Σxy are all BIGINT —
+    slope and intercept are pure integer ratios through the class-A
+    floor kernel. Σy² alone routes as double-of-exact-products
+    (cents² < 2^53 per row; the a36 argument) and only feeds R²,
+    decimal-routed (bounded in [0,1] ≪ 9e5). Shape: one bounded
+    (type × day) agg → day-index rank over the day dim → one 5-row
+    agg."""
+    ev = _t(spark, sf_dir, "events")
+    cents = F.when(
+        F.col("value") < 0,
+        -F.floor(F.abs(F.col("value")) * 100.0 + F.lit(0.5)),
+    ).otherwise(
+        F.floor(F.abs(F.col("value")) * 100.0 + F.lit(0.5))
+    ).cast("long")
+    daily = (ev.groupBy("event_type", F.to_date("ts").alias("day"))
+               .agg(F.sum(cents).alias("cents")))
+    wd = Window.partitionBy("event_type").orderBy("day")
+    idx = daily.select(
+        "event_type", "cents",
+        (F.row_number().over(wd) - 1).cast("long").alias("x"))
+    s = (idx.groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum("x").cast("long").alias("sx"),
+                 F.sum(F.col("x") * F.col("x")).cast("long")
+                  .alias("sxx"),
+                 F.sum("cents").cast("long").alias("sy"),
+                 F.sum(F.col("x") * F.col("cents")).cast("long")
+                  .alias("sxy"),
+                 F.sum(F.col("cents").cast("double") * F.col("cents"))
+                  .alias("syy")))
+    from ..functions.scalars import round_half_up as _rhu
+    n, sx, sxx = F.col("n"), F.col("sx"), F.col("sxx")
+    sy, sxy, syy = F.col("sy"), F.col("sxy"), F.col("syy")
+    num = n * sxy - sx * sy
+    den = n * sxx - sx * sx
+    return s.select(
+        "event_type", "n",
+        _rhu(num * 1.0 / den, 4).alias("slope_cents_per_day"),
+        _rhu((sy * 1.0 / n) - (num * 1.0 / den) * (sx * 1.0 / n), 2)
+         .alias("intercept_cents"),
+        F.round(((num * 1.0 * num)
+                 / (den * (n * syy - sy * 1.0 * sy)))
+                .cast("decimal(38,10)"), 6).cast("double")
+         .alias("r2"))

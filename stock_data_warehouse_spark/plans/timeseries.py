@@ -976,7 +976,8 @@ def t36_peak_concurrency(spark: SparkSession,
       FROM c_s
     ),
     c AS (
-      SELECT user_id, sid AS click_sid, MIN(ts) AS cs, MAX(ts) AS ce,
+      SELECT user_id, CAST(sid AS BIGINT) AS click_sid,
+             MIN(ts) AS cs, MAX(ts) AS ce,
              COUNT(*) AS click_events
       FROM c_sess GROUP BY 1, 2
     ),
@@ -995,8 +996,9 @@ def t36_peak_concurrency(spark: SparkSession,
       FROM p_s
     ),
     p AS (
-      SELECT user_id, sid AS purchase_sid, MIN(ts) AS ps,
-             MAX(ts) AS pe, COUNT(*) AS purchase_events
+      SELECT user_id, CAST(sid AS BIGINT) AS purchase_sid,
+             MIN(ts) AS ps, MAX(ts) AS pe,
+             COUNT(*) AS purchase_events
       FROM p_sess GROUP BY 1, 2
     )
     SELECT c.user_id, c.click_sid, p.purchase_sid,
@@ -1122,3 +1124,82 @@ def t37_inactivity_churn(spark: SparkSession,
                         ch.cast("long").alias("n_churned"),
                         _rhu(ch * 1.0 / F.count(F.lit(1)), 6)
                          .alias("churn_rate")))
+
+
+# ---------------------------------------------------------------------------
+# T38 — DAU / WAU / MAU engagement rollup (r8)
+# ---------------------------------------------------------------------------
+
+@register(
+    "t38_dau_wau_mau",
+    oracle=f"""
+    WITH du AS (
+      SELECT DISTINCT ts::DATE AS day, user_id FROM events
+    ),
+    bounds AS (SELECT MAX(ts::DATE) AS mxd FROM events),
+    exploded AS (
+      SELECT du.user_id, du.day,
+             du.day + (o * INTERVAL 1 DAY) AS report_day,
+             o AS offs
+      FROM du
+      CROSS JOIN (SELECT unnest(range(0, 30)) AS o)
+    )
+    SELECT CAST(report_day::DATE AS VARCHAR) AS report_day,
+           CAST(COUNT(DISTINCT CASE WHEN offs = 0
+                THEN user_id END) AS BIGINT) AS dau,
+           CAST(COUNT(DISTINCT CASE WHEN offs < 7
+                THEN user_id END) AS BIGINT) AS wau,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS mau,
+           {sql_round_half_up(
+               'COUNT(DISTINCT CASE WHEN offs = 0 THEN user_id '
+               'END) * 1.0 / COUNT(DISTINCT user_id)', 6)}
+             AS stickiness
+    FROM exploded, bounds
+    WHERE report_day <= mxd
+    GROUP BY 1
+    """,
+)
+def t38_dau_wau_mau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T38 — DAU/WAU/MAU: per calendar day, the EXACT count of
+    distinct users active that day / in the trailing 7 days / in the
+    trailing 30, plus DAU/MAU stickiness — the engagement headline
+    of every consumer dashboard (a22's cumulative distinct counts
+    ever-seen users; these are the windowed versions that can go
+    DOWN).
+
+    Exact rolling distinct can't partial-aggregate across window
+    positions (a user active 5× in a month still counts once per
+    window), so the honest exact shape is the 30× membership
+    fan-out: the DEDUPED (day, user) relation — already tiny vs raw
+    events — explodes each activity day to the ≤ 30 report days it
+    supports, and ONE distinct-agg per report day computes all three
+    via offset-conditional counts (offset 0 → DAU, < 7 → WAU).
+    Cost is 30 × |daily-active pairs|, bounded by the window spec,
+    never by event volume — and at 100 TB the approximate twin is
+    one a7-style HLL sketch per day, merged over 7/30-day suffixes
+    (machinery in a17's mergeable rollup). Stickiness is a class-A
+    integer ratio."""
+    ev = _t(spark, sf_dir, "events")
+    du = ev.select(F.to_date("ts").alias("day"), "user_id").distinct()
+    mxd = ev.agg(F.max(F.to_date("ts")).alias("mxd"))
+    exploded = du.select(
+        "user_id", "day",
+        F.explode(F.sequence(F.lit(0), F.lit(29))).alias("offset")
+    ).select(
+        "user_id", "offset",
+        F.date_add("day", F.col("offset")).alias("report_day"))
+    from ..functions.scalars import round_half_up as _rhu
+    dau = F.countDistinct(
+        F.when(F.col("offset") == 0, F.col("user_id")))
+    mau = F.countDistinct("user_id")
+    return (exploded.crossJoin(F.broadcast(mxd))
+                    .filter(F.col("report_day") <= F.col("mxd"))
+                    .groupBy(F.col("report_day").cast("string")
+                              .alias("report_day"))
+                    .agg(dau.cast("long").alias("dau"),
+                         F.countDistinct(
+                             F.when(F.col("offset") < 7,
+                                    F.col("user_id")))
+                          .cast("long").alias("wau"),
+                         mau.cast("long").alias("mau"),
+                         _rhu(dau * 1.0 / mau, 6).alias("stickiness")))

@@ -1496,3 +1496,103 @@ def s24_dynamic_overwrite(spark: SparkSession,
                       F.sum("cents").alias("sum_cents"))
                  .withColumn("only_target_partition_touched",
                              F.lit(ok)))
+
+
+# ---------------------------------------------------------------------------
+# S25 — partition-hole detection + idempotent backfill (r8)
+# ---------------------------------------------------------------------------
+
+@register(
+    "s25_partition_backfill",
+    oracle="""
+    WITH daily AS (
+      SELECT ts::DATE AS day, COUNT(*) AS n_events,
+             CAST(SUM(CAST(CASE WHEN value < 0
+                  THEN -FLOOR(ABS(value) * 100.0 + 0.5)
+                  ELSE FLOOR(ABS(value) * 100.0 + 0.5) END
+                 AS BIGINT)) AS BIGINT) AS sum_cents
+      FROM events GROUP BY 1
+    ),
+    mnd AS (SELECT MIN(day) AS mnd FROM daily)
+    SELECT COUNT(*) AS n_days,
+           CAST(SUM(CASE WHEN (day - mnd) % 2 = 1
+                THEN 1 ELSE 0 END) AS BIGINT) AS holes_before,
+           CAST(SUM(CASE WHEN (day - mnd) % 2 = 1
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_backfilled,
+           CAST(0 AS BIGINT) AS holes_after,
+           TRUE AS repaired_matches_full
+    FROM daily, mnd
+    """,
+)
+def s25_partition_backfill(spark: SparkSession,
+                           sf_dir: str) -> DataFrame:
+    """S25 — PARTITION-HOLE repair: a published day-partitioned
+    aggregate table is missing every other day (the classic
+    upstream-outage shape); the repair job detects the holes by
+    anti-joining the EXPECTED day spine (derived from the source)
+    against the PUBLISHED partition set, recomputes exactly the
+    missing days from source, and appends only those partitions —
+    the MSCK-repair + targeted-backfill loop every production
+    warehouse runs after an incident, and the batch complement of
+    t30's streaming recovery (t30 replays forward from a checkpoint;
+    this reconciles backward from the source of truth).
+
+    Verdict columns (oracle-pinned): holes before/after (after MUST
+    be 0), the backfilled-partition count, and
+    ``repaired_matches_full`` — the repaired table is row-set-equal
+    (exceptAll both ways) to a from-scratch full rebuild, proving
+    the backfill touched nothing it shouldn't. Scale: hole detection
+    is a partition-METADATA anti-join (day spine × published days —
+    calendar-bounded relations, never fact-sized); the backfill
+    recomputes only missing days (source scan pruned by the day
+    predicate pushed to the partition column) and appends without
+    rewriting healthy partitions."""
+    out_dir = _mkdtemp(prefix="s25_backfill_")
+    tbl = f"{out_dir}/daily"
+    ev = load_table(spark, sf_dir, "events")
+    cents = F.when(
+        F.col("value") < 0,
+        -F.floor(F.abs(F.col("value")) * 100.0 + F.lit(0.5)),
+    ).otherwise(
+        F.floor(F.abs(F.col("value")) * 100.0 + F.lit(0.5))
+    ).cast("long")
+    daily = (ev.groupBy(F.to_date("ts").alias("day"))
+               .agg(F.count(F.lit(1)).alias("n_events"),
+                    F.sum(cents).cast("long").alias("sum_cents")))
+    mnd = daily.agg(F.min("day").alias("mnd"))
+    with_par = (daily.crossJoin(F.broadcast(mnd))
+                     .withColumn("_par",
+                                 F.datediff("day", "mnd") % 2))
+    # the "incident": only even-index days ever published
+    (with_par.filter(F.col("_par") == 0).drop("_par", "mnd")
+             .write.partitionBy("day").parquet(tbl))
+
+    # repair pass: expected spine ⟕ published partitions → holes
+    published_days = spark.read.parquet(tbl).select("day").distinct()
+    missing = ckpt(daily.select("day")
+                        .join(published_days, "day", "left_anti"))
+    holes_before = missing.count()
+    backfill = daily.join(missing, "day", "left_semi")
+    n_backfilled = backfill.count()
+    (backfill.write.mode("append").partitionBy("day").parquet(tbl))
+
+    final = spark.read.parquet(tbl)
+    holes_after = (daily.select("day")
+                        .join(final.select("day").distinct(),
+                              "day", "left_anti").count())
+    cols = ["day", "n_events", "sum_cents"]
+    a, b = final.select(*cols), daily.select(*cols)
+    eq = (a.exceptAll(b).agg(F.count(F.lit(1)).alias("_x"))
+           .crossJoin(b.exceptAll(a).agg(F.count(F.lit(1))
+                                          .alias("_y"))))
+    return (daily.agg(F.count(F.lit(1)).alias("n_days"))
+                 .crossJoin(eq)
+                 .select("n_days",
+                         F.lit(holes_before).cast("long")
+                          .alias("holes_before"),
+                         F.lit(n_backfilled).cast("long")
+                          .alias("n_backfilled"),
+                         F.lit(holes_after).cast("long")
+                          .alias("holes_after"),
+                         ((F.col("_x") == 0) & (F.col("_y") == 0))
+                         .alias("repaired_matches_full")))
