@@ -8661,3 +8661,89 @@ def x8_curation_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
                          1).otherwise(0)).cast("long")
              .alias(f"n_shard{k}"))
     return full.groupBy("lang").agg(*agg)
+
+
+# ---------------------------------------------------------------------------
+# X4 — collocation mining via integer-scaled PMI (r8)
+# ---------------------------------------------------------------------------
+
+@register(
+    "x4_collocations_pmi",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {SQL_TOKENS} AS t FROM documents
+    ),
+    big AS (
+      SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+      FROM toks, UNNEST(range(1, len(t))) AS u(i)
+    ),
+    cb AS (
+      SELECT w1, w2, COUNT(*) AS c_xy FROM big GROUP BY 1, 2
+    ),
+    cu AS (
+      SELECT w1 AS w, COUNT(*) AS c FROM big GROUP BY 1
+    ),
+    tot AS (SELECT COUNT(*) AS n FROM big),
+    scored AS (
+      SELECT cb.w1, cb.w2, cb.c_xy,
+             CAST(c_xy * FLOOR(n * 1000000.0 / (u1.c * u2.c))
+                  AS BIGINT) AS pmi_score
+      FROM cb
+      JOIN cu u1 ON cb.w1 = u1.w
+      JOIN cu u2 ON cb.w2 = u2.w
+      CROSS JOIN tot
+      WHERE c_xy >= 5
+    )
+    SELECT w1, w2, c_xy, pmi_score
+    FROM scored
+    ORDER BY pmi_score DESC, w1, w2
+    LIMIT 20
+    """,
+)
+def x4_collocations_pmi(spark: SparkSession,
+                        sf_dir: str) -> DataFrame:
+    """X4 — COLLOCATION mining: the 20 adjacent-token pairs most
+    associated by (integer-scaled) pointwise mutual information,
+    support-thresholded at 5 — the phrase-detection pass tokenizer
+    and n-gram-vocabulary pipelines run ("new york" should be one
+    unit), sitting beside x4_bigram_lm (which scores SEQUENCES with
+    these counts) and x4_ngram_novelty (which tracks their first
+    appearance).
+
+    Integer-scaled PMI on purpose: score = c(xy)·floor(N·10⁶ /
+    (c(x)·c(y))) is a pure BIGINT function of exact counts —
+    monotone with the PMI ratio at fixed c(xy) and free of the
+    ln-noise rank-tie hazard (the x4_keyword_topk argument); the
+    support floor kills the degenerate hapax pairs that dominate raw
+    PMI. Shape: one explode (positional zip via slice-free
+    lag-within-doc), two map-side-combinable aggs, broadcast unigram
+    join, global TakeOrdered top-20."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select("doc_id", tokens_col("text").alias("t"))
+    big = toks.select(
+        "doc_id",
+        F.explode(F.arrays_zip(
+            F.slice("t", 1, F.greatest(F.size("t") - 1, F.lit(0))),
+            F.slice("t", 2, F.greatest(F.size("t") - 1, F.lit(0)))))
+         .alias("p")).select(F.col("p.0").alias("w1"),
+                             F.col("p.1").alias("w2"))
+    cb = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c_xy"))
+    cu = big.groupBy(F.col("w1").alias("w")).agg(
+        F.count(F.lit(1)).alias("c"))
+    tot = big.agg(F.count(F.lit(1)).alias("n"))
+    # the unigram table is VOCABULARY-sized — joined plainly so AQE
+    # broadcasts it at small SFs but a 100 TB vocab shuffles on the
+    # word key instead of flooring the driver
+    scored = (cb.filter(F.col("c_xy") >= 5)
+                .join(cu.withColumnRenamed("w", "w1")
+                        .withColumnRenamed("c", "c1"), "w1")
+                .join(cu.select(F.col("w").alias("w2"),
+                                F.col("c").alias("c2")), "w2")
+                .crossJoin(F.broadcast(tot))
+                .select("w1", "w2", "c_xy",
+                        (F.col("c_xy")
+                         * F.floor(F.col("n") * 1000000.0
+                                   / (F.col("c1") * F.col("c2"))))
+                        .cast("long").alias("pmi_score")))
+    return (scored.orderBy(F.col("pmi_score").desc(), "w1", "w2")
+                  .limit(20))

@@ -936,3 +936,80 @@ def x7_stratified_quota(spark: SparkSession,
                           <= (F.col("_n") + 4) / 5)
                   .select("doc_id", "lang", "source",
                           F.col("rn").alias("stratum_rank")))
+
+
+# ---------------------------------------------------------------------------
+# X7 — dedup-safe split: exact-dup clusters never straddle splits (r8)
+# ---------------------------------------------------------------------------
+
+@register(
+    "x7_dedup_safe_split",
+    oracle=f"""
+    WITH keyed AS (
+      SELECT doc_id,
+             md5(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))
+               AS ckey
+      FROM documents
+    ),
+    assigned AS (
+      SELECT doc_id, ckey,
+             CASE WHEN {_sql_coin('ckey', 'ds')} < 'cccccc'
+                  THEN 'train' ELSE 'holdout' END AS split
+      FROM keyed
+    ),
+    per_split AS (
+      SELECT split, COUNT(*) AS n_docs,
+             CAST(COUNT(DISTINCT ckey) AS BIGINT) AS n_clusters
+      FROM assigned GROUP BY split
+    ),
+    straddle AS (
+      SELECT COUNT(*) AS n_straddling FROM (
+        SELECT ckey FROM assigned
+        GROUP BY ckey HAVING COUNT(DISTINCT split) > 1
+      )
+    )
+    SELECT split, n_docs, n_clusters,
+           CAST(n_straddling AS BIGINT) AS n_straddling_clusters,
+           (n_straddling = 0) AS leakage_free
+    FROM per_split, straddle
+    """,
+)
+def x7_dedup_safe_split(spark: SparkSession,
+                        sf_dir: str) -> DataFrame:
+    """X7 — DEDUP-SAFE train/holdout split: the split coin is thrown
+    on the document's CONTENT KEY (md5 of the normalized text), so
+    every exact-duplicate cluster lands wholly in one split — the
+    fix for the classic eval-contamination bug where a holdout doc's
+    duplicate sits in train (x2_cross_split_contamination MEASURES
+    that leakage after the fact; this split makes it structurally
+    zero, and x7_group_split applies the same idea at the coarser
+    source granularity). ~80/20 by the 'cccccc' hex threshold.
+
+    Verdict: per-split doc/cluster counts plus the straddling-
+    cluster count, oracle-pinned — ``leakage_free`` must be TRUE by
+    construction (a cluster's split is a function of its key alone).
+    Shape: one scan → content key (never shuffles raw text: the key
+    is a 32-char digest), bounded split agg + an exact distinct per
+    split; the straddle check is a (key, split)-distinct agg."""
+    d = _t(spark, sf_dir, "documents")
+    ckey = F.md5(F.regexp_replace(F.lower("text"),
+                                  "[^a-z0-9]+", " "))
+    assigned = d.select(
+        "doc_id", ckey.alias("ckey"),
+        F.when(hash_coin(F.col("ckey"), "ds") < "cccccc", "train")
+         .otherwise("holdout").alias("split"))
+    per_split = (assigned.groupBy("split")
+                         .agg(F.count(F.lit(1)).alias("n_docs"),
+                              F.countDistinct("ckey").cast("long")
+                               .alias("n_clusters")))
+    straddle = (assigned.groupBy("ckey")
+                        .agg(F.countDistinct("split").alias("_ns"))
+                        .agg(F.sum(F.when(F.col("_ns") > 1, 1)
+                                    .otherwise(0)).cast("long")
+                              .alias("n_straddling")))
+    return (per_split.crossJoin(F.broadcast(straddle))
+                     .select("split", "n_docs", "n_clusters",
+                             F.col("n_straddling")
+                              .alias("n_straddling_clusters"),
+                             (F.col("n_straddling") == 0)
+                             .alias("leakage_free")))

@@ -1203,3 +1203,78 @@ def t38_dau_wau_mau(spark: SparkSession, sf_dir: str) -> DataFrame:
                           .cast("long").alias("wau"),
                          mau.cast("long").alias("mau"),
                          _rhu(dau * 1.0 / mau, 6).alias("stickiness")))
+
+
+# ---------------------------------------------------------------------------
+# T39 — hour-of-week seasonality profile (r8)
+# ---------------------------------------------------------------------------
+
+@register(
+    "t39_hour_of_week_profile",
+    oracle=f"""
+    WITH hw AS (
+      SELECT event_type,
+             CAST((isodow(ts) - 1) * 24 + hour(ts) AS INTEGER)
+               AS hour_of_week,
+             CAST(CASE WHEN value < 0
+                  THEN -FLOOR(ABS(value) * 100.0 + 0.5)
+                  ELSE FLOOR(ABS(value) * 100.0 + 0.5) END
+             AS BIGINT) AS cents
+      FROM events
+    ),
+    prof AS (
+      SELECT event_type, hour_of_week,
+             COUNT(*) AS n_events,
+             CAST(SUM(cents) AS BIGINT) AS sum_cents
+      FROM hw GROUP BY 1, 2
+    ),
+    mx AS (
+      SELECT event_type, MAX(sum_cents) AS peak
+      FROM prof GROUP BY event_type
+    )
+    SELECT p.event_type, p.hour_of_week, p.n_events, p.sum_cents,
+           (p.sum_cents = m.peak) AS is_peak_hour,
+           {sql_round_half_up('p.sum_cents * 1.0 / m.peak', 6)}
+             AS share_of_peak
+    FROM prof p JOIN mx m USING (event_type)
+    """,
+)
+def t39_hour_of_week_profile(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    """T39 — the HOUR-OF-WEEK seasonality profile: the 168-slot
+    (weekday × hour) revenue heat-map per event type, each slot
+    normalized against the type's peak slot — the capacity-planning
+    picture behind t36's peak concurrency (t36 says how MANY at the
+    worst instant; this says WHEN the worst instants recur) and the
+    finer-grained sibling of a29's weekday baseline (which this
+    profile is the input for sizing).
+
+    Weekday comes from isodow−1 / Spark ``weekday`` so Monday = 0 in
+    both engines (the a29 pinned off-by-one); slot revenue is exact
+    cents; share-of-peak is a class-A integer ratio. Shape: one scan
+    → bounded (type × 168) agg + a 5-row max join — map-side combine
+    does everything."""
+    ev = _t(spark, sf_dir, "events")
+    cents = F.when(
+        F.col("value") < 0,
+        -F.floor(F.abs(F.col("value")) * 100.0 + F.lit(0.5)),
+    ).otherwise(
+        F.floor(F.abs(F.col("value")) * 100.0 + F.lit(0.5))
+    ).cast("long")
+    prof = (ev.groupBy(
+                "event_type",
+                (F.weekday("ts") * 24 + F.hour("ts")).cast("int")
+                 .alias("hour_of_week"))
+              .agg(F.count(F.lit(1)).alias("n_events"),
+                   F.sum(cents).cast("long").alias("sum_cents")))
+    mx = (prof.groupBy("event_type")
+              .agg(F.max("sum_cents").alias("peak")))
+    from ..functions.scalars import round_half_up as _rhu
+    return (prof.join(F.broadcast(mx), "event_type")
+                .select("event_type", "hour_of_week", "n_events",
+                        "sum_cents",
+                        (F.col("sum_cents") == F.col("peak"))
+                        .alias("is_peak_hour"),
+                        _rhu(F.col("sum_cents") * 1.0
+                             / F.col("peak"), 6)
+                         .alias("share_of_peak")))
