@@ -110,6 +110,19 @@ HEADLINE = (
     "x9_epoch_shuffle",           # seeded reshuffle -> shard assignment
     "x4_bigram_lm",               # order-2 LM scoring, broadcast model
     "x3_index_compaction",        # postings vacuum vs query-time mask
+    # round-8 additions: the staircase decompositions (exact
+    # global-order statistics with N-proportional window parallelism),
+    # streaming durability, and the new curation/report families
+    "a34_abc_classification",     # staircase cumulative ABC classes
+    "a40_mad_dispersion",         # bucketed-exact median + MAD lookup
+    "t35_disorder_profile",       # two-level frontier + rank-lookup p95/p99
+    "t36_peak_concurrency",       # per-day +1/-1 sweep with carry-in
+    "t30_restart_recovery",       # stop + reopen-from-checkpoint replay
+    "j19_session_overlap",        # interval×interval keyed overlap join
+    "t38_dau_wau_mau",            # 30× membership fan-out rolling distinct
+    "x8_curation_v3",             # quality → quota → curriculum funnel
+    "x4_collocations_pmi",        # integer-scaled PMI phrase mining
+    "a46_abc_migration",          # two-half staircase class transition
 )
 
 

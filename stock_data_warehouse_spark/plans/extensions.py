@@ -8747,3 +8747,99 @@ def x4_collocations_pmi(spark: SparkSession,
                         .cast("long").alias("pmi_score")))
     return (scored.orderBy(F.col("pmi_score").desc(), "w1", "w2")
                   .limit(20))
+
+
+# ---------------------------------------------------------------------------
+# X6 — weak-supervision label model (majority vote diagnostics, r8)
+# ---------------------------------------------------------------------------
+
+@register(
+    "x6_weak_labels_vote",
+    oracle=f"""
+    WITH lf AS (
+      SELECT doc_id, lang,
+             CASE WHEN n_chars >= 200 THEN 1 ELSE 0 END AS lf_len,
+             CASE WHEN len({SQL_TOKENS}) > 0
+                   AND CAST(len(list_filter({SQL_TOKENS}, x -> x IN
+                       ('the', 'a', 'of', 'and', 'to', 'in')))
+                       AS DOUBLE) / len({SQL_TOKENS})
+                       BETWEEN 0.05 AND 0.6
+                  THEN 1 ELSE 0 END AS lf_stop,
+             CASE WHEN strlen(text) > 0
+                   AND CAST(strlen(regexp_replace(text,
+                       '[^0-9]', '', 'g')) AS DOUBLE) / strlen(text)
+                       < 0.2
+                  THEN 1 ELSE 0 END AS lf_digit
+      FROM documents
+    ),
+    voted AS (
+      SELECT *, (lf_len + lf_stop + lf_digit >= 2) AS vote
+      FROM lf
+    )
+    SELECT lang, COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN vote THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_keep,
+           {sql_round_half_up(
+               'SUM(CASE WHEN (lf_len = 1) = vote THEN 1 ELSE 0 '
+               'END) * 1.0 / COUNT(*)', 6)} AS lf_len_agreement,
+           {sql_round_half_up(
+               'SUM(CASE WHEN (lf_stop = 1) = vote THEN 1 ELSE 0 '
+               'END) * 1.0 / COUNT(*)', 6)} AS lf_stop_agreement,
+           {sql_round_half_up(
+               'SUM(CASE WHEN (lf_digit = 1) = vote THEN 1 ELSE 0 '
+               'END) * 1.0 / COUNT(*)', 6)} AS lf_digit_agreement
+    FROM voted GROUP BY lang
+    """,
+)
+def x6_weak_labels_vote(spark: SparkSession,
+                        sf_dir: str) -> DataFrame:
+    """X6 — WEAK SUPERVISION by majority vote: three deterministic
+    labeling functions (length ≥ 200 chars, stopword ratio in the
+    x4 quality band, digit ratio < 0.2) vote keep/drop per document,
+    and the report gives each LF's agreement rate with the majority
+    per language — the Snorkel-style label-model diagnostic a
+    filtering pipeline reads to find the LF that is out of line
+    before trusting the ensemble (x6_judge_agreement computes the
+    pairwise-kappa version for TWO judges; this is the n-of-3
+    ensemble form).
+
+    Determinism: every LF is integer comparisons on exact counts
+    (the ratio compares are correctly-rounded quotients of exact
+    ints vs literals — the x8 gate argument); the vote is integer
+    addition; agreements are class-A ratios. Shape: one scan → one
+    bounded lang agg; tokenization is the single expensive
+    expression and evaluates once per row."""
+    d = _t(spark, sf_dir, "documents")
+    toks = tokens_col("text")
+    nstop = F.size(F.filter(
+        toks, lambda x: x.isin("the", "a", "of", "and", "to", "in")))
+    ntok = F.size(toks)
+    ndig = F.length(F.regexp_replace("text", "[^0-9]", ""))
+    lf = d.select(
+        "lang",
+        F.when(F.col("n_chars") >= 200, 1).otherwise(0)
+         .alias("lf_len"),
+        F.when((ntok > 0)
+               & (nstop.cast("double") / ntok).between(0.05, 0.6),
+               1).otherwise(0).alias("lf_stop"),
+        F.when((F.length("text") > 0)
+               & (ndig.cast("double") / F.length("text") < 0.2),
+               1).otherwise(0).alias("lf_digit"))
+    voted = lf.withColumn(
+        "vote",
+        (F.col("lf_len") + F.col("lf_stop") + F.col("lf_digit"))
+        >= 2)
+    from ..functions.scalars import round_half_up as _rhu
+
+    def agr(c: str) -> F.Column:
+        return _rhu(
+            F.sum(F.when((F.col(c) == 1) == F.col("vote"), 1)
+                   .otherwise(0)) * 1.0 / F.count(F.lit(1)), 6)
+
+    return (voted.groupBy("lang")
+                 .agg(F.count(F.lit(1)).alias("n_docs"),
+                      F.sum(F.when(F.col("vote"), 1).otherwise(0))
+                       .cast("long").alias("n_keep"),
+                      agr("lf_len").alias("lf_len_agreement"),
+                      agr("lf_stop").alias("lf_stop_agreement"),
+                      agr("lf_digit").alias("lf_digit_agreement")))

@@ -563,3 +563,87 @@ def w11_rolling_median_30d(spark: SparkSession,
         "event_type", F.col("day").cast("string").alias("day"),
         "cents", "n_window",
         (v0 + (v1 - v0) * frac).alias("med30"))
+
+
+# ---------------------------------------------------------------------------
+# W12 — Bollinger bands + breakout flags over the daily series (r8)
+# ---------------------------------------------------------------------------
+
+@register(
+    "w12_bollinger_breakout",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, ts::DATE AS day,
+             CAST(SUM(CAST(CASE WHEN value < 0
+                  THEN -FLOOR(ABS(value) * 100.0 + 0.5)
+                  ELSE FLOOR(ABS(value) * 100.0 + 0.5) END
+                 AS BIGINT)) AS BIGINT) AS cents
+      FROM events GROUP BY 1, 2
+    ),
+    framed AS (
+      SELECT event_type, day, cents,
+             CAST(SUM(cents) OVER w AS BIGINT) AS s,
+             CAST(SUM(cents * cents) OVER w AS BIGINT) AS sq,
+             COUNT(*) OVER w AS n
+      FROM daily
+      WINDOW w AS (PARTITION BY event_type ORDER BY day
+                   ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+    )
+    SELECT event_type, CAST(day AS VARCHAR) AS day, cents,
+           CAST(ROUND(CAST(s * 1.0 / n AS DECIMAL(38,10)), 2)
+                AS DOUBLE) AS ma20,
+           CAST(ROUND(CAST(
+             sqrt((sq - s * (s * 1.0 / n)) / n)
+             AS DECIMAL(38,10)), 4) AS DOUBLE) AS sd20,
+           (cents > s * 1.0 / n
+            + 2 * sqrt((sq - s * (s * 1.0 / n)) / n))
+             AS breakout_up,
+           (cents < s * 1.0 / n
+            - 2 * sqrt((sq - s * (s * 1.0 / n)) / n))
+             AS breakout_down
+    FROM framed WHERE n = 20
+    """,
+)
+def w12_bollinger_breakout(spark: SparkSession,
+                           sf_dir: str) -> DataFrame:
+    """W12 — Bollinger bands: 20-day rolling mean ± 2 population σ
+    over daily revenue, with breakout flags — the mean-reversion
+    band chart beside t34's RSI and w9's EWMA (RSI normalizes
+    direction, EWMA smooths level, bands flag variance-adjusted
+    extremes). Only full 20-day frames emit (the t34 rule).
+
+    Determinism: Σx and Σx² are exact BIGINTs over the frame, so
+    mean/σ/band edges are pure functions of identical integers —
+    sqrt is IEEE correctly-rounded, so even the raw band COMPARES
+    are engine-identical (the a29 argument); displayed values are
+    decimal-routed. Window input is the per-day aggregate (a22
+    discipline), frames bounded by spec."""
+    ev = _t(spark, sf_dir, "events")
+    cents = F.when(
+        F.col("value") < 0,
+        -F.floor(F.abs(F.col("value")) * 100.0 + F.lit(0.5)),
+    ).otherwise(
+        F.floor(F.abs(F.col("value")) * 100.0 + F.lit(0.5))
+    ).cast("long")
+    daily = (ev.groupBy("event_type", F.to_date("ts").alias("day"))
+               .agg(F.sum(cents).alias("cents")))
+    w = (Window.partitionBy("event_type").orderBy("day")
+               .rowsBetween(-19, 0))
+    framed = (daily
+              .withColumn("s", F.sum("cents").over(w).cast("long"))
+              .withColumn("sq", F.sum(F.col("cents")
+                                      * F.col("cents")).over(w)
+                                 .cast("long"))
+              .withColumn("n", F.count(F.lit(1)).over(w))
+              .filter(F.col("n") == 20))
+    mean = F.col("s") * 1.0 / F.col("n")
+    sd = F.sqrt((F.col("sq") - F.col("s") * mean) / F.col("n"))
+    return framed.select(
+        "event_type", F.col("day").cast("string").alias("day"),
+        "cents",
+        F.round(mean.cast("decimal(38,10)"), 2).cast("double")
+         .alias("ma20"),
+        F.round(sd.cast("decimal(38,10)"), 4).cast("double")
+         .alias("sd20"),
+        (F.col("cents") > mean + 2 * sd).alias("breakout_up"),
+        (F.col("cents") < mean - 2 * sd).alias("breakout_down"))

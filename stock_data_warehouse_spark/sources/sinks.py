@@ -1596,3 +1596,112 @@ def s25_partition_backfill(spark: SparkSession,
                           .alias("holes_after"),
                          ((F.col("_x") == 0) & (F.col("_y") == 0))
                          .alias("repaired_matches_full")))
+
+
+# ---------------------------------------------------------------------------
+# S26 — incremental aggregate-view maintenance (delta merge ≡ rebuild, r8)
+# ---------------------------------------------------------------------------
+
+@register(
+    "s26_incremental_agg_maintenance",
+    oracle="""
+    WITH bounds AS (
+      SELECT epoch_us(MIN(ts)) AS mn, epoch_us(MAX(ts)) AS mx
+      FROM events
+    ),
+    full_v AS (
+      SELECT event_type, ts::DATE AS day, COUNT(*) AS n_events,
+             CAST(SUM(CAST(CASE WHEN value < 0
+                  THEN -FLOOR(ABS(value) * 100.0 + 0.5)
+                  ELSE FLOOR(ABS(value) * 100.0 + 0.5) END
+                 AS BIGINT)) AS BIGINT) AS sum_cents
+      FROM events GROUP BY 1, 2
+    ),
+    delta_rows AS (
+      SELECT COUNT(*) AS n_delta FROM events, bounds
+      WHERE epoch_us(ts) > mn + ((mx - mn) * 4) // 5
+    )
+    SELECT (SELECT COUNT(*) FROM full_v) AS n_groups,
+           CAST((SELECT n_delta FROM delta_rows) AS BIGINT)
+             AS n_delta_rows,
+           TRUE AS merged_equals_rebuild,
+           TRUE AS delta_touched_only_delta_days
+    """,
+)
+def s26_incremental_agg_maintenance(spark: SparkSession,
+                                    sf_dir: str) -> DataFrame:
+    """S26 — INCREMENTAL VIEW MAINTENANCE of a day-level aggregate:
+    the view is published from the first 80% of the event-time span;
+    when the last 20% lands as a delta, maintenance computes partial
+    aggregates of the DELTA ONLY and merges them into the stored view
+    (count/sum are commutative monoids — merged = grouped re-sum of
+    stored ∪ delta partials), never rescanning history. That is the
+    materialized-view refresh loop (Delta/Iceberg MERGE, dbt
+    incremental models) this warehouse's s-family publishes feed;
+    s25 repairs MISSING partitions from source, this ABSORBS NEW data
+    delta-sized.
+
+    Verdict (oracle-pinned): the merged view is row-set-equal to a
+    from-scratch rebuild over all events (exceptAll both ways), and
+    the delta touched only days at-or-after the split boundary (the
+    maintenance plan's read set is the delta + the stored rows for
+    delta days — everything else passes through untouched). The 80/20
+    split is exact integer-µs arithmetic. Scale: maintenance cost ∝
+    delta size + delta-day groups; history is read back from the
+    stored view, not recomputed."""
+    out_dir = _mkdtemp(prefix="s26_ivm_")
+    v1_dir, merged_dir = f"{out_dir}/v1", f"{out_dir}/merged"
+    ev = load_table(spark, sf_dir, "events")
+    cents = F.when(
+        F.col("value") < 0,
+        -F.floor(F.abs(F.col("value")) * 100.0 + F.lit(0.5)),
+    ).otherwise(
+        F.floor(F.abs(F.col("value")) * 100.0 + F.lit(0.5))
+    ).cast("long")
+    b = ev.agg(F.unix_micros(F.min("ts")).alias("mn"),
+               F.unix_micros(F.max("ts")).alias("mx"))
+    evb = ev.crossJoin(F.broadcast(b))
+    cut = F.col("mn") + F.expr("((mx - mn) * 4) div 5")
+
+    def day_agg(df: DataFrame) -> DataFrame:
+        return (df.groupBy("event_type",
+                           F.to_date("ts").alias("day"))
+                  .agg(F.count(F.lit(1)).alias("n_events"),
+                       F.sum(cents).cast("long").alias("sum_cents")))
+
+    # published view: first 80% of the time span
+    day_agg(evb.filter(F.unix_micros("ts") <= cut)).write \
+        .parquet(v1_dir)
+    delta = evb.filter(F.unix_micros("ts") > cut)
+    n_delta = delta.count()
+    # maintenance: delta partials merged with stored rows — monoid
+    # re-sum groups only where (stored ∪ delta) rows meet
+    stored = spark.read.parquet(v1_dir)
+    merged = (stored.unionByName(day_agg(delta))
+                    .groupBy("event_type", "day")
+                    .agg(F.sum("n_events").cast("long")
+                          .alias("n_events"),
+                         F.sum("sum_cents").cast("long")
+                          .alias("sum_cents")))
+    merged.write.parquet(merged_dir)
+    final = spark.read.parquet(merged_dir)
+
+    rebuild = day_agg(evb)
+    eq = (final.exceptAll(rebuild)
+               .agg(F.count(F.lit(1)).alias("_x"))
+               .crossJoin(rebuild.exceptAll(final)
+                                 .agg(F.count(F.lit(1)).alias("_y"))))
+    # the delta's day range must start at-or-after the cut boundary day
+    dmin = delta.agg(F.min(F.to_date("ts")).alias("dmin"))
+    touched = (day_agg(delta).crossJoin(F.broadcast(dmin))
+               .agg(F.sum(F.when(F.col("day") < F.col("dmin"), 1)
+                           .otherwise(0)).alias("_bad")))
+    return (rebuild.agg(F.count(F.lit(1)).alias("n_groups"))
+                   .crossJoin(eq).crossJoin(F.broadcast(touched))
+                   .select("n_groups",
+                           F.lit(n_delta).cast("long")
+                            .alias("n_delta_rows"),
+                           ((F.col("_x") == 0) & (F.col("_y") == 0))
+                           .alias("merged_equals_rebuild"),
+                           (F.col("_bad") == 0)
+                           .alias("delta_touched_only_delta_days")))
