@@ -4179,3 +4179,64 @@ def a47_trend_regression(spark: SparkSession,
                  / (den * (n * syy - sy * 1.0 * sy)))
                 .cast("decimal(38,10)"), 6).cast("double")
          .alias("r2"))
+
+
+# ---------------------------------------------------------------------------
+# A48 — fulfillment-lag SLA quantiles via staircase lookup (r8)
+# ---------------------------------------------------------------------------
+
+@register(
+    "a48_fulfillment_lag",
+    oracle="""
+    WITH lag AS (
+      SELECT o.o_orderpriority,
+             CAST(date_diff('day', o.o_orderdate::DATE,
+                            MIN(l.l_shipdate)::DATE) AS BIGINT)
+               AS first_ship_days
+      FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+      GROUP BY o.o_orderkey, o.o_orderpriority, o.o_orderdate
+    )
+    SELECT o_orderpriority,
+           COUNT(*) AS n_orders,
+           quantile_cont(first_ship_days, 0.5) AS p50_days,
+           quantile_cont(first_ship_days, 0.95) AS p95_days,
+           CAST(MAX(first_ship_days) AS BIGINT) AS max_days
+    FROM lag GROUP BY o_orderpriority
+    """,
+)
+def a48_fulfillment_lag(spark: SparkSession,
+                        sf_dir: str) -> DataFrame:
+    """A48 — FULFILLMENT-LAG SLA report: per order priority, the
+    exact p50/p95/max of days from order to FIRST shipment — the
+    number an ops SLA is written against ("95% of urgent orders ship
+    within N days"), and the order-level sibling of a35's customer-
+    level reorder gaps.
+
+    Priority is a bounded 5-value key, so the exact quantiles run as
+    the bucketed rank lookup (operators/staircase.py — day lags are
+    tie-heavy small ints, so bands are single-valued and the lookup
+    answers from band counts with zero data sorts; the a45
+    argument). First-ship is a per-order min agg on the unbounded
+    orderkey; quantile interpolation lands on exact half-integers,
+    hash-stable unrounded."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    lag = (li.join(o, li.l_orderkey == o.o_orderkey)
+             .groupBy(o.o_orderkey, "o_orderpriority", "o_orderdate")
+             .agg(F.min("l_shipdate").alias("first_ship"))
+             .select("o_orderpriority",
+                     F.datediff(F.to_date("first_ship"),
+                                F.to_date("o_orderdate"))
+                      .cast("long").alias("first_ship_days")))
+    from ..operators.staircase import bucketed_exact_quantiles
+    qs = bucketed_exact_quantiles(lag, ["o_orderpriority"],
+                                  "first_ship_days", [0.5, 0.95])
+    mx = (lag.groupBy("o_orderpriority")
+             .agg(F.max("first_ship_days").cast("long")
+                   .alias("max_days")))
+    return (qs.join(F.broadcast(mx), "o_orderpriority")
+              .select("o_orderpriority",
+                      F.col("n").alias("n_orders"),
+                      F.col("q0").alias("p50_days"),
+                      F.col("q1").alias("p95_days"),
+                      "max_days"))

@@ -921,3 +921,142 @@ def q16_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
               .join(F.broadcast(p), li.l_partkey == p.p_partkey)
               .groupBy("p_brand", "p_size")
               .agg(F.countDistinct("l_suppkey").alias("supplier_cnt")))
+
+
+# ---------------------------------------------------------------------------
+# Q4 — order-priority checking (EXISTS semi-join), adapted (r8)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q4_priority_exists",
+    oracle="""
+    SELECT o.o_orderpriority, COUNT(*) AS order_count
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+      AND o.o_orderdate <  TIMESTAMP '1995-04-01 00:00:00'
+      AND EXISTS (
+        SELECT 1 FROM lineitem l
+        WHERE l.l_orderkey = o.o_orderkey
+          AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+    GROUP BY o.o_orderpriority
+    """,
+)
+def q4_priority_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 (order-priority checking), adapted: count Q1-1995
+    orders having at least one line shipped more than 60 days after
+    the order date — the schema here carries no commit/receipt dates,
+    so "late" is ship-lag > 60d instead of receipt-after-commit; the
+    SHAPE is intact: a date-windowed scan with an EXISTS correlated
+    on the fact table, which Catalyst decorrelates to one LEFT SEMI
+    join on orderkey (q21's EXISTS/NOT-EXISTS sibling), grouped into
+    the bounded 5-priority output. Both date predicates push to the
+    orders scan."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    o = o.filter(
+        (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1995-04-01").cast("timestamp")))
+    late = li.select("l_orderkey", "l_shipdate")
+    j = o.join(
+        late,
+        (o.o_orderkey == late.l_orderkey)
+        & (late.l_shipdate
+           > o.o_orderdate + F.expr("INTERVAL 60 DAYS")),
+        "left_semi")
+    return (j.groupBy("o_orderpriority")
+             .agg(F.count(F.lit(1)).alias("order_count")))
+
+
+# ---------------------------------------------------------------------------
+# Q5 — local-supplier volume (6-way join), adapted (r8)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q5_local_supplier_volume",
+    oracle="""
+    SELECT n.n_name AS nation,
+           SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount)
+                          * 10000) AS BIGINT)) / 10000.0 AS revenue
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+                   AND c.c_nationkey = s.s_nationkey
+    JOIN nation n   ON s.s_nationkey = n.n_nationkey
+    JOIN region r   ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+      AND o.o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+      AND o.o_orderdate <  TIMESTAMP '1996-01-01 00:00:00'
+    GROUP BY n.n_name
+    """,
+)
+def q5_local_supplier_volume(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    """TPC-H Q5 (local supplier volume): revenue from 1995 orders
+    where the customer and the line's supplier share an ASIA nation —
+    the canonical 6-way star-plus-fact-fact join whose defining twist
+    is the NON-hierarchical equality c_nationkey = s_nationkey
+    (it closes a cycle in the join graph, so join ORDER matters).
+    Shape: the two facts join on orderkey (the only data-sized
+    shuffle pair); customer/supplier join in on their keys;
+    nation/region broadcast; the cycle-closing predicate rides the
+    supplier join as a residual equality. Revenue is the exact
+    4-decimal integer-scaled volume (the q3/q9 kernel)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    o = o.filter(
+        (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-01-01").cast("timestamp")))
+    vol = _x4(_volume())
+    j = (li.join(o, li.l_orderkey == o.o_orderkey)
+           .join(c, o.o_custkey == c.c_custkey)
+           .join(s, (li.l_suppkey == s.s_suppkey)
+                 & (c.c_nationkey == s.s_nationkey))
+           .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+           .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+           .filter(F.col("r_name") == "ASIA"))
+    return (j.groupBy(F.col("n_name").alias("nation"))
+             .agg((F.sum(vol) / 10000.0).alias("revenue")))
+
+
+# ---------------------------------------------------------------------------
+# Q13 — customer order-count distribution (r8)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q13_customer_distribution",
+    oracle="""
+    WITH per_c AS (
+      SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+      FROM customer c
+      LEFT JOIN orders o
+        ON c.c_custkey = o.o_custkey
+       AND o.o_orderpriority <> '1-URGENT'
+      GROUP BY c.c_custkey
+    )
+    SELECT c_count, COUNT(*) AS custdist
+    FROM per_c GROUP BY c_count
+    """,
+)
+def q13_customer_distribution(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """TPC-H Q13 (customer distribution): the histogram of per-
+    customer order counts, EXCLUDING a filtered order class (urgent
+    orders stand in for the spec's comment-pattern exclusion, which
+    this schema doesn't carry) and INCLUDING zero-order customers —
+    the defining subtlety: the left outer join keeps order-less
+    customers and COUNT(o_orderkey) counts matches, not rows, so the
+    0 bucket is real. Shape: one outer join on custkey + two hash
+    aggs, the second over the bounded count-value domain."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    oo = o.filter(F.col("o_orderpriority") != "1-URGENT")
+    per_c = (c.join(oo, c.c_custkey == oo.o_custkey, "left")
+              .groupBy(c.c_custkey)
+              .agg(F.count("o_orderkey").alias("c_count")))
+    return (per_c.groupBy("c_count")
+                 .agg(F.count(F.lit(1)).alias("custdist")))
