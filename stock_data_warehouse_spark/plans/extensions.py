@@ -8843,3 +8843,299 @@ def x6_weak_labels_vote(spark: SparkSession,
                       agr("lf_len").alias("lf_len_agreement"),
                       agr("lf_stop").alias("lf_stop_agreement"),
                       agr("lf_digit").alias("lf_digit_agreement")))
+
+
+# ---------------------------------------------------------------------------
+# X3 — recall@k curve: int8 index vs float exact truth (r8)
+# ---------------------------------------------------------------------------
+
+@register(
+    "x3_recall_curve",
+    oracle=f"""
+    WITH v AS (
+      SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+    ),
+    n AS (
+      SELECT vec_id, e,
+             sqrt({_sql_dot('e', 'e')}) AS nrm,
+             list_max(list_transform(e, x -> abs(x))) AS mx
+      FROM v
+      WHERE sqrt({_sql_dot('e', 'e')}) > 0
+        AND list_max(list_transform(e, x -> abs(x))) > 0
+    ),
+    q8 AS (
+      SELECT vec_id, nrm, mx,
+             list_transform(e, x ->
+               CAST(floor(x * 127.0 / mx + 0.5) AS INT)) AS qv,
+             e
+      FROM n
+    ),
+    qry AS (
+      SELECT * FROM q8 {_sql_hash_sample(_H_QUERY, 32)}
+    ),
+    ftop AS (
+      SELECT query_id, neighbor_id, rn AS frn FROM (
+        SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY a.vec_id ORDER BY
+                 {_sql_dot('a.e', 'b.e')} / (a.nrm * b.nrm) DESC,
+                 b.vec_id) AS rn
+        FROM qry a JOIN q8 b ON a.vec_id <> b.vec_id
+      ) WHERE rn <= 10
+    ),
+    itop AS (
+      SELECT query_id, neighbor_id, rn AS irn FROM (
+        SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY a.vec_id ORDER BY
+                 {_sql_dot('a.qv', 'b.qv')} * a.mx * b.mx
+                 / (16129.0 * a.nrm * b.nrm) DESC,
+                 b.vec_id) AS rn
+        FROM qry a JOIN q8 b ON a.vec_id <> b.vec_id
+      ) WHERE rn <= 10
+    ),
+    ks(k) AS (VALUES (1), (3), (10)),
+    hits AS (
+      SELECT ks.k,
+             CAST(COUNT(*) AS BIGINT) AS overlap_sum
+      FROM ks
+      LEFT JOIN (ftop JOIN itop USING (query_id, neighbor_id))
+        ON frn <= ks.k AND irn <= ks.k
+      GROUP BY ks.k
+    ),
+    nq AS (SELECT COUNT(DISTINCT query_id) AS n_queries FROM ftop)
+    SELECT CAST(k AS BIGINT) AS k, n_queries, overlap_sum,
+           {sql_round_half_up('overlap_sum * 1.0 / (n_queries * k)',
+                              6)} AS recall_at_k
+    FROM hits, nq
+    """,
+)
+def x3_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3 — the RECALL@k CURVE of the int8-quantized index against
+    float exact truth at k in (1, 3, 10): the eval every index
+    deployment publishes before flipping traffic (the x3 family's
+    per-query recall referees judge single operating points; this is
+    the curve, and both sides are fully oracle-replayed rather than
+    engine-asserted booleans — unusual for ANN evals, possible here
+    because the int8 scheme is integer-exact and float cosine ranks
+    are tie-broken on vec_id, the x3_int8_topk argument).
+
+    Cost shape: the 32-query batch is hash-rank-selected (constant,
+    N-independent — the K_COARSE discipline), so both scoring passes
+    are O(32·N) scans with broadcast query sides, never all-pairs;
+    recall sums are pure integers and the means class-A ratios."""
+    e = _t(spark, sf_dir, "embeddings")
+    v = e.select("vec_id", _as_double_vec("embedding").alias("e"))
+    n = (v.withColumn("nrm", F.sqrt(_dot(F.col("e"), F.col("e"))))
+          .withColumn("mx", F.array_max(
+              F.transform("e", lambda x: F.abs(x))))
+          .filter((F.col("nrm") > 0) & (F.col("mx") > 0)))
+    q8 = n.withColumn(
+        "qv",
+        F.transform("e", lambda x: F.floor(x * 127.0 / F.col("mx")
+                                           + 0.5).cast("int")))
+    qry = (_hash_sample(q8, 32, _H_QUERY)
+           .select(F.col("vec_id").alias("query_id"),
+                   F.col("e").alias("qe"), F.col("qv").alias("qqv"),
+                   F.col("nrm").alias("qnrm"),
+                   F.col("mx").alias("qmx")))
+
+    def topk(score, out):
+        w = Window.partitionBy("query_id").orderBy(
+            score.desc(), F.col("vec_id"))
+        return (q8.crossJoin(F.broadcast(qry))
+                  .filter(F.col("vec_id") != F.col("query_id"))
+                  .withColumn("rn", F.row_number().over(w))
+                  .filter(F.col("rn") <= 10)
+                  .select("query_id",
+                          F.col("vec_id").alias("neighbor_id"),
+                          F.col("rn").alias(out)))
+
+    fcos = _dot(F.col("qe"), F.col("e")) / (F.col("qnrm")
+                                            * F.col("nrm"))
+    icos = (_dot(F.col("qqv"), F.col("qv")) * F.col("qmx")
+            * F.col("mx") / (16129.0 * F.col("qnrm") * F.col("nrm")))
+    ftop = topk(fcos, "frn")
+    itop = topk(icos, "irn")
+    from ..sources.tables import values_df
+    ks = values_df(spark, [(1,), (3,), (10,)], "k int")
+    both = ftop.join(itop, ["query_id", "neighbor_id"])
+    hits = (ks.join(both,
+                    (F.col("frn") <= F.col("k"))
+                    & (F.col("irn") <= F.col("k")), "left")
+              .groupBy("k")
+              .agg(F.count("query_id").cast("long")
+                    .alias("overlap_sum")))
+    nq = ftop.agg(F.countDistinct("query_id").alias("n_queries"))
+    return (hits.crossJoin(F.broadcast(nq))
+                .select(F.col("k").cast("long").alias("k"),
+                        "n_queries", "overlap_sum",
+                        round_half_up(
+                            F.col("overlap_sum") * 1.0
+                            / (F.col("n_queries") * F.col("k")), 6)
+                         .alias("recall_at_k")))
+
+
+# ---------------------------------------------------------------------------
+# X2 — dedup cluster-size histogram (r8)
+# ---------------------------------------------------------------------------
+
+@register(
+    "x2_cluster_size_histogram",
+    oracle=f"""
+    WITH keyed AS (
+      SELECT doc_id,
+             md5(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))
+               AS ckey
+      FROM documents
+    ),
+    clusters AS (
+      SELECT ckey, COUNT(*) AS csize FROM keyed GROUP BY ckey
+    ),
+    tot AS (
+      SELECT CAST(SUM(csize) AS BIGINT) AS n_docs,
+             COUNT(*) AS n_clusters
+      FROM clusters
+    )
+    SELECT csize AS cluster_size,
+           COUNT(*) AS n_clusters,
+           CAST(csize * COUNT(*) AS BIGINT) AS n_docs_in_bucket,
+           {sql_round_half_up(
+               'csize * COUNT(*) * 1.0 / MAX(tot.n_docs)', 6)}
+             AS doc_share,
+           {sql_round_half_up(
+               '(MAX(tot.n_clusters) * 1.0) / MAX(tot.n_docs)', 6)}
+             AS corpus_unique_ratio
+    FROM clusters, tot
+    GROUP BY csize
+    """,
+)
+def x2_cluster_size_histogram(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """X2 — the DUP-CLUSTER SIZE HISTOGRAM: how many exact-duplicate
+    clusters have 1, 2, 3… members, what share of the corpus sits in
+    each bucket, and the corpus-wide unique ratio — the first
+    diagnostic a dedup review reads (a fat tail of giant clusters
+    means boilerplate/templating; a ~1.0 unique ratio means dedup
+    will not buy much). x1_exact_dedup SELECTS the survivors; this
+    characterizes what was collapsed, and x2_survivorship arbitrates
+    who survives.
+
+    Shape: content-key digest at scan (raw text never shuffles) →
+    cluster-size agg on the key → a SECOND bounded agg over the size
+    domain + a 1-row total cross-join; ratios are class-A integer
+    ratios. The two-level "agg of an agg" is the distributive
+    histogram pattern — both shuffles are map-side combinable."""
+    d = _t(spark, sf_dir, "documents")
+    ckey = F.md5(F.regexp_replace(F.lower("text"), "[^a-z0-9]+",
+                                  " "))
+    clusters = (d.select(ckey.alias("ckey"))
+                 .groupBy("ckey")
+                 .agg(F.count(F.lit(1)).alias("csize")))
+    tot = clusters.agg(F.sum("csize").cast("long").alias("n_docs"),
+                       F.count(F.lit(1)).alias("n_clusters"))
+    return (clusters.groupBy("csize")
+                    .agg(F.count(F.lit(1)).alias("_nc"))
+                    .crossJoin(F.broadcast(tot))
+                    .select(F.col("csize").alias("cluster_size"),
+                            F.col("_nc").alias("n_clusters"),
+                            (F.col("csize") * F.col("_nc"))
+                            .cast("long").alias("n_docs_in_bucket"),
+                            round_half_up(
+                                F.col("csize") * F.col("_nc") * 1.0
+                                / F.col("n_docs"), 6)
+                             .alias("doc_share"),
+                            round_half_up(
+                                F.col("n_clusters") * 1.0
+                                / F.col("n_docs"), 6)
+                             .alias("corpus_unique_ratio")))
+
+
+# ---------------------------------------------------------------------------
+# X5 — alignment gate: exemplar-cosine filtering of paired modalities
+# (r8 — the CLIP-score-filter plumbing with a deterministic scorer)
+# ---------------------------------------------------------------------------
+
+@register(
+    "x5_alignment_gate",
+    oracle=f"""
+    WITH v AS (
+      SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+    ),
+    n AS (
+      SELECT vec_id, e, sqrt({_sql_dot('e', 'e')}) AS nrm
+      FROM v WHERE sqrt({_sql_dot('e', 'e')}) > 0
+    ),
+    paired AS (
+      SELECT d.doc_id, d.lang, n.e, n.nrm
+      FROM documents d JOIN n ON d.doc_id = n.vec_id
+    ),
+    ex AS (
+      SELECT lang, MIN(doc_id) AS ex_id FROM paired GROUP BY lang
+    ),
+    exv AS (
+      SELECT ex.lang, p.e AS xe, p.nrm AS xnrm
+      FROM ex JOIN paired p ON ex.ex_id = p.doc_id
+    ),
+    scored AS (
+      SELECT p.doc_id, p.lang,
+             {_sql_dot('p.e', 'x.xe')} / (p.nrm * x.xnrm) AS cos
+      FROM paired p JOIN exv x USING (lang)
+    )
+    SELECT lang,
+           COUNT(*) AS n_paired,
+           CAST(SUM(CASE WHEN cos >= 0.0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_aligned,
+           {sql_round_half_up(
+               'SUM(CASE WHEN cos >= 0.0 THEN 1 ELSE 0 END) * 1.0 '
+               '/ COUNT(*)', 6)} AS keep_rate,
+           {sql_round_half_up('MIN(cos)', 6)} AS min_cos,
+           {sql_round_half_up('MAX(cos)', 6)} AS max_cos
+    FROM scored GROUP BY lang
+    """,
+)
+def x5_alignment_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5 — the ALIGNMENT GATE of a paired multimodal corpus: each
+    document joins its embedding (doc_id = vec_id — the paired-table
+    contract of a caption/image or transcript/audio dataset) and is
+    scored by cosine against its language's EXEMPLAR vector, gating
+    at 0 — the CLIP-score filtering shape ("drop pairs whose
+    image-text alignment is low") with the model stubbed by a
+    deterministic scorer, exactly the x5 stub discipline: the
+    plumbing (pair join, per-stratum reference, gate, per-lang keep
+    report) is real and oracle-exact, the scorer swaps for a real
+    encoder without touching the plan.
+
+    The exemplar is the MIN-doc_id member of each language (a pure
+    key function) rather than a centroid — deliberately: averaging
+    doubles would make the reference order-dependent and the gate
+    nondeterministic; cosines against a fixed member are pure
+    functions of parquet values (class-A rounding for display, raw
+    compare for the gate). Shape: one equi join on the id, a 5-row
+    exemplar dim joined broadcast, one bounded lang agg."""
+    d = _t(spark, sf_dir, "documents")
+    e = _t(spark, sf_dir, "embeddings")
+    v = e.select("vec_id", _as_double_vec("embedding").alias("e"))
+    n = (v.withColumn("nrm", F.sqrt(_dot(F.col("e"), F.col("e"))))
+          .filter(F.col("nrm") > 0))
+    paired = (d.select("doc_id", "lang")
+               .join(n, d.doc_id == n.vec_id)
+               .select("doc_id", "lang", "e", "nrm"))
+    ex = paired.groupBy("lang").agg(F.min("doc_id").alias("ex_id"))
+    exv = (ex.join(paired.select(F.col("doc_id").alias("ex_id"),
+                                 F.col("e").alias("xe"),
+                                 F.col("nrm").alias("xnrm")),
+                   "ex_id")
+             .select("lang", "xe", "xnrm"))
+    cos = _dot(F.col("e"), F.col("xe")) / (F.col("nrm")
+                                           * F.col("xnrm"))
+    scored = (paired.join(F.broadcast(exv), "lang")
+                    .select("lang", cos.alias("cos")))
+    keep = F.sum(F.when(F.col("cos") >= 0.0, 1).otherwise(0))
+    return (scored.groupBy("lang")
+                  .agg(F.count(F.lit(1)).alias("n_paired"),
+                       keep.cast("long").alias("n_aligned"),
+                       round_half_up(keep * 1.0 / F.count(F.lit(1)),
+                                     6).alias("keep_rate"),
+                       round_half_up(F.min("cos"), 6)
+                        .alias("min_cos"),
+                       round_half_up(F.max("cos"), 6)
+                        .alias("max_cos")))
