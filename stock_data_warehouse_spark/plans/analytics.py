@@ -4240,3 +4240,77 @@ def a48_fulfillment_lag(spark: SparkSession,
                       F.col("q0").alias("p50_days"),
                       F.col("q1").alias("p95_days"),
                       "max_days"))
+
+
+# A49 — repeat-purchase detection (r8)
+# ---------------------------------------------------------------------------
+
+@register(
+    "a49_repeat_purchase_audit",
+    oracle="""
+    WITH j AS (
+      SELECT o.o_custkey AS ck, l.l_partkey AS pk,
+             o.o_orderkey AS ok, o.o_orderdate AS d,
+             CAST(CASE WHEN l.l_extendedprice < 0
+                  THEN -FLOOR(ABS(l.l_extendedprice) * 100.0 + 0.5)
+                  ELSE FLOOR(ABS(l.l_extendedprice) * 100.0 + 0.5)
+             END AS BIGINT) AS cents
+      FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    )
+    SELECT CAST(ck AS BIGINT) AS custkey,
+           CAST(pk AS BIGINT) AS partkey,
+           CAST(COUNT(DISTINCT ok) AS BIGINT) AS n_orders,
+           CAST(MIN(d)::DATE AS VARCHAR) AS first_day,
+           CAST(MAX(d)::DATE AS VARCHAR) AS last_day,
+           CAST(date_diff('day', MIN(d)::DATE, MAX(d)::DATE)
+                AS BIGINT) AS span_days,
+           CAST(SUM(cents) AS BIGINT) AS total_cents
+    FROM j
+    GROUP BY ck, pk
+    HAVING COUNT(DISTINCT ok) > 1
+    """,
+)
+def a49_repeat_purchase_audit(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """A49 — REPEAT-PURCHASE detection: (customer, part) pairs bought
+    on more than one order, with order count, first/last purchase
+    dates, the repurchase span and total spend — the
+    subscription-candidate / replenishment screen a35's
+    reorder-interval distribution aggregates over (a35 sizes the
+    TYPICAL gap; this lists the concrete pairs a reminder campaign
+    targets).
+
+    Shape: one fact-fact equi join on orderkey + one hash agg on the
+    unbounded (custkey, partkey) pair with an exact distinct-order
+    count and a HAVING cut — output bounded by the repeat-pair count.
+    All values exact (cents, day arithmetic, VARCHAR dates both
+    sides)."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    cents = F.when(
+        F.col("l_extendedprice") < 0,
+        -F.floor(F.abs(F.col("l_extendedprice")) * 100.0
+                 + F.lit(0.5)),
+    ).otherwise(
+        F.floor(F.abs(F.col("l_extendedprice")) * 100.0 + F.lit(0.5))
+    ).cast("long")
+    j = (o.join(li, o.o_orderkey == li.l_orderkey)
+          .select(F.col("o_custkey").alias("ck"),
+                  F.col("l_partkey").alias("pk"),
+                  F.col("o_orderkey").alias("ok"),
+                  F.to_date("o_orderdate").alias("d"),
+                  cents.alias("cents")))
+    return (j.groupBy("ck", "pk")
+             .agg(F.countDistinct("ok").cast("long")
+                   .alias("n_orders"),
+                  F.min("d").alias("_fd"), F.max("d").alias("_ld"),
+                  F.sum("cents").cast("long").alias("total_cents"))
+             .filter(F.col("n_orders") > 1)
+             .select(F.col("ck").cast("long").alias("custkey"),
+                     F.col("pk").cast("long").alias("partkey"),
+                     "n_orders",
+                     F.col("_fd").cast("string").alias("first_day"),
+                     F.col("_ld").cast("string").alias("last_day"),
+                     F.datediff("_ld", "_fd").cast("long")
+                      .alias("span_days"),
+                     "total_cents"))

@@ -9139,3 +9139,101 @@ def x5_alignment_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
                         .alias("min_cos"),
                        round_half_up(F.max("cos"), 6)
                         .alias("max_cos")))
+
+
+# ---------------------------------------------------------------------------
+# X6 — threshold transfer: pick on dev, report on test (r8)
+# ---------------------------------------------------------------------------
+
+@register(
+    "x6_threshold_transfer",
+    oracle=f"""
+    WITH pts AS (
+      SELECT CAST(embedding[1] AS DOUBLE) AS score,
+             (label >= 5) AS y,
+             CASE WHEN substr(md5('tt' || ':'
+                    || CAST(vec_id AS VARCHAR)), 1, 6) < '800000'
+                  THEN 'dev' ELSE 'test' END AS split
+      FROM embeddings
+    ),
+    th(t) AS ({_PR_SQL_TH}),
+    cm AS (
+      SELECT pts.split, th.t,
+             CAST(SUM(CASE WHEN score >= th.t AND y
+                           THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+             CAST(SUM(CASE WHEN score >= th.t AND NOT y
+                           THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+             CAST(SUM(CASE WHEN score < th.t AND y
+                           THEN 1 ELSE 0 END) AS BIGINT) AS fn
+      FROM pts, th GROUP BY 1, 2
+    ),
+    f1s AS (
+      SELECT split, t, tp, fp, fn,
+             CASE WHEN 2 * tp + fp + fn > 0
+                  THEN 2.0 * tp / (2 * tp + fp + fn)
+                  ELSE 0.0 END AS f1
+      FROM cm
+    ),
+    best AS (
+      SELECT MIN({{'negf1': -f1, 't': t}}) AS b
+      FROM f1s WHERE split = 'dev'
+    )
+    SELECT b.t AS chosen_threshold,
+           {sql_round_half_up('-b.negf1', 6)} AS dev_f1,
+           {sql_round_half_up('te.f1', 6)} AS test_f1,
+           te.tp AS test_tp, te.fp AS test_fp, te.fn AS test_fn
+    FROM best, f1s te
+    WHERE te.split = 'test' AND te.t = b.t
+    """,
+)
+def x6_threshold_transfer(spark: SparkSession,
+                          sf_dir: str) -> DataFrame:
+    """X6 — THRESHOLD TRANSFER, the eval-hygiene rule x6_pr_curve
+    feeds: the operating threshold is chosen where DEV-split F1
+    peaks, then reported on the held-out TEST split — never picked
+    on the data it is quoted on (the optimistic-bias bug this
+    protocol exists to kill). Splits are the portable md5 coin
+    (~50/50 at the '800000' hex cut), the sweep is the x6_pr_curve
+    7-threshold literal dim, and the argmax is one
+    min(struct(−f1, t)) — F1 is a pure function of exact integer
+    confusion counts, so the comparison (and its threshold
+    tiebreak) is engine-identical. Shape: one scan → bounded
+    (split × 7) agg → 1-row argmax → 1-row report join."""
+    e = _t(spark, sf_dir, "embeddings")
+    from ..plans.sampling import hash_coin
+    from ..sources.tables import values_df
+    pts = e.select(
+        F.element_at(_as_double_vec("embedding"), 1).alias("score"),
+        (F.col("label") >= 5).alias("y"),
+        F.when(hash_coin(F.col("vec_id"), "tt") < "800000", "dev")
+         .otherwise("test").alias("split"))
+    th = values_df(spark, [(t,) for t in _PR_THRESHOLDS], "t double")
+    pred = F.col("score") >= F.col("t")
+    cm = (pts.crossJoin(F.broadcast(th))
+             .groupBy("split", "t")
+             .agg(F.sum(F.when(pred & F.col("y"), 1).otherwise(0))
+                   .cast("long").alias("tp"),
+                  F.sum(F.when(pred & ~F.col("y"), 1).otherwise(0))
+                   .cast("long").alias("fp"),
+                  F.sum(F.when(~pred & F.col("y"), 1).otherwise(0))
+                   .cast("long").alias("fn")))
+    f1 = F.when(2 * F.col("tp") + F.col("fp") + F.col("fn") > 0,
+                2.0 * F.col("tp")
+                / (2 * F.col("tp") + F.col("fp") + F.col("fn"))) \
+          .otherwise(0.0)
+    f1s = cm.withColumn("f1", f1)
+    best = (f1s.filter(F.col("split") == "dev")
+               .agg(F.min(F.struct((-F.col("f1")).alias("negf1"),
+                                   F.col("t").alias("t")))
+                     .alias("b")))
+    return (f1s.filter(F.col("split") == "test")
+               .crossJoin(F.broadcast(best))
+               .filter(F.col("t") == F.col("b.t"))
+               .select(F.col("b.t").alias("chosen_threshold"),
+                       round_half_up(-F.col("b.negf1"), 6)
+                        .alias("dev_f1"),
+                       round_half_up(F.col("f1"), 6)
+                        .alias("test_f1"),
+                       F.col("tp").alias("test_tp"),
+                       F.col("fp").alias("test_fp"),
+                       F.col("fn").alias("test_fn")))
