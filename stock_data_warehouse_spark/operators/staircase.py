@@ -213,6 +213,43 @@ def bucketed_exact_quantiles(df: DataFrame, part_cols: list[str],
     return out.select(*part_cols, F.col("_n").alias("n"), *qcols)
 
 
+def bucketed_lag(df: DataFrame, part_cols: list[str],
+                 bucket_cols: list[str], bucket_order: list[Column],
+                 local_order: list[Column], value: str,
+                 out: str = "prev") -> DataFrame:
+    """Exact ``lag(value)`` over the total order — two-level: the
+    within-bucket lag covers every row except each bucket's FIRST,
+    which takes the LAST value (argmax by local order) of the nearest
+    strictly-earlier non-empty bucket.  ``local_order`` must be
+    ``value``-correlated only if the caller says so — here the
+    boundary fill is the true predecessor because buckets are
+    order-consistent: the previous row of a bucket-first row is by
+    definition the last row of the previous bucket.
+
+    Implementation note: per-bucket "last value" is one hash agg of
+    ``max(struct(local_order…, value))`` (struct argmax — the value
+    riding the bucket-maximal local order); the boundary fill is
+    ``last(...)`` over the bucket dim ordered by ``bucket_order``
+    with an end-at-−1 frame — the frame's last row IS the nearest
+    strictly-earlier non-empty bucket, so ``value`` needs no
+    monotonicity of any kind."""
+    wl = Window.partitionBy(*(part_cols + bucket_cols)) \
+               .orderBy(*local_order)
+    per_bucket = (df.groupBy(*(part_cols + bucket_cols))
+                    .agg(F.max(F.struct(*local_order,
+                                        F.col(value).alias("_v")))
+                          .alias("_last")))
+    wb = (Window.partitionBy(*part_cols).orderBy(*bucket_order)
+                .rowsBetween(Window.unboundedPreceding, -1))
+    fill = per_bucket.select(
+        *(part_cols + bucket_cols),
+        F.last("_last").over(wb)["_v"].alias("_fill"))
+    return (df.withColumn("_plag", F.lag(value).over(wl))
+              .join(F.broadcast(fill), part_cols + bucket_cols)
+              .withColumn(out, F.coalesce("_plag", "_fill"))
+              .drop("_plag", "_fill"))
+
+
 def bucketed_running_max(df: DataFrame, part_cols: list[str],
                          bucket_cols: list[str],
                          bucket_order: list[Column],

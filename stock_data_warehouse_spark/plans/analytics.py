@@ -4314,3 +4314,149 @@ def a49_repeat_purchase_audit(spark: SparkSession,
                      F.datediff("_ld", "_fd").cast("long")
                       .alias("span_days"),
                      "total_cents"))
+
+
+# ---------------------------------------------------------------------------
+# A50 — key-space gap audit via two-level lag (r8)
+# ---------------------------------------------------------------------------
+
+@register(
+    "a50_key_gap_audit",
+    oracle="""
+    WITH feed AS (
+      SELECT o_orderkey FROM orders
+      WHERE o_orderpriority <> '1-URGENT'
+    ),
+    lagged AS (
+      SELECT o_orderkey,
+             LAG(o_orderkey) OVER (ORDER BY o_orderkey) AS prev
+      FROM feed
+    ),
+    gaps AS (
+      SELECT o_orderkey - prev - 1 AS gap_len,
+             prev + 1 AS gap_start
+      FROM lagged
+      WHERE prev IS NOT NULL AND o_orderkey - prev > 1
+    )
+    SELECT CAST(gap_len AS BIGINT) AS gap_len,
+           COUNT(*) AS n_gaps,
+           CAST(SUM(gap_len) AS BIGINT) AS missing_keys,
+           CAST(MIN(gap_start) AS BIGINT) AS first_gap_start,
+           CAST(MAX(gap_start) AS BIGINT) AS last_gap_start
+    FROM gaps GROUP BY gap_len
+    """,
+)
+def a50_key_gap_audit(spark: SparkSession,
+                      sf_dir: str) -> DataFrame:
+    """A50 — FEED-COMPLETENESS GAP AUDIT: a downstream export feed
+    carries every order EXCEPT the urgent class (the simulated
+    upstream drop — the testdata's own key space is dense, so the
+    audit needs a feed with real holes to find); the gap histogram
+    over the feed's key sequence (gap length → how many, how many
+    keys missing, where the first/last hole starts) reconstructs
+    exactly what the feed lost WITHOUT ever seeing the dropped rows —
+    the completeness check run against any source claiming
+    sequential ids, and the key-space twin of s25's partition-hole
+    detection.
+
+    The adjacent-predecessor comes from the two-level staircase LAG
+    (operators/staircase.py bucketed_lag — the family's fourth
+    primitive): within-64Ki-key-block lags cover all but each
+    block's first row, which takes the last key of the nearest
+    earlier non-empty block (one per-block argmax agg + a last()
+    over the block dim) — no global-order window ever sees a
+    data-sized relation. Gap arithmetic is pure BIGINT."""
+    o = _t(spark, sf_dir, "orders")
+    from ..operators.staircase import bucketed_lag
+    b = (o.filter(F.col("o_orderpriority") != "1-URGENT")
+          .select("o_orderkey")
+          .withColumn("_kb", F.floor(F.col("o_orderkey") / 65536)))
+    lagged = bucketed_lag(b, [], ["_kb"], [F.col("_kb")],
+                          [F.col("o_orderkey")], "o_orderkey",
+                          out="prev")
+    gaps = (lagged.filter(F.col("prev").isNotNull()
+                          & (F.col("o_orderkey") - F.col("prev") > 1))
+                  .select((F.col("o_orderkey") - F.col("prev") - 1)
+                          .alias("gap_len"),
+                          (F.col("prev") + 1).alias("gap_start")))
+    return (gaps.groupBy(F.col("gap_len").cast("long")
+                          .alias("gap_len"))
+                .agg(F.count(F.lit(1)).alias("n_gaps"),
+                     F.sum("gap_len").cast("long")
+                      .alias("missing_keys"),
+                     F.min("gap_start").cast("long")
+                      .alias("first_gap_start"),
+                     F.max("gap_start").cast("long")
+                      .alias("last_gap_start")))
+
+
+# ---------------------------------------------------------------------------
+# W13 — record-breaking days (r8)
+# ---------------------------------------------------------------------------
+
+@register(
+    "w13_record_days",
+    oracle=f"""
+    WITH daily AS (
+      SELECT event_type, ts::DATE AS day,
+             CAST(SUM(CAST(CASE WHEN value < 0
+                  THEN -FLOOR(ABS(value) * 100.0 + 0.5)
+                  ELSE FLOOR(ABS(value) * 100.0 + 0.5) END
+                 AS BIGINT)) AS BIGINT) AS cents
+      FROM events GROUP BY 1, 2
+    ),
+    flagged AS (
+      SELECT event_type, day, cents,
+             MAX(cents) OVER (PARTITION BY event_type ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS prior_max
+      FROM daily
+    )
+    SELECT event_type,
+           COUNT(*) AS n_days,
+           CAST(SUM(CASE WHEN prior_max IS NULL
+                     OR cents > prior_max THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_record_days,
+           CAST(MAX(CASE WHEN prior_max IS NULL
+                     OR cents > prior_max THEN day END)
+                AS VARCHAR) AS last_record_day,
+           {sql_round_half_up(
+               'SUM(CASE WHEN prior_max IS NULL OR cents > prior_max '
+               'THEN 1 ELSE 0 END) * 1.0 / COUNT(*)', 6)}
+             AS record_share
+    FROM flagged GROUP BY event_type
+    """,
+)
+def w13_record_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W13 — RECORD-BREAKING DAYS: per type, how many days set a new
+    all-time daily-revenue high (strictly above every prior day; the
+    first day counts), when the last record fell, and the record
+    share — the "best day ever" tracker every growth dashboard pins
+    beside w10's max drawdown (records measure the upside ratchet,
+    drawdown the downside). Prior-max is a running max over the
+    per-day AGGREGATE (a22 discipline — calendar-bounded input, the
+    w10 shape), exact cents end to end; the share is a class-A
+    ratio."""
+    ev = _t(spark, sf_dir, "events")
+    cents = F.when(
+        F.col("value") < 0,
+        -F.floor(F.abs(F.col("value")) * 100.0 + F.lit(0.5)),
+    ).otherwise(
+        F.floor(F.abs(F.col("value")) * 100.0 + F.lit(0.5))
+    ).cast("long")
+    daily = (ev.groupBy("event_type", F.to_date("ts").alias("day"))
+               .agg(F.sum(cents).alias("cents")))
+    w = (Window.partitionBy("event_type").orderBy("day")
+               .rowsBetween(Window.unboundedPreceding, -1))
+    flagged = daily.withColumn("prior_max", F.max("cents").over(w))
+    is_rec = F.col("prior_max").isNull() \
+        | (F.col("cents") > F.col("prior_max"))
+    from ..functions.scalars import round_half_up as _rhu
+    nrec = F.sum(F.when(is_rec, 1).otherwise(0))
+    return (flagged.groupBy("event_type")
+                   .agg(F.count(F.lit(1)).alias("n_days"),
+                        nrec.cast("long").alias("n_record_days"),
+                        F.max(F.when(is_rec, F.col("day")))
+                         .cast("string").alias("last_record_day"),
+                        _rhu(nrec * 1.0 / F.count(F.lit(1)), 6)
+                         .alias("record_share")))
