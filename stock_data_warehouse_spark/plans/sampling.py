@@ -32,6 +32,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.scalars import sql_round_half_up
 from ..sources.tables import load_table, values_df
 from .registry import register
 
@@ -1013,3 +1014,84 @@ def x7_dedup_safe_split(spark: SparkSession,
                               .alias("n_straddling_clusters"),
                              (F.col("n_straddling") == 0)
                              .alias("leakage_free")))
+
+
+# ---------------------------------------------------------------------------
+# X9 — shard skew report (r8)
+# ---------------------------------------------------------------------------
+
+@register(
+    "x9_shard_skew_report",
+    oracle=f"""
+    WITH sharded AS (
+      SELECT doc_id, len({_SQL_TOKENS}) AS n_tok,
+             CAST(substr(md5('shard' || ':'
+                    || CAST(doc_id AS VARCHAR)), 1, 1) AS VARCHAR)
+               AS shard
+      FROM documents
+    ),
+    per AS (
+      SELECT shard, COUNT(*) AS n_docs,
+             CAST(SUM(n_tok) AS BIGINT) AS n_tokens
+      FROM sharded GROUP BY shard
+    ),
+    tot AS (
+      SELECT CAST(SUM(n_tokens) AS BIGINT) AS all_tokens,
+             CAST(MAX(n_tokens) AS BIGINT) AS max_tokens,
+             COUNT(*) AS n_shards
+      FROM per
+    )
+    SELECT shard, n_docs, n_tokens,
+           {sql_round_half_up(
+               'n_tokens * 1.0 * tot.n_shards / tot.all_tokens', 6)}
+             AS balance_ratio,
+           {sql_round_half_up(
+               'tot.max_tokens * 1.0 * tot.n_shards '
+               '/ tot.all_tokens', 6)} AS worst_shard_ratio,
+           (tot.max_tokens * 10 * tot.n_shards
+            <= 15 * tot.all_tokens) AS balanced_ok
+    FROM per, tot
+    """,
+)
+def x9_shard_skew_report(spark: SparkSession,
+                         sf_dir: str) -> DataFrame:
+    """X9 — the SHARD SKEW report: token mass per 16-way md5 shard
+    (the x9_epoch_shuffle landing shape), each shard's balance ratio
+    (1.0 = perfectly even), the worst shard's ratio, and a ≤ 1.5×
+    gate as an integer cross-multiplication — the health check a
+    data-parallel training run does before launch, because one hot
+    shard sets the step time for every rank (x9_length_bucketing
+    balances WITHIN batches; this balances ACROSS workers).
+
+    Shape: one scan (tokenize once) → 16-row shard agg → 1-row total
+    cross-join; ratios class-A. The md5 first hex char gives 16
+    shards whose balance is a property of the hash, which is exactly
+    what the report certifies."""
+    d = _t(spark, sf_dir, "documents")
+    from .extensions import tokens_col
+    sharded = d.select(
+        F.substring(F.md5(F.concat(F.lit("shard"), F.lit(":"),
+                                   F.col("doc_id").cast("string"))),
+                    1, 1).alias("shard"),
+        F.size(tokens_col("text")).alias("n_tok"))
+    per = (sharded.groupBy("shard")
+                  .agg(F.count(F.lit(1)).alias("n_docs"),
+                       F.sum("n_tok").cast("long")
+                        .alias("n_tokens")))
+    tot = per.agg(F.sum("n_tokens").cast("long").alias("all_tokens"),
+                  F.max("n_tokens").cast("long").alias("max_tokens"),
+                  F.count(F.lit(1)).alias("n_shards"))
+    from ..functions.scalars import round_half_up as _rhu
+    return (per.crossJoin(F.broadcast(tot))
+               .select("shard", "n_docs", "n_tokens",
+                       _rhu(F.col("n_tokens") * 1.0
+                            * F.col("n_shards")
+                            / F.col("all_tokens"), 6)
+                        .alias("balance_ratio"),
+                       _rhu(F.col("max_tokens") * 1.0
+                            * F.col("n_shards")
+                            / F.col("all_tokens"), 6)
+                        .alias("worst_shard_ratio"),
+                       (F.col("max_tokens") * 10 * F.col("n_shards")
+                        <= 15 * F.col("all_tokens"))
+                       .alias("balanced_ok")))

@@ -1278,3 +1278,87 @@ def t39_hour_of_week_profile(spark: SparkSession,
                         _rhu(F.col("sum_cents") * 1.0
                              / F.col("peak"), 6)
                          .alias("share_of_peak")))
+
+
+# ---------------------------------------------------------------------------
+# T41 — session-depth histogram (r8)
+# ---------------------------------------------------------------------------
+
+@register(
+    "t41_session_depth_histogram",
+    oracle=f"""
+    WITH ordered AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id)
+                       <= INTERVAL 6 HOUR THEN 0 ELSE 1 END AS ns
+      FROM events
+    ),
+    s AS (
+      SELECT user_id,
+             SUM(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS UNBOUNDED PRECEDING) AS sid
+      FROM ordered
+    ),
+    sess AS (
+      SELECT user_id, sid, COUNT(*) AS depth
+      FROM s GROUP BY user_id, sid
+    ),
+    tot AS (
+      SELECT COUNT(*) AS n_sessions,
+             CAST(SUM(depth) AS BIGINT) AS n_events
+      FROM sess
+    )
+    SELECT CAST(depth AS BIGINT) AS depth,
+           COUNT(*) AS n_sessions,
+           CAST(depth * COUNT(*) AS BIGINT) AS n_events_in_bucket,
+           {sql_round_half_up(
+               'COUNT(*) * 1.0 / MAX(tot.n_sessions)', 6)}
+             AS session_share,
+           {sql_round_half_up(
+               'depth * COUNT(*) * 1.0 / MAX(tot.n_events)', 6)}
+             AS event_share
+    FROM sess, tot
+    GROUP BY depth
+    """,
+)
+def t41_session_depth_histogram(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """T41 — the SESSION-DEPTH histogram: how many sessions contain
+    1, 2, 3… events, with each bucket's share of sessions AND of
+    events — the engagement-depth distribution behind bounce-rate
+    ("share of depth-1 sessions") and the denominator sanity for
+    every per-session average; t36 counts sessions' simultaneity,
+    t31 caps their length, this profiles their depth.
+
+    Shape: the t15/t36 per-user gap sessionization (unbounded-key
+    series discipline) → per-session count → a SECOND bounded agg
+    over the depth domain + a 1-row total — the distributive
+    histogram pattern (x2_cluster_size_histogram's shape on
+    sessions). Shares are class-A integer ratios."""
+    ev = _t(spark, sf_dir, "events")
+    wu = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    s = (ev.withColumn(
+            "ns",
+            F.when(F.col("ts") - F.lag("ts").over(wu)
+                   <= F.expr("INTERVAL 6 HOURS"), 0).otherwise(1))
+           .withColumn("sid", F.sum("ns").over(
+               wu.rowsBetween(Window.unboundedPreceding, 0))))
+    sess = (s.groupBy("user_id", "sid")
+             .agg(F.count(F.lit(1)).alias("depth")))
+    tot = sess.agg(F.count(F.lit(1)).alias("n_sessions"),
+                   F.sum("depth").cast("long").alias("n_events"))
+    from ..functions.scalars import round_half_up as _rhu
+    return (sess.groupBy(F.col("depth").cast("long").alias("depth"))
+                .agg(F.count(F.lit(1)).alias("_ns"))
+                .crossJoin(F.broadcast(tot))
+                .select("depth",
+                        F.col("_ns").alias("n_sessions"),
+                        (F.col("depth") * F.col("_ns")).cast("long")
+                         .alias("n_events_in_bucket"),
+                        _rhu(F.col("_ns") * 1.0
+                             / F.col("n_sessions"), 6)
+                         .alias("session_share"),
+                        _rhu(F.col("depth") * F.col("_ns") * 1.0
+                             / F.col("n_events"), 6)
+                         .alias("event_share")))
