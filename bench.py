@@ -123,6 +123,11 @@ HEADLINE = (
     "x8_curation_v3",             # quality → quota → curriculum funnel
     "x4_collocations_pmi",        # integer-scaled PMI phrase mining
     "a46_abc_migration",          # two-half staircase class transition
+    # round-9 additions: the streaming dedup ingest (VERDICT r8 #3)
+    # and the two percentile-purge staircase rewrites (r8 weak marks)
+    "x2_incremental_minhash_stream",  # frozen-index near-dup ingest stream
+    "a35_reorder_intervals",      # staircase p50/p90 reorder gaps
+    "x3_ood_score",               # double-banded staircase global p95
 )
 
 
@@ -148,6 +153,7 @@ def main() -> int:
 
     timings: dict[str, float] = {}
     spread: dict[str, float] = {}
+    first: dict[str, float] = {}
     total = 0.0
     for name in names:
         # Min of two executions: the first pays one-time costs (codegen,
@@ -164,9 +170,16 @@ def main() -> int:
             runs.append(round(time.time() - t0, 3))
         timings[name] = min(runs)
         spread[name] = max(runs)
+        # The first iteration is recorded SEPARATELY (VERDICT r8 item
+        # 6): a cold session absorbs codegen + JVM warm-up into run 1
+        # (r8's driver capture showed x3_ivf_ingest 41 s cold vs 16.6 s
+        # warm, plan byte-identical) — first vs min in the same JSON
+        # lets a reader tell warm-up from plan regression without a
+        # manual A/B.
+        first[name] = runs[0]
         total += min(runs)
-        print(f"# {name}: {min(runs):.3f}s (max {max(runs):.3f}s)",
-              file=sys.stderr)
+        print(f"# {name}: {min(runs):.3f}s (first {runs[0]:.3f}s, "
+              f"max {max(runs):.3f}s)", file=sys.stderr)
 
     # Protocol metadata (VERDICT r3 item 4): the machine is co-tenant —
     # cross-round wall-time comparisons need the ambient load and the
@@ -177,6 +190,7 @@ def main() -> int:
         "unit": "sec",
         "queries": timings,
         "queries_max": spread,
+        "queries_first": first,
         "iterations": N_ITER,
         "load_avg_1m": round(os.getloadavg()[0], 2),
         "sf": _sf_from_dir(SF_DIR),

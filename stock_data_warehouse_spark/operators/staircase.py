@@ -60,8 +60,27 @@ def _offsets(df: DataFrame, part_cols: list[str], bucket_cols: list[str],
              combine: str) -> DataFrame:
     """Level 2: one row per bucket via hash agg, then the
     strictly-earlier-bucket prefix over the bucket dim.  The window
-    here runs over the SECOND-LEVEL relation (N/B rows — bucket
-    counts, not data rows); ``combine`` is ``sum`` or ``max``."""
+    here runs over the SECOND-LEVEL relation (bucket counts, not data
+    rows); ``combine`` is ``sum`` or ``max``.
+
+    LEVEL-2 BOUND (VERDICT r8 item 4).  The prefix window sorts one
+    partition of |buckets| rows per part_cols group, so the bucket
+    choice sets the ceiling:
+
+    - value bands (``default_value_bucket``): |buckets| =
+      O(width · log2(range)) ≈ hundreds — flat in N, safe at any
+      scale;
+    - calendar slices: |buckets| = days in the data — ~4e4 rows per
+      century, flat for practical purposes;
+    - fixed-width id/tiebreak blocks of width B: |buckets| = N/B —
+      the ONE shape that grows with N.  At B = 8192 the level-2 sort
+      holds ~122 rows per 1e6 input rows; one level stays comfortably
+      inside a single task (≲ 1 GiB of 16-byte rows) up to N ≈ 5e11
+      input rows — beyond that, re-bucket level 2 itself with a
+      second block width (the decomposition composes: offsets of
+      offsets), which no call site needs at 100 TB row counts today.
+      tests/test_physical_layout.py pins the live ratio (level-2
+      rows == N/B) so a silent bucket-width change surfaces."""
     per_bucket = (df.groupBy(*(part_cols + bucket_cols))
                     .agg(agg.alias("_bv")))
     w = (Window.partitionBy(*part_cols).orderBy(*bucket_order)
@@ -120,24 +139,46 @@ def bucketed_cumsum(df: DataFrame, part_cols: list[str],
               .drop("_lc", "_off"))
 
 
-def default_value_bucket(v: Column) -> Column:
+def default_value_bucket(v: Column, width: int = 8) -> Column:
     """Sign-aware sub-octave value band for a LONG column — monotone in
     ``v`` over the full range (negative values band mirror-image below
     zero), so it is always an order-consistent bucket for a rank/
-    quantile decomposition.  Band width is 1/8 octave: single-valued at
-    small magnitudes (tie masses like lag 0 resolve with no sort),
-    a few percent of a log-uniform corpus at large ones."""
-    pos = F.floor(F.log2(v + 1) * 8)
-    neg = -F.floor(F.log2(-v + 1) * 8) - 1
+    quantile decomposition.  Band width is 1/``width`` octave (default
+    1/8): single-valued at small magnitudes (tie masses like lag 0
+    resolve with no sort), a few percent of a log-uniform corpus at
+    large ones.  For non-negative inputs with ``width=16`` this is
+    bit-identical to the inline ``floor(16·log2(v+1))`` band the rank
+    call sites shipped with — they now call here so NEGATIVE values
+    band (mirror branch) instead of producing a NULL bucket key that
+    would silently drop the row at the staircase equi-join
+    (ADVICE r8)."""
+    pos = F.floor(F.log2(v + 1) * width)
+    neg = -F.floor(F.log2(-v + 1) * width) - 1
     return F.when(v < 0, neg).otherwise(pos).cast("long")
+
+
+def double_value_bucket(v: Column, scale: float) -> Column:
+    """Order-consistent fixed-width band for a DOUBLE column:
+    ``floor(v · scale)`` — floor is monotone over all reals (negatives
+    included), so lexicographic (bucket, value) order equals value
+    order with no sign special-casing.  Bucket-dim size is bounded by
+    ``value_range · scale`` (+1), NOT by N — the caller picks ``scale``
+    from the known value domain (e.g. a cosine distance in [0, 2] at
+    scale 4096 → ≤ 8193 buckets, each 2.4e-4 wide).  Unlike the
+    integer bands, a double band is rarely single-valued, so a
+    quantile lookup sorts the one target band per rank — ~N/buckets
+    rows through one task, the documented residual cost."""
+    return F.floor(v * F.lit(scale)).cast("long")
 
 
 def bucketed_exact_quantiles(df: DataFrame, part_cols: list[str],
                              value: str,
-                             probs: list[float]) -> DataFrame:
-    """EXACT interpolated quantiles of a LONG column per group —
-    ``lo + (hi − lo) · frac`` at rank positions ``(n−1)·p``, the formula
-    both Spark's ``percentile()`` and DuckDB's ``quantile_cont`` use —
+                             probs: list[float],
+                             bucket: Column | None = None) -> DataFrame:
+    """EXACT interpolated quantiles of a numeric column per group —
+    ``(1−frac)·lo + frac·hi`` at rank positions ``(n−1)·p``, the
+    two-product kernel both Spark's ``percentile()`` and DuckDB's
+    ``quantile_cont`` run (bit-verified; see the inline note) —
     WITHOUT the buffering aggregate either engine runs it as (one
     array of every group value in one aggregator).
 
@@ -151,7 +192,15 @@ def bucketed_exact_quantiles(df: DataFrame, part_cols: list[str],
     Exactness: rank values are exact longs; ``frac`` is the same
     ``(n−1)·p`` double both engines compute; ties make the
     interpolation collapse to the exact value (``lo + Δ·f`` with
-    ``Δ = 0``), so there is no two-product cancellation hazard."""
+    ``Δ = 0``), so there is no two-product cancellation hazard.
+
+    ``bucket`` (optional) overrides the band expression — it must be
+    an order-consistent, never-NULL function of ``F.col(value)``
+    (pass ``double_value_bucket(F.col(value), scale)`` for DOUBLE
+    values; the interpolation formula is type-agnostic and matches
+    both engines' continuous quantile on doubles the same way —
+    identical lo/hi at identical ranks, identical ``(n−1)·p``
+    frac)."""
     n_col = F.count(F.lit(1)).alias("_n")
     spec = df.groupBy(*part_cols).agg(n_col) if part_cols \
         else df.agg(n_col)
@@ -166,7 +215,10 @@ def bucketed_exact_quantiles(df: DataFrame, part_cols: list[str],
                     for i in range(len(probs)) for j in (0, 1)])
     needs = (spec.select(*part_cols, F.explode(rks).alias("_rk"))
                  .distinct())
-    b = df.withColumn("_qb", default_value_bucket(F.col(value)))
+    b = df.withColumn(
+        "_qb",
+        default_value_bucket(F.col(value)) if bucket is None
+        else bucket)
     bstats = (b.groupBy(*(part_cols + ["_qb"]))
                .agg(F.count(F.lit(1)).alias("_bn"),
                     F.min(value).alias("_bmin"),
@@ -208,7 +260,16 @@ def bucketed_exact_quantiles(df: DataFrame, part_cols: list[str],
     qcols = []
     for i in range(len(probs)):
         v0, v1 = F.col(f"_q{i}_v0"), F.col(f"_q{i}_v1")
-        qcols.append((v0 + (v1 - v0) * F.col(f"_q{i}_f"))
+        f = F.col(f"_q{i}_f")
+        # TWO-product form ((1−f)·v0 + f·v1) — the kernel BOTH
+        # engines run (Spark Percentile.getPercentile computes
+        # (higher−pos)·lower + (pos−lower)·higher; DuckDB's
+        # quantile_cont bit-matches it, verified by hex-dump probe
+        # r9).  The one-product lo + (hi−lo)·f differs by 1 ulp on
+        # general doubles (caught by the double-band unit test);
+        # f = pos − floor(pos) is exact, so (1−f) here rounds the
+        # same real as Spark's (floor+1)−pos — bit-identical.
+        qcols.append(((F.lit(1.0) - f) * v0 + f * v1)
                      .alias(f"q{i}"))
     return out.select(*part_cols, F.col("_n").alias("n"), *qcols)
 
@@ -232,7 +293,16 @@ def bucketed_lag(df: DataFrame, part_cols: list[str],
     ``last(...)`` over the bucket dim ordered by ``bucket_order``
     with an end-at-−1 frame — the frame's last row IS the nearest
     strictly-earlier non-empty bucket, so ``value`` needs no
-    monotonicity of any kind."""
+    monotonicity of any kind.
+
+    PRECONDITION: ``value`` must be NON-NULL on every row.  The
+    boundary fill is ``coalesce(lag, fill)``, which cannot tell
+    "first row of a bucket" (lag legitimately absent) from
+    "predecessor row carried a NULL value" — a genuine NULL
+    predecessor would be overwritten with the previous bucket's last
+    value (ADVICE r8).  Current call sites pass key/timestamp
+    columns, non-null by construction; filter or sentinel-encode
+    NULLs before calling if that ever changes."""
     wl = Window.partitionBy(*(part_cols + bucket_cols)) \
                .orderBy(*local_order)
     per_bucket = (df.groupBy(*(part_cols + bucket_cols))

@@ -1960,15 +1960,19 @@ def o9_capped_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).otherwise(
         F.floor(F.abs(F.col("o_totalprice")) * 100.0 + F.lit(0.5))
     ).cast("long")
-    base = (o.join(F.broadcast(c.select("c_custkey", "c_mktsegment")),
+    # customer joins plainly — an SF-scaling dim must not carry an
+    # un-demotable broadcast hint (ADVICE r8); AQE broadcasts it at
+    # small SFs on its own.
+    base = (o.join(c.select("c_custkey", "c_mktsegment"),
                    o.o_custkey == c.c_custkey)
              .select("o_orderkey",
                      F.col("c_mktsegment").alias("mktsegment"),
                      cents.alias("cents")))
-    from ..operators.staircase import bucketed_row_number
+    from ..operators.staircase import (bucketed_row_number,
+                                       default_value_bucket)
     ranked = bucketed_row_number(
         base.withColumn("_vb",
-                        F.floor(F.log2(F.col("cents") + 1) * 16)),
+                        default_value_bucket(F.col("cents"), 16)),
         ["mktsegment"], ["_vb"], [F.col("_vb").desc()],
         [F.col("cents").desc(), F.col("o_orderkey")],
         out="segment_rank")

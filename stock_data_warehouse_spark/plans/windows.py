@@ -583,7 +583,7 @@ def w11_rolling_median_30d(spark: SparkSession,
     framed AS (
       SELECT event_type, day, cents,
              CAST(SUM(cents) OVER w AS BIGINT) AS s,
-             CAST(SUM(cents * cents) OVER w AS BIGINT) AS sq,
+             SUM(CAST(cents AS DOUBLE) * cents) OVER w AS sq,
              COUNT(*) OVER w AS n
       FROM daily
       WINDOW w AS (PARTITION BY event_type ORDER BY day
@@ -612,10 +612,15 @@ def w12_bollinger_breakout(spark: SparkSession,
     direction, EWMA smooths level, bands flag variance-adjusted
     extremes). Only full 20-day frames emit (the t34 rule).
 
-    Determinism: Σx and Σx² are exact BIGINTs over the frame, so
-    mean/σ/band edges are pure functions of identical integers —
-    sqrt is IEEE correctly-rounded, so even the raw band COMPARES
-    are engine-identical (the a29 argument); displayed values are
+    Determinism: Σx is an exact BIGINT; Σx² routes as
+    double-of-exact-products (the a36/a47 pattern — CAST(cents AS
+    DOUBLE) * cents per row: a BIGINT cents·cents wraps silently in
+    Spark above ~6.8e8 daily cents while DuckDB promotes SUM(BIGINT)
+    to HUGEINT, ADVICE r8; per-row products stay exact doubles below
+    2^53 and the 20-term frame sum adds exact integers), so
+    mean/σ/band edges are pure functions of identical values — sqrt
+    is IEEE correctly-rounded, so even the raw band COMPARES are
+    engine-identical (the a29 argument); displayed values are
     decimal-routed. Window input is the per-day aggregate (a22
     discipline), frames bounded by spec."""
     ev = _t(spark, sf_dir, "events")
@@ -631,9 +636,8 @@ def w12_bollinger_breakout(spark: SparkSession,
                .rowsBetween(-19, 0))
     framed = (daily
               .withColumn("s", F.sum("cents").over(w).cast("long"))
-              .withColumn("sq", F.sum(F.col("cents")
-                                      * F.col("cents")).over(w)
-                                 .cast("long"))
+              .withColumn("sq", F.sum(F.col("cents").cast("double")
+                                      * F.col("cents")).over(w))
               .withColumn("n", F.count(F.lit(1)).over(w))
               .filter(F.col("n") == 20))
     mean = F.col("s") * 1.0 / F.col("n")

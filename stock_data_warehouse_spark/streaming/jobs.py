@@ -47,7 +47,10 @@ executor-side worker dies on
 ``pyspark.sql.streaming.proto.StateMessage_pb2`` →
 ``ModuleNotFoundError: No module named 'google'`` while the JVM state
 server keeps waiting, so the failure mode is a silent hang, worse than
-the old import error. ``applyInPandasWithState`` covers the OP-T8/t27
+the old import error. Re-probed round 9 (2026-08-15): ``import
+google.protobuf`` and the ``StateMessage_pb2`` import both still raise
+``ModuleNotFoundError`` — unchanged, still env-blocked.
+``applyInPandasWithState`` covers the OP-T8/t27
 contracts; the TWS form is a drop-in rewrite (same per-key int64
 state, same oracle) once the dependency exists.
 """
@@ -115,6 +118,7 @@ STREAM_ADMISSION: dict[str, int] = {
     "t29_chained_pipeline_advance": 1,
     "t33_exactly_once_sink": 1,
     "x3_ivf_ingest_stream": 1,
+    "x2_incremental_minhash_stream": 1,
 }
 
 #: State-store partition count for the ADVANCING-FRONTIER replays
@@ -2898,3 +2902,258 @@ def x3_ivf_ingest_stream(spark: SparkSession,
                         .alias("multi_batch_ok"),
                        "cells_match", "codes_match",
                        "stored_untouched"))
+
+
+# ---------------------------------------------------------------------------
+# X2 (streaming) — near-dup dedup AT INGEST as a STREAM: documents land
+# continuously, each micro-batch bands locally and probes the FROZEN
+# corpus band index, emits new/dup verdicts and appends its bands
+# (VERDICT r8 next-round #3 — the dedup twin of x3_ivf_ingest_stream)
+# ---------------------------------------------------------------------------
+
+from ..plans.extensions import _SQL_JPAIRS as _X2_SQL_JPAIRS  # noqa: E402
+from ..functions.scalars import sql_round_half_up as _sql_rhu  # noqa: E402
+
+
+@register(
+    "x2_incremental_minhash_stream",
+    oracle=f"""
+    WITH {_X2_SQL_JPAIRS},
+    shingled AS (SELECT doc_id, s FROM sh WHERE len(s) > 0),
+    mh AS (
+      SELECT t1.doc_id, t.i,
+             min(md5(CAST(t.i AS VARCHAR) || ':' || t1.shingle)) AS mh
+      FROM (SELECT doc_id, unnest(s) AS shingle FROM shingled) t1
+      CROSS JOIN range(16) t(i)
+      GROUP BY t1.doc_id, t.i
+    ),
+    bands AS (
+      SELECT doc_id, i // 4 AS band_idx,
+             md5(string_agg(mh, '|' ORDER BY i)) AS band_hash
+      FROM mh GROUP BY doc_id, i // 4
+    ),
+    cand AS (
+      SELECT DISTINCT c.doc_id AS corpus_id, a.doc_id AS arrival_id
+      FROM bands c JOIN bands a
+        ON c.band_idx = a.band_idx AND c.band_hash = a.band_hash
+       AND c.doc_id < 400 AND a.doc_id >= 400
+    ),
+    ver AS (
+      SELECT cand.arrival_id, cand.corpus_id,
+             {{jac6}} AS jac6
+      FROM cand JOIN jpairs j
+        ON j.doc_a = cand.corpus_id AND j.doc_b = cand.arrival_id
+    ),
+    best AS (
+      SELECT arrival_id, corpus_id, jac6,
+             ROW_NUMBER() OVER (PARTITION BY arrival_id
+                                ORDER BY jac6 DESC, corpus_id) AS rn
+      FROM ver
+    ),
+    verdicts AS (
+      SELECT d.doc_id, b.corpus_id AS dup_of, b.jac6,
+             CASE WHEN b.corpus_id IS NULL THEN 'unique'
+                  ELSE 'near_dup_of_corpus' END AS verdict
+      FROM (SELECT doc_id FROM documents WHERE doc_id >= 400) d
+      LEFT JOIN (SELECT * FROM best WHERE rn = 1) b
+        ON b.arrival_id = d.doc_id
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_arrivals,
+           CAST(SUM(CASE WHEN verdict = 'near_dup_of_corpus'
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_dups,
+           CAST(SUM(CASE WHEN verdict = 'unique' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_unique,
+           CAST(COALESCE(SUM(CAST(FLOOR(jac6 * 1000000.0 + 0.5)
+                                  AS BIGINT)), 0) AS BIGINT)
+             AS jac6_mass,
+           TRUE AS multi_batch_ok,
+           TRUE AS verdicts_match_batch,
+           TRUE AS index_appended,
+           TRUE AS corpus_untouched
+    FROM verdicts
+    """.format(jac6=_sql_rhu("j.jac", 6)),
+)
+def x2_incremental_minhash_stream(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    """X2 — the "documents land continuously" production dedup shape
+    (VERDICT r8 next-round #3): x2_incremental_minhash proves the
+    BATCH arrivals-vs-stored-index path; this runs the same
+    frozen-index probe as a ``foreachBatch`` STREAM over staged
+    arrival files and pins that the streamed verdict set equals the
+    batch form's, micro-batching and all — the composition twin of
+    x3_ivf_ingest_stream (streaming/jobs.py) built from
+    x2_incremental_minhash's machinery (plans/extensions.py).
+
+    Pipeline: the corpus split (``doc_id < 400``) bands ONCE with the
+    portable md5 MinHash family and its (band_idx, band_hash) index —
+    plus its shingle postings, the verify-side state a dedup service
+    persists beside the index — land in parquet "stored index"
+    tables. Arrivals (``doc_id >= 400``) are staged as three
+    mtime-ordered parquet files (``doc_id % 3`` — deterministic,
+    balanced) and replayed with ``maxFilesPerTrigger=1``; each
+    micro-batch (a) bands its own documents locally, (b) probes the
+    FROZEN corpus band index (every read filters ``doc_id < 400``, so
+    the probe target is pinned no matter what was appended before),
+    (c) verifies only band-colliding pairs with exact Jaccard against
+    the stored postings of just the candidate corpus docs, (d)
+    APPENDS its verdict rows and its own bands + postings to the
+    stored tables. Nothing re-bands, the corpus rows are never
+    rewritten, per-batch cost is O(batch·bands + candidate
+    verifications) — FAISS-``add`` economics for near-dup dedup.
+
+    Verdict columns (engine-computed, oracle-pinned TRUE):
+    ``multi_batch_ok`` — ≥ 2 data micro-batches ran and admitted
+    every staged row (engine progress metrics);
+    ``verdicts_match_batch`` — the streamed verdict relation is
+    SET-EQUAL (exceptAll both ways) to the registered batch form's
+    output on the same split: the verdict is a pure function of
+    (arrival doc, frozen corpus index), so HOW arrivals were
+    micro-batched must not matter; ``index_appended`` — the stored
+    band index after the stream equals corpus ∪ arrival bands;
+    ``corpus_untouched`` — its ``doc_id < 400`` rows are exactly the
+    pre-stream corpus banding (append-only discipline). The
+    n/dup/unique/jac6_mass aggregates replay fully in the oracle
+    (portable md5 family — the candidate set itself is cross-engine
+    exact, banding misses included)."""
+    from ..plans.extensions import (
+        _portable_bands, shingles_col, tokens_col,
+        x2_incremental_minhash,
+    )
+    from ..functions.scalars import round_half_up
+    from ..sources.tables import load_table
+
+    out_dir = _mkdtemp(prefix="x2_minhash_stream_")
+    idx_dir = f"{out_dir}/band_index"
+    post_dir = f"{out_dir}/postings"
+    verd_dir = f"{out_dir}/verdicts"
+    stage = f"{out_dir}/arrivals"
+
+    d = load_table(spark, sf_dir, "documents")
+    corpus = d.filter(F.col("doc_id") < 400)
+    arrivals = d.filter(F.col("doc_id") >= 400)
+
+    def postings(docs: DataFrame) -> DataFrame:
+        return (docs.select("doc_id",
+                            shingles_col(tokens_col("text"))
+                            .alias("s"))
+                    .select("doc_id", F.size("s").alias("n"),
+                            F.explode("s").alias("shingle")))
+
+    # --- the stored index: corpus banded + posted once, landed durable
+    _portable_bands(corpus).write.parquet(idx_dir)
+    postings(corpus).write.parquet(post_dir)
+
+    # --- stage arrivals as 3 mtime-ordered files, stream them in
+    n_staged = _write_arrival_files(
+        spark, arrivals.select("doc_id", "text")
+                       .withColumn("arrival", F.col("doc_id") % 3),
+        stage, n_files=3)
+
+    def dedup_batch(batch_df: DataFrame, _batch_id: int) -> None:
+        batch_df = batch_df.localCheckpoint(eager=True)
+        b_bands = _portable_bands(batch_df)
+        c_idx = (spark.read.parquet(idx_dir)
+                      .filter(F.col("doc_id") < 400))
+        cand = (c_idx.alias("c")
+                .join(b_bands.alias("a"),
+                      (F.col("c.band_idx") == F.col("a.band_idx"))
+                      & (F.col("c.band_hash") == F.col("a.band_hash")))
+                .select(F.col("c.doc_id").alias("corpus_id"),
+                        F.col("a.doc_id").alias("arrival_id"))
+                .distinct())
+        # verify ONLY candidate pairs: corpus postings restricted to
+        # candidate corpus docs (the "fetch candidate signatures"
+        # service step), joined to this batch's postings
+        c_post = (spark.read.parquet(post_dir)
+                       .filter(F.col("doc_id") < 400)
+                       .join(cand.select(F.col("corpus_id")
+                                         .alias("doc_id")).distinct(),
+                             "doc_id", "semi").alias("ca"))
+        b_post = postings(batch_df).alias("ar")
+        cross = (c_post.join(b_post,
+                             F.col("ca.shingle") == F.col("ar.shingle"))
+                       .groupBy(F.col("ca.doc_id").alias("jc"),
+                                F.col("ar.doc_id").alias("ja"))
+                       .agg(F.count(F.lit(1)).alias("n_common"),
+                            F.min(F.col("ca.n")).alias("na"),
+                            F.min(F.col("ar.n")).alias("nb")))
+        jac = (F.col("n_common") * F.lit(1.0)
+               / (F.col("na") + F.col("nb") - F.col("n_common")))
+        jp = (cross.filter(jac >= 0.8)
+                   .select("jc", "ja", jac.alias("jac")))
+        ver = (cand.join(jp, (jp["jc"] == cand["corpus_id"])
+                             & (jp["ja"] == cand["arrival_id"]))
+                   .select("arrival_id", "corpus_id",
+                           round_half_up(F.col("jac"), 6)
+                           .alias("jac6")))
+        w = Window.partitionBy("arrival_id").orderBy(
+            F.col("jac6").desc(), "corpus_id")
+        best = (ver.withColumn("rn", F.row_number().over(w))
+                   .filter(F.col("rn") == 1))
+        batch_ids = batch_df.select("doc_id")
+        verdicts = (batch_ids
+                    .join(best,
+                          batch_ids["doc_id"] == best["arrival_id"],
+                          "left")
+                    .select("doc_id",
+                            F.col("corpus_id").alias("dup_of"),
+                            F.col("jac6").alias("jaccard"),
+                            F.when(F.col("corpus_id").isNull(),
+                                   "unique")
+                             .otherwise("near_dup_of_corpus")
+                             .alias("verdict")))
+        verdicts.write.mode("append").parquet(verd_dir)
+        b_bands.write.mode("append").parquet(idx_dir)
+        b_post.write.mode("append").parquet(post_dir)
+
+    s = (spark.readStream
+         .schema("doc_id long, text string")
+         .option("maxFilesPerTrigger", str(STREAM_ADMISSION[
+             "x2_incremental_minhash_stream"]))
+         .option("recursiveFileLookup", "true")
+         .parquet(stage))
+    sq = (s.writeStream
+           .foreachBatch(dedup_batch)
+           .option("checkpointLocation", f"{out_dir}/checkpoint")
+           .trigger(availableNow=True)
+           .start())
+    sq.awaitTermination()
+    data_batches = [pr for pr in sq.recentProgress
+                    if pr["numInputRows"] > 0]
+    admitted = sum(pr["numInputRows"] for pr in data_batches)
+    multi_batch_ok = len(data_batches) >= 2 and admitted == n_staged
+
+    # --- referees (test scaffolding; the graded path is the stream)
+    streamed = spark.read.parquet(verd_dir)
+    batch_form = x2_incremental_minhash(spark, sf_dir)
+    m_idx = spark.read.parquet(idx_dir)
+    full_bands = _portable_bands(d)
+
+    def set_eq(a, b, name):
+        return (a.exceptAll(b).agg(F.count(F.lit(1)).alias("_x"))
+                 .crossJoin(b.exceptAll(a)
+                             .agg(F.count(F.lit(1)).alias("_y")))
+                 .select(((F.col("_x") == 0) & (F.col("_y") == 0))
+                         .alias(name)))
+
+    jac6_mass = F.coalesce(
+        F.sum(F.floor(F.col("jaccard") * 1000000.0 + F.lit(0.5))
+               .cast("long")), F.lit(0)).cast("long")
+    return (streamed.agg(
+                F.count(F.lit(1)).cast("long").alias("n_arrivals"),
+                F.sum(F.when(F.col("verdict") == "near_dup_of_corpus",
+                             1).otherwise(0)).cast("long")
+                 .alias("n_dups"),
+                F.sum(F.when(F.col("verdict") == "unique", 1)
+                       .otherwise(0)).cast("long").alias("n_unique"),
+                jac6_mass.alias("jac6_mass"))
+            .crossJoin(set_eq(streamed, batch_form,
+                              "verdicts_match_batch"))
+            .crossJoin(set_eq(m_idx, full_bands, "index_appended"))
+            .crossJoin(set_eq(m_idx.filter(F.col("doc_id") < 400),
+                              _portable_bands(corpus),
+                              "corpus_untouched"))
+            .select("n_arrivals", "n_dups", "n_unique", "jac6_mass",
+                    F.lit(bool(multi_batch_ok)).alias("multi_batch_ok"),
+                    "verdicts_match_batch", "index_appended",
+                    "corpus_untouched"))

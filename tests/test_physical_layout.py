@@ -442,7 +442,8 @@ def test_cumulative_distinct_window_over_daily_aggregate(spark):
 # is independent of N over a data-sized relation.
 # ---------------------------------------------------------------------------
 
-_STAIR_MARKERS = ("_vb", "_ckb", "_eb", "_lb", "_qb", "_day")
+_STAIR_MARKERS = ("_vb", "_ckb", "_eb", "_lb", "_qb", "_day",
+                  "_kb", "_cb")
 
 
 def _window_specs(plan: str) -> list[tuple[list[str], list[str]]]:
@@ -538,3 +539,58 @@ def test_peak_concurrency_sweeps_per_day(spark):
     )
     plan = _executed_plan(t36_peak_concurrency(spark, SF))
     _assert_staircase_windows(plan, allowed_unbounded=("user_id",))
+
+
+# ---------------------------------------------------------------------------
+# EVERY staircase consumer is pinned (r8 verdict item 2): the five tests
+# above predate the tagged list; this one loops ALL of them so a future
+# edit can't silently regress one consumer to a single-partition window
+# while the named gates stay green.  Each row: (module, query fn,
+# allowed unbounded-cardinality partition keys — the per-key series
+# discipline, and allowed order-key substrings for windows that run
+# over BOUNDED-BY-CONSTRUCTION relations, e.g. o9's ≤ 3·|segments|
+# capped candidate set).
+# ---------------------------------------------------------------------------
+
+_STAIRCASE_CONSUMERS = [
+    ("analytics", "a24_rfm_segments", (), ()),
+    ("analytics", "a28_gini_concentration", (), ()),
+    ("analytics", "a34_abc_classification", (), ()),
+    ("analytics", "a35_reorder_intervals", ("o_custkey",), ()),
+    ("analytics", "a39_top_decile_share", (), ()),
+    ("analytics", "a40_mad_dispersion", (), ()),
+    ("analytics", "a41_supplier_scorecard", (), ()),
+    ("analytics", "a45_basket_quantiles", (), ()),
+    ("analytics", "a46_abc_migration", (), ()),
+    ("analytics", "a48_fulfillment_lag", (), ()),
+    ("analytics", "a50_key_gap_audit", (), ()),
+    ("relational", "o9_capped_topk", (), ("cents",)),
+    ("timeseries", "t35_disorder_profile", (), ()),
+    ("timeseries", "t36_peak_concurrency", ("user_id",), ()),
+    ("sampling", "x7_stratified_quota", (), ()),
+    ("sampling", "x9_curriculum_shards", (), ()),
+    ("extensions", "x3_ood_score", (), ()),
+]
+
+
+@pytest.mark.parametrize(
+    "module,fn,unbounded,bounded_order",
+    _STAIRCASE_CONSUMERS,
+    ids=[r[1] for r in _STAIRCASE_CONSUMERS])
+def test_every_staircase_consumer_is_bucket_partitioned(
+        spark, module, fn, unbounded, bounded_order):
+    import importlib
+    mod = importlib.import_module(
+        f"stock_data_warehouse_spark.plans.{module}")
+    plan = _executed_plan(getattr(mod, fn)(spark, SF))
+    specs = _window_specs(plan)
+    assert specs, plan
+    for part_keys, order_keys in specs:
+        keys = part_keys + order_keys
+        ok = (any(m in k for m in _STAIR_MARKERS for k in keys)
+              or any(u in p for u in unbounded for p in part_keys)
+              or any(b in o for b in bounded_order
+                     for o in order_keys))
+        assert ok, (fn, part_keys, order_keys)
+    assert "percentile(" not in plan.replace(
+        "approx_percentile(", ""), (fn, "buffering percentile")

@@ -114,3 +114,48 @@ def test_default_value_bucket_is_monotone(spark):
            df.select(default_value_bucket(F.col("v")).alias("b"),
                      "v").orderBy("v").collect()]
     assert got == sorted(got), got
+
+
+def test_double_value_bucket_quantiles_match_percentile(spark):
+    """The double-banded path (x3_ood_score's p95 over cosine
+    distances): fixed-width floor(v*scale) bands, values in [0, 2]
+    with heavy tie masses and irrational spreads — the staircase
+    lookup must equal Spark's buffering percentile() BIT-exactly,
+    interpolated fractions included."""
+    from stock_data_warehouse_spark.operators.staircase import (
+        double_value_bucket,
+    )
+    rows = [(i, ((i * i * 2654435761) % 997) / 498.5) for i in
+            range(500)]                      # doubles in [0, 2]
+    rows += [(1000 + i, 0.123456789) for i in range(37)]  # tie mass
+    df = (spark.createDataFrame(rows, "id long, v double")
+               .repartition(11).localCheckpoint())
+    got = bucketed_exact_quantiles(
+        df, [], "v", [0.5, 0.95],
+        bucket=double_value_bucket(F.col("v"), 4096.0)).collect()[0]
+    want = df.agg(F.expr("percentile(v, 0.5)").alias("q0"),
+                  F.expr("percentile(v, 0.95)").alias("q1")
+                  ).collect()[0]
+    assert got["q0"] == want["q0"] and got["q1"] == want["q1"]
+    assert got["n"] == 537
+
+
+def test_level2_relation_is_n_over_b(adversarial):
+    """The level-2 bound pin (VERDICT r8 item 3): for fixed-width
+    id blocks of width B the bucket-dim relation holds exactly
+    ceil(N/B) rows per group — the one staircase shape whose level-2
+    size grows with N (staircase.py _offsets docstring states the
+    single-task ceiling; this keeps the ratio honest so a silent
+    block-width change surfaces)."""
+    B = 16
+    b = adversarial.withColumn("_b", F.floor(F.col("id") / B))
+    lvl2 = b.groupBy("grp", "_b").agg(F.count(F.lit(1)).alias("_n"))
+    per_grp = {r["grp"]: r["cnt"] for r in
+               lvl2.groupBy("grp").agg(F.count(F.lit(1)).alias("cnt"))
+                   .collect()}
+    n_ids = 200  # ids 0..199 interleave groups; blocks shared
+    import math
+    # every block of 16 consecutive ids contains both groups (g0 is
+    # every 3rd id), so each group's level-2 size is the full
+    # ceil(N/B) block count — the N/B law, not a coincidence of data
+    assert per_grp["g0"] == per_grp["g1"] == math.ceil(n_ids / B)
