@@ -4481,3 +4481,346 @@ def w13_record_days(spark: SparkSession, sf_dir: str) -> DataFrame:
                          .cast("string").alias("last_record_day"),
                         _rhu(nrec * 1.0 / F.count(F.lit(1)), 6)
                          .alias("record_share")))
+
+
+# ---------------------------------------------------------------------------
+# A51 — cohort LTV curve (r9)
+# ---------------------------------------------------------------------------
+
+_CENTS_SQL_OTP = """CAST(CASE WHEN o_totalprice < 0
+                  THEN -FLOOR(ABS(o_totalprice) * 100.0 + 0.5)
+                  ELSE FLOOR(ABS(o_totalprice) * 100.0 + 0.5) END
+                 AS BIGINT)"""
+
+
+@register(
+    "a51_cohort_ltv",
+    oracle=f"""
+    WITH cents_o AS (
+      SELECT o_custkey AS ck, o_orderdate AS d,
+             {_CENTS_SQL_OTP} AS cents
+      FROM orders
+    ),
+    first_o AS (
+      SELECT ck, MIN(d) AS fd FROM cents_o GROUP BY ck
+    ),
+    sized AS (
+      SELECT CAST(date_part('year', fd) * 12
+                  + date_part('month', fd) - 1 AS BIGINT) AS cm,
+             COUNT(*) AS n_customers
+      FROM first_o GROUP BY 1
+    ),
+    base AS (
+      SELECT CAST(date_part('year', f.fd) * 12
+                  + date_part('month', f.fd) - 1 AS BIGINT) AS cm,
+             CAST((date_part('year', c.d) * 12
+                   + date_part('month', c.d))
+                  - (date_part('year', f.fd) * 12
+                     + date_part('month', f.fd)) AS BIGINT) AS mi,
+             c.cents
+      FROM cents_o c JOIN first_o f ON c.ck = f.ck
+    ),
+    per AS (
+      SELECT cm, mi, COUNT(*) AS n_orders,
+             CAST(SUM(cents) AS BIGINT) AS mcents
+      FROM base GROUP BY 1, 2
+    ),
+    cum AS (
+      SELECT cm, mi, n_orders, mcents,
+             CAST(SUM(mcents) OVER (PARTITION BY cm ORDER BY mi
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_cents
+      FROM per
+    )
+    SELECT printf('%04d-%02d', CAST(c.cm // 12 AS INT),
+                  CAST(c.cm % 12 + 1 AS INT)) AS cohort_month,
+           c.mi AS month_idx, s.n_customers, c.n_orders, c.mcents,
+           c.cum_cents,
+           {sql_round_half_up(
+               'c.cum_cents * 1.0 / s.n_customers', 2)}
+             AS ltv_cents_per_customer
+    FROM cum c JOIN sized s ON c.cm = s.cm
+    """,
+)
+def a51_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A51 — the COHORT LTV CURVE: customers grouped by the calendar
+    month of their FIRST order, cumulative revenue per cohort tracked
+    by month index since acquisition — the payback-period chart under
+    every CAC decision, and the revenue-weighted companion to a38's
+    retention triangle (a38 counts who comes back; this tracks what
+    they are worth as the cohort ages).
+
+    Exactness: month arithmetic is pure integers (year·12 + month —
+    no interval/timezone semantics anywhere); revenue is exact cents;
+    the cumulative runs over the per-(cohort, month-index) AGGREGATE
+    (≤ months² rows — calendar-bounded, the a22 window-input
+    discipline, partitioned on the cohort-month calendar slice); LTV
+    per customer is a class-A integer ratio."""
+    o = _t(spark, sf_dir, "orders")
+    cents = F.when(
+        F.col("o_totalprice") < 0,
+        -F.floor(F.abs(F.col("o_totalprice")) * 100.0 + F.lit(0.5)),
+    ).otherwise(
+        F.floor(F.abs(F.col("o_totalprice")) * 100.0 + F.lit(0.5))
+    ).cast("long")
+    co = o.select(F.col("o_custkey").alias("ck"),
+                  F.col("o_orderdate").alias("d"),
+                  cents.alias("cents"))
+    first_o = co.groupBy("ck").agg(F.min("d").alias("fd"))
+    mnum = lambda c: (F.year(c) * 12 + F.month(c))  # noqa: E731
+    sized = (first_o
+             .groupBy((mnum(F.col("fd")) - 1).cast("long").alias("cm"))
+             .agg(F.count(F.lit(1)).alias("n_customers")))
+    base = (co.join(first_o, "ck")
+              .select((mnum(F.col("fd")) - 1).cast("long").alias("cm"),
+                      (mnum(F.col("d")) - mnum(F.col("fd")))
+                      .cast("long").alias("mi"),
+                      "cents"))
+    per = (base.groupBy("cm", "mi")
+               .agg(F.count(F.lit(1)).alias("n_orders"),
+                    F.sum("cents").cast("long").alias("mcents")))
+    wc = (Window.partitionBy("cm").orderBy("mi")
+                .rowsBetween(Window.unboundedPreceding, 0))
+    cum = per.withColumn("cum_cents",
+                         F.sum("mcents").over(wc).cast("long"))
+    from ..functions.scalars import round_half_up as _rhu
+    return (cum.join(sized, "cm")
+               .select(F.format_string(
+                           "%04d-%02d",
+                           (F.col("cm") / 12).cast("int"),
+                           (F.col("cm") % 12 + 1).cast("int"))
+                        .alias("cohort_month"),
+                       F.col("mi").alias("month_idx"),
+                       "n_customers", "n_orders", "mcents",
+                       "cum_cents",
+                       _rhu(F.col("cum_cents") * 1.0
+                            / F.col("n_customers"), 2)
+                        .alias("ltv_cents_per_customer")))
+
+
+# ---------------------------------------------------------------------------
+# A52 — full spend-decile profile via staircase rank (r9)
+# ---------------------------------------------------------------------------
+
+@register(
+    "a52_spend_decile_profile",
+    oracle=f"""
+    WITH spend AS (
+      SELECT o_custkey AS ck,
+             CAST(SUM({_CENTS_SQL_OTP}) AS BIGINT) AS cents
+      FROM orders GROUP BY 1
+    ),
+    n AS (SELECT COUNT(*) AS n_total,
+                 CAST(SUM(cents) AS BIGINT) AS total_cents
+          FROM spend),
+    ranked AS (
+      SELECT ck, cents,
+             ROW_NUMBER() OVER (ORDER BY cents, ck) AS rn
+      FROM spend
+    ),
+    classed AS (
+      SELECT cents, ((rn - 1) * 10) // n_total AS decile
+      FROM ranked, n
+    )
+    SELECT CAST(decile AS BIGINT) AS decile,
+           COUNT(*) AS n_customers,
+           CAST(MIN(cents) AS BIGINT) AS min_cents,
+           CAST(MAX(cents) AS BIGINT) AS max_cents,
+           CAST(SUM(cents) AS BIGINT) AS decile_cents,
+           {sql_round_half_up(
+               'CAST(SUM(cents) AS BIGINT) * 1.0 '
+               '/ (SELECT total_cents FROM n)', 6)} AS revenue_share
+    FROM classed GROUP BY 1
+    """,
+)
+def a52_spend_decile_profile(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    """A52 — the FULL spend-decile profile: every customer ranked by
+    lifetime spend and cut into ten equal-count bands, with each
+    band's headcount, spend boundaries, revenue mass and share —
+    a39's top-decile share generalized to the whole distribution (the
+    "decile table" a CRM tiers its service levels from).
+
+    The global rank is the staircase (sub-octave cents bands — a
+    global ROW_NUMBER is one sort partition, the r7-verdict trap);
+    decile assignment is the pure integer cross-multiplication
+    ((rn−1)·10) div N — no float quantile anywhere; shares are
+    class-A ratios of exact BIGINTs."""
+    o = _t(spark, sf_dir, "orders")
+    cents = F.when(
+        F.col("o_totalprice") < 0,
+        -F.floor(F.abs(F.col("o_totalprice")) * 100.0 + F.lit(0.5)),
+    ).otherwise(
+        F.floor(F.abs(F.col("o_totalprice")) * 100.0 + F.lit(0.5))
+    ).cast("long")
+    spend = (o.groupBy(F.col("o_custkey").alias("ck"))
+              .agg(F.sum(cents).cast("long").alias("cents")))
+    n = spend.agg(F.count(F.lit(1)).alias("n_total"),
+                  F.sum("cents").cast("long").alias("total_cents"))
+    from ..operators.staircase import (bucketed_row_number,
+                                       default_value_bucket)
+    ranked = bucketed_row_number(
+        spend.withColumn("_vb", default_value_bucket(F.col("cents"),
+                                                     16)),
+        [], ["_vb"], [F.col("_vb")],
+        [F.col("cents"), F.col("ck")], out="rn")
+    classed = (ranked.crossJoin(F.broadcast(n))
+                     .select("cents",
+                             F.expr("((rn - 1) * 10) div n_total")
+                              .alias("decile"),
+                             "total_cents"))
+    from ..functions.scalars import round_half_up as _rhu
+    return (classed.groupBy("decile")
+                   .agg(F.count(F.lit(1)).alias("n_customers"),
+                        F.min("cents").cast("long").alias("min_cents"),
+                        F.max("cents").cast("long").alias("max_cents"),
+                        F.sum("cents").cast("long")
+                         .alias("decile_cents"),
+                        F.first("total_cents").alias("_tot"))
+                   .select(F.col("decile").cast("long").alias("decile"),
+                           "n_customers", "min_cents", "max_cents",
+                           "decile_cents",
+                           _rhu(F.col("decile_cents") * 1.0
+                                / F.col("_tot"), 6)
+                            .alias("revenue_share")))
+
+
+# ---------------------------------------------------------------------------
+# A53 — seasonality index (r9)
+# ---------------------------------------------------------------------------
+
+@register(
+    "a53_seasonality_index",
+    oracle=f"""
+    WITH m AS (
+      SELECT CAST(date_part('month', o_orderdate) AS BIGINT) AS month,
+             COUNT(*) AS n_orders,
+             CAST(SUM({_CENTS_SQL_OTP}) AS BIGINT) AS mcents
+      FROM orders GROUP BY 1
+    ),
+    t AS (SELECT CAST(SUM(mcents) AS BIGINT) AS total,
+                 CAST(MAX(mcents) AS BIGINT) AS peak
+          FROM m)
+    SELECT month, n_orders, mcents,
+           {sql_round_half_up('mcents * 1.0 / t.total', 6)}
+             AS revenue_share,
+           {sql_round_half_up('12.0 * mcents / t.total', 6)}
+             AS seasonality_index,
+           (mcents = t.peak) AS is_peak_month
+    FROM m, t
+    """,
+)
+def a53_seasonality_index(spark: SparkSession,
+                          sf_dir: str) -> DataFrame:
+    """A53 — the SEASONALITY INDEX: each calendar month's share of
+    total revenue scaled against the uniform 1/12 — the
+    capacity-planning heat row (index > 1 = peak season) that t39's
+    hour-of-week profile gives at week scale, lifted to the year;
+    the is_peak flag marks the month inventory planners staff for.
+
+    Shape: one scan → bounded 12-row agg + 1-row total/peak
+    cross-join; cents exact BIGINT; share and index class-A integer
+    ratios; the peak flag compares exact integers."""
+    o = _t(spark, sf_dir, "orders")
+    cents = F.when(
+        F.col("o_totalprice") < 0,
+        -F.floor(F.abs(F.col("o_totalprice")) * 100.0 + F.lit(0.5)),
+    ).otherwise(
+        F.floor(F.abs(F.col("o_totalprice")) * 100.0 + F.lit(0.5))
+    ).cast("long")
+    m = (o.groupBy(F.month("o_orderdate").cast("long").alias("month"))
+          .agg(F.count(F.lit(1)).alias("n_orders"),
+               F.sum(cents).cast("long").alias("mcents")))
+    t = m.agg(F.sum("mcents").cast("long").alias("total"),
+              F.max("mcents").cast("long").alias("peak"))
+    from ..functions.scalars import round_half_up as _rhu
+    return (m.crossJoin(F.broadcast(t))
+             .select("month", "n_orders", "mcents",
+                     _rhu(F.col("mcents") * 1.0 / F.col("total"), 6)
+                      .alias("revenue_share"),
+                     _rhu(12.0 * F.col("mcents") / F.col("total"), 6)
+                      .alias("seasonality_index"),
+                     (F.col("mcents") == F.col("peak"))
+                      .alias("is_peak_month")))
+
+
+# ---------------------------------------------------------------------------
+# A54 — basket affinity: part-type co-occurrence lift (r9)
+# ---------------------------------------------------------------------------
+
+@register(
+    "a54_basket_affinity",
+    oracle="""
+    WITH j AS (
+      SELECT DISTINCT l.l_orderkey AS ok, p.p_brand AS t
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    ),
+    n AS (SELECT COUNT(DISTINCT ok) AS n_orders FROM j),
+    cx AS (SELECT t, COUNT(*) AS c FROM j GROUP BY t),
+    pairs AS (
+      SELECT a.t AS brand_a, b.t AS brand_b, COUNT(*) AS n_co
+      FROM j a JOIN j b ON a.ok = b.ok AND a.t < b.t
+      GROUP BY 1, 2
+    ),
+    scored AS (
+      SELECT brand_a, brand_b, n_co,
+             CAST(n_co * FLOOR(n.n_orders * 1000000.0
+                               / (ca.c * cb.c)) AS BIGINT)
+               AS lift_scaled
+      FROM pairs
+      JOIN cx ca ON brand_a = ca.t
+      JOIN cx cb ON brand_b = cb.t
+      CROSS JOIN n
+      WHERE n_co >= 5
+    )
+    SELECT brand_a, brand_b, n_co, lift_scaled
+    FROM scored
+    ORDER BY lift_scaled DESC, brand_a, brand_b
+    LIMIT 20
+    """,
+)
+def a54_basket_affinity(spark: SparkSession,
+                        sf_dir: str) -> DataFrame:
+    """A54 — MARKET-BASKET AFFINITY: the 20 part-BRAND pairs most
+    lifted above independence in order co-occurrence,
+    support-thresholded — the "customers who bought X also bought Y"
+    primitive behind cross-sell placement, and the relational twin of
+    x4_collocations_pmi (tokens co-occurring in documents ↔ types
+    co-occurring in orders; the same integer-scaled score for the
+    same reason).
+
+    Scale shape: the pair fan-out is a per-order self-join — bounded
+    by BASKET size (≤ lines-per-order², a spec constant), never
+    corpus²; brand counts are a bounded 25-row dim joined plainly;
+    lift_scaled = n_co · floor(N·10⁶/(c_x·c_y)) is pure BIGINT
+    (monotone with lift at fixed support, zero float rank-tie
+    hazard); top-20 is a distributed TakeOrdered on the total order
+    (score desc, brand_a, brand_b)."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    j = (li.join(p, li.l_partkey == p.p_partkey)
+           .select(F.col("l_orderkey").alias("ok"),
+                   F.col("p_brand").alias("t"))
+           .distinct())
+    n = j.agg(F.countDistinct("ok").alias("n_orders"))
+    cx = j.groupBy("t").agg(F.count(F.lit(1)).alias("c"))
+    pairs = (j.alias("a")
+             .join(j.alias("b"),
+                   (F.col("a.ok") == F.col("b.ok"))
+                   & (F.col("a.t") < F.col("b.t")))
+             .groupBy(F.col("a.t").alias("brand_a"),
+                      F.col("b.t").alias("brand_b"))
+             .agg(F.count(F.lit(1)).alias("n_co")))
+    scored = (pairs.filter(F.col("n_co") >= 5)
+              .join(cx.select(F.col("t").alias("brand_a"),
+                              F.col("c").alias("ca")), "brand_a")
+              .join(cx.select(F.col("t").alias("brand_b"),
+                              F.col("c").alias("cb")), "brand_b")
+              .crossJoin(F.broadcast(n))
+              .select("brand_a", "brand_b", "n_co",
+                      (F.col("n_co")
+                       * F.floor(F.col("n_orders") * 1000000.0
+                                 / (F.col("ca") * F.col("cb"))))
+                      .cast("long").alias("lift_scaled")))
+    return (scored.orderBy(F.col("lift_scaled").desc(),
+                           "brand_a", "brand_b")
+                  .limit(20))

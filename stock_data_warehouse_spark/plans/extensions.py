@@ -9258,3 +9258,339 @@ def x6_threshold_transfer(spark: SparkSession,
                        F.col("tp").alias("test_tp"),
                        F.col("fp").alias("test_fp"),
                        F.col("fn").alias("test_fn")))
+
+
+# ---------------------------------------------------------------------------
+# X6 — exact ROC-AUC via staircase midranks (r9)
+# ---------------------------------------------------------------------------
+
+@register(
+    "x6_auc_exact",
+    oracle=f"""
+    WITH pts AS (
+      SELECT CAST(embedding[1] AS DOUBLE) AS score,
+             (label >= 5) AS y
+      FROM embeddings
+    ),
+    per_s AS (
+      SELECT score, COUNT(*) AS n,
+             CAST(SUM(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS np
+      FROM pts GROUP BY score
+    ),
+    ranked AS (
+      SELECT score, n, np,
+             CAST(COALESCE(SUM(n) OVER (ORDER BY score
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS bef
+      FROM per_s
+    ),
+    s AS (
+      SELECT CAST(SUM(np * (2 * bef + n + 1)) AS BIGINT) AS r2,
+             CAST(SUM(np) AS BIGINT) AS n_pos,
+             CAST(SUM(n - np) AS BIGINT) AS n_neg
+      FROM ranked
+    )
+    SELECT n_pos, n_neg,
+           (r2 - n_pos * (n_pos + 1)) AS u_twice,
+           {sql_round_half_up(
+               '(r2 - n_pos * (n_pos + 1)) * 1.0 '
+               '/ (2.0 * n_pos * n_neg)', 6)} AS auc
+    FROM s
+    """,
+)
+def x6_auc_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X6 — EXACT ROC-AUC as the Mann-Whitney rank statistic:
+    AUC = U / (n⁺·n⁻) with midranks for tied scores — the
+    threshold-free companion to x6_pr_curve's 7-point sweep (the
+    curve picks an operating point; AUC is the one-number ranking
+    quality a model card reports). Same deterministic score/label
+    stand-ins as the rest of the x6 family (score = raw first
+    embedding component, labels binarized at ≥ 5).
+
+    The rank sum is where naive AUC dies at scale: a global
+    ``rank() OVER (ORDER BY score)`` is one sort partition. Here the
+    per-DISTINCT-score relation (score, n, n_pos) cumulates over
+    fixed-width double bands (``double_value_bucket`` at scale 4096 —
+    the x3_ood_score machinery; the exclusive prefix is inclusive
+    cumsum minus own count), and 2·midrank = 2·before + n + 1 keeps
+    EVERYTHING BIGINT: 2R⁺ = Σ n_pos·(2·before + n + 1),
+    AUC = (2R⁺ − n⁺(n⁺+1)) / (2·n⁺·n⁻) — a class-A integer ratio,
+    zero float accumulation, ties handled exactly (midranks make
+    AUC = P(s⁺ > s⁻) + ½P(s⁺ = s⁻), the probabilistic AUC).
+
+    Shape: one scan → distinct-score hash agg → staircase cumsum
+    (bands bounded by the score DOMAIN, not N) → 1-row agg."""
+    from ..operators.staircase import (bucketed_cumsum,
+                                       double_value_bucket)
+    e = _t(spark, sf_dir, "embeddings")
+    pts = e.select(
+        F.element_at(F.transform("embedding",
+                                 lambda x: x.cast("double")), 1)
+         .alias("score"),
+        (F.col("label") >= 5).alias("y"))
+    per_s = (pts.groupBy("score")
+                .agg(F.count(F.lit(1)).alias("n"),
+                     F.sum(F.when(F.col("y"), 1).otherwise(0))
+                      .cast("long").alias("np")))
+    ranked = bucketed_cumsum(
+        per_s.withColumn("_qb",
+                         double_value_bucket(F.col("score"), 4096.0)),
+        [], ["_qb"], [F.col("_qb")], [F.col("score")],
+        F.col("n"), out="_cum")
+    ranked = ranked.withColumn("bef", F.col("_cum") - F.col("n"))
+    s = ranked.agg(
+        F.sum(F.col("np") * (2 * F.col("bef") + F.col("n") + 1))
+         .cast("long").alias("r2"),
+        F.sum("np").cast("long").alias("n_pos"),
+        F.sum(F.col("n") - F.col("np")).cast("long").alias("n_neg"))
+    u2 = F.col("r2") - F.col("n_pos") * (F.col("n_pos") + 1)
+    return s.select(
+        "n_pos", "n_neg", u2.alias("u_twice"),
+        round_half_up(u2 * 1.0
+                      / (2.0 * F.col("n_pos") * F.col("n_neg")), 6)
+         .alias("auc"))
+
+
+# ---------------------------------------------------------------------------
+# X3 — metadata-FILTERED ANN: pre-filter + IVF probe (r9)
+# ---------------------------------------------------------------------------
+
+#: Borland-LCG constants — a third independent hash-rank family so the
+#: filtered-search query batch is disjoint from _H_CENT/_H_QUERY picks.
+_H_FQ = (22695477, 1)
+
+
+@register(
+    "x3_filtered_ann",
+    oracle=f"""
+    WITH v AS (
+      SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings
+    ),
+    n AS (
+      SELECT vec_id, label, e, sqrt({_sql_dot('e', 'e')}) AS nrm
+      FROM v WHERE sqrt({_sql_dot('e', 'e')}) > 0
+    ),
+    cent AS (SELECT vec_id AS cid, e AS ce, nrm AS cnrm FROM n
+             {_sql_hash_sample(_H_CENT, K_COARSE)}),
+    qry AS (SELECT vec_id AS query_id, e AS qe, nrm AS qnrm FROM n
+            {_sql_hash_sample(_H_FQ, 16)}),
+    probe AS (
+      SELECT query_id, qe, qnrm, cid FROM (
+        SELECT q.query_id, q.qe, q.qnrm, cent.cid,
+               ROW_NUMBER() OVER (
+                 PARTITION BY q.query_id
+                 ORDER BY {_sql_dot('q.qe', 'cent.ce')}
+                          / (q.qnrm * cent.cnrm) DESC, cent.cid)
+                 AS rc
+        FROM qry q CROSS JOIN cent
+      ) WHERE rc <= 2
+    ),
+    fil AS (
+      SELECT vec_id, label, e, nrm, cid FROM (
+        SELECT n.vec_id, n.label, n.e, n.nrm, cent.cid,
+               ROW_NUMBER() OVER (
+                 PARTITION BY n.vec_id
+                 ORDER BY {_sql_dot('n.e', 'cent.ce')}
+                          / (n.nrm * cent.cnrm) DESC, cent.cid) AS rc
+        FROM n CROSS JOIN cent
+        WHERE n.label >= 5
+      ) WHERE rc = 1
+    ),
+    cand AS (
+      SELECT p.query_id, f.vec_id AS neighbor_id,
+             f.label AS neighbor_label,
+             {_sql_dot('p.qe', 'f.e')} / (p.qnrm * f.nrm) AS cos
+      FROM probe p JOIN fil f
+        ON p.cid = f.cid AND f.vec_id <> p.query_id
+    )
+    SELECT query_id, neighbor_id, neighbor_label,
+           {sql_round_half_up('cos', 6)} AS cos_sim,
+           CAST(rn AS BIGINT) AS rank
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rn
+      FROM cand
+    ) WHERE rn <= 3
+    """,
+)
+def x3_filtered_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3 — METADATA-FILTERED vector search, the serving shape every
+    production index needs the week after launch ("nearest docs, but
+    only label ≥ 5" — permission scopes, language gates, freshness
+    windows): PRE-filtering composed with the IVF probe. Pre- vs
+    post-filter is the real design decision — post-filtering a top-k
+    loses recall exactly when the filter is selective (a k=3 answer
+    may contain zero allowed rows); here the corpus is filtered
+    BEFORE cell search, so the engine returns the true filtered
+    top-3 of the probed cells at unreduced k.
+
+    Shape: a 16-query batch (hash-rank selected — constant,
+    N-independent, a third LCG family so it is disjoint from the
+    centroid/recall picks) probes its nprobe=2 nearest of the frozen
+    K_COARSE cells (16×32 rows — a by-construction-bounded window);
+    the filtered corpus assigns to cells by the struct-min argmin
+    idiom (no corpus-sized row_number); per-query top-3 over the
+    probed-cell candidates runs as the two-level staircase
+    (double_value_bucket cos bands DESC — query_id is a 16-value key,
+    precisely the bounded-partition trap the staircase exists for).
+    All cosines are the family's identical-bit class-A folds."""
+    from ..operators.staircase import (bucketed_row_number,
+                                       double_value_bucket)
+    e = _t(spark, sf_dir, "embeddings")
+    v = e.select("vec_id", "label",
+                 _as_double_vec("embedding").alias("e"))
+    n = (v.withColumn("nrm", F.sqrt(_dot(F.col("e"), F.col("e"))))
+          .filter(F.col("nrm") > 0))
+    cent = (_hash_sample(n, K_COARSE, _H_CENT)
+            .select(F.col("vec_id").alias("cid"),
+                    F.col("e").alias("ce"),
+                    F.col("nrm").alias("cnrm")))
+    qry = (_hash_sample(n, 16, _H_FQ)
+           .select(F.col("vec_id").alias("query_id"),
+                   F.col("e").alias("qe"),
+                   F.col("nrm").alias("qnrm")))
+    qcos = (_dot(F.col("qe"), F.col("ce"))
+            / (F.col("qnrm") * F.col("cnrm")))
+    wq = Window.partitionBy("query_id").orderBy(
+        qcos.desc(), F.col("cid"))  # 16×K_COARSE rows by construction
+    probe = (qry.crossJoin(F.broadcast(cent))
+                .withColumn("rc", F.row_number().over(wq))
+                .filter(F.col("rc") <= 2)
+                .select("query_id", "qe", "qnrm", "cid"))
+    ccos = (_dot(F.col("e"), F.col("ce"))
+            / (F.col("nrm") * F.col("cnrm")))
+    fil = (n.filter(F.col("label") >= 5)
+            .repartition(spark.sparkContext.defaultParallelism,
+                         "vec_id")
+            .crossJoin(F.broadcast(cent))
+            .groupBy("vec_id")
+            .agg(F.min(F.struct((-ccos).alias("negcos"),
+                                F.col("cid"),
+                                F.col("label").alias("label"),
+                                F.col("e").alias("e"),
+                                F.col("nrm").alias("nrm")))
+                  .alias("b"))
+            .select("vec_id", F.col("b.label").alias("label"),
+                    F.col("b.e").alias("e"),
+                    F.col("b.nrm").alias("nrm"),
+                    F.col("b.cid").alias("cid")))
+    cand = (probe.alias("p")
+            .join(fil.alias("f"),
+                  (F.col("p.cid") == F.col("f.cid"))
+                  & (F.col("f.vec_id") != F.col("p.query_id")))
+            .select(F.col("p.query_id").alias("query_id"),
+                    F.col("f.vec_id").alias("neighbor_id"),
+                    F.col("f.label").alias("neighbor_label"),
+                    (_dot(F.col("p.qe"), F.col("f.e"))
+                     / (F.col("p.qnrm") * F.col("f.nrm")))
+                    .alias("cos")))
+    ranked = bucketed_row_number(
+        cand.withColumn("_vb", double_value_bucket(F.col("cos"),
+                                                   4096.0)),
+        ["query_id"], ["_vb"], [F.col("_vb").desc()],
+        [F.col("cos").desc(), F.col("neighbor_id")], out="rank")
+    return (ranked.filter(F.col("rank") <= 3)
+                  .select("query_id", "neighbor_id", "neighbor_label",
+                          round_half_up(F.col("cos"), 6)
+                           .alias("cos_sim"),
+                          F.col("rank").cast("long").alias("rank")))
+
+
+# ---------------------------------------------------------------------------
+# X4 — vocabulary growth curve (Heaps-law profile) (r9)
+# ---------------------------------------------------------------------------
+
+@register(
+    "x4_vocab_growth",
+    oracle=f"""
+    WITH b AS (
+      SELECT MIN(doc_id) AS mn,
+             MAX(doc_id) - MIN(doc_id) + 1 AS span
+      FROM documents
+    ),
+    toks AS (
+      SELECT doc_id, {SQL_TOKENS} AS t FROM documents
+    ),
+    banded AS (
+      SELECT ((t.doc_id - b.mn) * 10) // b.span AS band, u.w
+      FROM toks t CROSS JOIN b, UNNEST(t.t) AS u(w)
+    ),
+    docs_per AS (
+      SELECT ((d.doc_id - b.mn) * 10) // b.span AS band,
+             COUNT(*) AS n_docs
+      FROM documents d CROSS JOIN b GROUP BY 1
+    ),
+    per_band AS (
+      SELECT band, COUNT(*) AS n_tokens FROM banded GROUP BY band
+    ),
+    news AS (
+      SELECT fb AS band, COUNT(*) AS new_types FROM (
+        SELECT w, MIN(band) AS fb FROM banded GROUP BY w
+      ) GROUP BY fb
+    ),
+    j AS (
+      SELECT d.band, d.n_docs,
+             COALESCE(p.n_tokens, 0) AS n_tokens,
+             COALESCE(n.new_types, 0) AS new_types
+      FROM docs_per d
+      LEFT JOIN per_band p USING (band)
+      LEFT JOIN news n USING (band)
+    )
+    SELECT CAST(band AS BIGINT) AS band, n_docs,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(new_types AS BIGINT) AS new_types,
+           CAST(SUM(new_types) OVER (ORDER BY band
+             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_vocab,
+           {sql_round_half_up(
+               'new_types * 1.0 / n_tokens', 6)} AS novelty_rate
+    FROM j
+    """,
+)
+def x4_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4 — the VOCABULARY GROWTH curve: the corpus cut into ten
+    equal doc-id bands (ingestion order), each band reporting how
+    many never-before-seen token types it introduced and the running
+    vocabulary size — the empirical Heaps-law profile a tokenizer
+    team reads before freezing a vocab ("are we still discovering
+    words, or has the curve flattened?"), and the corpus-level
+    companion of x4_ngram_novelty's per-document score.
+
+    Shape: one token explode; first-seen band is a per-TYPE min agg
+    (vocabulary-sized, map-side combinable — the banding makes
+    "first appearance" a 10-value key instead of a doc-id rank);
+    the cumulative runs over the 10-row band dim. Band assignment is
+    the exact integer cross-multiplication ((id − min)·10) div span;
+    novelty is a class-A integer ratio."""
+    d = _t(spark, sf_dir, "documents")
+    b = d.agg(F.min("doc_id").alias("mn"),
+              (F.max("doc_id") - F.min("doc_id") + 1).alias("span"))
+    banded = (d.select("doc_id", F.explode(tokens_col("text"))
+                        .alias("w"))
+               .crossJoin(F.broadcast(b))
+               .select(F.expr("((doc_id - mn) * 10) div span")
+                        .alias("band"), "w"))
+    docs_per = (d.crossJoin(F.broadcast(b))
+                 .groupBy(F.expr("((doc_id - mn) * 10) div span")
+                           .alias("band"))
+                 .agg(F.count(F.lit(1)).alias("n_docs")))
+    per_band = banded.groupBy("band").agg(
+        F.count(F.lit(1)).alias("n_tokens"))
+    news = (banded.groupBy("w").agg(F.min("band").alias("band"))
+                  .groupBy("band")
+                  .agg(F.count(F.lit(1)).alias("new_types")))
+    wb = (Window.orderBy("band")
+                .rowsBetween(Window.unboundedPreceding, 0))
+    j = (docs_per.join(per_band, "band", "left")
+                 .join(news, "band", "left")
+                 .select("band", "n_docs",
+                         F.coalesce("n_tokens", F.lit(0))
+                          .cast("long").alias("n_tokens"),
+                         F.coalesce("new_types", F.lit(0))
+                          .cast("long").alias("new_types")))
+    return (j.withColumn("cum_vocab",
+                         F.sum("new_types").over(wb).cast("long"))
+             .select(F.col("band").cast("long").alias("band"),
+                     "n_docs", "n_tokens", "new_types", "cum_vocab",
+                     round_half_up(F.col("new_types") * 1.0
+                                   / F.col("n_tokens"), 6)
+                      .alias("novelty_rate")))

@@ -651,3 +651,173 @@ def w12_bollinger_breakout(spark: SparkSession,
          .alias("sd20"),
         (F.col("cents") > mean + 2 * sd).alias("breakout_up"),
         (F.col("cents") < mean - 2 * sd).alias("breakout_down"))
+
+
+# ---------------------------------------------------------------------------
+# W14 — Donchian channel breakout over the daily series (r9)
+# ---------------------------------------------------------------------------
+
+@register(
+    "w14_donchian_channel",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, ts::DATE AS day,
+             CAST(SUM(CAST(CASE WHEN value < 0
+                  THEN -FLOOR(ABS(value) * 100.0 + 0.5)
+                  ELSE FLOOR(ABS(value) * 100.0 + 0.5) END
+                 AS BIGINT)) AS BIGINT) AS cents
+      FROM events GROUP BY 1, 2
+    ),
+    framed AS (
+      SELECT event_type, day, cents,
+             CAST(MAX(cents) OVER w AS BIGINT) AS hi14,
+             CAST(MIN(cents) OVER w AS BIGINT) AS lo14,
+             COUNT(*) OVER w AS n
+      FROM daily
+      WINDOW w AS (PARTITION BY event_type ORDER BY day
+                   ROWS BETWEEN 14 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT event_type, CAST(day AS VARCHAR) AS day, cents,
+           hi14 AS channel_high, lo14 AS channel_low,
+           (hi14 - lo14) AS channel_width,
+           (cents > hi14) AS breakout_up,
+           (cents < lo14) AS breakout_down
+    FROM framed WHERE n = 14
+    """,
+)
+def w14_donchian_channel(spark: SparkSession,
+                         sf_dir: str) -> DataFrame:
+    """W14 — DONCHIAN CHANNEL breakouts: each day's revenue against
+    the high/low channel of the PRIOR 14 days (frame ends at −1, so
+    today never defines its own channel — the look-ahead bias rule
+    every backtest enforces) — the trend-following band beside w12's
+    variance-scaled Bollinger (Donchian flags new extremes, Bollinger
+    flags σ-adjusted ones); only full 14-day channels emit (the t34
+    rule).
+
+    Determinism: everything is exact BIGINT cents — channel edges are
+    MIN/MAX over integers, the breakout compares and the width are
+    pure integer ops; no rounding route needed anywhere. Window input
+    is the per-day aggregate (a22 discipline), frames bounded by
+    spec."""
+    ev = _t(spark, sf_dir, "events")
+    cents = F.when(
+        F.col("value") < 0,
+        -F.floor(F.abs(F.col("value")) * 100.0 + F.lit(0.5)),
+    ).otherwise(
+        F.floor(F.abs(F.col("value")) * 100.0 + F.lit(0.5))
+    ).cast("long")
+    daily = (ev.groupBy("event_type", F.to_date("ts").alias("day"))
+               .agg(F.sum(cents).alias("cents")))
+    w = (Window.partitionBy("event_type").orderBy("day")
+               .rowsBetween(-14, -1))
+    framed = (daily
+              .withColumn("hi14", F.max("cents").over(w).cast("long"))
+              .withColumn("lo14", F.min("cents").over(w).cast("long"))
+              .withColumn("n", F.count(F.lit(1)).over(w))
+              .filter(F.col("n") == 14))
+    return framed.select(
+        "event_type", F.col("day").cast("string").alias("day"),
+        "cents",
+        F.col("hi14").alias("channel_high"),
+        F.col("lo14").alias("channel_low"),
+        (F.col("hi14") - F.col("lo14")).alias("channel_width"),
+        (F.col("cents") > F.col("hi14")).alias("breakout_up"),
+        (F.col("cents") < F.col("lo14")).alias("breakout_down"))
+
+
+# ---------------------------------------------------------------------------
+# W15 — up-day streaks (gaps-and-islands on the daily series) (r9)
+# ---------------------------------------------------------------------------
+
+@register(
+    "w15_up_streaks",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, ts::DATE AS day,
+             CAST(SUM(CAST(CASE WHEN value < 0
+                  THEN -FLOOR(ABS(value) * 100.0 + 0.5)
+                  ELSE FLOOR(ABS(value) * 100.0 + 0.5) END
+                 AS BIGINT)) AS BIGINT) AS cents
+      FROM events GROUP BY 1, 2
+    ),
+    flagged AS (
+      SELECT event_type, day,
+             (cents > LAG(cents) OVER (PARTITION BY event_type
+                                       ORDER BY day)) AS up,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY day) AS rn
+      FROM daily
+    ),
+    ups AS (
+      SELECT event_type, rn,
+             rn - ROW_NUMBER() OVER (PARTITION BY event_type
+                                     ORDER BY rn) AS grp
+      FROM flagged WHERE up
+    ),
+    islands AS (
+      SELECT event_type, COUNT(*) AS len
+      FROM ups GROUP BY event_type, grp
+    )
+    SELECT f.event_type,
+           COUNT(*) AS n_days,
+           CAST(SUM(CASE WHEN f.up THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_up_days,
+           CAST(COALESCE((SELECT MAX(len) FROM islands i
+                          WHERE i.event_type = f.event_type), 0)
+                AS BIGINT) AS longest_up_streak,
+           CAST(COALESCE((SELECT COUNT(*) FROM islands i
+                          WHERE i.event_type = f.event_type), 0)
+                AS BIGINT) AS n_streaks
+    FROM flagged f GROUP BY f.event_type
+    """,
+)
+def w15_up_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W15 — UP-DAY STREAKS: per event type, how many days revenue
+    rose versus the previous day, the LONGEST consecutive run of
+    rises, and the streak count — w8's gaps-and-islands technique
+    applied to day-over-day direction (w13 counts record highs; this
+    measures momentum persistence, the "N green days in a row"
+    stat).
+
+    Islands by the classic rn − rn_up difference: consecutive up-days
+    share a group key, one bounded agg per island. All windows run
+    over the per-day AGGREGATE (calendar-bounded rows per type — the
+    a22 discipline; the first day of a type has NULL lag, counted
+    not-up on both engines via the strict > on NULL). Counts are
+    exact integers end to end."""
+    ev = _t(spark, sf_dir, "events")
+    cents = F.when(
+        F.col("value") < 0,
+        -F.floor(F.abs(F.col("value")) * 100.0 + F.lit(0.5)),
+    ).otherwise(
+        F.floor(F.abs(F.col("value")) * 100.0 + F.lit(0.5))
+    ).cast("long")
+    daily = (ev.groupBy("event_type", F.to_date("ts").alias("day"))
+               .agg(F.sum(cents).alias("cents")))
+    wd = Window.partitionBy("event_type").orderBy("day")
+    flagged = (daily
+               .withColumn("up", F.col("cents")
+                           > F.lag("cents").over(wd))
+               .withColumn("rn", F.row_number().over(wd)))
+    wu = Window.partitionBy("event_type").orderBy("rn")
+    ups = (flagged.filter(F.col("up"))
+                  .withColumn("grp", F.col("rn")
+                              - F.row_number().over(wu)))
+    islands = (ups.groupBy("event_type", "grp")
+                  .agg(F.count(F.lit(1)).alias("len")))
+    per_type = (islands.groupBy("event_type")
+                       .agg(F.max("len").cast("long")
+                             .alias("longest_up_streak"),
+                            F.count(F.lit(1)).cast("long")
+                             .alias("n_streaks")))
+    base = (flagged.groupBy("event_type")
+                   .agg(F.count(F.lit(1)).alias("n_days"),
+                        F.sum(F.when(F.col("up"), 1).otherwise(0))
+                         .cast("long").alias("n_up_days")))
+    return (base.join(per_type, "event_type", "left")
+                .select("event_type", "n_days", "n_up_days",
+                        F.coalesce("longest_up_streak", F.lit(0))
+                         .cast("long").alias("longest_up_streak"),
+                        F.coalesce("n_streaks", F.lit(0))
+                         .cast("long").alias("n_streaks")))

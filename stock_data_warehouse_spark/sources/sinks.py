@@ -1705,3 +1705,92 @@ def s26_incremental_agg_maintenance(spark: SparkSession,
                            .alias("merged_equals_rebuild"),
                            (F.col("_bad") == 0)
                            .alias("delta_touched_only_delta_days")))
+
+
+# ---------------------------------------------------------------------------
+# OP-S27 — time-travel: as-of-version read over the versioned layout (r9)
+# ---------------------------------------------------------------------------
+
+@register(
+    "s27_asof_version_read",
+    oracle="""
+    SELECT CAST(2 AS INT) AS asof_version,
+           COUNT(*) AS n_rows,
+           (SELECT COUNT(*) FROM customer WHERE c_nationkey = 3)
+             AS n_changed_vs_v1,
+           TRUE AS asof_equals_recorded_v2,
+           TRUE AS pruned_single_version
+    FROM customer
+    """,
+)
+def s27_asof_version_read(spark: SparkSession,
+                          sf_dir: str) -> DataFrame:
+    """OP-S27 — TIME TRAVEL over the s10 versioned layout: publish
+    three snapshot versions (v1 base; v2 restates nation-3 balances;
+    v3 restates nation-5 on top), then read AS OF version 2 — the
+    "what did the table say before yesterday's restatement" query
+    every audited warehouse serves (Delta's VERSION AS OF / Iceberg
+    snapshot reads; here the version is a partition column, so the
+    as-of read is a partition-PRUNED scan: the filter v = 2
+    eliminates the other versions' files at planning time — no
+    full-history scan, the property that keeps time travel O(one
+    snapshot) at 100 TB).
+
+    Engine-computed verdicts, oracle-pinned: ``asof_equals_recorded_
+    v2`` — the as-of read is set-equal (exceptAll both ways) to the
+    exact frame published as v2, so it CONTAINS the nation-3
+    restatement and NONE of v3's nation-5 changes;
+    ``pruned_single_version`` — the rows read back carry exactly one
+    distinct version value. ``n_changed_vs_v1`` replays in the
+    oracle: the v2-vs-v1 content-hash anti-join (the s10 diff) must
+    equal the nation-3 headcount."""
+    c = (load_table(spark, sf_dir, "customer")
+         .select("c_custkey", "c_name", "c_nationkey", "c_acctbal"))
+    v2_frame = c.withColumn(
+        "c_acctbal",
+        F.when(F.col("c_nationkey") == 3, F.col("c_acctbal") + 100.0)
+         .otherwise(F.col("c_acctbal")))
+    v3_frame = v2_frame.withColumn(
+        "c_acctbal",
+        F.when(F.col("c_nationkey") == 5, F.col("c_acctbal") + 200.0)
+         .otherwise(F.col("c_acctbal")))
+    target = _mkdtemp(prefix="asof_versioned_")
+    publish_versioned(spark, c, target)
+    publish_versioned(spark, v2_frame, target)
+    publish_versioned(spark, v3_frame, target)
+
+    # AS OF v2: the partition filter prunes to one version's files
+    asof = spark.read.parquet(target).filter(F.col("v") == 2)
+    data_cols = [col for col in asof.columns if col != "v"]
+    asof_data = asof.select(*data_cols)
+
+    def _cnt(df):
+        return df.agg(F.count(F.lit(1)).alias("_c"))
+
+    eq = (_cnt(asof_data.exceptAll(v2_frame))
+          .crossJoin(_cnt(v2_frame.exceptAll(asof_data))
+                     .withColumnRenamed("_c", "_d"))
+          .select(((F.col("_c") == 0) & (F.col("_d") == 0))
+                  .alias("asof_equals_recorded_v2")))
+    pruned = (asof.agg(F.countDistinct("v").alias("_nv"))
+                  .select((F.col("_nv") == 1)
+                          .alias("pruned_single_version")))
+    # the s10 content-hash diff: rows of v2 whose content is absent
+    # from v1 = exactly the restated nation-3 rows
+    allv = spark.read.parquet(target).filter(F.col("v") <= 2)
+    hashed = allv.select(
+        "v", F.sha2(F.to_json(F.struct(*sorted(data_cols))), 256)
+              .alias("_hash"))
+    prev = hashed.filter(F.col("v") == 1) \
+                 .select(F.lit(2).alias("v"), "_hash")
+    changed = (hashed.filter(F.col("v") == 2)
+                     .join(prev, ["v", "_hash"], "left_anti")
+                     .agg(F.count(F.lit(1)).alias("n_changed_vs_v1")))
+    return (asof_data.agg(F.count(F.lit(1)).alias("n_rows"))
+            .crossJoin(F.broadcast(changed))
+            .crossJoin(F.broadcast(eq))
+            .crossJoin(F.broadcast(pruned))
+            .select(F.lit(2).cast("int").alias("asof_version"),
+                    "n_rows", "n_changed_vs_v1",
+                    "asof_equals_recorded_v2",
+                    "pruned_single_version"))

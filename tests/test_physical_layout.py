@@ -570,6 +570,11 @@ _STAIRCASE_CONSUMERS = [
     ("sampling", "x7_stratified_quota", (), ()),
     ("sampling", "x9_curriculum_shards", (), ()),
     ("extensions", "x3_ood_score", (), ()),
+    # r9 consumers: AUC midranks, filtered-ANN top-3 (the probe window
+    # partitions on the 16-by-construction query batch), decile rank
+    ("extensions", "x6_auc_exact", (), ()),
+    ("extensions", "x3_filtered_ann", ("query_id",), ()),
+    ("analytics", "a52_spend_decile_profile", (), ()),
 ]
 
 
