@@ -4824,3 +4824,102 @@ def a54_basket_affinity(spark: SparkSession,
     return (scored.orderBy(F.col("lift_scaled").desc(),
                            "brand_a", "brand_b")
                   .limit(20))
+
+
+# ---------------------------------------------------------------------------
+# A55 — balance↔spend correlation per segment (r9)
+# ---------------------------------------------------------------------------
+
+_CENTS_SQL_BAL = """CAST(CASE WHEN c_acctbal < 0
+                  THEN -FLOOR(ABS(c_acctbal) * 100.0 + 0.5)
+                  ELSE FLOOR(ABS(c_acctbal) * 100.0 + 0.5) END
+                 AS BIGINT)"""
+
+
+@register(
+    "a55_balance_spend_corr",
+    oracle=f"""
+    WITH spend AS (
+      SELECT o_custkey AS ck,
+             CAST(SUM({_CENTS_SQL_OTP}) AS BIGINT) AS y
+      FROM orders GROUP BY 1
+    ),
+    pts AS (
+      SELECT c.c_mktsegment AS mktsegment,
+             {_CENTS_SQL_BAL} AS x, s.y
+      FROM customer c JOIN spend s ON c.c_custkey = s.ck
+    ),
+    m AS (
+      SELECT mktsegment, COUNT(*) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx,
+             CAST(SUM(y) AS BIGINT) AS sy,
+             SUM(CAST(x AS DOUBLE) * x) AS sxx,
+             SUM(CAST(y AS DOUBLE) * y) AS syy,
+             SUM(CAST(x AS DOUBLE) * y) AS sxy
+      FROM pts GROUP BY mktsegment
+    )
+    SELECT mktsegment, n, sx AS sum_balance_cents,
+           sy AS sum_spend_cents,
+           CAST(ROUND(CAST(
+             (n * sxy - CAST(sx AS DOUBLE) * sy)
+             / (sqrt(n * sxx - CAST(sx AS DOUBLE) * sx)
+                * sqrt(n * syy - CAST(sy AS DOUBLE) * sy))
+             AS DECIMAL(38,10)), 6) AS DOUBLE) AS pearson_r
+    FROM m
+    """,
+)
+def a55_balance_spend_corr(spark: SparkSession,
+                           sf_dir: str) -> DataFrame:
+    """A55 — does a bigger account balance predict bigger spend?
+    Pearson correlation between account-balance cents and lifetime
+    spend cents per segment — the one-number screen before anyone
+    builds a balance-based credit feature (a29 gives each variable's
+    own moments; a47 regresses on TIME; this is the cross-variable
+    association report).
+
+    Determinism: x and y are exact cents; Σx/Σy are BIGINT; the
+    second-moment sums route as double-of-exact-products (the
+    a36/a47 pattern — each product is exact below 2^53, the
+    accumulated sums carry only summation-order noise ~1e-16
+    relative); r is bounded in [−1, 1] ≪ 9e5, squarely inside the
+    class-B DECIMAL route's domain, which absorbs that noise. Shape:
+    per-customer spend agg (unbounded key) → dim join → bounded
+    5-row moment agg; no window anywhere."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    ocents = F.when(
+        F.col("o_totalprice") < 0,
+        -F.floor(F.abs(F.col("o_totalprice")) * 100.0 + F.lit(0.5)),
+    ).otherwise(
+        F.floor(F.abs(F.col("o_totalprice")) * 100.0 + F.lit(0.5))
+    ).cast("long")
+    bcents = F.when(
+        F.col("c_acctbal") < 0,
+        -F.floor(F.abs(F.col("c_acctbal")) * 100.0 + F.lit(0.5)),
+    ).otherwise(
+        F.floor(F.abs(F.col("c_acctbal")) * 100.0 + F.lit(0.5))
+    ).cast("long")
+    spend = (o.groupBy(F.col("o_custkey").alias("ck"))
+              .agg(F.sum(ocents).cast("long").alias("y")))
+    pts = (c.join(spend, c.c_custkey == spend.ck)
+            .select(F.col("c_mktsegment").alias("mktsegment"),
+                    bcents.alias("x"), "y"))
+    m = (pts.groupBy("mktsegment")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum("x").cast("long").alias("sx"),
+                 F.sum("y").cast("long").alias("sy"),
+                 F.sum(F.col("x").cast("double") * F.col("x"))
+                  .alias("sxx"),
+                 F.sum(F.col("y").cast("double") * F.col("y"))
+                  .alias("syy"),
+                 F.sum(F.col("x").cast("double") * F.col("y"))
+                  .alias("sxy")))
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    num = n * F.col("sxy") - sx.cast("double") * sy
+    den = (F.sqrt(n * F.col("sxx") - sx.cast("double") * sx)
+           * F.sqrt(n * F.col("syy") - sy.cast("double") * sy))
+    return m.select(
+        "mktsegment", "n",
+        sx.alias("sum_balance_cents"), sy.alias("sum_spend_cents"),
+        F.round((num / den).cast("decimal(38,10)"), 6).cast("double")
+         .alias("pearson_r"))

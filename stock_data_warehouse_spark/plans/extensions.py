@@ -9594,3 +9594,327 @@ def x4_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
                      round_half_up(F.col("new_types") * 1.0
                                    / F.col("n_tokens"), 6)
                       .alias("novelty_rate")))
+
+
+# ---------------------------------------------------------------------------
+# X6 — per-language fairness gap audit (r9)
+# ---------------------------------------------------------------------------
+
+@register(
+    "x6_group_fairness_gap",
+    oracle=f"""
+    WITH pts AS (
+      SELECT d.lang,
+             (CAST(e.embedding[1] AS DOUBLE) >= 0.0) AS pred,
+             (e.label >= 5) AS y
+      FROM embeddings e JOIN documents d ON e.vec_id = d.doc_id
+    ),
+    g AS (
+      SELECT lang,
+             COUNT(*) AS n,
+             CAST(SUM(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_pos,
+             CAST(SUM(CASE WHEN pred AND y THEN 1 ELSE 0 END)
+                  AS BIGINT) AS tp,
+             CAST(SUM(CASE WHEN pred AND NOT y THEN 1 ELSE 0 END)
+                  AS BIGINT) AS fp
+      FROM pts GROUP BY lang
+    ),
+    tot AS (
+      SELECT CAST(SUM(tp) AS BIGINT) AS ttp,
+             CAST(SUM(fp) AS BIGINT) AS tfp,
+             CAST(SUM(n_pos) AS BIGINT) AS tpos,
+             CAST(SUM(n - n_pos) AS BIGINT) AS tneg
+      FROM g
+    )
+    SELECT lang, n, n_pos,
+           {sql_round_half_up('tp * 1.0 / n_pos', 6)} AS tpr,
+           {sql_round_half_up('fp * 1.0 / (n - n_pos)', 6)} AS fpr,
+           {sql_round_half_up(
+               'tp * 1.0 / n_pos - ttp * 1.0 / tpos', 6)}
+             AS tpr_gap,
+           {sql_round_half_up(
+               'fp * 1.0 / (n - n_pos) - tfp * 1.0 / tneg', 6)}
+             AS fpr_gap,
+           (ABS(tp * 1.0 / n_pos - ttp * 1.0 / tpos) > 0.1)
+             AS tpr_flagged
+    FROM g, tot
+    """,
+)
+def x6_group_fairness_gap(spark: SparkSession,
+                          sf_dir: str) -> DataFrame:
+    """X6 — the PER-GROUP FAIRNESS AUDIT: true/false-positive rates
+    of the filtering classifier per document language, each gapped
+    against the pooled rate and flagged beyond ±0.1 — the
+    disparate-impact check a data-curation model ships with (a
+    quality gate that silently rejects one language's documents at
+    2× the rate is a corpus bias machine; x6_group_calibrate audits
+    the score's calibration per group, this audits the DECISIONS).
+    Embeddings join documents on the shared id (vec_id = doc_id, the
+    x5_alignment_gate pairing); prediction = score ≥ 0, the x6
+    family's deterministic stand-ins.
+
+    Determinism: rates are class-A integer ratios; the gap is a
+    difference of two such identical-bit doubles (still class A);
+    the flag compares the raw gap, display is floor-kernel rounded.
+    Shape: one join + bounded 5-row lang agg + 1-row pooled
+    cross-join."""
+    e = _t(spark, sf_dir, "embeddings")
+    d = _t(spark, sf_dir, "documents")
+    pts = (e.join(d, e.vec_id == d.doc_id)
+            .select("lang",
+                    (F.element_at(_as_double_vec("embedding"), 1)
+                     >= 0.0).alias("pred"),
+                    (F.col("label") >= 5).alias("y")))
+    g = (pts.groupBy("lang")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum(F.when(F.col("y"), 1).otherwise(0))
+                  .cast("long").alias("n_pos"),
+                 F.sum(F.when(F.col("pred") & F.col("y"), 1)
+                        .otherwise(0)).cast("long").alias("tp"),
+                 F.sum(F.when(F.col("pred") & ~F.col("y"), 1)
+                        .otherwise(0)).cast("long").alias("fp")))
+    tot = g.agg(F.sum("tp").cast("long").alias("ttp"),
+                F.sum("fp").cast("long").alias("tfp"),
+                F.sum("n_pos").cast("long").alias("tpos"),
+                F.sum(F.col("n") - F.col("n_pos")).cast("long")
+                 .alias("tneg"))
+    tpr = F.col("tp") * 1.0 / F.col("n_pos")
+    fpr = F.col("fp") * 1.0 / (F.col("n") - F.col("n_pos"))
+    tpr_gap = tpr - F.col("ttp") * 1.0 / F.col("tpos")
+    fpr_gap = fpr - F.col("tfp") * 1.0 / F.col("tneg")
+    return (g.crossJoin(F.broadcast(tot))
+             .select("lang", "n", "n_pos",
+                     round_half_up(tpr, 6).alias("tpr"),
+                     round_half_up(fpr, 6).alias("fpr"),
+                     round_half_up(tpr_gap, 6).alias("tpr_gap"),
+                     round_half_up(fpr_gap, 6).alias("fpr_gap"),
+                     (F.abs(tpr_gap) > 0.1).alias("tpr_flagged")))
+
+
+# ---------------------------------------------------------------------------
+# X2 — boilerplate-prefix report (template detection) (r9)
+# ---------------------------------------------------------------------------
+
+@register(
+    "x2_boilerplate_prefix_report",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, lang,
+             md5(array_to_string(
+               ({SQL_TOKENS})[1:8], ' ')) AS h
+      FROM documents
+    ),
+    grp AS (
+      SELECT lang, h, COUNT(*) AS n_copies
+      FROM t GROUP BY lang, h
+    )
+    SELECT lang,
+           CAST(SUM(n_copies) AS BIGINT) AS n_docs,
+           COUNT(*) AS n_templates,
+           CAST(SUM(CASE WHEN n_copies >= 2 THEN n_copies
+                         ELSE 0 END) AS BIGINT) AS n_templated_docs,
+           CAST(SUM(n_copies) - COUNT(*) AS BIGINT)
+             AS n_extra_copies,
+           {sql_round_half_up(
+               'SUM(CASE WHEN n_copies >= 2 THEN n_copies ELSE 0 '
+               'END) * 1.0 / SUM(n_copies)', 6)} AS templated_share
+    FROM grp GROUP BY lang
+    """,
+)
+def x2_boilerplate_prefix_report(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """X2 — BOILERPLATE detection by opening-prefix collision: per
+    language, how many documents share their first 8 tokens with
+    another document (templated openings — scraped nav bars, license
+    headers, form letters), how many distinct templates exist, and
+    the share of the corpus that is template-led — the curation
+    signal C4-style pipelines act on BETWEEN exact dedup (which these
+    docs evade: their bodies differ) and MinHash near-dup (which
+    misses them when the shared prefix is a small fraction of a long
+    doc). Probed non-degenerate at every SF (24/24/244 extra copies
+    — full-text exact dups are near-zero in this synthetic data, the
+    a49/a50 reframing rule applied at design time).
+
+    Scale: one tokenizing scan; only 32-hex PREFIX digests shuffle
+    (the x1 discipline — raw text never moves); two map-side-
+    combinable aggs; the share is a class-A integer ratio."""
+    d = _t(spark, sf_dir, "documents")
+    t = d.select(
+        "doc_id", "lang",
+        F.md5(F.array_join(F.slice(tokens_col("text"), 1, 8), " "))
+         .alias("h"))
+    grp = (t.groupBy("lang", "h")
+            .agg(F.count(F.lit(1)).alias("n_copies")))
+    templated = F.sum(F.when(F.col("n_copies") >= 2,
+                             F.col("n_copies")).otherwise(0))
+    return (grp.groupBy("lang")
+               .agg(F.sum("n_copies").cast("long").alias("n_docs"),
+                    F.count(F.lit(1)).alias("n_templates"),
+                    templated.cast("long").alias("n_templated_docs"),
+                    (F.sum("n_copies") - F.count(F.lit(1)))
+                     .cast("long").alias("n_extra_copies"),
+                    round_half_up(templated * 1.0
+                                  / F.sum("n_copies"), 6)
+                     .alias("templated_share")))
+
+
+# ---------------------------------------------------------------------------
+# X4 — IDF drift between corpus halves (retrain trigger) (r9)
+# ---------------------------------------------------------------------------
+
+@register(
+    "x4_idf_drift",
+    oracle=f"""
+    WITH b AS (
+      SELECT MIN(doc_id) AS mn,
+             MAX(doc_id) - MIN(doc_id) + 1 AS span
+      FROM documents
+    ),
+    dt AS (
+      SELECT DISTINCT d.doc_id,
+             CASE WHEN (d.doc_id - b.mn) * 2 < b.span
+                  THEN 'H1' ELSE 'H2' END AS half,
+             u.w
+      FROM (SELECT doc_id, {SQL_TOKENS} AS t FROM documents) d
+      CROSS JOIN b, UNNEST(d.t) AS u(w)
+    ),
+    nh AS (
+      SELECT half, COUNT(DISTINCT doc_id) AS nd FROM dt GROUP BY 1
+    ),
+    df AS (
+      SELECT half, w, COUNT(*) AS df FROM dt GROUP BY 1, 2
+    ),
+    idf AS (
+      SELECT df.half, df.w, df.df,
+             CAST(FLOOR(nh.nd * 1000000.0 / df.df) AS BIGINT)
+               AS idf_scaled
+      FROM df JOIN nh ON df.half = nh.half
+      WHERE df.df >= 5
+    ),
+    drift AS (
+      SELECT a.w AS term, a.df AS df_h1, c.df AS df_h2,
+             a.idf_scaled AS idf_h1, c.idf_scaled AS idf_h2,
+             ABS(a.idf_scaled - c.idf_scaled) AS drift_scaled
+      FROM (SELECT * FROM idf WHERE half = 'H1') a
+      JOIN (SELECT * FROM idf WHERE half = 'H2') c ON a.w = c.w
+    )
+    SELECT term, df_h1, df_h2, idf_h1, idf_h2, drift_scaled
+    FROM drift
+    ORDER BY drift_scaled DESC, term
+    LIMIT 20
+    """,
+)
+def x4_idf_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4 — IDF DRIFT between corpus halves: the 20 terms whose
+    integer-scaled inverse document frequency moved most between the
+    first and second half of the corpus (by ingestion id) — the
+    retrain trigger for anything carrying a frozen IDF table
+    (x4_bm25_topk, x4_keyword_topk, the TF-IDF gate): when the
+    drift head is full of new entity names, the stored weights are
+    stale. The text-side a46 (ABC migration) — same two-epoch
+    compare, same absolute-BIGINT ranking.
+
+    Determinism: idf_scaled = floor(N_half·10⁶/df) is the
+    x4_keyword_topk idiom — pure BIGINT, no ln, no float rank ties;
+    the df≥5 support floor on BOTH halves kills hapax churn. Shape:
+    one distinct (doc, term) explode; per-half df aggs (map-side
+    combinable); vocab-keyed half join (AQE-sized); TakeOrdered 20
+    on the (drift desc, term) total order."""
+    d = _t(spark, sf_dir, "documents")
+    b = d.agg(F.min("doc_id").alias("mn"),
+              (F.max("doc_id") - F.min("doc_id") + 1).alias("span"))
+    dt = (d.select("doc_id", F.explode(tokens_col("text")).alias("w"))
+           .crossJoin(F.broadcast(b))
+           .select("doc_id",
+                   F.when((F.col("doc_id") - F.col("mn")) * 2
+                          < F.col("span"), "H1").otherwise("H2")
+                    .alias("half"),
+                   "w")
+           .distinct())
+    nh = dt.groupBy("half").agg(
+        F.countDistinct("doc_id").alias("nd"))
+    df = dt.groupBy("half", "w").agg(F.count(F.lit(1)).alias("df"))
+    idf = (df.filter(F.col("df") >= 5)
+             .join(nh, "half")
+             .select("half", "w", "df",
+                     F.floor(F.col("nd") * 1000000.0 / F.col("df"))
+                      .cast("long").alias("idf_scaled")))
+    h1 = (idf.filter(F.col("half") == "H1")
+             .select(F.col("w").alias("term"),
+                     F.col("df").alias("df_h1"),
+                     F.col("idf_scaled").alias("idf_h1")))
+    h2 = (idf.filter(F.col("half") == "H2")
+             .select(F.col("w").alias("term"),
+                     F.col("df").alias("df_h2"),
+                     F.col("idf_scaled").alias("idf_h2")))
+    return (h1.join(h2, "term")
+              .select("term", "df_h1", "df_h2", "idf_h1", "idf_h2",
+                      F.abs(F.col("idf_h1") - F.col("idf_h2"))
+                       .alias("drift_scaled"))
+              .orderBy(F.col("drift_scaled").desc(), "term")
+              .limit(20))
+
+
+# ---------------------------------------------------------------------------
+# X9 — truncation-loss sweep over candidate context lengths (r9)
+# ---------------------------------------------------------------------------
+
+@register(
+    "x9_truncation_loss",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, CAST(len({SQL_TOKENS}) AS BIGINT) AS n_tok
+      FROM documents
+    ),
+    ls(max_len) AS (VALUES (64), (128), (256), (512)),
+    tot AS (SELECT CAST(SUM(n_tok) AS BIGINT) AS total FROM t)
+    SELECT CAST(ls.max_len AS BIGINT) AS max_len,
+           COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN n_tok > ls.max_len THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_truncated,
+           CAST(SUM(GREATEST(n_tok - ls.max_len, 0)) AS BIGINT)
+             AS tokens_lost,
+           {sql_round_half_up(
+               'CAST(SUM(GREATEST(n_tok - ls.max_len, 0)) AS BIGINT)'
+               ' * 1.0 / tot.total', 6)} AS loss_share
+    FROM t CROSS JOIN ls CROSS JOIN tot
+    GROUP BY ls.max_len, tot.total
+    """,
+)
+def x9_truncation_loss(spark: SparkSession,
+                       sf_dir: str) -> DataFrame:
+    """X9 — the TRUNCATION-LOSS SWEEP: for each candidate context
+    length, how many documents overflow and how many tokens fall off
+    the end — the table a pretraining team reads before fixing
+    max_len (x9_length_bucketing balances batches GIVEN a length;
+    this prices the length choice itself; the x6_pr_curve sweep
+    pattern applied to sequence budgeting).
+
+    Shape: ONE tokenizing scan (counts only), a 4-row literal
+    length dim cross-joined map-side, a 4-row agg + 1-row total —
+    the sweep costs one pass however many lengths are on the
+    curve. Token counts and losses are exact BIGINTs; the loss
+    share is a class-A ratio."""
+    from ..sources.tables import values_df
+    d = _t(spark, sf_dir, "documents")
+    t = d.select(F.size(tokens_col("text")).cast("long")
+                  .alias("n_tok"))
+    ls = values_df(spark, [(64,), (128,), (256,), (512,)],
+                   "max_len int")
+    tot = t.agg(F.sum("n_tok").cast("long").alias("total"))
+    lost = F.greatest(F.col("n_tok") - F.col("max_len"), F.lit(0))
+    return (t.crossJoin(F.broadcast(ls))
+             .crossJoin(F.broadcast(tot))
+             .groupBy(F.col("max_len").cast("long").alias("max_len"),
+                      "total")
+             .agg(F.count(F.lit(1)).alias("n_docs"),
+                  F.sum(F.when(F.col("n_tok") > F.col("max_len"), 1)
+                         .otherwise(0)).cast("long")
+                   .alias("n_truncated"),
+                  F.sum(lost).cast("long").alias("tokens_lost"))
+             .select("max_len", "n_docs", "n_truncated",
+                     "tokens_lost",
+                     round_half_up(F.col("tokens_lost") * 1.0
+                                   / F.col("total"), 6)
+                      .alias("loss_share")))
