@@ -128,6 +128,9 @@ HEADLINE = (
     "x2_incremental_minhash_stream",  # frozen-index near-dup ingest stream
     "a35_reorder_intervals",      # staircase p50/p90 reorder gaps
     "x3_ood_score",               # double-banded staircase global p95
+    "x6_auc_exact",               # BIGINT Mann-Whitney AUC via staircase
+    "x3_filtered_ann",            # pre-filtered IVF probe, 16-query batch
+    "x8_dataset_card",            # one-scan corpus datasheet composition
 )
 
 

@@ -9918,3 +9918,92 @@ def x9_truncation_loss(spark: SparkSession,
                      round_half_up(F.col("tokens_lost") * 1.0
                                    / F.col("total"), 6)
                       .alias("loss_share")))
+
+
+# ---------------------------------------------------------------------------
+# X8 — the dataset card: one-row corpus datasheet (r9)
+# ---------------------------------------------------------------------------
+
+@register(
+    "x8_dataset_card",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, lang, source,
+             CAST(len({SQL_TOKENS}) AS BIGINT) AS n_tok,
+             md5(array_to_string(({SQL_TOKENS})[1:8], ' ')) AS ph
+      FROM documents
+    ),
+    base AS (
+      SELECT COUNT(*) AS n_docs,
+             COUNT(DISTINCT lang) AS n_langs,
+             COUNT(DISTINCT source) AS n_sources,
+             CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+             quantile_cont(n_tok, 0.5) AS p50_tokens,
+             quantile_cont(n_tok, 0.95) AS p95_tokens,
+             CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_en
+      FROM t
+    ),
+    tpl AS (
+      SELECT CAST(SUM(CASE WHEN c >= 2 THEN c ELSE 0 END) AS BIGINT)
+               AS n_templated
+      FROM (SELECT ph, COUNT(*) AS c FROM t GROUP BY ph)
+    )
+    SELECT n_docs, n_langs, n_sources, total_tokens,
+           p50_tokens, p95_tokens,
+           {sql_round_half_up('n_en * 1.0 / n_docs', 6)}
+             AS english_share,
+           {sql_round_half_up('n_templated * 1.0 / n_docs', 6)}
+             AS templated_share
+    FROM base, tpl
+    """,
+)
+def x8_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X8 — the DATASET CARD: the one-row datasheet a corpus release
+    ships with (size, language/source diversity, token budget, the
+    length distribution's p50/p95, English share, boilerplate share)
+    — the composition capstone over this round's curation signals
+    (x2_boilerplate_prefix_report's template key, x9_truncation_
+    loss's token counting) and the staircase quantile machinery,
+    in the Datasheets-for-Datasets spirit.
+
+    Shape: ONE tokenizing scan feeds everything (counts + the 8-token
+    prefix digest; token arrays and raw text never shuffle); the
+    exact length quantiles run as the partition-free bucketed rank
+    lookup (small tie-heavy ints ⇒ single-valued bands ⇒ zero data
+    sorts — the a45 argument); the template share is one digest agg;
+    every displayed ratio is a class-A integer ratio."""
+    from ..operators.staircase import bucketed_exact_quantiles
+    d = _t(spark, sf_dir, "documents")
+    toks = tokens_col("text")
+    t = d.select("doc_id", "lang", "source",
+                 F.size(toks).cast("long").alias("n_tok"),
+                 F.md5(F.array_join(F.slice(toks, 1, 8), " "))
+                  .alias("ph"))
+    from ..operators.checkpoint import ckpt
+    t = ckpt(t)  # one tokenizing pass feeds 3 consumers
+    base = t.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.countDistinct("source").alias("n_sources"),
+        F.sum("n_tok").cast("long").alias("total_tokens"),
+        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0))
+         .cast("long").alias("n_en"))
+    qs = (bucketed_exact_quantiles(t.select("n_tok"), [], "n_tok",
+                                   [0.5, 0.95])
+          .select(F.col("q0").alias("p50_tokens"),
+                  F.col("q1").alias("p95_tokens")))
+    tpl = (t.groupBy("ph").agg(F.count(F.lit(1)).alias("c"))
+            .agg(F.sum(F.when(F.col("c") >= 2, F.col("c"))
+                        .otherwise(0)).cast("long")
+                  .alias("n_templated")))
+    return (base.crossJoin(F.broadcast(qs))
+                .crossJoin(F.broadcast(tpl))
+                .select("n_docs", "n_langs", "n_sources",
+                        "total_tokens", "p50_tokens", "p95_tokens",
+                        round_half_up(F.col("n_en") * 1.0
+                                      / F.col("n_docs"), 6)
+                         .alias("english_share"),
+                        round_half_up(F.col("n_templated") * 1.0
+                                      / F.col("n_docs"), 6)
+                         .alias("templated_share")))
