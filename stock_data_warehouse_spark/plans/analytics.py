@@ -4923,3 +4923,75 @@ def a55_balance_spend_corr(spark: SparkSession,
         sx.alias("sum_balance_cents"), sy.alias("sum_spend_cents"),
         F.round((num / den).cast("decimal(38,10)"), 6).cast("double")
          .alias("pearson_r"))
+
+
+# ---------------------------------------------------------------------------
+# A56 — order-priority mix drift by year (r9)
+# ---------------------------------------------------------------------------
+
+@register(
+    "a56_priority_mix_drift",
+    oracle=f"""
+    WITH base AS (
+      SELECT CAST(date_part('year', o_orderdate) AS BIGINT) AS year,
+             o_orderpriority AS priority,
+             COUNT(*) AS n
+      FROM orders GROUP BY 1, 2
+    ),
+    yr AS (SELECT year, CAST(SUM(n) AS BIGINT) AS ny
+           FROM base GROUP BY year),
+    pool AS (
+      SELECT priority, CAST(SUM(n) AS BIGINT) AS np FROM base
+      GROUP BY priority
+    ),
+    tot AS (SELECT CAST(SUM(np) AS BIGINT) AS nt FROM pool)
+    SELECT b.year, b.priority, CAST(b.n AS BIGINT) AS n,
+           {sql_round_half_up('b.n * 1.0 / yr.ny', 6)} AS share,
+           {sql_round_half_up('p.np * 1.0 / tot.nt', 6)}
+             AS pooled_share,
+           {sql_round_half_up(
+               'b.n * 1.0 / yr.ny - p.np * 1.0 / tot.nt', 6)}
+             AS share_drift,
+           (ABS(b.n * 1.0 / yr.ny - p.np * 1.0 / tot.nt) > 0.02)
+             AS drift_flag
+    FROM base b
+    JOIN yr ON b.year = yr.year
+    JOIN pool p ON b.priority = p.priority
+    CROSS JOIN tot
+    """,
+)
+def a56_priority_mix_drift(spark: SparkSession,
+                           sf_dir: str) -> DataFrame:
+    """A56 — ORDER-PRIORITY MIX DRIFT: each year's priority mix
+    against the pooled mix, flagged beyond ±2 points — the
+    composition-shift monitor ops reads when an SLA class starts
+    eating the queue (a23/x6_score_drift_psi watch continuous
+    distributions via PSI; a categorical mix wants the per-cell
+    share delta directly, the chi-square table without the
+    statistic). Bounded output: years × 5 priorities.
+
+    Determinism: shares are class-A integer ratios; the drift is a
+    difference of identical-bit doubles (class A); the flag compares
+    the raw drift. Shape: one scan → (year × priority) agg → two
+    bounded margin joins + a 1-row total."""
+    o = _t(spark, sf_dir, "orders")
+    base = (o.groupBy(F.year("o_orderdate").cast("long").alias("year"),
+                      F.col("o_orderpriority").alias("priority"))
+             .agg(F.count(F.lit(1)).alias("n")))
+    yr = base.groupBy("year").agg(F.sum("n").cast("long").alias("ny"))
+    pool = (base.groupBy("priority")
+                .agg(F.sum("n").cast("long").alias("np")))
+    tot = pool.agg(F.sum("np").cast("long").alias("nt"))
+    share = F.col("n") * 1.0 / F.col("ny")
+    pooled = F.col("np") * 1.0 / F.col("nt")
+    from ..functions.scalars import round_half_up as _rhu
+    return (base.join(F.broadcast(yr), "year")
+                .join(F.broadcast(pool), "priority")
+                .crossJoin(F.broadcast(tot))
+                .select("year", "priority",
+                        F.col("n").cast("long").alias("n"),
+                        _rhu(share, 6).alias("share"),
+                        _rhu(pooled, 6).alias("pooled_share"),
+                        _rhu(share - pooled, 6).alias("share_drift"),
+                        (F.abs(share - pooled) > 0.02)
+                         .alias("drift_flag")))

@@ -10007,3 +10007,285 @@ def x8_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
                         round_half_up(F.col("n_templated") * 1.0
                                       / F.col("n_docs"), 6)
                          .alias("templated_share")))
+
+
+# ---------------------------------------------------------------------------
+# X3 — IVF cell-balance report (index health) (r9)
+# ---------------------------------------------------------------------------
+
+@register(
+    "x3_centroid_balance_report",
+    oracle=f"""
+    WITH v AS (
+      SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+    ),
+    n AS (
+      SELECT vec_id, e, sqrt({_sql_dot('e', 'e')}) AS nrm FROM v
+      WHERE sqrt({_sql_dot('e', 'e')}) > 0
+    ),
+    cent AS (SELECT vec_id AS cid, e AS ce, nrm AS cnrm FROM n
+             {_sql_hash_sample(_H_CENT, K_COARSE)}),
+    assigned AS (
+      SELECT vec_id, cid FROM (
+        SELECT n.vec_id, cent.cid,
+               ROW_NUMBER() OVER (
+                 PARTITION BY n.vec_id
+                 ORDER BY {_sql_dot('n.e', 'cent.ce')}
+                          / (n.nrm * cent.cnrm) DESC, cent.cid) AS rc
+        FROM n CROSS JOIN cent
+      ) WHERE rc = 1
+    ),
+    sizes AS (
+      SELECT cent.cid, COUNT(a.vec_id) AS cell_n
+      FROM cent LEFT JOIN assigned a ON cent.cid = a.cid
+      GROUP BY cent.cid
+    ),
+    s AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_cells,
+             CAST(SUM(cell_n) AS BIGINT) AS n_vectors,
+             CAST(MAX(cell_n) AS BIGINT) AS max_cell,
+             CAST(MIN(cell_n) AS BIGINT) AS min_cell,
+             CAST(SUM(CASE WHEN cell_n = 0 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_empty,
+             SUM(CAST(cell_n AS DOUBLE) * cell_n) AS sq
+      FROM sizes
+    )
+    SELECT n_cells, n_vectors, max_cell, min_cell, n_empty,
+           {sql_round_half_up(
+               'max_cell * 1.0 * n_cells / n_vectors', 4)}
+             AS imbalance_factor,
+           {sql_round_half_up(
+               'sq * n_cells / (CAST(n_vectors AS DOUBLE) '
+               '* n_vectors)', 4)} AS load_variance_ratio,
+           (max_cell * 10 > n_vectors) AS rebalance_needed
+    FROM s
+    """,
+)
+def x3_centroid_balance_report(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """X3 — IVF CELL-BALANCE health report: the stored index's cell
+    population profile (max/min/empty cells, the imbalance factor
+    max·K/N, the normalized second moment E[n²]·K/N² ≥ 1) and a
+    rebalance flag when one cell holds > 10% of the corpus — the
+    diagnostic that decides when the coarse quantizer retrains
+    (a skewed cell turns every probe of it into a near-linear scan;
+    x3_index_compaction handles delete debt, this handles ASSIGNMENT
+    debt). Same frozen hash-rank centroids as the serving queries —
+    the monitor rides the index's own geometry.
+
+    Shape: the N×K broadcast assignment (struct-min argmin) + a
+    K-row LEFT-join agg (empty cells stay visible — a LEFT join from
+    the centroid dim, never an inner join that hides them) + a 1-row
+    report. max·K/N and the variance ratio are class-A folds of
+    exact integers; the flag is an integer cross-multiplication."""
+    e = _t(spark, sf_dir, "embeddings")
+    v = e.select("vec_id", _as_double_vec("embedding").alias("e"))
+    n = (v.withColumn("nrm", F.sqrt(_dot(F.col("e"), F.col("e"))))
+          .filter(F.col("nrm") > 0))
+    cent = (_hash_sample(n, K_COARSE, _H_CENT)
+            .select(F.col("vec_id").alias("cid"),
+                    F.col("e").alias("ce"),
+                    F.col("nrm").alias("cnrm")))
+    ccos = (_dot(F.col("e"), F.col("ce"))
+            / (F.col("nrm") * F.col("cnrm")))
+    assigned = (n.repartition(spark.sparkContext.defaultParallelism,
+                              "vec_id")
+                 .crossJoin(F.broadcast(cent))
+                 .groupBy("vec_id")
+                 .agg(F.min(F.struct((-ccos).alias("negcos"),
+                                     F.col("cid"))).alias("b"))
+                 .select("vec_id", F.col("b.cid").alias("cid")))
+    sizes = (cent.select("cid").join(assigned, "cid", "left")
+                 .groupBy("cid")
+                 .agg(F.count("vec_id").alias("cell_n")))
+    s = sizes.agg(
+        F.count(F.lit(1)).cast("long").alias("n_cells"),
+        F.sum("cell_n").cast("long").alias("n_vectors"),
+        F.max("cell_n").cast("long").alias("max_cell"),
+        F.min("cell_n").cast("long").alias("min_cell"),
+        F.sum(F.when(F.col("cell_n") == 0, 1).otherwise(0))
+         .cast("long").alias("n_empty"),
+        F.sum(F.col("cell_n").cast("double") * F.col("cell_n"))
+         .alias("sq"))
+    return s.select(
+        "n_cells", "n_vectors", "max_cell", "min_cell", "n_empty",
+        round_half_up(F.col("max_cell") * 1.0 * F.col("n_cells")
+                      / F.col("n_vectors"), 4)
+         .alias("imbalance_factor"),
+        round_half_up(F.col("sq") * F.col("n_cells")
+                      / (F.col("n_vectors").cast("double")
+                         * F.col("n_vectors")), 4)
+         .alias("load_variance_ratio"),
+        (F.col("max_cell") * 10 > F.col("n_vectors"))
+         .alias("rebalance_needed"))
+
+
+# ---------------------------------------------------------------------------
+# X5 — embedding-norm drift between corpus halves (r9)
+# ---------------------------------------------------------------------------
+
+@register(
+    "x5_norm_drift",
+    oracle=f"""
+    WITH v AS (
+      SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+    ),
+    b AS (
+      SELECT MIN(vec_id) AS mn,
+             MAX(vec_id) - MIN(vec_id) + 1 AS span
+      FROM v
+    ),
+    n AS (
+      SELECT CASE WHEN (vec_id - b.mn) * 2 < b.span
+                  THEN 'H1' ELSE 'H2' END AS half,
+             sqrt({_sql_dot('e', 'e')}) AS nrm
+      FROM v CROSS JOIN b
+    ),
+    q AS (
+      SELECT half, COUNT(*) AS n_vecs,
+             quantile_cont(nrm, 0.5) AS p50_norm,
+             quantile_cont(nrm, 0.95) AS p95_norm
+      FROM n GROUP BY half
+    )
+    SELECT half, n_vecs,
+           {sql_round_half_up('p50_norm', 6)} AS p50_norm,
+           {sql_round_half_up('p95_norm', 6)} AS p95_norm
+    FROM q
+    """,
+)
+def x5_norm_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5 — EMBEDDING-NORM DRIFT: the L2-norm distribution's exact
+    p50/p95 per corpus half (by ingestion id) — the cheapest upstream
+    drift monitor for an embedding pipeline (an encoder change or a
+    preprocessing bug shifts the norm profile before it shifts any
+    downstream metric; x3_ood_score watches geometry against the
+    index, this watches the raw vectors against history).
+
+    The exact quantiles of a DOUBLE over a 2-value partition key are
+    precisely the staircase's double-banded case (norms live in a
+    bounded domain; fixed-width bands at scale 2048 keep the bucket
+    dim bounded by range·scale) — a grouped ``percentile()`` here
+    would buffer N/2 norms per aggregator, the banned shape. Norms
+    are the family's class-A identical-bit folds; the interpolation
+    is the two-product kernel both engines run."""
+    from ..operators.staircase import (bucketed_exact_quantiles,
+                                       double_value_bucket)
+    e = _t(spark, sf_dir, "embeddings")
+    v = e.select("vec_id", _as_double_vec("embedding").alias("e"))
+    b = v.agg(F.min("vec_id").alias("mn"),
+              (F.max("vec_id") - F.min("vec_id") + 1).alias("span"))
+    n = (v.crossJoin(F.broadcast(b))
+          .select(F.when((F.col("vec_id") - F.col("mn")) * 2
+                         < F.col("span"), "H1").otherwise("H2")
+                   .alias("half"),
+                  F.sqrt(_dot(F.col("e"), F.col("e"))).alias("nrm")))
+    qs = bucketed_exact_quantiles(
+        n, ["half"], "nrm", [0.5, 0.95],
+        bucket=double_value_bucket(F.col("nrm"), 2048.0))
+    return qs.select("half", F.col("n").alias("n_vecs"),
+                     round_half_up(F.col("q0"), 6).alias("p50_norm"),
+                     round_half_up(F.col("q1"), 6).alias("p95_norm"))
+
+
+# ---------------------------------------------------------------------------
+# X6 — model-score PSI drift between corpus halves (r9)
+# ---------------------------------------------------------------------------
+
+_SPSI_BINS = 8
+
+
+@register(
+    "x6_score_drift_psi",
+    oracle=f"""
+    WITH pts AS (
+      SELECT vec_id, CAST(embedding[1] AS DOUBLE) AS score
+      FROM embeddings
+    ),
+    b AS (
+      SELECT MIN(vec_id) AS mn,
+             MAX(vec_id) - MIN(vec_id) + 1 AS span
+      FROM pts
+    ),
+    binned AS (
+      SELECT LEAST(GREATEST(CAST(FLOOR((score + 0.5) / 0.125)
+                                 AS INTEGER), 0), {_SPSI_BINS - 1})
+               AS bin_id,
+             ((vec_id - b.mn) * 2 < b.span) AS is_base
+      FROM pts CROSS JOIN b
+    ),
+    cnt AS (
+      SELECT bin_id,
+             COUNT(CASE WHEN is_base THEN 1 END) AS n_base,
+             COUNT(CASE WHEN NOT is_base THEN 1 END) AS n_cur
+      FROM binned GROUP BY bin_id
+    ),
+    tot AS (SELECT SUM(n_base) AS tb, SUM(n_cur) AS tc FROM cnt),
+    term AS (
+      SELECT bin_id, n_base, n_cur,
+             CAST(ROUND(CAST(
+               ((n_cur + 0.5) / (tc + {_SPSI_BINS * 0.5})
+                - (n_base + 0.5) / (tb + {_SPSI_BINS * 0.5}))
+               * ln(((n_cur + 0.5) / (tc + {_SPSI_BINS * 0.5}))
+                    / ((n_base + 0.5) / (tb + {_SPSI_BINS * 0.5})))
+               AS DECIMAL(38,10)), 6) AS DOUBLE) AS psi_term
+      FROM cnt CROSS JOIN tot
+    )
+    SELECT bin_id, n_base, n_cur, psi_term,
+           CAST(ROUND(SUM(CAST(psi_term AS DECIMAL(38,10))) OVER (),
+                      6) AS DOUBLE) AS psi_total,
+           (SUM(CAST(psi_term AS DECIMAL(38,10))) OVER () >= 0.1)
+             AS drift_alert
+    FROM term
+    """,
+)
+def x6_score_drift_psi(spark: SparkSession,
+                       sf_dir: str) -> DataFrame:
+    """X6 — PSI drift of the MODEL SCORE between corpus halves: the
+    a23 Population Stability Index machinery applied to the
+    classifier score (8 literal bins over the score domain, 0.5
+    Laplace floor, (q−p)·ln(q/p) terms) — the monitor that catches a
+    silently-shifted score distribution before the threshold picked
+    by x6_threshold_transfer goes stale (a23 watches a FEATURE, this
+    watches the MODEL; same alert thresholds, PSI ≥ 0.1 = watch).
+
+    Determinism: bin fractions are exact int ratios; the libm ln
+    routes through DECIMAL(38,10) at 6dp (class B, |term| ≪ 1); the
+    total sums DECIMAL-cast terms — exact and order-free — so the
+    alert boolean is hash-pinned. Shape: one scan → literal 8-bin
+    conditional-count agg; every window over the 8-row histogram."""
+    e = _t(spark, sf_dir, "embeddings")
+    pts = e.select("vec_id",
+                   F.element_at(_as_double_vec("embedding"), 1)
+                    .alias("score"))
+    b = pts.agg(F.min("vec_id").alias("mn"),
+                (F.max("vec_id") - F.min("vec_id") + 1).alias("span"))
+    smooth = _SPSI_BINS * 0.5
+    binned = (pts.crossJoin(F.broadcast(b))
+                 .select(F.least(
+                             F.greatest(
+                                 F.floor((F.col("score") + 0.5)
+                                         / 0.125).cast("int"),
+                                 F.lit(0)),
+                             F.lit(_SPSI_BINS - 1)).alias("bin_id"),
+                         ((F.col("vec_id") - F.col("mn")) * 2
+                          < F.col("span")).alias("is_base")))
+    cnt = (binned.groupBy("bin_id")
+                 .agg(F.sum(F.when(F.col("is_base"), 1).otherwise(0))
+                       .alias("n_base"),
+                      F.sum(F.when(~F.col("is_base"), 1).otherwise(0))
+                       .alias("n_cur")))
+    tot = cnt.agg(F.sum("n_base").alias("tb"),
+                  F.sum("n_cur").alias("tc"))
+    q = (F.col("n_cur") + 0.5) / (F.col("tc") + smooth)
+    p = (F.col("n_base") + 0.5) / (F.col("tb") + smooth)
+    term = (cnt.crossJoin(F.broadcast(tot))
+               .select("bin_id", "n_base", "n_cur",
+                       F.round(((q - p) * F.log(q / p))
+                               .cast("decimal(38,10)"), 6)
+                        .cast("double").alias("psi_term")))
+    w = Window.partitionBy()
+    tot_term = F.sum(F.col("psi_term").cast("decimal(38,10)")).over(w)
+    return term.select(
+        "bin_id", "n_base", "n_cur", "psi_term",
+        F.round(tot_term, 6).cast("double").alias("psi_total"),
+        (tot_term >= 0.1).alias("drift_alert"))

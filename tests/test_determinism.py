@@ -66,6 +66,15 @@ SAMPLE = [
     "f3_attribution",               # struct-argmax picks + none bucket
     "x3_index_compaction",          # rewrite-vs-mask equality per query
     "j16_binned_range_join",        # bin decomposition + residual filter
+    # r9: the new staircase consumers — interpolated quantiles, AUC
+    # midranks, decile cuts and filtered-ANN ranks must not depend on
+    # the physical partitioning the two-level decomposition hides
+    "x3_ood_score",                 # double-banded global p95 lookup
+    "x6_auc_exact",                 # BIGINT Mann-Whitney midrank sum
+    "a52_spend_decile_profile",     # staircase rank + integer decile cut
+    "x3_filtered_ann",              # pre-filter + struct-min cells + rank
+    "a54_basket_affinity",          # scaled-lift TakeOrdered under shuffle
+    "x2_boilerplate_prefix_report", # prefix-digest groups under agg plans
 ]
 
 

@@ -575,6 +575,7 @@ _STAIRCASE_CONSUMERS = [
     ("extensions", "x6_auc_exact", (), ()),
     ("extensions", "x3_filtered_ann", ("query_id",), ()),
     ("analytics", "a52_spend_decile_profile", (), ()),
+    ("extensions", "x5_norm_drift", (), ()),
 ]
 
 
