@@ -1036,24 +1036,35 @@ def a8_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def a10_quantile_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     """OP-A10 — exact linear-interpolated percentiles of quantity per
-    (returnflag, linestatus): the distribution profile a pipeline runs
-    before choosing filters. ``F.percentile`` == DuckDB
-    ``quantile_cont`` (both interpolate (1-f)·a + f·b). FP parity holds
-    without rounding because l_quantity is small-integral and the
-    quartile fractions are exact binary (0.25/0.5/0.75), so every
-    interpolation term is exactly representable — no half-ulp for the
-    two engines' formula shapes to disagree on. Exact percentile sorts
-    per group; the 100 TB form of this profile is approx_percentile
-    (t-digest sketch, mergeable, no per-group sort) — exactness here is
-    the oracle constraint, not the scale recommendation."""
+    (returnflag, linestatus), via the bucketed staircase rank lookup
+    (operators/staircase.py) rather than Spark's buffering
+    ``percentile()`` aggregate: (returnflag, linestatus) is a ~6-value
+    key over all of lineitem, so each buffering aggregator would hold
+    N/6 values — the exact shape CLAUDE.md bans. The staircase instead
+    counts per (group, value band); l_quantity is small-integral so
+    every band is a tie mass and the rank lookup answers from the band
+    counts alone — zero sorts of any data-sized relation, and the plan
+    scales as Θ(groups × bands) past the one fact scan. The
+    interpolation kernel is the two-product ``(1−f)·lo + f·hi`` both
+    engines run (hex-verified r9), so the ``quantile_cont`` oracle is
+    unchanged; here every term is exactly representable anyway
+    (integral values, exact-binary quartile fracs)."""
     li = _t(spark, sf_dir, "lineitem")
-    return (li.groupBy("l_returnflag", "l_linestatus")
-              .agg(F.count(F.lit(1)).alias("n_items"),
-                   F.min("l_quantity").alias("min_qty"),
-                   F.percentile("l_quantity", 0.25).alias("p25_qty"),
-                   F.percentile("l_quantity", 0.50).alias("p50_qty"),
-                   F.percentile("l_quantity", 0.75).alias("p75_qty"),
-                   F.max("l_quantity").alias("max_qty")))
+    keys = ["l_returnflag", "l_linestatus"]
+    from ..operators.staircase import bucketed_exact_quantiles
+    qs = bucketed_exact_quantiles(li, keys, "l_quantity",
+                                  [0.25, 0.50, 0.75])
+    ext = (li.groupBy(*keys)
+             .agg(F.min("l_quantity").alias("min_qty"),
+                  F.max("l_quantity").alias("max_qty")))
+    return (qs.join(ext, keys)
+              .select("l_returnflag", "l_linestatus",
+                      F.col("n").alias("n_items"),
+                      "min_qty",
+                      F.col("q0").alias("p25_qty"),
+                      F.col("q1").alias("p50_qty"),
+                      F.col("q2").alias("p75_qty"),
+                      "max_qty"))
 
 
 @register(
@@ -1079,17 +1090,26 @@ def a10_approx_quantile_sketch(spark: SparkSession,
     guarantee (rank error ≤ n/accuracy, and l_quantity's integer domain
     is gap-1 dense) yet tight enough to catch a broken sketch. Also
     removes the array-typed ``q_sketch`` cell that crashed the driver's
-    canonicalizer in r2."""
+    canonicalizer in r2. The exact quartiles the referee compares
+    against come from the SAME staircase relation as
+    ``a10_quantile_pack`` (r10) — previously this referee re-ran the
+    buffering ``percentile()`` the sketch exists to replace, so the
+    scale twin inherited the very aggregator it was demoting."""
     li = _t(spark, sf_dir, "lineitem")
-    agg = (li.groupBy("l_returnflag", "l_linestatus")
+    keys = ["l_returnflag", "l_linestatus"]
+    from ..operators.staircase import bucketed_exact_quantiles
+    exact = (bucketed_exact_quantiles(li, keys, "l_quantity",
+                                      [0.25, 0.50, 0.75])
+             .select(*keys, F.col("q0").alias("p25"),
+                     F.col("q1").alias("p50"),
+                     F.col("q2").alias("p75")))
+    agg = (li.groupBy(*keys)
              .agg(F.count(F.lit(1)).alias("n_items"),
                   F.approx_percentile(
                       "l_quantity", F.array(F.lit(0.25), F.lit(0.5),
                                             F.lit(0.75)),
-                      F.lit(10000)).alias("q_sketch"),
-                  F.percentile("l_quantity", 0.25).alias("p25"),
-                  F.percentile("l_quantity", 0.50).alias("p50"),
-                  F.percentile("l_quantity", 0.75).alias("p75")))
+                      F.lit(10000)).alias("q_sketch"))
+             .join(exact, keys))
 
     def ok(i: int, exact: str) -> F.Column:
         return (F.abs(F.element_at("q_sketch", i) - F.col(exact))

@@ -576,6 +576,12 @@ _STAIRCASE_CONSUMERS = [
     ("extensions", "x3_filtered_ann", ("query_id",), ()),
     ("analytics", "a52_spend_decile_profile", (), ()),
     ("extensions", "x5_norm_drift", (), ()),
+    # r10 consumers: the grandfathered a10 pair — the LAST buffering
+    # percentile() in the catalog (VERDICT r9 item 1) re-expressed on
+    # the staircase; the approx twin's exact referee reads the same
+    # staircase relation instead of re-buffering.
+    ("relational", "a10_quantile_pack", (), ()),
+    ("relational", "a10_approx_quantile_sketch", (), ()),
 ]
 
 
