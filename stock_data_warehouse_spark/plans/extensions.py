@@ -614,6 +614,231 @@ def x2_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# OP-X2 — band-index compaction: the dedup twin of x3_index_compaction
+# (VERDICT r9 next-round #2 — completes ingest→serve→maintain for dedup)
+# ---------------------------------------------------------------------------
+
+@register(
+    "x2_band_index_compaction",
+    oracle=f"""
+    WITH {_SQL_JPAIRS},
+    jsym AS (SELECT doc_a AS x, doc_b AS y, jac FROM jpairs
+             UNION ALL SELECT doc_b, doc_a, jac FROM jpairs),
+    shingled AS (SELECT doc_id, s FROM sh WHERE len(s) > 0),
+    mh AS (
+      SELECT t1.doc_id, t.i,
+             min(md5(CAST(t.i AS VARCHAR) || ':' || t1.shingle)) AS mh
+      FROM (SELECT doc_id, unnest(s) AS shingle FROM shingled) t1
+      CROSS JOIN range(16) t(i)
+      GROUP BY t1.doc_id, t.i
+    ),
+    bands AS (
+      SELECT doc_id, i // 4 AS band_idx,
+             md5(string_agg(mh, '|' ORDER BY i)) AS band_hash
+      FROM mh GROUP BY doc_id, i // 4
+    ),
+    w1cand AS (
+      SELECT DISTINCT c.doc_id AS cid, a.doc_id AS aid
+      FROM bands c JOIN bands a
+        ON c.band_idx = a.band_idx AND c.band_hash = a.band_hash
+      WHERE c.doc_id % 5 <= 2 AND a.doc_id % 5 = 3
+    ),
+    dropped AS (
+      SELECT DISTINCT w.aid AS doc_id
+      FROM w1cand w JOIN jsym j ON j.x = w.cid AND j.y = w.aid
+    ),
+    survivors AS (
+      SELECT doc_id FROM documents
+      WHERE doc_id % 5 <= 3
+        AND doc_id NOT IN (SELECT doc_id FROM dropped)
+    ),
+    pcand AS (
+      SELECT DISTINCT c.doc_id AS cid, a.doc_id AS aid
+      FROM bands c JOIN bands a
+        ON c.band_idx = a.band_idx AND c.band_hash = a.band_hash
+      WHERE c.doc_id % 5 <= 3 AND a.doc_id % 5 = 4
+        AND c.doc_id IN (SELECT doc_id FROM survivors)
+    ),
+    pver AS (
+      SELECT p.aid, p.cid,
+             {sql_round_half_up('j.jac', 6)} AS jac6
+      FROM pcand p JOIN jsym j ON j.x = p.cid AND j.y = p.aid
+    ),
+    best AS (
+      SELECT aid, cid, jac6,
+             ROW_NUMBER() OVER (PARTITION BY aid
+                                ORDER BY jac6 DESC, cid) AS rn
+      FROM pver
+    ),
+    stats AS (
+      SELECT CAST((SELECT COUNT(*) FROM dropped) AS BIGINT)
+               AS n_dropped_docs,
+             CAST((SELECT COUNT(*) FROM survivors) AS BIGINT)
+               AS n_survivors,
+             CAST((SELECT COUNT(*) FROM bands WHERE doc_id % 5 <= 3)
+               AS BIGINT) AS n_bands_before,
+             CAST((SELECT COUNT(*) FROM bands WHERE doc_id % 5 <= 3
+                   AND doc_id NOT IN (SELECT doc_id FROM dropped))
+               AS BIGINT) AS n_bands_after
+    )
+    SELECT d.doc_id AS probe_id,
+           b.cid AS dup_of,
+           b.jac6 AS jaccard,
+           CASE WHEN b.cid IS NULL THEN 'unique'
+                ELSE 'dup_of_survivor' END AS verdict,
+           TRUE AS decisions_match,
+           s.n_dropped_docs, s.n_survivors,
+           s.n_bands_before, s.n_bands_after,
+           ((s.n_bands_before - s.n_bands_after) * 10
+            >= s.n_bands_before) AS compaction_due
+    FROM (SELECT doc_id FROM documents WHERE doc_id % 5 = 4) d
+    LEFT JOIN (SELECT * FROM best WHERE rn = 1) b ON b.aid = d.doc_id
+    CROSS JOIN stats s
+    """,
+)
+def x2_band_index_compaction(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    """OP-X2 — COMPACTION of the near-dup band index, the missing
+    maintain step of the dedup lifecycle (ingest:
+    x2_incremental_minhash / its stream, serve: the probe path,
+    maintain: HERE) — the x2 analogue of ``x3_index_compaction``
+    (VERDICT r9 next-round #2). After dedup-at-ingest appends, the
+    stored band + posting tables retain every known-dup document's
+    rows, so the probe target grows with GROSS arrivals, not unique
+    corpus size; compaction rewrites both keeping only
+    verdict-unique survivors.
+
+    Three document waves by ``doc_id % 5`` (modular, NOT an id-prefix
+    split — the design-time degeneracy probe showed near-dup partners
+    scatter across the whole id space, so a prefix wave has ZERO dups
+    at sf0.1): corpus (0–2) is the published index; wave 1 (3) was
+    ingested and verdicted against it (band-collide → exact-Jaccard
+    ≥ 0.8, both directions — the corpus partner of an arrival may
+    carry either the lower or higher id); its dup docs are the
+    compaction debt. Wave 2 (4) are the probes served AFTER
+    compaction.
+
+    Two physically different serving plans run side by side, the
+    x3_index_compaction falsifiability pattern: the COMPACTED index
+    (the appended full index anti-joined to the dropped set — the
+    rewrite of the stored state) and a FRESH index (re-banding the
+    survivor documents from scratch). Identical survivor sets must
+    imply identical candidate sets and therefore identical
+    deterministic best matches (jac6 DESC, cid ASC), so
+    ``decisions_match`` is hash-pinned TRUE per probe against the
+    oracle's canonical single computation; ``compaction_due`` pins the
+    integer trigger policy (dropped bands ≥ 10% of the index).
+
+    Scale shape: banding is per-doc pure (recomputed per side — the
+    r5 measurement: this pipeline is faster recomputed than ckpt'd);
+    the expensive wave-1 verify pipeline funnels into the tiny
+    ``dropped`` id set, which IS ckpt'd (multi-consumed, expensive
+    lineage); the probe verify joins postings restricted to survivor
+    × probe splits only, so no quadratic pair work outside
+    band-collisions; every join key is a digest or an id — document
+    text never shuffles."""
+    d = _t(spark, sf_dir, "documents")
+    wave = F.col("doc_id") % 5
+    bands = _portable_bands(d)
+    sh = (d.select("doc_id",
+                   shingles_col(tokens_col("text")).alias("s"))
+           .repartition(spark.sparkContext.defaultParallelism,
+                        "doc_id"))
+    tok = sh.select("doc_id", F.size("s").alias("n"),
+                    F.explode("s").alias("shingle"))
+
+    def collide(idx: DataFrame, probes: DataFrame) -> DataFrame:
+        return (idx.alias("c")
+                .join(probes.alias("a"),
+                      (F.col("c.band_idx") == F.col("a.band_idx"))
+                      & (F.col("c.band_hash")
+                         == F.col("a.band_hash")))
+                .select(F.col("c.doc_id").alias("cid"),
+                        F.col("a.doc_id").alias("aid"))
+                .distinct())
+
+    def verified(left_tok: DataFrame, right_tok: DataFrame
+                 ) -> DataFrame:
+        cross = (left_tok.alias("ca")
+                 .join(right_tok.alias("ar"),
+                       F.col("ca.shingle") == F.col("ar.shingle"))
+                 .groupBy(F.col("ca.doc_id").alias("jc"),
+                          F.col("ar.doc_id").alias("ja"))
+                 .agg(F.count(F.lit(1)).alias("n_common"),
+                      F.min(F.col("ca.n")).alias("na"),
+                      F.min(F.col("ar.n")).alias("nb")))
+        jac = (F.col("n_common") * F.lit(1.0)
+               / (F.col("na") + F.col("nb") - F.col("n_common")))
+        return (cross.filter(jac >= 0.8)
+                     .select(F.col("jc").alias("cid"),
+                             F.col("ja").alias("aid"),
+                             round_half_up(jac, 6).alias("jac6")))
+
+    # wave-1 ingest verdicts vs the corpus index → the dropped set
+    cand1 = collide(bands.filter(wave <= 2), bands.filter(wave == 3))
+    ver1 = (cand1.join(verified(tok.filter(wave <= 2),
+                                tok.filter(wave == 3)),
+                       ["cid", "aid"]))
+    dropped = ckpt(ver1.select(F.col("aid").alias("doc_id"))
+                       .distinct())
+
+    full_idx = bands.filter(wave <= 3)
+    compacted_idx = full_idx.join(dropped, "doc_id", "left_anti")
+    fresh_idx = _portable_bands(
+        d.filter(wave <= 3).join(dropped, "doc_id", "left_anti"))
+
+    # verified survivor×probe pairs, computed ONCE; the two servings
+    # differ in their CANDIDATE dataflow (compacted vs fresh bands)
+    tok_surv = (tok.filter(wave <= 3)
+                   .join(dropped, "doc_id", "left_anti"))
+    jp = verified(tok_surv, tok.filter(wave == 4))
+    probe_bands = bands.filter(wave == 4)
+
+    w = Window.partitionBy("aid").orderBy(F.col("jac6").desc(), "cid")
+
+    def serve(idx: DataFrame) -> DataFrame:
+        ver = collide(idx, probe_bands).join(jp, ["cid", "aid"])
+        return (ver.withColumn("rn", F.row_number().over(w))
+                   .filter(F.col("rn") == 1).drop("rn"))
+
+    b_comp = serve(compacted_idx)
+    b_fresh = serve(fresh_idx).select(
+        F.col("aid").alias("f_aid"), F.col("cid").alias("f_cid"),
+        F.col("jac6").alias("f_jac6"))
+
+    stats = (dropped.agg(F.count(F.lit(1)).cast("long")
+                          .alias("n_dropped_docs"))
+             .crossJoin(d.filter(wave <= 3)
+                         .join(dropped, "doc_id", "left_anti")
+                         .agg(F.count(F.lit(1)).cast("long")
+                               .alias("n_survivors")))
+             .crossJoin(full_idx.agg(F.count(F.lit(1)).cast("long")
+                                      .alias("n_bands_before")))
+             .crossJoin(compacted_idx.agg(
+                 F.count(F.lit(1)).cast("long")
+                  .alias("n_bands_after"))))
+
+    probes = d.filter(wave == 4).select("doc_id")
+    out = (probes
+           .join(b_comp, probes["doc_id"] == b_comp["aid"], "left")
+           .join(b_fresh, probes["doc_id"] == F.col("f_aid"), "left")
+           .crossJoin(F.broadcast(stats)))
+    return out.select(
+        F.col("doc_id").alias("probe_id"),
+        F.col("cid").alias("dup_of"),
+        F.col("jac6").alias("jaccard"),
+        F.when(F.col("cid").isNull(), "unique")
+         .otherwise("dup_of_survivor").alias("verdict"),
+        (F.col("cid").eqNullSafe(F.col("f_cid"))
+         & F.col("jac6").eqNullSafe(F.col("f_jac6")))
+         .alias("decisions_match"),
+        "n_dropped_docs", "n_survivors",
+        "n_bands_before", "n_bands_after",
+        ((F.col("n_bands_before") - F.col("n_bands_after")) * 10
+         >= F.col("n_bands_before")).alias("compaction_due"))
+
+
+# ---------------------------------------------------------------------------
 # OP-X3 — embedding similarity search (top-k cosine)
 # ---------------------------------------------------------------------------
 
