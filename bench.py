@@ -131,6 +131,16 @@ HEADLINE = (
     "x6_auc_exact",               # BIGINT Mann-Whitney AUC via staircase
     "x3_filtered_ann",            # pre-filtered IVF probe, 16-query batch
     "x8_dataset_card",            # one-scan corpus datasheet composition
+    # round-10 additions: the four r9 monitoring queries folded in
+    # (VERDICT r9 item 7 — sub-second, but headline-count auditability
+    # beats the rounding error they add), the a10 staircase rewrite
+    # (the percentile-purge completion), and the dedup maintain step
+    "x3_centroid_balance_report", # IVF cell-balance retrain trigger
+    "x5_norm_drift",              # double-banded staircase norm drift
+    "x6_score_drift_psi",         # 8-bin PSI on the model score
+    "a56_priority_mix_drift",     # categorical composition-shift monitor
+    "a10_quantile_pack",          # grouped exact quartiles via staircase
+    "x2_band_index_compaction",   # dedup band-index rewrite + dual serve
 )
 
 

@@ -821,3 +821,136 @@ def w15_up_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
                          .cast("long").alias("longest_up_streak"),
                         F.coalesce("n_streaks", F.lit(0))
                          .cast("long").alias("n_streaks")))
+
+
+# ---------------------------------------------------------------------------
+# W16 — maximum drawdown of the daily revenue level (r10)
+# ---------------------------------------------------------------------------
+
+@register(
+    "w16_revenue_drawdown",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, ts::DATE AS day,
+             CAST(SUM(CAST(CASE WHEN value < 0
+                  THEN -FLOOR(ABS(value) * 100.0 + 0.5)
+                  ELSE FLOOR(ABS(value) * 100.0 + 0.5) END
+                 AS BIGINT)) AS BIGINT) AS cents
+      FROM events GROUP BY 1, 2
+    ),
+    dd AS (
+      SELECT event_type, day, cents,
+             CAST(MAX(cents) OVER (PARTITION BY event_type ORDER BY day
+                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS peak,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY day) AS rn
+      FROM daily
+    ),
+    worst AS (
+      SELECT event_type, day, peak, peak - cents AS draw,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY peak - cents DESC, day) AS wr
+      FROM dd
+    ),
+    under AS (
+      SELECT event_type, rn,
+             rn - ROW_NUMBER() OVER (PARTITION BY event_type
+                                     ORDER BY rn) AS grp
+      FROM dd WHERE cents < peak
+    ),
+    spells AS (
+      SELECT event_type, COUNT(*) AS len
+      FROM under GROUP BY event_type, grp
+    )
+    SELECT d.event_type,
+           COUNT(*) AS n_days,
+           CAST(MAX(d.peak) AS BIGINT) AS peak_cents,
+           CAST(MAX(d.peak - d.cents) AS BIGINT) AS max_drawdown,
+           (SELECT CAST(w.day AS VARCHAR) FROM worst w
+            WHERE w.event_type = d.event_type AND w.wr = 1)
+             AS trough_day,
+           (SELECT CASE WHEN (w.draw * 1.0 / w.peak) < 0
+                 THEN -FLOOR(ABS(w.draw * 1.0 / w.peak)
+                             * 1000000.0 + 0.5)
+                 ELSE FLOOR(ABS(w.draw * 1.0 / w.peak)
+                            * 1000000.0 + 0.5) END / 1000000.0 + 0.0
+            FROM worst w
+            WHERE w.event_type = d.event_type AND w.wr = 1)
+             AS drawdown_frac,
+           CAST(SUM(CASE WHEN d.cents < d.peak THEN 1 ELSE 0 END)
+                AS BIGINT) AS underwater_days,
+           CAST(COALESCE((SELECT MAX(len) FROM spells s
+                          WHERE s.event_type = d.event_type), 0)
+                AS BIGINT) AS longest_underwater
+    FROM dd d GROUP BY d.event_type
+    """,
+)
+def w16_revenue_drawdown(spark: SparkSession,
+                         sf_dir: str) -> DataFrame:
+    """W16 — MAXIMUM DRAWDOWN of the daily revenue level per event
+    type: the worst peak-to-trough decline (running max of daily
+    cents minus the day's cents), WHEN it bottomed, the decline as a
+    fraction of the peak, and how long the series stays below a prior
+    peak — the canonical "how bad did it get and for how long" KPI
+    monitor beside w13's record days (new highs) and w14's channel
+    breakouts (new extremes). The design-time degeneracy probe
+    reframed this from the textbook cumulative-equity form: event
+    values are non-negative at every SF, so a cumulative curve is
+    monotone and its drawdown is identically zero — the LEVEL of
+    daily revenue is the series that actually draws down.
+
+    Determinism: cents are exact BIGINT, the running peak is an
+    integer MAX, the drawdown an integer difference; the trough day
+    is the FIRST day attaining the maximum (draw DESC, day ASC — a
+    total order); drawdown_frac is a class-A integer ratio through
+    the floor kernel at 6dp. All windows run over the per-day
+    aggregate (calendar-bounded rows per type — the a22/w14
+    discipline), and the underwater spells reuse w15's rn-difference
+    islands."""
+    ev = _t(spark, sf_dir, "events")
+    cents = F.when(
+        F.col("value") < 0,
+        -F.floor(F.abs(F.col("value")) * 100.0 + F.lit(0.5)),
+    ).otherwise(
+        F.floor(F.abs(F.col("value")) * 100.0 + F.lit(0.5))
+    ).cast("long")
+    daily = (ev.groupBy("event_type", F.to_date("ts").alias("day"))
+               .agg(F.sum(cents).alias("cents")))
+    wd = Window.partitionBy("event_type").orderBy("day")
+    dd = (daily
+          .withColumn("peak", F.max("cents").over(
+              wd.rowsBetween(Window.unboundedPreceding, 0))
+              .cast("long"))
+          .withColumn("rn", F.row_number().over(wd)))
+    draw = F.col("peak") - F.col("cents")
+    ww = Window.partitionBy("event_type").orderBy(
+        draw.desc(), "day")
+    worst = (dd.withColumn("wr", F.row_number().over(ww))
+               .filter(F.col("wr") == 1)
+               .select("event_type",
+                       F.col("day").cast("string").alias("trough_day"),
+                       round_half_up(draw * 1.0 / F.col("peak"), 6)
+                        .alias("drawdown_frac")))
+    wu = Window.partitionBy("event_type").orderBy("rn")
+    under = (dd.filter(F.col("cents") < F.col("peak"))
+               .withColumn("grp", F.col("rn")
+                           - F.row_number().over(wu)))
+    spells = (under.groupBy("event_type", "grp")
+                   .agg(F.count(F.lit(1)).alias("len"))
+                   .groupBy("event_type")
+                   .agg(F.max("len").cast("long")
+                         .alias("longest_underwater")))
+    base = (dd.groupBy("event_type")
+              .agg(F.count(F.lit(1)).alias("n_days"),
+                   F.max("peak").cast("long").alias("peak_cents"),
+                   F.max(draw).cast("long").alias("max_drawdown"),
+                   F.sum(F.when(F.col("cents") < F.col("peak"), 1)
+                          .otherwise(0)).cast("long")
+                    .alias("underwater_days")))
+    return (base.join(worst, "event_type")
+                .join(spells, "event_type", "left")
+                .select("event_type", "n_days", "peak_cents",
+                        "max_drawdown", "trough_day", "drawdown_frac",
+                        "underwater_days",
+                        F.coalesce("longest_underwater", F.lit(0))
+                         .cast("long").alias("longest_underwater")))

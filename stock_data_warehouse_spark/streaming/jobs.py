@@ -49,7 +49,10 @@ executor-side worker dies on
 server keeps waiting, so the failure mode is a silent hang, worse than
 the old import error. Re-probed round 9 (2026-08-15): ``import
 google.protobuf`` and the ``StateMessage_pb2`` import both still raise
-``ModuleNotFoundError`` — unchanged, still env-blocked.
+``ModuleNotFoundError`` — unchanged, still env-blocked. Re-probed
+round 10 (2026-08-15): same result (``google``, the
+``pyspark.sql.streaming.proto.StateMessage_pb2`` path, both
+ModuleNotFoundError).
 ``applyInPandasWithState`` covers the OP-T8/t27
 contracts; the TWS form is a drop-in rewrite (same per-key int64
 state, same oracle) once the dependency exists.

@@ -1,0 +1,173 @@
+"""Empirical scale probe (VERDICT r9 next-round #3): measure, don't argue.
+
+The 100x-scale claims for the scale-sensitive families rest on shuffle
+accounting (SCALE.md) and plan pins; this probe adds MEASUREMENT:
+inflate sf0.1 ~8x into a temp dir by unioning key-shifted copies (keys
+offset per copy so cardinalities scale), then time the families whose
+scaling is non-obvious at both sizes and report the ratio.
+
+Inflation semantics (this is a PERF probe, not a correctness gate — no
+oracle runs on the inflated data):
+
+- customer / orders / lineitem: ids offset by copy_index * (max_id + 1)
+  so key cardinality scales with the data (a naive row-duplication
+  would instead deepen every key group 8x and measure skew, not scale).
+- documents: doc_id offset; text alphabet ROTATED per copy
+  (translate on the lowercased text) so each copy's token/shingle
+  vocabulary is disjoint — the near-dup rate and the banded join's
+  df distribution stay CONSTANT while N and vocabulary grow 8x.
+  Duplicating text verbatim would give every doc 8 identical twins and
+  grow band collisions quadratically in the copy count — a skew test,
+  not a scale test (the same trap the modular-wave probe caught for
+  x2_band_index_compaction). doc_id offset is a multiple of 5, so the
+  modular wave splits keep their proportions.
+- embeddings: vec_id offset; the vector is circularly shifted by the
+  copy index so copies are geometrically distinct but norm-identical
+  (IVF/OOD cost is geometry-independent; exact-twin vectors would
+  degenerate every neighborhood).
+
+Run:  python tools/scale_probe.py [--factor 8] [--rebuild] [--only f1,f2]
+Emits one JSON line per family to stdout and a summary JSON at the end;
+progress to stderr. The adjudicated results live in BASELINE.md
+("Empirical scale probe" section).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+BASE = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+OUT = os.environ.get("SPARK_GRAFT_SCALE_DIR", "/tmp/scale_probe_sf0.8")
+N_ITER = int(os.environ.get("SPARK_GRAFT_BENCH_ITER", "2"))
+
+#: family -> registered query name. One representative per
+#: scale-sensitive mechanism named by the r9 verdict.
+FAMILIES = {
+    # staircase consumers: the level-2 N/B law under 8x N
+    "staircase_bounded_key": "a45_basket_quantiles",
+    "staircase_global_rank": "a52_spend_decile_profile",
+    "staircase_multi_pass": "a35_reorder_intervals",
+    "staircase_double_band": "x3_ood_score",
+    "staircase_midranks": "x6_auc_exact",
+    # banded near-dup joins: sum(df^2) growth under constant dup rate
+    "neardup_banded_join": "x2_neardup_minhash_portable",
+    "neardup_frozen_index": "x2_incremental_minhash",
+    "neardup_ingest_stream": "x2_incremental_minhash_stream",
+    # IVF: N x K_COARSE assignment (K fixed by hash-rank selection)
+    "ivf_build_serve": "x3_ivf_topk",
+}
+
+ALPHA = "abcdefghijklmnopqrstuvwxyz"
+
+
+def build(base: str, out: str, factor: int) -> None:
+    import duckdb
+
+    os.makedirs(out, exist_ok=True)
+    con = duckdb.connect()
+
+    def mx(table: str, key: str) -> int:
+        return con.sql(
+            f"SELECT MAX({key}) FROM '{base}/{table}.parquet'"
+        ).fetchone()[0] + 1
+
+    c_off, o_off, d_off = (mx("customer", "c_custkey"),
+                           mx("orders", "o_orderkey"),
+                           mx("documents", "doc_id"))
+    # documents/embeddings share the dense 0..N-1 id domain; keep the
+    # modular wave splits balanced by rounding the offset up to a
+    # multiple of 5 (5000 already is at sf0.1, but don't rely on it).
+    d_off += (-d_off) % 5
+
+    def inflate(table: str, replace: "callable") -> None:
+        parts = " UNION ALL ".join(
+            f"SELECT * REPLACE ({replace(k)}) "
+            f"FROM '{base}/{table}.parquet'" for k in range(factor))
+        con.sql(f"COPY ({parts}) TO '{out}/{table}.parquet' "
+                f"(FORMAT PARQUET)")
+        print(f"#  built {table}", file=sys.stderr)
+
+    inflate("customer", lambda k: f"c_custkey + {k * c_off} AS c_custkey")
+    inflate("orders", lambda k: (f"o_orderkey + {k * o_off} AS o_orderkey, "
+                                 f"o_custkey + {k * c_off} AS o_custkey"))
+    inflate("lineitem", lambda k: f"l_orderkey + {k * o_off} AS l_orderkey")
+
+    def rot(k: int) -> str:
+        shifted = ALPHA[k % 26:] + ALPHA[:k % 26]
+        return (f"doc_id + {k * d_off} AS doc_id, "
+                f"translate(lower(text), '{ALPHA}', '{shifted}') AS text")
+
+    inflate("documents", rot)
+    inflate("embeddings", lambda k: (
+        f"vec_id + {k * d_off} AS vec_id, "
+        f"(embedding[{k % 8 + 1}:] || embedding[1:{k % 8}])::FLOAT[] "
+        f"AS embedding"))
+
+    for t in ("region", "nation", "supplier", "part", "events"):
+        shutil.copyfile(f"{base}/{t}.parquet", f"{out}/{t}.parquet")
+    con.close()
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--factor", type=int, default=8)
+    ap.add_argument("--rebuild", action="store_true")
+    ap.add_argument("--only", default="")
+    args = ap.parse_args()
+
+    if args.rebuild and os.path.isdir(OUT):
+        shutil.rmtree(OUT)
+    if not os.path.isdir(OUT) or not os.listdir(OUT):
+        print(f"# building {OUT} ({args.factor}x {BASE})", file=sys.stderr)
+        build(BASE, OUT, args.factor)
+
+    from stock_data_warehouse_spark.session import get_spark
+    import __spark_entry__ as entry_mod
+
+    spark = get_spark("scale_probe")
+    qs = entry_mod.queries()
+    fams = {f: q for f, q in FAMILIES.items()
+            if not args.only or f in args.only.split(",")}
+
+    spark.read.parquet(f"{BASE}/lineitem.parquet").count()
+    spark.read.parquet(f"{OUT}/lineitem.parquet").count()
+
+    results = {}
+    for fam, name in fams.items():
+        row: dict = {"query": name}
+        for tag, d in (("base", BASE), ("scaled", OUT)):
+            runs = []
+            for _ in range(N_ITER):
+                t0 = time.time()
+                qs[name](spark, d)\
+                    .write.format("noop").mode("overwrite").save()
+                runs.append(round(time.time() - t0, 3))
+            row[tag] = min(runs)
+            row[f"{tag}_first"] = runs[0]
+        row["ratio"] = round(row["scaled"] / row["base"], 2)
+        row["ratio_per_x"] = round(row["ratio"] / args.factor, 3)
+        results[fam] = row
+        print(json.dumps({fam: row}), file=sys.stderr)
+
+    record = json.dumps({
+        "metric": "scale_probe",
+        "factor": args.factor,
+        "base": BASE,
+        "families": results,
+        "load_avg_1m": round(os.getloadavg()[0], 2),
+        "iterations": N_ITER,
+    })
+    spark.stop()
+    print(record, flush=True)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
