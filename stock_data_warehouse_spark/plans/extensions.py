@@ -10514,3 +10514,109 @@ def x6_score_drift_psi(spark: SparkSession,
         "bin_id", "n_base", "n_cur", "psi_term",
         F.round(tot_term, 6).cast("double").alias("psi_total"),
         (tot_term >= 0.1).alias("drift_alert"))
+
+
+# ---------------------------------------------------------------------------
+# X6 — McNemar's paired test: is classifier B actually better than A? (r10)
+# ---------------------------------------------------------------------------
+
+@register(
+    "x6_mcnemar_paired",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, lang, {SQL_TOKENS} AS toks FROM documents
+    ),
+    pred AS (
+      SELECT doc_id, (lang = 'en') AS truth,
+             (CAST(len(list_filter(toks, x -> x IN
+                    ('the', 'a', 'of', 'and', 'to', 'in'))) AS DOUBLE)
+                / GREATEST(len(toks), 1) >= 0.08) AS pa,
+             (len(list_filter(toks, x -> x IN ('the', 'and'))) >= 2)
+               AS pb
+      FROM t
+    ),
+    cnt AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(CASE WHEN pa = truth THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_a_correct,
+             CAST(SUM(CASE WHEN pb = truth THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_b_correct,
+             CAST(SUM(CASE WHEN pa = truth AND pb <> truth
+                  THEN 1 ELSE 0 END) AS BIGINT) AS n_only_a,
+             CAST(SUM(CASE WHEN pa <> truth AND pb = truth
+                  THEN 1 ELSE 0 END) AS BIGINT) AS n_only_b
+      FROM pred
+    )
+    SELECT n_docs, n_a_correct, n_b_correct, n_only_a, n_only_b,
+           {sql_round_half_up('n_a_correct * 1.0 / n_docs', 6)}
+             AS acc_a,
+           {sql_round_half_up('n_b_correct * 1.0 / n_docs', 6)}
+             AS acc_b,
+           {sql_round_half_up(
+               '(ABS(n_only_a - n_only_b) - 1)'
+               ' * (ABS(n_only_a - n_only_b) - 1) * 1.0'
+               ' / (n_only_a + n_only_b)', 6)} AS mcnemar_chi2,
+           ((ABS(n_only_a - n_only_b) - 1)
+            * (ABS(n_only_a - n_only_b) - 1) * 1.0
+            / (n_only_a + n_only_b) >= 3.841459) AS significant_5pct
+    FROM cnt
+    """,
+)
+def x6_mcnemar_paired(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X6 — McNEMAR'S PAIRED TEST on two language-ID rules scored
+    against the lang GROUND TRUTH (en vs other): classifier A is the
+    stopword-density rule (the x6_judge_agreement judge), B the
+    absolute-stopword-count rule. x6_judge_agreement's kappa asks "do
+    the judges agree with EACH OTHER"; this asks the deployment
+    question — "is B actually better than A" — the way it must be
+    asked on a SHARED eval set: only the DISCORDANT pairs carry
+    information (docs both get right or both get wrong cancel), so the
+    statistic is the continuity-corrected (|b−c|−1)²/(b+c) over the
+    two discordant counts, compared against the χ²₁ 5% critical
+    value. The marginal-accuracy gap alone overstates significance
+    because paired predictions are correlated — the standard error of
+    the DIFFERENCE lives entirely in b and c.
+
+    Scale shape: one tokenizing scan → a single 5-counter map-side
+    agg; the statistic is arithmetic on one row. Counts are exact
+    BIGINT; accuracies and the χ² value are class-A integer ratios
+    through the floor kernel at 6dp; the significance compare runs on
+    the raw (bit-identical) ratio against a literal. Discordance
+    probed non-degenerate at design time (b/c = 106/74, 99/77,
+    923/805 at the three SFs)."""
+    d = _t(spark, sf_dir, "documents")
+    toks = tokens_col("text")
+    stop6 = F.array(*[F.lit(s) for s in
+                      ("the", "a", "of", "and", "to", "in")])
+    stop2 = F.array(F.lit("the"), F.lit("and"))
+    pred = d.select(
+        (F.col("lang") == "en").alias("truth"),
+        ((F.size(F.filter(toks, lambda x: F.array_contains(stop6, x)))
+          * F.lit(1.0)
+          / F.greatest(F.size(toks), F.lit(1))) >= 0.08).alias("pa"),
+        (F.size(F.filter(toks, lambda x: F.array_contains(stop2, x)))
+         >= 2).alias("pb"))
+    cnt = pred.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.when(F.col("pa") == F.col("truth"), 1).otherwise(0))
+         .cast("long").alias("n_a_correct"),
+        F.sum(F.when(F.col("pb") == F.col("truth"), 1).otherwise(0))
+         .cast("long").alias("n_b_correct"),
+        F.sum(F.when((F.col("pa") == F.col("truth"))
+                     & (F.col("pb") != F.col("truth")), 1)
+               .otherwise(0)).cast("long").alias("n_only_a"),
+        F.sum(F.when((F.col("pa") != F.col("truth"))
+                     & (F.col("pb") == F.col("truth")), 1)
+               .otherwise(0)).cast("long").alias("n_only_b"))
+    chi2 = ((F.abs(F.col("n_only_a") - F.col("n_only_b")) - 1)
+            * (F.abs(F.col("n_only_a") - F.col("n_only_b")) - 1)
+            * F.lit(1.0)
+            / (F.col("n_only_a") + F.col("n_only_b")))
+    return cnt.select(
+        "n_docs", "n_a_correct", "n_b_correct", "n_only_a", "n_only_b",
+        round_half_up(F.col("n_a_correct") * 1.0 / F.col("n_docs"), 6)
+         .alias("acc_a"),
+        round_half_up(F.col("n_b_correct") * 1.0 / F.col("n_docs"), 6)
+         .alias("acc_b"),
+        round_half_up(chi2, 6).alias("mcnemar_chi2"),
+        (chi2 >= F.lit(3.841459)).alias("significant_5pct"))

@@ -1095,3 +1095,191 @@ def x9_shard_skew_report(spark: SparkSession,
                        (F.col("max_tokens") * 10 * F.col("n_shards")
                         <= 15 * F.col("all_tokens"))
                        .alias("balanced_ok")))
+
+
+# ---------------------------------------------------------------------------
+# X6 — Poisson-bootstrap CI for the exact AUC (r10): the x6_auc_exact
+# BIGINT midrank machinery composed with x7_poisson_bootstrap's
+# replicate weights. Lives in this module beside the Poisson CDF
+# constants (extensions.py cannot import sampling at module scope —
+# sampling imports extensions at line ~834).
+# ---------------------------------------------------------------------------
+
+_N_AUC_REPLICAS = 5
+
+
+@register(
+    "x6_bootstrap_auc_ci",
+    oracle=f"""
+    WITH pts AS (
+      SELECT vec_id, CAST(embedding[1] AS DOUBLE) AS score,
+             (label >= 5) AS y
+      FROM embeddings
+    ),
+    reps AS (SELECT UNNEST(range({_N_AUC_REPLICAS})) AS replica),
+    wpts AS (
+      SELECT r.replica, p.score, p.y,
+             {_pois_sql("(('0x' || substr(md5('bauc' "
+                        "|| CAST(r.replica AS VARCHAR) || ':' "
+                        "|| CAST(p.vec_id AS VARCHAR)), 1, 15))"
+                        "::BIGINT) / 1152921504606846976.0")} AS w
+      FROM pts p CROSS JOIN reps r
+    ),
+    per_s AS (
+      SELECT replica, score, CAST(SUM(w) AS BIGINT) AS n,
+             CAST(SUM(CASE WHEN y THEN w ELSE 0 END) AS BIGINT) AS np
+      FROM wpts GROUP BY replica, score
+    ),
+    ranked AS (
+      SELECT replica, n, np,
+             CAST(COALESCE(SUM(n) OVER (PARTITION BY replica
+               ORDER BY score
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS bef
+      FROM per_s
+    ),
+    reps_auc AS (
+      SELECT replica,
+             CAST(SUM(np) AS BIGINT) AS n_pos_eff,
+             CAST(SUM(n - np) AS BIGINT) AS n_neg_eff,
+             {sql_round_half_up(
+                 '(CAST(SUM(np * (2 * bef + n + 1)) AS BIGINT)'
+                 ' - CAST(SUM(np) AS BIGINT)'
+                 '   * (CAST(SUM(np) AS BIGINT) + 1)) * 1.0'
+                 ' / (2.0 * CAST(SUM(np) AS BIGINT)'
+                 '    * CAST(SUM(n - np) AS BIGINT))', 6)} AS auc_rep
+      FROM ranked GROUP BY replica
+    ),
+    pt_s AS (
+      SELECT score, COUNT(*) AS n,
+             CAST(SUM(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS np
+      FROM pts GROUP BY score
+    ),
+    pt_ranked AS (
+      SELECT n, np,
+             CAST(COALESCE(SUM(n) OVER (ORDER BY score
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS bef
+      FROM pt_s
+    ),
+    pt AS (
+      SELECT {sql_round_half_up(
+                 '(CAST(SUM(np * (2 * bef + n + 1)) AS BIGINT)'
+                 ' - CAST(SUM(np) AS BIGINT)'
+                 '   * (CAST(SUM(np) AS BIGINT) + 1)) * 1.0'
+                 ' / (2.0 * CAST(SUM(np) AS BIGINT)'
+                 '    * CAST(SUM(n - np) AS BIGINT))', 6)} AS point_auc
+      FROM pt_ranked
+    ),
+    env AS (
+      SELECT MIN(auc_rep) AS ci_lo, MAX(auc_rep) AS ci_hi
+      FROM reps_auc
+    )
+    SELECT r.replica, r.n_pos_eff, r.n_neg_eff, r.auc_rep,
+           p.point_auc, e.ci_lo, e.ci_hi,
+           (p.point_auc >= e.ci_lo AND p.point_auc <= e.ci_hi)
+             AS point_in_envelope
+    FROM reps_auc r CROSS JOIN pt p CROSS JOIN env e
+    """,
+)
+def x6_bootstrap_auc_ci(spark: SparkSession,
+                        sf_dir: str) -> DataFrame:
+    """X6 — POISSON-BOOTSTRAP spread of the EXACT AUC: every model
+    card that reports x6_auc_exact's one number should also say how
+    much that number moves under resampling of the eval set — the
+    difference between "0.51" and "0.51 ± noise floor" decides
+    whether a candidate model actually beats the incumbent. Classic
+    bootstrap resamples can't be coordinated across executors;
+    the Poisson trick (x7_poisson_bootstrap) gives every point an
+    independent pseudo-Poisson(1) weight per replica, and the
+    Mann-Whitney midrank algebra extends to integer weights
+    VERBATIM: a tied score group of total weight n occupies weighted
+    ranks bef+1..bef+n, so 2·R⁺ = Σ np·(2·bef + n + 1) with n/np the
+    WEIGHTED counts — the whole statistic stays BIGINT per replica,
+    zero float accumulation, exactly as in the unweighted form.
+
+    Each replica's weighted rank cumsum runs through the staircase
+    (``bucketed_cumsum`` partitioned by replica over score-domain
+    bands — never a per-replica global sort window); the replica
+    count is a literal 5, so the fan-out is a bounded projection
+    explode (one scan), and per-replica aggregates are one hash agg.
+    auc values are class-A integer ratios through the floor kernel
+    at 6dp; the min/max envelope and the point-in-envelope gate
+    compare those bit-identical rounded values. Poisson coins are
+    the portable md5 hex keyed by (replica, vec_id) against the
+    literal CDF thresholds (truncated at 6) — byte-replayable in the
+    oracle."""
+    from ..operators.staircase import (bucketed_cumsum,
+                                       double_value_bucket)
+    from ..functions.scalars import round_half_up as _rhu
+
+    e = load_table(spark, sf_dir, "embeddings")
+    pts = e.select(
+        "vec_id",
+        F.element_at(F.transform("embedding",
+                                 lambda x: x.cast("double")), 1)
+         .alias("score"),
+        (F.col("label") >= 5).alias("y"))
+    reps = pts.withColumn(
+        "replica",
+        F.explode(F.array(*[F.lit(i)
+                            for i in range(_N_AUC_REPLICAS)])))
+    u = (F.conv(F.substring(
+            F.md5(F.concat(F.lit("bauc"),
+                           F.col("replica").cast("string"),
+                           F.lit(":"),
+                           F.col("vec_id").cast("string"))),
+            1, 15), 16, 10).cast("long")
+         / F.lit(1152921504606846976.0))
+    w = F.lit(6)
+    for k, t in reversed(list(enumerate(_POIS_CDF))):
+        w = F.when(u < t, F.lit(k)).otherwise(w)
+
+    def midrank_auc(per_s: DataFrame, part: list[str],
+                    out: str) -> DataFrame:
+        ranked = bucketed_cumsum(
+            per_s.withColumn(
+                "_qb", double_value_bucket(F.col("score"), 4096.0)),
+            part, ["_qb"], [F.col("_qb")], [F.col("score")],
+            F.col("n"), out="_cum")
+        ranked = ranked.withColumn("bef",
+                                   F.col("_cum") - F.col("n"))
+        g = ranked.groupBy(*part) if part else ranked.groupBy()
+        s = g.agg(
+            F.sum(F.col("np") * (2 * F.col("bef") + F.col("n") + 1))
+             .cast("long").alias("r2"),
+            F.sum("np").cast("long").alias("n_pos"),
+            F.sum(F.col("n") - F.col("np")).cast("long")
+             .alias("n_neg"))
+        u2 = F.col("r2") - F.col("n_pos") * (F.col("n_pos") + 1)
+        return s.withColumn(
+            out, _rhu(u2 * 1.0
+                      / (2.0 * F.col("n_pos") * F.col("n_neg")), 6))
+
+    per_s = (reps.withColumn("w", w)
+                 .groupBy("replica", "score")
+                 .agg(F.sum("w").cast("long").alias("n"),
+                      F.sum(F.when(F.col("y"), F.col("w"))
+                             .otherwise(0)).cast("long")
+                       .alias("np")))
+    reps_auc = (midrank_auc(per_s, ["replica"], "auc_rep")
+                .select("replica",
+                        F.col("n_pos").alias("n_pos_eff"),
+                        F.col("n_neg").alias("n_neg_eff"),
+                        "auc_rep"))
+
+    pt_s = (pts.groupBy("score")
+               .agg(F.count(F.lit(1)).cast("long").alias("n"),
+                    F.sum(F.when(F.col("y"), 1).otherwise(0))
+                     .cast("long").alias("np")))
+    point = midrank_auc(pt_s, [], "point_auc").select("point_auc")
+
+    env = reps_auc.agg(F.min("auc_rep").alias("ci_lo"),
+                       F.max("auc_rep").alias("ci_hi"))
+    return (reps_auc.crossJoin(F.broadcast(point))
+                    .crossJoin(F.broadcast(env))
+                    .select("replica", "n_pos_eff", "n_neg_eff",
+                            "auc_rep", "point_auc", "ci_lo", "ci_hi",
+                            ((F.col("point_auc") >= F.col("ci_lo"))
+                             & (F.col("point_auc") <= F.col("ci_hi")))
+                             .alias("point_in_envelope")))

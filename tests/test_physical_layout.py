@@ -582,6 +582,9 @@ _STAIRCASE_CONSUMERS = [
     # staircase relation instead of re-buffering.
     ("relational", "a10_quantile_pack", (), ()),
     ("relational", "a10_approx_quantile_sketch", (), ()),
+    # r10: per-replica weighted midrank cumsum (replica is the bounded
+    # 5-value literal dim; the rank work rides the _qb bands)
+    ("sampling", "x6_bootstrap_auc_ci", (), ()),
 ]
 
 
