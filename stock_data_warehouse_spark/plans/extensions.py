@@ -10620,3 +10620,150 @@ def x6_mcnemar_paired(spark: SparkSession, sf_dir: str) -> DataFrame:
          .alias("acc_b"),
         round_half_up(chi2, 6).alias("mcnemar_chi2"),
         (chi2 >= F.lit(3.841459)).alias("significant_5pct"))
+
+
+# ---------------------------------------------------------------------------
+# X3 — PQ codebook distortion report: when does the quantizer retrain? (r10)
+# ---------------------------------------------------------------------------
+
+@register(
+    "x3_pq_distortion_report",
+    oracle=f"""
+    WITH v AS (
+      SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+    ),
+    sub AS (
+      SELECT vec_id, j, e[j * 8 + 1 : j * 8 + 8] AS sv
+      FROM v CROSS JOIN (SELECT UNNEST(range(8))::INT AS j)
+    ),
+    cbv AS (SELECT vec_id FROM v {_sql_hash_sample(_H_CODE, K_CODES)}),
+    cb AS (
+      SELECT s.vec_id AS cid, s.j, s.sv AS cv
+      FROM sub s JOIN cbv ON s.vec_id = cbv.vec_id
+    ),
+    d AS (
+      SELECT s.vec_id, s.j,
+             MIN({_sql_l2sq('s.sv', 'c.cv')}) AS d2
+      FROM sub s JOIN cb c ON s.j = c.j
+      GROUP BY s.vec_id, s.j
+    ),
+    tot AS (
+      SELECT vec_id,
+             list_reduce(list_prepend(0.0,
+               [x.d2 FOR x IN list_sort(list(struct_pack(j := j,
+                                                         d2 := d2)))]),
+               (acc, x) -> acc + x) AS td2
+      FROM d GROUP BY vec_id
+    ),
+    q AS (
+      SELECT quantile_cont(td2, 0.5) AS p50_total,
+             quantile_cont(td2, 0.95) AS p95_total
+      FROM tot
+    ),
+    per_j AS (
+      SELECT j, COUNT(*) AS n_vecs,
+             CAST(SUM(CAST(FLOOR(d2 * 1000000.0 + 0.5) AS BIGINT))
+                  AS BIGINT) AS mu
+      FROM d GROUP BY j
+    ),
+    ranked AS (
+      SELECT j, n_vecs, mu,
+             ROW_NUMBER() OVER (ORDER BY mu DESC, j) AS wr
+      FROM per_j
+    )
+    SELECT r.j AS subspace, r.n_vecs,
+           {sql_round_half_up(
+               'r.mu * 1.0 / (r.n_vecs * 1000000.0)', 6)}
+             AS mean_d2,
+           (r.wr = 1) AS worst_subspace,
+           q.p50_total, q.p95_total
+    FROM ranked r CROSS JOIN q
+    """,
+)
+def x3_pq_distortion_report(spark: SparkSession,
+                            sf_dir: str) -> DataFrame:
+    """X3 — PQ RECONSTRUCTION-DISTORTION report, the monitoring layer
+    for the quantizer itself: per subspace, the mean squared error
+    between each subvector and its nearest codebook entry (the
+    quantity PQ training minimizes — Jégou et al. §II), plus the
+    corpus-wide p50/p95 of per-vector TOTAL distortion. The x3 family
+    already watches cell ASSIGNMENT health (x3_centroid_balance_report
+    — when the coarse quantizer retrains) and delete debt
+    (x3_index_compaction); this is the third trigger: codebooks
+    trained on last month's distribution drift as the corpus moves,
+    distortion creeps, and recall falls with NO visible change in
+    cell balance — distortion is the leading indicator, recall the
+    lagging one. ``worst_subspace`` names the codebook to retrain
+    first (exact-BIGINT argmax over µ-scaled sums, j tiebreak).
+
+    Engine parity: per-(vector, subspace) d2 is a MIN over identical
+    sequential-fold doubles; the per-vector total sums its 8 entries
+    in EXPLICIT j-order (collect → sort → fold — the x3_pq_topk
+    discipline, never an unordered double SUM); subspace means are
+    class-A integer ratios of floor-µ-scaled BIGINTs; the p50/p95 run
+    through the double-banded staircase lookup
+    (``double_value_bucket`` at scale 4096 over the [0, ~1) d2
+    domain — never a buffering percentile), interpolated with the
+    two-product kernel both engines run.
+
+    Scale shape: encode joins N×8 subvectors against the ckpt'd
+    constant-size codebook (K_CODES×8 rows, broadcast); per-subspace
+    stats are an 8-row agg; the quantile bands are bounded by the
+    distortion DOMAIN, not N. The float vector table never shuffles
+    after the subvector explode."""
+    from ..operators.staircase import (bucketed_exact_quantiles,
+                                       double_value_bucket)
+    e = _t(spark, sf_dir, "embeddings")
+    v = e.select("vec_id", _as_double_vec("embedding").alias("e"))
+    sub = v.select(
+        "vec_id",
+        F.posexplode(F.array(*[F.slice("e", 8 * j + 1, 8)
+                               for j in range(8)])).alias("j", "sv"))
+    cb_ids = _hash_sample(v.select("vec_id"), K_CODES, _H_CODE)
+    cb = ckpt(sub.join(F.broadcast(cb_ids), "vec_id")
+                 .select(F.col("vec_id").alias("cid"), "j",
+                         F.col("sv").alias("cv")))
+
+    def l2sq(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0), lambda acc, x: acc + x)
+
+    # the encode relation feeds BOTH the per-subspace report and the
+    # per-vector totals: materialize it once (the cb ckpt precedent)
+    d = ckpt(sub.alias("s")
+                .join(F.broadcast(cb), F.col("s.j") == cb["j"])
+                .groupBy(F.col("s.vec_id").alias("vec_id"),
+                         F.col("s.j").alias("j"))
+                .agg(F.min(l2sq(F.col("s.sv"), F.col("cv")))
+                      .alias("d2")))
+    # the staircase walks `tot` several times (count spec, band
+    # stats, rank lookup): materialize the two-column totals once so
+    # each pass reads N rows, not the re-aggregated encode subtree
+    tot = ckpt(d.groupBy("vec_id")
+                .agg(F.aggregate(
+                    F.transform(
+                        F.array_sort(F.collect_list(
+                            F.struct("j", "d2"))),
+                        lambda s: s["d2"]),
+                    F.lit(0.0), lambda acc, x: acc + x).alias("td2")))
+    qs = bucketed_exact_quantiles(
+        tot, [], "td2", [0.5, 0.95],
+        bucket=double_value_bucket(F.col("td2"), 4096.0))
+    per_j = (d.groupBy("j")
+              .agg(F.count(F.lit(1)).alias("n_vecs"),
+                   F.sum(F.floor(F.col("d2") * 1000000.0
+                                 + F.lit(0.5)).cast("long"))
+                    .cast("long").alias("mu")))
+    ww = Window.partitionBy().orderBy(F.col("mu").desc(), "j")
+    ranked = per_j.withColumn("wr", F.row_number().over(ww))
+    return (ranked
+            .crossJoin(F.broadcast(
+                qs.select(F.col("q0").alias("p50_total"),
+                          F.col("q1").alias("p95_total"))))
+            .select(F.col("j").alias("subspace"), "n_vecs",
+                    round_half_up(F.col("mu") * 1.0
+                                  / (F.col("n_vecs") * 1000000.0), 6)
+                     .alias("mean_d2"),
+                    (F.col("wr") == 1).alias("worst_subspace"),
+                    "p50_total", "p95_total"))

@@ -585,6 +585,9 @@ _STAIRCASE_CONSUMERS = [
     # r10: per-replica weighted midrank cumsum (replica is the bounded
     # 5-value literal dim; the rank work rides the _qb bands)
     ("sampling", "x6_bootstrap_auc_ci", (), ()),
+    # r10: total-distortion p50/p95 via double bands; the `mu` window
+    # ranks the 8-row per-subspace aggregate (bounded by construction)
+    ("extensions", "x3_pq_distortion_report", (), ("mu",)),
 ]
 
 
