@@ -141,6 +141,10 @@ HEADLINE = (
     "a56_priority_mix_drift",     # categorical composition-shift monitor
     "a10_quantile_pack",          # grouped exact quartiles via staircase
     "x2_band_index_compaction",   # dedup band-index rewrite + dual serve
+    "x2_band_compaction_stream",  # rolling store + mid-stream compaction
+    "w16_revenue_drawdown",       # running-peak drawdown monitor
+    "x6_bootstrap_auc_ci",        # Poisson-replicate AUC envelope
+    "x3_pq_distortion_report",    # codebook-drift retrain trigger
 )
 
 

@@ -122,6 +122,7 @@ STREAM_ADMISSION: dict[str, int] = {
     "t33_exactly_once_sink": 1,
     "x3_ivf_ingest_stream": 1,
     "x2_incremental_minhash_stream": 1,
+    "x2_band_compaction_stream": 1,
 }
 
 #: State-store partition count for the ADVANCING-FRONTIER replays
@@ -3160,3 +3161,306 @@ def x2_incremental_minhash_stream(spark: SparkSession,
                     F.lit(bool(multi_batch_ok)).alias("multi_batch_ok"),
                     "verdicts_match_batch", "index_appended",
                     "corpus_untouched"))
+
+
+# ---------------------------------------------------------------------------
+# X2 (streaming) — ONLINE band-index compaction mid-stream: the store
+# rolls (each batch probes corpus + prior arrivals), accrues dup debt,
+# compacts BETWEEN micro-batches, and the next batch serves from the
+# rewritten store (r10 — composes x2_incremental_minhash_stream's
+# ingest with x2_band_index_compaction's maintain step)
+# ---------------------------------------------------------------------------
+
+@register(
+    "x2_band_compaction_stream",
+    oracle=f"""
+    WITH {_X2_SQL_JPAIRS},
+    jsym AS (SELECT doc_a AS x, doc_b AS y, jac FROM jpairs
+             UNION ALL SELECT doc_b, doc_a, jac FROM jpairs),
+    shingled AS (SELECT doc_id, s FROM sh WHERE len(s) > 0),
+    mh AS (
+      SELECT t1.doc_id, t.i,
+             min(md5(CAST(t.i AS VARCHAR) || ':' || t1.shingle)) AS mh
+      FROM (SELECT doc_id, unnest(s) AS shingle FROM shingled) t1
+      CROSS JOIN range(16) t(i)
+      GROUP BY t1.doc_id, t.i
+    ),
+    bands AS (
+      SELECT doc_id, i // 4 AS band_idx,
+             md5(string_agg(mh, '|' ORDER BY i)) AS band_hash
+      FROM mh GROUP BY doc_id, i // 4
+    ),
+    coll AS (
+      SELECT DISTINCT c.doc_id AS x, a.doc_id AS y
+      FROM bands c JOIN bands a
+        ON c.band_idx = a.band_idx AND c.band_hash = a.band_hash
+      WHERE c.doc_id <> a.doc_id
+    ),
+    mt AS (
+      SELECT co.x, co.y, {{jac6}} AS jac6
+      FROM coll co JOIN jsym j ON j.x = co.x AND j.y = co.y
+    ),
+    a0 AS (SELECT doc_id FROM documents
+           WHERE doc_id >= 400 AND doc_id % 3 = 0),
+    a1 AS (SELECT doc_id FROM documents
+           WHERE doc_id >= 400 AND doc_id % 3 = 1),
+    a2 AS (SELECT doc_id FROM documents
+           WHERE doc_id >= 400 AND doc_id % 3 = 2),
+    ver0 AS (
+      SELECT m.y AS aid, m.x AS cid, m.jac6 FROM mt m
+      JOIN a0 ON a0.doc_id = m.y WHERE m.x < 400
+    ),
+    u0 AS (SELECT doc_id FROM a0
+           WHERE doc_id NOT IN (SELECT aid FROM ver0)),
+    ver1 AS (
+      SELECT m.y AS aid, m.x AS cid, m.jac6 FROM mt m
+      JOIN a1 ON a1.doc_id = m.y
+      WHERE m.x < 400 OR m.x IN (SELECT doc_id FROM a0)
+    ),
+    u1 AS (SELECT doc_id FROM a1
+           WHERE doc_id NOT IN (SELECT aid FROM ver1)),
+    ver2 AS (
+      SELECT m.y AS aid, m.x AS cid, m.jac6 FROM mt m
+      JOIN a2 ON a2.doc_id = m.y
+      WHERE m.x < 400 OR m.x IN (SELECT doc_id FROM u0)
+         OR m.x IN (SELECT doc_id FROM u1)
+    ),
+    allver AS (
+      SELECT * FROM ver0 UNION ALL
+      SELECT * FROM ver1 UNION ALL
+      SELECT * FROM ver2
+    ),
+    best AS (
+      SELECT aid, cid, jac6,
+             ROW_NUMBER() OVER (PARTITION BY aid
+                                ORDER BY jac6 DESC, cid) AS rn
+      FROM allver
+    )
+    SELECT
+      CAST((SELECT COUNT(*) FROM documents WHERE doc_id >= 400)
+           AS BIGINT) AS n_arrivals,
+      CAST((SELECT COUNT(DISTINCT aid) FROM ver0) AS BIGINT)
+        AS n_dups_b0,
+      CAST((SELECT COUNT(DISTINCT aid) FROM ver1) AS BIGINT)
+        AS n_dups_b1,
+      CAST((SELECT COUNT(DISTINCT aid) FROM ver2) AS BIGINT)
+        AS n_dups_b2,
+      CAST((SELECT COUNT(*) FROM documents WHERE doc_id >= 400)
+           - (SELECT COUNT(DISTINCT aid) FROM allver) AS BIGINT)
+        AS n_unique,
+      CAST(COALESCE((SELECT SUM(CAST(FLOOR(jac6 * 1000000.0 + 0.5)
+                                     AS BIGINT))
+                     FROM best WHERE rn = 1), 0) AS BIGINT)
+        AS jac6_mass,
+      TRUE AS multi_batch_ok,
+      TRUE AS compaction_shrunk,
+      TRUE AS store_final_ok
+    """.format(jac6=_sql_rhu("j.jac", 6)),
+)
+def x2_band_compaction_stream(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """X2 — the dedup index MAINTAINED ONLINE, inside the stream:
+    x2_incremental_minhash_stream probes a FROZEN corpus index
+    (arrivals never probe each other); x2_band_index_compaction
+    rewrites a store once, offline. This composes them into the shape
+    a real dedup service runs: a ROLLING store (every micro-batch
+    probes corpus + everything appended so far), dup debt accruing
+    per batch, and a COMPACTION between micro-batches (after batch
+    1) that rewrites the store to verdict-unique survivors — so
+    batch 2 serves from a physically different, smaller index whose
+    DECISIONS must still follow the sequential semantics.
+
+    Sequential contract (batch-size-pinned, so the oracle can replay
+    it level by level): arrival batches are ``doc_id % 3`` in staged
+    mtime order; a batch's probe target is the store SNAPSHOT at
+    batch start (verdict writes precede appends, so within-batch
+    pairs never match — the snapshot is what a service's index
+    actually held); batch 0 sees corpus; batch 1 sees corpus + ALL
+    of batch 0 (dup debt included — compaction hasn't run yet);
+    batch 2 sees corpus + unique(b0) + unique(b1) (the compacted
+    store). The design-time probe confirmed arrival-vs-arrival dups
+    exist at every SF (2/4/418), so the rolling store genuinely
+    changes verdicts vs the frozen-corpus form.
+
+    Verdict columns: the per-batch dup counts, unique count and
+    best-match jac6 mass replay EXACTLY in the oracle (portable md5
+    family); ``multi_batch_ok`` (3 data batches, all staged rows
+    admitted), ``compaction_shrunk`` (the rewrite dropped rows) and
+    ``store_final_ok`` (final store bands set-equal corpus ∪
+    unique(b0,b1) ∪ ALL b2 bands — append/compact discipline) are
+    engine-computed, oracle-pinned TRUE.
+
+    Scale: per-batch cost O(batch·bands + collisions) against the
+    CURRENT store; compaction is one anti-join rewrite into a new
+    versioned dir (never an in-place overwrite — the s10/s27
+    versioned-publish posture), after which probes stop paying for
+    dup docs — the probe target tracks unique corpus size."""
+    from ..plans.extensions import _portable_bands, shingles_col, tokens_col
+    from ..functions.scalars import round_half_up
+    from ..sources.tables import load_table
+
+    out_dir = _mkdtemp(prefix="x2_band_compact_stream_")
+    verd_dir = f"{out_dir}/verdicts"
+    stage = f"{out_dir}/arrivals"
+    state = {"v": 0, "pre": -1, "post": -1}
+
+    def idx_dir() -> str:
+        return f"{out_dir}/band_index_v{state['v']}"
+
+    def post_dir() -> str:
+        return f"{out_dir}/postings_v{state['v']}"
+
+    d = load_table(spark, sf_dir, "documents")
+    corpus = d.filter(F.col("doc_id") < 400)
+    arrivals = d.filter(F.col("doc_id") >= 400)
+
+    def postings(docs: DataFrame) -> DataFrame:
+        return (docs.select("doc_id",
+                            shingles_col(tokens_col("text"))
+                            .alias("s"))
+                    .select("doc_id", F.size("s").alias("n"),
+                            F.explode("s").alias("shingle")))
+
+    _portable_bands(corpus).write.parquet(idx_dir())
+    postings(corpus).write.parquet(post_dir())
+
+    n_staged = _write_arrival_files(
+        spark, arrivals.select("doc_id", "text")
+                       .withColumn("arrival", F.col("doc_id") % 3),
+        stage, n_files=3)
+
+    def dedup_batch(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df = batch_df.localCheckpoint(eager=True)
+        b_bands = _portable_bands(batch_df).localCheckpoint(eager=True)
+        b_post = postings(batch_df).localCheckpoint(eager=True)
+        # snapshot reads are lazy; the verdict WRITE below is the
+        # action that lists the store dirs — appends come after it,
+        # so the probe target is exactly the batch-start snapshot
+        snap_idx = spark.read.parquet(idx_dir())
+        cand = (snap_idx.alias("c")
+                .join(b_bands.alias("a"),
+                      (F.col("c.band_idx") == F.col("a.band_idx"))
+                      & (F.col("c.band_hash") == F.col("a.band_hash")))
+                .select(F.col("c.doc_id").alias("cid"),
+                        F.col("a.doc_id").alias("aid"))
+                .distinct())
+        c_post = (spark.read.parquet(post_dir())
+                       .join(cand.select(F.col("cid").alias("doc_id"))
+                                 .distinct(),
+                             "doc_id", "semi").alias("ca"))
+        cross = (c_post.join(b_post.alias("ar"),
+                             F.col("ca.shingle") == F.col("ar.shingle"))
+                       .groupBy(F.col("ca.doc_id").alias("jc"),
+                                F.col("ar.doc_id").alias("ja"))
+                       .agg(F.count(F.lit(1)).alias("n_common"),
+                            F.min(F.col("ca.n")).alias("na"),
+                            F.min(F.col("ar.n")).alias("nb")))
+        jac = (F.col("n_common") * F.lit(1.0)
+               / (F.col("na") + F.col("nb") - F.col("n_common")))
+        jp = (cross.filter(jac >= 0.8)
+                   .select("jc", "ja", jac.alias("jac")))
+        ver = (cand.join(jp, (jp["jc"] == cand["cid"])
+                             & (jp["ja"] == cand["aid"]))
+                   .select("aid", "cid",
+                           round_half_up(F.col("jac"), 6)
+                           .alias("jac6")))
+        w = Window.partitionBy("aid").orderBy(
+            F.col("jac6").desc(), "cid")
+        best = (ver.withColumn("rn", F.row_number().over(w))
+                   .filter(F.col("rn") == 1))
+        batch_ids = batch_df.select("doc_id")
+        verdicts = (batch_ids
+                    .join(best, batch_ids["doc_id"] == best["aid"],
+                          "left")
+                    .select("doc_id",
+                            F.col("cid").alias("dup_of"),
+                            F.col("jac6").alias("jaccard"),
+                            F.when(F.col("cid").isNull(), "unique")
+                             .otherwise("dup_of_store")
+                             .alias("verdict")))
+        verdicts.write.mode("append").parquet(verd_dir)
+        b_bands.write.mode("append").parquet(idx_dir())
+        b_post.write.mode("append").parquet(post_dir())
+        if batch_id == 1:
+            # ONLINE COMPACTION: rewrite the store into a NEW
+            # versioned dir keeping only verdict-unique survivors
+            dups = (spark.read.parquet(verd_dir)
+                         .filter(F.col("verdict") == "dup_of_store")
+                         .select("doc_id").distinct()
+                         .localCheckpoint(eager=True))
+            old_idx = (spark.read.parquet(idx_dir())
+                            .localCheckpoint(eager=True))
+            old_post = (spark.read.parquet(post_dir())
+                             .localCheckpoint(eager=True))
+            state["pre"] = old_idx.count()
+            state["v"] += 1
+            old_idx.join(dups, "doc_id", "left_anti") \
+                   .write.parquet(idx_dir())
+            old_post.join(dups, "doc_id", "left_anti") \
+                    .write.parquet(post_dir())
+            state["post"] = (spark.read.parquet(idx_dir())
+                                  .count())
+
+    s = (spark.readStream
+         .schema("doc_id long, text string")
+         .option("maxFilesPerTrigger", str(STREAM_ADMISSION[
+             "x2_band_compaction_stream"]))
+         .option("recursiveFileLookup", "true")
+         .parquet(stage))
+    sq = (s.writeStream
+           .foreachBatch(dedup_batch)
+           .option("checkpointLocation", f"{out_dir}/checkpoint")
+           .trigger(availableNow=True)
+           .start())
+    sq.awaitTermination()
+    data_batches = [pr for pr in sq.recentProgress
+                    if pr["numInputRows"] > 0]
+    admitted = sum(pr["numInputRows"] for pr in data_batches)
+    multi_batch_ok = len(data_batches) == 3 and admitted == n_staged
+    compaction_shrunk = 0 <= state["post"] < state["pre"]
+
+    # --- referees (test scaffolding; the graded path is the stream)
+    streamed = spark.read.parquet(verd_dir)
+    uniq01 = (streamed.filter((F.col("verdict") == "unique")
+                              & (F.col("doc_id") % 3 != 2))
+                      .select("doc_id"))
+    expected_ids = (corpus.select("doc_id")
+                    .unionByName(uniq01)
+                    .unionByName(arrivals
+                                 .filter(F.col("doc_id") % 3 == 2)
+                                 .select("doc_id")))
+    expected_bands = _portable_bands(
+        d.join(expected_ids, "doc_id", "semi"))
+    m_idx = spark.read.parquet(idx_dir())
+
+    def set_eq(a, b, name):
+        return (a.exceptAll(b).agg(F.count(F.lit(1)).alias("_x"))
+                 .crossJoin(b.exceptAll(a)
+                             .agg(F.count(F.lit(1)).alias("_y")))
+                 .select(((F.col("_x") == 0) & (F.col("_y") == 0))
+                         .alias(name)))
+
+    jac6_mass = F.coalesce(
+        F.sum(F.floor(F.col("jaccard") * 1000000.0 + F.lit(0.5))
+               .cast("long")), F.lit(0)).cast("long")
+    dup = F.col("verdict") == "dup_of_store"
+    return (streamed.agg(
+                F.count(F.lit(1)).cast("long").alias("n_arrivals"),
+                F.sum(F.when(dup & (F.col("doc_id") % 3 == 0), 1)
+                       .otherwise(0)).cast("long").alias("n_dups_b0"),
+                F.sum(F.when(dup & (F.col("doc_id") % 3 == 1), 1)
+                       .otherwise(0)).cast("long").alias("n_dups_b1"),
+                F.sum(F.when(dup & (F.col("doc_id") % 3 == 2), 1)
+                       .otherwise(0)).cast("long").alias("n_dups_b2"),
+                F.sum(F.when(~dup, 1).otherwise(0)).cast("long")
+                 .alias("n_unique"),
+                jac6_mass.alias("jac6_mass"))
+            .crossJoin(set_eq(m_idx, expected_bands,
+                              "store_final_ok"))
+            .select("n_arrivals", "n_dups_b0", "n_dups_b1",
+                    "n_dups_b2", "n_unique", "jac6_mass",
+                    F.lit(bool(multi_batch_ok))
+                     .alias("multi_batch_ok"),
+                    F.lit(bool(compaction_shrunk))
+                     .alias("compaction_shrunk"),
+                    "store_final_ok"))
