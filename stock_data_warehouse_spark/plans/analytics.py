@@ -3266,18 +3266,24 @@ def a35_reorder_intervals(spark: SparkSession,
     while Spark's truncates (caught live: a 457.5 p90 split 457 vs
     458), so a bare cast of any fractional double is never
     oracle-safe.  Customer joins PLAINLY (no broadcast hint — an
-    SF-scaling dim; AQE picks broadcast at small SFs, ADVICE r8)."""
+    SF-scaling dim; AQE picks broadcast at small SFs, ADVICE r8).
+    The gap relation is ckpt'd (VERDICT r9 noted item 3, measured
+    r10: the staircase walks it several times and the join+lag
+    subtree re-evaluated per pass — 2.2–3.8 s plain vs 1.0–2.0 s
+    materialized at sf0.1, alternating A/B)."""
     o = _t(spark, sf_dir, "orders")
     c = _t(spark, sf_dir, "customer")
     w = Window.partitionBy("o_custkey").orderBy("o_orderdate",
                                                 "o_orderkey")
-    gaps = (o.join(c.select("c_custkey", "c_mktsegment"),
-                   o.o_custkey == c.c_custkey)
-             .withColumn("prev_d", F.lag("o_orderdate").over(w))
-             .filter(F.col("prev_d").isNotNull())
-             .select(F.col("c_mktsegment").alias("mktsegment"),
-                     F.datediff("o_orderdate", "prev_d")
-                      .cast("long").alias("gap_days")))
+    from ..operators.checkpoint import ckpt
+    gaps = ckpt(
+        o.join(c.select("c_custkey", "c_mktsegment"),
+               o.o_custkey == c.c_custkey)
+         .withColumn("prev_d", F.lag("o_orderdate").over(w))
+         .filter(F.col("prev_d").isNotNull())
+         .select(F.col("c_mktsegment").alias("mktsegment"),
+                 F.datediff("o_orderdate", "prev_d")
+                  .cast("long").alias("gap_days")))
     from ..operators.staircase import bucketed_exact_quantiles
     qs = bucketed_exact_quantiles(gaps, ["mktsegment"], "gap_days",
                                   [0.5, 0.9])
