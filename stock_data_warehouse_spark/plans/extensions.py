@@ -10767,3 +10767,149 @@ def x3_pq_distortion_report(spark: SparkSession,
                      .alias("mean_d2"),
                     (F.col("wr") == 1).alias("worst_subspace"),
                     "p50_total", "p95_total"))
+
+
+# ---------------------------------------------------------------------------
+# X6 — Murphy decomposition of the Brier score (r10): calibration vs
+# discrimination, separated exactly
+# ---------------------------------------------------------------------------
+
+@register(
+    "x6_brier_decomposition",
+    oracle=f"""
+    WITH scored AS (
+      SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+             LEAST(len(list_filter({SQL_TOKENS},
+                       x -> list_contains({_ECE_STOPS_SQL}, x))) * 5.0
+                   / GREATEST(len({SQL_TOKENS}), 1), 1.0) AS p
+      FROM documents
+    ),
+    per_p AS (
+      SELECT p, COUNT(*) AS n,
+             CAST(SUM(y) AS BIGINT) AS pos
+      FROM scored GROUP BY p
+    ),
+    tot AS (
+      SELECT CAST(SUM(n) AS BIGINT) AS n_docs,
+             CAST(COUNT(*) AS BIGINT) AS n_scores,
+             CAST(SUM(pos) AS BIGINT) AS n_pos
+      FROM per_p
+    ),
+    terms AS (
+      SELECT
+        {{rel_t}} AS rel_t,
+        {{res_t}} AS res_t,
+        {{bri_t}} AS bri_t
+      FROM per_p CROSS JOIN tot
+    ),
+    sums AS (
+      SELECT
+        CAST(ROUND(SUM(CAST(rel_t AS DECIMAL(38,10))), 6) AS DOUBLE)
+          AS reliability,
+        CAST(ROUND(SUM(CAST(res_t AS DECIMAL(38,10))), 6) AS DOUBLE)
+          AS resolution,
+        CAST(ROUND(SUM(CAST(bri_t AS DECIMAL(38,10))), 6) AS DOUBLE)
+          AS brier
+      FROM terms
+    )
+    SELECT t.n_docs, t.n_scores,
+           {{base}} AS base_rate,
+           s.brier, s.reliability, s.resolution,
+           {{unc}} AS uncertainty,
+           (ABS(s.brier - (s.reliability - s.resolution
+                           + {{unc}})) <= 0.000002) AS identity_ok,
+           (s.resolution > s.reliability) AS skillful
+    FROM sums s CROSS JOIN tot t
+    """.format(
+        rel_t=sql_round_half_up(
+            "n * (p - pos * 1.0 / n) * (p - pos * 1.0 / n)"
+            " / n_docs", 8),
+        res_t=sql_round_half_up(
+            "n * (pos * 1.0 / n - n_pos * 1.0 / n_docs)"
+            " * (pos * 1.0 / n - n_pos * 1.0 / n_docs) / n_docs", 8),
+        bri_t=sql_round_half_up(
+            "(n * p * p - 2 * p * pos + pos) * 1.0 / n_docs", 8),
+        base=sql_round_half_up("t.n_pos * 1.0 / t.n_docs", 6),
+        unc=sql_round_half_up(
+            "(t.n_pos * 1.0 / t.n_docs)"
+            " * (1.0 - t.n_pos * 1.0 / t.n_docs)", 6),
+    ),
+)
+def x6_brier_decomposition(spark: SparkSession,
+                           sf_dir: str) -> DataFrame:
+    """X6 — the MURPHY DECOMPOSITION of the Brier score:
+    Brier = reliability − resolution + uncertainty, computed over
+    DISTINCT forecast values (not bins — the identity is exact only
+    when forecasts within a group are constant; a binned version
+    carries a within-bin variance residual that would make
+    ``identity_ok`` a tolerance judgement instead of an arithmetic
+    fact). x6_ece_report answers "is the score calibrated";
+    x6_auc_exact answers "does it rank"; this separates the two in
+    the SAME unit: reliability is the calibration penalty
+    (recalibration can remove it), resolution is the discrimination
+    credit (no recalibration can create it), uncertainty is the
+    irreducible base-rate floor. ``skillful`` = resolution exceeds
+    reliability — whether the classifier beats the always-base-rate
+    forecast after its miscalibration is paid for.
+
+    Determinism: the forecast p is the ECE detector's exact int ratio
+    (identical bits both engines), so per-distinct-p groups carry
+    exact (n, pos) BIGINTs; every decomposition term is a
+    deterministic double of exact ints — quantized per group through
+    the floor kernel at 8dp and summed as DECIMAL (order-free, the
+    ECE wterm pattern), final values rounded at 6dp. The direct
+    Brier expands per group as (n·p² − 2·p·pos + pos)/N, so the
+    identity check compares two independently-computed roundings —
+    tolerance 2e-6 covers only the quantization, not arithmetic
+    slack. Shape: one tokenizing scan → distinct-score hash agg
+    (bounded by the score DOMAIN) → one-row agg; no windows, no
+    sorts."""
+    d = _t(spark, sf_dir, "documents")
+    toks = tokens_col("text")
+    stops = F.array(*[F.lit(w) for w in _ECE_STOPS])
+    p = F.least(
+        F.size(F.filter(toks,
+                        lambda x: F.array_contains(stops, x))) * 5.0
+        / F.greatest(F.size(toks), F.lit(1)),
+        F.lit(1.0))
+    scored = d.select(
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("y"),
+        p.alias("p"))
+    per_p = (scored.groupBy("p")
+                   .agg(F.count(F.lit(1)).alias("n"),
+                        F.sum("y").cast("long").alias("pos")))
+    tot = per_p.agg(F.sum("n").cast("long").alias("n_docs"),
+                    F.count(F.lit(1)).cast("long").alias("n_scores"),
+                    F.sum("pos").cast("long").alias("n_pos"))
+    j = per_p.crossJoin(F.broadcast(tot))
+    o = F.col("pos") * 1.0 / F.col("n")
+    base = F.col("n_pos") * 1.0 / F.col("n_docs")
+    terms = j.select(
+        round_half_up(F.col("n") * (F.col("p") - o) * (F.col("p") - o)
+                      / F.col("n_docs"), 8).alias("rel_t"),
+        round_half_up(F.col("n") * (o - base) * (o - base)
+                      / F.col("n_docs"), 8).alias("res_t"),
+        round_half_up((F.col("n") * F.col("p") * F.col("p")
+                       - 2 * F.col("p") * F.col("pos")
+                       + F.col("pos")) * 1.0
+                      / F.col("n_docs"), 8).alias("bri_t"))
+
+    def dsum(c, name):
+        return (F.round(F.sum(F.col(c).cast("decimal(38,10)")), 6)
+                 .cast("double").alias(name))
+
+    sums = terms.agg(dsum("rel_t", "reliability"),
+                     dsum("res_t", "resolution"),
+                     dsum("bri_t", "brier"))
+    unc = round_half_up(base * (F.lit(1.0) - base), 6)
+    return (sums.crossJoin(F.broadcast(tot))
+                .select("n_docs", "n_scores",
+                        round_half_up(base, 6).alias("base_rate"),
+                        "brier", "reliability", "resolution",
+                        unc.alias("uncertainty"),
+                        (F.abs(F.col("brier")
+                               - (F.col("reliability")
+                                  - F.col("resolution") + unc))
+                         <= F.lit(0.000002)).alias("identity_ok"),
+                        (F.col("resolution") > F.col("reliability"))
+                         .alias("skillful")))
