@@ -5001,3 +5001,105 @@ def a56_priority_mix_drift(spark: SparkSession,
                         _rhu(share - pooled, 6).alias("share_drift"),
                         (F.abs(share - pooled) > 0.02)
                          .alias("drift_flag")))
+
+
+# ---------------------------------------------------------------------------
+# A57 — spend-decile migration between halves (r10)
+# ---------------------------------------------------------------------------
+
+@register(
+    "a57_decile_migration",
+    oracle=f"""
+    WITH bounds AS (
+      SELECT epoch_us(MIN(o_orderdate)) AS mn,
+             epoch_us(MAX(o_orderdate)) AS mx
+      FROM orders
+    ),
+    spend AS (
+      SELECT CASE WHEN epoch_us(o_orderdate) <= (mn + mx) // 2
+                  THEN 'H1' ELSE 'H2' END AS half,
+             o_custkey AS ck,
+             CAST(SUM({_CENTS_SQL_OTP}) AS BIGINT) AS cents
+      FROM orders, bounds
+      GROUP BY 1, 2
+    ),
+    n AS (SELECT half, COUNT(*) AS nh FROM spend GROUP BY half),
+    ranked AS (
+      SELECT half, ck,
+             ROW_NUMBER() OVER (PARTITION BY half
+                                ORDER BY cents, ck) AS rn
+      FROM spend
+    ),
+    classed AS (
+      SELECT r.half, r.ck, ((r.rn - 1) * 10) // n.nh AS dec
+      FROM ranked r JOIN n ON r.half = n.half
+    )
+    SELECT CAST(COALESCE(c1.dec, -1) AS BIGINT) AS decile_h1,
+           CAST(COALESCE(c2.dec, -1) AS BIGINT) AS decile_h2,
+           COUNT(*) AS n_customers
+    FROM (SELECT ck, dec FROM classed WHERE half = 'H1') c1
+    FULL OUTER JOIN (SELECT ck, dec FROM classed WHERE half = 'H2')
+      c2 ON c1.ck = c2.ck
+    GROUP BY 1, 2
+    """,
+)
+def a57_decile_migration(spark: SparkSession,
+                         sf_dir: str) -> DataFrame:
+    """A57 — SPEND-DECILE MIGRATION: every customer ranked into
+    equal-count spend deciles TWICE (first vs second half of the
+    order-date span, split at the exact epoch-µs midpoint — the a46
+    idiom) and cross-tabulated, with −1 for customers absent from a
+    half. a52 is the decile snapshot; this is the customer-level
+    MOVEMENT report a CRM retention team works from (a decile-8 →
+    decile-2 drop is a save-campaign trigger; −1 → anything is
+    acquisition; anything → −1 is quiet churn) — the customer twin
+    of a46's part-level ABC migration, probed non-degenerate at
+    design time (movers/stayers/single-half all > 0 at every SF).
+
+    Both per-half global ranks run as the staircase
+    (``bucketed_row_number`` with the half label carried through
+    part_cols — never a per-half sort window: 'half' is a 2-value
+    key, exactly the banned shape); decile assignment is the pure
+    integer cross-multiplication ((rn−1)·10) div n_half; the
+    cross-tab is one FULL OUTER self-join on the customer key and a
+    ≤ 11×11 bounded agg. Everything is exact integers end to end —
+    no rounding route anywhere."""
+    o = _t(spark, sf_dir, "orders")
+    od_us = F.unix_micros(F.col("o_orderdate").cast("timestamp"))
+    b = o.agg(F.min(od_us).alias("mn"), F.max(od_us).alias("mx"))
+    cents = F.when(
+        F.col("o_totalprice") < 0,
+        -F.floor(F.abs(F.col("o_totalprice")) * 100.0 + F.lit(0.5)),
+    ).otherwise(
+        F.floor(F.abs(F.col("o_totalprice")) * 100.0 + F.lit(0.5))
+    ).cast("long")
+    half = F.when(
+        od_us <= F.expr("(mn + mx) div 2"), "H1").otherwise("H2")
+    spend = (o.crossJoin(F.broadcast(b))
+              .groupBy(half.alias("half"),
+                       F.col("o_custkey").alias("ck"))
+              .agg(F.sum(cents).cast("long").alias("cents")))
+    from ..operators.staircase import (bucketed_row_number,
+                                       default_value_bucket)
+    ranked = bucketed_row_number(
+        spend.withColumn("_vb",
+                         default_value_bucket(F.col("cents"), 16)),
+        ["half"], ["_vb"], [F.col("_vb")],
+        [F.col("cents"), F.col("ck")], out="rn")
+    n = spend.groupBy("half").agg(F.count(F.lit(1)).alias("nh"))
+    classed = (ranked.join(F.broadcast(n), "half")
+                     .select("half", "ck",
+                             F.expr("((rn - 1) * 10) div nh")
+                              .alias("dec")))
+    c1 = (classed.filter(F.col("half") == "H1")
+                 .select(F.col("ck").alias("ck1"),
+                         F.col("dec").alias("d1")))
+    c2 = (classed.filter(F.col("half") == "H2")
+                 .select(F.col("ck").alias("ck2"),
+                         F.col("dec").alias("d2")))
+    return (c1.join(c2, c1["ck1"] == c2["ck2"], "full_outer")
+              .groupBy(F.coalesce("d1", F.lit(-1)).cast("long")
+                        .alias("decile_h1"),
+                       F.coalesce("d2", F.lit(-1)).cast("long")
+                        .alias("decile_h2"))
+              .agg(F.count(F.lit(1)).alias("n_customers")))

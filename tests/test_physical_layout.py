@@ -588,6 +588,9 @@ _STAIRCASE_CONSUMERS = [
     # r10: total-distortion p50/p95 via double bands; the `mu` window
     # ranks the 8-row per-subspace aggregate (bounded by construction)
     ("extensions", "x3_pq_distortion_report", (), ("mu",)),
+    # r10: per-half global spend rank (half is a 2-value key — the
+    # banned sort-window shape; the rank rides the _vb bands)
+    ("analytics", "a57_decile_migration", (), ()),
 ]
 
 
