@@ -62,6 +62,11 @@ FAMILIES = {
     "neardup_ingest_stream": "x2_incremental_minhash_stream",
     # IVF: N x K_COARSE assignment (K fixed by hash-rank selection)
     "ivf_build_serve": "x3_ivf_topk",
+    # r10 additions: the dedup maintain steps (batch rewrite + online
+    # compaction mid-stream) and the per-half staircase rank
+    "neardup_maintain": "x2_band_index_compaction",
+    "neardup_maintain_stream": "x2_band_compaction_stream",
+    "staircase_per_half_rank": "a57_decile_migration",
 }
 
 ALPHA = "abcdefghijklmnopqrstuvwxyz"
