@@ -75,6 +75,16 @@ SAMPLE = [
     "x3_filtered_ann",              # pre-filter + struct-min cells + rank
     "a54_basket_affinity",          # scaled-lift TakeOrdered under shuffle
     "x2_boilerplate_prefix_report", # prefix-digest groups under agg plans
+    # r10: the new staircase consumers and tiebreak-heavy additions —
+    # grouped quartile lookups, per-replica weighted midranks, dual
+    # serving plans and per-half decile cuts must not depend on the
+    # session partitioning or AQE re-planning
+    "a10_quantile_pack",            # grouped staircase quartiles
+    "x6_bootstrap_auc_ci",          # per-replica weighted midrank sums
+    "x2_band_index_compaction",     # compacted-vs-fresh dual serving
+    "a57_decile_migration",         # per-half rank + integer decile cut
+    "x3_pq_distortion_report",      # min-struct encode + double bands
+    "w16_revenue_drawdown",         # trough-day (draw DESC, day) tiebreak
 ]
 
 
@@ -86,7 +96,11 @@ def _canon(df):
             return tuple(cell(x) for x in v)
         return v
     cols = sorted(df.columns)
-    return sorted(tuple(cell(r[c]) for c in cols) for r in df.collect())
+    # key=repr gives a total order even when nullable columns mix None
+    # with ints (Python can't compare them directly — hit by
+    # x2_band_index_compaction's NULL dup_of cells, r10)
+    return sorted((tuple(cell(r[c]) for c in cols)
+                   for r in df.collect()), key=repr)
 
 
 @pytest.mark.parametrize("name", SAMPLE)
