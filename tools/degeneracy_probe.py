@@ -15,7 +15,9 @@ Usage:
 
 Reports per (query, SF): row count, and which columns are constant
 across all rows (ignoring one-row results, where "constant" is
-meaningless). Exit 1 if any probed query is EMPTY at every SF.
+meaningless). Exit 1 if any probed query is EMPTY at every SF; exit 2
+if any probed oracle ERRORS at every SF (ADVICE r10: a fully broken
+oracle must not pass the gate an always-empty one fails).
 """
 
 from __future__ import annotations
@@ -49,8 +51,10 @@ def main() -> int:
         return 2
 
     always_empty = []
+    always_error = []
     for name in names:
         rows_per_sf = []
+        n_errors = 0
         for sf in SFS:
             con = duckdb.connect()
             for t in TABLES:
@@ -63,6 +67,7 @@ def main() -> int:
             except Exception as ex:  # noqa: BLE001 — report, keep going
                 print(f"{name} @ {sf}: ORACLE ERROR {ex}")
                 data, cols = None, []
+                n_errors += 1
             finally:
                 con.close()
             if data is None:
@@ -83,7 +88,13 @@ def main() -> int:
             print(f"{name} @ {sf}: {len(data)} rows{note}{flag}")
         if rows_per_sf and not any(rows_per_sf):
             always_empty.append(name)
+        if n_errors == len(SFS):
+            always_error.append(name)
 
+    if always_error:
+        print(f"\nORACLE ERRORED AT EVERY SF (broken oracle): "
+              f"{always_error}")
+        return 2
     if always_empty:
         print(f"\nEMPTY AT EVERY SF (vacuous hash pass): {always_empty}")
         return 1

@@ -9,9 +9,18 @@ scaling is non-obvious at both sizes and report the ratio.
 Inflation semantics (this is a PERF probe, not a correctness gate — no
 oracle runs on the inflated data):
 
-- customer / orders / lineitem: ids offset by copy_index * (max_id + 1)
-  so key cardinality scales with the data (a naive row-duplication
-  would instead deepen every key group 8x and measure skew, not scale).
+- customer / orders / lineitem / part / supplier: ids offset by
+  copy_index * (max_id + 1) so key cardinality scales with the data (a
+  naive row-duplication would instead deepen every key group 8x and
+  measure skew, not scale). lineitem offsets l_partkey/l_suppkey too
+  (ADVICE r10: verbatim-duplicated dim keys would deepen part/supplier
+  groups 8x and measure skew for any family joining them).
+- events: event_id/user_id offset per copy; ``ts`` kept IDENTICAL —
+  the honest streaming scale axis is arrival RATE at a fixed lateness
+  horizon (8x rows per time-quantile micro-batch, same disorder
+  pattern), and offsetting user_id keeps per-key state-store depth
+  constant while the key count grows. Offsetting ts instead would
+  stretch history and leave per-batch volume unchanged.
 - documents: doc_id offset; text alphabet ROTATED per copy
   (translate on the lowercased text) so each copy's token/shingle
   vocabulary is disjoint — the near-dup rate and the banded join's
@@ -44,7 +53,10 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 BASE = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-OUT = os.environ.get("SPARK_GRAFT_SCALE_DIR", "/tmp/scale_probe_sf0.8")
+#: default output dir carries the factor so an 8x build and a 32x/64x
+#: build never clobber each other (r11: multi-factor probing).
+OUT_TMPL = os.environ.get("SPARK_GRAFT_SCALE_DIR",
+                          "/tmp/scale_probe_x{factor}")
 N_ITER = int(os.environ.get("SPARK_GRAFT_BENCH_ITER", "2"))
 
 #: family -> registered query name. One representative per
@@ -67,6 +79,21 @@ FAMILIES = {
     "neardup_maintain": "x2_band_index_compaction",
     "neardup_maintain_stream": "x2_band_compaction_stream",
     "staircase_per_half_rank": "a57_decile_migration",
+    # r11 additions (VERDICT r10 next-round #1): the families SCALE.md
+    # argues but r10 left unmeasured.
+    # streaming advance: state-store rows ~ arrival rate x lateness
+    # horizon — events inflation keeps ts (same horizon) and 8x's the
+    # per-micro-batch volume, the production "more traffic" axis
+    "stream_join_advance": "t23_interval_join_advance",
+    "stream_state_timeout": "t27_state_timeout_advance",
+    # kNN graph: edges grow with N*k; wedge work rides degree skew —
+    # the degree-ordered iterator's O(m^1.5) bound gets a data point
+    "knn_graph_pagerank": "x2_knn_pagerank",
+    "knn_graph_triangles": "x2_triangle_count",
+    # salted skew join: the hot-key cardinality is FIXED (3 return
+    # flags) while N grows — the one shape where honest inflation
+    # MUST deepen the key groups; the salt is what keeps it linear
+    "skew_join_salted": "j12_salted_skew_join",
 }
 
 ALPHA = "abcdefghijklmnopqrstuvwxyz"
@@ -86,6 +113,8 @@ def build(base: str, out: str, factor: int) -> None:
     c_off, o_off, d_off = (mx("customer", "c_custkey"),
                            mx("orders", "o_orderkey"),
                            mx("documents", "doc_id"))
+    p_off, s_off = mx("part", "p_partkey"), mx("supplier", "s_suppkey")
+    e_off, u_off = mx("events", "event_id"), mx("events", "user_id")
     # documents/embeddings share the dense 0..N-1 id domain; keep the
     # modular wave splits balanced by rounding the offset up to a
     # multiple of 5 (5000 already is at sf0.1, but don't rely on it).
@@ -102,7 +131,13 @@ def build(base: str, out: str, factor: int) -> None:
     inflate("customer", lambda k: f"c_custkey + {k * c_off} AS c_custkey")
     inflate("orders", lambda k: (f"o_orderkey + {k * o_off} AS o_orderkey, "
                                  f"o_custkey + {k * c_off} AS o_custkey"))
-    inflate("lineitem", lambda k: f"l_orderkey + {k * o_off} AS l_orderkey")
+    inflate("lineitem", lambda k: (f"l_orderkey + {k * o_off} AS l_orderkey, "
+                                   f"l_partkey + {k * p_off} AS l_partkey, "
+                                   f"l_suppkey + {k * s_off} AS l_suppkey"))
+    inflate("part", lambda k: f"p_partkey + {k * p_off} AS p_partkey")
+    inflate("supplier", lambda k: f"s_suppkey + {k * s_off} AS s_suppkey")
+    inflate("events", lambda k: (f"event_id + {k * e_off} AS event_id, "
+                                 f"user_id + {k * u_off} AS user_id"))
 
     def rot(k: int) -> str:
         shifted = ALPHA[k % 26:] + ALPHA[:k % 26]
@@ -115,7 +150,9 @@ def build(base: str, out: str, factor: int) -> None:
         f"(embedding[{k % 8 + 1}:] || embedding[1:{k % 8}])::FLOAT[] "
         f"AS embedding"))
 
-    for t in ("region", "nation", "supplier", "part", "events"):
+    # region/nation are bounded dims BY DESIGN (5/25 rows at any SF) —
+    # copying them unchanged is the honest 100 TB shape.
+    for t in ("region", "nation"):
         shutil.copyfile(f"{base}/{t}.parquet", f"{out}/{t}.parquet")
     con.close()
 
@@ -127,11 +164,12 @@ def main() -> int:
     ap.add_argument("--only", default="")
     args = ap.parse_args()
 
-    if args.rebuild and os.path.isdir(OUT):
-        shutil.rmtree(OUT)
-    if not os.path.isdir(OUT) or not os.listdir(OUT):
-        print(f"# building {OUT} ({args.factor}x {BASE})", file=sys.stderr)
-        build(BASE, OUT, args.factor)
+    out = OUT_TMPL.format(factor=args.factor)
+    if args.rebuild and os.path.isdir(out):
+        shutil.rmtree(out)
+    if not os.path.isdir(out) or not os.listdir(out):
+        print(f"# building {out} ({args.factor}x {BASE})", file=sys.stderr)
+        build(BASE, out, args.factor)
 
     from stock_data_warehouse_spark.session import get_spark
     import __spark_entry__ as entry_mod
@@ -142,12 +180,12 @@ def main() -> int:
             if not args.only or f in args.only.split(",")}
 
     spark.read.parquet(f"{BASE}/lineitem.parquet").count()
-    spark.read.parquet(f"{OUT}/lineitem.parquet").count()
+    spark.read.parquet(f"{out}/lineitem.parquet").count()
 
     results = {}
     for fam, name in fams.items():
         row: dict = {"query": name}
-        for tag, d in (("base", BASE), ("scaled", OUT)):
+        for tag, d in (("base", BASE), ("scaled", out)):
             runs = []
             for _ in range(N_ITER):
                 t0 = time.time()
