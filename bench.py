@@ -145,6 +145,8 @@ HEADLINE = (
     "w16_revenue_drawdown",       # running-peak drawdown monitor
     "x6_bootstrap_auc_ci",        # Poisson-replicate AUC envelope
     "x3_pq_distortion_report",    # codebook-drift retrain trigger
+    # r11 additions: the streaming staircase + trigger-driven compaction
+    "t40_quantile_monitor_stream",  # exact online quantile monitor
 )
 
 

@@ -282,6 +282,95 @@ def bucketed_exact_quantiles(df: DataFrame, part_cols: list[str],
     return out.select(*part_cols, F.col("_n").alias("n"), *qcols)
 
 
+def state_exact_quantiles(stats: DataFrame, store_reader,
+                          value: str,
+                          probs: list[float]) -> DataFrame:
+    """EXACT interpolated quantiles answered from MAINTAINED staircase
+    state — the streaming form of ``bucketed_exact_quantiles`` (r11:
+    the batch staircase's level-1 band counts are a commutative monoid,
+    so a stream can merge them per micro-batch and ask for exact
+    order statistics at every batch boundary without rescanning the
+    prefix).
+
+    Inputs are the two halves of that maintained state:
+
+    - ``stats``: the merged band relation ``(_qb, _bn, _bmin,
+      _bmax)`` — one row per value band, counts summed and min/max
+      folded across every batch so far (bounded by the VALUE DOMAIN,
+      not by N — the ``double_value_bucket`` contract);
+    - ``store_reader(band_ids) -> DataFrame[(value, _qb)]``: reads
+      ONLY the named band partitions of the banded value store (the
+      caller lays the store out partitioned-by-``_qb`` on disk, so
+      this is a static partition-pruned read — O(N/B) rows per
+      target band, never the prefix).
+
+    The rank→band location runs entirely over ``stats`` (level 2,
+    bucket-dim-sized); single-valued bands answer from the state alone;
+    each multi-valued target band sorts its own rows through one task —
+    identical mechanics, identical two-product interpolation kernel,
+    and therefore identical bits to the batch form over the same
+    prefix. The ``.collect()`` of target band ids is control-plane
+    (≤ 2·len(probs) longs from a bounded relation), not a data path.
+
+    Returns one row: ``n`` (long) + ``q0, q1, ...`` (double)."""
+    spec = stats.agg(F.sum("_bn").cast("long").alias("_n"))
+    for i, p in enumerate(probs):
+        pos = (F.col("_n") - 1).cast("double") * F.lit(p)
+        r0 = F.floor(pos).cast("long")
+        spec = (spec.withColumn(f"_q{i}_r0", r0)
+                    .withColumn(f"_q{i}_r1",
+                                F.least(r0 + 1, F.col("_n") - 1))
+                    .withColumn(f"_q{i}_f", pos - F.floor(pos)))
+    rks = F.array(*[F.col(f"_q{i}_r{j}")
+                    for i in range(len(probs)) for j in (0, 1)])
+    needs = spec.select(F.explode(rks).alias("_rk")).distinct()
+    wb = (Window.orderBy("_qb")
+                .rowsBetween(Window.unboundedPreceding, -1))
+    bcum = stats.withColumn(
+        "_before", F.coalesce(F.sum("_bn").over(wb), F.lit(0)))
+    tb = (needs.crossJoin(bcum)
+               .filter((F.col("_rk") >= F.col("_before"))
+                       & (F.col("_rk")
+                          < F.col("_before") + F.col("_bn"))))
+    direct = (tb.filter(F.col("_bmin") == F.col("_bmax"))
+                .select("_rk", F.col("_bmin").alias("_v")))
+    multi = (tb.filter(F.col("_bmin") != F.col("_bmax"))
+               .select("_qb", "_rk",
+                       (F.col("_rk") - F.col("_before"))
+                       .alias("_lrk")))
+    target_bands = sorted(
+        r["_qb"] for r in multi.select("_qb").distinct().collect())
+    vals = direct
+    if target_bands:
+        b = store_reader(target_bands)
+        wl = Window.partitionBy("_qb").orderBy(value)
+        looked = (b.withColumn("_lrn",
+                               F.row_number().over(wl)
+                                .cast("long") - 1)
+                   .join(F.broadcast(multi), "_qb")
+                   .filter(F.col("_lrn") == F.col("_lrk"))
+                   .select("_rk", F.col(value).alias("_v")))
+        vals = direct.unionByName(looked)
+    out = spec
+    for i in range(len(probs)):
+        v0 = vals.select(F.col("_rk").alias(f"_q{i}_r0"),
+                         F.col("_v").alias(f"_q{i}_v0"))
+        v1 = vals.select(F.col("_rk").alias(f"_q{i}_r1"),
+                         F.col("_v").alias(f"_q{i}_v1"))
+        out = (out.join(F.broadcast(v0), f"_q{i}_r0")
+                  .join(F.broadcast(v1), f"_q{i}_r1"))
+    qcols = []
+    for i in range(len(probs)):
+        v0, v1 = F.col(f"_q{i}_v0"), F.col(f"_q{i}_v1")
+        f = F.col(f"_q{i}_f")
+        # the same TWO-product kernel as bucketed_exact_quantiles
+        # (see the bit-parity note there) — the streaming answer must
+        # hash-match the batch staircase AND quantile_cont verbatim
+        qcols.append(((F.lit(1.0) - f) * v0 + f * v1)
+                     .alias(f"q{i}"))
+    return out.select(F.col("_n").alias("n"), *qcols)
+
+
 def bucketed_lag(df: DataFrame, part_cols: list[str],
                  bucket_cols: list[str], bucket_order: list[Column],
                  local_order: list[Column], value: str,

@@ -123,6 +123,7 @@ STREAM_ADMISSION: dict[str, int] = {
     "x3_ivf_ingest_stream": 1,
     "x2_incremental_minhash_stream": 1,
     "x2_band_compaction_stream": 1,
+    "t40_quantile_monitor_stream": 1,
 }
 
 #: State-store partition count for the ADVANCING-FRONTIER replays
@@ -3475,3 +3476,161 @@ def x2_band_compaction_stream(spark: SparkSession,
                     F.lit(bool(compaction_shrunk))
                      .alias("compaction_shrunk"),
                     "store_final_ok"))
+
+
+# ---------------------------------------------------------------------------
+# OP-T40 — the STREAMING staircase (r11, VERDICT r10 next-round #3):
+# exact order statistics maintained ONLINE. Every batch staircase
+# consumer recomputes its band counts from the full relation; here the
+# level-1 band counts are maintained as mergeable state across
+# micro-batches and each batch boundary answers EXACT p50/p95 from the
+# state — the quantile-monitor shape a 100 TB ingest pipeline actually
+# runs (latency SLO dashboards, drift alarms on a feed's value
+# distribution).
+# ---------------------------------------------------------------------------
+
+@register(
+    "t40_quantile_monitor_stream",
+    oracle=f"""
+    WITH bounds AS (
+      SELECT epoch_us(MIN(ts)) AS mn, epoch_us(MAX(ts)) AS mx
+      FROM events
+    ),
+    ar AS (
+      SELECT value,
+             (epoch_us(ts) - mn) * 4 // (mx - mn + 1) AS arrival
+      FROM events, bounds
+    ),
+    b(batch_id) AS (VALUES (0), (1), (2), (3))
+    SELECT CAST(b.batch_id AS BIGINT) AS batch_id,
+           COUNT(*) AS n_events,
+           {_sql_rhu("quantile_cont(value, 0.5)", 6)} AS p50_value,
+           {_sql_rhu("quantile_cont(value, 0.95)", 6)} AS p95_value,
+           TRUE AS maintained_state_ok
+    FROM b JOIN ar ON ar.arrival <= b.batch_id
+    GROUP BY b.batch_id
+    """,
+)
+def t40_quantile_monitor_stream(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """OP-T40 — EXACT streaming quantile monitor: events replay as 4
+    time-quantile micro-batches (the t22 staging topology, no late
+    subset — a monitor reads its own ingest order); each batch merges
+    its per-band (count, min, max) into the maintained band-state
+    (written to a NEW versioned dir per batch — the s10/x2-compaction
+    versioned-rewrite posture, never in-place) and appends its rows to
+    a value store PARTITIONED BY band on disk; the batch boundary then
+    answers exact interpolated p50/p95 of the WHOLE prefix from the
+    state via ``operators/staircase.py::state_exact_quantiles`` — band
+    counts locate each rank (bounded relation), single-valued bands
+    answer with zero data reads, and a multi-valued target band is ONE
+    partition-pruned read of ~N/B rows.
+
+    Why this is the 100 TB shape: the batch staircase consumers pay a
+    full prefix scan per question; the monitor pays O(batch) to merge
+    + O(bands + N/B) to answer, independent of how much history the
+    stream has absorbed. Band counts are a commutative monoid (sum /
+    min / max), so the merge is associative — the same additive-state
+    posture as t17/t20, applied to ORDER statistics, which naive
+    streaming cannot do at all (a quantile is not distributive; the
+    staircase decomposition is what makes it mergeable).
+
+    Determinism: the per-batch answer equals the batch staircase over
+    the same prefix bit-for-bit (same bands, same rank arithmetic,
+    same two-product kernel — operators/staircase.py docstring), so
+    the DuckDB ``quantile_cont`` prefix replay is the oracle, class-A
+    rounded at 6 dp. ``maintained_state_ok`` pins that all 4 answers
+    came through 4 incremental versioned merges (state version == 4,
+    4 data batches, no recompute path).
+
+    Scale: state is Θ(bands) = Θ(value_range · scale) rows — bounded
+    by the value DOMAIN, not stream length; the store append is the
+    stream's own data landing banded (a real pipeline already writes
+    it); the monitor adds zero shuffles of history."""
+    from ..operators.staircase import (double_value_bucket,
+                                       state_exact_quantiles)
+    from ..functions.scalars import round_half_up
+    from ..sources.tables import load_table
+
+    out_dir = _mkdtemp(prefix="t40_qmon_")
+    stage = f"{out_dir}/landing"
+    store = f"{out_dir}/band_store"
+    results = f"{out_dir}/results"
+    state = {"v": 0, "batches": 0}
+
+    def bands_dir() -> str:
+        return f"{out_dir}/bands_v{state['v']}"
+
+    ev = (load_table(spark, sf_dir, "events")
+          .select("event_id", "ts", "value"))
+    mn, mx = ev.agg(F.min(F.unix_micros("ts")),
+                    F.max(F.unix_micros("ts"))).first()
+    arrival = F.expr(f"((unix_micros(ts) - {mn}) * 4) "
+                     f"div ({mx - mn + 1})")
+    n_staged = _write_arrival_files(
+        spark, ev.withColumn("arrival", arrival), stage, n_files=4)
+
+    # events.value ∈ [0, ~500): fixed-width bands at scale 2.0 →
+    # ≤ ~1000 bands, each 0.5 wide — bounded by the value domain
+    bucket = double_value_bucket(F.col("value"), 2.0)
+
+    def monitor_batch(batch_df: DataFrame, batch_id: int) -> None:
+        banded = (batch_df.select("value")
+                          .withColumn("_qb", bucket)
+                          .localCheckpoint(eager=True))
+        b_stats = (banded.groupBy("_qb")
+                         .agg(F.count(F.lit(1)).alias("_bn"),
+                              F.min("value").alias("_bmin"),
+                              F.max("value").alias("_bmax")))
+        merged = b_stats if state["v"] == 0 else (
+            spark.read.parquet(bands_dir())
+                 .unionByName(b_stats)
+                 .groupBy("_qb")
+                 .agg(F.sum("_bn").cast("long").alias("_bn"),
+                      F.min("_bmin").alias("_bmin"),
+                      F.max("_bmax").alias("_bmax")))
+        state["v"] += 1
+        merged.write.parquet(bands_dir())
+        banded.write.partitionBy("_qb").mode("append").parquet(store)
+        stats = spark.read.parquet(bands_dir())
+
+        def store_for_bands(band_ids: list) -> DataFrame:
+            # _qb is a DISK partition column of the store — the isin
+            # literal prunes at file listing, reading only the target
+            # bands (~N/B rows each), never the prefix
+            return (spark.read.parquet(store)
+                         .filter(F.col("_qb").isin([int(b) for b
+                                                    in band_ids])))
+
+        q = state_exact_quantiles(stats, store_for_bands, "value",
+                                  [0.5, 0.95])
+        (q.select(F.lit(state["batches"]).cast("long")
+                   .alias("batch_id"),
+                  F.col("n").alias("n_events"),
+                  round_half_up(F.col("q0"), 6).alias("p50_value"),
+                  round_half_up(F.col("q1"), 6).alias("p95_value"))
+          .write.mode("append").parquet(results))
+        state["batches"] += 1
+
+    s = (spark.readStream
+         .schema("event_id long, ts timestamp, value double")
+         .option("maxFilesPerTrigger", str(STREAM_ADMISSION[
+             "t40_quantile_monitor_stream"]))
+         .option("recursiveFileLookup", "true")
+         .parquet(stage))
+    sq = (s.writeStream
+           .foreachBatch(monitor_batch)
+           .option("checkpointLocation", f"{out_dir}/checkpoint")
+           .trigger(availableNow=True)
+           .start())
+    sq.awaitTermination()
+    data_batches = [pr for pr in sq.recentProgress
+                    if pr["numInputRows"] > 0]
+    admitted = sum(pr["numInputRows"] for pr in data_batches)
+    maintained_ok = (len(data_batches) == 4 and admitted == n_staged
+                     and state["v"] == 4 and state["batches"] == 4)
+    return (spark.read.parquet(results)
+                 .select("batch_id", "n_events", "p50_value",
+                         "p95_value",
+                         F.lit(bool(maintained_ok))
+                          .alias("maintained_state_ok")))

@@ -591,6 +591,15 @@ _STAIRCASE_CONSUMERS = [
     # r10: per-half global spend rank (half is a 2-value key — the
     # banned sort-window shape; the rank rides the _vb bands)
     ("analytics", "a57_decile_migration", (), ()),
+    # r11: t40_quantile_monitor_stream is the first STREAMING staircase
+    # consumer, but its staircase plan runs INSIDE a foreachBatch body —
+    # the returned DataFrame is the results-dir read, so this gate
+    # would pass vacuously (no windows at all). Its pin is the
+    # dedicated test below
+    # (test_streaming_staircase_matches_batch_and_is_bucket_partitioned),
+    # which drives the same state_exact_quantiles kernel the batch
+    # body calls and asserts both the plan shape and bit-parity with
+    # the batch staircase.
 ]
 
 
@@ -615,3 +624,55 @@ def test_every_staircase_consumer_is_bucket_partitioned(
         assert ok, (fn, part_keys, order_keys)
     assert "percentile(" not in plan.replace(
         "approx_percentile(", ""), (fn, "buffering percentile")
+
+
+def test_streaming_staircase_matches_batch_and_is_bucket_partitioned(
+        spark):
+    """The r11 streaming staircase (t40's per-batch kernel,
+    operators/staircase.py::state_exact_quantiles) pinned two ways —
+    the foreachBatch body itself is invisible to the consumer gate
+    above, so this drives the same kernel directly:
+
+    1. VALUE: answering from MERGED band state (two modular halves
+       merged by the monoid sum/min/max — exactly what the stream's
+       versioned state dir holds) is bit-identical to the batch
+       ``bucketed_exact_quantiles`` over the full relation;
+    2. PLAN: every window in the lookup is band-partitioned or runs
+       over the bounded band dim, and nothing buffers a percentile."""
+    from stock_data_warehouse_spark.operators.staircase import (
+        bucketed_exact_quantiles,
+        double_value_bucket,
+        state_exact_quantiles,
+    )
+    ev = load_table(spark, SF, "events").select("value")
+    bucket = double_value_bucket(F.col("value"), 2.0)
+    banded = ev.withColumn("_qb", bucket)
+
+    def stats_of(df):
+        return (df.groupBy("_qb")
+                  .agg(F.count(F.lit(1)).alias("_bn"),
+                       F.min("value").alias("_bmin"),
+                       F.max("value").alias("_bmax")))
+
+    halves = [banded.filter(F.pmod(F.xxhash64("value"), F.lit(2))
+                            == i) for i in (0, 1)]
+    merged = (stats_of(halves[0]).unionByName(stats_of(halves[1]))
+              .groupBy("_qb")
+              .agg(F.sum("_bn").cast("long").alias("_bn"),
+                   F.min("_bmin").alias("_bmin"),
+                   F.max("_bmax").alias("_bmax")))
+    q_state = state_exact_quantiles(
+        merged,
+        lambda ids: banded.filter(F.col("_qb").isin(list(ids))),
+        "value", [0.5, 0.95])
+    got = q_state.collect()[0]
+    want = (bucketed_exact_quantiles(ev, [], "value", [0.5, 0.95],
+                                     bucket=bucket)
+            .collect()[0])
+    assert got["n"] == want["n"]
+    assert got["q0"] == want["q0"] and got["q1"] == want["q1"]
+
+    plan = _executed_plan(q_state)
+    _assert_staircase_windows(plan)
+    assert "percentile(" not in plan.replace(
+        "approx_percentile(", ""), plan
