@@ -33,7 +33,15 @@ oracle runs on the inflated data):
 - embeddings: vec_id offset; the vector is circularly shifted by the
   copy index so copies are geometrically distinct but norm-identical
   (IVF/OOD cost is geometry-independent; exact-twin vectors would
-  degenerate every neighborhood).
+  degenerate every neighborhood). ``label`` is offset per copy too
+  (r11): the kNN families group all-pairs work by label, whose scale
+  contract is BOUNDED group size (at 100 TB the grouping key is an
+  IVF cell — x2_knn_pagerank docstring), so the honest axis grows
+  group COUNT at constant size. Verbatim labels deepen every group
+  8x and square the pair work — MEASURED as 45.6x/56.1x at 8x before
+  this fix (BASELINE.md r11 probe table keeps both numbers: the
+  violation is the empirical proof the bounded-group contract is
+  load-bearing, not pedantry).
 
 Run:  python tools/scale_probe.py [--factor 8] [--rebuild] [--only f1,f2]
 Emits one JSON line per family to stdout and a summary JSON at the end;
@@ -145,10 +153,12 @@ def build(base: str, out: str, factor: int) -> None:
                 f"translate(lower(text), '{ALPHA}', '{shifted}') AS text")
 
     inflate("documents", rot)
+    l_off = mx("embeddings", "label")
     inflate("embeddings", lambda k: (
         f"vec_id + {k * d_off} AS vec_id, "
         f"(embedding[{k % 8 + 1}:] || embedding[1:{k % 8}])::FLOAT[] "
-        f"AS embedding"))
+        f"AS embedding, "
+        f"label + {k * l_off} AS label"))
 
     # region/nation are bounded dims BY DESIGN (5/25 rows at any SF) —
     # copying them unchanged is the honest 100 TB shape.
