@@ -147,6 +147,7 @@ HEADLINE = (
     "x3_pq_distortion_report",    # codebook-drift retrain trigger
     # r11 additions: the streaming staircase + trigger-driven compaction
     "t40_quantile_monitor_stream",  # exact online quantile monitor
+    "x2_triggered_compaction_stream",  # compaction-as-policy stream
 )
 
 

@@ -52,7 +52,8 @@ google.protobuf`` and the ``StateMessage_pb2`` import both still raise
 ``ModuleNotFoundError`` — unchanged, still env-blocked. Re-probed
 round 10 (2026-08-15): same result (``google``, the
 ``pyspark.sql.streaming.proto.StateMessage_pb2`` path, both
-ModuleNotFoundError).
+ModuleNotFoundError). Re-probed round 11 (2026-08-15): unchanged —
+both imports still ModuleNotFoundError; no environment bump.
 ``applyInPandasWithState`` covers the OP-T8/t27
 contracts; the TWS form is a drop-in rewrite (same per-key int64
 state, same oracle) once the dependency exists.
@@ -124,6 +125,7 @@ STREAM_ADMISSION: dict[str, int] = {
     "x2_incremental_minhash_stream": 1,
     "x2_band_compaction_stream": 1,
     "t40_quantile_monitor_stream": 1,
+    "x2_triggered_compaction_stream": 1,
 }
 
 #: State-store partition count for the ADVANCING-FRONTIER replays
@@ -3634,3 +3636,369 @@ def t40_quantile_monitor_stream(spark: SparkSession,
                          "p95_value",
                          F.lit(bool(maintained_ok))
                           .alias("maintained_state_ok")))
+
+
+# ---------------------------------------------------------------------------
+# OP-X2 (streaming) — TRIGGER-DRIVEN compaction (r11, VERDICT r10
+# next-round #4): x2_band_compaction_stream demonstrated the
+# MECHANISM (a mid-stream rewrite on a fixed schedule); this family
+# demonstrates the POLICY — the stream reads its own compaction_due
+# trigger after every micro-batch and rewrites ONLY when it fires, so
+# the oracle replays both the fired and the not-fired branches.
+# ---------------------------------------------------------------------------
+
+#: fire iff uncompacted_dup_docs / store_docs ≥ 15/1000 (1.5%),
+#: evaluated as an integer cross-multiplication on both engines (no
+#: float ratio near the boundary). Chosen at design-probe time so the
+#: per-batch decisions are NON-CONSTANT at every SF: (F,F,T) at
+#: sf0.001 and sf0.01, (F,T,T) at sf0.1 — both branches exercised
+#: everywhere, margins all ≥ 6% away from equality.
+_TRIG_COMPACT_NUM = 15
+_TRIG_COMPACT_DEN = 1000
+
+
+@register(
+    "x2_triggered_compaction_stream",
+    oracle=f"""
+    WITH {{jp}},
+    jsym AS (SELECT doc_a AS x, doc_b AS y, jac FROM jpairs
+             UNION ALL SELECT doc_b, doc_a, jac FROM jpairs),
+    shingled AS MATERIALIZED (SELECT doc_id, s FROM sh WHERE len(s) > 0),
+    mh AS MATERIALIZED (
+      SELECT t1.doc_id, t.i,
+             min(md5(CAST(t.i AS VARCHAR) || ':' || t1.shingle)) AS mh
+      FROM (SELECT doc_id, unnest(s) AS shingle FROM shingled) t1
+      CROSS JOIN range(16) t(i)
+      GROUP BY t1.doc_id, t.i
+    ),
+    bands AS MATERIALIZED (
+      SELECT doc_id, i // 4 AS band_idx,
+             md5(string_agg(mh, '|' ORDER BY i)) AS band_hash
+      FROM mh GROUP BY doc_id, i // 4
+    ),
+    coll AS MATERIALIZED (
+      SELECT DISTINCT c.doc_id AS x, a.doc_id AS y
+      FROM bands c JOIN bands a
+        ON c.band_idx = a.band_idx AND c.band_hash = a.band_hash
+      WHERE c.doc_id <> a.doc_id
+    ),
+    mt AS MATERIALIZED (
+      SELECT co.x, co.y, {{jac6}} AS jac6
+      FROM coll co JOIN jsym j ON j.x = co.x AND j.y = co.y
+    ),
+    a0 AS (SELECT doc_id FROM documents
+           WHERE doc_id >= 400 AND doc_id % 3 = 0),
+    a1 AS (SELECT doc_id FROM documents
+           WHERE doc_id >= 400 AND doc_id % 3 = 1),
+    a2 AS (SELECT doc_id FROM documents
+           WHERE doc_id >= 400 AND doc_id % 3 = 2),
+    bd AS MATERIALIZED (SELECT doc_id FROM shingled),
+    nb AS MATERIALIZED (
+      SELECT
+        (SELECT COUNT(*) FROM bd WHERE doc_id < 400) AS corp,
+        (SELECT COUNT(*) FROM bd JOIN a0 USING (doc_id)) AS b0,
+        (SELECT COUNT(*) FROM bd JOIN a1 USING (doc_id)) AS b1,
+        (SELECT COUNT(*) FROM bd JOIN a2 USING (doc_id)) AS b2
+    ),
+    ver0 AS MATERIALIZED (
+      SELECT m.y AS aid, m.x AS cid, m.jac6 FROM mt m
+      JOIN a0 ON a0.doc_id = m.y WHERE m.x < 400
+    ),
+    dup0 AS MATERIALIZED (SELECT DISTINCT aid FROM ver0),
+    u0 AS MATERIALIZED (SELECT doc_id FROM a0
+           WHERE doc_id NOT IN (SELECT aid FROM dup0)),
+    s0 AS MATERIALIZED (
+      SELECT nb.corp + nb.b0 AS store_docs,
+             (SELECT COUNT(*) FROM dup0) AS n_dup,
+             ((SELECT COUNT(*) FROM dup0) * {{den}}
+              >= (nb.corp + nb.b0) * {{num}}) AS fired
+      FROM nb
+    ),
+    tgt1 AS MATERIALIZED (
+      SELECT doc_id FROM documents WHERE doc_id < 400
+      UNION ALL SELECT a0.doc_id FROM a0, s0 WHERE NOT s0.fired
+      UNION ALL SELECT u0.doc_id FROM u0, s0 WHERE s0.fired
+    ),
+    ver1 AS MATERIALIZED (
+      SELECT m.y AS aid, m.x AS cid, m.jac6 FROM mt m
+      JOIN a1 ON a1.doc_id = m.y
+      JOIN tgt1 t ON t.doc_id = m.x
+    ),
+    dup1 AS MATERIALIZED (SELECT DISTINCT aid FROM ver1),
+    u1 AS MATERIALIZED (SELECT doc_id FROM a1
+           WHERE doc_id NOT IN (SELECT aid FROM dup1)),
+    s1 AS (
+      SELECT s0.store_docs
+               - CASE WHEN s0.fired THEN s0.n_dup ELSE 0 END
+               + nb.b1 AS sd,
+             CASE WHEN s0.fired THEN 0 ELSE s0.n_dup END
+               + (SELECT COUNT(*) FROM dup1) AS uncomp
+      FROM s0, nb
+    ),
+    s1f AS MATERIALIZED (SELECT sd AS store_docs, uncomp,
+                   (uncomp * {{den}} >= sd * {{num}}) AS fired
+            FROM s1),
+    tgt2 AS MATERIALIZED (
+      SELECT doc_id FROM documents, s1f WHERE doc_id < 400
+      UNION ALL SELECT u0.doc_id FROM u0, s1f WHERE s1f.fired
+      UNION ALL SELECT u1.doc_id FROM u1, s1f WHERE s1f.fired
+      UNION ALL SELECT t.doc_id FROM tgt1 t, s1f
+                WHERE NOT s1f.fired AND t.doc_id >= 400
+      UNION ALL SELECT a1.doc_id FROM a1, s1f WHERE NOT s1f.fired
+    ),
+    ver2 AS MATERIALIZED (
+      SELECT m.y AS aid, m.x AS cid, m.jac6 FROM mt m
+      JOIN a2 ON a2.doc_id = m.y
+      JOIN tgt2 t ON t.doc_id = m.x
+    ),
+    dup2 AS MATERIALIZED (SELECT DISTINCT aid FROM ver2),
+    s2 AS (
+      SELECT s1f.store_docs
+               - CASE WHEN s1f.fired THEN s1f.uncomp ELSE 0 END
+               + nb.b2 AS sd,
+             CASE WHEN s1f.fired THEN 0 ELSE s1f.uncomp END
+               + (SELECT COUNT(*) FROM dup2) AS uncomp
+      FROM s1f, nb
+    ),
+    s2f AS MATERIALIZED (SELECT sd AS store_docs, uncomp,
+                   (uncomp * {{den}} >= sd * {{num}}) AS fired
+            FROM s2),
+    best0 AS (SELECT aid, jac6, ROW_NUMBER() OVER (PARTITION BY aid
+                ORDER BY jac6 DESC, cid) AS rn FROM ver0),
+    best1 AS (SELECT aid, jac6, ROW_NUMBER() OVER (PARTITION BY aid
+                ORDER BY jac6 DESC, cid) AS rn FROM ver1),
+    best2 AS (SELECT aid, jac6, ROW_NUMBER() OVER (PARTITION BY aid
+                ORDER BY jac6 DESC, cid) AS rn FROM ver2)
+    SELECT * FROM (
+      SELECT CAST(0 AS BIGINT) AS batch_id,
+             CAST((SELECT COUNT(*) FROM a0) AS BIGINT) AS n_arrivals,
+             CAST((SELECT COUNT(*) FROM dup0) AS BIGINT) AS n_dups,
+             CAST((SELECT COUNT(*) FROM a0)
+                  - (SELECT COUNT(*) FROM dup0) AS BIGINT)
+               AS n_unique,
+             CAST(COALESCE((SELECT SUM(CAST(
+                    FLOOR(jac6 * 1000000.0 + 0.5) AS BIGINT))
+                    FROM best0 WHERE rn = 1), 0) AS BIGINT)
+               AS jac6_mass,
+             (SELECT fired FROM s0) AS compaction_fired,
+             CAST((SELECT store_docs
+                     - CASE WHEN fired THEN n_dup ELSE 0 END
+                   FROM s0) AS BIGINT) AS store_docs_after
+      UNION ALL
+      SELECT 1, CAST((SELECT COUNT(*) FROM a1) AS BIGINT),
+             CAST((SELECT COUNT(*) FROM dup1) AS BIGINT),
+             CAST((SELECT COUNT(*) FROM a1)
+                  - (SELECT COUNT(*) FROM dup1) AS BIGINT),
+             CAST(COALESCE((SELECT SUM(CAST(
+                    FLOOR(jac6 * 1000000.0 + 0.5) AS BIGINT))
+                    FROM best1 WHERE rn = 1), 0) AS BIGINT),
+             (SELECT fired FROM s1f),
+             CAST((SELECT store_docs
+                     - CASE WHEN fired THEN uncomp ELSE 0 END
+                   FROM s1f) AS BIGINT)
+      UNION ALL
+      SELECT 2, CAST((SELECT COUNT(*) FROM a2) AS BIGINT),
+             CAST((SELECT COUNT(*) FROM dup2) AS BIGINT),
+             CAST((SELECT COUNT(*) FROM a2)
+                  - (SELECT COUNT(*) FROM dup2) AS BIGINT),
+             CAST(COALESCE((SELECT SUM(CAST(
+                    FLOOR(jac6 * 1000000.0 + 0.5) AS BIGINT))
+                    FROM best2 WHERE rn = 1), 0) AS BIGINT),
+             (SELECT fired FROM s2f),
+             CAST((SELECT store_docs
+                     - CASE WHEN fired THEN uncomp ELSE 0 END
+                   FROM s2f) AS BIGINT)
+    )
+    """.format(jp=_X2_SQL_JPAIRS, jac6=_sql_rhu("j.jac", 6),
+               num=_TRIG_COMPACT_NUM, den=_TRIG_COMPACT_DEN),
+)
+def x2_triggered_compaction_stream(spark: SparkSession,
+                                   sf_dir: str) -> DataFrame:
+    """X2 — compaction as a POLICY, not a schedule: after EVERY
+    micro-batch the stream evaluates its own trigger (uncompacted dup
+    docs ≥ 1.5% of store docs, integer cross-multiplied) and rewrites
+    the band store into a new versioned dir ONLY when it fires. The
+    r10 x2_band_compaction_stream pinned the mechanism with a
+    hard-coded "compact after batch 1"; this family closes the loop
+    the r10 verdict named: reading ``compaction_due`` in-stream, with
+    the oracle replaying BOTH branches — at every SF at least one
+    batch fires and at least one does not (design-probed: decisions
+    F,F,T at sf0.001/sf0.01 and F,T,T at sf0.1), and a no-fire batch's
+    store_docs_after pins that nothing was rewritten.
+
+    Sequential contract (as the r10 stream, extended with state): a
+    batch probes the store SNAPSHOT at batch start (verdict write
+    precedes appends); the trigger is evaluated AFTER the appends, on
+    the engine's own store (distinct banded doc count) and its own
+    uncompacted-dup ledger (dup verdicts anti-joined to the removed
+    set); a fire drops every uncompacted dup doc's bands/postings
+    into a NEW versioned dir and logs the ids to the removed set.
+    Every output column — per-batch dup/unique counts, best-match
+    jac6 mass, the fired boolean itself, and the post-maintenance
+    store size — is ENGINE-computed and replayed by the oracle from
+    the data (no pinned-TRUE columns anywhere: stronger than the r10
+    form).
+
+    Scale: the trigger read costs one bounded metadata count per
+    batch (band-index distinct ids — Θ(store docs), itself compacted);
+    a fire is one anti-join rewrite; the removed set is ids only. The
+    policy guarantees probes never pay more than (1 + 1.5%) of the
+    unique corpus for dup debt."""
+    from ..plans.extensions import (_portable_bands, shingles_col,
+                                    tokens_col)
+    from ..sources.tables import load_table
+
+    out_dir = _mkdtemp(prefix="x2_trig_compact_")
+    verd_dir = f"{out_dir}/verdicts"
+    res_dir = f"{out_dir}/per_batch"
+    removed_dir = f"{out_dir}/removed_ids"
+    stage = f"{out_dir}/arrivals"
+    state = {"v": 0, "batches": 0}
+
+    def idx_dir() -> str:
+        return f"{out_dir}/band_index_v{state['v']}"
+
+    def post_dir() -> str:
+        return f"{out_dir}/postings_v{state['v']}"
+
+    d = load_table(spark, sf_dir, "documents")
+    corpus = d.filter(F.col("doc_id") < 400)
+    arrivals = d.filter(F.col("doc_id") >= 400)
+
+    def postings(docs: DataFrame) -> DataFrame:
+        return (docs.select("doc_id",
+                            shingles_col(tokens_col("text"))
+                            .alias("s"))
+                    .select("doc_id", F.size("s").alias("n"),
+                            F.explode("s").alias("shingle")))
+
+    _portable_bands(corpus).write.parquet(idx_dir())
+    postings(corpus).write.parquet(post_dir())
+
+    n_staged = _write_arrival_files(
+        spark, arrivals.select("doc_id", "text")
+                       .withColumn("arrival", F.col("doc_id") % 3),
+        stage, n_files=3)
+
+    def dedup_batch(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df = batch_df.localCheckpoint(eager=True)
+        b_bands = _portable_bands(batch_df).localCheckpoint(eager=True)
+        b_post = postings(batch_df).localCheckpoint(eager=True)
+        snap_idx = spark.read.parquet(idx_dir())
+        cand = (snap_idx.alias("c")
+                .join(b_bands.alias("a"),
+                      (F.col("c.band_idx") == F.col("a.band_idx"))
+                      & (F.col("c.band_hash") == F.col("a.band_hash")))
+                .select(F.col("c.doc_id").alias("cid"),
+                        F.col("a.doc_id").alias("aid"))
+                .distinct())
+        c_post = (spark.read.parquet(post_dir())
+                       .join(cand.select(F.col("cid").alias("doc_id"))
+                                 .distinct(),
+                             "doc_id", "semi").alias("ca"))
+        cross = (c_post.join(b_post.alias("ar"),
+                             F.col("ca.shingle") == F.col("ar.shingle"))
+                       .groupBy(F.col("ca.doc_id").alias("jc"),
+                                F.col("ar.doc_id").alias("ja"))
+                       .agg(F.count(F.lit(1)).alias("n_common"),
+                            F.min(F.col("ca.n")).alias("na"),
+                            F.min(F.col("ar.n")).alias("nb")))
+        jac = (F.col("n_common") * F.lit(1.0)
+               / (F.col("na") + F.col("nb") - F.col("n_common")))
+        jp = (cross.filter(jac >= 0.8)
+                   .select("jc", "ja", jac.alias("jac")))
+        from ..functions.scalars import round_half_up
+        ver = (cand.join(jp, (jp["jc"] == cand["cid"])
+                             & (jp["ja"] == cand["aid"]))
+                   .select("aid", "cid",
+                           round_half_up(F.col("jac"), 6)
+                           .alias("jac6")))
+        w = Window.partitionBy("aid").orderBy(
+            F.col("jac6").desc(), "cid")
+        best = (ver.withColumn("rn", F.row_number().over(w))
+                   .filter(F.col("rn") == 1)
+                   .localCheckpoint(eager=True))
+        batch_ids = batch_df.select("doc_id")
+        verdicts = (batch_ids
+                    .join(best, batch_ids["doc_id"] == best["aid"],
+                          "left")
+                    .select("doc_id",
+                            F.col("cid").alias("dup_of"),
+                            F.col("jac6").alias("jaccard"),
+                            F.when(F.col("cid").isNull(), "unique")
+                             .otherwise("dup_of_store")
+                             .alias("verdict")))
+        verdicts.write.mode("append").parquet(verd_dir)
+        b_bands.write.mode("append").parquet(idx_dir())
+        b_post.write.mode("append").parquet(post_dir())
+
+        # --- trigger evaluation (AFTER appends, the oracle's s{k}) —
+        # counts are control-plane reads of bounded metadata relations
+        n_arr = batch_df.count()
+        bstats = best.agg(
+            F.count(F.lit(1)).cast("long").alias("nd"),
+            F.coalesce(F.sum(F.floor(F.col("jac6") * 1000000.0
+                                     + F.lit(0.5)).cast("long")),
+                       F.lit(0)).cast("long").alias("mass")).first()
+        dup_all = (spark.read.parquet(verd_dir)
+                        .filter(F.col("verdict") == "dup_of_store")
+                        .select("doc_id").distinct())
+        if os.path.isdir(removed_dir):
+            uncomp_ids = dup_all.join(
+                spark.read.parquet(removed_dir), "doc_id",
+                "left_anti")
+        else:
+            uncomp_ids = dup_all
+        uncomp_ids = uncomp_ids.localCheckpoint(eager=True)
+        n_uncomp = uncomp_ids.count()
+        store_docs = (spark.read.parquet(idx_dir())
+                           .select("doc_id").distinct().count())
+        fired = (n_uncomp * _TRIG_COMPACT_DEN
+                 >= store_docs * _TRIG_COMPACT_NUM)
+        if fired:
+            old_idx = (spark.read.parquet(idx_dir())
+                            .localCheckpoint(eager=True))
+            old_post = (spark.read.parquet(post_dir())
+                             .localCheckpoint(eager=True))
+            state["v"] += 1
+            old_idx.join(uncomp_ids, "doc_id", "left_anti") \
+                   .write.parquet(idx_dir())
+            old_post.join(uncomp_ids, "doc_id", "left_anti") \
+                    .write.parquet(post_dir())
+            uncomp_ids.write.mode("append").parquet(removed_dir)
+            store_docs = (spark.read.parquet(idx_dir())
+                               .select("doc_id").distinct().count())
+        (spark.range(1).select(
+            F.lit(state["batches"]).cast("long").alias("batch_id"),
+            F.lit(n_arr).cast("long").alias("n_arrivals"),
+            F.lit(bstats["nd"]).cast("long").alias("n_dups"),
+            F.lit(n_arr - bstats["nd"]).cast("long")
+             .alias("n_unique"),
+            F.lit(bstats["mass"]).cast("long").alias("jac6_mass"),
+            F.lit(bool(fired)).alias("compaction_fired"),
+            F.lit(store_docs).cast("long")
+             .alias("store_docs_after"))
+         .write.mode("append").parquet(res_dir))
+        state["batches"] += 1
+
+    s = (spark.readStream
+         .schema("doc_id long, text string")
+         .option("maxFilesPerTrigger", str(STREAM_ADMISSION[
+             "x2_triggered_compaction_stream"]))
+         .option("recursiveFileLookup", "true")
+         .parquet(stage))
+    sq = (s.writeStream
+           .foreachBatch(dedup_batch)
+           .option("checkpointLocation", f"{out_dir}/checkpoint")
+           .trigger(availableNow=True)
+           .start())
+    sq.awaitTermination()
+    data_batches = [pr for pr in sq.recentProgress
+                    if pr["numInputRows"] > 0]
+    admitted = sum(pr["numInputRows"] for pr in data_batches)
+    assert len(data_batches) == 3 and admitted == n_staged, \
+        (len(data_batches), admitted, n_staged)
+    return (spark.read.parquet(res_dir)
+                 .select("batch_id", "n_arrivals", "n_dups",
+                         "n_unique", "jac6_mass",
+                         "compaction_fired", "store_docs_after"))
