@@ -85,6 +85,13 @@ SAMPLE = [
     "a57_decile_migration",         # per-half rank + integer decile cut
     "x3_pq_distortion_report",      # min-struct encode + double bands
     "w16_revenue_drawdown",         # trough-day (draw DESC, day) tiebreak
+    # r11: the online staircase and the policy-driven compaction —
+    # per-batch exact quantiles from merged band state and the fired/
+    # not-fired decision sequence must not depend on the session's
+    # partitioning or AQE re-planning (each runs its own bounded
+    # stream; staging/admission must not leak)
+    "t40_quantile_monitor_stream",  # state-merged exact p50/p95 per batch
+    "x2_triggered_compaction_stream",  # trigger decisions + store sizes
 ]
 
 

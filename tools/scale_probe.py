@@ -102,6 +102,12 @@ FAMILIES = {
     # flags) while N grows — the one shape where honest inflation
     # MUST deepen the key groups; the salt is what keeps it linear
     "skew_join_salted": "j12_salted_skew_join",
+    # r11 new queries measured on arrival: the online staircase
+    # (per-batch cost O(batch + bands + N/B) by design) and the
+    # policy-driven compaction (per-batch trigger read is bounded
+    # metadata; fires are anti-join rewrites)
+    "staircase_stream": "t40_quantile_monitor_stream",
+    "neardup_maintain_policy": "x2_triggered_compaction_stream",
 }
 
 ALPHA = "abcdefghijklmnopqrstuvwxyz"
