@@ -10913,3 +10913,446 @@ def x6_brier_decomposition(spark: SparkSession,
                          <= F.lit(0.000002)).alias("identity_ok"),
                         (F.col("resolution") > F.col("reliability"))
                          .alias("skillful")))
+
+
+# ---------------------------------------------------------------------------
+# OP-X2 — content-defined chunking dedup (r11): FastCDC/LBFS-style
+# boundaries, the dedup granularity BETWEEN document hash (x1) and
+# aligned blocks (x2_span_dedup)
+# ---------------------------------------------------------------------------
+
+_CDC_W = 4    #: rolling-shingle width (tokens) that decides boundaries
+_CDC_D = 8    #: boundary divisor — P(boundary) = 1/D, mean chunk ≈ D tokens
+
+
+@register(
+    "x2_cdc_chunk_dedup",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {SQL_TOKENS} AS t FROM documents
+    ),
+    pos AS (
+      SELECT doc_id,
+             unnest([ {{'pos': i, 'tok': t[i+1],
+                        'b': CASE WHEN i >= {_CDC_W - 1} AND
+                             CAST(('0x' || substr(md5(array_to_string(
+                                  t[i - {_CDC_W - 2}:i + 1], ' ')), 1, 6))
+                                  AS BIGINT) % {_CDC_D} = 0
+                             THEN 1 ELSE 0 END}}
+                      FOR i IN range(0, len(t)) ]) AS p
+      FROM toks
+    ),
+    chunked AS (
+      SELECT doc_id, p.pos AS pos, p.tok AS tok,
+             COALESCE(SUM(p.b) OVER (PARTITION BY doc_id ORDER BY p.pos
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                      0) AS chunk_id
+      FROM pos
+    ),
+    chunks AS (
+      SELECT doc_id, chunk_id,
+             string_agg(tok, ' ' ORDER BY pos) AS chunk,
+             COUNT(*) AS n_tok
+      FROM chunked GROUP BY doc_id, chunk_id
+    ),
+    ranked AS (
+      SELECT doc_id, chunk_id, n_tok,
+             ROW_NUMBER() OVER (PARTITION BY chunk
+                                ORDER BY doc_id, chunk_id) AS rn
+      FROM chunks
+    )
+    SELECT doc_id,
+           COUNT(*) AS n_chunks,
+           CAST(COUNT(*) FILTER (rn > 1) AS BIGINT) AS n_dup_chunks,
+           CAST(COALESCE(SUM(n_tok) FILTER (rn > 1), 0) AS BIGINT)
+             AS n_dup_tokens
+    FROM ranked GROUP BY doc_id
+    """,
+)
+def x2_cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OP-X2 — content-defined chunk dedup: cut each document where a
+    rolling ``_CDC_W``-token shingle hash ≡ 0 (mod ``_CDC_D``) and drop
+    every chunk whose exact text occurred earlier corpus-wide (first
+    occurrence by (doc_id, chunk_id) — a total order, retry-stable).
+    This is the LBFS/FastCDC recipe (Muthitacharoen et al., SOSP'01)
+    on token streams: unlike ``x2_span_dedup``'s ALIGNED 20-token
+    blocks, CDC boundaries are functions of local content, so an
+    insertion near a document's head shifts only the chunk it lands in
+    — the cut points downstream re-synchronize and the shared tail
+    still dedups. Aligned blocks lose every block after the shift;
+    this operator is why storage/corpus dedup systems use CDC.
+
+    Spark shape: tokenize once behind a doc_id repartition barrier,
+    build the per-position boundary flags INSIDE the token array (one
+    ``transform`` over positions — the md5 shingle hash is a scan-side
+    expression, no explode until the flags exist), then one
+    ``posexplode`` + a per-doc cumulative window (partitioned on
+    doc_id — unbounded cardinality, the allowed direction) assigns
+    chunk ids, and the dedup ranking is one window over the chunk
+    text. At 100 TB the ranking key would be ``sha2(chunk)`` to
+    shrink the exchange (the x1 posture); kept raw here so the oracle
+    partitions on the identical value. Probed non-degenerate at all 3
+    SFs pre-registration (18–24% dup chunks: near-dup pairs and
+    boilerplate prefixes share cut-point-stable chunks).
+    """
+    d = _t(spark, sf_dir, "documents")
+    toks = (d.select("doc_id", tokens_col("text").alias("t"))
+             .repartition(spark.sparkContext.defaultParallelism,
+                          "doc_id"))
+    n = F.size("t")
+    bflag = F.transform(
+        F.sequence(F.lit(0), n - 1),
+        lambda i: F.when(
+            (i >= _CDC_W - 1)
+            & (F.conv(F.substring(F.md5(F.array_join(
+                   F.slice(F.col("t"), i - (_CDC_W - 2), _CDC_W),
+                   " ")), 1, 6), 16, 10).cast("long")
+               % _CDC_D == 0),
+            F.lit(1)).otherwise(F.lit(0)))
+    zipped = F.when(n > 0, F.zip_with(
+        F.col("t"), bflag,
+        lambda tok, b: F.struct(tok.alias("tok"), b.alias("b")))
+    ).otherwise(F.array().cast("array<struct<tok:string,b:int>>"))
+    flat = (toks.select("doc_id",
+                        F.posexplode(zipped).alias("pos", "pb"))
+                .select("doc_id", "pos",
+                        F.col("pb.tok").alias("tok"),
+                        F.col("pb.b").alias("b")))
+    wc = (Window.partitionBy("doc_id").orderBy("pos")
+                .rowsBetween(Window.unboundedPreceding, -1))
+    chunked = flat.withColumn(
+        "chunk_id", F.coalesce(F.sum("b").over(wc), F.lit(0)))
+    chunks = (chunked.groupBy("doc_id", "chunk_id")
+              .agg(F.array_join(
+                       F.transform(
+                           F.array_sort(F.collect_list(
+                               F.struct("pos", "tok"))),
+                           lambda s: s["tok"]), " ").alias("chunk"),
+                   F.count(F.lit(1)).alias("n_tok")))
+    wr = Window.partitionBy("chunk").orderBy("doc_id", "chunk_id")
+    ranked = chunks.withColumn("rn", F.row_number().over(wr))
+    dup = F.col("rn") > 1
+    return (ranked.groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_chunks"),
+                 F.sum(dup.cast("long")).alias("n_dup_chunks"),
+                 F.coalesce(F.sum(F.when(dup, F.col("n_tok"))),
+                            F.lit(0))
+                  .cast("long").alias("n_dup_tokens")))
+
+
+# ---------------------------------------------------------------------------
+# OP-X6 — graded retrieval quality: nDCG@k + MRR (r11). x3's recall
+# reports grade SET overlap; ranking quality needs position-weighted
+# graded relevance — the standard search/RAG eval pair.
+# ---------------------------------------------------------------------------
+
+_H_REL = (69621, 7)   #: hash-rank pair for the nDCG query sample
+_NDCG_K = 10
+
+
+@register(
+    "x6_ndcg_mrr_report",
+    oracle=f"""
+    WITH v AS (
+      SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings
+    ),
+    n AS (
+      SELECT vec_id, label, e, sqrt({_sql_dot('e', 'e')}) AS nrm
+      FROM v
+    ),
+    qv AS (
+      SELECT vec_id, label, e, nrm FROM n
+      {_sql_hash_sample(_H_REL, N_QUERIES)}
+    ),
+    tk AS (
+      SELECT a.vec_id AS query_id,
+             CASE WHEN a.label = b.label THEN 2
+                  WHEN abs(a.label - b.label) = 1 THEN 1
+                  ELSE 0 END AS rel,
+             ROW_NUMBER() OVER (PARTITION BY a.vec_id
+               ORDER BY {_sql_dot('a.e', 'b.e')} / (a.nrm * b.nrm)
+                 DESC, b.vec_id) AS rn
+      FROM qv a JOIN n b ON a.vec_id <> b.vec_id
+    ),
+    top AS (SELECT query_id, rel, rn FROM tk WHERE rn <= {_NDCG_K}),
+    ideal AS (
+      SELECT query_id, rel, rn,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY rel DESC, rn) AS irn
+      FROM top
+    ),
+    terms AS (
+      SELECT query_id,
+             CAST(ROUND(CAST((POW(2.0, rel) - 1) / LOG2(rn + 1)
+                  AS DECIMAL(38,10)), 10) AS DECIMAL(38,10)) AS dterm,
+             CAST(ROUND(CAST((POW(2.0, rel) - 1) / LOG2(irn + 1)
+                  AS DECIMAL(38,10)), 10) AS DECIMAL(38,10)) AS iterm,
+             CASE WHEN rel > 0 THEN rn END AS hit_rn
+      FROM ideal
+    ),
+    perq AS (
+      SELECT query_id,
+             CAST(SUM(dterm) AS DOUBLE) AS dcg_raw,
+             CAST(SUM(iterm) AS DOUBLE) AS idcg_raw,
+             MIN(hit_rn) AS first_hit
+      FROM terms GROUP BY query_id
+    ),
+    scored AS (
+      SELECT query_id,
+             {sql_round_half_up('dcg_raw', 6)} AS dcg,
+             {sql_round_half_up('idcg_raw', 6)} AS idcg,
+             CASE WHEN idcg_raw = 0 THEN 0.0
+                  ELSE {sql_round_half_up('dcg_raw / idcg_raw', 6)}
+             END AS ndcg,
+             CASE WHEN first_hit IS NULL THEN 0.0
+                  ELSE {sql_round_half_up('1.0 / first_hit', 6)}
+             END AS rr
+      FROM perq
+    ),
+    corpus AS (
+      SELECT
+        CAST(ROUND(CAST(CAST(SUM(CAST(ndcg AS DECIMAL(38,10)))
+             AS DOUBLE) / COUNT(*) AS DECIMAL(38,10)), 6) AS DOUBLE)
+          AS mean_ndcg,
+        CAST(ROUND(CAST(CAST(SUM(CAST(rr AS DECIMAL(38,10)))
+             AS DOUBLE) / COUNT(*) AS DECIMAL(38,10)), 6) AS DOUBLE)
+          AS mrr
+      FROM scored
+    )
+    SELECT s.query_id, s.dcg, s.idcg, s.ndcg, s.rr,
+           c.mean_ndcg, c.mrr
+    FROM scored s CROSS JOIN corpus c
+    """,
+)
+def x6_ndcg_mrr_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OP-X6 — nDCG@10 + MRR over the brute-force cosine ranking with
+    GRADED label relevance (2 = same label, 1 = adjacent label, 0 =
+    irrelevant): the position-weighted retrieval-quality pair every
+    search/RAG eval reports, completing the retrieval-eval layer next
+    to x3's set-overlap recall reports (recall can't tell a system
+    that buries its one relevant hit at rank 10 from one that leads
+    with it; nDCG/MRR exist for exactly that).
+
+    The ideal ranking needs NO self-join: re-rank each query's top-k
+    by (rel DESC, rn) in a second window — each row then carries BOTH
+    its real rank ``rn`` and its ideal rank ``irn``, and the row's
+    relevance at ideal position irn is exactly what the ideal ordering
+    places there, so one pass sums DCG and IDCG together.
+
+    Parity: the cosine is the bit-exact sequential fold (``_dot``),
+    ranking ties broken by vec_id; the only libm terms (pow/log2 — the
+    gain/discount) are class-B per the scalars taxonomy, so each term
+    rounds through DECIMAL(38,10) at 10 dp and the per-query sums are
+    exact DECIMAL sums; 1/first_hit and the final ratios are
+    deterministic-identical doubles → class-A floor half-up at 6 dp.
+    Corpus means are DECIMAL sums of the rounded per-query values
+    broadcast back onto the rows (the ECE/minhash report shape).
+
+    Scale: N_QUERIES is a fixed hash-rank sample (VERDICT r4 item 1) —
+    the brute-force side is queries × N LINEAR in the corpus with a
+    broadcast query batch, the eval relations after top-k are
+    ≤ N_QUERIES·k rows, constants at any SF."""
+    e = _t(spark, sf_dir, "embeddings")
+    v = e.select("vec_id", "label",
+                 _as_double_vec("embedding").alias("e"))
+    n = v.withColumn("nrm", F.sqrt(_dot(F.col("e"), F.col("e"))))
+    q_ids = _hash_sample(n.select("vec_id"), N_QUERIES, _H_REL)
+    q = (n.join(F.broadcast(q_ids), "vec_id")
+          .select(F.col("vec_id").alias("query_id"),
+                  F.col("label").alias("qlabel"),
+                  F.col("e").alias("qe"),
+                  F.col("nrm").alias("qnrm")))
+    cos = (_dot(F.col("qe"), F.col("e"))
+           / (F.col("qnrm") * F.col("nrm")))
+    wt = Window.partitionBy("query_id").orderBy(
+        cos.desc(), F.col("vec_id"))
+    rel = (F.when(F.col("qlabel") == F.col("label"), 2)
+            .when(F.abs(F.col("qlabel") - F.col("label")) == 1, 1)
+            .otherwise(0))
+    top = (n.repartition(spark.sparkContext.defaultParallelism,
+                         "vec_id")
+            .crossJoin(F.broadcast(q))
+            .filter(F.col("vec_id") != F.col("query_id"))
+            .withColumn("rn", F.row_number().over(wt))
+            .filter(F.col("rn") <= _NDCG_K)
+            .select("query_id", rel.alias("rel"), "rn"))
+    wi = Window.partitionBy("query_id").orderBy(
+        F.col("rel").desc(), F.col("rn"))
+    ideal = top.withColumn("irn", F.row_number().over(wi))
+
+    def term(rank_col):
+        raw = ((F.pow(F.lit(2.0), F.col("rel")) - F.lit(1.0))
+               / F.log2(rank_col + F.lit(1.0)))
+        return F.round(raw.cast("decimal(38,10)"), 10) \
+                .cast("decimal(38,10)")
+
+    perq = (ideal.select(
+                "query_id",
+                term(F.col("rn")).alias("dterm"),
+                term(F.col("irn")).alias("iterm"),
+                F.when(F.col("rel") > 0, F.col("rn")).alias("hit_rn"))
+            .groupBy("query_id")
+            .agg(F.sum("dterm").cast("double").alias("dcg_raw"),
+                 F.sum("iterm").cast("double").alias("idcg_raw"),
+                 F.min("hit_rn").alias("first_hit")))
+    scored = perq.select(
+        "query_id",
+        round_half_up(F.col("dcg_raw"), 6).alias("dcg"),
+        round_half_up(F.col("idcg_raw"), 6).alias("idcg"),
+        F.when(F.col("idcg_raw") == 0, F.lit(0.0))
+         .otherwise(round_half_up(F.col("dcg_raw")
+                                  / F.col("idcg_raw"), 6))
+         .alias("ndcg"),
+        F.when(F.col("first_hit").isNull(), F.lit(0.0))
+         .otherwise(round_half_up(F.lit(1.0)
+                                  / F.col("first_hit"), 6))
+         .alias("rr"))
+
+    def dmean(c, name):
+        return (F.round((F.sum(F.col(c).cast("decimal(38,10)"))
+                          .cast("double")
+                         / F.count(F.lit(1)))
+                        .cast("decimal(38,10)"), 6)
+                 .cast("double").alias(name))
+
+    corpus = scored.agg(dmean("ndcg", "mean_ndcg"),
+                        dmean("rr", "mrr"))
+    return (scored.crossJoin(F.broadcast(corpus))
+                  .select("query_id", "dcg", "idcg", "ndcg", "rr",
+                          "mean_ndcg", "mrr"))
+
+
+# ---------------------------------------------------------------------------
+# OP-X6 — calibration fit by grid-searched Platt scaling (r11): the
+# MAINTENANCE half of the calibration program (x6_ece_report measures
+# miscalibration; this operator FITS the correction)
+# ---------------------------------------------------------------------------
+
+_CAL_TAUS = (0.3, 0.45, 0.6, 0.75, 0.9, 1.05, 1.2, 1.5)
+_CAL_BS = (0.0, 0.25, 0.5, 0.75, 1.0)
+_CAL_TAU0 = 0.6   #: planted temperature the fit must recover
+_CAL_B0 = 0.5     #: planted bias
+
+_SQL_CAL_COIN = ("CAST(('0x' || substr(md5('{salt}:' || "
+                 "CAST(doc_id AS VARCHAR)), 1, 6)) AS BIGINT)")
+
+
+@register(
+    "x6_calibration_fit",
+    oracle=f"""
+    WITH z AS (
+      SELECT doc_id,
+             ({_SQL_CAL_COIN.format(salt='calz')} % 2001 - 1000)
+               / 250.0 AS z,
+             {_SQL_CAL_COIN.format(salt='caly')} AS coin_y
+      FROM documents
+    ),
+    planted AS (
+      SELECT doc_id, z,
+             CASE WHEN coin_y < CAST(FLOOR(
+               CAST(ROUND(CAST(1.0 / (1.0 + exp(-((z - {_CAL_B0})
+                    / {_CAL_TAU0}))) AS DECIMAL(38,10)), 10) AS DOUBLE)
+               * 16777216) AS BIGINT) THEN 1 ELSE 0 END AS y
+      FROM z
+    ),
+    taus(tau) AS (VALUES
+      {", ".join(f"(CAST({t} AS DOUBLE))" for t in _CAL_TAUS)}),
+    bs(b) AS (VALUES
+      {", ".join(f"(CAST({b} AS DOUBLE))" for b in _CAL_BS)}),
+    terms AS (
+      SELECT t.tau, bs.b,
+             CAST(ROUND(CAST(
+               CASE WHEN y = 1 THEN ln(1 + exp(-((z - bs.b) / t.tau)))
+                    ELSE ln(1 + exp((z - bs.b) / t.tau)) END
+               AS DECIMAL(38,10)), 10) AS DECIMAL(38,10)) AS nll_term
+      FROM planted CROSS JOIN taus t CROSS JOIN bs
+    ),
+    nll AS (
+      SELECT tau, b, CAST(SUM(nll_term) AS DOUBLE) AS nll_raw,
+             COUNT(*) AS n_docs
+      FROM terms GROUP BY tau, b
+    ),
+    best AS (
+      SELECT tau AS bt, b AS bb FROM nll
+      ORDER BY {sql_round_half_up('nll_raw', 6)}, tau, b LIMIT 1
+    )
+    SELECT n.tau, n.b, n.n_docs,
+           {sql_round_half_up('n.nll_raw', 6)} AS nll,
+           (n.tau = b2.bt AND n.b = b2.bb) AS is_best
+    FROM nll n CROSS JOIN best b2
+    """,
+)
+def x6_calibration_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OP-X6 — Platt-scaling calibration fit by exhaustive grid search:
+    minimize NLL of ``sigmoid((z − b) / τ)`` over a (τ, b) grid. The
+    iterative LBFGS fit every eval stack runs is not SQL-expressible;
+    the grid form IS, and at bounded grid size it is the same operator
+    a warehouse would productionize (one corpus pass per grid, one
+    argmin — re-fit nightly, publish (τ, b) to the serving layer).
+
+    Falsifiable by PARAMETER RECOVERY: labels are PLANTED at a known
+    calibration — logits z are exact-rational hash draws on [-4, 4]
+    and y ~ Bernoulli(sigmoid((z − {_CAL_B0}) / {_CAL_TAU0})) via an
+    integer coin-vs-threshold compare — so the fit must find the
+    planted cell (measured pre-registration: exact (0.6, 0.5) at
+    sf0.1's 5000 docs; (0.6, 0.25) at the 500-doc SFs — one grid step
+    of small-sample bias, data-dependent, non-degenerate). A wrong
+    NLL kernel, a broken argmin, or a biased coin all move ``is_best``.
+
+    Parity: z is integer-arithmetic over a 24-bit md5 coin (exact);
+    the planting threshold routes its one exp through DECIMAL at 10 dp
+    then compares INTEGERS (floor ×2²⁴), so the label set is
+    bit-deterministic cross-engine; each NLL term (ln/exp — class B)
+    rounds through DECIMAL(38,10) and sums exactly; the argmin orders
+    by the class-A-rounded NLL with a (τ, b) tiebreak.
+
+    Scale: the grid is a 40-cell broadcast; one scan of the corpus
+    fans each row into 40 partial-aggregated cells (map-side combine
+    keeps the shuffle at 40 rows/partition); the argmin is a 1-row
+    struct-min (CLAUDE.md idiom), no sort, no window."""
+    from ..sources.tables import values_df
+    d = _t(spark, sf_dir, "documents")
+
+    def coin(salt):
+        return F.conv(F.substring(
+            F.md5(F.concat(F.lit(salt + ":"),
+                           F.col("doc_id").cast("string"))), 1, 6),
+            16, 10).cast("long")
+
+    z = (coin("calz") % 2001 - 1000) / F.lit(250.0)
+    q0 = F.lit(1.0) / (F.lit(1.0)
+                       + F.exp(-((z - F.lit(_CAL_B0))
+                                 / F.lit(_CAL_TAU0))))
+    thr = F.floor(F.round(q0.cast("decimal(38,10)"), 10)
+                   .cast("double") * F.lit(16777216)).cast("long")
+    planted = d.select(
+        z.alias("z"),
+        (coin("caly") < thr).cast("int").alias("y"))
+    tg = values_df(spark, [(t,) for t in _CAL_TAUS], "tau double")
+    bg = values_df(spark, [(b,) for b in _CAL_BS], "b double")
+    w = (F.col("z") - F.col("b")) / F.col("tau")
+    nll_term = (F.when(F.col("y") == 1,
+                       F.log(F.lit(1.0) + F.exp(-w)))
+                 .otherwise(F.log(F.lit(1.0) + F.exp(w))))
+    terms = (planted.crossJoin(F.broadcast(tg))
+                    .crossJoin(F.broadcast(bg))
+                    .select("tau", "b",
+                            F.round(nll_term.cast("decimal(38,10)"),
+                                    10).cast("decimal(38,10)")
+                             .alias("nll_term")))
+    nll = (terms.groupBy("tau", "b")
+                .agg(F.sum("nll_term").cast("double").alias("nll_raw"),
+                     F.count(F.lit(1)).alias("n_docs")))
+    from ..functions.scalars import round_half_up as _rhu6
+    best = (nll.agg(F.min(F.struct(
+                _rhu6(F.col("nll_raw"), 6).alias("k"),
+                F.col("tau").alias("bt"),
+                F.col("b").alias("bb"))).alias("m"))
+               .select(F.col("m.bt").alias("bt"),
+                       F.col("m.bb").alias("bb")))
+    return (nll.crossJoin(F.broadcast(best))
+               .select("tau", "b", "n_docs",
+                       _rhu6(F.col("nll_raw"), 6).alias("nll"),
+                       ((F.col("tau") == F.col("bt"))
+                        & (F.col("b") == F.col("bb")))
+                        .alias("is_best")))
