@@ -126,6 +126,9 @@ STREAM_ADMISSION: dict[str, int] = {
     "x2_band_compaction_stream": 1,
     "t40_quantile_monitor_stream": 1,
     "x2_triggered_compaction_stream": 1,
+    "t42_reservoir_sample_stream": 1,
+    "t43_decayed_counter_stream": 1,
+    "t44_distinct_monitor_stream": 1,
 }
 
 #: State-store partition count for the ADVANCING-FRONTIER replays
@@ -4002,3 +4005,474 @@ def x2_triggered_compaction_stream(spark: SparkSession,
                  .select("batch_id", "n_arrivals", "n_dups",
                          "n_unique", "jac6_mass",
                          "compaction_fired", "store_docs_after"))
+
+
+# ---------------------------------------------------------------------------
+# OP-T42 — weighted reservoir sampling maintained ONLINE (r11): the
+# Efraimidis–Spirakis A-Res key is a top-k statistic, and a top-k set
+# is a commutative monoid under "union, re-take top-k" — so the batch
+# sampler (x7_weighted_sample_ares) becomes maintained state with NO
+# history rescans, the canonical streaming-sampling primitive.
+# ---------------------------------------------------------------------------
+
+_RSV_K = 64   #: reservoir size — constant, so state is K rows forever
+
+
+@register(
+    "t42_reservoir_sample_stream",
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id, (doc_id % 4) AS arrival,
+             CAST(ROUND(CAST(pow(
+               (CAST(('0x' || substr(md5('rsv:' ||
+                      CAST(doc_id AS VARCHAR)), 1, 6)) AS BIGINT)
+                + 0.5) / 16777216.0,
+               1.0 / (n_chars + 1)) AS DECIMAL(38,10)), 10) AS DOUBLE)
+               AS rsv_key
+      FROM documents
+    ),
+    b(batch_id) AS (VALUES (0), (1), (2), (3)),
+    ranked AS (
+      SELECT b.batch_id, s.doc_id, s.rsv_key,
+             ROW_NUMBER() OVER (PARTITION BY b.batch_id
+                                ORDER BY s.rsv_key DESC, s.doc_id)
+               AS rn
+      FROM b JOIN scored s ON s.arrival <= b.batch_id
+    )
+    SELECT CAST(batch_id AS BIGINT) AS batch_id, doc_id, rsv_key,
+           TRUE AS maintained_state_ok
+    FROM ranked WHERE rn <= {_RSV_K}
+    """,
+)
+def t42_reservoir_sample_stream(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """OP-T42 — length-weighted sample WITHOUT replacement maintained
+    online: documents arrive in 4 micro-batches (doc_id mod 4 — the
+    x2-stream admission split); each batch computes its local A-Res
+    keys ``u^(1/(n_chars+1))`` (x7_weighted_sample_ares's exact
+    recipe, own salt), takes its local top-``_RSV_K``, merges with the
+    maintained reservoir and re-takes the top-K into a NEW versioned
+    state dir (the t40/s10 versioned-rewrite posture). Because
+    top-k(prefix) = top-k(top-k(state) ∪ batch) — the A-Res theorem's
+    mergeability — every batch boundary's reservoir is EXACTLY the
+    batch sampler's answer over the whole prefix, which is what the
+    oracle replays per batch.
+
+    This is the operator a 100 TB ingest uses to keep a live
+    length-weighted eval/inspection sample without ever rescanning
+    history: per-batch cost is O(batch + K log K), state is K rows
+    forever, and the emitted per-batch sample sets are
+    bit-deterministic (DECIMAL-routed pow key per the class-B
+    taxonomy, doc_id tiebreak — the same reasons the batch twin is
+    hash-exact).
+
+    ``maintained_state_ok`` pins 4 data batches, full admission, and
+    4 versioned state rewrites (no recompute path)."""
+    from ..sources.tables import load_table
+
+    out_dir = _mkdtemp(prefix="t42_rsv_")
+    stage = f"{out_dir}/landing"
+    results = f"{out_dir}/results"
+    state = {"v": 0, "batches": 0}
+
+    def st_dir() -> str:
+        return f"{out_dir}/state_v{state['v']}"
+
+    d = load_table(spark, sf_dir, "documents") \
+        .select("doc_id", "n_chars")
+    n_staged = _write_arrival_files(
+        spark, d.withColumn("arrival",
+                            (F.col("doc_id") % 4).cast("int")),
+        stage, n_files=4)
+
+    v = F.conv(F.substring(
+        F.md5(F.concat(F.lit("rsv:"),
+                       F.col("doc_id").cast("string"))), 1, 6),
+        16, 10).cast("long")
+    u = (v.cast("double") + F.lit(0.5)) / F.lit(16777216.0)
+    w = (F.col("n_chars") + F.lit(1)).cast("double")
+    key = (F.round(F.pow(u, F.lit(1.0) / w).cast("decimal(38,10)"),
+                   10).cast("double"))
+
+    def rsv_batch(batch_df: DataFrame, batch_id: int) -> None:
+        cand = (batch_df.select("doc_id", key.alias("rsv_key"))
+                        .orderBy(F.col("rsv_key").desc(), "doc_id")
+                        .limit(_RSV_K))
+        merged = cand if state["v"] == 0 else (
+            spark.read.parquet(st_dir())
+                 .unionByName(cand)
+                 .orderBy(F.col("rsv_key").desc(), "doc_id")
+                 .limit(_RSV_K))
+        state["v"] += 1
+        merged.write.parquet(st_dir())
+        (spark.read.parquet(st_dir())
+              .select(F.lit(state["batches"]).cast("long")
+                       .alias("batch_id"),
+                      "doc_id", "rsv_key")
+              .write.mode("append").parquet(results))
+        state["batches"] += 1
+
+    s = (spark.readStream
+         .schema("doc_id long, n_chars long")
+         .option("maxFilesPerTrigger", str(STREAM_ADMISSION[
+             "t42_reservoir_sample_stream"]))
+         .option("recursiveFileLookup", "true")
+         .parquet(stage))
+    sq = (s.writeStream
+           .foreachBatch(rsv_batch)
+           .option("checkpointLocation", f"{out_dir}/checkpoint")
+           .trigger(availableNow=True)
+           .start())
+    sq.awaitTermination()
+    data_batches = [pr for pr in sq.recentProgress
+                    if pr["numInputRows"] > 0]
+    admitted = sum(pr["numInputRows"] for pr in data_batches)
+    maintained_ok = (len(data_batches) == 4 and admitted == n_staged
+                     and state["v"] == 4 and state["batches"] == 4)
+    return (spark.read.parquet(results)
+                 .select("batch_id", "doc_id", "rsv_key",
+                         F.lit(bool(maintained_ok))
+                          .alias("maintained_state_ok")))
+
+
+# ---------------------------------------------------------------------------
+# OP-T43 — exponentially decayed counters maintained ONLINE (r11):
+# the trending/rate shape (Prometheus-style decay, heavy-hitter
+# aging) with EXACT integer state — a power-of-two per-epoch decay on
+# ×8-scaled counts makes every halving and every merge exact BIGINT
+# arithmetic, so the streaming state replays bit-for-bit in SQL.
+# ---------------------------------------------------------------------------
+
+@register(
+    "t43_decayed_counter_stream",
+    oracle="""
+    WITH bounds AS (
+      SELECT epoch_us(MIN(ts)) AS mn, epoch_us(MAX(ts)) AS mx
+      FROM events
+    ),
+    e AS (
+      SELECT event_type,
+             (epoch_us(ts) - mn) * 4 // (mx - mn + 1) AS arrival,
+             CAST(CASE WHEN value < 0
+                  THEN -FLOOR(ABS(value) * 100.0 + 0.5)
+                  ELSE FLOOR(ABS(value) * 100.0 + 0.5) END
+             AS BIGINT) AS cents
+      FROM events, bounds
+    ),
+    per AS (
+      SELECT arrival, event_type, COUNT(*) AS n,
+             CAST(SUM(cents) AS BIGINT) AS c
+      FROM e GROUP BY arrival, event_type
+    ),
+    b(batch_id) AS (VALUES (0), (1), (2), (3))
+    SELECT CAST(b.batch_id AS BIGINT) AS batch_id, p.event_type,
+           CAST(SUM(p.n * CASE b.batch_id - p.arrival
+                WHEN 0 THEN 8 WHEN 1 THEN 4 WHEN 2 THEN 2 ELSE 1
+                END) AS BIGINT) AS decayed_n_x8,
+           CAST(SUM(p.c * CASE b.batch_id - p.arrival
+                WHEN 0 THEN 8 WHEN 1 THEN 4 WHEN 2 THEN 2 ELSE 1
+                END) AS BIGINT) AS decayed_cents_x8,
+           CAST(SUM(CASE WHEN p.arrival = b.batch_id THEN p.n
+                    ELSE 0 END) AS BIGINT) AS n_batch,
+           TRUE AS maintained_state_ok
+    FROM b JOIN per p ON p.arrival <= b.batch_id
+    GROUP BY b.batch_id, p.event_type
+    """,
+)
+def t43_decayed_counter_stream(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """OP-T43 — per-type event counts and cents-mass with a half-life
+    of one micro-batch epoch, maintained online: state after batch b
+    is S_b = Σ_{a≤b} x_a · 2^(3−(b−a)) (×8-scaled so the deepest
+    4-batch lag is still the integer 1), and the recurrence
+    ``S_b = S_{b−1} div 2 + 8·batch_agg`` is EXACT — every S_{b−1}
+    term still carries a factor of 2 (lags < 3 at the halving point),
+    so the integer halving never truncates and the maintained BIGINT
+    state equals the closed-form decayed sum bit-for-bit. That is the
+    trick: a float EWMA accumulates association-order noise that no
+    oracle can replay; a dyadic decay on scaled integers is a monoid
+    over exact values.
+
+    The operator is the trending-signal/aging-heavy-hitter shape (t18
+    ranks within a window; this weights ALL history with exponential
+    forgetting) at the per-batch cost of one bounded-key aggregate
+    (event_type domain) merged FULL OUTER with a ≤|domain|-row state
+    relation in a NEW versioned dir per batch — O(batch) work, Θ(1)
+    state, zero history reads, any scale.
+
+    ``maintained_state_ok`` pins 4 admission-complete batches and 4
+    versioned state rewrites."""
+    from ..sources.tables import load_table
+
+    out_dir = _mkdtemp(prefix="t43_dcy_")
+    stage = f"{out_dir}/landing"
+    results = f"{out_dir}/results"
+    state = {"v": 0, "batches": 0}
+
+    def st_dir() -> str:
+        return f"{out_dir}/state_v{state['v']}"
+
+    ev = (load_table(spark, sf_dir, "events")
+          .select("event_id", "ts", "event_type", "value"))
+    mn, mx = ev.agg(F.min(F.unix_micros("ts")),
+                    F.max(F.unix_micros("ts"))).first()
+    arrival = F.expr(f"((unix_micros(ts) - {mn}) * 4) "
+                     f"div ({mx - mn + 1})")
+    n_staged = _write_arrival_files(
+        spark, ev.withColumn("arrival", arrival), stage, n_files=4)
+
+    cents = (F.when(F.col("value") < 0,
+                    -F.floor(F.abs(F.col("value")) * 100.0 + 0.5))
+              .otherwise(F.floor(F.abs(F.col("value")) * 100.0 + 0.5))
+              .cast("long"))
+
+    def dcy_batch(batch_df: DataFrame, batch_id: int) -> None:
+        agg = (batch_df.groupBy("event_type")
+                       .agg(F.count(F.lit(1)).cast("long").alias("bn"),
+                            F.sum(cents).cast("long").alias("bc")))
+        if state["v"] == 0:
+            merged = agg.select(
+                "event_type",
+                (F.col("bn") * 8).alias("dn"),
+                (F.col("bc") * 8).alias("dc"),
+                F.col("bn").alias("n_batch"))
+        else:
+            prev = (spark.read.parquet(st_dir())
+                         .select("event_type", "dn", "dc"))
+            merged = (prev.join(agg, "event_type", "full_outer")
+                      .select(
+                "event_type",
+                (F.expr("coalesce(dn, 0) div 2")
+                 + F.coalesce(F.col("bn"), F.lit(0)) * 8).alias("dn"),
+                (F.expr("coalesce(dc, 0) div 2")
+                 + F.coalesce(F.col("bc"), F.lit(0)) * 8).alias("dc"),
+                F.coalesce(F.col("bn"), F.lit(0)).alias("n_batch")))
+        state["v"] += 1
+        merged.write.parquet(st_dir())
+        (spark.read.parquet(st_dir())
+              .select(F.lit(state["batches"]).cast("long")
+                       .alias("batch_id"),
+                      "event_type",
+                      F.col("dn").alias("decayed_n_x8"),
+                      F.col("dc").alias("decayed_cents_x8"),
+                      "n_batch")
+              .write.mode("append").parquet(results))
+        state["batches"] += 1
+
+    s = (spark.readStream
+         .schema("event_id long, ts timestamp, event_type string, "
+                 "value double")
+         .option("maxFilesPerTrigger", str(STREAM_ADMISSION[
+             "t43_decayed_counter_stream"]))
+         .option("recursiveFileLookup", "true")
+         .parquet(stage))
+    sq = (s.writeStream
+           .foreachBatch(dcy_batch)
+           .option("checkpointLocation", f"{out_dir}/checkpoint")
+           .trigger(availableNow=True)
+           .start())
+    sq.awaitTermination()
+    data_batches = [pr for pr in sq.recentProgress
+                    if pr["numInputRows"] > 0]
+    admitted = sum(pr["numInputRows"] for pr in data_batches)
+    maintained_ok = (len(data_batches) == 4 and admitted == n_staged
+                     and state["v"] == 4 and state["batches"] == 4)
+    return (spark.read.parquet(results)
+                 .select("batch_id", "event_type", "decayed_n_x8",
+                         "decayed_cents_x8", "n_batch",
+                         F.lit(bool(maintained_ok))
+                          .alias("maintained_state_ok")))
+
+
+# ---------------------------------------------------------------------------
+# OP-T44 — distinct-cardinality monitor maintained ONLINE via a KMV
+# sketch (r11): a22's cumulative-distinct curve as streaming state.
+# The K-minimum-values sketch is the third state SHAPE of the r11
+# online-maintenance program (t40 band monoid, t42 top-k, t43 dyadic
+# decay): k-min of a union is a monoid, and unlike HLL the estimate
+# replays EXACTLY in SQL (portable md5 hash, a21's recipe).
+# ---------------------------------------------------------------------------
+
+_DMON_K = 256
+
+
+@register(
+    "t44_distinct_monitor_stream",
+    oracle=f"""
+    WITH bounds AS (
+      SELECT epoch_us(MIN(ts)) AS mn, epoch_us(MAX(ts)) AS mx
+      FROM events
+    ),
+    e AS (
+      SELECT user_id || '@' || CAST(CAST(ts AS DATE) AS VARCHAR)
+               AS ukey,
+             (epoch_us(ts) - mn) * 4 // (mx - mn + 1) AS arrival
+      FROM events, bounds
+    ),
+    b(batch_id) AS (VALUES (0), (1), (2), (3)),
+    pref AS (
+      SELECT DISTINCT b.batch_id, e.ukey
+      FROM b JOIN e ON e.arrival <= b.batch_id
+    ),
+    h AS (
+      SELECT batch_id,
+             (('0x' || substr(md5('dmon:' || ukey), 1, 15))::BIGINT)
+               / 1152921504606846976.0 AS u
+      FROM pref
+    ),
+    sk AS (
+      SELECT batch_id, u,
+             ROW_NUMBER() OVER (PARTITION BY batch_id ORDER BY u)
+               AS rn
+      FROM h
+    ),
+    st AS (
+      SELECT batch_id, COUNT(*) AS n_sketch, MAX(u) AS u_max
+      FROM sk WHERE rn <= {_DMON_K} GROUP BY batch_id
+    ),
+    ex AS (
+      SELECT batch_id, COUNT(DISTINCT ukey) AS nd
+      FROM pref GROUP BY batch_id
+    )
+    SELECT CAST(st.batch_id AS BIGINT) AS batch_id,
+           CAST(n_sketch AS BIGINT) AS n_sketch,
+           CASE WHEN n_sketch < {_DMON_K}
+                THEN CAST(n_sketch AS DOUBLE)
+                ELSE CAST(FLOOR(({_DMON_K - 1}.0 / u_max) * 10000
+                               + 0.5) / 10000 AS DOUBLE)
+           END AS est_distinct,
+           CAST(FLOOR(u_max * 100000000 + 0.5) / 100000000 AS DOUBLE)
+             AS u_max8,
+           CAST(ex.nd AS BIGINT) AS exact_distinct,
+           (n_sketch < {_DMON_K} OR
+            ABS(CASE WHEN n_sketch < {_DMON_K}
+                     THEN CAST(n_sketch AS DOUBLE)
+                     ELSE CAST(FLOOR(({_DMON_K - 1}.0 / u_max)
+                               * 10000 + 0.5) / 10000 AS DOUBLE)
+                END - ex.nd) <= 0.25 * ex.nd) AS bound_ok,
+           TRUE AS maintained_state_ok
+    FROM st JOIN ex USING (batch_id)
+    """,
+)
+def t44_distinct_monitor_stream(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """OP-T44 — distinct user-days monitored online: events replay as
+    4 time-quantile micro-batches (t40's staging, no late subset);
+    each batch hashes its DISTINCT (user_id, day) keys through the
+    portable md5→60-bit uniform (a21's KMV recipe, own salt), merges
+    them with the maintained sketch, and re-takes the K smallest into
+    a NEW versioned state dir. Every batch boundary then answers the
+    prefix cardinality from K rows: exactly ``n_sketch`` while the
+    sketch is unsaturated (the sketch IS the distinct set), else the
+    KMV estimator (K−1)/u_(K) — both branches exercised at the
+    shipped SFs (sf0.001 saturates mid-stream; sf0.1 estimates
+    throughout, within 10% of exact at design probe).
+
+    Unlike the HLL twins (a7/a14), every number here is EXACTLY
+    replayable cross-engine — the sketch is a deterministic function
+    of the key set — so the oracle pins values, not error bounds; the
+    ``bound_ok`` column additionally grades the estimate against the
+    exact prefix count (a ~4σ gate at RSE ≈ 1/√(K−2) ≈ 6.3%),
+    computed engine-side by a post-stream referee over the staged
+    landing (test scaffolding — the graded path never rescans
+    history).
+
+    Scale: per-batch cost is one distinct-project of the batch plus a
+    merge of two ≤K-row relations; state is K rows forever. This is
+    the DAU-curve / join-key-cardinality monitor a 100 TB ingest
+    keeps without a count-distinct over an ever-growing prefix."""
+    from ..sources.tables import load_table
+
+    out_dir = _mkdtemp(prefix="t44_dmon_")
+    stage = f"{out_dir}/landing"
+    results = f"{out_dir}/results"
+    state = {"v": 0, "batches": 0}
+
+    def st_dir() -> str:
+        return f"{out_dir}/state_v{state['v']}"
+
+    ev = (load_table(spark, sf_dir, "events")
+          .select("event_id", "ts", "user_id"))
+    mn, mx = ev.agg(F.min(F.unix_micros("ts")),
+                    F.max(F.unix_micros("ts"))).first()
+    arrival = F.expr(f"((unix_micros(ts) - {mn}) * 4) "
+                     f"div ({mx - mn + 1})")
+    n_staged = _write_arrival_files(
+        spark, ev.withColumn("arrival", arrival), stage, n_files=4)
+
+    ukey = F.concat(F.col("user_id").cast("string"), F.lit("@"),
+                    F.to_date("ts").cast("string"))
+    u_col = (F.conv(F.substring(
+        F.md5(F.concat(F.lit("dmon:"), ukey)), 1, 15), 16, 10)
+        .cast("long") / F.lit(1152921504606846976.0))
+
+    def dmon_batch(batch_df: DataFrame, batch_id: int) -> None:
+        cand = (batch_df.select(u_col.alias("u")).distinct()
+                        .orderBy("u").limit(_DMON_K))
+        merged = cand if state["v"] == 0 else (
+            spark.read.parquet(st_dir())
+                 .unionByName(cand).distinct()
+                 .orderBy("u").limit(_DMON_K))
+        state["v"] += 1
+        merged.write.parquet(st_dir())
+        (spark.read.parquet(st_dir())
+              .agg(F.count(F.lit(1)).cast("long").alias("n_sketch"),
+                   F.max("u").alias("u_max"))
+              .select(F.lit(state["batches"]).cast("long")
+                       .alias("batch_id"),
+                      "n_sketch", "u_max")
+              .write.mode("append").parquet(results))
+        state["batches"] += 1
+
+    s = (spark.readStream
+         .schema("event_id long, ts timestamp, user_id long")
+         .option("maxFilesPerTrigger", str(STREAM_ADMISSION[
+             "t44_distinct_monitor_stream"]))
+         .option("recursiveFileLookup", "true")
+         .parquet(stage))
+    sq = (s.writeStream
+           .foreachBatch(dmon_batch)
+           .option("checkpointLocation", f"{out_dir}/checkpoint")
+           .trigger(availableNow=True)
+           .start())
+    sq.awaitTermination()
+    data_batches = [pr for pr in sq.recentProgress
+                    if pr["numInputRows"] > 0]
+    admitted = sum(pr["numInputRows"] for pr in data_batches)
+    maintained_ok = (len(data_batches) == 4 and admitted == n_staged
+                     and state["v"] == 4 and state["batches"] == 4)
+
+    # --- referee (test scaffolding): exact prefix distincts from the
+    # staged landing, graded against the maintained estimates
+    from ..functions.scalars import round_half_up
+    landed = (spark.read.option("recursiveFileLookup", "true")
+                   .parquet(stage)
+                   .select(ukey.alias("ukey"),
+                           arrival.cast("long").alias("arrival")))
+    first_arr = (landed.groupBy("ukey")
+                       .agg(F.min("arrival").alias("fa")))
+    per_fa = first_arr.groupBy("fa").agg(
+        F.count(F.lit(1)).cast("long").alias("nfa"))
+    wb = (Window.orderBy("fa")
+                .rowsBetween(Window.unboundedPreceding, 0))
+    exact = (per_fa.withColumn("exact_distinct",
+                               F.sum("nfa").over(wb).cast("long"))
+                   .select(F.col("fa").alias("batch_id"),
+                           "exact_distinct"))
+    res = spark.read.parquet(results)
+    est = (F.when(F.col("n_sketch") < _DMON_K,
+                  F.col("n_sketch").cast("double"))
+            .otherwise(round_half_up(
+                F.lit(float(_DMON_K - 1)) / F.col("u_max"), 4)))
+    return (res.join(exact, "batch_id")
+               .select("batch_id", "n_sketch",
+                       est.alias("est_distinct"),
+                       round_half_up(F.col("u_max"), 8)
+                        .alias("u_max8"),
+                       "exact_distinct",
+                       ((F.col("n_sketch") < _DMON_K)
+                        | (F.abs(est - F.col("exact_distinct"))
+                           <= 0.25 * F.col("exact_distinct")))
+                        .alias("bound_ok"),
+                       F.lit(bool(maintained_ok))
+                        .alias("maintained_state_ok")))
