@@ -148,6 +148,17 @@ HEADLINE = (
     # r11 additions: the streaming staircase + trigger-driven compaction
     "t40_quantile_monitor_stream",  # exact online quantile monitor
     "x2_triggered_compaction_stream",  # compaction-as-policy stream
+    # r11 batch additions: CDC dedup granularity + the eval layer
+    "x2_cdc_chunk_dedup",         # content-defined chunk dedup
+    "x6_ndcg_mrr_report",         # graded ranking quality (nDCG/MRR)
+    "x6_calibration_fit",         # grid Platt fit, planted recovery
+    # r11 online-maintenance program (shapes 2-4 beside t40's bands)
+    "t42_reservoir_sample_stream",  # A-Res top-k monoid state
+    "t43_decayed_counter_stream",   # exact dyadic decay counters
+    "t44_distinct_monitor_stream",  # KMV k-min sketch monitor
+    "t45_heavy_hitter_stream",      # deterministic MG merge state
+    "t46_prequential_anomaly_stream",  # fences from prior-state bands
+    "x3_codebook_split_retrain",    # LBG split: the distortion action
 )
 
 

@@ -11356,3 +11356,175 @@ def x6_calibration_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
                        ((F.col("tau") == F.col("bt"))
                         & (F.col("b") == F.col("bb")))
                         .alias("is_best")))
+
+
+# ---------------------------------------------------------------------------
+# OP-X3 — codebook split retrain (r11): the ACTION behind the r10
+# distortion trigger. x3_pq_distortion_report names worst_subspace;
+# this operator RETRAINS it — the LBG split step — and proves the
+# improvement, closing x3's monitor → act loop the way
+# x2_triggered_compaction_stream closed dedup's.
+# ---------------------------------------------------------------------------
+
+@register(
+    "x3_codebook_split_retrain",
+    oracle=f"""
+    WITH v AS (
+      SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+    ),
+    sub AS MATERIALIZED (
+      SELECT vec_id, j, e[j*8+1 : j*8+8] AS sv
+      FROM v CROSS JOIN (SELECT UNNEST(range(8))::INT AS j)
+    ),
+    cbv AS (SELECT vec_id FROM v {_sql_hash_sample(_H_CODE, K_CODES)}),
+    cb AS MATERIALIZED (
+      SELECT s.vec_id AS cid, s.j, s.sv AS cv
+      FROM sub s JOIN cbv ON s.vec_id = cbv.vec_id
+    ),
+    d AS MATERIALIZED (
+      SELECT s.vec_id, s.j, MIN({_sql_l2sq('s.sv', 'c.cv')}) AS d2
+      FROM sub s JOIN cb c ON s.j = c.j
+      GROUP BY s.vec_id, s.j
+    ),
+    per_j AS MATERIALIZED (
+      SELECT j, COUNT(*) AS n_vecs,
+             CAST(SUM(CAST(FLOOR(d2 * 1000000.0 + 0.5) AS BIGINT))
+                  AS BIGINT) AS mu
+      FROM d GROUP BY j
+    ),
+    worst AS (SELECT j AS wj FROM per_j ORDER BY mu DESC, j LIMIT 1),
+    newcode AS (
+      SELECT d.vec_id AS new_id FROM d, worst
+      WHERE d.j = worst.wj ORDER BY d.d2 DESC, d.vec_id LIMIT 1
+    ),
+    cb2 AS (
+      SELECT c.cv FROM cb c, worst WHERE c.j = worst.wj
+      UNION ALL
+      SELECT s.sv FROM sub s, worst, newcode
+      WHERE s.j = worst.wj AND s.vec_id = newcode.new_id
+    ),
+    aft AS (
+      SELECT CAST(SUM(CAST(FLOOR(d2a * 1000000.0 + 0.5) AS BIGINT))
+                  AS BIGINT) AS mu_after
+      FROM (
+        SELECT s.vec_id, MIN({_sql_l2sq('s.sv', 'c.cv')}) AS d2a
+        FROM sub s JOIN worst ON s.j = worst.wj CROSS JOIN cb2 c
+        GROUP BY s.vec_id
+      )
+    )
+    SELECT p.j AS subspace, p.n_vecs,
+           {sql_round_half_up(
+               'p.mu * 1.0 / (p.n_vecs * 1000000.0)', 6)} AS mean_d2,
+           (p.j = w.wj) AS retrained,
+           CASE WHEN p.j = w.wj
+                THEN {sql_round_half_up(
+                    'a.mu_after * 1.0 / (p.n_vecs * 1000000.0)', 6)}
+                ELSE {sql_round_half_up(
+                    'p.mu * 1.0 / (p.n_vecs * 1000000.0)', 6)}
+           END AS mean_d2_after,
+           CAST(CASE WHEN p.j = w.wj THEN p.mu - a.mu_after
+                ELSE 0 END AS BIGINT) AS improvement_mu,
+           CASE WHEN p.j = w.wj THEN n.new_id END AS new_code_id
+    FROM per_j p CROSS JOIN worst w CROSS JOIN aft a
+         CROSS JOIN newcode n
+    """,
+)
+def x3_codebook_split_retrain(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """OP-X3 — LBG codebook SPLIT on the worst PQ subspace: measure
+    per-subspace distortion with the live codebook (the r10 trigger's
+    arithmetic, verbatim), pick the worst subspace by exact µ-scaled
+    BIGINT argmax, ADD one code there — the farthest-fit member, the
+    Linde-Buzo-Gray split step — re-encode that subspace against the
+    K+1 codebook, and report the before/after distortion with the
+    exact-integer improvement. The split is the deterministic retrain:
+    a Lloyd mean-update would put float averages (class-B order noise)
+    INTO the codebook and poison every downstream distance with
+    unreplayable bits, while the split's new code is an EXISTING
+    subvector chosen by (d2 DESC, vec_id) argmax — so the whole
+    retrain replays bit-for-bit, and the improvement is guaranteed
+    structurally (the farthest point's own distortion drops to zero,
+    no other assignment can worsen).
+
+    This closes x3's monitor → act loop (the r11 theme: a trigger you
+    never fire is a dashboard, not a maintenance policy): cell balance
+    (r9) and distortion (r10) WATCH the index; compaction (r9) acts on
+    delete debt; this acts on codebook debt. ``improvement_mu`` > 0 on
+    the retrained row is the falsifiable post-condition, exact BIGINT.
+
+    Scale: encode = N×8 subvectors vs a broadcast constant codebook
+    (ckpt'd — the distortion report's measured pattern); the retrain
+    adds ONE extra encode pass restricted to the worst subspace
+    (N×(K+1) folds); argmax/argmin are 1-row struct-min aggs; nothing
+    sorts or windows a data-sized relation."""
+    e = _t(spark, sf_dir, "embeddings")
+    v = e.select("vec_id", _as_double_vec("embedding").alias("e"))
+    sub = v.select(
+        "vec_id",
+        F.posexplode(F.array(*[F.slice("e", 8 * j + 1, 8)
+                               for j in range(8)])).alias("j", "sv"))
+    cb_ids = _hash_sample(v.select("vec_id"), K_CODES, _H_CODE)
+    cb = ckpt(sub.join(F.broadcast(cb_ids), "vec_id")
+                 .select(F.col("vec_id").alias("cid"), "j",
+                         F.col("sv").alias("cv")))
+
+    def l2sq(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0), lambda acc, x: acc + x)
+
+    d = ckpt(sub.alias("s")
+                .join(F.broadcast(cb), F.col("s.j") == cb["j"])
+                .groupBy(F.col("s.vec_id").alias("vec_id"),
+                         F.col("s.j").alias("j"))
+                .agg(F.min(l2sq(F.col("s.sv"), F.col("cv")))
+                      .alias("d2")))
+    mu_term = F.floor(F.col("d2") * 1000000.0 + F.lit(0.5)) \
+               .cast("long")
+    per_j = (d.groupBy("j")
+              .agg(F.count(F.lit(1)).alias("n_vecs"),
+                   F.sum(mu_term).cast("long").alias("mu")))
+    worst = (per_j.agg(F.min(F.struct(
+                 (-F.col("mu")).alias("k"),
+                 F.col("j").alias("wj"))).alias("m"))
+                  .select(F.col("m.wj").alias("wj")))
+    newcode = (d.join(F.broadcast(worst), d["j"] == F.col("wj"))
+                .agg(F.max(F.struct(
+                    F.col("d2").alias("k"),
+                    (-F.col("vec_id")).alias("nk"))).alias("m"))
+                .select((-F.col("m.nk")).cast("long")
+                         .alias("new_id")))
+    cb2 = (cb.join(F.broadcast(worst), cb["j"] == F.col("wj"))
+             .select("cv")
+             .unionByName(
+                 sub.join(F.broadcast(worst),
+                          sub["j"] == F.col("wj"))
+                    .join(F.broadcast(newcode),
+                          sub["vec_id"] == F.col("new_id"))
+                    .select(F.col("sv").alias("cv"))))
+    aft = (sub.alias("s")
+              .join(F.broadcast(worst), F.col("s.j") == F.col("wj"))
+              .crossJoin(F.broadcast(cb2))
+              .groupBy(F.col("s.vec_id"))
+              .agg(F.min(l2sq(F.col("s.sv"), F.col("cv")))
+                    .alias("d2a"))
+              .agg(F.sum(F.floor(F.col("d2a") * 1000000.0
+                                 + F.lit(0.5)).cast("long"))
+                    .cast("long").alias("mu_after")))
+    mean_before = round_half_up(
+        F.col("mu") * 1.0 / (F.col("n_vecs") * 1000000.0), 6)
+    is_w = F.col("j") == F.col("wj")
+    return (per_j.crossJoin(F.broadcast(worst))
+                 .crossJoin(F.broadcast(aft))
+                 .crossJoin(F.broadcast(newcode))
+                 .select(
+        F.col("j").alias("subspace"), "n_vecs",
+        mean_before.alias("mean_d2"),
+        is_w.alias("retrained"),
+        F.when(is_w, round_half_up(
+                   F.col("mu_after") * 1.0
+                   / (F.col("n_vecs") * 1000000.0), 6))
+         .otherwise(mean_before).alias("mean_d2_after"),
+        F.when(is_w, F.col("mu") - F.col("mu_after"))
+         .otherwise(F.lit(0)).cast("long").alias("improvement_mu"),
+        F.when(is_w, F.col("new_id")).alias("new_code_id")))

@@ -129,6 +129,8 @@ STREAM_ADMISSION: dict[str, int] = {
     "t42_reservoir_sample_stream": 1,
     "t43_decayed_counter_stream": 1,
     "t44_distinct_monitor_stream": 1,
+    "t45_heavy_hitter_stream": 1,
+    "t46_prequential_anomaly_stream": 1,
 }
 
 #: State-store partition count for the ADVANCING-FRONTIER replays
@@ -4476,3 +4478,380 @@ def t44_distinct_monitor_stream(spark: SparkSession,
                         .alias("bound_ok"),
                        F.lit(bool(maintained_ok))
                         .alias("maintained_state_ok")))
+
+
+# ---------------------------------------------------------------------------
+# OP-T45 — Misra-Gries heavy-hitter summary maintained ONLINE (r11):
+# the fifth mergeable-summary shape of the online program (t40 bands /
+# t42 top-k / t43 dyadic decay / t44 k-min). a16's batch MG is
+# partition-order dependent and graded as a theorem verdict; HERE the
+# merge is deterministic BY CONSTRUCTION — exact per-batch counts
+# merged into the state with one deterministic prune — so the whole
+# state sequence replays bit-for-bit in SQL.
+# ---------------------------------------------------------------------------
+
+_MGS_K = 8   #: counter budget — state is ≤ K rows forever
+
+
+def _mgs_oracle() -> str:
+    """Sequential 4-level replay of the MG merge recurrence
+    state_b = prune_K(state_{b-1} ⊎ exact_counts(batch_b)); hot CTEs
+    MATERIALIZED (CLAUDE.md: DuckDB inlines CTEs per reference)."""
+    from ..plans.extensions import SQL_TOKENS
+    k = _MGS_K
+    parts = [f"""tok_arr AS MATERIALIZED (
+      SELECT (doc_id % 4) AS arrival, unnest({SQL_TOKENS}) AS tok
+      FROM documents
+    )"""]
+    for b in range(4):
+        if b == 0:
+            comb = (f"c0 AS MATERIALIZED (SELECT tok, COUNT(*) AS w "
+                    f"FROM tok_arr WHERE arrival = 0 GROUP BY tok)")
+        else:
+            comb = f"""c{b} AS MATERIALIZED (
+      SELECT COALESCE(p.tok, n.tok) AS tok,
+             COALESCE(p.w, 0) + COALESCE(n.w, 0) AS w
+      FROM m{b-1} p FULL OUTER JOIN (
+        SELECT tok, COUNT(*) AS w FROM tok_arr
+        WHERE arrival = {b} GROUP BY tok
+      ) n ON p.tok = n.tok)"""
+        thr = (f"t{b} AS (SELECT CASE WHEN (SELECT COUNT(*) FROM c{b})"
+               f" > {k} THEN (SELECT w FROM c{b} ORDER BY w DESC, tok"
+               f" LIMIT 1 OFFSET {k}) ELSE 0 END AS s)")
+        st = (f"m{b} AS MATERIALIZED (SELECT tok, "
+              f"w - (SELECT s FROM t{b}) AS w FROM c{b} "
+              f"WHERE w > (SELECT s FROM t{b}))")
+        parts.extend([comb, thr, st])
+    sel = []
+    for b in range(4):
+        scum = " + ".join(f"(SELECT s FROM t{i})" for i in range(b + 1))
+        sel.append(f"""SELECT CAST({b} AS BIGINT) AS batch_id, m.tok,
+           CAST(m.w AS BIGINT) AS w_est,
+           CAST({scum} AS BIGINT) AS s_cum,
+           CAST((SELECT COUNT(*) FROM tok_arr a
+                 WHERE a.arrival <= {b} AND a.tok = m.tok) AS BIGINT)
+             AS exact_count
+    FROM m{b} m""")
+    body = "WITH " + ",\n".join(parts) + "\n" + " UNION ALL ".join(sel)
+    return f"""
+    SELECT batch_id, tok, w_est, s_cum, exact_count,
+           (exact_count >= w_est AND exact_count - w_est <= s_cum)
+             AS bound_ok,
+           TRUE AS maintained_state_ok
+    FROM ({body})
+    """
+
+
+@register("t45_heavy_hitter_stream", oracle=_mgs_oracle())
+def t45_heavy_hitter_stream(spark: SparkSession,
+                            sf_dir: str) -> DataFrame:
+    """OP-T45 — token heavy-hitter summary maintained online with a
+    ``_MGS_K``-counter Misra-Gries state: documents arrive in 4
+    micro-batches (doc_id mod 4); each batch's EXACT token counts
+    (one bounded groupBy — an exact-count multiset is a zero-error MG
+    summary of the batch) FULL-OUTER-merge with the ≤K-row state, then
+    ONE deterministic prune (subtract the (K+1)-th largest combined
+    weight — a TakeOrdered(K+1) constant, the value at that sorted
+    position is tie-independent — and drop non-positives, which keeps
+    ≤K rows by construction) lands in a NEW versioned state dir.
+    Agarwal et al.'s mergeable-summaries theorem makes the error of
+    ANY merge tree ≤ N/(K+1); determinism here is stronger — the
+    admission order is staged, the inputs are exact counts, so the
+    state SEQUENCE is a pure function of the data and the oracle
+    replays all 4 levels bit-for-bit (a16's batch MG can only be
+    theorem-graded because its per-partition summaries depend on
+    Arrow batch order).
+
+    Falsifiable guarantee per emitted row: ``exact_count ≥ w_est``
+    and ``exact_count − w_est ≤ s_cum`` (the cumulative subtracted
+    mass — the engine's own error ledger), graded against a
+    post-stream referee over the staged landing (broadcast of the
+    ≤ 4·K result keys; the graded sketch path never rescans history).
+
+    Scale: per-batch cost is one token-explode + map-side-combinable
+    count of the BATCH plus a ≤K-row merge; state is ≤K rows forever.
+    This is the trending-token / hot-key monitor at 100 TB ingest —
+    and on this corpus's flat-ish vocabulary the summary honestly
+    shows MG's limit (w_est ≪ exact_count, s_cum large): the bound
+    columns are the point, not a pretty leaderboard."""
+    from ..plans.extensions import tokens_col
+    from ..sources.tables import load_table
+
+    out_dir = _mkdtemp(prefix="t45_mgs_")
+    stage = f"{out_dir}/landing"
+    results = f"{out_dir}/results"
+    state = {"v": 0, "batches": 0, "s_cum": 0}
+
+    def st_dir() -> str:
+        return f"{out_dir}/state_v{state['v']}"
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    n_staged = _write_arrival_files(
+        spark, d.withColumn("arrival",
+                            (F.col("doc_id") % 4).cast("int")),
+        stage, n_files=4)
+
+    def mgs_batch(batch_df: DataFrame, batch_id: int) -> None:
+        bc = (batch_df.select(F.explode(tokens_col("text"))
+                              .alias("tok"))
+                      .groupBy("tok")
+                      .agg(F.count(F.lit(1)).cast("long").alias("bw")))
+        if state["v"] == 0:
+            combined = bc.select("tok", F.col("bw").alias("w"))
+        else:
+            prev = spark.read.parquet(st_dir())
+            combined = (prev.join(bc, "tok", "full_outer")
+                            .select("tok",
+                                    (F.coalesce(F.col("w"), F.lit(0))
+                                     + F.coalesce(F.col("bw"),
+                                                  F.lit(0)))
+                                    .alias("w")))
+        combined = combined.localCheckpoint(eager=True)
+        limited = (combined.orderBy(F.col("w").desc(), "tok")
+                           .limit(_MGS_K + 1))
+        thr = limited.agg(
+            F.when(F.count(F.lit(1)) == _MGS_K + 1, F.min("w"))
+             .otherwise(F.lit(0)).cast("long").alias("s"))
+        s_val = int(thr.first()["s"])
+        state["s_cum"] += s_val
+        pruned = (combined.filter(F.col("w") > F.lit(s_val))
+                          .select("tok",
+                                  (F.col("w") - F.lit(s_val))
+                                  .alias("w")))
+        state["v"] += 1
+        pruned.write.parquet(st_dir())
+        (spark.read.parquet(st_dir())
+              .select(F.lit(state["batches"]).cast("long")
+                       .alias("batch_id"),
+                      "tok", F.col("w").alias("w_est"),
+                      F.lit(state["s_cum"]).cast("long")
+                       .alias("s_cum"))
+              .write.mode("append").parquet(results))
+        state["batches"] += 1
+
+    s = (spark.readStream
+         .schema("doc_id long, text string")
+         .option("maxFilesPerTrigger", str(STREAM_ADMISSION[
+             "t45_heavy_hitter_stream"]))
+         .option("recursiveFileLookup", "true")
+         .parquet(stage))
+    sq = (s.writeStream
+           .foreachBatch(mgs_batch)
+           .option("checkpointLocation", f"{out_dir}/checkpoint")
+           .trigger(availableNow=True)
+           .start())
+    sq.awaitTermination()
+    data_batches = [pr for pr in sq.recentProgress
+                    if pr["numInputRows"] > 0]
+    admitted = sum(pr["numInputRows"] for pr in data_batches)
+    maintained_ok = (len(data_batches) == 4 and admitted == n_staged
+                     and state["v"] == 4 and state["batches"] == 4)
+
+    # --- referee (test scaffolding): exact prefix counts for the
+    # ≤ 4·K emitted keys, from the staged landing
+    res = spark.read.parquet(results)
+    landed = (spark.read.option("recursiveFileLookup", "true")
+                   .parquet(stage)
+                   .select((F.col("doc_id") % 4).cast("long")
+                            .alias("arrival"),
+                           F.explode(tokens_col("text")).alias("tok")))
+    keys = res.select("batch_id", "tok").distinct()
+    exact = (landed.join(F.broadcast(keys), "tok")
+                   .filter(F.col("arrival") <= F.col("batch_id"))
+                   .groupBy("batch_id", "tok")
+                   .agg(F.count(F.lit(1)).cast("long")
+                         .alias("exact_count")))
+    j = res.join(exact, ["batch_id", "tok"])
+    bound_ok = ((F.col("exact_count") >= F.col("w_est"))
+                & (F.col("exact_count") - F.col("w_est")
+                   <= F.col("s_cum")))
+    return j.select("batch_id", "tok", "w_est", "s_cum",
+                    "exact_count", bound_ok.alias("bound_ok"),
+                    F.lit(bool(maintained_ok))
+                     .alias("maintained_state_ok"))
+
+
+# ---------------------------------------------------------------------------
+# OP-T46 — prequential anomaly gate (r11): the maintained staircase
+# state DECIDES, not just reports. t40 answers "what are the
+# quantiles"; t46 flags each arriving batch against Tukey fences
+# computed from the state BEFORE the batch merges in — the
+# test-then-train discipline every honest streaming monitor follows
+# (a batch must never help set the threshold it is judged by).
+# ---------------------------------------------------------------------------
+
+@register(
+    "t46_prequential_anomaly_stream",
+    oracle=f"""
+    WITH bounds AS (
+      SELECT epoch_us(MIN(ts)) AS mn, epoch_us(MAX(ts)) AS mx
+      FROM events
+    ),
+    ar AS (
+      SELECT value,
+             (epoch_us(ts) - mn) * 4 // (mx - mn + 1) AS arrival
+      FROM events, bounds
+    ),
+    b(batch_id) AS (VALUES (0), (1), (2), (3)),
+    prior AS (
+      SELECT b.batch_id,
+             quantile_cont(a.value, 0.25) AS p25,
+             quantile_cont(a.value, 0.75) AS p75
+      FROM b JOIN ar a ON a.arrival < b.batch_id
+      GROUP BY b.batch_id
+    )
+    SELECT CAST(b.batch_id AS BIGINT) AS batch_id,
+           CAST(COUNT(a.value) AS BIGINT) AS n_arrivals,
+           {_sql_rhu('p.p25', 6)} AS p25_prior,
+           {_sql_rhu('p.p75', 6)} AS p75_prior,
+           CAST(COALESCE(SUM(CASE WHEN a.value
+                > p.p75 + 1.5 * (p.p75 - p.p25)
+                THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_outliers_hi,
+           CAST(COALESCE(SUM(CASE WHEN a.value
+                < p.p25 - 1.5 * (p.p75 - p.p25)
+                THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_outliers_lo,
+           TRUE AS maintained_state_ok
+    FROM b LEFT JOIN prior p USING (batch_id)
+           LEFT JOIN ar a ON a.arrival = b.batch_id
+    GROUP BY b.batch_id, p.p25, p.p75
+    """,
+)
+def t46_prequential_anomaly_stream(spark: SparkSession,
+                                   sf_dir: str) -> DataFrame:
+    """OP-T46 — Tukey-fence anomaly gate with PREQUENTIAL discipline:
+    events replay as 4 time-quantile micro-batches (t40's staging);
+    each batch is flagged against ``p75 + 1.5·IQR`` / ``p25 − 1.5·IQR``
+    fences answered EXACTLY from the maintained band state of the
+    PRIOR batches (``state_exact_quantiles`` — t40's monoid state,
+    read before the batch merges in), then merges its own bands into a
+    NEW versioned state dir. Batch 0 has no prior state and emits NULL
+    fences / zero flags — the cold start is explicit output, not a
+    hidden branch.
+
+    Why prequential: thresholds computed over a window that INCLUDES
+    the batch under test leak the anomaly into its own fence (a burst
+    inflates p75 and hides itself). Test-then-train is the honest
+    protocol, and it is also what makes the oracle exact: batch b's
+    fences depend only on arrivals < b, so DuckDB replays them as a
+    strict-prefix ``quantile_cont``.
+
+    Parity: the state quantiles are bit-identical to the batch
+    staircase over the same prefix (t40's adjudicated kernel
+    equivalence), the fence arithmetic is over those identical
+    doubles, and the flag compare is raw — so the outlier COUNTS are
+    integer-exact cross-engine; the reported fences round class-A at
+    6 dp.
+
+    Scale: per-batch cost = O(batch) flagging + O(batch + bands)
+    merge + the staircase answer's O(bands + N/B) — independent of
+    absorbed history; state bounded by the value domain. This is the
+    drift/burst alarm a 100 TB feed runs continuously (t11's z-score
+    assumes moments; order statistics survive heavy tails).
+
+    Data note (degeneracy probe): events.value is non-negative with a
+    right tail, so the HIGH fence fires (~100–1250 flags per batch
+    across SFs) while the LOW fence is structurally silent
+    (p25 − 1.5·IQR < 0 ≤ value) — ``n_outliers_lo`` is kept because
+    the low side is half the operator's contract, and it is pinned at
+    its true value, not asserted away."""
+    from ..functions.scalars import round_half_up
+    from ..operators.staircase import (double_value_bucket,
+                                       state_exact_quantiles)
+    from ..sources.tables import load_table
+
+    out_dir = _mkdtemp(prefix="t46_preq_")
+    stage = f"{out_dir}/landing"
+    store = f"{out_dir}/band_store"
+    results = f"{out_dir}/results"
+    state = {"v": 0, "batches": 0}
+
+    def bands_dir() -> str:
+        return f"{out_dir}/bands_v{state['v']}"
+
+    ev = (load_table(spark, sf_dir, "events")
+          .select("event_id", "ts", "value"))
+    mn, mx = ev.agg(F.min(F.unix_micros("ts")),
+                    F.max(F.unix_micros("ts"))).first()
+    arrival = F.expr(f"((unix_micros(ts) - {mn}) * 4) "
+                     f"div ({mx - mn + 1})")
+    n_staged = _write_arrival_files(
+        spark, ev.withColumn("arrival", arrival), stage, n_files=4)
+
+    bucket = double_value_bucket(F.col("value"), 2.0)
+
+    def preq_batch(batch_df: DataFrame, batch_id: int) -> None:
+        banded = (batch_df.select("value")
+                          .withColumn("_qb", bucket)
+                          .localCheckpoint(eager=True))
+        if state["v"] == 0:
+            row = banded.agg(
+                F.lit(state["batches"]).cast("long").alias("batch_id"),
+                F.count(F.lit(1)).cast("long").alias("n_arrivals"),
+                F.lit(None).cast("double").alias("p25_prior"),
+                F.lit(None).cast("double").alias("p75_prior"),
+                F.lit(0).cast("long").alias("n_outliers_hi"),
+                F.lit(0).cast("long").alias("n_outliers_lo"))
+        else:
+            stats = spark.read.parquet(bands_dir())
+
+            def store_for_bands(band_ids: list) -> DataFrame:
+                return (spark.read.parquet(store)
+                             .filter(F.col("_qb").isin(
+                                 [int(x) for x in band_ids])))
+
+            q = state_exact_quantiles(stats, store_for_bands,
+                                      "value", [0.25, 0.75])
+            qr = q.first()
+            p25, p75 = qr["q0"], qr["q1"]
+            iqr = p75 - p25
+            hi, lo = p75 + 1.5 * iqr, p25 - 1.5 * iqr
+            row = banded.agg(
+                F.lit(state["batches"]).cast("long").alias("batch_id"),
+                F.count(F.lit(1)).cast("long").alias("n_arrivals"),
+                round_half_up(F.lit(float(p25)), 6).alias("p25_prior"),
+                round_half_up(F.lit(float(p75)), 6).alias("p75_prior"),
+                F.sum((F.col("value") > F.lit(float(hi)))
+                       .cast("long")).alias("n_outliers_hi"),
+                F.sum((F.col("value") < F.lit(float(lo)))
+                       .cast("long")).alias("n_outliers_lo"))
+        row.write.mode("append").parquet(results)
+        # train AFTER test: merge the batch's bands into new state
+        b_stats = (banded.groupBy("_qb")
+                         .agg(F.count(F.lit(1)).alias("_bn"),
+                              F.min("value").alias("_bmin"),
+                              F.max("value").alias("_bmax")))
+        merged = b_stats if state["v"] == 0 else (
+            spark.read.parquet(bands_dir())
+                 .unionByName(b_stats)
+                 .groupBy("_qb")
+                 .agg(F.sum("_bn").cast("long").alias("_bn"),
+                      F.min("_bmin").alias("_bmin"),
+                      F.max("_bmax").alias("_bmax")))
+        state["v"] += 1
+        merged.write.parquet(bands_dir())
+        banded.write.partitionBy("_qb").mode("append").parquet(store)
+        state["batches"] += 1
+
+    s = (spark.readStream
+         .schema("event_id long, ts timestamp, value double")
+         .option("maxFilesPerTrigger", str(STREAM_ADMISSION[
+             "t46_prequential_anomaly_stream"]))
+         .option("recursiveFileLookup", "true")
+         .parquet(stage))
+    sq = (s.writeStream
+           .foreachBatch(preq_batch)
+           .option("checkpointLocation", f"{out_dir}/checkpoint")
+           .trigger(availableNow=True)
+           .start())
+    sq.awaitTermination()
+    data_batches = [pr for pr in sq.recentProgress
+                    if pr["numInputRows"] > 0]
+    admitted = sum(pr["numInputRows"] for pr in data_batches)
+    maintained_ok = (len(data_batches) == 4 and admitted == n_staged
+                     and state["v"] == 4 and state["batches"] == 4)
+    return (spark.read.parquet(results)
+                 .select("batch_id", "n_arrivals", "p25_prior",
+                         "p75_prior", "n_outliers_hi",
+                         "n_outliers_lo",
+                         F.lit(bool(maintained_ok))
+                          .alias("maintained_state_ok")))

@@ -92,6 +92,19 @@ SAMPLE = [
     # stream; staging/admission must not leak)
     "t40_quantile_monitor_stream",  # state-merged exact p50/p95 per batch
     "x2_triggered_compaction_stream",  # trigger decisions + store sizes
+    # r11 batch 2: CDC chunk boundaries + first-occurrence ranking,
+    # graded-rank tiebreaks, the grid argmin, and the three new
+    # online-maintained states (top-k merge, dyadic decay, k-min
+    # sketch) must not depend on partitioning/AQE or admission order
+    "x2_cdc_chunk_dedup",           # chunk ids + first-occurrence window
+    "x6_ndcg_mrr_report",           # cos-rank + ideal-rank tiebreaks
+    "x6_calibration_fit",           # NLL grid argmin struct-min
+    "t42_reservoir_sample_stream",  # top-k monoid state across batches
+    "t43_decayed_counter_stream",   # exact integer decay recurrence
+    "t44_distinct_monitor_stream",  # k-min sketch merge + referee
+    "t45_heavy_hitter_stream",      # deterministic MG prune sequence
+    "t46_prequential_anomaly_stream",  # prior-state fences + flag counts
+    "x3_codebook_split_retrain",    # worst-subspace argmax + split encode
 ]
 
 

@@ -591,14 +591,15 @@ _STAIRCASE_CONSUMERS = [
     # r10: per-half global spend rank (half is a 2-value key — the
     # banned sort-window shape; the rank rides the _vb bands)
     ("analytics", "a57_decile_migration", (), ()),
-    # r11: t40_quantile_monitor_stream is the first STREAMING staircase
-    # consumer, but its staircase plan runs INSIDE a foreachBatch body —
-    # the returned DataFrame is the results-dir read, so this gate
-    # would pass vacuously (no windows at all). Its pin is the
-    # dedicated test below
+    # r11: t40_quantile_monitor_stream (and t46_prequential_anomaly_
+    # stream, which reads the same state for its fences) are STREAMING
+    # staircase consumers, but their staircase plans run INSIDE a
+    # foreachBatch body — the returned DataFrame is the results-dir
+    # read, so this gate would pass vacuously (no windows at all).
+    # Their pin is the dedicated test below
     # (test_streaming_staircase_matches_batch_and_is_bucket_partitioned),
-    # which drives the same state_exact_quantiles kernel the batch
-    # body calls and asserts both the plan shape and bit-parity with
+    # which drives the same state_exact_quantiles kernel both batch
+    # bodies call and asserts both the plan shape and bit-parity with
     # the batch staircase.
 ]
 
