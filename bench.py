@@ -159,6 +159,8 @@ HEADLINE = (
     "t45_heavy_hitter_stream",      # deterministic MG merge state
     "t46_prequential_anomaly_stream",  # fences from prior-state bands
     "x3_codebook_split_retrain",    # LBG split: the distortion action
+    "x6_multiclass_f1_report",      # model-card multiclass metrics
+    "f5_conversion_lag_quantiles",  # funnel latency via staircase
 )
 
 

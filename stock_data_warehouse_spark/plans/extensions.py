@@ -11528,3 +11528,192 @@ def x3_codebook_split_retrain(spark: SparkSession,
         F.when(is_w, F.col("mu") - F.col("mu_after"))
          .otherwise(F.lit(0)).cast("long").alias("improvement_mu"),
         F.when(is_w, F.col("new_id")).alias("new_code_id")))
+
+
+# ---------------------------------------------------------------------------
+# OP-X6 — multiclass precision/recall/F1 report (r11): the summary
+# metric layer over a multiclass classifier; x4_lang_confusion shows
+# the MATRIX, this reduces it to the per-class and averaged scores a
+# model card reports.
+# ---------------------------------------------------------------------------
+
+_MCF_PRED_SQL = f"""
+      SELECT doc_id, lang,
+             CASE
+               WHEN CAST(len(list_filter({{toks}}, x -> x IN
+                    ('the', 'a', 'of', 'and', 'to', 'in'))) AS DOUBLE)
+                    / len({{toks}}) >= 0.08 THEN 'en'
+               WHEN len(list_filter({{toks}}, x -> x IN
+                    ('der', 'die', 'das', 'und'))) > 0 THEN 'de'
+               WHEN len(list_filter({{toks}}, x -> x IN
+                    ('le', 'la', 'et', 'les'))) > 0 THEN 'fr'
+               WHEN len(list_filter({{toks}}, x -> x IN
+                    ('el', 'los', 'las', 'y'))) > 0 THEN 'es'
+               ELSE 'und'
+             END AS predicted
+      FROM t
+""".format(toks="toks")
+
+
+@register(
+    "x6_multiclass_f1_report",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, lang, {SQL_TOKENS} AS toks FROM documents
+    ),
+    pred AS ({_MCF_PRED_SQL}),
+    labels AS (
+      SELECT DISTINCT lang AS label FROM pred
+      UNION SELECT DISTINCT predicted FROM pred
+    ),
+    perc AS (
+      SELECT l.label,
+             CAST((SELECT COUNT(*) FROM pred
+                   WHERE lang = l.label AND predicted = l.label)
+                  AS BIGINT) AS tp,
+             CAST((SELECT COUNT(*) FROM pred
+                   WHERE lang <> l.label AND predicted = l.label)
+                  AS BIGINT) AS fp,
+             CAST((SELECT COUNT(*) FROM pred
+                   WHERE lang = l.label AND predicted <> l.label)
+                  AS BIGINT) AS fn
+      FROM labels l
+    ),
+    scored AS (
+      SELECT label, tp, fp, fn, tp + fn AS support,
+             CASE WHEN tp + fp = 0 THEN 0.0
+                  ELSE {sql_round_half_up('tp * 1.0 / (tp + fp)', 6)}
+             END AS precision,
+             CASE WHEN tp + fn = 0 THEN 0.0
+                  ELSE {sql_round_half_up('tp * 1.0 / (tp + fn)', 6)}
+             END AS recall,
+             CASE WHEN 2 * tp + fp + fn = 0 THEN 0.0
+                  ELSE {sql_round_half_up(
+                      '2.0 * tp / (2 * tp + fp + fn)', 6)}
+             END AS f1
+      FROM perc
+    ),
+    avgs AS (
+      SELECT
+        CAST(ROUND(CAST(CAST(SUM(CAST(f1 AS DECIMAL(38,10)))
+             AS DOUBLE) / COUNT(*) AS DECIMAL(38,10)), 6) AS DOUBLE)
+          AS macro_f1,
+        {sql_round_half_up(
+            'SUM(tp) * 1.0 / (SELECT COUNT(*) FROM pred)', 6)}
+          AS micro_f1,
+        CASE WHEN SUM(support) = 0 THEN 0.0
+             ELSE CAST(ROUND(CAST(CAST(SUM(CAST(f1 * support
+                  AS DECIMAL(38,10))) AS DOUBLE) / SUM(support)
+                  AS DECIMAL(38,10)), 6) AS DOUBLE)
+        END AS weighted_f1
+      FROM scored
+    )
+    SELECT s.label, s.tp, s.fp, s.fn, CAST(s.support AS BIGINT)
+             AS support,
+           s.precision, s.recall, s.f1,
+           a.macro_f1, a.micro_f1, a.weighted_f1
+    FROM scored s CROSS JOIN avgs a
+    """,
+)
+def x6_multiclass_f1_report(spark: SparkSession,
+                            sf_dir: str) -> DataFrame:
+    """OP-X6 — per-class precision/recall/F1 + macro / micro /
+    support-weighted averages for the x4 lang-id classifier against
+    the declared ``lang`` — the model-card summary every multiclass
+    eval reports. x4_lang_confusion shows the full matrix; this is
+    its reduction to the scores a gate reads, and on this corpus it
+    is a deliberately HONEST verdict: the lang-id heuristic mostly
+    answers en/und (its own docstring), so four of six classes score
+    f1 = 0 and macro-F1 ≈ 0.05–0.06 — the metric layer exposing a
+    weak classifier is the point (a report that only ever grades good
+    models is untested on the failure half of its range).
+
+    Label set = truth ∪ predictions (sklearn's union convention), so
+    the never-true 'und' class appears with support 0 / precision 0
+    and drags the macro average — exactly what macro-F1 is FOR.
+    Zero-denominator classes score 0 by explicit guard, not NULL.
+
+    Parity: tp/fp/fn are exact BIGINTs from one bounded
+    (lang × predicted) hash agg re-keyed by three outer joins on the
+    ≤|labels| dim; every ratio is a class-A floor half-up of an
+    integer ratio; macro/weighted averages are DECIMAL sums of the
+    ROUNDED per-class scores (order-free). In single-label multiclass
+    micro-F1 equals accuracy — emitted under its metric name.
+
+    Scale: one tokenizing scan → one bounded cell agg; everything
+    downstream lives on ≤|labels| rows."""
+    d = _t(spark, sf_dir, "documents")
+    stop_en = ("the", "a", "of", "and", "to", "in")
+    t = d.select("doc_id", "lang", tokens_col("text").alias("toks"))
+
+    def hits(words):
+        return F.size(F.filter("toks", lambda x: x.isin(*words)))
+
+    predicted = (F.when(hits(stop_en) * F.lit(1.0)
+                        / F.size("toks") >= 0.08, "en")
+                  .when(hits(("der", "die", "das", "und")) > 0, "de")
+                  .when(hits(("le", "la", "et", "les")) > 0, "fr")
+                  .when(hits(("el", "los", "las", "y")) > 0, "es")
+                  .otherwise("und"))
+    pred = t.select("lang", predicted.alias("predicted"))
+    cells = (pred.groupBy("lang", "predicted")
+                 .agg(F.count(F.lit(1)).cast("long").alias("n"))
+                 .localCheckpoint(eager=True))
+    labels = (cells.select(F.col("lang").alias("label"))
+                   .unionByName(cells.select(
+                       F.col("predicted").alias("label")))
+                   .distinct())
+    diag = (cells.filter(F.col("lang") == F.col("predicted"))
+                 .select(F.col("lang").alias("label"),
+                         F.col("n").alias("tp")))
+    row_tot = (cells.groupBy("lang")
+                    .agg(F.sum("n").cast("long").alias("rt"))
+                    .withColumnRenamed("lang", "label"))
+    col_tot = (cells.groupBy("predicted")
+                    .agg(F.sum("n").cast("long").alias("ct"))
+                    .withColumnRenamed("predicted", "label"))
+    base = (labels.join(diag, "label", "left")
+                  .join(row_tot, "label", "left")
+                  .join(col_tot, "label", "left")
+                  .select("label",
+                          F.coalesce("tp", F.lit(0)).cast("long")
+                           .alias("tp"),
+                          (F.coalesce("ct", F.lit(0))
+                           - F.coalesce("tp", F.lit(0)))
+                          .cast("long").alias("fp"),
+                          (F.coalesce("rt", F.lit(0))
+                           - F.coalesce("tp", F.lit(0)))
+                          .cast("long").alias("fn")))
+
+    def ratio(num, den):
+        return F.when(den == 0, F.lit(0.0)) \
+                .otherwise(round_half_up(num * 1.0 / den, 6))
+
+    scored = base.select(
+        "label", "tp", "fp", "fn",
+        (F.col("tp") + F.col("fn")).cast("long").alias("support"),
+        ratio(F.col("tp"), F.col("tp") + F.col("fp"))
+            .alias("precision"),
+        ratio(F.col("tp"), F.col("tp") + F.col("fn"))
+            .alias("recall"),
+        ratio(2 * F.col("tp"),
+              2 * F.col("tp") + F.col("fp") + F.col("fn"))
+            .alias("f1")).localCheckpoint(eager=True)
+    n_total = pred.count()
+    avgs = scored.agg(
+        F.round((F.sum(F.col("f1").cast("decimal(38,10)"))
+                  .cast("double") / F.count(F.lit(1)))
+                .cast("decimal(38,10)"), 6)
+         .cast("double").alias("macro_f1"),
+        round_half_up(F.sum("tp") * 1.0 / F.lit(n_total), 6)
+         .alias("micro_f1"),
+        F.when(F.sum("support") == 0, F.lit(0.0))
+         .otherwise(
+            F.round((F.sum((F.col("f1") * F.col("support"))
+                            .cast("decimal(38,10)")).cast("double")
+                     / F.sum("support")).cast("decimal(38,10)"), 6)
+             .cast("double")).alias("weighted_f1"))
+    return (scored.crossJoin(F.broadcast(avgs))
+                  .select("label", "tp", "fp", "fn", "support",
+                          "precision", "recall", "f1",
+                          "macro_f1", "micro_f1", "weighted_f1"))

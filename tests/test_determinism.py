@@ -105,6 +105,8 @@ SAMPLE = [
     "t45_heavy_hitter_stream",      # deterministic MG prune sequence
     "t46_prequential_anomaly_stream",  # prior-state fences + flag counts
     "x3_codebook_split_retrain",    # worst-subspace argmax + split encode
+    "x6_multiclass_f1_report",      # label-dim outer joins + averages
+    "f5_conversion_lag_quantiles",  # staircase quantiles on lag bands
 ]
 
 

@@ -591,6 +591,9 @@ _STAIRCASE_CONSUMERS = [
     # r10: per-half global spend rank (half is a 2-value key — the
     # banned sort-window shape; the rank rides the _vb bands)
     ("analytics", "a57_decile_migration", (), ()),
+    # r11: funnel-lag quantiles — the lag relation is unbounded, so
+    # the exact p50/p90 ride the log-width bands
+    ("analytics", "f5_conversion_lag_quantiles", (), ()),
     # r11: t40_quantile_monitor_stream (and t46_prequential_anomaly_
     # stream, which reads the same state for its fences) are STREAMING
     # staircase consumers, but their staircase plans run INSIDE a
