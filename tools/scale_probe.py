@@ -111,15 +111,15 @@ FAMILIES = {
     # r11 batch 2: CDC chunking (per-doc token windows — expect ~linear
     # in token mass), the graded-retrieval eval (32-query broadcast x N
     # brute force — expect linear), and two of the online-maintenance
-    # streams (constant state; expect near-flat like t40). t43 shares
-    # t40's staging + bounded-domain state shape and is argued by that
-    # measurement.
+    # streams (constant state; expect near-flat like t40). All six
+    # r11 streams are now MEASURED (8x on arrival; 32x for t42-t46).
     "cdc_chunk_dedup": "x2_cdc_chunk_dedup",
     "graded_retrieval_eval": "x6_ndcg_mrr_report",
     "reservoir_stream": "t42_reservoir_sample_stream",
     "distinct_monitor_stream": "t44_distinct_monitor_stream",
     "heavy_hitter_stream": "t45_heavy_hitter_stream",
     "prequential_anomaly_stream": "t46_prequential_anomaly_stream",
+    "decayed_counter_stream": "t43_decayed_counter_stream",
 }
 
 ALPHA = "abcdefghijklmnopqrstuvwxyz"
