@@ -1,0 +1,229 @@
+"""Durability drills for the online-maintenance streams (r12,
+VERDICT r11 What's-wrong #1 / next-round #1-2).
+
+foreachBatch's documented contract is AT-LEAST-ONCE: a micro-batch can
+be re-delivered with the same ``batch_id`` after a failure, and a
+restarted query reopens from its checkpoint with a FRESH process (all
+in-memory state gone) and the next batch_id. The r12 durable-state kit
+(streaming/jobs.py) claims both are safe because every piece of
+engine-external state is batch-id-keyed, overwrite-written and
+listing-recovered. These tests prove it against the EXACT production
+callbacks (the module-level ``_t4x_make_batch`` / ``_x2*_make_batch``
+factories are what the registered queries run):
+
+- SAME-BATCH REPLAY: invoke the callback twice with one batch_id
+  mid-sequence; final results and state must be bit-identical to the
+  uninterrupted run (a second merge of the same batch is the failure
+  mode the r11 design had).
+- TWO-LIFETIME RESTART (t30-style): run the real file-source +
+  checkpoint topology, stop after a mid-stream batch, REBUILD the
+  callback from nothing (fresh closure = fresh process — the factories
+  hold no mutable state, recovery is pure listing), reopen the same
+  checkpoint, drain. Final output must equal the uninterrupted run.
+- POLICY RESTART: for the triggered compaction stream, the restart
+  boundary is placed so the compaction trigger FIRES in lifetime 2
+  from dup debt accrued in lifetime 1 — the production crash scenario
+  for a maintenance policy.
+"""
+
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+import stock_data_warehouse_spark.streaming.jobs as J
+from stock_data_warehouse_spark.sources.tables import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def _event_quartiles(spark, cols):
+    ev = load_table(spark, SF, "events").select(*cols)
+    mn, mx = ev.agg(F.min(F.unix_micros("ts")),
+                    F.max(F.unix_micros("ts"))).first()
+    arr = F.expr(f"((unix_micros(ts) - {mn}) * 4) div ({mx - mn + 1})")
+    ev = ev.withColumn("_arr", arr)
+    return [ev.filter(F.col("_arr") == k).drop("_arr").localCheckpoint()
+            for k in range(4)]
+
+
+def _doc_quarters(spark):
+    d = load_table(spark, SF, "documents").select("doc_id", "text")
+    return [d.filter(F.col("doc_id") % 4 == k).localCheckpoint()
+            for k in range(4)]
+
+
+def _doc_pairs(spark):
+    d = (load_table(spark, SF, "documents")
+         .select("doc_id", "n_chars"))
+    return [d.filter(F.col("doc_id") % 4 == k).localCheckpoint()
+            for k in range(4)]
+
+
+# ---------------------------------------------------------------------------
+# Same-batch replay: the callback invoked twice with one batch_id must
+# leave results AND state identical to the clean run.
+# ---------------------------------------------------------------------------
+
+_REPLAY_CASES = [
+    # (stream, factory name, batch builder, state family to compare)
+    ("t43", "_t43_make_batch",
+     lambda s: _event_quartiles(
+         s, ["event_id", "ts", "event_type", "value"]), "dcy"),
+    ("t42", "_t42_make_batch", _doc_pairs, "rsv"),
+    ("t44", "_t44_make_batch",
+     lambda s: _event_quartiles(s, ["event_id", "ts", "user_id"]),
+     "kmv"),
+    ("t45", "_t45_make_batch", _doc_quarters, "mgs"),
+]
+
+
+@pytest.mark.parametrize("name,factory,builder,fam", _REPLAY_CASES,
+                         ids=[c[0] for c in _REPLAY_CASES])
+def test_same_batch_replay_is_idempotent(spark, name, factory,
+                                         builder, fam):
+    batches = builder(spark)
+    make = getattr(J, factory)
+
+    def run(out_dir, schedule):
+        cb = make(spark, out_dir)
+        for bid, df in schedule:
+            cb(df, bid)
+        sroot = f"{out_dir}/state"
+        return (_rows(J._read_family(spark, sroot, "res")),
+                _rows(spark.read.parquet(J._sdir(sroot, fam, 3))))
+
+    clean = run(J._mkdtemp(prefix=f"dur_{name}_clean_"),
+                list(enumerate(batches)))
+    # re-deliver batch 1 (the first one that MERGES prior state)
+    replay = run(J._mkdtemp(prefix=f"dur_{name}_replay_"),
+                 [(0, batches[0]), (1, batches[1]), (1, batches[1]),
+                  (2, batches[2]), (3, batches[3])])
+    assert replay == clean
+
+
+def test_t40_same_batch_replay_including_band_store(spark):
+    """t40's replay drill also pins the band STORE (the dynamic
+    partition-overwrite path): a re-delivered batch must not leave a
+    second copy of its rows in its own ``_ib`` partitions — the
+    quantiles would silently shift for every later batch."""
+    batches = _event_quartiles(spark, ["event_id", "ts", "value"])
+
+    def run(out_dir, schedule):
+        cb = J._t40_make_batch(spark, out_dir)
+        for bid, df in schedule:
+            cb(df, bid)
+        sroot = f"{out_dir}/state"
+        store = (spark.read.parquet(f"{out_dir}/band_store")
+                      .select("value", "_ib", "_qb"))
+        return (_rows(J._read_family(spark, sroot, "res")),
+                _rows(spark.read.parquet(J._sdir(sroot, "bands", 3))),
+                _rows(store))
+
+    clean = run(J._mkdtemp(prefix="dur_t40_clean_"),
+                list(enumerate(batches)))
+    replay = run(J._mkdtemp(prefix="dur_t40_replay_"),
+                 [(0, batches[0]), (1, batches[1]), (1, batches[1]),
+                  (2, batches[2]), (3, batches[3])])
+    assert replay == clean
+
+
+# ---------------------------------------------------------------------------
+# Two-lifetime restart (t30-style): real file source, real checkpoint,
+# the callback REBUILT from nothing between lifetimes.
+# ---------------------------------------------------------------------------
+
+
+def _run_stream_lifetimes(spark, out_dir, hold, schema, make_cb,
+                          tranches):
+    """Drive the production topology across query lifetimes: per
+    lifetime, move the tranche's staged files into the live landing
+    zone, build a FRESH callback (no shared closure state — a new
+    process), open a brand-new query on the SAME checkpoint, drain
+    with AvailableNow."""
+    live = f"{out_dir}/live"
+    for files in tranches:
+        for fn in files:
+            shutil.move(f"{hold}/{fn}", f"{live}/{fn}")
+        cb = make_cb()
+        s = (spark.readStream.schema(schema)
+             .option("maxFilesPerTrigger", "1")
+             .option("recursiveFileLookup", "true")
+             .parquet(live))
+        sq = (s.writeStream.foreachBatch(cb)
+              .option("checkpointLocation", f"{out_dir}/checkpoint")
+              .trigger(availableNow=True)
+              .start())
+        sq.awaitTermination()
+
+
+def test_t40_two_lifetime_restart(spark):
+    ev = (load_table(spark, SF, "events")
+          .select("event_id", "ts", "value"))
+    mn, mx = ev.agg(F.min(F.unix_micros("ts")),
+                    F.max(F.unix_micros("ts"))).first()
+    arrival = F.expr(f"((unix_micros(ts) - {mn}) * 4) "
+                     f"div ({mx - mn + 1})")
+    staged = ev.withColumn("arrival", arrival)
+    schema = "event_id long, ts timestamp, value double"
+
+    def run(tranches):
+        out_dir = J._mkdtemp(prefix="dur_t40_restart_")
+        hold = f"{out_dir}/hold"
+        J._write_arrival_files(spark, staged, hold, n_files=4)
+        _run_stream_lifetimes(
+            spark, out_dir, hold, schema,
+            lambda: J._t40_make_batch(spark, out_dir), tranches)
+        return _rows(J._read_family(spark, f"{out_dir}/state", "res"))
+
+    uninterrupted = run([["a0", "a1", "a2", "a3"]])
+    restarted = run([["a0", "a1"], ["a2", "a3"]])
+    assert restarted == uninterrupted
+    assert len(uninterrupted) == 4  # one exact answer per batch
+
+
+def test_x2_triggered_restart_fires_in_second_lifetime(spark):
+    """The policy restart drill (VERDICT r11 next-round #2): at
+    sf0.001 the trigger decisions are (F, F, T) — so stopping after
+    batch 1 puts ALL the dup debt accrual in lifetime 1 and the FIRE
+    in lifetime 2. Recovery must restore the verdict ledger, the
+    removed ledger (empty) and the segmented store well enough that
+    the restarted process reaches the identical compaction decision
+    and store size."""
+    from stock_data_warehouse_spark.plans.extensions import (
+        _portable_bands)
+
+    d = load_table(spark, SF, "documents")
+    corpus = d.filter(F.col("doc_id") < 400)
+    arrivals = d.filter(F.col("doc_id") >= 400)
+    staged = (arrivals.select("doc_id", "text")
+              .withColumn("arrival", F.col("doc_id") % 3))
+    schema = "doc_id long, text string"
+
+    def run(tranches):
+        out_dir = J._mkdtemp(prefix="dur_x2trig_restart_")
+        sroot = f"{out_dir}/state"
+        _portable_bands(corpus).write.parquet(f"{sroot}/bidx_base")
+        J._x2_postings(corpus).write.parquet(f"{sroot}/bpost_base")
+        hold = f"{out_dir}/hold"
+        J._write_arrival_files(spark, staged, hold, n_files=3)
+        _run_stream_lifetimes(
+            spark, out_dir, hold, schema,
+            lambda: J._x2trig_make_batch(spark, out_dir), tranches)
+        res = _rows(J._read_family(spark, sroot, "res"))
+        return res, J._committed_versions(sroot, "rmv")
+
+    clean_res, clean_rmv = run([["a0", "a1", "a2"]])
+    rest_res, rest_rmv = run([["a0", "a1"], ["a2"]])
+    assert rest_res == clean_res
+    assert rest_rmv == clean_rmv
+    # the drill's precondition: the fire actually lands in batch 2,
+    # i.e. lifetime 2 of the restarted run (data-dependent — if a
+    # testdata regeneration moves it, re-site the split point)
+    fired = [r[5] for r in clean_res]  # compaction_fired per batch
+    assert fired == [False, False, True]
+    assert clean_rmv == [2]
