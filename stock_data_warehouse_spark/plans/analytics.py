@@ -5137,6 +5137,7 @@ def a57_decile_migration(spark: SparkSession,
              AS mean_lag_us,
            CAST(MAX(lag_us) AS BIGINT) AS max_lag_us
     FROM lag
+    HAVING COUNT(*) > 0
     """,
 )
 def f5_conversion_lag_quantiles(spark: SparkSession,
@@ -5166,7 +5167,14 @@ def f5_conversion_lag_quantiles(spark: SparkSession,
     eventually purchases, so a conversion RATE column would be
     identically 1.0 — dropped at design time; the lag distribution is
     the live signal (p50 ≈ 1.2–1.4e11 µs, spread ~5 decades, varies
-    by SF)."""
+    by SF).
+
+    Empty case (ADVICE r11): if NO user ever converted, the staircase
+    yields no rows and the engine emits an EMPTY result; the oracle's
+    ``HAVING COUNT(*) > 0`` makes the global aggregate agree (zero
+    rows, not one NULL-quantile row) — both sides are well-defined on
+    a regeneration without converters instead of relying on the
+    every-clicker-purchases corpus property."""
     e = _t(spark, sf_dir, "events")
     c = (e.filter(F.col("event_type") == "click")
           .groupBy("user_id")

@@ -11075,27 +11075,44 @@ _NDCG_K = 10
       FROM qv a JOIN n b ON a.vec_id <> b.vec_id
     ),
     top AS (SELECT query_id, rel, rn FROM tk WHERE rn <= {_NDCG_K}),
-    ideal AS (
-      SELECT query_id, rel, rn,
-             ROW_NUMBER() OVER (PARTITION BY query_id
-                                ORDER BY rel DESC, rn) AS irn
-      FROM top
+    lc AS (SELECT label, COUNT(*) AS cnt FROM n GROUP BY label),
+    qc AS (
+      SELECT q.vec_id AS query_id,
+             COALESCE(ls.cnt, 0) - 1 AS n2,
+             COALESCE(ll.cnt, 0) + COALESCE(lh.cnt, 0) AS n1
+      FROM qv q
+      LEFT JOIN lc ls ON ls.label = q.label
+      LEFT JOIN lc ll ON ll.label = q.label - 1
+      LEFT JOIN lc lh ON lh.label = q.label + 1
     ),
-    terms AS (
+    iterms AS (
+      SELECT qc.query_id,
+             CAST(ROUND(CAST((POW(2.0,
+                    CASE WHEN p.i <= qc.n2 THEN 2
+                         WHEN p.i <= qc.n2 + qc.n1 THEN 1
+                         ELSE 0 END) - 1) / LOG2(p.i + 1)
+                  AS DECIMAL(38,10)), 10) AS DECIMAL(38,10)) AS iterm
+      FROM qc CROSS JOIN range(1, {_NDCG_K + 1}) p(i)
+    ),
+    dterms AS (
       SELECT query_id,
              CAST(ROUND(CAST((POW(2.0, rel) - 1) / LOG2(rn + 1)
                   AS DECIMAL(38,10)), 10) AS DECIMAL(38,10)) AS dterm,
-             CAST(ROUND(CAST((POW(2.0, rel) - 1) / LOG2(irn + 1)
-                  AS DECIMAL(38,10)), 10) AS DECIMAL(38,10)) AS iterm,
              CASE WHEN rel > 0 THEN rn END AS hit_rn
-      FROM ideal
+      FROM top
+    ),
+    dq AS (
+      SELECT query_id, CAST(SUM(dterm) AS DOUBLE) AS dcg_raw,
+             MIN(hit_rn) AS first_hit
+      FROM dterms GROUP BY query_id
+    ),
+    iq AS (
+      SELECT query_id, CAST(SUM(iterm) AS DOUBLE) AS idcg_raw
+      FROM iterms GROUP BY query_id
     ),
     perq AS (
-      SELECT query_id,
-             CAST(SUM(dterm) AS DOUBLE) AS dcg_raw,
-             CAST(SUM(iterm) AS DOUBLE) AS idcg_raw,
-             MIN(hit_rn) AS first_hit
-      FROM terms GROUP BY query_id
+      SELECT dq.query_id, dq.dcg_raw, iq.idcg_raw, dq.first_hit
+      FROM dq JOIN iq USING (query_id)
     ),
     scored AS (
       SELECT query_id,
@@ -11133,11 +11150,15 @@ def x6_ndcg_mrr_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     that buries its one relevant hit at rank 10 from one that leads
     with it; nDCG/MRR exist for exactly that).
 
-    The ideal ranking needs NO self-join: re-rank each query's top-k
-    by (rel DESC, rn) in a second window — each row then carries BOTH
-    its real rank ``rn`` and its ideal rank ``irn``, and the row's
-    relevance at ideal position irn is exactly what the ideal ordering
-    places there, so one pass sums DCG and IDCG together.
+    IDCG@k is CORPUS-IDEAL (ADVICE r11 — the within-list variant that
+    re-sorts only the retrieved top-k scores 1.0 for any well-ordered
+    list even when higher-relevance corpus items were missed
+    entirely): relevance is a pure label function, so the ideal
+    ranking's gains come from label COUNTS alone — n2 = |same-label
+    corpus| − 1 (query excluded), n1 = |adjacent-label corpus|, and
+    the ideal top-k is n2 twos then n1 ones laid over a k-row
+    position dim. No ideal retrieval pass, no self-join: two
+    broadcast joins against the bounded label-count dim.
 
     Parity: the cosine is the bit-exact sequential fold (``_dot``),
     ranking ties broken by vec_id; the only libm terms (pow/log2 — the
@@ -11151,7 +11172,16 @@ def x6_ndcg_mrr_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: N_QUERIES is a fixed hash-rank sample (VERDICT r4 item 1) —
     the brute-force side is queries × N LINEAR in the corpus with a
     broadcast query batch, the eval relations after top-k are
-    ≤ N_QUERIES·k rows, constants at any SF."""
+    ≤ N_QUERIES·k rows, constants at any SF.
+
+    Data note (degeneracy probe): every label on this corpus has
+    > k members at every SF, so n2 ≥ k for all queries and the
+    corpus-ideal top-10 is ten rel-2 items — ``idcg`` is therefore
+    CONSTANT across queries (its true value, ~7.04), exactly the
+    honest consequence of the corpus-ideal definition; per-query
+    ``ndcg``/``dcg``/``rr`` stay non-constant and now correctly score
+    < 1 for lists that missed same-label items (the within-list
+    variant scored such lists 1.0)."""
     e = _t(spark, sf_dir, "embeddings")
     v = e.select("vec_id", "label",
                  _as_double_vec("embedding").alias("e"))
@@ -11176,25 +11206,51 @@ def x6_ndcg_mrr_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             .withColumn("rn", F.row_number().over(wt))
             .filter(F.col("rn") <= _NDCG_K)
             .select("query_id", rel.alias("rel"), "rn"))
-    wi = Window.partitionBy("query_id").orderBy(
-        F.col("rel").desc(), F.col("rn"))
-    ideal = top.withColumn("irn", F.row_number().over(wi))
 
-    def term(rank_col):
-        raw = ((F.pow(F.lit(2.0), F.col("rel")) - F.lit(1.0))
+    def term(rel_col, rank_col):
+        raw = ((F.pow(F.lit(2.0), rel_col) - F.lit(1.0))
                / F.log2(rank_col + F.lit(1.0)))
         return F.round(raw.cast("decimal(38,10)"), 10) \
                 .cast("decimal(38,10)")
 
-    perq = (ideal.select(
-                "query_id",
-                term(F.col("rn")).alias("dterm"),
-                term(F.col("irn")).alias("iterm"),
-                F.when(F.col("rel") > 0, F.col("rn")).alias("hit_rn"))
+    # corpus-ideal gains from the bounded label-count dim: the ideal
+    # top-k for a query is min(n2, k) twos then ones — label counts
+    # are the whole ideal ranking, no second retrieval pass
+    lbl_cnt = (n.groupBy("label")
+                .agg(F.count(F.lit(1)).cast("long").alias("cnt")))
+    qc = (q.select("query_id", "qlabel")
+           .join(F.broadcast(lbl_cnt.select(
+                     F.col("label").alias("qlabel"),
+                     F.col("cnt").alias("c_same"))),
+                 "qlabel", "left")
+           .join(F.broadcast(lbl_cnt.select(
+                     (F.col("label") + 1).alias("qlabel"),
+                     F.col("cnt").alias("c_lo"))),
+                 "qlabel", "left")
+           .join(F.broadcast(lbl_cnt.select(
+                     (F.col("label") - 1).alias("qlabel"),
+                     F.col("cnt").alias("c_hi"))),
+                 "qlabel", "left")
+           .select("query_id",
+                   (F.coalesce("c_same", F.lit(0)) - 1).alias("n2"),
+                   (F.coalesce("c_lo", F.lit(0))
+                    + F.coalesce("c_hi", F.lit(0))).alias("n1")))
+    pos = spark.range(1, _NDCG_K + 1).select(F.col("id").alias("i"))
+    irel = (F.when(F.col("i") <= F.col("n2"), 2)
+             .when(F.col("i") <= F.col("n2") + F.col("n1"), 1)
+             .otherwise(0))
+    iq = (qc.crossJoin(F.broadcast(pos))
+            .select("query_id", term(irel, F.col("i")).alias("iterm"))
             .groupBy("query_id")
-            .agg(F.sum("dterm").cast("double").alias("dcg_raw"),
-                 F.sum("iterm").cast("double").alias("idcg_raw"),
-                 F.min("hit_rn").alias("first_hit")))
+            .agg(F.sum("iterm").cast("double").alias("idcg_raw")))
+    dq = (top.select("query_id",
+                     term(F.col("rel"), F.col("rn")).alias("dterm"),
+                     F.when(F.col("rel") > 0, F.col("rn"))
+                      .alias("hit_rn"))
+             .groupBy("query_id")
+             .agg(F.sum("dterm").cast("double").alias("dcg_raw"),
+                  F.min("hit_rn").alias("first_hit")))
+    perq = dq.join(iq, "query_id")
     scored = perq.select(
         "query_id",
         round_half_up(F.col("dcg_raw"), 6).alias("dcg"),
