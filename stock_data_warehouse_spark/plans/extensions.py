@@ -11415,6 +11415,294 @@ def x6_calibration_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# OP-X6 — PSI-triggered recalibration (r12, VERDICT r11 next-round
+# #4): x6's monitor → act loop. x2 has the compaction policy, x3 the
+# codebook split; x6 had drift MONITORS (score PSI, IDF drift) but no
+# triggered action. This composes them: per staged day-window, the
+# score-PSI trigger decides whether the Platt grid REFITS on that
+# window or the published reference fit stands — both branches
+# oracle-replayed, the x2_triggered pattern applied to model
+# maintenance.
+# ---------------------------------------------------------------------------
+
+_RCAL_TAUS = (0.45, 0.6, 0.75, 0.9)
+_RCAL_BS = (0.0, 0.25, 0.5, 0.75, 1.0, 1.25, 1.5)
+#: planted per-day score drift (z-units). Labels follow the SHIFTED
+#: calibration (P(y=1|s) = sigmoid((s − (b0 + δ_day)) / τ0), i.e. the
+#: same Bernoulli draw as the reference because s − δ_day = z), so a
+#: fired refit must RECOVER b ≈ b0 + δ_day — parameter-recovery
+#: falsification, the x6_calibration_fit discipline.
+_RCAL_DELTAS = (0.0, 0.5, 1.0)
+#: fire iff day-PSI ≥ this. Design-probed (DuckDB, r12) so decisions
+#: are NON-CONSTANT at every SF and both branches always exercised:
+#: per-day PSI (0.0165, 0.1033, 0.7391) at sf0.001/sf0.01 → (F, T, T);
+#: (0.0021, 0.0682, 0.8315) at sf0.1 → (F, F, T); margins ≥ 8%.
+_RCAL_PSI_THR = 0.095
+_RCAL_BINS = 8
+
+
+@register(
+    "x6_psi_triggered_recalibration",
+    oracle=f"""
+    WITH zz AS MATERIALIZED (
+      SELECT doc_id, doc_id % 3 AS day,
+             ({_SQL_CAL_COIN.format(salt='rcz')} % 2001 - 1000)
+               / 250.0 AS z,
+             {_SQL_CAL_COIN.format(salt='rcy')} AS coin_y
+      FROM documents
+    ),
+    lab AS MATERIALIZED (
+      SELECT day, z,
+             z + CASE day WHEN 0 THEN {_RCAL_DELTAS[0]}
+                          WHEN 1 THEN {_RCAL_DELTAS[1]}
+                          ELSE {_RCAL_DELTAS[2]} END AS s,
+             CASE WHEN coin_y < CAST(FLOOR(
+               CAST(ROUND(CAST(1.0 / (1.0 + exp(-((z - {_CAL_B0})
+                    / {_CAL_TAU0}))) AS DECIMAL(38,10)), 10) AS DOUBLE)
+               * 16777216) AS BIGINT) THEN 1 ELSE 0 END AS y
+      FROM zz
+    ),
+    refb AS (
+      SELECT LEAST(GREATEST(CAST(FLOOR(z + 4.0) AS INTEGER), 0),
+                   {_RCAL_BINS - 1}) AS bin_id, COUNT(*) AS n
+      FROM lab GROUP BY 1
+    ),
+    reft AS (SELECT SUM(n) AS t FROM refb),
+    dayb AS (
+      SELECT day, LEAST(GREATEST(CAST(FLOOR(s + 4.0) AS INTEGER), 0),
+                        {_RCAL_BINS - 1}) AS bin_id, COUNT(*) AS n
+      FROM lab GROUP BY 1, 2
+    ),
+    dayt AS (SELECT day, SUM(n) AS t FROM dayb GROUP BY day),
+    grid8 AS (
+      SELECT d.day, b.bin_id
+      FROM (SELECT DISTINCT day FROM lab) d
+      CROSS JOIN range({_RCAL_BINS}) b(bin_id)
+    ),
+    jj AS (
+      SELECT g.day, COALESCE(db.n, 0) AS nq, dt.t AS tq,
+             COALESCE(rb.n, 0) AS np, rt.t AS tp
+      FROM grid8 g
+      LEFT JOIN dayb db ON db.day = g.day AND db.bin_id = g.bin_id
+      JOIN dayt dt ON dt.day = g.day
+      LEFT JOIN refb rb ON rb.bin_id = g.bin_id
+      CROSS JOIN reft rt
+    ),
+    pterm AS (
+      SELECT day, CAST(ROUND(CAST(
+               ((nq + 0.5) / (tq + {_RCAL_BINS * 0.5})
+                - (np + 0.5) / (tp + {_RCAL_BINS * 0.5}))
+               * ln(((nq + 0.5) / (tq + {_RCAL_BINS * 0.5}))
+                    / ((np + 0.5) / (tp + {_RCAL_BINS * 0.5})))
+               AS DECIMAL(38,10)), 6) AS DOUBLE) AS pt
+      FROM jj
+    ),
+    psi AS (
+      SELECT day, CAST(SUM(CAST(pt AS DECIMAL(38,10))) AS DOUBLE)
+               AS psi6
+      FROM pterm GROUP BY day
+    ),
+    taus(tau) AS (VALUES
+      {", ".join(f"(CAST({t} AS DOUBLE))" for t in _RCAL_TAUS)}),
+    bs(b) AS (VALUES
+      {", ".join(f"(CAST({b} AS DOUBLE))" for b in _RCAL_BS)}),
+    rterms AS (
+      SELECT t.tau, bs.b,
+             CAST(ROUND(CAST(
+               CASE WHEN y = 1 THEN ln(1 + exp(-((z - bs.b) / t.tau)))
+                    ELSE ln(1 + exp((z - bs.b) / t.tau)) END
+               AS DECIMAL(38,10)), 10) AS DECIMAL(38,10)) AS nt
+      FROM lab CROSS JOIN taus t CROSS JOIN bs
+    ),
+    rnll AS (
+      SELECT tau, b, CAST(SUM(nt) AS DOUBLE) AS nll
+      FROM rterms GROUP BY tau, b
+    ),
+    rbest AS (
+      SELECT tau AS rt, b AS rb FROM rnll
+      ORDER BY {sql_round_half_up('nll', 6)}, tau, b LIMIT 1
+    ),
+    dterms AS (
+      SELECT day, t.tau, bs.b,
+             CAST(ROUND(CAST(
+               CASE WHEN y = 1 THEN ln(1 + exp(-((s - bs.b) / t.tau)))
+                    ELSE ln(1 + exp((s - bs.b) / t.tau)) END
+               AS DECIMAL(38,10)), 10) AS DECIMAL(38,10)) AS nt
+      FROM lab CROSS JOIN taus t CROSS JOIN bs
+    ),
+    dnll AS (
+      SELECT day, tau, b, CAST(SUM(nt) AS DOUBLE) AS nll
+      FROM dterms GROUP BY day, tau, b
+    ),
+    dbest AS (
+      SELECT day, tau AS dt, b AS db FROM (
+        SELECT day, tau, b,
+               ROW_NUMBER() OVER (PARTITION BY day
+                 ORDER BY {sql_round_half_up('nll', 6)}, tau, b)
+                 AS rn
+        FROM dnll) WHERE rn = 1
+    ),
+    cnt AS (SELECT day, COUNT(*) AS n_day FROM lab GROUP BY day)
+    SELECT CAST(p.day AS BIGINT) AS day,
+           CAST(c.n_day AS BIGINT) AS n_day,
+           p.psi6 AS psi6,
+           (p.psi6 >= {_RCAL_PSI_THR}) AS recal_fired,
+           CASE WHEN p.psi6 >= {_RCAL_PSI_THR} THEN d.dt ELSE r.rt
+             END AS tau_pub,
+           CASE WHEN p.psi6 >= {_RCAL_PSI_THR} THEN d.db ELSE r.rb
+             END AS b_pub
+    FROM psi p
+    JOIN cnt c USING (day)
+    JOIN dbest d USING (day)
+    CROSS JOIN rbest r
+    """,
+)
+def x6_psi_triggered_recalibration(spark: SparkSession,
+                                   sf_dir: str) -> DataFrame:
+    """OP-X6 — recalibration as a POLICY: per staged day-window
+    (doc_id mod 3), the model-score PSI against the FROZEN reference
+    histogram (the training-time distribution a serving stack keeps)
+    decides whether that window's Platt grid refit replaces the
+    published (τ, b) or the reference fit stands. Closes x6's
+    monitor → act loop (VERDICT r11 #4): x6_score_drift_psi is the
+    monitor, x6_calibration_fit the actuator, and HERE the engine
+    reads its own trigger — the fired boolean, the per-day PSI, and
+    both branches' published cells are all engine-computed and
+    oracle-replayed (no pinned columns).
+
+    The drift is PLANTED per day (δ = {_RCAL_DELTAS}) and the labels
+    follow the shifted calibration, so the policy is falsifiable by
+    PARAMETER RECOVERY twice over: a fired day's refit must find
+    b ≈ b0 + δ_day on the grid (measured at registration: the
+    reference fit recovers the exact planted (0.6, 0.5) at EVERY SF;
+    day 2's refit finds b = 1.5 = b0 + δ2 exactly at every SF (τ 0.6
+    at sf0.1, 0.75 at the 500-doc SFs); day 1's small-SF refit
+    (0.45, 0.75) sits one grid step under its b0 + δ1 = 1.0 target —
+    167-doc small-sample bias, data-dependent, non-degenerate), and a
+    not-fired day must republish the reference cell. The
+    PSI trigger is design-probed NON-CONSTANT at every SF (threshold
+    note on ``_RCAL_PSI_THR``): (F, T, T) at sf0.001/sf0.01,
+    (F, F, T) at sf0.1 — both branches everywhere.
+
+    Parity: z is integer-arithmetic over a 24-bit md5 coin; the
+    planting threshold routes its one exp through DECIMAL then
+    compares INTEGERS (the x6_calibration_fit recipe); PSI terms and
+    NLL terms (ln/exp — class B) round through DECIMAL(38,10) at
+    6/10 dp and sum exactly, so the trigger compare and both argmins
+    are bit-deterministic cross-engine; argmins order by class-A
+    rounded NLL with a (τ, b) tiebreak.
+
+    Scale: the reference histogram is Θ(bins); per-day PSI is a
+    bounded-bin agg; the refit is one corpus pass fanned into a
+    28-cell broadcast grid with map-side combine (shuffle =
+    days × cells rows); both argmins are struct-mins (CLAUDE.md
+    idiom), no sort, no window over unbounded rows. At 100 TB the
+    day-window is a partition-pruned scan and the published-cell
+    ledger is O(1)."""
+    from ..sources.tables import values_df
+    d = _t(spark, sf_dir, "documents")
+
+    def coin(salt):
+        return F.conv(F.substring(
+            F.md5(F.concat(F.lit(salt + ":"),
+                           F.col("doc_id").cast("string"))), 1, 6),
+            16, 10).cast("long")
+
+    day = (F.col("doc_id") % 3).cast("int")
+    z = (coin("rcz") % 2001 - 1000) / F.lit(250.0)
+    delta = F.element_at(
+        F.array(*[F.lit(float(x)) for x in _RCAL_DELTAS]), day + 1)
+    q0 = F.lit(1.0) / (F.lit(1.0)
+                       + F.exp(-((z - F.lit(_CAL_B0))
+                                 / F.lit(_CAL_TAU0))))
+    thr = F.floor(F.round(q0.cast("decimal(38,10)"), 10)
+                   .cast("double") * F.lit(16777216)).cast("long")
+    # one relation feeds the histogram, both grids and the counts —
+    # materialize the md5/exp scalar work once (the f5 pattern)
+    base = ckpt(d.select(
+        day.alias("day"), z.alias("z"), (z + delta).alias("s"),
+        (coin("rcy") < thr).cast("int").alias("y")))
+
+    def bin8(c):
+        return F.least(F.greatest(F.floor(c + F.lit(4.0))
+                                  .cast("int"), F.lit(0)),
+                       F.lit(_RCAL_BINS - 1))
+
+    smooth = _RCAL_BINS * 0.5
+    refb = (base.groupBy(bin8(F.col("z")).alias("bin_id"))
+                .agg(F.count(F.lit(1)).alias("n")))
+    reft = refb.agg(F.sum("n").alias("tp"))
+    dayb = (base.groupBy("day", bin8(F.col("s")).alias("bin_id"))
+                .agg(F.count(F.lit(1)).alias("n")))
+    dayt = dayb.groupBy("day").agg(F.sum("n").alias("tq"))
+    bins = values_df(spark, [(i,) for i in range(_RCAL_BINS)],
+                     "bin_id int")
+    grid8 = (base.select("day").distinct()
+                 .crossJoin(F.broadcast(bins)))
+    jj = (grid8.join(dayb, ["day", "bin_id"], "left")
+               .withColumnRenamed("n", "nq")
+               .join(dayt, "day")
+               .join(F.broadcast(refb.withColumnRenamed("n", "np")),
+                     "bin_id", "left")
+               .crossJoin(F.broadcast(reft)))
+    qf = (F.coalesce("nq", F.lit(0)) + 0.5) / (F.col("tq") + smooth)
+    pf = (F.coalesce("np", F.lit(0)) + 0.5) / (F.col("tp") + smooth)
+    pterm = jj.select(
+        "day",
+        F.round(((qf - pf) * F.log(qf / pf)).cast("decimal(38,10)"),
+                6).cast("double").alias("pt"))
+    psi = (pterm.groupBy("day")
+                .agg(F.sum(F.col("pt").cast("decimal(38,10)"))
+                      .cast("double").alias("psi6")))
+
+    tg = values_df(spark, [(t,) for t in _RCAL_TAUS], "tau double")
+    bg = values_df(spark, [(b,) for b in _RCAL_BS], "b double")
+
+    def nll_term(score):
+        w = (score - F.col("b")) / F.col("tau")
+        t = (F.when(F.col("y") == 1,
+                    F.log(F.lit(1.0) + F.exp(-w)))
+              .otherwise(F.log(F.lit(1.0) + F.exp(w))))
+        return (F.round(t.cast("decimal(38,10)"), 10)
+                 .cast("decimal(38,10)"))
+
+    gridded = base.crossJoin(F.broadcast(tg)).crossJoin(F.broadcast(bg))
+    rnll = (gridded.select("tau", "b",
+                           nll_term(F.col("z")).alias("nt"))
+                   .groupBy("tau", "b")
+                   .agg(F.sum("nt").cast("double").alias("nll")))
+    rbest = (rnll.agg(F.min(F.struct(
+                 round_half_up(F.col("nll"), 6).alias("k"),
+                 F.col("tau").alias("rt"),
+                 F.col("b").alias("rb"))).alias("m"))
+                 .select(F.col("m.rt").alias("rt"),
+                         F.col("m.rb").alias("rb")))
+    dnll = (gridded.select("day", "tau", "b",
+                           nll_term(F.col("s")).alias("nt"))
+                   .groupBy("day", "tau", "b")
+                   .agg(F.sum("nt").cast("double").alias("nll")))
+    dbest = (dnll.groupBy("day")
+                 .agg(F.min(F.struct(
+                     round_half_up(F.col("nll"), 6).alias("k"),
+                     F.col("tau").alias("dt"),
+                     F.col("b").alias("db"))).alias("m"))
+                 .select("day", F.col("m.dt").alias("dt"),
+                         F.col("m.db").alias("db")))
+    cnt = base.groupBy("day").agg(F.count(F.lit(1)).alias("n_day"))
+    fired = F.col("psi6") >= F.lit(_RCAL_PSI_THR)
+    return (psi.join(cnt, "day").join(dbest, "day")
+               .crossJoin(F.broadcast(rbest))
+               .select(F.col("day").cast("long").alias("day"),
+                       F.col("n_day").cast("long").alias("n_day"),
+                       "psi6",
+                       fired.alias("recal_fired"),
+                       F.when(fired, F.col("dt"))
+                        .otherwise(F.col("rt")).alias("tau_pub"),
+                       F.when(fired, F.col("db"))
+                        .otherwise(F.col("rb")).alias("b_pub")))
+
+
+# ---------------------------------------------------------------------------
 # OP-X3 — codebook split retrain (r11): the ACTION behind the r10
 # distortion trigger. x3_pq_distortion_report names worst_subspace;
 # this operator RETRAINS it — the LBG split step — and proves the
