@@ -161,6 +161,8 @@ HEADLINE = (
     "x3_codebook_split_retrain",    # LBG split: the distortion action
     "x6_multiclass_f1_report",      # model-card multiclass metrics
     "f5_conversion_lag_quantiles",  # funnel latency via staircase
+    # round-12 addition: x6's monitor -> act loop
+    "x6_psi_triggered_recalibration",  # PSI trigger -> grid refit
 )
 
 

@@ -54,6 +54,8 @@ round 10 (2026-08-15): same result (``google``, the
 ``pyspark.sql.streaming.proto.StateMessage_pb2`` path, both
 ModuleNotFoundError). Re-probed round 11 (2026-08-15): unchanged —
 both imports still ModuleNotFoundError; no environment bump.
+Re-probed round 12 (2026-08-16): unchanged — ``google.protobuf`` and
+the ``StateMessage_pb2`` path both still ModuleNotFoundError.
 ``applyInPandasWithState`` covers the OP-T8/t27
 contracts; the TWS form is a drop-in rewrite (same per-key int64
 state, same oracle) once the dependency exists.
@@ -2966,8 +2968,10 @@ def x3_ivf_ingest_stream(spark: SparkSession,
     micro-batch assigns its vectors to the nearest FROZEN cell
     (broadcast K_COARSE centroids, ``min(struct)`` argmin),
     PQ-encodes against the FROZEN codebooks (broadcast K_CODES×8) and
-    APPENDS to the stored tables — nothing retrains, the warehouse
-    codes are never rewritten, per-batch cost is
+    lands batch-id-keyed increment segments beside the stored tables
+    (r12 durable-state kit — a re-delivered batch overwrites its own
+    increment, never double-appends) — nothing retrains, the
+    warehouse codes are never rewritten, per-batch cost is
     O(batch × (K_COARSE + 8·K_CODES)) broadcast work with no shuffle
     of anything corpus-sized. That is FAISS ``add`` running inside
     Structured Streaming, the composition the r7 verdict called the
@@ -3064,10 +3068,19 @@ def x3_ivf_ingest_stream(spark: SparkSession,
                        ((F.col("vec_id") % 21) / 7).cast("long")),
         stage, n_files=3)
 
-    def ingest_batch(batch_df: DataFrame, _batch_id: int) -> None:
+    # r12 durable-state kit: increments are BATCH-ID-KEYED overwrite
+    # dirs, never appends — a re-delivered batch overwrites its own
+    # previous attempt instead of double-appending its codes
+    sroot = f"{out_dir}/state"
+
+    def ingest_batch(batch_df: DataFrame, batch_id: int) -> None:
         batch_df = batch_df.localCheckpoint(eager=True)
-        assign_cells(batch_df).write.mode("append").parquet(cells_dir)
-        encode_pq(batch_df).write.mode("append").parquet(codes_dir)
+        if batch_df.isEmpty():
+            return
+        assign_cells(batch_df).write.mode("overwrite").parquet(
+            _sdir(sroot, "cellsi", batch_id))
+        encode_pq(batch_df).write.mode("overwrite").parquet(
+            _sdir(sroot, "codesi", batch_id))
 
     s = (spark.readStream
          .schema("vec_id long, e array<double>")
@@ -3087,8 +3100,12 @@ def x3_ivf_ingest_stream(spark: SparkSession,
     multi_batch_ok = len(data_batches) >= 2 and admitted == n_staged
 
     # --- referees (test scaffolding; the graded path is the stream)
-    m_cells = spark.read.parquet(cells_dir)
-    m_codes = spark.read.parquet(codes_dir)
+    m_cells = spark.read.parquet(cells_dir, *[
+        _sdir(sroot, "cellsi", v)
+        for v in _committed_versions(sroot, "cellsi")])
+    m_codes = spark.read.parquet(codes_dir, *[
+        _sdir(sroot, "codesi", v)
+        for v in _committed_versions(sroot, "codesi")])
     b_cells = wh_cells.unionByName(assign_cells(arr))
     b_codes = wh_codes.unionByName(encode_pq(arr))
 
@@ -3206,9 +3223,11 @@ def x2_incremental_minhash_stream(spark: SparkSession,
     FROZEN corpus band index (every read filters ``doc_id < 400``, so
     the probe target is pinned no matter what was appended before),
     (c) verifies only band-colliding pairs with exact Jaccard against
-    the stored postings of just the candidate corpus docs, (d)
-    APPENDS its verdict rows and its own bands + postings to the
-    stored tables. Nothing re-bands, the corpus rows are never
+    the stored postings of just the candidate corpus docs, (d) lands
+    its verdict rows and its own bands + postings as BATCH-ID-KEYED
+    increment segments beside the stored tables (r12 durable-state
+    kit — overwrite-idempotent under foreachBatch retry, the stored
+    table being base + committed increments). Nothing re-bands, the corpus rows are never
     rewritten, per-batch cost is O(batch·bands + candidate
     verifications) — FAISS-``add`` economics for near-dup dedup.
 
@@ -3236,8 +3255,12 @@ def x2_incremental_minhash_stream(spark: SparkSession,
     out_dir = _mkdtemp(prefix="x2_minhash_stream_")
     idx_dir = f"{out_dir}/band_index"
     post_dir = f"{out_dir}/postings"
-    verd_dir = f"{out_dir}/verdicts"
     stage = f"{out_dir}/arrivals"
+    # r12 durable-state kit: verdicts and index/postings increments
+    # are batch-id-keyed overwrite dirs (families verd/bandsi/posti),
+    # never appends — retry/restart idempotent; the frozen-corpus
+    # probe reads only the base dirs either way
+    sroot = f"{out_dir}/state"
 
     d = load_table(spark, sf_dir, "documents")
     corpus = d.filter(F.col("doc_id") < 400)
@@ -3260,8 +3283,10 @@ def x2_incremental_minhash_stream(spark: SparkSession,
                        .withColumn("arrival", F.col("doc_id") % 3),
         stage, n_files=3)
 
-    def dedup_batch(batch_df: DataFrame, _batch_id: int) -> None:
+    def dedup_batch(batch_df: DataFrame, batch_id: int) -> None:
         batch_df = batch_df.localCheckpoint(eager=True)
+        if batch_df.isEmpty():
+            return
         b_bands = _portable_bands(batch_df)
         c_idx = (spark.read.parquet(idx_dir)
                       .filter(F.col("doc_id") < 400))
@@ -3313,9 +3338,12 @@ def x2_incremental_minhash_stream(spark: SparkSession,
                                    "unique")
                              .otherwise("near_dup_of_corpus")
                              .alias("verdict")))
-        verdicts.write.mode("append").parquet(verd_dir)
-        b_bands.write.mode("append").parquet(idx_dir)
-        b_post.write.mode("append").parquet(post_dir)
+        verdicts.write.mode("overwrite").parquet(
+            _sdir(sroot, "verd", batch_id))
+        b_bands.write.mode("overwrite").parquet(
+            _sdir(sroot, "bandsi", batch_id))
+        b_post.write.mode("overwrite").parquet(
+            _sdir(sroot, "posti", batch_id))
 
     s = (spark.readStream
          .schema("doc_id long, text string")
@@ -3335,9 +3363,11 @@ def x2_incremental_minhash_stream(spark: SparkSession,
     multi_batch_ok = len(data_batches) >= 2 and admitted == n_staged
 
     # --- referees (test scaffolding; the graded path is the stream)
-    streamed = spark.read.parquet(verd_dir)
+    streamed = _read_family(spark, sroot, "verd")
     batch_form = x2_incremental_minhash(spark, sf_dir)
-    m_idx = spark.read.parquet(idx_dir)
+    m_idx = spark.read.parquet(idx_dir, *[
+        _sdir(sroot, "bandsi", v)
+        for v in _committed_versions(sroot, "bandsi")])
     full_bands = _portable_bands(d)
 
     def set_eq(a, b, name):

@@ -120,6 +120,9 @@ FAMILIES = {
     "heavy_hitter_stream": "t45_heavy_hitter_stream",
     "prequential_anomaly_stream": "t46_prequential_anomaly_stream",
     "decayed_counter_stream": "t43_decayed_counter_stream",
+    # r12: the PSI-triggered recalibration policy (bounded-bin PSI +
+    # broadcast-grid refits — expect ~linear in the corpus pass)
+    "psi_recalibration": "x6_psi_triggered_recalibration",
 }
 
 ALPHA = "abcdefghijklmnopqrstuvwxyz"
