@@ -26,6 +26,7 @@ factories are what the registered queries run):
   for a maintenance policy.
 """
 
+import inspect
 import shutil
 
 import pytest
@@ -35,6 +36,38 @@ import stock_data_warehouse_spark.streaming.jobs as J
 from stock_data_warehouse_spark.sources.tables import load_table
 
 SF = "/root/testdata/sf0.001"
+
+#: every foreachBatch callback factory under the durable-state
+#: contract — new maintenance streams must be added here (and get a
+#: replay/restart drill) or the static gate below fails the build
+_DURABLE_FACTORIES = [
+    "_t40_make_batch", "_t42_make_batch", "_t43_make_batch",
+    "_t44_make_batch", "_t45_make_batch", "_t46_make_batch",
+    "_x2bc_make_batch", "_x2trig_make_batch",
+]
+
+
+@pytest.mark.parametrize("factory", _DURABLE_FACTORIES)
+def test_no_append_writes_in_durable_callbacks(factory):
+    """Static gate on the r12 durable-state discipline: a callback
+    that slips back to ``mode("append")`` or an in-process version
+    counter is retry-unsafe again (the exact r11 finding). Every
+    factory must write only batch-id-keyed ``_sdir`` dirs (or the
+    ``_ib``-partitioned dynamic overwrite store) and recover
+    predecessors by listing."""
+    src = inspect.getsource(getattr(J, factory))
+    assert 'mode("append")' not in src, factory
+    assert "_sdir(" in src, factory
+    assert 'state["' not in src, (factory, "in-process state counter")
+
+
+def test_ingest_stream_bodies_have_no_append_writes():
+    """Same gate for the two r10-era ingest streams hardened in r12
+    (their callbacks are closures inside the query functions)."""
+    for fn in ("x2_incremental_minhash_stream", "x3_ivf_ingest_stream"):
+        src = inspect.getsource(getattr(J, fn))
+        assert 'mode("append")' not in src, fn
+        assert "_sdir(" in src, fn
 
 
 def _rows(df):
