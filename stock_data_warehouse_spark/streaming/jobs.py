@@ -1072,11 +1072,12 @@ def _write_arrival_files(spark: SparkSession, staged: DataFrame,
 #   lifetimes; the ordinal does not care) and retries (own version
 #   excluded);
 # - value stores that must ACCUMULATE across batches (t40/t46's
-#   banded value store) carry a leading ``_ib = batch_id`` partition
-#   column written with per-write dynamic partition overwrite: a
-#   retry rewrites exactly its own ``_ib`` partitions and nothing
-#   else, and prequential readers prune ``_ib < batch_id`` so a
-#   failed attempt's own partitions can never leak into a fence.
+#   banded value store) are per-batch band-partitioned TREES in
+#   their own state family: a retry plain-overwrites exactly its own
+#   tree and nothing else, readers union the committed trees of
+#   their prefix, and prequential readers take only versions
+#   < batch_id so a failed attempt's own tree can never leak into a
+#   fence.
 #
 # Proof obligations live in tests/test_stream_durability.py: a
 # same-batch-replay drill (the callback invoked twice with one
@@ -3736,7 +3737,6 @@ def _t40_make_batch(spark: SparkSession, out_dir: str):
     from ..operators.staircase import (double_value_bucket,
                                        state_exact_quantiles)
     sroot = f"{out_dir}/state"
-    store = f"{out_dir}/band_store"
     # events.value ∈ [0, ~500): fixed-width bands at scale 2.0 →
     # ≤ ~1000 bands, each 0.5 wide — bounded by the value domain
     bucket = double_value_bucket(F.col("value"), 2.0)
@@ -3762,21 +3762,33 @@ def _t40_make_batch(spark: SparkSession, out_dir: str):
                       F.max("_bmax").alias("_bmax")))
         merged.write.mode("overwrite").parquet(
             _sdir(sroot, "bands", batch_id))
-        (banded.withColumn("_ib", F.lit(int(batch_id)))
-               .write.option("partitionOverwriteMode", "dynamic")
-               .partitionBy("_ib", "_qb").mode("overwrite")
-               .parquet(store))
+        # the store is a per-batch PARTITIONED TREE (family ``store``,
+        # one plain-overwrite ``_qb``-partitioned dir per batch) —
+        # idempotent under retry with PLAIN overwrite commit
+        # semantics, no dynamic-partition-overwrite dependency
+        # (measured r12: wall-equal to the dynamic form; kept for the
+        # simpler commit contract). The repartition packs each band
+        # into one file per batch.
+        (banded.repartition("_qb")
+               .write.partitionBy("_qb").mode("overwrite")
+               .parquet(_sdir(sroot, "store", batch_id)))
         stats = spark.read.parquet(_sdir(sroot, "bands", batch_id))
 
         def store_for_bands(band_ids: list) -> DataFrame:
-            # _ib/_qb are DISK partition columns of the store — both
-            # filters prune at file listing: only THIS prefix's
-            # ingests (a crashed future attempt cannot exist; ≤ is
-            # hygiene) and only the target bands (~N/B rows each)
-            return (spark.read.parquet(store)
-                         .filter((F.col("_ib") <= F.lit(int(batch_id)))
-                                 & F.col("_qb").isin(
-                                     [int(b) for b in band_ids])))
+            # union the committed per-batch trees of THIS prefix
+            # (a crashed future attempt cannot exist; ≤ is hygiene);
+            # _qb is a disk partition column of every tree, so the
+            # isin literal prunes each at file listing — only the
+            # target bands (~N/B rows each) are read
+            ids = [int(b) for b in band_ids]
+            parts = [spark.read.parquet(_sdir(sroot, "store", v))
+                          .filter(F.col("_qb").isin(ids))
+                     for v in _committed_versions(sroot, "store")
+                     if v <= int(batch_id)]
+            out = parts[0]
+            for pt in parts[1:]:
+                out = out.unionByName(pt)
+            return out
 
         q = state_exact_quantiles(stats, store_for_bands, "value",
                                   [0.5, 0.95])
@@ -5010,7 +5022,6 @@ def _t46_make_batch(spark: SparkSession, out_dir: str):
     from ..operators.staircase import (double_value_bucket,
                                        state_exact_quantiles)
     sroot = f"{out_dir}/state"
-    store = f"{out_dir}/band_store"
     bucket = double_value_bucket(F.col("value"), 2.0)
 
     def preq_batch(batch_df: DataFrame, batch_id: int) -> None:
@@ -5033,14 +5044,19 @@ def _t46_make_batch(spark: SparkSession, out_dir: str):
             stats = spark.read.parquet(prev_dir)
 
             def store_for_bands(band_ids: list) -> DataFrame:
-                # STRICT prefix read: only store partitions of PRIOR
-                # batches feed the fence (a retried batch's own
-                # partitions from a failed attempt are pruned out)
-                return (spark.read.parquet(store)
-                             .filter((F.col("_ib")
-                                      < F.lit(int(batch_id)))
-                                     & F.col("_qb").isin(
-                                         [int(x) for x in band_ids])))
+                # STRICT prefix read: only PRIOR batches' committed
+                # store trees feed the fence (a retried batch's own
+                # tree from a failed attempt is excluded by v <)
+                ids = [int(x) for x in band_ids]
+                parts = [spark.read.parquet(
+                             _sdir(sroot, "store", v))
+                              .filter(F.col("_qb").isin(ids))
+                         for v in _committed_versions(sroot, "store")
+                         if v < int(batch_id)]
+                out = parts[0]
+                for pt in parts[1:]:
+                    out = out.unionByName(pt)
+                return out
 
             q = state_exact_quantiles(stats, store_for_bands,
                                       "value", [0.25, 0.75])
@@ -5073,10 +5089,9 @@ def _t46_make_batch(spark: SparkSession, out_dir: str):
                       F.max("_bmax").alias("_bmax")))
         merged.write.mode("overwrite").parquet(
             _sdir(sroot, "bands", batch_id))
-        (banded.withColumn("_ib", F.lit(int(batch_id)))
-               .write.option("partitionOverwriteMode", "dynamic")
-               .partitionBy("_ib", "_qb").mode("overwrite")
-               .parquet(store))
+        (banded.repartition("_qb")
+               .write.partitionBy("_qb").mode("overwrite")
+               .parquet(_sdir(sroot, "store", batch_id)))
 
     return preq_batch
 

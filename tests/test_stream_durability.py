@@ -140,10 +140,10 @@ def test_same_batch_replay_is_idempotent(spark, name, factory,
 
 
 def test_t40_same_batch_replay_including_band_store(spark):
-    """t40's replay drill also pins the band STORE (the dynamic
-    partition-overwrite path): a re-delivered batch must not leave a
-    second copy of its rows in its own ``_ib`` partitions — the
-    quantiles would silently shift for every later batch."""
+    """t40's replay drill also pins the band STORE (the per-batch
+    partitioned-tree path): a re-delivered batch must not leave a
+    second copy of its rows in its own store tree — the quantiles
+    would silently shift for every later batch."""
     batches = _event_quartiles(spark, ["event_id", "ts", "value"])
 
     def run(out_dir, schedule):
@@ -151,11 +151,13 @@ def test_t40_same_batch_replay_including_band_store(spark):
         for bid, df in schedule:
             cb(df, bid)
         sroot = f"{out_dir}/state"
-        store = (spark.read.parquet(f"{out_dir}/band_store")
-                      .select("value", "_ib", "_qb"))
+        store = [(v, _rows(spark.read
+                           .parquet(J._sdir(sroot, "store", v))
+                           .select("value", "_qb")))
+                 for v in J._committed_versions(sroot, "store")]
         return (_rows(J._read_family(spark, sroot, "res")),
                 _rows(spark.read.parquet(J._sdir(sroot, "bands", 3))),
-                _rows(store))
+                store)
 
     clean = run(J._mkdtemp(prefix="dur_t40_clean_"),
                 list(enumerate(batches)))
