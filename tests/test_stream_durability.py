@@ -221,6 +221,76 @@ def test_t40_two_lifetime_restart(spark):
     assert len(uninterrupted) == 4  # one exact answer per batch
 
 
+def test_kit_version_selection_contract(tmp_path):
+    """Pure-python pin of the kit's recovery reads: only
+    ``_SUCCESS``-marked dirs are committed; predecessors are strictly
+    before the batch_id (a failed attempt's own dir is invisible);
+    the segmented-store live set is (latest prior snapshot else base)
+    + increments after it, with include_current selecting the
+    batch-start vs post-append view."""
+    import os
+    root = str(tmp_path)
+
+    def mk(name, committed=True):
+        d = os.path.join(root, name)
+        os.makedirs(d)
+        if committed:
+            open(os.path.join(d, "_SUCCESS"), "w").close()
+
+    mk("fam_b0"); mk("fam_b1"); mk("fam_b3")
+    mk("fam_b2", committed=False)          # crashed attempt: invisible
+    assert J._committed_versions(root, "fam") == [0, 1, 3]
+    assert J._versions_before(root, "fam", 3) == [0, 1]
+    assert J._latest_before(root, "fam", 3) == J._sdir(root, "fam", 1)
+    assert J._latest_before(root, "fam", 0) is None
+
+    mk("inc_b0"); mk("inc_b1"); mk("inc_b2"); mk("cmp_b1")
+    base = os.path.join(root, "base")
+    # batch 2's probe snapshot: snapshot cmp_b1 (< 2), no later incs
+    assert J._live_segments(root, "cmp", "inc", base, 2, False) == [
+        J._sdir(root, "cmp", 1)]
+    # batch 2's post-append view: cmp_b1 + its own inc_b2
+    assert J._live_segments(root, "cmp", "inc", base, 2, True) == [
+        J._sdir(root, "cmp", 1), J._sdir(root, "inc", 2)]
+    # batch 1 RETRY after its failed attempt already wrote cmp_b1:
+    # its own snapshot is invisible — base + inc_b0 (+ own inc with
+    # include_current), exactly the first attempt's inputs
+    assert J._live_segments(root, "cmp", "inc", base, 1, False) == [
+        base, J._sdir(root, "inc", 0)]
+    assert J._live_segments(root, "cmp", "inc", base, 1, True) == [
+        base, J._sdir(root, "inc", 0), J._sdir(root, "inc", 1)]
+    # final read: latest snapshot + everything after it
+    assert J._live_segments(root, "cmp", "inc", base) == [
+        J._sdir(root, "cmp", 1), J._sdir(root, "inc", 2)]
+
+
+def test_t45_two_lifetime_restart(spark):
+    """Second restart drill on the stream with the most state SHAPES
+    (MG counters + the cumulative-subtracted-mass error ledger): stop
+    after batch 1, rebuild the callback from nothing, drain. The
+    ledger is the subtle one — an in-memory s_cum would silently
+    reset to 0 in lifetime 2 and deflate every later bound."""
+    d = (load_table(spark, SF, "documents")
+         .select("doc_id", "text"))
+    staged = d.withColumn("arrival", (F.col("doc_id") % 4).cast("int"))
+    schema = "doc_id long, text string"
+
+    def run(tranches):
+        out_dir = J._mkdtemp(prefix="dur_t45_restart_")
+        hold = f"{out_dir}/hold"
+        J._write_arrival_files(spark, staged, hold, n_files=4)
+        _run_stream_lifetimes(
+            spark, out_dir, hold, schema,
+            lambda: J._t45_make_batch(spark, out_dir), tranches)
+        sroot = f"{out_dir}/state"
+        return (_rows(J._read_family(spark, sroot, "res")),
+                _rows(J._read_family(spark, sroot, "cum")))
+
+    uninterrupted = run([["a0", "a1", "a2", "a3"]])
+    restarted = run([["a0", "a1"], ["a2", "a3"]])
+    assert restarted == uninterrupted
+
+
 def test_x2_triggered_restart_fires_in_second_lifetime(spark):
     """The policy restart drill (VERDICT r11 next-round #2): at
     sf0.001 the trigger decisions are (F, F, T) — so stopping after
