@@ -23,6 +23,16 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 N_ITER = int(os.environ.get("SPARK_GRAFT_BENCH_ITER", "2"))
+#: streaming queries (real micro-batch topologies: staging writes +
+#: checkpoint + per-batch state I/O) have a wider run-to-run spread
+#: than pure Catalyst plans — min-of-2 provably under-describes them
+#: (VERDICT r12 What's-wrong #1: a 2.58x official/local disagreement
+#: on t40 that committed artifacts couldn't adjudicate). They get at
+#: least 3 iterations and the FULL per-iteration list is recorded in
+#: the JSON (``queries_iters``) so a reader can see the spread.
+N_ITER_STREAM = max(N_ITER,
+                    int(os.environ.get("SPARK_GRAFT_BENCH_ITER_STREAM",
+                                       "3")))
 
 # Headline set: one per operator family, weighted toward the plans that
 # shuffle (joins, windows, aggs) — the ones whose scale behavior matters.
@@ -181,6 +191,13 @@ def main() -> int:
     spark = get_spark("bench")
     qs = entry_mod.queries()
     names = [n for n in HEADLINE if n in qs]
+    # subset runs (r13: re-measuring the committed r2 baseline table
+    # on a quiet machine without dragging the other 80 headliners):
+    # SPARK_GRAFT_BENCH_ONLY="q1_pricing_summary,..." python bench.py
+    only = os.environ.get("SPARK_GRAFT_BENCH_ONLY", "")
+    if only:
+        want = [s.strip() for s in only.split(",") if s.strip()]
+        names = [n for n in want if n in qs]
 
     # Warm the JVM + file index once so the first timed query doesn't
     # absorb session startup; everything after measures the plan.
@@ -189,6 +206,7 @@ def main() -> int:
     timings: dict[str, float] = {}
     spread: dict[str, float] = {}
     first: dict[str, float] = {}
+    iters: dict[str, list] = {}
     total = 0.0
     for name in names:
         # Min of two executions: the first pays one-time costs (codegen,
@@ -197,8 +215,9 @@ def main() -> int:
         # measure of the physical plan itself. The build is INSIDE the
         # timed region: the eager queries (sinks, streaming,
         # iterative clusters) do their real work at build time.
+        n_iter = N_ITER_STREAM if "stream" in name else N_ITER
         runs = []
-        for _ in range(N_ITER):
+        for _ in range(n_iter):
             t0 = time.time()
             df = qs[name](spark, SF_DIR)
             df.write.format("noop").mode("overwrite").save()
@@ -212,9 +231,10 @@ def main() -> int:
         # lets a reader tell warm-up from plan regression without a
         # manual A/B.
         first[name] = runs[0]
+        iters[name] = runs
         total += min(runs)
-        print(f"# {name}: {min(runs):.3f}s (first {runs[0]:.3f}s, "
-              f"max {max(runs):.3f}s)", file=sys.stderr)
+        print(f"# {name}: {min(runs):.3f}s (iters {runs})",
+              file=sys.stderr)
 
     # Protocol metadata (VERDICT r3 item 4): the machine is co-tenant —
     # cross-round wall-time comparisons need the ambient load and the
@@ -226,7 +246,9 @@ def main() -> int:
         "queries": timings,
         "queries_max": spread,
         "queries_first": first,
+        "queries_iters": iters,
         "iterations": N_ITER,
+        "iterations_stream": N_ITER_STREAM,
         "load_avg_1m": round(os.getloadavg()[0], 2),
         "sf": _sf_from_dir(SF_DIR),
     })

@@ -677,6 +677,11 @@ def s17_schema_evolution_scan(spark: SparkSession,
       .select("c_custkey", "c_acctbal")
       .coalesce(1).write.mode("overwrite").parquet(f"{stage}/g=1"))
     # generation 2: the evolved schema
+    # append-exempt: batch operator writing generation files into a
+    # FRESH per-run _mkdtemp staging dir — g=2 doesn't exist before
+    # this line, so append == create; no cross-invocation state is
+    # keyed on this dir (the durable-state kit's no-append rule
+    # governs foreachBatch state, tests/test_stream_durability.py)
     (c.filter(F.col("c_custkey") >= 75)
       .select("c_custkey", "c_acctbal", "c_mktsegment")
       .coalesce(1).write.mode("append").parquet(f"{stage}/g=2"))
@@ -1170,6 +1175,11 @@ def delete_users(spark: SparkSession, table_path: str,
         staging = table_path + ".delete_staging"
         keep.write.mode("overwrite").parquet(staging)
         swap_in(staging, table_path)
+    # append-exempt: audit ledger of a BATCH maintenance operator on
+    # a per-run table copy (no retrying stream can re-deliver this
+    # write), and tombstoning the same keys twice is semantically
+    # idempotent — the ledger is read with distinct(); the delete
+    # itself is the overwrite+swap above (idempotence-tested)
     (requests.select(key).distinct()
      .withColumn("tombstoned", F.lit(True))
      .write.mode("append").parquet(table_path + ".tombstones"))
@@ -1574,6 +1584,10 @@ def s25_partition_backfill(spark: SparkSession,
     holes_before = missing.count()
     backfill = daily.join(missing, "day", "left_semi")
     n_backfilled = backfill.count()
+    # append-exempt: batch backfill into a per-run table dir writes
+    # ONLY partitions the spine diff proved missing — re-running the
+    # repair recomputes an empty diff and appends nothing (the
+    # post-repair hole count is part of the query's output)
     (backfill.write.mode("append").partitionBy("day").parquet(tbl))
 
     final = spark.read.parquet(tbl)

@@ -66,6 +66,7 @@ from __future__ import annotations
 import inspect
 import itertools
 import os
+import shutil
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -1085,27 +1086,81 @@ def _write_arrival_files(spark: SparkSession, staged: DataFrame,
 # two-lifetime restart drills (stop after a mid-stream batch, rebuild
 # the callback from nothing, reopen the same checkpoint, drain;
 # final output must be hash-identical to the uninterrupted run).
+#
+# RETENTION (r13, VERDICT r12 What's-wrong #2): without it, state
+# metadata grows O(#batches) for the stream's lifetime — every
+# callback lists a dir whose entry count grows per batch, and the
+# t40/t46 quantile read unions one parquet relation per batch, a
+# driver-side planning bottleneck at 10^4-10^5 micro-batches even
+# though the DATA plane is flat. Two retention disciplines bound it:
+#
+# - LATEST-ONLY (monoid) families — band stats, reservoirs, decayed
+#   counters, KMV/MG sketches, error ledgers — are vacuumed down to
+#   the last ``_MONOID_KEEP`` committed versions after each batch
+#   commits (``_vacuum_superseded``). keep=2 is the provable replay
+#   horizon: the only predecessor any future delivery resolves is
+#   either the current version (next batch) or its immediate
+#   predecessor (a same-batch retry — foreachBatch only ever
+#   re-delivers the LATEST uncommitted batch, never older ones).
+#   Vacuuming kills listing-counted ordinals, so the logical batch
+#   ordinal now rides IN the state (constant ``_ord`` column,
+#   ``_monoid_prev`` / ``_stamp_ord``).
+# - ACCUMULATING per-batch tree stores (t40/t46's banded value
+#   store) are consolidated by a TRIGGER-DRIVEN snapshot
+#   (``_maybe_compact_store``): when the live tree set reaches
+#   ``_STORE_COMPACT_TREES`` relations, every tree STRICTLY before
+#   the current batch is rewritten into one band-partitioned
+#   snapshot (family ``{fam}c``, version = batch_id, covering
+#   increments < batch_id), and the covered increments + superseded
+#   snapshots are vacuumed. Readers resolve through
+#   ``_store_live_trees``; the strictly-before covering convention
+#   makes a failed attempt's own snapshot SAFE for the prequential
+#   fence (it contains exactly the strict prefix the fence wants)
+#   and keeps the inclusive monitor read exact (snapshot + the
+#   current batch's own increment). The read plan is therefore
+#   O(_STORE_COMPACT_TREES) relations regardless of stream lifetime.
+#
+# NOTE on the filesystem API: listing/vacuum run through
+# os.listdir/shutil.rmtree — correct for the local[N] harness (and
+# any POSIX driver volume), but a port to object storage must route
+# these through Spark's Hadoop FileSystem API (the only
+# driver-local-FS binding in the kit; every data read/write already
+# goes through spark.read/write and is store-agnostic).
 # ---------------------------------------------------------------------------
+
+#: committed versions a LATEST-ONLY state family keeps after vacuum:
+#: the current version + its predecessor (the same-batch-retry
+#: replay horizon — see the kit header)
+_MONOID_KEEP = 2
+
+#: live-tree count at which an accumulating per-batch store is
+#: consolidated into one snapshot segment (the compaction TRIGGER —
+#: tree count, not a schedule); also the read plan's relation bound
+_STORE_COMPACT_TREES = 4
 
 
 def _sdir(root: str, fam: str, batch_id: int) -> str:
-    """Path of family ``fam``'s state dir for ``batch_id``."""
-    return f"{root}/{fam}_b{int(batch_id)}"
+    """Path of family ``fam``'s state dir for ``batch_id``. Families
+    are NESTED (``{root}/{fam}/b{id}``, r13) so a per-batch listing
+    of a vacuumed family scans O(keep) entries — a flat root would
+    make every family's listing pay for the sink family's
+    O(#batches) result dirs."""
+    return f"{root}/{fam}/b{int(batch_id)}"
 
 
 def _committed_versions(root: str, fam: str) -> list:
     """Sorted batch-ids of COMMITTED (``_SUCCESS``-marked) dirs of
     family ``fam`` under ``root`` — the recovery read: current state
     is discovered by listing, never from in-process memory."""
-    if not os.path.isdir(root):
+    fdir = os.path.join(root, fam)
+    if not os.path.isdir(fdir):
         return []
-    pre = f"{fam}_b"
     out = []
-    for fn in os.listdir(root):
-        if (fn.startswith(pre) and fn[len(pre):].isdigit()
-                and os.path.exists(os.path.join(root, fn,
+    for fn in os.listdir(fdir):
+        if (fn.startswith("b") and fn[1:].isdigit()
+                and os.path.exists(os.path.join(fdir, fn,
                                                 "_SUCCESS"))):
-            out.append(int(fn[len(pre):]))
+            out.append(int(fn[1:]))
     return sorted(out)
 
 
@@ -1126,8 +1181,15 @@ def _latest_before(root: str, fam: str, batch_id: int):
 def _read_family(spark: SparkSession, root: str, fam: str) -> DataFrame:
     """Union-read every committed dir of ``fam`` (the post-stream
     result read — only committed batch dirs count, the file-sink
-    manifest discipline applied to foreachBatch output)."""
+    manifest discipline applied to foreachBatch output). Raises a
+    descriptive error on a family with zero committed versions (a
+    run where every micro-batch was empty) instead of the opaque
+    empty-path AnalysisException (ADVICE r12)."""
     paths = [_sdir(root, fam, v) for v in _committed_versions(root, fam)]
+    if not paths:
+        raise ValueError(
+            f"state family '{fam}' has no committed versions under "
+            f"{root} — every micro-batch of this stream was empty")
     return spark.read.parquet(*paths)
 
 
@@ -1170,6 +1232,160 @@ def _live_segments(root: str, fam_c: str, fam_i: str, base_dir: str,
         if v > lo and (v < b or (include_current and v == b)):
             paths.append(_sdir(root, fam_i, v))
     return paths
+
+
+# --- retention primitives (r13 — see the kit header's RETENTION
+# section for the covering conventions and the replay-horizon proof)
+
+
+def _vacuum_superseded(root: str, fam: str, batch_id: int,
+                       keep: int = _MONOID_KEEP) -> None:
+    """Vacuum a LATEST-ONLY (monoid) state family after the version-
+    ``batch_id`` write has committed: delete every committed version
+    at or below ``batch_id`` except the newest ``keep``. keep=2 keeps
+    the current version plus the predecessor a same-batch retry
+    resolves; versions above ``batch_id`` (impossible in a live
+    stream — batches commit in order) are never touched. Crash-safe:
+    vacuum only removes dirs whose content is superseded by a
+    committed newer version, so a partial vacuum changes no reader's
+    resolution."""
+    vs = [v for v in _committed_versions(root, fam)
+          if v <= int(batch_id)]
+    for v in vs[:-keep] if keep > 0 else vs:
+        shutil.rmtree(_sdir(root, fam, v), ignore_errors=True)
+
+
+def _monoid_prev(spark: SparkSession, root: str, fam: str,
+                 batch_id: int):
+    """Predecessor state + logical batch ordinal of a LATEST-ONLY
+    state family, as ``(DataFrame-or-None, ordinal)``. With retention
+    vacuuming superseded versions, counting committed predecessors no
+    longer yields the data-batch ordinal, so each version records its
+    own as a constant ``_ord`` column (stripped here; write the
+    successor with ``_stamp_ord``). Retry-safe (the predecessor is
+    strictly before ``batch_id``, so a re-delivered batch reads the
+    same ordinal) and restart-safe (pure listing + state read). The
+    ``.first()`` is control-plane: one row off a ≤bounded-domain
+    state relation."""
+    d = _latest_before(root, fam, batch_id)
+    if d is None:
+        return None, 0
+    df = spark.read.parquet(d)
+    prev_ord = df.agg(F.max("_ord").alias("o")).first()["o"]
+    return df.drop("_ord"), int(prev_ord) + 1
+
+
+def _stamp_ord(df: DataFrame, ordinal: int) -> DataFrame:
+    """Stamp a monoid state relation with its own batch ordinal (the
+    vacuum-proof twin of the listing count — kit header)."""
+    return df.withColumn("_ord", F.lit(int(ordinal)).cast("long"))
+
+
+def _monoid_final_ord(spark: SparkSession, root: str, fam: str) -> int:
+    """Ordinal recorded in the LATEST committed version of a monoid
+    family (-1 when none) — the post-stream pin that all data batches
+    flowed through incremental state merges even though superseded
+    versions have been vacuumed (a listing count can no longer prove
+    it)."""
+    vs = _committed_versions(root, fam)
+    if not vs:
+        return -1
+    o = (spark.read.parquet(_sdir(root, fam, vs[-1]))
+              .agg(F.max("_ord").alias("o")).first()["o"])
+    return int(o)
+
+
+def _store_live_trees(root: str, fam_i: str, fam_c: str,
+                      batch_id=None, inclusive: bool = True) -> list:
+    """Live tree set of a compacting ACCUMULATING store (t40/t46's
+    banded value store): the latest committed snapshot (family
+    ``fam_c``) with version ≤ batch_id — a snapshot at version v
+    covers every increment with version < v — plus the committed
+    increments (family ``fam_i``) from that version through the
+    cutoff. ``inclusive=True`` admits the current batch's own
+    increment (the monitor's own-prefix read); ``inclusive=False`` is
+    the STRICT prefix (the prequential fence — increments < batch_id
+    only, and a failed same-batch attempt's snapshot, covering
+    exactly < batch_id, is safe to resolve). ``batch_id=None``
+    resolves the final store."""
+    b = float("inf") if batch_id is None else int(batch_id)
+    hi = b if inclusive else b - 1
+    cs = [v for v in _committed_versions(root, fam_c) if v <= b]
+    c = max(cs) if cs else None
+    paths = [_sdir(root, fam_c, c)] if c is not None else []
+    lo = c if c is not None else 0
+    paths += [_sdir(root, fam_i, v)
+              for v in _committed_versions(root, fam_i)
+              if lo <= v <= hi]
+    return paths
+
+
+def _vacuum_covered_segments(root: str, fam_c: str, fam_i: str,
+                             batch_id: int) -> None:
+    """Deferred vacuum for an x2-style segmented store (where a
+    snapshot at version v covers increments ≤ v — ``_live_segments``'
+    convention, note the difference from ``_store_live_trees``'
+    strictly-before covering): delete increments and older snapshots
+    covered by the latest snapshot STRICTLY BEFORE ``batch_id``.
+    Strictly-before is the replay horizon — the only re-deliverable
+    batch is ``batch_id`` itself, whose resolution reads snapshots
+    < batch_id plus increments after them, never anything this
+    removes; in particular a batch whose own first attempt compacted
+    (snapshot at version == batch_id) vacuums only up to the
+    PREVIOUS snapshot, so its own retry still finds every increment
+    its strictly-before resolution needs. Call at callback end."""
+    b = int(batch_id)
+    cs = [v for v in _committed_versions(root, fam_c) if v < b]
+    if not cs:
+        return
+    c = max(cs)
+    for v in _committed_versions(root, fam_i):
+        if v <= c:
+            shutil.rmtree(_sdir(root, fam_i, v), ignore_errors=True)
+    for v in cs:
+        if v < c:
+            shutil.rmtree(_sdir(root, fam_c, v), ignore_errors=True)
+
+
+def _maybe_compact_store(spark: SparkSession, root: str, fam_i: str,
+                         fam_c: str, batch_id: int,
+                         part_col: str = "_qb",
+                         threshold: int = _STORE_COMPACT_TREES) -> None:
+    """Trigger-driven consolidation of an accumulating per-batch tree
+    store (retention, r13): when the live tree set at this batch
+    reaches ``threshold`` relations, rewrite every tree STRICTLY
+    before this batch into one ``part_col``-partitioned snapshot at
+    version ``batch_id`` (covering increments < batch_id — the
+    convention that keeps the prequential fence exact under retry),
+    then vacuum the covered increments and superseded snapshots.
+    Idempotent under retry: a committed same-version snapshot
+    short-circuits (the consolidation is a deterministic function of
+    the same live set); the vacuum runs only after the snapshot's
+    ``_SUCCESS``, so a crash at any point leaves every reachable
+    reader resolving an identical relation."""
+    b = int(batch_id)
+    if os.path.exists(os.path.join(_sdir(root, fam_c, b),
+                                   "_SUCCESS")):
+        return
+    live = _store_live_trees(root, fam_i, fam_c, b, inclusive=True)
+    if len(live) < threshold:
+        return
+    prior = _store_live_trees(root, fam_i, fam_c, b, inclusive=False)
+    # one read per tree root (each is its own partitioned table — a
+    # single multi-path read trips partition discovery)
+    parts = [spark.read.parquet(p) for p in prior]
+    snap = parts[0]
+    for pt in parts[1:]:
+        snap = snap.unionByName(pt)
+    (snap.repartition(part_col)
+         .write.partitionBy(part_col).mode("overwrite")
+         .parquet(_sdir(root, fam_c, b)))
+    for v in _committed_versions(root, fam_i):
+        if v < b:
+            shutil.rmtree(_sdir(root, fam_i, v), ignore_errors=True)
+    for v in _committed_versions(root, fam_c):
+        if v < b:
+            shutil.rmtree(_sdir(root, fam_c, v), ignore_errors=True)
 
 
 def _x2_postings(docs: DataFrame) -> DataFrame:
@@ -3426,7 +3642,10 @@ def _x2bc_make_batch(spark: SparkSession, out_dir: str):
         batch_df = batch_df.localCheckpoint(eager=True)
         if batch_df.isEmpty():
             return
-        ordinal = len(_versions_before(sroot, "bidxi", batch_id))
+        # ordinal counts the VERD ledger (one dir per data batch,
+        # never vacuumed) — increment counts stopped being ordinals
+        # when r13's segment vacuum landed
+        ordinal = len(_versions_before(sroot, "verd", batch_id))
         snap_idx = spark.read.parquet(*_live_segments(
             sroot, "bidxc", "bidxi", f"{sroot}/bidx_base",
             batch_id, include_current=False))
@@ -3475,6 +3694,10 @@ def _x2bc_make_batch(spark: SparkSession, out_dir: str):
                 F.lit(post).cast("long").alias("post"))
              .write.mode("overwrite").parquet(
                  _sdir(sroot, "cmx", batch_id)))
+        # retention (r13): segments covered by a strictly-prior
+        # snapshot are dead to every reachable resolution
+        _vacuum_covered_segments(sroot, "bidxc", "bidxi", batch_id)
+        _vacuum_covered_segments(sroot, "bpostc", "bposti", batch_id)
 
     return dedup_batch
 
@@ -3723,16 +3946,20 @@ def x2_band_compaction_stream(spark: SparkSession,
 # ---------------------------------------------------------------------------
 
 def _t40_make_batch(spark: SparkSession, out_dir: str):
-    """t40's foreachBatch callback, durable-state form (r12): state
-    family ``bands`` (the merged (count, min, max) band monoid),
-    results family ``res``, and the banded value store under
-    ``band_store`` with a leading ``_ib = batch_id`` partition column
-    written with per-write DYNAMIC partition overwrite — a
-    re-delivered batch rewrites exactly its own ``_ib`` partitions
-    (same files ⇒ same ``_qb`` set, file-source replay) instead of
-    appending a second copy. ``_qb`` stays a disk partition column,
-    so the staircase's target-band read still prunes at file listing.
-    Module-level for the durability drills."""
+    """t40's foreachBatch callback, durable-state form (r12, retention
+    r13): state family ``bands`` (the merged (count, min, max) band
+    monoid — latest-only, vacuumed to the last ``_MONOID_KEEP``
+    versions, ordinal riding in-state as ``_ord``), results family
+    ``res``, and the banded value store as per-batch plain-overwrite
+    ``_qb``-partitioned TREES (family ``store``) consolidated by the
+    trigger-driven snapshot family ``storec`` — a re-delivered batch
+    overwrites exactly its own tree (file-source replay is
+    byte-identical), the quantile read resolves through
+    ``_store_live_trees`` (≤ ``_STORE_COMPACT_TREES`` relations
+    regardless of stream lifetime), and ``_qb`` stays a disk
+    partition column of every tree so the staircase's target-band
+    read still prunes at file listing. Module-level for the
+    durability drills."""
     from ..functions.scalars import round_half_up
     from ..operators.staircase import (double_value_bucket,
                                        state_exact_quantiles)
@@ -3747,20 +3974,18 @@ def _t40_make_batch(spark: SparkSession, out_dir: str):
                           .localCheckpoint(eager=True))
         if banded.isEmpty():
             return
-        ordinal = len(_versions_before(sroot, "bands", batch_id))
-        prev_dir = _latest_before(sroot, "bands", batch_id)
+        prev, ordinal = _monoid_prev(spark, sroot, "bands", batch_id)
         b_stats = (banded.groupBy("_qb")
                          .agg(F.count(F.lit(1)).alias("_bn"),
                               F.min("value").alias("_bmin"),
                               F.max("value").alias("_bmax")))
-        merged = b_stats if prev_dir is None else (
-            spark.read.parquet(prev_dir)
-                 .unionByName(b_stats)
-                 .groupBy("_qb")
-                 .agg(F.sum("_bn").cast("long").alias("_bn"),
-                      F.min("_bmin").alias("_bmin"),
-                      F.max("_bmax").alias("_bmax")))
-        merged.write.mode("overwrite").parquet(
+        merged = b_stats if prev is None else (
+            prev.unionByName(b_stats)
+                .groupBy("_qb")
+                .agg(F.sum("_bn").cast("long").alias("_bn"),
+                     F.min("_bmin").alias("_bmin"),
+                     F.max("_bmax").alias("_bmax")))
+        _stamp_ord(merged, ordinal).write.mode("overwrite").parquet(
             _sdir(sroot, "bands", batch_id))
         # the store is a per-batch PARTITIONED TREE (family ``store``,
         # one plain-overwrite ``_qb``-partitioned dir per batch) —
@@ -3772,19 +3997,22 @@ def _t40_make_batch(spark: SparkSession, out_dir: str):
         (banded.repartition("_qb")
                .write.partitionBy("_qb").mode("overwrite")
                .parquet(_sdir(sroot, "store", batch_id)))
-        stats = spark.read.parquet(_sdir(sroot, "bands", batch_id))
+        stats = (spark.read.parquet(_sdir(sroot, "bands", batch_id))
+                      .drop("_ord"))
 
         def store_for_bands(band_ids: list) -> DataFrame:
-            # union the committed per-batch trees of THIS prefix
-            # (a crashed future attempt cannot exist; ≤ is hygiene);
-            # _qb is a disk partition column of every tree, so the
-            # isin literal prunes each at file listing — only the
-            # target bands (~N/B rows each) are read
+            # union the LIVE trees of this prefix (latest snapshot +
+            # uncovered increments ≤ batch_id — O(threshold)
+            # relations however long the stream has run); _qb is a
+            # disk partition column of every tree, so the isin
+            # literal prunes each at file listing — only the target
+            # bands (~N/B rows each) are read
             ids = [int(b) for b in band_ids]
-            parts = [spark.read.parquet(_sdir(sroot, "store", v))
+            parts = [spark.read.parquet(p)
                           .filter(F.col("_qb").isin(ids))
-                     for v in _committed_versions(sroot, "store")
-                     if v <= int(batch_id)]
+                     for p in _store_live_trees(
+                         sroot, "store", "storec", batch_id,
+                         inclusive=True)]
             out = parts[0]
             for pt in parts[1:]:
                 out = out.unionByName(pt)
@@ -3798,6 +4026,11 @@ def _t40_make_batch(spark: SparkSession, out_dir: str):
                   round_half_up(F.col("q1"), 6).alias("p95_value"))
           .write.mode("overwrite").parquet(
               _sdir(sroot, "res", batch_id)))
+        # retention LAST (after every read/write of this batch): a
+        # crash here leaves only superseded dirs behind, harmless
+        _maybe_compact_store(spark, sroot, "store", "storec",
+                             batch_id)
+        _vacuum_superseded(sroot, "bands", batch_id)
 
     return monitor_batch
 
@@ -3833,8 +4066,11 @@ def t40_quantile_monitor_stream(spark: SparkSession,
     (written to a BATCH-ID-KEYED state dir, predecessor recovered by
     listing — the r12 durable-state kit, retry- and restart-
     idempotent under foreachBatch's at-least-once contract) and lands
-    its rows in a value store partitioned by (ingest batch, band) on
-    disk via dynamic partition overwrite; the batch boundary then
+    its rows in a per-batch plain-overwrite band-partitioned store
+    tree, trigger-compacted into snapshot segments (r13 retention:
+    the live tree set stays ≤ ``_STORE_COMPACT_TREES`` and superseded
+    band-state versions are vacuumed, so state metadata is O(1) in
+    stream lifetime, not O(#batches)); the batch boundary then
     answers exact interpolated p50/p95 of the WHOLE prefix from the
     state via ``operators/staircase.py::state_exact_quantiles`` — band
     counts locate each rank (bounded relation), single-valued bands
@@ -3897,8 +4133,18 @@ def t40_quantile_monitor_stream(spark: SparkSession,
                     if pr["numInputRows"] > 0]
     admitted = sum(pr["numInputRows"] for pr in data_batches)
     sroot = f"{out_dir}/state"
+    # the retention pins (≤ _MONOID_KEEP band-state versions, final
+    # in-state ordinal 3, ≤ _STORE_COMPACT_TREES live store trees)
+    # prove the vacuum/compaction actually ran — 4 un-vacuumed
+    # versions or 4 live increment trees would mean r13's retention
+    # step is dead
     maintained_ok = (len(data_batches) == 4 and admitted == n_staged
-                     and len(_committed_versions(sroot, "bands")) == 4
+                     and len(_committed_versions(sroot, "bands"))
+                     <= _MONOID_KEEP
+                     and _monoid_final_ord(spark, sroot, "bands") == 3
+                     and len(_store_live_trees(sroot, "store",
+                                               "storec"))
+                     <= _STORE_COMPACT_TREES
                      and len(_committed_versions(sroot, "res")) == 4)
     return (_read_family(spark, sroot, "res")
             .select("batch_id", "n_events", "p50_value",
@@ -3947,7 +4193,10 @@ def _x2trig_make_batch(spark: SparkSession, out_dir: str):
         batch_df = batch_df.localCheckpoint(eager=True)
         if batch_df.isEmpty():
             return
-        ordinal = len(_versions_before(sroot, "bidxi", batch_id))
+        # ordinal counts the VERD ledger (never vacuumed) — see
+        # _x2bc_make_batch; increment listings shrink under the r13
+        # segment vacuum
+        ordinal = len(_versions_before(sroot, "verd", batch_id))
         snap_idx = spark.read.parquet(*_live_segments(
             sroot, "bidxc", "bidxi", f"{sroot}/bidx_base",
             batch_id, include_current=False))
@@ -4017,6 +4266,10 @@ def _x2trig_make_batch(spark: SparkSession, out_dir: str):
              .alias("store_docs_after"))
          .write.mode("overwrite").parquet(
              _sdir(sroot, "res", batch_id)))
+        # retention (r13): drop segments a strictly-prior snapshot
+        # covers (rmv/verd ledgers are cumulative and stay)
+        _vacuum_covered_segments(sroot, "bidxc", "bidxi", batch_id)
+        _vacuum_covered_segments(sroot, "bpostc", "bposti", batch_id)
 
     return dedup_batch
 
@@ -4267,10 +4520,11 @@ _RSV_K = 64   #: reservoir size — constant, so state is K rows forever
 
 
 def _t42_make_batch(spark: SparkSession, out_dir: str):
-    """t42's foreachBatch callback, durable-state form (r12): state
-    family ``rsv`` (the K-row reservoir), results family ``res`` —
-    batch-id-keyed, predecessor by listing (durable-state kit).
-    Module-level for the durability drills."""
+    """t42's foreachBatch callback, durable-state form (r12,
+    retention r13): state family ``rsv`` (the K-row reservoir —
+    latest-only, vacuumed to the keep horizon, ordinal in-state),
+    results family ``res`` — batch-id-keyed, predecessor by listing
+    (durable-state kit). Module-level for the durability drills."""
     sroot = f"{out_dir}/state"
     v = F.conv(F.substring(
         F.md5(F.concat(F.lit("rsv:"),
@@ -4285,23 +4539,22 @@ def _t42_make_batch(spark: SparkSession, out_dir: str):
         batch_df = batch_df.localCheckpoint(eager=True)
         if batch_df.isEmpty():
             return
-        ordinal = len(_versions_before(sroot, "rsv", batch_id))
-        prev_dir = _latest_before(sroot, "rsv", batch_id)
+        prev, ordinal = _monoid_prev(spark, sroot, "rsv", batch_id)
         cand = (batch_df.select("doc_id", key.alias("rsv_key"))
                         .orderBy(F.col("rsv_key").desc(), "doc_id")
                         .limit(_RSV_K))
-        merged = cand if prev_dir is None else (
-            spark.read.parquet(prev_dir)
-                 .unionByName(cand)
-                 .orderBy(F.col("rsv_key").desc(), "doc_id")
-                 .limit(_RSV_K))
-        merged.write.mode("overwrite").parquet(
+        merged = cand if prev is None else (
+            prev.unionByName(cand)
+                .orderBy(F.col("rsv_key").desc(), "doc_id")
+                .limit(_RSV_K))
+        _stamp_ord(merged, ordinal).write.mode("overwrite").parquet(
             _sdir(sroot, "rsv", batch_id))
         (spark.read.parquet(_sdir(sroot, "rsv", batch_id))
               .select(F.lit(ordinal).cast("long").alias("batch_id"),
                       "doc_id", "rsv_key")
               .write.mode("overwrite").parquet(
                   _sdir(sroot, "res", batch_id)))
+        _vacuum_superseded(sroot, "rsv", batch_id)
 
     return rsv_batch
 
@@ -4389,7 +4642,9 @@ def t42_reservoir_sample_stream(spark: SparkSession,
     admitted = sum(pr["numInputRows"] for pr in data_batches)
     sroot = f"{out_dir}/state"
     maintained_ok = (len(data_batches) == 4 and admitted == n_staged
-                     and len(_committed_versions(sroot, "rsv")) == 4
+                     and len(_committed_versions(sroot, "rsv"))
+                     <= _MONOID_KEEP
+                     and _monoid_final_ord(spark, sroot, "rsv") == 3
                      and len(_committed_versions(sroot, "res")) == 4)
     return (_read_family(spark, sroot, "res")
             .select("batch_id", "doc_id", "rsv_key",
@@ -4406,12 +4661,13 @@ def t42_reservoir_sample_stream(spark: SparkSession,
 # ---------------------------------------------------------------------------
 
 def _t43_make_batch(spark: SparkSession, out_dir: str):
-    """t43's foreachBatch callback, durable-state form (r12): state
-    family ``dcy`` (per-type decayed BIGINT counters), results family
-    ``res`` — both batch-id-keyed, predecessor recovered by listing
-    (see the durable-state kit above). Module-level so the durability
-    drills in tests/test_stream_durability.py can drive the SAME
-    callback the registered query runs."""
+    """t43's foreachBatch callback, durable-state form (r12,
+    retention r13): state family ``dcy`` (per-type decayed BIGINT
+    counters — latest-only, vacuumed, ordinal in-state), results
+    family ``res`` — both batch-id-keyed, predecessor recovered by
+    listing (see the durable-state kit above). Module-level so the
+    durability drills in tests/test_stream_durability.py can drive
+    the SAME callback the registered query runs."""
     sroot = f"{out_dir}/state"
     cents = (F.when(F.col("value") < 0,
                     -F.floor(F.abs(F.col("value")) * 100.0 + 0.5))
@@ -4425,20 +4681,18 @@ def _t43_make_batch(spark: SparkSession, out_dir: str):
         batch_df = batch_df.localCheckpoint(eager=True)
         if batch_df.isEmpty():
             return
-        ordinal = len(_versions_before(sroot, "dcy", batch_id))
-        prev_dir = _latest_before(sroot, "dcy", batch_id)
+        prev, ordinal = _monoid_prev(spark, sroot, "dcy", batch_id)
         agg = (batch_df.groupBy("event_type")
                        .agg(F.count(F.lit(1)).cast("long").alias("bn"),
                             F.sum(cents).cast("long").alias("bc")))
-        if prev_dir is None:
+        if prev is None:
             merged = agg.select(
                 "event_type",
                 (F.col("bn") * 8).alias("dn"),
                 (F.col("bc") * 8).alias("dc"),
                 F.col("bn").alias("n_batch"))
         else:
-            prev = (spark.read.parquet(prev_dir)
-                         .select("event_type", "dn", "dc"))
+            prev = prev.select("event_type", "dn", "dc")
             merged = (prev.join(agg, "event_type", "full_outer")
                       .select(
                 "event_type",
@@ -4447,7 +4701,7 @@ def _t43_make_batch(spark: SparkSession, out_dir: str):
                 (F.expr("coalesce(dc, 0) div 2")
                  + F.coalesce(F.col("bc"), F.lit(0)) * 8).alias("dc"),
                 F.coalesce(F.col("bn"), F.lit(0)).alias("n_batch")))
-        merged.write.mode("overwrite").parquet(
+        _stamp_ord(merged, ordinal).write.mode("overwrite").parquet(
             _sdir(sroot, "dcy", batch_id))
         (spark.read.parquet(_sdir(sroot, "dcy", batch_id))
               .select(F.lit(ordinal).cast("long").alias("batch_id"),
@@ -4457,6 +4711,7 @@ def _t43_make_batch(spark: SparkSession, out_dir: str):
                       "n_batch")
               .write.mode("overwrite").parquet(
                   _sdir(sroot, "res", batch_id)))
+        _vacuum_superseded(sroot, "dcy", batch_id)
 
     return dcy_batch
 
@@ -4554,7 +4809,9 @@ def t43_decayed_counter_stream(spark: SparkSession,
     admitted = sum(pr["numInputRows"] for pr in data_batches)
     sroot = f"{out_dir}/state"
     maintained_ok = (len(data_batches) == 4 and admitted == n_staged
-                     and len(_committed_versions(sroot, "dcy")) == 4
+                     and len(_committed_versions(sroot, "dcy"))
+                     <= _MONOID_KEEP
+                     and _monoid_final_ord(spark, sroot, "dcy") == 3
                      and len(_committed_versions(sroot, "res")) == 4)
     return (_read_family(spark, sroot, "res")
             .select("batch_id", "event_type", "decayed_n_x8",
@@ -4576,8 +4833,9 @@ _DMON_K = 256
 
 
 def _t44_make_batch(spark: SparkSession, out_dir: str):
-    """t44's foreachBatch callback, durable-state form (r12): state
-    family ``kmv`` (the K smallest hash values), results family
+    """t44's foreachBatch callback, durable-state form (r12,
+    retention r13): state family ``kmv`` (the K smallest hash values
+    — latest-only, vacuumed, ordinal in-state), results family
     ``res`` — batch-id-keyed, predecessor by listing (durable-state
     kit). Module-level for the durability drills."""
     sroot = f"{out_dir}/state"
@@ -4591,15 +4849,13 @@ def _t44_make_batch(spark: SparkSession, out_dir: str):
         batch_df = batch_df.localCheckpoint(eager=True)
         if batch_df.isEmpty():
             return
-        ordinal = len(_versions_before(sroot, "kmv", batch_id))
-        prev_dir = _latest_before(sroot, "kmv", batch_id)
+        prev, ordinal = _monoid_prev(spark, sroot, "kmv", batch_id)
         cand = (batch_df.select(u_col.alias("u")).distinct()
                         .orderBy("u").limit(_DMON_K))
-        merged = cand if prev_dir is None else (
-            spark.read.parquet(prev_dir)
-                 .unionByName(cand).distinct()
-                 .orderBy("u").limit(_DMON_K))
-        merged.write.mode("overwrite").parquet(
+        merged = cand if prev is None else (
+            prev.unionByName(cand).distinct()
+                .orderBy("u").limit(_DMON_K))
+        _stamp_ord(merged, ordinal).write.mode("overwrite").parquet(
             _sdir(sroot, "kmv", batch_id))
         (spark.read.parquet(_sdir(sroot, "kmv", batch_id))
               .agg(F.count(F.lit(1)).cast("long").alias("n_sketch"),
@@ -4608,6 +4864,7 @@ def _t44_make_batch(spark: SparkSession, out_dir: str):
                       "n_sketch", "u_max")
               .write.mode("overwrite").parquet(
                   _sdir(sroot, "res", batch_id)))
+        _vacuum_superseded(sroot, "kmv", batch_id)
 
     return dmon_batch
 
@@ -4733,7 +4990,9 @@ def t44_distinct_monitor_stream(spark: SparkSession,
     admitted = sum(pr["numInputRows"] for pr in data_batches)
     sroot = f"{out_dir}/state"
     maintained_ok = (len(data_batches) == 4 and admitted == n_staged
-                     and len(_committed_versions(sroot, "kmv")) == 4
+                     and len(_committed_versions(sroot, "kmv"))
+                     <= _MONOID_KEEP
+                     and _monoid_final_ord(spark, sroot, "kmv") == 3
                      and len(_committed_versions(sroot, "res")) == 4)
 
     # --- referee (test scaffolding): exact prefix distincts from the
@@ -4844,13 +5103,14 @@ def _mgs_oracle() -> str:
 
 
 def _t45_make_batch(spark: SparkSession, out_dir: str):
-    """t45's foreachBatch callback, durable-state form (r12): state
-    families ``mgs`` (the ≤K MG counters) and ``cum`` (a one-row
+    """t45's foreachBatch callback, durable-state form (r12,
+    retention r13): state families ``mgs`` (the ≤K MG counters —
+    latest-only, vacuumed, ordinal in-state) and ``cum`` (a one-row
     relation carrying the cumulative subtracted mass — the error
     ledger is STATE too, so it must survive retry/restart exactly
-    like the counters), results family ``res`` — all batch-id-keyed,
-    predecessors by listing (durable-state kit). Module-level for the
-    durability drills."""
+    like the counters, and is vacuumed like them), results family
+    ``res`` — all batch-id-keyed, predecessors by listing
+    (durable-state kit). Module-level for the durability drills."""
     from ..plans.extensions import tokens_col
     sroot = f"{out_dir}/state"
 
@@ -4858,8 +5118,7 @@ def _t45_make_batch(spark: SparkSession, out_dir: str):
         batch_df = batch_df.localCheckpoint(eager=True)
         if batch_df.isEmpty():
             return
-        ordinal = len(_versions_before(sroot, "mgs", batch_id))
-        prev_dir = _latest_before(sroot, "mgs", batch_id)
+        prev, ordinal = _monoid_prev(spark, sroot, "mgs", batch_id)
         cum_dir = _latest_before(sroot, "cum", batch_id)
         prev_cum = (0 if cum_dir is None else
                     int(spark.read.parquet(cum_dir)
@@ -4868,10 +5127,9 @@ def _t45_make_batch(spark: SparkSession, out_dir: str):
                               .alias("tok"))
                       .groupBy("tok")
                       .agg(F.count(F.lit(1)).cast("long").alias("bw")))
-        if prev_dir is None:
+        if prev is None:
             combined = bc.select("tok", F.col("bw").alias("w"))
         else:
-            prev = spark.read.parquet(prev_dir)
             combined = (prev.join(bc, "tok", "full_outer")
                             .select("tok",
                                     (F.coalesce(F.col("w"), F.lit(0))
@@ -4890,7 +5148,7 @@ def _t45_make_batch(spark: SparkSession, out_dir: str):
                           .select("tok",
                                   (F.col("w") - F.lit(s_val))
                                   .alias("w")))
-        pruned.write.mode("overwrite").parquet(
+        _stamp_ord(pruned, ordinal).write.mode("overwrite").parquet(
             _sdir(sroot, "mgs", batch_id))
         (spark.range(1)
               .select(F.lit(s_cum).cast("long").alias("s_cum"))
@@ -4902,6 +5160,9 @@ def _t45_make_batch(spark: SparkSession, out_dir: str):
                       F.lit(s_cum).cast("long").alias("s_cum"))
               .write.mode("overwrite").parquet(
                   _sdir(sroot, "res", batch_id)))
+        # the error ledger is latest-only state too — same vacuum
+        _vacuum_superseded(sroot, "mgs", batch_id)
+        _vacuum_superseded(sroot, "cum", batch_id)
 
     return mgs_batch
 
@@ -4969,7 +5230,9 @@ def t45_heavy_hitter_stream(spark: SparkSession,
     admitted = sum(pr["numInputRows"] for pr in data_batches)
     sroot = f"{out_dir}/state"
     maintained_ok = (len(data_batches) == 4 and admitted == n_staged
-                     and len(_committed_versions(sroot, "mgs")) == 4
+                     and len(_committed_versions(sroot, "mgs"))
+                     <= _MONOID_KEEP
+                     and _monoid_final_ord(spark, sroot, "mgs") == 3
                      and len(_committed_versions(sroot, "res")) == 4)
 
     # --- referee (test scaffolding): exact prefix counts for the
@@ -5007,17 +5270,20 @@ def t45_heavy_hitter_stream(spark: SparkSession,
 # ---------------------------------------------------------------------------
 
 def _t46_make_batch(spark: SparkSession, out_dir: str):
-    """t46's foreachBatch callback, durable-state form (r12): same
-    layout as t40 (``bands`` state family, ``res`` results family,
-    ``_ib``-partitioned band store with per-write dynamic partition
-    overwrite) with the PREQUENTIAL twist made retry-safe: the fence
-    state is the latest committed version STRICTLY BEFORE this
-    batch_id (a failed attempt's own half-merged state is invisible
-    by construction) and the fence's store read prunes
-    ``_ib < batch_id`` — so a re-delivered batch can never leak its
-    own values into the fence it is judged by, even if its first
-    attempt already wrote its store partitions. Module-level for the
-    durability drills."""
+    """t46's foreachBatch callback, durable-state form (r12,
+    retention r13): same layout as t40 (latest-only ``bands`` family
+    with in-state ``_ord`` + vacuum, ``res`` results family,
+    per-batch plain-overwrite band-partitioned ``store`` trees
+    compacted into ``storec`` snapshots) with the PREQUENTIAL twist
+    made retry-safe: the fence state is the latest committed version
+    STRICTLY BEFORE this batch_id (a failed attempt's own half-merged
+    state is invisible by construction) and the fence's store read is
+    the STRICT live set (``_store_live_trees(..., inclusive=False)``
+    — increments < batch_id, and a failed same-batch attempt's
+    snapshot covers exactly that strict prefix) — so a re-delivered
+    batch can never leak its own values into the fence it is judged
+    by, even if its first attempt already wrote its store tree or
+    compacted. Module-level for the durability drills."""
     from ..functions.scalars import round_half_up
     from ..operators.staircase import (double_value_bucket,
                                        state_exact_quantiles)
@@ -5030,9 +5296,8 @@ def _t46_make_batch(spark: SparkSession, out_dir: str):
                           .localCheckpoint(eager=True))
         if banded.isEmpty():
             return
-        ordinal = len(_versions_before(sroot, "bands", batch_id))
-        prev_dir = _latest_before(sroot, "bands", batch_id)
-        if prev_dir is None:
+        prev, ordinal = _monoid_prev(spark, sroot, "bands", batch_id)
+        if prev is None:
             row = banded.agg(
                 F.lit(ordinal).cast("long").alias("batch_id"),
                 F.count(F.lit(1)).cast("long").alias("n_arrivals"),
@@ -5041,18 +5306,20 @@ def _t46_make_batch(spark: SparkSession, out_dir: str):
                 F.lit(0).cast("long").alias("n_outliers_hi"),
                 F.lit(0).cast("long").alias("n_outliers_lo"))
         else:
-            stats = spark.read.parquet(prev_dir)
+            stats = prev
 
             def store_for_bands(band_ids: list) -> DataFrame:
-                # STRICT prefix read: only PRIOR batches' committed
-                # store trees feed the fence (a retried batch's own
-                # tree from a failed attempt is excluded by v <)
+                # STRICT prefix read: only PRIOR batches' live trees
+                # feed the fence (a retried batch's own increment
+                # from a failed attempt is excluded by the strict
+                # cutoff; its own snapshot, if any, covers exactly
+                # the strict prefix and is safe)
                 ids = [int(x) for x in band_ids]
-                parts = [spark.read.parquet(
-                             _sdir(sroot, "store", v))
+                parts = [spark.read.parquet(p)
                               .filter(F.col("_qb").isin(ids))
-                         for v in _committed_versions(sroot, "store")
-                         if v < int(batch_id)]
+                         for p in _store_live_trees(
+                             sroot, "store", "storec", batch_id,
+                             inclusive=False)]
                 out = parts[0]
                 for pt in parts[1:]:
                     out = out.unionByName(pt)
@@ -5080,18 +5347,22 @@ def _t46_make_batch(spark: SparkSession, out_dir: str):
                          .agg(F.count(F.lit(1)).alias("_bn"),
                               F.min("value").alias("_bmin"),
                               F.max("value").alias("_bmax")))
-        merged = b_stats if prev_dir is None else (
-            spark.read.parquet(prev_dir)
-                 .unionByName(b_stats)
-                 .groupBy("_qb")
-                 .agg(F.sum("_bn").cast("long").alias("_bn"),
-                      F.min("_bmin").alias("_bmin"),
-                      F.max("_bmax").alias("_bmax")))
-        merged.write.mode("overwrite").parquet(
+        merged = b_stats if prev is None else (
+            prev.unionByName(b_stats)
+                .groupBy("_qb")
+                .agg(F.sum("_bn").cast("long").alias("_bn"),
+                     F.min("_bmin").alias("_bmin"),
+                     F.max("_bmax").alias("_bmax")))
+        _stamp_ord(merged, ordinal).write.mode("overwrite").parquet(
             _sdir(sroot, "bands", batch_id))
         (banded.repartition("_qb")
                .write.partitionBy("_qb").mode("overwrite")
                .parquet(_sdir(sroot, "store", batch_id)))
+        # retention LAST: the snapshot covers increments < batch_id,
+        # exactly what a same-batch retry's fence resolves
+        _maybe_compact_store(spark, sroot, "store", "storec",
+                             batch_id)
+        _vacuum_superseded(sroot, "bands", batch_id)
 
     return preq_batch
 
@@ -5205,8 +5476,15 @@ def t46_prequential_anomaly_stream(spark: SparkSession,
                     if pr["numInputRows"] > 0]
     admitted = sum(pr["numInputRows"] for pr in data_batches)
     sroot = f"{out_dir}/state"
+    # retention pins (r13): superseded band-state vacuumed, final
+    # ordinal carried in-state, store live set bounded
     maintained_ok = (len(data_batches) == 4 and admitted == n_staged
-                     and len(_committed_versions(sroot, "bands")) == 4
+                     and len(_committed_versions(sroot, "bands"))
+                     <= _MONOID_KEEP
+                     and _monoid_final_ord(spark, sroot, "bands") == 3
+                     and len(_store_live_trees(sroot, "store",
+                                               "storec"))
+                     <= _STORE_COMPACT_TREES
                      and len(_committed_versions(sroot, "res")) == 4)
     return (_read_family(spark, sroot, "res")
             .select("batch_id", "n_arrivals", "p25_prior",

@@ -52,9 +52,11 @@ def test_no_append_writes_in_durable_callbacks(factory):
     """Static gate on the r12 durable-state discipline: a callback
     that slips back to ``mode("append")`` or an in-process version
     counter is retry-unsafe again (the exact r11 finding). Every
-    factory must write only batch-id-keyed ``_sdir`` dirs (or the
-    ``_ib``-partitioned dynamic overwrite store) and recover
-    predecessors by listing."""
+    factory must write only batch-id-keyed ``_sdir`` dirs (the
+    t40/t46 value store is per-batch plain-overwrite partitioned
+    trees under the same discipline, trigger-compacted into
+    ``storec`` snapshots since r13) and recover predecessors by
+    listing."""
     src = inspect.getsource(getattr(J, factory))
     assert 'mode("append")' not in src, factory
     assert "_sdir(" in src, factory
@@ -70,8 +72,42 @@ def test_ingest_stream_bodies_have_no_append_writes():
         assert "_sdir(" in src, fn
 
 
+def test_append_writes_are_exempt_marked_repo_wide():
+    """VERDICT r12 next-round #4: make the no-append invariant
+    checkable REPO-WIDE rather than scoped to the callbacks —
+    streaming/jobs.py must contain zero ``mode("append")`` (the
+    durable-state kit's hard rule), and every batch-operator append
+    elsewhere in the engine package must carry an ``append-exempt:``
+    comment within the preceding lines stating why a re-run cannot
+    double-write it."""
+    import pathlib
+    assert 'mode("append")' not in pathlib.Path(
+        J.__file__).read_text(), "stream state must never append"
+    pkg = pathlib.Path(J.__file__).resolve().parents[1]
+    for py in sorted(pkg.rglob("*.py")):
+        lines = py.read_text().splitlines()
+        for i, ln in enumerate(lines):
+            if 'mode("append")' not in ln:
+                continue
+            window = "\n".join(lines[max(0, i - 8):i + 1])
+            assert "append-exempt:" in window, (
+                str(py), i + 1,
+                "unexempted mode('append') — justify or overwrite")
+
+
 def _rows(df):
     return sorted(tuple(r) for r in df.collect())
+
+
+def _union_trees(spark, paths):
+    """Read each partitioned tree separately and union (one root per
+    read — exactly how the production store readers resolve a live
+    set; a single multi-path read trips partition discovery)."""
+    dfs = [spark.read.parquet(p) for p in paths]
+    out = dfs[0]
+    for d in dfs[1:]:
+        out = out.unionByName(d)
+    return out
 
 
 def _event_quartiles(spark, cols):
@@ -141,9 +177,13 @@ def test_same_batch_replay_is_idempotent(spark, name, factory,
 
 def test_t40_same_batch_replay_including_band_store(spark):
     """t40's replay drill also pins the band STORE (the per-batch
-    partitioned-tree path): a re-delivered batch must not leave a
-    second copy of its rows in its own store tree — the quantiles
-    would silently shift for every later batch."""
+    partitioned-tree path, trigger-compacted since r13): a
+    re-delivered batch must not leave a second copy of its rows in
+    its own store tree — the quantiles would silently shift for every
+    later batch — and a re-delivered COMPACTION batch (the last one
+    fires at threshold 4) must short-circuit into the identical
+    store. The comparison reads the RESOLVED live store, band state
+    and results, plus the retention pins."""
     batches = _event_quartiles(spark, ["event_id", "ts", "value"])
 
     def run(out_dir, schedule):
@@ -151,20 +191,22 @@ def test_t40_same_batch_replay_including_band_store(spark):
         for bid, df in schedule:
             cb(df, bid)
         sroot = f"{out_dir}/state"
-        store = [(v, _rows(spark.read
-                           .parquet(J._sdir(sroot, "store", v))
-                           .select("value", "_qb")))
-                 for v in J._committed_versions(sroot, "store")]
+        live = J._store_live_trees(sroot, "store", "storec")
         return (_rows(J._read_family(spark, sroot, "res")),
                 _rows(spark.read.parquet(J._sdir(sroot, "bands", 3))),
-                store)
+                _rows(_union_trees(spark, live)
+                      .select("value", "_qb")),
+                len(J._committed_versions(sroot, "bands")),
+                len(live))
 
     clean = run(J._mkdtemp(prefix="dur_t40_clean_"),
                 list(enumerate(batches)))
     replay = run(J._mkdtemp(prefix="dur_t40_replay_"),
                  [(0, batches[0]), (1, batches[1]), (1, batches[1]),
-                  (2, batches[2]), (3, batches[3])])
+                  (2, batches[2]), (3, batches[3]), (3, batches[3])])
     assert replay == clean
+    assert clean[3] <= J._MONOID_KEEP
+    assert clean[4] <= J._STORE_COMPACT_TREES
 
 
 # ---------------------------------------------------------------------------
@@ -231,20 +273,20 @@ def test_kit_version_selection_contract(tmp_path):
     import os
     root = str(tmp_path)
 
-    def mk(name, committed=True):
-        d = os.path.join(root, name)
+    def mk(fam, v, committed=True):
+        d = J._sdir(root, fam, v)
         os.makedirs(d)
         if committed:
             open(os.path.join(d, "_SUCCESS"), "w").close()
 
-    mk("fam_b0"); mk("fam_b1"); mk("fam_b3")
-    mk("fam_b2", committed=False)          # crashed attempt: invisible
+    mk("fam", 0); mk("fam", 1); mk("fam", 3)
+    mk("fam", 2, committed=False)          # crashed attempt: invisible
     assert J._committed_versions(root, "fam") == [0, 1, 3]
     assert J._versions_before(root, "fam", 3) == [0, 1]
     assert J._latest_before(root, "fam", 3) == J._sdir(root, "fam", 1)
     assert J._latest_before(root, "fam", 0) is None
 
-    mk("inc_b0"); mk("inc_b1"); mk("inc_b2"); mk("cmp_b1")
+    mk("inc", 0); mk("inc", 1); mk("inc", 2); mk("cmp", 1)
     base = os.path.join(root, "base")
     # batch 2's probe snapshot: snapshot cmp_b1 (< 2), no later incs
     assert J._live_segments(root, "cmp", "inc", base, 2, False) == [
@@ -262,6 +304,186 @@ def test_kit_version_selection_contract(tmp_path):
     # final read: latest snapshot + everything after it
     assert J._live_segments(root, "cmp", "inc", base) == [
         J._sdir(root, "cmp", 1), J._sdir(root, "inc", 2)]
+
+
+def test_kit_retention_contract(tmp_path):
+    """Pure-python pin of the r13 retention primitives (kit header's
+    RETENTION section): monoid vacuum keeps the newest ``keep``
+    versions at or below the batch and never touches newer ones; the
+    compacting store resolves (latest snapshot ≤ cutoff, covering
+    increments < its version) + uncovered increments, including the
+    failed-same-batch-attempt snapshot the prequential fence must be
+    able to resolve safely; a committed same-version snapshot
+    short-circuits re-compaction."""
+    import os
+    root = str(tmp_path)
+
+    def mk(fam, v):
+        d = J._sdir(root, fam, v)
+        os.makedirs(d)
+        open(os.path.join(d, "_SUCCESS"), "w").close()
+
+    # monoid vacuum: keep newest 2 ≤ batch_id; versions above the
+    # batch are out of contract and untouched
+    for v in range(5):
+        mk("m", v)
+    J._vacuum_superseded(root, "m", 3, keep=2)
+    assert J._committed_versions(root, "m") == [2, 3, 4]
+
+    # store live-set resolution, no snapshot yet
+    for v in range(4):
+        mk("st", v)
+    sd = lambda fam, v: J._sdir(root, fam, v)  # noqa: E731
+    assert J._store_live_trees(root, "st", "stc", 2, True) == [
+        sd("st", 0), sd("st", 1), sd("st", 2)]
+    assert J._store_live_trees(root, "st", "stc", 2, False) == [
+        sd("st", 0), sd("st", 1)]
+
+    # snapshot at 2 covers increments < 2; covered increments may be
+    # vacuumed without changing any reachable resolution
+    mk("stc", 2)
+    want_incl = [sd("stc", 2), sd("st", 2)]
+    want_strict = [sd("stc", 2)]
+    assert J._store_live_trees(root, "st", "stc", 2, True) == want_incl
+    assert J._store_live_trees(root, "st", "stc", 2, False) == \
+        want_strict
+    shutil.rmtree(sd("st", 0)); shutil.rmtree(sd("st", 1))
+    assert J._store_live_trees(root, "st", "stc", 2, True) == want_incl
+    assert J._store_live_trees(root, "st", "stc", 2, False) == \
+        want_strict
+    assert J._store_live_trees(root, "st", "stc") == [
+        sd("stc", 2), sd("st", 2), sd("st", 3)]
+
+    # failed-attempt snapshot at the RETRIED batch's own version:
+    # strict fence = exactly the snapshot (it covers < 3 — no own
+    # values can leak); inclusive = snapshot + own increment
+    mk("stc", 3)
+    assert J._store_live_trees(root, "st", "stc", 3, False) == [
+        sd("stc", 3)]
+    assert J._store_live_trees(root, "st", "stc", 3, True) == [
+        sd("stc", 3), sd("st", 3)]
+
+    # a committed same-version snapshot short-circuits re-compaction
+    # BEFORE any Spark work (spark=None would explode otherwise)
+    J._maybe_compact_store(None, root, "st", "stc", 3)
+
+    # x2-style deferred segment vacuum (snapshot at v covers ≤ v):
+    # at batch 4, the latest snapshot STRICTLY before (v=3) covers
+    # increments ≤ 3 — they and older snapshots die, the covering
+    # snapshot and later increments survive; at batch 3 (a retry of
+    # the snapshot's own batch) only the older snapshot's coverage
+    # (≤ 2 here) is vacuumable
+    for v in range(5):
+        mk("seg", v)
+    mk("segc", 1); mk("segc", 3)
+    J._vacuum_covered_segments(root, "segc", "seg", 3)
+    assert J._committed_versions(root, "seg") == [2, 3, 4]
+    assert J._committed_versions(root, "segc") == [1, 3]
+    J._vacuum_covered_segments(root, "segc", "seg", 4)
+    assert J._committed_versions(root, "seg") == [4]
+    assert J._committed_versions(root, "segc") == [3]
+    assert J._live_segments(root, "segc", "seg",
+                            os.path.join(root, "sbase")) == [
+        sd("segc", 3), sd("seg", 4)]
+
+
+def test_t46_same_batch_replay_fence_not_poisoned(spark):
+    """t46's replay drill (new in r13 with retention): re-deliver
+    both a mid-sequence batch and the batch whose first attempt
+    COMPACTED the store — the retried batch's fence must resolve the
+    strict prefix (its own first-attempt store tree and snapshot must
+    not leak into the quantiles it is judged by), and the re-run
+    compaction must short-circuit. Results, band state and the
+    resolved live store must be bit-identical to the clean run."""
+    batches = _event_quartiles(spark, ["event_id", "ts", "value"])
+
+    def run(out_dir, schedule):
+        cb = J._t46_make_batch(spark, out_dir)
+        for bid, df in schedule:
+            cb(df, bid)
+        sroot = f"{out_dir}/state"
+        live = J._store_live_trees(sroot, "store", "storec")
+        return (_rows(J._read_family(spark, sroot, "res")),
+                _rows(spark.read.parquet(J._sdir(sroot, "bands", 3))),
+                _rows(_union_trees(spark, live)
+                      .select("value", "_qb")),
+                len(J._committed_versions(sroot, "bands")),
+                len(live))
+
+    clean = run(J._mkdtemp(prefix="dur_t46_clean_"),
+                list(enumerate(batches)))
+    replay = run(J._mkdtemp(prefix="dur_t46_replay_"),
+                 [(0, batches[0]), (1, batches[1]), (1, batches[1]),
+                  (2, batches[2]), (3, batches[3]), (3, batches[3])])
+    assert replay == clean
+    # the retention pins: band state vacuumed to the keep horizon,
+    # store live set bounded by the compaction threshold
+    assert clean[3] <= J._MONOID_KEEP
+    assert clean[4] <= J._STORE_COMPACT_TREES
+
+
+def test_t40_lifetime_state_is_bounded(spark):
+    """The r13 lifetime gate (VERDICT r12 next-round #3, pytest-sized
+    twin of tools/lifetime_probe.py): drive t40's production callback
+    through 24 data batches — 6× the catalog demo — and assert the
+    metadata plane stays BOUNDED: band-state versions ≤ keep, live
+    store tree count ≤ the compaction threshold at every batch
+    boundary, total state-dir count flat (not O(#batches)), and the
+    final answer still bit-equal to the batch staircase over the full
+    prefix (retention must never change a value)."""
+    from stock_data_warehouse_spark.operators.staircase import (
+        bucketed_exact_quantiles, double_value_bucket)
+    from stock_data_warehouse_spark.functions.scalars import (
+        round_half_up)
+
+    n_batches = 24
+    ev = load_table(spark, SF, "events").select("event_id", "ts",
+                                                "value")
+    mn, mx = ev.agg(F.min(F.unix_micros("ts")),
+                    F.max(F.unix_micros("ts"))).first()
+    arr = F.expr(f"((unix_micros(ts) - {mn}) * {n_batches}) "
+                 f"div ({mx - mn + 1})")
+    ev = ev.withColumn("_arr", arr)
+    batches = [ev.filter(F.col("_arr") == k).drop("_arr")
+                 .localCheckpoint() for k in range(n_batches)]
+
+    out_dir = J._mkdtemp(prefix="dur_t40_lifetime_")
+    sroot = f"{out_dir}/state"
+    cb = J._t40_make_batch(spark, out_dir)
+    max_state_dirs = 0
+    for bid, df in enumerate(batches):
+        cb(df, bid)
+        n_bands = len(J._committed_versions(sroot, "bands"))
+        live = len(J._store_live_trees(sroot, "store", "storec",
+                                       bid, inclusive=True))
+        assert n_bands <= J._MONOID_KEEP, (bid, n_bands)
+        assert live <= J._STORE_COMPACT_TREES, (bid, live)
+        state_dirs = (n_bands
+                      + len(J._committed_versions(sroot, "store"))
+                      + len(J._committed_versions(sroot, "storec")))
+        max_state_dirs = max(max_state_dirs, state_dirs)
+    # flat bound, independent of n_batches: keep + threshold live
+    # trees + one snapshot family entry
+    assert max_state_dirs <= (J._MONOID_KEEP
+                              + J._STORE_COMPACT_TREES + 1)
+    # sink family (results) is one dir per data batch by design
+    assert len(J._committed_versions(sroot, "res")) == n_batches
+
+    # value parity at depth: last batch's answer == batch staircase
+    # over the whole relation
+    last = J._committed_versions(sroot, "res")[-1]
+    got = spark.read.parquet(J._sdir(sroot, "res", last)).first()
+    want = (bucketed_exact_quantiles(
+                ev.select("value"), [], "value", [0.5, 0.95],
+                bucket=double_value_bucket(F.col("value"), 2.0))
+            .select(F.col("n"),
+                    round_half_up(F.col("q0"), 6).alias("p50"),
+                    round_half_up(F.col("q1"), 6).alias("p95"))
+            .first())
+    assert got["batch_id"] == n_batches - 1
+    assert got["n_events"] == want["n"]
+    assert got["p50_value"] == want["p50"]
+    assert got["p95_value"] == want["p95"]
 
 
 def test_t45_two_lifetime_restart(spark):
