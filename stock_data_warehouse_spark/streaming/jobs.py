@@ -56,6 +56,8 @@ ModuleNotFoundError). Re-probed round 11 (2026-08-15): unchanged —
 both imports still ModuleNotFoundError; no environment bump.
 Re-probed round 12 (2026-08-16): unchanged — ``google.protobuf`` and
 the ``StateMessage_pb2`` path both still ModuleNotFoundError.
+Re-probed round 13 (2026-08-16): unchanged, both imports still
+ModuleNotFoundError; no environment bump.
 ``applyInPandasWithState`` covers the OP-T8/t27
 contracts; the TWS form is a drop-in rewrite (same per-key int64
 state, same oracle) once the dependency exists.
@@ -1135,7 +1137,13 @@ _MONOID_KEEP = 2
 
 #: live-tree count at which an accumulating per-batch store is
 #: consolidated into one snapshot segment (the compaction TRIGGER —
-#: tree count, not a schedule); also the read plan's relation bound
+#: tree count, not a schedule); also the read plan's relation bound.
+#: The knob trades read fan-in against write amplification: each
+#: snapshot rewrites the whole store (O(prefix)), so threshold K
+#: costs one full rewrite every K-2 batches and bounds every read at
+#: K relations — 4 exercises the fire inside the 4-batch catalog
+#: demos; a production stream would raise it (or tier snapshots) to
+#: amortize the rewrite
 _STORE_COMPACT_TREES = 4
 
 
