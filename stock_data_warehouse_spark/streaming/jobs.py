@@ -1075,7 +1075,7 @@ def _write_arrival_files(spark: SparkSession, staged: DataFrame,
 #   lifetimes; the ordinal does not care) and retries (own version
 #   excluded);
 # - value stores that must ACCUMULATE across batches (t40/t46's
-#   banded value store) are per-batch band-partitioned TREES in
+#   banded value store) are per-batch band-group-partitioned TREES in
 #   their own state family: a retry plain-overwrites exactly its own
 #   tree and nothing else, readers union the committed trees of
 #   their prefix, and prequential readers take only versions
@@ -1111,7 +1111,7 @@ def _write_arrival_files(spark: SparkSession, staged: DataFrame,
 #   store) are consolidated by a TRIGGER-DRIVEN snapshot
 #   (``_maybe_compact_store``): when the live tree set reaches
 #   ``_STORE_COMPACT_TREES`` relations, every tree STRICTLY before
-#   the current batch is rewritten into one band-partitioned
+#   the current batch is rewritten into one band-group-partitioned
 #   snapshot (family ``{fam}c``, version = batch_id, covering
 #   increments < batch_id), and the covered increments + superseded
 #   snapshots are vacuumed. Readers resolve through
@@ -1139,12 +1139,32 @@ _MONOID_KEEP = 2
 #: consolidated into one snapshot segment (the compaction TRIGGER —
 #: tree count, not a schedule); also the read plan's relation bound.
 #: The knob trades read fan-in against write amplification: each
-#: snapshot rewrites the whole store (O(prefix)), so threshold K
-#: costs one full rewrite every K-2 batches and bounds every read at
-#: K relations — 4 exercises the fire inside the 4-batch catalog
-#: demos; a production stream would raise it (or tier snapshots) to
-#: amortize the rewrite
-_STORE_COMPACT_TREES = 4
+#: snapshot rewrites the whole store (O(prefix) rows into one
+#: group-partitioned tree), so threshold K pays
+#: one full rewrite every K-2 batches and bounds every read plan at
+#: K relations. 8 keeps the 4-batch catalog demos fire-free (a fire
+#: inside the demo doubled t40's sf0.1 wall time — measured r13:
+#: 81 s vs ~40 s — for zero read benefit at 4 trees); the fire path
+#: is exercised by the 8-batch replay drills, the 24-batch lifetime
+#: gate and the 64-batch probe, where the rewrite actually amortizes.
+#: A production stream facing unbounded prefixes would TIER snapshots
+#: (merge increments into runs, runs into snapshots) to get
+#: logarithmic write amplification; one level is the right
+#: cost/benefit at demo scale and the read bound is identical.
+_STORE_COMPACT_TREES = 8
+
+#: bands per store partition directory (r13): partitioning the
+#: banded value store by every individual ``_qb`` wrote ~#bands
+#: (≈1000 at sf0.1) directories PER BATCH — profiled at 9-12 s of
+#: t40's ~15 s batch wall, pure small-files commit overhead, and the
+#: exact pathology that kills object stores at 1000 executors. The
+#: store partitions by the band GROUP ``_qbg = _qb div 16`` (~60
+#: dirs, one file each) and keeps ``_qb`` as a data column: the
+#: target-band read prunes dirs by group, then parquet row-group
+#: stats (each file arrives sorted by _qb within the group's write
+#: task) prune inside — reads stay O(N/#groups) per probe while
+#: writes touch 16x fewer files.
+_QB_GROUP = 16
 
 
 def _sdir(root: str, fam: str, batch_id: int) -> str:
@@ -1357,7 +1377,8 @@ def _vacuum_covered_segments(root: str, fam_c: str, fam_i: str,
 
 def _maybe_compact_store(spark: SparkSession, root: str, fam_i: str,
                          fam_c: str, batch_id: int,
-                         part_col: str = "_qb",
+                         part_col: str = "_qbg",
+                         sort_col: str = "_qb",
                          threshold: int = _STORE_COMPACT_TREES) -> None:
     """Trigger-driven consolidation of an accumulating per-batch tree
     store (retention, r13): when the live tree set at this batch
@@ -1370,7 +1391,9 @@ def _maybe_compact_store(spark: SparkSession, root: str, fam_i: str,
     short-circuits (the consolidation is a deterministic function of
     the same live set); the vacuum runs only after the snapshot's
     ``_SUCCESS``, so a crash at any point leaves every reachable
-    reader resolving an identical relation."""
+    reader resolving an identical relation. ``sort_col`` keeps each
+    snapshot file sorted so parquet row-group stats prune probes
+    inside a partition group (the ``_QB_GROUP`` layout)."""
     b = int(batch_id)
     if os.path.exists(os.path.join(_sdir(root, fam_c, b),
                                    "_SUCCESS")):
@@ -1385,8 +1408,10 @@ def _maybe_compact_store(spark: SparkSession, root: str, fam_i: str,
     snap = parts[0]
     for pt in parts[1:]:
         snap = snap.unionByName(pt)
-    (snap.repartition(part_col)
-         .write.partitionBy(part_col).mode("overwrite")
+    snap = snap.repartition(part_col)
+    if sort_col:
+        snap = snap.sortWithinPartitions(sort_col)
+    (snap.write.partitionBy(part_col).mode("overwrite")
          .parquet(_sdir(root, fam_c, b)))
     for v in _committed_versions(root, fam_i):
         if v < b:
@@ -3993,17 +4018,22 @@ def _t40_make_batch(spark: SparkSession, out_dir: str):
                 .agg(F.sum("_bn").cast("long").alias("_bn"),
                      F.min("_bmin").alias("_bmin"),
                      F.max("_bmax").alias("_bmax")))
-        _stamp_ord(merged, ordinal).write.mode("overwrite").parquet(
-            _sdir(sroot, "bands", batch_id))
+        (_stamp_ord(merged, ordinal).coalesce(1)
+         .write.mode("overwrite").parquet(
+             _sdir(sroot, "bands", batch_id)))
         # the store is a per-batch PARTITIONED TREE (family ``store``,
-        # one plain-overwrite ``_qb``-partitioned dir per batch) —
-        # idempotent under retry with PLAIN overwrite commit
-        # semantics, no dynamic-partition-overwrite dependency
-        # (measured r12: wall-equal to the dynamic form; kept for the
-        # simpler commit contract). The repartition packs each band
-        # into one file per batch.
-        (banded.repartition("_qb")
-               .write.partitionBy("_qb").mode("overwrite")
+        # one plain-overwrite dir per batch) partitioned by the BAND
+        # GROUP ``_qbg`` (see _QB_GROUP — per-band dirs were 9-12 s
+        # of pure small-files commit per batch at sf0.1), sorted by
+        # ``_qb`` within each group file so row-group stats prune
+        # probes; idempotent under retry with PLAIN overwrite commit
+        # semantics, no dynamic-partition-overwrite dependency.
+        (banded.withColumn("_qbg",
+                           F.floor(F.col("_qb") / _QB_GROUP)
+                            .cast("long"))
+               .repartition("_qbg")
+               .sortWithinPartitions("_qb")
+               .write.partitionBy("_qbg").mode("overwrite")
                .parquet(_sdir(sroot, "store", batch_id)))
         stats = (spark.read.parquet(_sdir(sroot, "bands", batch_id))
                       .drop("_ord"))
@@ -4011,13 +4041,17 @@ def _t40_make_batch(spark: SparkSession, out_dir: str):
         def store_for_bands(band_ids: list) -> DataFrame:
             # union the LIVE trees of this prefix (latest snapshot +
             # uncovered increments ≤ batch_id — O(threshold)
-            # relations however long the stream has run); _qb is a
-            # disk partition column of every tree, so the isin
-            # literal prunes each at file listing — only the target
-            # bands (~N/B rows each) are read
+            # relations however long the stream has run); the _qbg
+            # isin literal prunes each tree at file listing, the _qb
+            # filter prunes row groups inside the group file — only
+            # the target bands' neighborhoods (~N·G/B rows each) are
+            # read
             ids = [int(b) for b in band_ids]
+            gids = sorted({i // _QB_GROUP for i in ids})
             parts = [spark.read.parquet(p)
+                          .filter(F.col("_qbg").isin(gids))
                           .filter(F.col("_qb").isin(ids))
+                          .select("value", "_qb")
                      for p in _store_live_trees(
                          sroot, "store", "storec", batch_id,
                          inclusive=True)]
@@ -4074,8 +4108,8 @@ def t40_quantile_monitor_stream(spark: SparkSession,
     (written to a BATCH-ID-KEYED state dir, predecessor recovered by
     listing — the r12 durable-state kit, retry- and restart-
     idempotent under foreachBatch's at-least-once contract) and lands
-    its rows in a per-batch plain-overwrite band-partitioned store
-    tree, trigger-compacted into snapshot segments (r13 retention:
+    its rows in a per-batch plain-overwrite band-group-partitioned
+    store tree, trigger-compacted into snapshot segments (r13 retention:
     the live tree set stays ≤ ``_STORE_COMPACT_TREES`` and superseded
     band-state versions are vacuumed, so state metadata is O(1) in
     stream lifetime, not O(#batches)); the batch boundary then
@@ -5281,7 +5315,7 @@ def _t46_make_batch(spark: SparkSession, out_dir: str):
     """t46's foreachBatch callback, durable-state form (r12,
     retention r13): same layout as t40 (latest-only ``bands`` family
     with in-state ``_ord`` + vacuum, ``res`` results family,
-    per-batch plain-overwrite band-partitioned ``store`` trees
+    per-batch plain-overwrite band-group-partitioned ``store`` trees
     compacted into ``storec`` snapshots) with the PREQUENTIAL twist
     made retry-safe: the fence state is the latest committed version
     STRICTLY BEFORE this batch_id (a failed attempt's own half-merged
@@ -5321,10 +5355,14 @@ def _t46_make_batch(spark: SparkSession, out_dir: str):
                 # feed the fence (a retried batch's own increment
                 # from a failed attempt is excluded by the strict
                 # cutoff; its own snapshot, if any, covers exactly
-                # the strict prefix and is safe)
+                # the strict prefix and is safe); _qbg prunes dirs,
+                # _qb prunes row groups (the _QB_GROUP layout)
                 ids = [int(x) for x in band_ids]
+                gids = sorted({i // _QB_GROUP for i in ids})
                 parts = [spark.read.parquet(p)
+                              .filter(F.col("_qbg").isin(gids))
                               .filter(F.col("_qb").isin(ids))
+                              .select("value", "_qb")
                          for p in _store_live_trees(
                              sroot, "store", "storec", batch_id,
                              inclusive=False)]
@@ -5361,10 +5399,15 @@ def _t46_make_batch(spark: SparkSession, out_dir: str):
                 .agg(F.sum("_bn").cast("long").alias("_bn"),
                      F.min("_bmin").alias("_bmin"),
                      F.max("_bmax").alias("_bmax")))
-        _stamp_ord(merged, ordinal).write.mode("overwrite").parquet(
-            _sdir(sroot, "bands", batch_id))
-        (banded.repartition("_qb")
-               .write.partitionBy("_qb").mode("overwrite")
+        (_stamp_ord(merged, ordinal).coalesce(1)
+         .write.mode("overwrite").parquet(
+             _sdir(sroot, "bands", batch_id)))
+        (banded.withColumn("_qbg",
+                           F.floor(F.col("_qb") / _QB_GROUP)
+                            .cast("long"))
+               .repartition("_qbg")
+               .sortWithinPartitions("_qb")
+               .write.partitionBy("_qbg").mode("overwrite")
                .parquet(_sdir(sroot, "store", batch_id)))
         # retention LAST: the snapshot covers increments < batch_id,
         # exactly what a same-batch retry's fence resolves

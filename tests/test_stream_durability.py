@@ -110,14 +110,19 @@ def _union_trees(spark, paths):
     return out
 
 
-def _event_quartiles(spark, cols):
+def _event_splits(spark, cols, n):
     ev = load_table(spark, SF, "events").select(*cols)
     mn, mx = ev.agg(F.min(F.unix_micros("ts")),
                     F.max(F.unix_micros("ts"))).first()
-    arr = F.expr(f"((unix_micros(ts) - {mn}) * 4) div ({mx - mn + 1})")
+    arr = F.expr(f"((unix_micros(ts) - {mn}) * {n}) "
+                 f"div ({mx - mn + 1})")
     ev = ev.withColumn("_arr", arr)
     return [ev.filter(F.col("_arr") == k).drop("_arr").localCheckpoint()
-            for k in range(4)]
+            for k in range(n)]
+
+
+def _event_quartiles(spark, cols):
+    return _event_splits(spark, cols, 4)
 
 
 def _doc_quarters(spark):
@@ -180,11 +185,13 @@ def test_t40_same_batch_replay_including_band_store(spark):
     partitioned-tree path, trigger-compacted since r13): a
     re-delivered batch must not leave a second copy of its rows in
     its own store tree — the quantiles would silently shift for every
-    later batch — and a re-delivered COMPACTION batch (the last one
-    fires at threshold 4) must short-circuit into the identical
-    store. The comparison reads the RESOLVED live store, band state
-    and results, plus the retention pins."""
-    batches = _event_quartiles(spark, ["event_id", "ts", "value"])
+    later batch — and a re-delivered COMPACTION batch (8 batches
+    here, so the live set hits ``_STORE_COMPACT_TREES`` and the LAST
+    batch fires) must short-circuit into the identical store. The
+    comparison reads the RESOLVED live store, band state and results,
+    plus the retention pins."""
+    n = J._STORE_COMPACT_TREES
+    batches = _event_splits(spark, ["event_id", "ts", "value"], n)
 
     def run(out_dir, schedule):
         cb = J._t40_make_batch(spark, out_dir)
@@ -193,20 +200,24 @@ def test_t40_same_batch_replay_including_band_store(spark):
         sroot = f"{out_dir}/state"
         live = J._store_live_trees(sroot, "store", "storec")
         return (_rows(J._read_family(spark, sroot, "res")),
-                _rows(spark.read.parquet(J._sdir(sroot, "bands", 3))),
+                _rows(spark.read.parquet(
+                    J._sdir(sroot, "bands", n - 1))),
                 _rows(_union_trees(spark, live)
                       .select("value", "_qb")),
                 len(J._committed_versions(sroot, "bands")),
-                len(live))
+                len(live),
+                len(J._committed_versions(sroot, "storec")))
 
-    clean = run(J._mkdtemp(prefix="dur_t40_clean_"),
-                list(enumerate(batches)))
-    replay = run(J._mkdtemp(prefix="dur_t40_replay_"),
-                 [(0, batches[0]), (1, batches[1]), (1, batches[1]),
-                  (2, batches[2]), (3, batches[3]), (3, batches[3])])
+    clean_sched = list(enumerate(batches))
+    # re-deliver a mid-sequence merge batch AND the firing batch
+    replay_sched = (clean_sched[:2] + [(1, batches[1])]
+                    + clean_sched[2:] + [(n - 1, batches[n - 1])])
+    clean = run(J._mkdtemp(prefix="dur_t40_clean_"), clean_sched)
+    replay = run(J._mkdtemp(prefix="dur_t40_replay_"), replay_sched)
     assert replay == clean
     assert clean[3] <= J._MONOID_KEEP
     assert clean[4] <= J._STORE_COMPACT_TREES
+    assert clean[5] == 1  # the drill actually exercised the fire
 
 
 # ---------------------------------------------------------------------------
@@ -394,8 +405,11 @@ def test_t46_same_batch_replay_fence_not_poisoned(spark):
     strict prefix (its own first-attempt store tree and snapshot must
     not leak into the quantiles it is judged by), and the re-run
     compaction must short-circuit. Results, band state and the
-    resolved live store must be bit-identical to the clean run."""
-    batches = _event_quartiles(spark, ["event_id", "ts", "value"])
+    resolved live store must be bit-identical to the clean run. 8
+    batches so the live set reaches ``_STORE_COMPACT_TREES`` and the
+    last batch fires."""
+    n = J._STORE_COMPACT_TREES
+    batches = _event_splits(spark, ["event_id", "ts", "value"], n)
 
     def run(out_dir, schedule):
         cb = J._t46_make_batch(spark, out_dir)
@@ -404,22 +418,26 @@ def test_t46_same_batch_replay_fence_not_poisoned(spark):
         sroot = f"{out_dir}/state"
         live = J._store_live_trees(sroot, "store", "storec")
         return (_rows(J._read_family(spark, sroot, "res")),
-                _rows(spark.read.parquet(J._sdir(sroot, "bands", 3))),
+                _rows(spark.read.parquet(
+                    J._sdir(sroot, "bands", n - 1))),
                 _rows(_union_trees(spark, live)
                       .select("value", "_qb")),
                 len(J._committed_versions(sroot, "bands")),
-                len(live))
+                len(live),
+                len(J._committed_versions(sroot, "storec")))
 
-    clean = run(J._mkdtemp(prefix="dur_t46_clean_"),
-                list(enumerate(batches)))
-    replay = run(J._mkdtemp(prefix="dur_t46_replay_"),
-                 [(0, batches[0]), (1, batches[1]), (1, batches[1]),
-                  (2, batches[2]), (3, batches[3]), (3, batches[3])])
+    clean_sched = list(enumerate(batches))
+    replay_sched = (clean_sched[:2] + [(1, batches[1])]
+                    + clean_sched[2:] + [(n - 1, batches[n - 1])])
+    clean = run(J._mkdtemp(prefix="dur_t46_clean_"), clean_sched)
+    replay = run(J._mkdtemp(prefix="dur_t46_replay_"), replay_sched)
     assert replay == clean
     # the retention pins: band state vacuumed to the keep horizon,
-    # store live set bounded by the compaction threshold
+    # store live set bounded by the compaction threshold, fire
+    # actually exercised
     assert clean[3] <= J._MONOID_KEEP
     assert clean[4] <= J._STORE_COMPACT_TREES
+    assert clean[5] == 1
 
 
 def test_t40_lifetime_state_is_bounded(spark):
