@@ -1108,26 +1108,47 @@ def _write_arrival_files(spark: SparkSession, staged: DataFrame,
 #   ordinal now rides IN the state (constant ``_ord`` column,
 #   ``_monoid_prev`` / ``_stamp_ord``).
 # - ACCUMULATING per-batch tree stores (t40/t46's banded value
-#   store) are consolidated by a TRIGGER-DRIVEN snapshot
-#   (``_maybe_compact_store``): when the live tree set reaches
-#   ``_STORE_COMPACT_TREES`` relations, every tree STRICTLY before
-#   the current batch is rewritten into one band-group-partitioned
-#   snapshot (family ``{fam}c``, version = batch_id, covering
-#   increments < batch_id), and the covered increments + superseded
-#   snapshots are vacuumed. Readers resolve through
-#   ``_store_live_trees``; the strictly-before covering convention
-#   makes a failed attempt's own snapshot SAFE for the prequential
-#   fence (it contains exactly the strict prefix the fence wants)
-#   and keeps the inclusive monitor read exact (snapshot + the
-#   current batch's own increment). The read plan is therefore
-#   O(_STORE_COMPACT_TREES) relations regardless of stream lifetime.
+#   store) are consolidated by TWO-TIER trigger-driven compaction
+#   (``_maybe_compact_store``, r14 — r13's single level rewrote the
+#   whole prefix every K−2 batches, O(prefix) write amplification
+#   growing with stream lifetime):
+#     level 1  increments → RUN (family ``{fam}r``): when the live
+#       increment set reaches ``_STORE_RUN_INCREMENTS`` relations,
+#       the increments STRICTLY before the current batch (above the
+#       latest marker) are rewritten into one run at version =
+#       batch_id. A run fire rewrites ≤ K−1 BATCHES of rows —
+#       bounded, independent of lifetime.
+#     level 2  runs → SNAPSHOT (family ``{fam}c``): when the live
+#       run set reaches ``_STORE_COMPACT_RUNS``, everything before
+#       the batch is rewritten into one snapshot at version =
+#       batch_id. O(prefix), but the period is R·(K−1) batches, so
+#       amortized write per batch is O(batch) + O(prefix/(R·(K−1)))
+#       — one tier toward the logarithmic LSM limit; deeper tiers
+#       are the same recurrence applied to runs.
+#   COVERING CONVENTIONS: a run at version v covers increments < v
+#   (above the previous marker); a snapshot at version v covers
+#   increments < v, runs ≤ v, snapshots < v. Runs never contain
+#   their own batch's values (they consolidate increments < v), so
+#   a snapshot that absorbs a run AT its own version still contains
+#   exactly the strict prefix — a failed attempt's own run OR
+#   snapshot stays SAFE for the prequential fence, and the covered
+#   increments a crashed first attempt already vacuumed remain
+#   reachable through its committed run. Readers resolve through
+#   ``_store_live_trees``; the read plan is ≤ ``_STORE_LIVE_BOUND``
+#   relations (1 snapshot + R−1 runs + K increments) regardless of
+#   stream lifetime. Vacuum (``_vacuum_covered_trees``) is
+#   idempotent and runs even on the retry short-circuit path, so a
+#   crash between a fire's ``_SUCCESS`` and its vacuum only defers
+#   the cleanup one batch (ADVICE r13).
 #
-# NOTE on the filesystem API: listing/vacuum run through
-# os.listdir/shutil.rmtree — correct for the local[N] harness (and
-# any POSIX driver volume), but a port to object storage must route
-# these through Spark's Hadoop FileSystem API (the only
-# driver-local-FS binding in the kit; every data read/write already
-# goes through spark.read/write and is store-agnostic).
+# Filesystem API (r14): the kit's control plane — listing, commit
+# checks, vacuum — runs through Spark's Hadoop FileSystem API
+# (``_hfs`` / ``_decommit_rmtree``), the same abstraction the data
+# plane's spark.read/write already uses, so the durability story
+# holds unchanged on HDFS/S3A/GCS (the r13 os.listdir/shutil binding
+# is gone). Vacuum deletes the ``_SUCCESS`` marker FIRST (explicit
+# decommit) so a crash mid-delete can never leave a partially
+# vacuumed dir that still reads as committed (ADVICE r13).
 # ---------------------------------------------------------------------------
 
 #: committed versions a LATEST-ONLY state family keeps after vacuum:
@@ -1135,23 +1156,29 @@ def _write_arrival_files(spark: SparkSession, staged: DataFrame,
 #: replay horizon — see the kit header)
 _MONOID_KEEP = 2
 
-#: live-tree count at which an accumulating per-batch store is
-#: consolidated into one snapshot segment (the compaction TRIGGER —
-#: tree count, not a schedule); also the read plan's relation bound.
-#: The knob trades read fan-in against write amplification: each
-#: snapshot rewrites the whole store (O(prefix) rows into one
-#: group-partitioned tree), so threshold K pays
-#: one full rewrite every K-2 batches and bounds every read plan at
-#: K relations. 8 keeps the 4-batch catalog demos fire-free (a fire
-#: inside the demo doubled t40's sf0.1 wall time — measured r13:
-#: 81 s vs ~40 s — for zero read benefit at 4 trees); the fire path
-#: is exercised by the 8-batch replay drills, the 24-batch lifetime
-#: gate and the 64-batch probe, where the rewrite actually amortizes.
-#: A production stream facing unbounded prefixes would TIER snapshots
-#: (merge increments into runs, runs into snapshots) to get
-#: logarithmic write amplification; one level is the right
-#: cost/benefit at demo scale and the read bound is identical.
-_STORE_COMPACT_TREES = 8
+#: live-increment count at which level 1 fires (increments → run).
+#: A run fire rewrites exactly the K−1 increments it covers —
+#: bounded per fire regardless of stream lifetime. 6 keeps the
+#: 4-batch catalog demos fire-free (a fire inside the demo doubled
+#: t40's sf0.1 wall for zero read benefit — measured r13); the fire
+#: paths are exercised by the threshold-lowered replay drills, the
+#: 24-batch lifetime gate and the 64-batch probe.
+_STORE_RUN_INCREMENTS = 6
+
+#: live-run count at which level 2 fires (runs → snapshot). The
+#: snapshot rewrite is O(prefix) but its period is R·(K−1) batches
+#: (20 at the defaults), so the amortized write per batch is
+#: O(batch) + O(prefix/(R·(K−1))); raising R trades read fan-in
+#: against snapshot frequency. Deeper tiers (runs of runs) would
+#: push toward the logarithmic LSM limit with the same covering
+#: conventions; two levels already make the COMMON fire bounded.
+_STORE_COMPACT_RUNS = 4
+
+#: the read plan's relation bound: 1 snapshot + (R−1) runs + K
+#: increments is the largest live set any batch boundary can see
+#: (the firing batch collapses to snapshot + own increment).
+_STORE_LIVE_BOUND = (1 + (_STORE_COMPACT_RUNS - 1)
+                     + _STORE_RUN_INCREMENTS)
 
 #: bands per store partition directory (r13): partitioning the
 #: banded value store by every individual ``_qb`` wrote ~#bands
@@ -1166,6 +1193,30 @@ _STORE_COMPACT_TREES = 8
 #: writes touch 16x fewer files.
 _QB_GROUP = 16
 
+#: log2(_QB_GROUP) — the group id is computed by ARITHMETIC SHIFT on
+#: both sides (below), never by division: ``F.floor(_qb / 16)`` runs
+#: in doubles and diverges from Python's exact ``i // 16`` beyond
+#: ~2^53, silently dropping store rows from probes (ADVICE r13).
+#: ``>>`` has identical floor semantics in Spark (Java ``>>`` on
+#: long) and Python at every magnitude because _QB_GROUP is a power
+#: of two.
+_QB_GROUP_SHIFT = 4
+
+
+def _qb_group_col(col):
+    """Spark-side band-group id of a ``_qb`` band column — the ONE
+    shared form (arithmetic shift; see ``_QB_GROUP_SHIFT``). Writers
+    derive the ``_qbg`` partition column with this; any drift from
+    ``_qb_group_id`` would make probes miss written rows."""
+    return F.shiftright(col.cast("long"), _QB_GROUP_SHIFT)
+
+
+def _qb_group_id(i) -> int:
+    """Python-side twin of ``_qb_group_col`` — readers compute the
+    ``_qbg`` prune literals with this, bit-identical to the writer's
+    shift at all magnitudes."""
+    return int(i) >> _QB_GROUP_SHIFT
+
 
 def _sdir(root: str, fam: str, batch_id: int) -> str:
     """Path of family ``fam``'s state dir for ``batch_id``. Families
@@ -1176,18 +1227,60 @@ def _sdir(root: str, fam: str, batch_id: int) -> str:
     return f"{root}/{fam}/b{int(batch_id)}"
 
 
+def _hfs(path: str):
+    """``(FileSystem, Path)`` for ``path`` through Spark's Hadoop
+    FileSystem API — the kit's control plane is store-agnostic (r14):
+    a ``file:`` path resolves to LocalFileSystem on the local[N]
+    harness, an ``s3a://``/``gs://``/``hdfs://`` state root resolves
+    to that store's connector with no kit change. Hadoop caches
+    FileSystem instances per (scheme, authority), so this is a map
+    lookup after the first call."""
+    spark = SparkSession.getActiveSession()
+    if spark is None:  # foreachBatch callback threads / bare tests:
+        from ..session import get_spark  # the one default session
+        spark = get_spark()
+    jpath = spark._jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return fs, jpath
+
+
+def _is_committed(path: str) -> bool:
+    """True iff ``path`` is a COMMITTED state dir (carries the
+    ``_SUCCESS`` marker Spark's parquet commit protocol writes)."""
+    fs, jpath = _hfs(path)
+    return bool(fs.exists(jpath.suffix("/_SUCCESS")))
+
+
+def _decommit_rmtree(path: str) -> None:
+    """Vacuum a state dir crash-safely: delete the ``_SUCCESS``
+    marker FIRST (explicit decommit), then the tree. A bulk recursive
+    delete's order is unspecified, so a crash mid-delete could
+    otherwise leave a dir that still carries ``_SUCCESS`` over
+    partial data and re-enters the committed set — flipping
+    ``≤ keep`` monitor pins or corrupting a ``_read_family`` union
+    (ADVICE r13). After the marker is gone the dir is invisible to
+    every reader, so the recursive delete can crash anywhere."""
+    fs, jpath = _hfs(path)
+    try:
+        fs.delete(jpath.suffix("/_SUCCESS"), False)
+        fs.delete(jpath, True)
+    except Exception:
+        pass  # vacuum is advisory; a missed delete retries next batch
+
+
 def _committed_versions(root: str, fam: str) -> list:
     """Sorted batch-ids of COMMITTED (``_SUCCESS``-marked) dirs of
     family ``fam`` under ``root`` — the recovery read: current state
     is discovered by listing, never from in-process memory."""
-    fdir = os.path.join(root, fam)
-    if not os.path.isdir(fdir):
+    fs, fdir = _hfs(f"{root}/{fam}")
+    if not fs.exists(fdir):
         return []
     out = []
-    for fn in os.listdir(fdir):
-        if (fn.startswith("b") and fn[1:].isdigit()
-                and os.path.exists(os.path.join(fdir, fn,
-                                                "_SUCCESS"))):
+    for st in fs.listStatus(fdir):
+        fn = st.getPath().getName()
+        if (st.isDirectory() and fn.startswith("b")
+                and fn[1:].isdigit()
+                and fs.exists(st.getPath().suffix("/_SUCCESS"))):
             out.append(int(fn[1:]))
     return sorted(out)
 
@@ -1275,31 +1368,42 @@ def _vacuum_superseded(root: str, fam: str, batch_id: int,
     resolves; versions above ``batch_id`` (impossible in a live
     stream — batches commit in order) are never touched. Crash-safe:
     vacuum only removes dirs whose content is superseded by a
-    committed newer version, so a partial vacuum changes no reader's
+    committed newer version, and each dir is DECOMMITTED (marker
+    deleted) before its tree, so a partial vacuum changes no reader's
     resolution."""
     vs = [v for v in _committed_versions(root, fam)
           if v <= int(batch_id)]
     for v in vs[:-keep] if keep > 0 else vs:
-        shutil.rmtree(_sdir(root, fam, v), ignore_errors=True)
+        _decommit_rmtree(_sdir(root, fam, v))
 
 
 def _monoid_prev(spark: SparkSession, root: str, fam: str,
-                 batch_id: int):
+                 batch_id: int, ord_fam: str = "res"):
     """Predecessor state + logical batch ordinal of a LATEST-ONLY
     state family, as ``(DataFrame-or-None, ordinal)``. With retention
     vacuuming superseded versions, counting committed predecessors no
     longer yields the data-batch ordinal, so each version records its
     own as a constant ``_ord`` column (stripped here; write the
-    successor with ``_stamp_ord``). Retry-safe (the predecessor is
-    strictly before ``batch_id``, so a re-delivered batch reads the
-    same ordinal) and restart-safe (pure listing + state read). The
-    ``.first()`` is control-plane: one row off a ≤bounded-domain
-    state relation."""
+    successor with ``_stamp_ord``). A committed state relation can be
+    EMPTY (e.g. an MG prune where every surviving weight ties at the
+    (K+1)-th largest drops all rows) — then ``max(_ord)`` is NULL and
+    the ordinal falls back to the count of committed ``ord_fam``
+    versions strictly before ``batch_id``: every kit stream lands one
+    never-vacuumed result dir per DATA batch, so that count IS the
+    current batch's ordinal, and strictly-before excludes anything a
+    failed attempt of this same batch already wrote (ADVICE r13).
+    Retry-safe (the predecessor is strictly before ``batch_id``, so a
+    re-delivered batch reads the same ordinal) and restart-safe (pure
+    listing + state read). The ``.first()`` is control-plane: one row
+    off a ≤bounded-domain state relation."""
     d = _latest_before(root, fam, batch_id)
     if d is None:
         return None, 0
     df = spark.read.parquet(d)
     prev_ord = df.agg(F.max("_ord").alias("o")).first()["o"]
+    if prev_ord is None:
+        return (df.drop("_ord"),
+                len(_versions_before(root, ord_fam, batch_id)))
     return df.drop("_ord"), int(prev_ord) + 1
 
 
@@ -1309,42 +1413,58 @@ def _stamp_ord(df: DataFrame, ordinal: int) -> DataFrame:
     return df.withColumn("_ord", F.lit(int(ordinal)).cast("long"))
 
 
-def _monoid_final_ord(spark: SparkSession, root: str, fam: str) -> int:
+def _monoid_final_ord(spark: SparkSession, root: str, fam: str,
+                      ord_fam: str = "res") -> int:
     """Ordinal recorded in the LATEST committed version of a monoid
     family (-1 when none) — the post-stream pin that all data batches
     flowed through incremental state merges even though superseded
     versions have been vacuumed (a listing count can no longer prove
-    it)."""
+    it). An EMPTY latest state (see ``_monoid_prev``) falls back to
+    the never-vacuumed ``ord_fam`` ledger: one result dir per data
+    batch, so count − 1 is the last data batch's ordinal."""
     vs = _committed_versions(root, fam)
     if not vs:
         return -1
     o = (spark.read.parquet(_sdir(root, fam, vs[-1]))
               .agg(F.max("_ord").alias("o")).first()["o"])
+    if o is None:
+        return len(_committed_versions(root, ord_fam)) - 1
     return int(o)
 
 
 def _store_live_trees(root: str, fam_i: str, fam_c: str,
-                      batch_id=None, inclusive: bool = True) -> list:
-    """Live tree set of a compacting ACCUMULATING store (t40/t46's
-    banded value store): the latest committed snapshot (family
-    ``fam_c``) with version ≤ batch_id — a snapshot at version v
-    covers every increment with version < v — plus the committed
-    increments (family ``fam_i``) from that version through the
+                      batch_id=None, inclusive: bool = True,
+                      fam_r: str = None) -> list:
+    """Live tree set of a two-tier compacting ACCUMULATING store
+    (t40/t46's banded value store), under the kit header's covering
+    conventions: the latest committed snapshot (family ``fam_c``,
+    version ≤ batch_id — it covers increments < v, runs ≤ v), plus
+    the committed RUNS (family ``fam_r``, default ``fam_i + 'r'``)
+    strictly after it through batch_id — a run at version v covers
+    increments < v above the previous marker and never contains its
+    own batch's values, so a failed same-batch attempt's run or
+    snapshot is always safe to resolve — plus the committed
+    increments (family ``fam_i``) from the newest marker through the
     cutoff. ``inclusive=True`` admits the current batch's own
     increment (the monitor's own-prefix read); ``inclusive=False`` is
     the STRICT prefix (the prequential fence — increments < batch_id
-    only, and a failed same-batch attempt's snapshot, covering
-    exactly < batch_id, is safe to resolve). ``batch_id=None``
-    resolves the final store."""
+    only). ``batch_id=None`` resolves the final store. A store with
+    no run family on disk resolves exactly as the r13 single-level
+    form."""
     b = float("inf") if batch_id is None else int(batch_id)
     hi = b if inclusive else b - 1
+    fam_r = fam_r or (fam_i + "r")
     cs = [v for v in _committed_versions(root, fam_c) if v <= b]
     c = max(cs) if cs else None
     paths = [_sdir(root, fam_c, c)] if c is not None else []
     lo = c if c is not None else 0
+    rs = [v for v in _committed_versions(root, fam_r)
+          if (c is None or v > c) and v <= b]
+    paths += [_sdir(root, fam_r, v) for v in rs]
+    r_lo = max(rs) if rs else lo
     paths += [_sdir(root, fam_i, v)
               for v in _committed_versions(root, fam_i)
-              if lo <= v <= hi]
+              if r_lo <= v <= hi]
     return paths
 
 
@@ -1369,56 +1489,124 @@ def _vacuum_covered_segments(root: str, fam_c: str, fam_i: str,
     c = max(cs)
     for v in _committed_versions(root, fam_i):
         if v <= c:
-            shutil.rmtree(_sdir(root, fam_i, v), ignore_errors=True)
+            _decommit_rmtree(_sdir(root, fam_i, v))
     for v in cs:
         if v < c:
-            shutil.rmtree(_sdir(root, fam_c, v), ignore_errors=True)
+            _decommit_rmtree(_sdir(root, fam_c, v))
+
+
+def _vacuum_covered_trees(root: str, fam_i: str, fam_c: str,
+                          batch_id: int, fam_r: str = None) -> None:
+    """Idempotent vacuum of a two-tier compacting store: delete every
+    tree covered by a committed marker at or below ``batch_id`` —
+    snapshots/runs below or at the newest snapshot, increments below
+    the newest marker (run or snapshot). Pure control plane (listing
+    + decommit-first deletes); runs at every callback end AND on the
+    retry short-circuit path, so a crash between a fire's
+    ``_SUCCESS`` and its vacuum defers cleanup by at most one
+    delivery instead of leaking it forever (ADVICE r13). Never
+    touches anything a reachable resolution needs: coverage is
+    derived from the same committed-marker listing readers resolve
+    through."""
+    b = int(batch_id)
+    fam_r = fam_r or (fam_i + "r")
+    cs = [v for v in _committed_versions(root, fam_c) if v <= b]
+    c = max(cs) if cs else None
+    if c is not None:
+        for v in cs:
+            if v < c:
+                _decommit_rmtree(_sdir(root, fam_c, v))
+        for v in _committed_versions(root, fam_r):
+            if v <= c:
+                _decommit_rmtree(_sdir(root, fam_r, v))
+    lo = c if c is not None else 0
+    rs = [v for v in _committed_versions(root, fam_r)
+          if (c is None or v > c) and v <= b]
+    r_lo = max(rs) if rs else lo
+    for v in _committed_versions(root, fam_i):
+        if v < r_lo:
+            _decommit_rmtree(_sdir(root, fam_i, v))
 
 
 def _maybe_compact_store(spark: SparkSession, root: str, fam_i: str,
                          fam_c: str, batch_id: int,
                          part_col: str = "_qbg",
                          sort_col: str = "_qb",
-                         threshold: int = _STORE_COMPACT_TREES) -> None:
-    """Trigger-driven consolidation of an accumulating per-batch tree
-    store (retention, r13): when the live tree set at this batch
-    reaches ``threshold`` relations, rewrite every tree STRICTLY
-    before this batch into one ``part_col``-partitioned snapshot at
-    version ``batch_id`` (covering increments < batch_id — the
-    convention that keeps the prequential fence exact under retry),
-    then vacuum the covered increments and superseded snapshots.
-    Idempotent under retry: a committed same-version snapshot
-    short-circuits (the consolidation is a deterministic function of
-    the same live set); the vacuum runs only after the snapshot's
-    ``_SUCCESS``, so a crash at any point leaves every reachable
-    reader resolving an identical relation. ``sort_col`` keeps each
-    snapshot file sorted so parquet row-group stats prune probes
-    inside a partition group (the ``_QB_GROUP`` layout)."""
+                         fam_r: str = None,
+                         run_threshold: int = None,
+                         snap_threshold: int = None) -> None:
+    """TWO-TIER trigger-driven consolidation of an accumulating
+    per-batch tree store (r14 — kit header's RETENTION section for
+    the covering conventions and the amplification math). Level 1:
+    when the live increment set at this batch reaches
+    ``run_threshold`` relations, the increments STRICTLY before this
+    batch (above the latest marker) are rewritten into one RUN at
+    version ``batch_id`` — a bounded ≤ K−1-batch rewrite. Level 2:
+    when the live run set then reaches ``snap_threshold``, everything
+    before this batch (latest snapshot + runs ≤ batch_id +
+    uncovered increments < batch_id — runs carry no own-batch
+    values, so the snapshot still contains exactly the strict
+    prefix) collapses into one SNAPSHOT at version ``batch_id``.
+    Idempotent under retry: a committed same-version snapshot or run
+    short-circuits its own fire (the consolidation is a
+    deterministic function of the same live set — and an increment a
+    crashed first attempt already vacuumed stays reachable through
+    its committed run); the vacuum is idempotent and ALSO runs on
+    the short-circuit path (ADVICE r13). ``sort_col`` keeps each
+    consolidated file sorted so parquet row-group stats prune probes
+    inside a partition group (the ``_QB_GROUP`` layout). Thresholds
+    default to the module constants AT CALL TIME so drills can lower
+    them to exercise the fire paths cheaply."""
     b = int(batch_id)
-    if os.path.exists(os.path.join(_sdir(root, fam_c, b),
-                                   "_SUCCESS")):
+    fam_r = fam_r or (fam_i + "r")
+    run_threshold = (run_threshold if run_threshold is not None
+                     else _STORE_RUN_INCREMENTS)
+    snap_threshold = (snap_threshold if snap_threshold is not None
+                      else _STORE_COMPACT_RUNS)
+
+    def consolidate(paths: list, dest_fam: str) -> None:
+        # one read per tree root (each is its own partitioned table —
+        # a single multi-path read trips partition discovery)
+        parts = [spark.read.parquet(p) for p in paths]
+        out = parts[0]
+        for pt in parts[1:]:
+            out = out.unionByName(pt)
+        out = out.repartition(part_col)
+        if sort_col:
+            out = out.sortWithinPartitions(sort_col)
+        (out.write.partitionBy(part_col).mode("overwrite")
+            .parquet(_sdir(root, dest_fam, b)))
+
+    if _is_committed(_sdir(root, fam_c, b)):
+        # retry of a batch whose first attempt already snapshotted:
+        # resolution short-circuits, but the attempt may have crashed
+        # between the snapshot's _SUCCESS and its vacuum — pay the
+        # (idempotent) vacuum before returning (ADVICE r13)
+        _vacuum_covered_trees(root, fam_i, fam_c, b, fam_r)
         return
-    live = _store_live_trees(root, fam_i, fam_c, b, inclusive=True)
-    if len(live) < threshold:
-        return
-    prior = _store_live_trees(root, fam_i, fam_c, b, inclusive=False)
-    # one read per tree root (each is its own partitioned table — a
-    # single multi-path read trips partition discovery)
-    parts = [spark.read.parquet(p) for p in prior]
-    snap = parts[0]
-    for pt in parts[1:]:
-        snap = snap.unionByName(pt)
-    snap = snap.repartition(part_col)
-    if sort_col:
-        snap = snap.sortWithinPartitions(sort_col)
-    (snap.write.partitionBy(part_col).mode("overwrite")
-         .parquet(_sdir(root, fam_c, b)))
-    for v in _committed_versions(root, fam_i):
-        if v < b:
-            shutil.rmtree(_sdir(root, fam_i, v), ignore_errors=True)
-    for v in _committed_versions(root, fam_c):
-        if v < b:
-            shutil.rmtree(_sdir(root, fam_c, v), ignore_errors=True)
+    cs = [v for v in _committed_versions(root, fam_c) if v <= b]
+    c = max(cs) if cs else None
+    lo = c if c is not None else 0
+    rs = [v for v in _committed_versions(root, fam_r)
+          if (c is None or v > c) and v <= b]
+    r_lo = max(rs) if rs else lo
+    live_inc = [v for v in _committed_versions(root, fam_i)
+                if r_lo <= v <= b]
+    fire_run = b not in rs and len(live_inc) >= run_threshold
+    if len(rs) + (1 if fire_run else 0) >= snap_threshold:
+        # --- level 2: runs → snapshot. When the run this batch
+        # would create is the one that tips the run count to the
+        # snapshot threshold, skip it — the snapshot covers the same
+        # prefix either way and the run write would be pure waste.
+        prior = _store_live_trees(root, fam_i, fam_c, b,
+                                  inclusive=False, fam_r=fam_r)
+        consolidate(prior, fam_c)
+    elif fire_run:
+        # --- level 1: increments → run (the COMMON fire — rewrites
+        # exactly the ≤ K−1 increments it covers, bounded forever)
+        consolidate([_sdir(root, fam_i, v) for v in live_inc
+                     if v < b], fam_r)
+    _vacuum_covered_trees(root, fam_i, fam_c, b, fam_r)
 
 
 def _x2_postings(docs: DataFrame) -> DataFrame:
@@ -3979,20 +4167,22 @@ def x2_band_compaction_stream(spark: SparkSession,
 # ---------------------------------------------------------------------------
 
 def _t40_make_batch(spark: SparkSession, out_dir: str):
-    """t40's foreachBatch callback, durable-state form (r12, retention
-    r13): state family ``bands`` (the merged (count, min, max) band
-    monoid — latest-only, vacuumed to the last ``_MONOID_KEEP``
-    versions, ordinal riding in-state as ``_ord``), results family
-    ``res``, and the banded value store as per-batch plain-overwrite
-    ``_qb``-partitioned TREES (family ``store``) consolidated by the
-    trigger-driven snapshot family ``storec`` — a re-delivered batch
-    overwrites exactly its own tree (file-source replay is
-    byte-identical), the quantile read resolves through
-    ``_store_live_trees`` (≤ ``_STORE_COMPACT_TREES`` relations
-    regardless of stream lifetime), and ``_qb`` stays a disk
-    partition column of every tree so the staircase's target-band
-    read still prunes at file listing. Module-level for the
-    durability drills."""
+    """t40's foreachBatch callback, durable-state form (r12; retention
+    r13; tiered compaction r14): state family ``bands`` (the merged
+    (count, min, max) band monoid — latest-only, vacuumed to the last
+    ``_MONOID_KEEP`` versions, ordinal riding in-state as ``_ord``),
+    results family ``res``, and the banded value store as per-batch
+    plain-overwrite trees (family ``store``) PARTITIONED BY THE BAND
+    GROUP ``_qbg`` (``_qb`` is a sorted data column inside each group
+    file — dir pruning is by group, in-group pruning is parquet
+    row-group stats; per-band dirs were the r13 small-files
+    pathology) and consolidated by the two-tier trigger compaction
+    (runs family ``storer``, snapshots family ``storec``). A
+    re-delivered batch overwrites exactly its own tree (file-source
+    replay is byte-identical); the quantile read resolves through
+    ``_store_live_trees`` (≤ ``_STORE_LIVE_BOUND`` relations
+    regardless of stream lifetime). Module-level for the durability
+    drills."""
     from ..functions.scalars import round_half_up
     from ..operators.staircase import (double_value_bucket,
                                        state_exact_quantiles)
@@ -4028,9 +4218,7 @@ def _t40_make_batch(spark: SparkSession, out_dir: str):
         # ``_qb`` within each group file so row-group stats prune
         # probes; idempotent under retry with PLAIN overwrite commit
         # semantics, no dynamic-partition-overwrite dependency.
-        (banded.withColumn("_qbg",
-                           F.floor(F.col("_qb") / _QB_GROUP)
-                            .cast("long"))
+        (banded.withColumn("_qbg", _qb_group_col(F.col("_qb")))
                .repartition("_qbg")
                .sortWithinPartitions("_qb")
                .write.partitionBy("_qbg").mode("overwrite")
@@ -4047,7 +4235,7 @@ def _t40_make_batch(spark: SparkSession, out_dir: str):
             # the target bands' neighborhoods (~N·G/B rows each) are
             # read
             ids = [int(b) for b in band_ids]
-            gids = sorted({i // _QB_GROUP for i in ids})
+            gids = sorted({_qb_group_id(i) for i in ids})
             parts = [spark.read.parquet(p)
                           .filter(F.col("_qbg").isin(gids))
                           .filter(F.col("_qb").isin(ids))
@@ -4109,10 +4297,11 @@ def t40_quantile_monitor_stream(spark: SparkSession,
     listing — the r12 durable-state kit, retry- and restart-
     idempotent under foreachBatch's at-least-once contract) and lands
     its rows in a per-batch plain-overwrite band-group-partitioned
-    store tree, trigger-compacted into snapshot segments (r13 retention:
-    the live tree set stays ≤ ``_STORE_COMPACT_TREES`` and superseded
-    band-state versions are vacuumed, so state metadata is O(1) in
-    stream lifetime, not O(#batches)); the batch boundary then
+    store tree, compacted by the two-tier trigger (increments → runs
+    → snapshots, r14; r13 retention: the live tree set stays
+    ≤ ``_STORE_LIVE_BOUND`` and superseded band-state versions are
+    vacuumed, so state metadata is O(1) in stream lifetime, not
+    O(#batches)); the batch boundary then
     answers exact interpolated p50/p95 of the WHOLE prefix from the
     state via ``operators/staircase.py::state_exact_quantiles`` — band
     counts locate each rank (bounded relation), single-valued bands
@@ -4176,17 +4365,17 @@ def t40_quantile_monitor_stream(spark: SparkSession,
     admitted = sum(pr["numInputRows"] for pr in data_batches)
     sroot = f"{out_dir}/state"
     # the retention pins (≤ _MONOID_KEEP band-state versions, final
-    # in-state ordinal 3, ≤ _STORE_COMPACT_TREES live store trees)
+    # in-state ordinal 3, ≤ _STORE_LIVE_BOUND live store trees)
     # prove the vacuum/compaction actually ran — 4 un-vacuumed
-    # versions or 4 live increment trees would mean r13's retention
-    # step is dead
+    # versions or an unbounded live tree set would mean the
+    # retention step is dead
     maintained_ok = (len(data_batches) == 4 and admitted == n_staged
                      and len(_committed_versions(sroot, "bands"))
                      <= _MONOID_KEEP
                      and _monoid_final_ord(spark, sroot, "bands") == 3
                      and len(_store_live_trees(sroot, "store",
                                                "storec"))
-                     <= _STORE_COMPACT_TREES
+                     <= _STORE_LIVE_BOUND
                      and len(_committed_versions(sroot, "res")) == 4)
     return (_read_family(spark, sroot, "res")
             .select("batch_id", "n_events", "p50_value",
@@ -5313,19 +5502,22 @@ def t45_heavy_hitter_stream(spark: SparkSession,
 
 def _t46_make_batch(spark: SparkSession, out_dir: str):
     """t46's foreachBatch callback, durable-state form (r12,
-    retention r13): same layout as t40 (latest-only ``bands`` family
-    with in-state ``_ord`` + vacuum, ``res`` results family,
-    per-batch plain-overwrite band-group-partitioned ``store`` trees
-    compacted into ``storec`` snapshots) with the PREQUENTIAL twist
-    made retry-safe: the fence state is the latest committed version
-    STRICTLY BEFORE this batch_id (a failed attempt's own half-merged
-    state is invisible by construction) and the fence's store read is
-    the STRICT live set (``_store_live_trees(..., inclusive=False)``
-    — increments < batch_id, and a failed same-batch attempt's
-    snapshot covers exactly that strict prefix) — so a re-delivered
-    batch can never leak its own values into the fence it is judged
-    by, even if its first attempt already wrote its store tree or
-    compacted. Module-level for the durability drills."""
+    retention r13, tiered compaction r14): same layout as t40
+    (latest-only ``bands`` family with in-state ``_ord`` + vacuum,
+    ``res`` results family, per-batch plain-overwrite
+    band-group-partitioned ``store`` trees compacted two-tier into
+    ``storer`` runs and ``storec`` snapshots) with the PREQUENTIAL
+    twist made retry-safe: the fence state is the latest committed
+    version STRICTLY BEFORE this batch_id (a failed attempt's own
+    half-merged state is invisible by construction) and the fence's
+    store read is the STRICT live set
+    (``_store_live_trees(..., inclusive=False)`` — increments
+    < batch_id, and a failed same-batch attempt's run or snapshot
+    contains only values strictly before batch_id) — so a
+    re-delivered batch can never leak its own values into the fence
+    it is judged by, even if its first attempt already wrote its
+    store tree or compacted. Module-level for the durability
+    drills."""
     from ..functions.scalars import round_half_up
     from ..operators.staircase import (double_value_bucket,
                                        state_exact_quantiles)
@@ -5358,7 +5550,7 @@ def _t46_make_batch(spark: SparkSession, out_dir: str):
                 # the strict prefix and is safe); _qbg prunes dirs,
                 # _qb prunes row groups (the _QB_GROUP layout)
                 ids = [int(x) for x in band_ids]
-                gids = sorted({i // _QB_GROUP for i in ids})
+                gids = sorted({_qb_group_id(i) for i in ids})
                 parts = [spark.read.parquet(p)
                               .filter(F.col("_qbg").isin(gids))
                               .filter(F.col("_qb").isin(ids))
@@ -5402,15 +5594,14 @@ def _t46_make_batch(spark: SparkSession, out_dir: str):
         (_stamp_ord(merged, ordinal).coalesce(1)
          .write.mode("overwrite").parquet(
              _sdir(sroot, "bands", batch_id)))
-        (banded.withColumn("_qbg",
-                           F.floor(F.col("_qb") / _QB_GROUP)
-                            .cast("long"))
+        (banded.withColumn("_qbg", _qb_group_col(F.col("_qb")))
                .repartition("_qbg")
                .sortWithinPartitions("_qb")
                .write.partitionBy("_qbg").mode("overwrite")
                .parquet(_sdir(sroot, "store", batch_id)))
-        # retention LAST: the snapshot covers increments < batch_id,
-        # exactly what a same-batch retry's fence resolves
+        # retention LAST: runs and snapshots cover only values
+        # strictly before batch_id, exactly what a same-batch retry's
+        # fence resolves
         _maybe_compact_store(spark, sroot, "store", "storec",
                              batch_id)
         _vacuum_superseded(sroot, "bands", batch_id)
@@ -5535,7 +5726,7 @@ def t46_prequential_anomaly_stream(spark: SparkSession,
                      and _monoid_final_ord(spark, sroot, "bands") == 3
                      and len(_store_live_trees(sroot, "store",
                                                "storec"))
-                     <= _STORE_COMPACT_TREES
+                     <= _STORE_LIVE_BOUND
                      and len(_committed_versions(sroot, "res")) == 4)
     return (_read_family(spark, sroot, "res")
             .select("batch_id", "n_arrivals", "p25_prior",

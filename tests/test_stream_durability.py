@@ -180,17 +180,22 @@ def test_same_batch_replay_is_idempotent(spark, name, factory,
     assert replay == clean
 
 
-def test_t40_same_batch_replay_including_band_store(spark):
+def test_t40_same_batch_replay_including_band_store(spark,
+                                                    monkeypatch):
     """t40's replay drill also pins the band STORE (the per-batch
-    partitioned-tree path, trigger-compacted since r13): a
-    re-delivered batch must not leave a second copy of its rows in
+    partitioned-tree path, two-tier trigger-compacted since r14):
+    a re-delivered batch must not leave a second copy of its rows in
     its own store tree — the quantiles would silently shift for every
-    later batch — and a re-delivered COMPACTION batch (8 batches
-    here, so the live set hits ``_STORE_COMPACT_TREES`` and the LAST
-    batch fires) must short-circuit into the identical store. The
-    comparison reads the RESOLVED live store, band state and results,
-    plus the retention pins."""
-    n = J._STORE_COMPACT_TREES
+    later batch — and re-delivered RUN-firing and SNAPSHOT-firing
+    batches must short-circuit into the identical store. Thresholds
+    are lowered (runs at 3 increments, snapshots at 2 runs — the
+    kit reads them at call time for exactly this) so 8 batches
+    exercise BOTH fire kinds plus post-snapshot re-accumulation. The
+    comparison reads the RESOLVED live store, band state and
+    results, plus the retention pins."""
+    monkeypatch.setattr(J, "_STORE_RUN_INCREMENTS", 3)
+    monkeypatch.setattr(J, "_STORE_COMPACT_RUNS", 2)
+    n = 8
     batches = _event_splits(spark, ["event_id", "ts", "value"], n)
 
     def run(out_dir, schedule):
@@ -206,18 +211,25 @@ def test_t40_same_batch_replay_including_band_store(spark):
                       .select("value", "_qb")),
                 len(J._committed_versions(sroot, "bands")),
                 len(live),
+                len(J._committed_versions(sroot, "storer")),
                 len(J._committed_versions(sroot, "storec")))
 
     clean_sched = list(enumerate(batches))
-    # re-deliver a mid-sequence merge batch AND the firing batch
+    # with K=3/R=2: runs fire at b2 and b4, the snapshot at b4, a
+    # fresh post-snapshot run at b6 — re-deliver a mid-sequence
+    # merge batch (1), the first RUN-firing batch (2) and the
+    # SNAPSHOT-firing batch (4)
     replay_sched = (clean_sched[:2] + [(1, batches[1])]
-                    + clean_sched[2:] + [(n - 1, batches[n - 1])])
+                    + clean_sched[2:3] + [(2, batches[2])]
+                    + clean_sched[3:5] + [(4, batches[4])]
+                    + clean_sched[5:])
     clean = run(J._mkdtemp(prefix="dur_t40_clean_"), clean_sched)
     replay = run(J._mkdtemp(prefix="dur_t40_replay_"), replay_sched)
     assert replay == clean
     assert clean[3] <= J._MONOID_KEEP
-    assert clean[4] <= J._STORE_COMPACT_TREES
-    assert clean[5] == 1  # the drill actually exercised the fire
+    assert clean[4] <= 1 + (2 - 1) + 3  # 1 snap + (R-1) runs + K incs
+    assert clean[5] == 1  # the post-snapshot run at b6 is live
+    assert clean[6] == 1  # the drill actually exercised the snapshot
 
 
 # ---------------------------------------------------------------------------
@@ -398,17 +410,114 @@ def test_kit_retention_contract(tmp_path):
         sd("segc", 3), sd("seg", 4)]
 
 
-def test_t46_same_batch_replay_fence_not_poisoned(spark):
-    """t46's replay drill (new in r13 with retention): re-deliver
-    both a mid-sequence batch and the batch whose first attempt
-    COMPACTED the store — the retried batch's fence must resolve the
-    strict prefix (its own first-attempt store tree and snapshot must
-    not leak into the quantiles it is judged by), and the re-run
-    compaction must short-circuit. Results, band state and the
-    resolved live store must be bit-identical to the clean run. 8
-    batches so the live set reaches ``_STORE_COMPACT_TREES`` and the
-    last batch fires."""
-    n = J._STORE_COMPACT_TREES
+def test_monoid_prev_empty_state_falls_back_to_ledger(spark,
+                                                      tmp_path):
+    """ADVICE r13: a committed LATEST-ONLY state relation can be
+    EMPTY (t45's MG prune drops every row when all surviving weights
+    tie at the (K+1)-th largest) — ``max(_ord)`` is then NULL and the
+    ordinal must fall back to the never-vacuumed results ledger
+    (one committed ``res`` dir per prior data batch) instead of
+    crashing the next batch with a TypeError."""
+    root = str(tmp_path)
+    empty = spark.range(0).select(
+        F.col("id").alias("k"),
+        F.lit(0).cast("long").alias("_ord"))
+    empty.write.mode("overwrite").parquet(J._sdir(root, "mgs", 3))
+    # two committed prior result dirs → the ordinal of batch 4 is 2
+    for v in (1, 3):
+        spark.range(1).write.mode("overwrite").parquet(
+            J._sdir(root, "res", v))
+    prev, ordinal = J._monoid_prev(spark, root, "mgs", 4)
+    assert prev is not None and prev.count() == 0
+    assert ordinal == 2
+    # the post-stream pin's fallback: res count − 1
+    assert J._monoid_final_ord(spark, root, "mgs") == 1
+
+
+def test_kit_tiered_compaction_contract(tmp_path):
+    """Pure-python pin of the r14 two-tier covering conventions
+    (kit header RETENTION section): a run at version v covers
+    increments < v above the previous marker; a snapshot at version
+    v covers increments < v AND runs ≤ v; resolution is snapshot +
+    runs after it + increments from the newest marker; the
+    idempotent ``_vacuum_covered_trees`` deletes exactly the covered
+    trees; committed same-version runs/snapshots short-circuit
+    their own re-fire."""
+    import os
+    root = str(tmp_path)
+
+    def mk(fam, v):
+        d = J._sdir(root, fam, v)
+        os.makedirs(d)
+        open(os.path.join(d, "_SUCCESS"), "w").close()
+
+    sd = lambda fam, v: J._sdir(root, fam, v)  # noqa: E731
+
+    # cold store: incs 0..5, a run fired at 4 (covers incs 0..3)
+    for v in range(6):
+        mk("st", v)
+    mk("str", 4)
+    assert J._store_live_trees(root, "st", "stc", 5, True) == [
+        sd("str", 4), sd("st", 4), sd("st", 5)]
+    # strict fence at the run's own batch: the run covers < 4 — it
+    # is safe to resolve, and the increments it covers are excluded
+    # even while still on disk
+    assert J._store_live_trees(root, "st", "stc", 4, False) == [
+        sd("str", 4)]
+    J._vacuum_covered_trees(root, "st", "stc", 5)
+    assert J._committed_versions(root, "st") == [4, 5]
+    assert J._committed_versions(root, "str") == [4]
+
+    # a snapshot at 6 covers incs < 6 AND runs ≤ 6
+    mk("st", 6)
+    mk("stc", 6)
+    assert J._store_live_trees(root, "st", "stc", 6, True) == [
+        sd("stc", 6), sd("st", 6)]
+    assert J._store_live_trees(root, "st", "stc", 6, False) == [
+        sd("stc", 6)]
+    J._vacuum_covered_trees(root, "st", "stc", 6)
+    assert J._committed_versions(root, "st") == [6]
+    assert J._committed_versions(root, "str") == []
+    assert J._committed_versions(root, "stc") == [6]
+
+    # a committed same-version RUN short-circuits level 1 (spark=None
+    # would explode if it tried to consolidate); its covered
+    # increments are vacuumed by the trailing idempotent pass —
+    # the crash-between-_SUCCESS-and-vacuum window (ADVICE r13)
+    mk("st", 7); mk("st", 8); mk("str", 8)
+    J._maybe_compact_store(None, root, "st", "stc", 8,
+                           run_threshold=2, snap_threshold=99)
+    assert J._committed_versions(root, "st") == [8]
+    assert J._store_live_trees(root, "st", "stc", 9, True) == [
+        sd("stc", 6), sd("str", 8), sd("st", 8)]
+
+    # a committed same-version SNAPSHOT short-circuits everything
+    # and still pays the vacuum before returning
+    mk("st", 9); mk("stc", 9)
+    J._maybe_compact_store(None, root, "st", "stc", 9)
+    assert J._committed_versions(root, "st") == [9]
+    assert J._committed_versions(root, "str") == []
+    assert J._committed_versions(root, "stc") == [9]
+    assert J._store_live_trees(root, "st", "stc", 10, True) == [
+        sd("stc", 9), sd("st", 9)]
+
+
+def test_t46_same_batch_replay_fence_not_poisoned(spark,
+                                                  monkeypatch):
+    """t46's replay drill (r13, tiered r14): re-deliver a
+    mid-sequence batch, the batch whose first attempt wrote a RUN,
+    and the batch whose first attempt SNAPSHOTTED — each retried
+    batch's fence must resolve the strict prefix (its own
+    first-attempt store tree, run and snapshot contain only values
+    strictly before it, so nothing of its own leaks into the
+    quantiles it is judged by), and the re-run compactions must
+    short-circuit. Results, band state and the resolved live store
+    must be bit-identical to the clean run. Thresholds lowered
+    (3 increments per run, 2 runs per snapshot) so 8 batches
+    exercise both fire kinds."""
+    monkeypatch.setattr(J, "_STORE_RUN_INCREMENTS", 3)
+    monkeypatch.setattr(J, "_STORE_COMPACT_RUNS", 2)
+    n = 8
     batches = _event_splits(spark, ["event_id", "ts", "value"], n)
 
     def run(out_dir, schedule):
@@ -424,20 +533,23 @@ def test_t46_same_batch_replay_fence_not_poisoned(spark):
                       .select("value", "_qb")),
                 len(J._committed_versions(sroot, "bands")),
                 len(live),
+                len(J._committed_versions(sroot, "storer")),
                 len(J._committed_versions(sroot, "storec")))
 
     clean_sched = list(enumerate(batches))
     replay_sched = (clean_sched[:2] + [(1, batches[1])]
-                    + clean_sched[2:] + [(n - 1, batches[n - 1])])
+                    + clean_sched[2:3] + [(2, batches[2])]
+                    + clean_sched[3:5] + [(4, batches[4])]
+                    + clean_sched[5:])
     clean = run(J._mkdtemp(prefix="dur_t46_clean_"), clean_sched)
     replay = run(J._mkdtemp(prefix="dur_t46_replay_"), replay_sched)
     assert replay == clean
     # the retention pins: band state vacuumed to the keep horizon,
-    # store live set bounded by the compaction threshold, fire
-    # actually exercised
+    # store live set bounded, both fire kinds actually exercised
     assert clean[3] <= J._MONOID_KEEP
-    assert clean[4] <= J._STORE_COMPACT_TREES
+    assert clean[4] <= 1 + (2 - 1) + 3
     assert clean[5] == 1
+    assert clean[6] == 1
 
 
 def test_t40_lifetime_state_is_bounded(spark):
@@ -469,21 +581,34 @@ def test_t40_lifetime_state_is_bounded(spark):
     sroot = f"{out_dir}/state"
     cb = J._t40_make_batch(spark, out_dir)
     max_state_dirs = 0
+    run_fires, snap_fires = 0, 0
+    prev_runs, prev_snaps = set(), set()
     for bid, df in enumerate(batches):
         cb(df, bid)
         n_bands = len(J._committed_versions(sroot, "bands"))
         live = len(J._store_live_trees(sroot, "store", "storec",
                                        bid, inclusive=True))
         assert n_bands <= J._MONOID_KEEP, (bid, n_bands)
-        assert live <= J._STORE_COMPACT_TREES, (bid, live)
+        assert live <= J._STORE_LIVE_BOUND, (bid, live)
+        runs = set(J._committed_versions(sroot, "storer"))
+        snaps = set(J._committed_versions(sroot, "storec"))
+        run_fires += len(runs - prev_runs)
+        snap_fires += len(snaps - prev_snaps)
+        prev_runs, prev_snaps = runs, snaps
         state_dirs = (n_bands
                       + len(J._committed_versions(sroot, "store"))
-                      + len(J._committed_versions(sroot, "storec")))
+                      + len(runs) + len(snaps))
         max_state_dirs = max(max_state_dirs, state_dirs)
-    # flat bound, independent of n_batches: keep + threshold live
-    # trees + one snapshot family entry
+    # flat bound, independent of n_batches: keep + the live-set
+    # bound + one superseded entry in flight
     assert max_state_dirs <= (J._MONOID_KEEP
-                              + J._STORE_COMPACT_TREES + 1)
+                              + J._STORE_LIVE_BOUND + 1)
+    # 24 batches at production thresholds (6 incs/run, 4 runs/snap)
+    # must have exercised BOTH tiers: runs at b5/b10/b15, then the
+    # snapshot at b20 (the 4th run is absorbed — the tipping run is
+    # skipped and the snapshot fires directly)
+    assert run_fires >= 3 and snap_fires >= 1, (run_fires,
+                                                snap_fires)
     # sink family (results) is one dir per data batch by design
     assert len(J._committed_versions(sroot, "res")) == n_batches
 

@@ -1,14 +1,19 @@
 """Long-lifetime drill for the durable-state kit's retention step
-(r13, VERDICT r12 next-round #1/#3): drive t40's PRODUCTION callback
-through a real AvailableNow file-source stream of N micro-batches
-(default 64 — 16x the catalog demo) and record, per batch, the wall
-time and every state-metadata quantity retention claims to bound:
+(r13; two-tier compaction r14 — VERDICT r13 next-round #3): drive
+t40's PRODUCTION callback through a real AvailableNow file-source
+stream of N micro-batches (default 64 — 16x the catalog demo) and
+record, per batch, the wall time and every state-metadata quantity
+retention claims to bound:
 
 - committed ``bands`` versions (monoid family — must stay <= keep),
-- committed ``store`` increment trees and ``storec`` snapshots,
-- the LIVE store set the quantile read unions (must stay <= the
-  compaction threshold),
-- cumulative compaction fires.
+- committed ``store`` increments, ``storer`` runs, ``storec``
+  snapshots,
+- the LIVE store set the quantile read unions (must stay <=
+  ``_STORE_LIVE_BOUND``),
+- every compaction FIRE with the rows it rewrote — the r14 claim is
+  that the COMMON fire (increments -> run) rewrites a bounded number
+  of rows regardless of lifetime, while the rare snapshot fire
+  (period R*(K-1) batches) is the only O(prefix) rewrite.
 
 Without retention all of these grow O(#batches) and per-batch wall
 time creeps with them (the listing + the union plan); with it the
@@ -66,19 +71,33 @@ def main() -> int:
 
     inner = J._t40_make_batch(spark, out_dir)
     rows = []
+    fires = []
 
     def timed(batch_df, batch_id):
+        pre = {fam: set(J._committed_versions(sroot, fam))
+               for fam in ("storer", "storec")}
         t0 = time.time()
         inner(batch_df, batch_id)
         wall = time.time() - t0
         bands = len(J._committed_versions(sroot, "bands"))
         store = len(J._committed_versions(sroot, "store"))
-        snaps = len(J._committed_versions(sroot, "storec"))
+        runs = J._committed_versions(sroot, "storer")
+        snaps = J._committed_versions(sroot, "storec")
         live = len(J._store_live_trees(sroot, "store", "storec",
                                        batch_id, inclusive=True))
         rows.append({"batch": batch_id, "wall_s": round(wall, 3),
                      "bands_vs": bands, "store_trees": store,
-                     "snapshots": snaps, "live_set": live})
+                     "runs": len(runs), "snapshots": len(snaps),
+                     "live_set": live})
+        # per-fire rewrite accounting (outside the timed section):
+        # count the rows of any run/snapshot this batch created
+        for kind, fam in (("run", "storer"), ("snapshot", "storec")):
+            for v in sorted(set(J._committed_versions(sroot, fam))
+                            - pre[fam]):
+                cnt = spark.read.parquet(
+                    J._sdir(sroot, fam, v)).count()
+                fires.append({"batch": int(batch_id), "kind": kind,
+                              "rewritten_rows": int(cnt)})
 
     s = (spark.readStream
          .schema("event_id long, ts timestamp, value double")
@@ -109,22 +128,36 @@ def main() -> int:
     print(f"t40 lifetime probe: {len(rows)} data batches "
           f"({n_staged} rows staged, {args.sf}), total {total:.1f}s")
     print()
-    print("| batch | wall_s | bands_vs | store_trees | snapshots "
-          "| live_set |")
-    print("|---|---|---|---|---|---|")
+    print("| batch | wall_s | bands_vs | store_trees | runs "
+          "| snapshots | live_set |")
+    print("|---|---|---|---|---|---|---|")
     for r in rows:
         print(f"| {r['batch']} | {r['wall_s']} | {r['bands_vs']} "
-              f"| {r['store_trees']} | {r['snapshots']} "
-              f"| {r['live_set']} |")
+              f"| {r['store_trees']} | {r['runs']} "
+              f"| {r['snapshots']} | {r['live_set']} |")
+    print()
+    print("| fire batch | kind | rewritten_rows |")
+    print("|---|---|---|")
+    for f_ in fires:
+        print(f"| {f_['batch']} | {f_['kind']} "
+              f"| {f_['rewritten_rows']} |")
     halves = [rr["wall_s"] for rr in rows]
     h1 = sum(halves[:len(halves) // 2]) / (len(halves) // 2)
     h2 = sum(halves[len(halves) // 2:]) / (len(halves)
                                            - len(halves) // 2)
+    run_rows = [f_["rewritten_rows"] for f_ in fires
+                if f_["kind"] == "run"]
+    snap_rows = [f_["rewritten_rows"] for f_ in fires
+                 if f_["kind"] == "snapshot"]
     print()
     print(f"mean per-batch wall: first half {h1:.3f}s, "
           f"second half {h2:.3f}s (ratio {h2 / h1:.2f}x); "
           f"max bands_vs {max(r['bands_vs'] for r in rows)}, "
           f"max live_set {max(r['live_set'] for r in rows)}; "
+          f"run fires {len(run_rows)} (max rewrite "
+          f"{max(run_rows) if run_rows else 0} rows — bounded), "
+          f"snapshot fires {len(snap_rows)} (rows "
+          f"{snap_rows}); "
           f"final-answer parity with batch staircase: {parity}")
     record = {"metric": "t40_lifetime_probe", "batches": len(rows),
               "rows_staged": n_staged, "sf_dir": args.sf,
@@ -134,7 +167,13 @@ def main() -> int:
               "max_bands_versions": max(r["bands_vs"] for r in rows),
               "max_live_set": max(r["live_set"] for r in rows),
               "max_store_trees": max(r["store_trees"] for r in rows),
+              "run_fires": len(run_rows),
+              "max_run_rewrite_rows": (max(run_rows) if run_rows
+                                       else 0),
+              "snapshot_fires": len(snap_rows),
+              "snapshot_rewrite_rows": snap_rows,
               "parity": bool(parity),
+              "fires": fires,
               "per_batch": rows}
     print("LIFETIME_JSON:" + json.dumps(record))
     spark.stop()
