@@ -58,6 +58,15 @@ Re-probed round 12 (2026-08-16): unchanged — ``google.protobuf`` and
 the ``StateMessage_pb2`` path both still ModuleNotFoundError.
 Re-probed round 13 (2026-08-16): unchanged, both imports still
 ModuleNotFoundError; no environment bump.
+Re-probed round 14 (2026-08-16) with a full end-to-end minimal
+query this time: the failure mode changed shape again — the query
+now TERMINATES with ``[STREAM_FAILED] TransformWithStateInPySpark
+driver worker exited unexpectedly (crashed) SQLSTATE: XXKST``
+(better than r8's silent hang), and the root cause is verbatim
+unchanged: ``StateMessage_pb2`` → ``from google.protobuf import
+descriptor`` → ``ModuleNotFoundError: No module named 'google'``.
+Still env-blocked; the applyInPandasWithState ports remain the
+right call.
 ``applyInPandasWithState`` covers the OP-T8/t27
 contracts; the TWS form is a drop-in rewrite (same per-key int64
 state, same oracle) once the dependency exists.
