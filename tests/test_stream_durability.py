@@ -286,6 +286,53 @@ def test_t40_two_lifetime_restart(spark):
     assert len(uninterrupted) == 4  # one exact answer per batch
 
 
+def test_t40_two_lifetime_restart_across_fires(spark, monkeypatch):
+    """r14 restart drill for the TIERED compaction: the process dies
+    right after the SNAPSHOT-firing batch (and, uninterrupted-side,
+    runs straight through), then a FRESH callback on the same
+    checkpoint drains the rest — recovery is pure listing, so the
+    post-restart batches must resolve the snapshot + post-snapshot
+    runs identically and produce bit-equal answers. Thresholds
+    lowered (3 incs/run, 2 runs/snapshot) so 8 batches put a run
+    fire (b2), the snapshot fire (b4) and a post-snapshot run (b6)
+    all BEHIND or ACROSS the restart boundary."""
+    monkeypatch.setattr(J, "_STORE_RUN_INCREMENTS", 3)
+    monkeypatch.setattr(J, "_STORE_COMPACT_RUNS", 2)
+    ev = (load_table(spark, SF, "events")
+          .select("event_id", "ts", "value"))
+    mn, mx = ev.agg(F.min(F.unix_micros("ts")),
+                    F.max(F.unix_micros("ts"))).first()
+    arrival = F.expr(f"((unix_micros(ts) - {mn}) * 8) "
+                     f"div ({mx - mn + 1})")
+    staged = ev.withColumn("arrival", arrival)
+    schema = "event_id long, ts timestamp, value double"
+    files = [f"a{i}" for i in range(8)]
+
+    def run(tranches):
+        out_dir = J._mkdtemp(prefix="dur_t40_restart_fire_")
+        hold = f"{out_dir}/hold"
+        J._write_arrival_files(spark, staged, hold, n_files=8)
+        _run_stream_lifetimes(
+            spark, out_dir, hold, schema,
+            lambda: J._t40_make_batch(spark, out_dir), tranches)
+        sroot = f"{out_dir}/state"
+        live = J._store_live_trees(sroot, "store", "storec")
+        return (_rows(J._read_family(spark, sroot, "res")),
+                _rows(_union_trees(spark, live)
+                      .select("value", "_qb")),
+                len(J._committed_versions(sroot, "storer")),
+                len(J._committed_versions(sroot, "storec")))
+
+    uninterrupted = run([files])
+    # restart boundary immediately after the snapshot-firing batch
+    # (b4): lifetime 2 opens on a store that is snapshot + own inc
+    restarted = run([files[:5], files[5:]])
+    assert restarted == uninterrupted
+    assert uninterrupted[2] == 1  # post-snapshot run (b6) live
+    assert uninterrupted[3] == 1  # the snapshot fire happened
+    assert len(uninterrupted[0]) == 8
+
+
 def test_kit_version_selection_contract(tmp_path):
     """Pure-python pin of the kit's recovery reads: only
     ``_SUCCESS``-marked dirs are committed; predecessors are strictly
