@@ -4237,12 +4237,12 @@ def _t40_make_batch(spark: SparkSession, out_dir: str):
 
         def store_for_bands(band_ids: list) -> DataFrame:
             # union the LIVE trees of this prefix (latest snapshot +
-            # uncovered increments ≤ batch_id — O(threshold)
-            # relations however long the stream has run); the _qbg
-            # isin literal prunes each tree at file listing, the _qb
-            # filter prunes row groups inside the group file — only
-            # the target bands' neighborhoods (~N·G/B rows each) are
-            # read
+            # runs after it + uncovered increments ≤ batch_id —
+            # ≤ _STORE_LIVE_BOUND relations however long the stream
+            # has run); the _qbg isin literal prunes each tree at
+            # file listing, the _qb filter prunes row groups inside
+            # the group file — only the target bands' neighborhoods
+            # (~N·G/B rows each) are read
             ids = [int(b) for b in band_ids]
             gids = sorted({_qb_group_id(i) for i in ids})
             parts = [spark.read.parquet(p)
@@ -5555,9 +5555,10 @@ def _t46_make_batch(spark: SparkSession, out_dir: str):
                 # STRICT prefix read: only PRIOR batches' live trees
                 # feed the fence (a retried batch's own increment
                 # from a failed attempt is excluded by the strict
-                # cutoff; its own snapshot, if any, covers exactly
-                # the strict prefix and is safe); _qbg prunes dirs,
-                # _qb prunes row groups (the _QB_GROUP layout)
+                # cutoff; its own run or snapshot, if any, contains
+                # only values strictly before this batch and is
+                # safe); _qbg prunes dirs, _qb prunes row groups
+                # (the _QB_GROUP layout)
                 ids = [int(x) for x in band_ids]
                 gids = sorted({_qb_group_id(i) for i in ids})
                 parts = [spark.read.parquet(p)
