@@ -44,6 +44,14 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--batches", type=int, default=64)
     ap.add_argument("--sf", default="/root/testdata/sf0.001")
+    ap.add_argument("--run-threshold", type=int, default=None,
+                    help="override _STORE_RUN_INCREMENTS (A/B of "
+                         "compaction policies: 8 with "
+                         "--snap-threshold 1 emulates the r13 "
+                         "single-level trigger — every fire is a "
+                         "full-prefix snapshot)")
+    ap.add_argument("--snap-threshold", type=int, default=None,
+                    help="override _STORE_COMPACT_RUNS")
     args = ap.parse_args()
     n = args.batches
 
@@ -56,6 +64,10 @@ def main() -> int:
         round_half_up)
 
     spark = get_spark("lifetime_probe")
+    if args.run_threshold is not None:
+        J._STORE_RUN_INCREMENTS = args.run_threshold
+    if args.snap_threshold is not None:
+        J._STORE_COMPACT_RUNS = args.snap_threshold
     out_dir = J._mkdtemp(prefix="lifetime_t40_")
     stage = f"{out_dir}/landing"
     sroot = f"{out_dir}/state"
@@ -160,6 +172,8 @@ def main() -> int:
           f"{snap_rows}); "
           f"final-answer parity with batch staircase: {parity}")
     record = {"metric": "t40_lifetime_probe", "batches": len(rows),
+              "run_threshold": J._STORE_RUN_INCREMENTS,
+              "snap_threshold": J._STORE_COMPACT_RUNS,
               "rows_staged": n_staged, "sf_dir": args.sf,
               "total_s": round(total, 1),
               "mean_wall_first_half_s": round(h1, 3),
