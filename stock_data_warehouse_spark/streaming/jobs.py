@@ -139,6 +139,7 @@ STREAM_ADMISSION: dict[str, int] = {
     "x2_incremental_minhash_stream": 1,
     "x2_band_compaction_stream": 1,
     "t40_quantile_monitor_stream": 1,
+    "t47_tiered_compaction_stream": 1,
     "x2_triggered_compaction_stream": 1,
     "t42_reservoir_sample_stream": 1,
     "t43_decayed_counter_stream": 1,
@@ -4746,6 +4747,228 @@ def x2_triggered_compaction_stream(spark: SparkSession,
             .select("batch_id", "n_arrivals", "n_dups",
                     "n_unique", "jac6_mass",
                     "compaction_fired", "store_docs_after"))
+
+
+# ---------------------------------------------------------------------------
+# OP-T47 — the two-tier compaction POLICY graded end to end (r14):
+# t40 proves the tiered kit keeps the ANSWERS exact; t47 makes the
+# maintenance DECISIONS themselves driver-gradable, the
+# x2_triggered_compaction_stream pattern applied to the r14
+# mechanism — every fire (increments→run, runs→snapshot) and the
+# post-retention read fan-in are engine-computed columns the oracle
+# independently re-derives, so both the fired and the no-fire
+# branches of both tiers are pinned at every SF.
+# ---------------------------------------------------------------------------
+
+#: t47's lowered thresholds: with one increment per data batch, 12
+#: batches fire runs at ordinals {2, 6, 10} and snapshots at {4, 8}
+#: (the run that would tip the 2-run threshold is skipped and the
+#: snapshot fires directly) — both tiers exercised repeatedly, both
+#: decision columns non-constant by construction at every SF.
+_T47_RUN_T, _T47_SNAP_T = 3, 2
+
+
+def _t47_make_batch(spark: SparkSession, out_dir: str):
+    """t47's foreachBatch callback: t40's exact-quantile monitor body
+    on the same durable-state kit, with the two-tier compaction
+    thresholds lowered to ``(_T47_RUN_T, _T47_SNAP_T)`` (the kit
+    takes them per call) and the maintenance facts graded — each
+    ``res`` row carries ``fired_run`` / ``fired_snapshot`` (derived
+    from the batch's own committed run/snapshot version, so a
+    re-delivered batch whose first attempt fired reads the same TRUE
+    through the compaction short-circuit) and ``live_trees`` (the
+    post-retention read fan-in, straight from
+    ``_store_live_trees``). Retention runs BEFORE the quantile
+    answer here (t40 defers it) because the graded columns are the
+    post-maintenance facts; the answer is unchanged either way — a
+    snapshot at this version plus the batch's own increment is
+    exactly the inclusive prefix. Module-level for the durability
+    drills."""
+    from ..functions.scalars import round_half_up
+    from ..operators.staircase import (double_value_bucket,
+                                       state_exact_quantiles)
+    sroot = f"{out_dir}/state"
+    bucket = double_value_bucket(F.col("value"), 2.0)
+
+    def tiered_batch(batch_df: DataFrame, batch_id: int) -> None:
+        banded = (batch_df.select("value")
+                          .withColumn("_qb", bucket)
+                          .localCheckpoint(eager=True))
+        if banded.isEmpty():
+            return
+        prev, ordinal = _monoid_prev(spark, sroot, "bands", batch_id)
+        b_stats = (banded.groupBy("_qb")
+                         .agg(F.count(F.lit(1)).alias("_bn"),
+                              F.min("value").alias("_bmin"),
+                              F.max("value").alias("_bmax")))
+        merged = b_stats if prev is None else (
+            prev.unionByName(b_stats)
+                .groupBy("_qb")
+                .agg(F.sum("_bn").cast("long").alias("_bn"),
+                     F.min("_bmin").alias("_bmin"),
+                     F.max("_bmax").alias("_bmax")))
+        (_stamp_ord(merged, ordinal).coalesce(1)
+         .write.mode("overwrite").parquet(
+             _sdir(sroot, "bands", batch_id)))
+        (banded.withColumn("_qbg", _qb_group_col(F.col("_qb")))
+               .repartition("_qbg")
+               .sortWithinPartitions("_qb")
+               .write.partitionBy("_qbg").mode("overwrite")
+               .parquet(_sdir(sroot, "store", batch_id)))
+        _maybe_compact_store(spark, sroot, "store", "storec",
+                             batch_id, run_threshold=_T47_RUN_T,
+                             snap_threshold=_T47_SNAP_T)
+        fired_run = _is_committed(_sdir(sroot, "storer", batch_id))
+        fired_snap = _is_committed(_sdir(sroot, "storec", batch_id))
+        live = len(_store_live_trees(sroot, "store", "storec",
+                                     batch_id, inclusive=True))
+        stats = (spark.read.parquet(_sdir(sroot, "bands", batch_id))
+                      .drop("_ord"))
+
+        def store_for_bands(band_ids: list) -> DataFrame:
+            ids = [int(x) for x in band_ids]
+            gids = sorted({_qb_group_id(i) for i in ids})
+            parts = [spark.read.parquet(p)
+                          .filter(F.col("_qbg").isin(gids))
+                          .filter(F.col("_qb").isin(ids))
+                          .select("value", "_qb")
+                     for p in _store_live_trees(
+                         sroot, "store", "storec", batch_id,
+                         inclusive=True)]
+            out = parts[0]
+            for pt in parts[1:]:
+                out = out.unionByName(pt)
+            return out
+
+        q = state_exact_quantiles(stats, store_for_bands, "value",
+                                  [0.5, 0.95])
+        (q.select(F.lit(ordinal).cast("long").alias("batch_id"),
+                  F.col("n").alias("n_events"),
+                  round_half_up(F.col("q0"), 6).alias("p50_value"),
+                  round_half_up(F.col("q1"), 6).alias("p95_value"),
+                  F.lit(bool(fired_run)).alias("fired_run"),
+                  F.lit(bool(fired_snap)).alias("fired_snapshot"),
+                  F.lit(int(live)).cast("long").alias("live_trees"))
+          .write.mode("overwrite").parquet(
+              _sdir(sroot, "res", batch_id)))
+        _vacuum_superseded(sroot, "bands", batch_id)
+
+    return tiered_batch
+
+
+@register(
+    "t47_tiered_compaction_stream",
+    oracle=f"""
+    WITH bounds AS (
+      SELECT epoch_us(MIN(ts)) AS mn, epoch_us(MAX(ts)) AS mx
+      FROM events
+    ),
+    ar AS (
+      SELECT value,
+             (epoch_us(ts) - mn) * 12 // (mx - mn + 1) AS arrival
+      FROM events, bounds
+    ),
+    b(batch_id) AS (
+      SELECT unnest([0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11])
+    )
+    SELECT CAST(b.batch_id AS BIGINT) AS batch_id,
+           COUNT(*) AS n_events,
+           {{p50}} AS p50_value,
+           {{p95}} AS p95_value,
+           b.batch_id > 0 AND b.batch_id % 4 = 2 AS fired_run,
+           b.batch_id > 0 AND b.batch_id % 4 = 0 AS fired_snapshot,
+           CAST(CASE WHEN b.batch_id = 0 THEN 1 ELSE
+             (CASE b.batch_id % 4 WHEN 0 THEN 2 WHEN 1 THEN 3
+                                  WHEN 2 THEN 3 ELSE 4 END)
+             - (CASE WHEN b.batch_id < 4 THEN 1 ELSE 0 END) END
+           AS BIGINT) AS live_trees,
+           TRUE AS maintained_state_ok
+    FROM b JOIN ar ON ar.arrival <= b.batch_id
+    GROUP BY b.batch_id
+    """.format(p50=_sql_rhu("quantile_cont(value, 0.5)", 6),
+               p95=_sql_rhu("quantile_cont(value, 0.95)", 6)),
+)
+def t47_tiered_compaction_stream(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """OP-T47 — the r14 TWO-TIER compaction policy graded end to end
+    (the x2_triggered pattern: decisions are engine-computed columns
+    the oracle independently re-derives; nothing is pinned TRUE that
+    the engine didn't decide). Events replay as 12 time-quantile
+    micro-batches through t40's exact-quantile monitor with the tier
+    thresholds lowered to (3 increments per run, 2 runs per
+    snapshot); per batch the engine reports, from its own committed
+    listings, whether level 1 fired (``fired_run``), whether level 2
+    fired (``fired_snapshot`` — including the tip-skip: the run that
+    would reach the run threshold AND the snapshot threshold is
+    absorbed directly, so a snapshot batch reports run=FALSE), and
+    the post-retention read fan-in (``live_trees``).
+
+    The oracle replays three things independently: the exact
+    interpolated p50/p95 of every prefix (``quantile_cont`` — the
+    answers must stay bit-exact THROUGH every fire; a covering bug
+    that dropped or doubled a tree's rows breaks the hash), and the
+    fire schedule + live-set sizes as pure arithmetic consequences of
+    (K=3, R=2) with one increment per data batch: runs at ordinals
+    ≡ 2 (mod 4), snapshots at ≡ 0 (mod 4, after 0), live set cycling
+    1,2,2,3 cold then 2,3,3,4 steady (the cold cycle is one lower —
+    no snapshot exists yet). Decisions are non-constant at every SF
+    by construction (they depend on batch COUNT, and all 12
+    time-quantile slots are non-empty at every shipped SF — probed
+    before registration per the degeneracy rule).
+
+    Scale: identical economics to t40 (O(batch + bands + N/B) per
+    batch, metadata O(1) in lifetime) with the write-amplification
+    bound made visible: the common fire rewrites ≤ K−1 batches of
+    rows, the O(prefix) snapshot fires at period R·(K−1)
+    (LIFETIME_AB_r14.json: 2.93× vs 6.84× staged rows at 96
+    batches). Durability: same-batch replay of both fire kinds and
+    the restart-across-fires drill in tests/test_stream_durability.py
+    drive this exact kit path."""
+    from ..sources.tables import load_table
+
+    out_dir = _mkdtemp(prefix="t47_tiered_")
+    stage = f"{out_dir}/landing"
+
+    ev = (load_table(spark, sf_dir, "events")
+          .select("event_id", "ts", "value"))
+    mn, mx = ev.agg(F.min(F.unix_micros("ts")),
+                    F.max(F.unix_micros("ts"))).first()
+    arrival = F.expr(f"((unix_micros(ts) - {mn}) * 12) "
+                     f"div ({mx - mn + 1})")
+    n_staged = _write_arrival_files(
+        spark, ev.withColumn("arrival", arrival), stage, n_files=12)
+
+    tiered_batch = _t47_make_batch(spark, out_dir)
+
+    s = (spark.readStream
+         .schema("event_id long, ts timestamp, value double")
+         .option("maxFilesPerTrigger", str(STREAM_ADMISSION[
+             "t47_tiered_compaction_stream"]))
+         .option("recursiveFileLookup", "true")
+         .parquet(stage))
+    sq = (s.writeStream
+           .foreachBatch(tiered_batch)
+           .option("checkpointLocation", f"{out_dir}/checkpoint")
+           .trigger(availableNow=True)
+           .start())
+    sq.awaitTermination()
+    data_batches = [pr for pr in sq.recentProgress
+                    if pr["numInputRows"] > 0]
+    admitted = sum(pr["numInputRows"] for pr in data_batches)
+    sroot = f"{out_dir}/state"
+    maintained_ok = (len(data_batches) == 12 and admitted == n_staged
+                     and len(_committed_versions(sroot, "bands"))
+                     <= _MONOID_KEEP
+                     and _monoid_final_ord(spark, sroot, "bands") == 11
+                     and len(_store_live_trees(sroot, "store",
+                                               "storec"))
+                     <= 1 + (_T47_SNAP_T - 1) + _T47_RUN_T
+                     and len(_committed_versions(sroot, "res")) == 12)
+    return (_read_family(spark, sroot, "res")
+            .select("batch_id", "n_events", "p50_value", "p95_value",
+                    "fired_run", "fired_snapshot", "live_trees",
+                    F.lit(bool(maintained_ok))
+                     .alias("maintained_state_ok")))
 
 
 # ---------------------------------------------------------------------------

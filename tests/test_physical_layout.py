@@ -595,7 +595,9 @@ _STAIRCASE_CONSUMERS = [
     # the exact p50/p90 ride the log-width bands
     ("analytics", "f5_conversion_lag_quantiles", (), ()),
     # r11: t40_quantile_monitor_stream (and t46_prequential_anomaly_
-    # stream, which reads the same state for its fences) are STREAMING
+    # stream, which reads the same state for its fences, and r14's
+    # t47_tiered_compaction_stream, the same kernel with graded
+    # compaction decisions) are STREAMING
     # staircase consumers, but their staircase plans run INSIDE a
     # foreachBatch body — the returned DataFrame is the results-dir
     # read, so this gate would pass vacuously (no windows at all).

@@ -41,9 +41,9 @@ SF = "/root/testdata/sf0.001"
 #: contract — new maintenance streams must be added here (and get a
 #: replay/restart drill) or the static gate below fails the build
 _DURABLE_FACTORIES = [
-    "_t40_make_batch", "_t42_make_batch", "_t43_make_batch",
-    "_t44_make_batch", "_t45_make_batch", "_t46_make_batch",
-    "_x2bc_make_batch", "_x2trig_make_batch",
+    "_t40_make_batch", "_t47_make_batch", "_t42_make_batch",
+    "_t43_make_batch", "_t44_make_batch", "_t45_make_batch",
+    "_t46_make_batch", "_x2bc_make_batch", "_x2trig_make_batch",
 ]
 
 
@@ -479,6 +479,45 @@ def test_monoid_prev_empty_state_falls_back_to_ledger(spark,
     assert ordinal == 2
     # the post-stream pin's fallback: res count − 1
     assert J._monoid_final_ord(spark, root, "mgs") == 1
+
+
+def test_t47_same_batch_replay_including_fired_columns(spark):
+    """t47's replay drill: the GRADED decision columns must be
+    retry-stable — re-deliver the run-firing batch (2) and the
+    snapshot-firing batch (4); the retried batch's compaction
+    short-circuits into its own committed run/snapshot, so
+    fired_run / fired_snapshot / live_trees (and the quantiles) must
+    be bit-identical to the clean run. t47 carries its lowered
+    thresholds internally, so no monkeypatch."""
+    n = 12
+    batches = _event_splits(spark, ["event_id", "ts", "value"], n)
+
+    def run(out_dir, schedule):
+        cb = J._t47_make_batch(spark, out_dir)
+        for bid, df in schedule:
+            cb(df, bid)
+        sroot = f"{out_dir}/state"
+        live = J._store_live_trees(sroot, "store", "storec")
+        return (_rows(J._read_family(spark, sroot, "res")),
+                _rows(_union_trees(spark, live)
+                      .select("value", "_qb")),
+                len(J._committed_versions(sroot, "bands")),
+                len(live))
+
+    clean_sched = list(enumerate(batches))
+    replay_sched = (clean_sched[:3] + [(2, batches[2])]
+                    + clean_sched[3:5] + [(4, batches[4])]
+                    + clean_sched[5:])
+    clean = run(J._mkdtemp(prefix="dur_t47_clean_"), clean_sched)
+    replay = run(J._mkdtemp(prefix="dur_t47_replay_"), replay_sched)
+    assert replay == clean
+    assert clean[2] <= J._MONOID_KEEP
+    # the graded schedule actually happened: runs at {2,6,10},
+    # snapshots at {4,8}, final live set = snap8+run10+inc10+inc11
+    fired = {(r[0], r[4], r[5]) for r in clean[0]}
+    assert (2, True, False) in fired and (4, False, True) in fired
+    assert (8, False, True) in fired and (10, True, False) in fired
+    assert clean[3] == 4
 
 
 def test_kit_tiered_compaction_contract(tmp_path):
