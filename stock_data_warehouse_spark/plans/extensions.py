@@ -5021,13 +5021,19 @@ def x3_ivf_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         kmeans_fit_assign(train_df, "vec_id", "e",
                           k=K_COARSE, n_iter=3,
                           train_sample=8 * K_COARSE,
-                          centroids_log=cent_log)
+                          centroids_log=cent_log,
+                          assign=False)
         cents = cent_log[0]
         cells = assign_cells(encode_df, cents)
         sub = subspaces(encode_df)
+        # assign=False (r15): both trainers' own full assignments were
+        # discarded here — the encode set is assigned through
+        # assign_cells/encode_pq against the frozen tables instead, so
+        # the trainers now stop at the trained centroids/codebooks.
         _enc, cb = kmeans_fit_assign_grouped(
             subspaces(train_df), "j", "vec_id", "sv",
-            k=K_CODES, n_iter=3, train_sample=8 * K_CODES)
+            k=K_CODES, n_iter=3, train_sample=8 * K_CODES,
+            assign=False)
         codes = encode_pq(sub, cb)
         return cells, codes, cents, cb
 

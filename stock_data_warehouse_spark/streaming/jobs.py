@@ -1038,12 +1038,43 @@ def _write_arrival_files(spark: SparkSession, staged: DataFrame,
     as exactly ONE input partition — ``_run_advancing`` pins the scan
     confs (``maxPartitionBytes`` up, ``minPartitionNum`` 1) so a bigger
     SF or a session conf change cannot split a file and inflate the
-    engine metric."""
+    engine metric.
+
+    r15 (guide §1.2/§2.4 — remove unnecessary passes): ONE
+    ``partitionBy("arrival")`` write instead of ``n_files`` filtered
+    writes. The staged relation's lineage (typically a window pack
+    over the full events table) used to be recomputed once per
+    arrival file plus once for the count read-back; now it computes
+    once. ``repartition("arrival")`` puts each arrival value in
+    exactly one task, so every arrival dir still holds exactly ONE
+    data file — the admission contract (one file = one micro-batch)
+    and the one-partition-per-file scan contract are unchanged. Dirs
+    are renamed to the historical ``a{k}`` layout (the durability
+    drills move them by name, and the mtime ladder is applied the
+    same way). An arrival value with zero rows writes no partition
+    dir; those get the empty single-file parquet the old code
+    produced, so the staged file COUNT (and therefore the micro-batch
+    schedule) is also unchanged."""
     base_mtime = 1_700_000_000
+    (staged.repartition("arrival")
+           .write.partitionBy("arrival").parquet(stage))
+    leftover = [d for d in os.listdir(stage)
+                if d.startswith("arrival=")
+                and not any(d == f"arrival={k}" for k in range(n_files))]
+    if leftover:
+        raise ValueError(
+            f"staged relation carries arrival values outside "
+            f"0..{n_files - 1}: {sorted(leftover)} — the old per-file "
+            "writer silently dropped those rows; fix the caller's "
+            "arrival expression instead")
     for k in range(n_files):
         path = f"{stage}/a{k}"
-        part = staged.filter(F.col("arrival") == k).drop("arrival")
-        part.coalesce(1).write.parquet(path)
+        src = f"{stage}/arrival={k}"
+        if os.path.isdir(src):
+            os.rename(src, path)
+        else:
+            (staged.filter(F.lit(False)).drop("arrival")
+                   .coalesce(1).write.parquet(path))
         t = base_mtime + 60 * k
         for root, _dirs, files in os.walk(path):
             for fn in files:
@@ -3438,7 +3469,6 @@ def x3_ivf_ingest_stream(spark: SparkSession,
     the x2_incremental_minhash posture). The equality referee is
     test-time scaffolding; the graded serve path stays
     O(arrivals)."""
-    from ..operators.checkpoint import ckpt
     from ..operators.kmeans import (
         kmeans_fit_assign, kmeans_fit_assign_grouped,
     )
@@ -3473,14 +3503,18 @@ def x3_ivf_ingest_stream(spark: SparkSession,
 
     # --- train ONCE on the warehouse; freeze centroids + codebooks
     cent_log: list = []
+    # assign=False (r15): the trainers' full assignments were discarded
+    # here — arrivals and warehouse are assigned through the frozen
+    # assign_cells/encode_pq plans below; the trained (and already
+    # checkpointed) centroid/codebook tables are all this path needs.
     kmeans_fit_assign(wh, "vec_id", "e", k=K_COARSE, n_iter=3,
                       train_sample=8 * K_COARSE,
-                      centroids_log=cent_log)
-    cents = ckpt(cent_log[0])
+                      centroids_log=cent_log, assign=False)
+    cents = cent_log[0]
     _enc, cb = kmeans_fit_assign_grouped(
         subspaces(wh), "j", "vec_id", "sv",
-        k=K_CODES, n_iter=3, train_sample=8 * K_CODES)
-    cb = ckpt(cb)
+        k=K_CODES, n_iter=3, train_sample=8 * K_CODES,
+        assign=False)
 
     def assign_cells(df):
         scored = (df.crossJoin(F.broadcast(cents))
