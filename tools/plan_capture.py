@@ -33,10 +33,18 @@ def main() -> int:
     out_dir = os.path.join(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))), "plans", tag)
     os.makedirs(out_dir, exist_ok=True)
+    import contextlib
+    import io
+
     for name in names:
         df = qs[name](spark, SF_DIR)
-        plan = df._sc._jvm.PythonSQLUtils.explainString(
-            df._jdf.queryExecution(), "formatted")
+        # ADVICE r15: capture through the public API — explain() emits
+        # the identical formatted plan without touching py4j internals
+        # (df._sc/_jdf break across PySpark versions, e.g. Connect).
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain("formatted")
+        plan = buf.getvalue()
         path = os.path.join(out_dir, f"{name}_{suffix}.txt")
         with open(path, "w") as fh:
             fh.write(plan)
