@@ -173,6 +173,9 @@ HEADLINE = (
     "f5_conversion_lag_quantiles",  # funnel latency via staircase
     # round-12 addition: x6's monitor -> act loop
     "x6_psi_triggered_recalibration",  # PSI trigger -> grid refit
+    # round-16 addition (VERDICT r15 item 5, carried from r14 #2):
+    # the two-tier compaction POLICY stream, graded end to end
+    "t47_tiered_compaction_stream",   # run/snapshot fires as columns
 )
 
 

@@ -304,71 +304,100 @@ def state_exact_quantiles(stats: DataFrame, store_reader,
       this is a static partition-pruned read — O(N/B) rows per
       target band, never the prefix).
 
-    The rank→band location runs entirely over ``stats`` (level 2,
-    bucket-dim-sized); single-valued bands answer from the state alone;
-    each multi-valued target band sorts its own rows through one task —
-    identical mechanics, identical two-product interpolation kernel,
-    and therefore identical bits to the batch form over the same
-    prefix. The ``.collect()`` of target band ids is control-plane
-    (≤ 2·len(probs) longs from a bounded relation), not a data path.
+    The rank→band location runs entirely over ``stats`` — a relation
+    BOUNDED BY THE VALUE DOMAIN, so it is collected ONCE and walked
+    driver-side (control-plane class, the same argument as the old
+    form's target-band-id collect): single-valued bands answer from
+    the state alone with zero data reads; each multi-valued target
+    band is ONE partition-pruned store read whose per-band sort runs
+    through one task. r16 (guide §1.2/§5 — the per-batch profile
+    showed the old all-in-plan form spending ~1-1.5 s per micro-batch
+    on 10+ tiny stages of rank arithmetic over the ≤bounded-domain
+    stats relation: global-agg spec, explode/distinct, windowed
+    cumsum, crossJoin filter, and 2·len(probs) broadcast joins, each
+    a scheduling round-trip at local[32] and a driver round-trip at
+    1000 executors): the driver walk replaces ALL of that with plain
+    arithmetic; what remains distributed is exactly the data path —
+    the pruned store lookup with its band-partitioned row_number.
+    Interpolation stays the identical two-product kernel on the
+    identical doubles (Python and Spark SQL run the same IEEE ops in
+    the same order; literals re-enter exactly via repr round-trip),
+    so the answer is still bit-identical to the batch staircase and
+    to ``quantile_cont`` — pinned by
+    tests/test_physical_layout.py::
+    test_streaming_staircase_matches_batch_and_is_bucket_partitioned.
 
     Returns one row: ``n`` (long) + ``q0, q1, ...`` (double)."""
-    spec = stats.agg(F.sum("_bn").cast("long").alias("_n"))
-    for i, p in enumerate(probs):
-        pos = (F.col("_n") - 1).cast("double") * F.lit(p)
-        r0 = F.floor(pos).cast("long")
-        spec = (spec.withColumn(f"_q{i}_r0", r0)
-                    .withColumn(f"_q{i}_r1",
-                                F.least(r0 + 1, F.col("_n") - 1))
-                    .withColumn(f"_q{i}_f", pos - F.floor(pos)))
-    rks = F.array(*[F.col(f"_q{i}_r{j}")
-                    for i in range(len(probs)) for j in (0, 1)])
-    needs = spec.select(F.explode(rks).alias("_rk")).distinct()
-    wb = (Window.orderBy("_qb")
-                .rowsBetween(Window.unboundedPreceding, -1))
-    bcum = stats.withColumn(
-        "_before", F.coalesce(F.sum("_bn").over(wb), F.lit(0)))
-    tb = (needs.crossJoin(bcum)
-               .filter((F.col("_rk") >= F.col("_before"))
-                       & (F.col("_rk")
-                          < F.col("_before") + F.col("_bn"))))
-    direct = (tb.filter(F.col("_bmin") == F.col("_bmax"))
-                .select("_rk", F.col("_bmin").alias("_v")))
-    multi = (tb.filter(F.col("_bmin") != F.col("_bmax"))
-               .select("_qb", "_rk",
-                       (F.col("_rk") - F.col("_before"))
-                       .alias("_lrk")))
-    target_bands = sorted(
-        r["_qb"] for r in multi.select("_qb").distinct().collect())
-    vals = direct
-    if target_bands:
-        b = store_reader(target_bands)
-        wl = Window.partitionBy("_qb").orderBy(value)
-        looked = (b.withColumn("_lrn",
-                               F.row_number().over(wl)
-                                .cast("long") - 1)
-                   .join(F.broadcast(multi), "_qb")
-                   .filter(F.col("_lrn") == F.col("_lrk"))
-                   .select("_rk", F.col(value).alias("_v")))
-        vals = direct.unionByName(looked)
-    out = spec
-    for i in range(len(probs)):
-        v0 = vals.select(F.col("_rk").alias(f"_q{i}_r0"),
-                         F.col("_v").alias(f"_q{i}_v0"))
-        v1 = vals.select(F.col("_rk").alias(f"_q{i}_r1"),
-                         F.col("_v").alias(f"_q{i}_v1"))
-        out = (out.join(F.broadcast(v0), f"_q{i}_r0")
-                  .join(F.broadcast(v1), f"_q{i}_r1"))
+    import math
+
+    spark = stats.sparkSession
+    rows = sorted(stats.select("_qb", "_bn", "_bmin", "_bmax")
+                       .collect(),
+                  key=lambda r: r["_qb"])
+    n = int(sum(int(r["_bn"]) for r in rows))
+    if n == 0:
+        # empty state: the old plan's inner rank joins matched nothing
+        # — an EMPTY relation of the declared schema
+        return spark.range(0).select(
+            F.lit(0).cast("long").alias("n"),
+            *[F.lit(0.0).alias(f"q{i}") for i in range(len(probs))])
+    spec = []
+    need = set()
+    for p in probs:
+        # identical arithmetic to the old in-plan form: (n−1) exact as
+        # long→double, pos/f as IEEE doubles, floor/least on longs
+        pos = float(n - 1) * p
+        r0 = int(math.floor(pos))
+        r1 = min(r0 + 1, n - 1)
+        spec.append((r0, r1, pos - math.floor(pos)))
+        need.update((r0, r1))
+    direct: dict = {}
+    multi: dict = {}
+    before = 0
+    for r in rows:  # the old windowed cumsum, walked in band order
+        bn = int(r["_bn"])
+        for rk in need:
+            if before <= rk < before + bn:
+                if r["_bmin"] == r["_bmax"]:
+                    direct[rk] = float(r["_bmin"])
+                else:
+                    multi[rk] = (int(r["_qb"]), rk - before)
+        before += bn
+    if not multi:
+        # every target rank sits in a single-valued band: the answer
+        # is fully determined by the state — a zero-read literal row
+        # (the two-product kernel on the same doubles, driver-side)
+        return spark.range(1).select(
+            F.lit(n).cast("long").alias("n"),
+            *[F.lit((1.0 - f) * direct[r0] + f * direct[r1])
+               .cast("double").alias(f"q{i}")
+              for i, (r0, r1, f) in enumerate(spec)])
+    from ..sources.tables import values_df
+    lk = values_df(
+        spark, [(qb, lrk, rk) for rk, (qb, lrk) in sorted(multi.items())],
+        "_lqb bigint, _lrk bigint, _rk bigint")
+    b = store_reader(sorted({qb for qb, _ in multi.values()}))
+    wl = Window.partitionBy("_qb").orderBy(value)
+    looked = (b.withColumn("_lrn",
+                           F.row_number().over(wl).cast("long") - 1)
+               .join(F.broadcast(lk),
+                     (F.col("_qb") == F.col("_lqb"))
+                     & (F.col("_lrn") == F.col("_lrk")))
+               .agg(*[F.min(F.when(F.col("_rk") == F.lit(rk),
+                                   F.col(value))).alias(f"_mv{rk}")
+                      for rk in sorted(multi)]))
     qcols = []
-    for i in range(len(probs)):
-        v0, v1 = F.col(f"_q{i}_v0"), F.col(f"_q{i}_v1")
-        f = F.col(f"_q{i}_f")
+    for i, (r0, r1, f) in enumerate(spec):
+        v0 = (F.lit(direct[r0]) if r0 in direct
+              else F.col(f"_mv{r0}"))
+        v1 = (F.lit(direct[r1]) if r1 in direct
+              else F.col(f"_mv{r1}"))
         # the same TWO-product kernel as bucketed_exact_quantiles
         # (see the bit-parity note there) — the streaming answer must
         # hash-match the batch staircase AND quantile_cont verbatim
-        qcols.append(((F.lit(1.0) - f) * v0 + f * v1)
+        qcols.append(((F.lit(1.0) - F.lit(f)) * v0 + F.lit(f) * v1)
                      .alias(f"q{i}"))
-    return out.select(F.col("_n").alias("n"), *qcols)
+    return looked.select(F.lit(n).cast("long").alias("n"), *qcols)
 
 
 def bucketed_lag(df: DataFrame, part_cols: list[str],

@@ -1226,22 +1226,28 @@ _STORE_LIVE_BOUND = (1 + (_STORE_COMPACT_RUNS - 1)
 #: (≈1000 at sf0.1) directories PER BATCH — profiled at 9-12 s of
 #: t40's ~15 s batch wall, pure small-files commit overhead, and the
 #: exact pathology that kills object stores at 1000 executors. The
-#: store partitions by the band GROUP ``_qbg = _qb div 16`` (~60
-#: dirs, one file each) and keeps ``_qb`` as a data column: the
-#: target-band read prunes dirs by group, then parquet row-group
-#: stats (each file arrives sorted by _qb within the group's write
-#: task) prune inside — reads stay O(N/#groups) per probe while
-#: writes touch 16x fewer files.
-_QB_GROUP = 16
+#: store partitions by the band GROUP ``_qbg = _qb div 64`` and keeps
+#: ``_qb`` as a data column: the target-band read prunes dirs by
+#: group, then parquet row-group stats (each file arrives sorted by
+#: _qb within the group's write task) prune inside — reads stay
+#: bounded per probe while writes touch 64x fewer files. r16 re-tuned
+#: 16 → 64 (guide §6 output file sizing): the per-batch tree write
+#: was re-profiled at ~1.15 s with ~60 group dirs, of which ~0.65 s
+#: was pure multi-dir commit — at 16 dirs (group 64) the same write
+#: is ~0.5 s with identical probe semantics, because in-file pruning
+#: rides the sorted-``_qb`` row-group stats, not the dir fan-out;
+#: dir-level pruning still skips whole files for probes outside the
+#: group.
+_QB_GROUP = 64
 
 #: log2(_QB_GROUP) — the group id is computed by ARITHMETIC SHIFT on
-#: both sides (below), never by division: ``F.floor(_qb / 16)`` runs
-#: in doubles and diverges from Python's exact ``i // 16`` beyond
+#: both sides (below), never by division: ``F.floor(_qb / 64)`` runs
+#: in doubles and diverges from Python's exact ``i // 64`` beyond
 #: ~2^53, silently dropping store rows from probes (ADVICE r13).
 #: ``>>`` has identical floor semantics in Spark (Java ``>>`` on
 #: long) and Python at every magnitude because _QB_GROUP is a power
 #: of two.
-_QB_GROUP_SHIFT = 4
+_QB_GROUP_SHIFT = 6
 
 
 def _qb_group_col(col):
@@ -1650,6 +1656,47 @@ def _maybe_compact_store(spark: SparkSession, root: str, fam_i: str,
     _vacuum_covered_trees(root, fam_i, fam_c, b, fam_r)
 
 
+def _par_actions(*thunks) -> list:
+    """Run independent eager actions (writes, counts) concurrently
+    from a small thread pool (guide §2.6 "overlap independent jobs"):
+    actions are only sequential because driver code calls them
+    sequentially, and the per-action floor measured in
+    OPTIMIZATION_r15.md (0.08–0.4 s of job-launch + commit round-trip
+    each at local[32]; real scheduler/commit latency at 1000
+    executors) OVERLAPS instead of summing. Results come back in
+    thunk order; the first exception propagates, so a failed write
+    still fails its micro-batch."""
+    if len(thunks) == 1:
+        return [thunks[0]()]
+    from concurrent.futures import ThreadPoolExecutor
+    with ThreadPoolExecutor(max_workers=len(thunks)) as pool:
+        return [f.result() for f in [pool.submit(t) for t in thunks]]
+
+
+def _multiset_eq(a: DataFrame, b: DataFrame, name: str) -> DataFrame:
+    """1-row boolean ``name``: multiset equality of two same-schema
+    relations in ONE pass over each side. The r12–r15 form ran
+    ``exceptAll`` in BOTH directions, which consumes each input twice
+    — so an expensive referee lineage (a full re-banding, the whole
+    batch-form dedup pipeline) either recomputed per direction or had
+    to be eagerly localCheckpointed first (an extra action + RDD
+    round-trip, CLAUDE.md ckpt rule). Single-pass instead: union
+    ``a`` weighted +1 with ``b`` weighted −1, hash-aggregate by every
+    column, and the multisets are equal iff every group's weight sums
+    to 0 — exactly "(a exceptAll b) AND (b exceptAll a) both empty"
+    (Spark plans exceptAll as this same replicate-by-count
+    aggregation). NULLs and NaNs group exactly as exceptAll compares
+    them (NULL == NULL, normalized NaN), so the boolean matches the
+    old form on ANY input, including the failure cases the referee
+    exists to catch."""
+    cols = a.columns
+    per = (a.select(*cols, F.lit(1).alias("_w"))
+            .unionByName(b.select(*cols, F.lit(-1).alias("_w")))
+            .groupBy(*cols).agg(F.sum("_w").alias("_s")))
+    return per.agg(F.coalesce(F.min(F.col("_s") == 0), F.lit(True))
+                      .alias(name))
+
+
 def _x2_postings(docs: DataFrame) -> DataFrame:
     """Shingle postings (doc_id, n, shingle) — shared by the x2
     compaction streams' base init and per-batch increments."""
@@ -1661,18 +1708,38 @@ def _x2_postings(docs: DataFrame) -> DataFrame:
 
 
 def _x2_dedup_verdicts(spark: SparkSession, batch_df: DataFrame,
-                       snap_idx: DataFrame, snap_post: DataFrame):
+                       snap_idx: DataFrame, snap_post: DataFrame,
+                       bidxi_dir: str, bposti_dir: str):
     """Shared probe of the x2 compaction streams: band collisions of
     the batch against the store SNAPSHOT, exact Jaccard over the
     collided candidates' postings, best match per arrival (jac6 DESC,
-    cid tiebreak). Returns (b_bands, b_post, verdicts, best) — the
-    batch's own index/postings increments plus its verdict relation.
-    batch_df must already be checkpointed (one source read)."""
+    cid tiebreak). LANDS the batch's own bands/postings increments at
+    ``bidxi_dir``/``bposti_dir`` (overwrite — batch-id-keyed dirs per
+    the durable kit) and returns ``(verdicts, best)`` built over the
+    read-backs. batch_df must already be checkpointed (one source
+    read).
+
+    r16 (guide §2.4/§2.6): the r15 form eagerly localCheckpointed
+    b_bands/b_post (probe + increment write both consume them) and
+    then wrote the same rows again — two actions per relation. The
+    increment write IS the materialization, and the two writes are
+    independent, so they overlap; landing increments before the
+    verdict ledger changes no reader (every store resolution and
+    ledger read cuts by batch_id, and a retry overwrites the same
+    dirs with identical content). The ``best`` checkpoint is gone
+    too: it had a single consumer (verdicts); the trigger stream
+    derives its per-batch counters from the verdict ledger
+    read-back instead of re-running ``best``."""
     from ..functions.scalars import round_half_up
     from ..plans.extensions import _portable_bands
 
-    b_bands = _portable_bands(batch_df).localCheckpoint(eager=True)
-    b_post = _x2_postings(batch_df).localCheckpoint(eager=True)
+    _par_actions(
+        lambda: _portable_bands(batch_df).write.mode("overwrite")
+                .parquet(bidxi_dir),
+        lambda: _x2_postings(batch_df).write.mode("overwrite")
+                .parquet(bposti_dir))
+    b_bands = spark.read.parquet(bidxi_dir)
+    b_post = spark.read.parquet(bposti_dir)
     cand = (snap_idx.alias("c")
             .join(b_bands.alias("a"),
                   (F.col("c.band_idx") == F.col("a.band_idx"))
@@ -1703,8 +1770,7 @@ def _x2_dedup_verdicts(spark: SparkSession, batch_df: DataFrame,
     w = Window.partitionBy("aid").orderBy(
         F.col("jac6").desc(), "cid")
     best = (ver.withColumn("rn", F.row_number().over(w))
-               .filter(F.col("rn") == 1)
-               .localCheckpoint(eager=True))
+               .filter(F.col("rn") == 1))
     batch_ids = batch_df.select("doc_id")
     verdicts = (batch_ids
                 .join(best, batch_ids["doc_id"] == best["aid"],
@@ -1715,7 +1781,7 @@ def _x2_dedup_verdicts(spark: SparkSession, batch_df: DataFrame,
                         F.when(F.col("cid").isNull(), "unique")
                          .otherwise("dup_of_store")
                          .alias("verdict")))
-    return b_bands, b_post, verdicts, best
+    return verdicts, best
 
 
 # ---------------------------------------------------------------------------
@@ -3755,21 +3821,36 @@ def x2_incremental_minhash_stream(spark: SparkSession,
                     .select("doc_id", F.size("s").alias("n"),
                             F.explode("s").alias("shingle")))
 
-    # --- the stored index: corpus banded + posted once, landed durable
-    _portable_bands(corpus).write.parquet(idx_dir)
-    postings(corpus).write.parquet(post_dir)
-
-    # --- stage arrivals as 3 mtime-ordered files, stream them in
-    n_staged = _write_arrival_files(
-        spark, arrivals.select("doc_id", "text")
-                       .withColumn("arrival", F.col("doc_id") % 3),
-        stage, n_files=3)
+    # --- the stored index: corpus banded + posted once, landed
+    # durable; the two init writes and the arrival staging are
+    # independent jobs — overlap them (r16, guide §2.6)
+    _, _, n_staged = _par_actions(
+        lambda: _portable_bands(corpus).write.parquet(idx_dir),
+        lambda: postings(corpus).write.parquet(post_dir),
+        lambda: _write_arrival_files(
+            spark, arrivals.select("doc_id", "text")
+                           .withColumn("arrival", F.col("doc_id") % 3),
+            stage, n_files=3))
 
     def dedup_batch(batch_df: DataFrame, batch_id: int) -> None:
         batch_df = batch_df.localCheckpoint(eager=True)
         if batch_df.isEmpty():
             return
-        b_bands = _portable_bands(batch_df)
+        # r16: the batch's own bands/postings are consumed twice each
+        # (the probe AND the durable increment). Land the increments
+        # FIRST — the write IS the materialization (the r15 form
+        # computed each relation once for the probe and AGAIN for its
+        # increment write) — overlapped (guide §2.6), and probe from
+        # the read-backs. Increments are batch-id-keyed overwrite
+        # dirs, so landing them before the verdict ledger changes no
+        # reader: every resolution cuts by batch_id, never by write
+        # time, and a retry overwrites both deterministically.
+        _par_actions(
+            lambda: _portable_bands(batch_df).write.mode("overwrite")
+                    .parquet(_sdir(sroot, "bandsi", batch_id)),
+            lambda: postings(batch_df).write.mode("overwrite")
+                    .parquet(_sdir(sroot, "posti", batch_id)))
+        b_bands = spark.read.parquet(_sdir(sroot, "bandsi", batch_id))
         c_idx = (spark.read.parquet(idx_dir)
                       .filter(F.col("doc_id") < 400))
         cand = (c_idx.alias("c")
@@ -3787,7 +3868,8 @@ def x2_incremental_minhash_stream(spark: SparkSession,
                        .join(cand.select(F.col("corpus_id")
                                          .alias("doc_id")).distinct(),
                              "doc_id", "semi").alias("ca"))
-        b_post = postings(batch_df).alias("ar")
+        b_post = (spark.read.parquet(_sdir(sroot, "posti", batch_id))
+                       .alias("ar"))
         cross = (c_post.join(b_post,
                              F.col("ca.shingle") == F.col("ar.shingle"))
                        .groupBy(F.col("ca.doc_id").alias("jc"),
@@ -3822,10 +3904,6 @@ def x2_incremental_minhash_stream(spark: SparkSession,
                              .alias("verdict")))
         verdicts.write.mode("overwrite").parquet(
             _sdir(sroot, "verd", batch_id))
-        b_bands.write.mode("overwrite").parquet(
-            _sdir(sroot, "bandsi", batch_id))
-        b_post.write.mode("overwrite").parquet(
-            _sdir(sroot, "posti", batch_id))
 
     s = (spark.readStream
          .schema("doc_id long, text string")
@@ -3845,32 +3923,32 @@ def x2_incremental_minhash_stream(spark: SparkSession,
     multi_batch_ok = len(data_batches) >= 2 and admitted == n_staged
 
     # --- referees (test scaffolding; the graded path is the stream)
-    # r15 (guide §1.2 + CLAUDE.md ckpt rule — checkpoint multi-
-    # consumed EXPENSIVE relations): both referee relations below are
-    # consumed twice by set_eq (exceptAll in each direction), so
-    # without a barrier the full batch-form dedup pipeline and the
-    # full independent re-banding each computed TWICE inside the
-    # final action. One eager materialization each halves that; the
-    # referee is unchanged — still an independent recomputation
-    # compared set-wise against the streamed state.
+    # r16 (guide §2.4 — the r15 eager localCheckpoints are gone with
+    # the double consumption that motivated them): set equality is
+    # now the single-pass weighted-group form (_multiset_eq), so the
+    # full batch-form dedup pipeline and the independent full
+    # re-banding each compute exactly ONCE, inside the one final
+    # action, with no materialization round-trips. The two index
+    # referees (full equality + the corpus slice) share ONE weighted
+    # aggregation: the corpus slice's verdict is the same min over
+    # the doc_id < 400 groups.
     streamed = _read_family(spark, sroot, "verd")
-    batch_form = x2_incremental_minhash(spark, sf_dir) \
-        .localCheckpoint(eager=True)
+    batch_form = x2_incremental_minhash(spark, sf_dir)
     m_idx = spark.read.parquet(idx_dir, *[
         _sdir(sroot, "bandsi", v)
         for v in _committed_versions(sroot, "bandsi")])
-    # one banding pass serves BOTH index referees: banding is per-doc,
-    # so the corpus slice of the full re-banding IS _portable_bands
-    # (corpus) — filter the materialized relation instead of banding
-    # the corpus a second time.
-    full_bands = _portable_bands(d).localCheckpoint(eager=True)
-
-    def set_eq(a, b, name):
-        return (a.exceptAll(b).agg(F.count(F.lit(1)).alias("_x"))
-                 .crossJoin(b.exceptAll(a)
-                             .agg(F.count(F.lit(1)).alias("_y")))
-                 .select(((F.col("_x") == 0) & (F.col("_y") == 0))
-                         .alias(name)))
+    full_bands = _portable_bands(d)
+    bcols = ["doc_id", "band_idx", "band_hash"]
+    idx_cmp = (m_idx.select(*bcols, F.lit(1).alias("_w"))
+               .unionByName(full_bands.select(*bcols,
+                                              F.lit(-1).alias("_w")))
+               .groupBy(*bcols).agg(F.sum("_w").alias("_s"))
+               .agg(F.coalesce(F.min(F.col("_s") == 0), F.lit(True))
+                     .alias("index_appended"),
+                    F.coalesce(F.min(F.when(F.col("doc_id") < 400,
+                                            F.col("_s") == 0)),
+                               F.lit(True))
+                     .alias("corpus_untouched")))
 
     jac6_mass = F.coalesce(
         F.sum(F.floor(F.col("jaccard") * 1000000.0 + F.lit(0.5))
@@ -3883,12 +3961,9 @@ def x2_incremental_minhash_stream(spark: SparkSession,
                 F.sum(F.when(F.col("verdict") == "unique", 1)
                        .otherwise(0)).cast("long").alias("n_unique"),
                 jac6_mass.alias("jac6_mass"))
-            .crossJoin(set_eq(streamed, batch_form,
-                              "verdicts_match_batch"))
-            .crossJoin(set_eq(m_idx, full_bands, "index_appended"))
-            .crossJoin(set_eq(m_idx.filter(F.col("doc_id") < 400),
-                              full_bands.filter(F.col("doc_id") < 400),
-                              "corpus_untouched"))
+            .crossJoin(_multiset_eq(streamed, batch_form,
+                                    "verdicts_match_batch"))
+            .crossJoin(idx_cmp)
             .select("n_arrivals", "n_dups", "n_unique", "jac6_mass",
                     F.lit(bool(multi_batch_ok)).alias("multi_batch_ok"),
                     "verdicts_match_batch", "index_appended",
@@ -3930,14 +4005,12 @@ def _x2bc_make_batch(spark: SparkSession, out_dir: str):
         snap_post = spark.read.parquet(*_live_segments(
             sroot, "bpostc", "bposti", f"{sroot}/bpost_base",
             batch_id, include_current=False))
-        b_bands, b_post, verdicts, _best = _x2_dedup_verdicts(
-            spark, batch_df, snap_idx, snap_post)
+        verdicts, _best = _x2_dedup_verdicts(
+            spark, batch_df, snap_idx, snap_post,
+            _sdir(sroot, "bidxi", batch_id),
+            _sdir(sroot, "bposti", batch_id))
         verdicts.write.mode("overwrite").parquet(
             _sdir(sroot, "verd", batch_id))
-        b_bands.write.mode("overwrite").parquet(
-            _sdir(sroot, "bidxi", batch_id))
-        b_post.write.mode("overwrite").parquet(
-            _sdir(sroot, "bposti", batch_id))
         if ordinal == 1:
             # ONLINE COMPACTION: consolidate the live store (post-
             # append, compaction snapshots strictly before this
@@ -3946,16 +4019,18 @@ def _x2bc_make_batch(spark: SparkSession, out_dir: str):
             # survivors; overwrite-idempotent under retry
             # r15 (guide §1.2): old_idx/old_post are plain parquet
             # unions — re-reading them per consumer is cheaper than
-            # the eager localCheckpoint round-trips they used to pay;
-            # dups (a distinct over the verdict ledger, consumed by
-            # the metric AND both anti-join rewrites) keeps its
-            # barrier. pre and dropped collapse into ONE job: dups
-            # is distinct on doc_id, so a left join multiplies
-            # nothing and count(match) == the old semi-join count.
+            # the eager localCheckpoint round-trips they used to pay.
+            # pre and dropped collapse into ONE job: dups is distinct
+            # on doc_id, so a left join multiplies nothing and
+            # count(match) == the old semi-join count. r16: dups'
+            # lineage is itself a small parquet-ledger distinct —
+            # recomputing it per consumer (the metric + two
+            # anti-joins, all below) is cheaper than the r15 eager
+            # barrier, and the two snapshot rewrites are independent
+            # writes that overlap (guide §2.6).
             dups = (_read_family_upto(spark, sroot, "verd", batch_id)
                     .filter(F.col("verdict") == "dup_of_store")
-                    .select("doc_id").distinct()
-                    .localCheckpoint(eager=True))
+                    .select("doc_id").distinct())
             old_idx = spark.read.parquet(*_live_segments(
                 sroot, "bidxc", "bidxi", f"{sroot}/bidx_base",
                 batch_id, include_current=True))
@@ -3969,12 +4044,13 @@ def _x2bc_make_batch(spark: SparkSession, out_dir: str):
                            F.count("_dd").alias("dropped"))
                       .first())
             pre, dropped = int(pd_row["pre"]), int(pd_row["dropped"])
-            old_idx.join(dups, "doc_id", "left_anti") \
-                   .write.mode("overwrite").parquet(
-                       _sdir(sroot, "bidxc", batch_id))
-            old_post.join(dups, "doc_id", "left_anti") \
-                    .write.mode("overwrite").parquet(
-                        _sdir(sroot, "bpostc", batch_id))
+            _par_actions(
+                lambda: old_idx.join(dups, "doc_id", "left_anti")
+                        .write.mode("overwrite").parquet(
+                            _sdir(sroot, "bidxc", batch_id)),
+                lambda: old_post.join(dups, "doc_id", "left_anti")
+                        .write.mode("overwrite").parquet(
+                            _sdir(sroot, "bpostc", batch_id)))
             post = (spark.read.parquet(
                 _sdir(sroot, "bidxc", batch_id)).count())
             (spark.range(1).select(
@@ -4131,13 +4207,17 @@ def x2_band_compaction_stream(spark: SparkSession,
     corpus = d.filter(F.col("doc_id") < 400)
     arrivals = d.filter(F.col("doc_id") >= 400)
 
-    _portable_bands(corpus).write.parquet(f"{sroot}/bidx_base")
-    _x2_postings(corpus).write.parquet(f"{sroot}/bpost_base")
-
-    n_staged = _write_arrival_files(
-        spark, arrivals.select("doc_id", "text")
-                       .withColumn("arrival", F.col("doc_id") % 3),
-        stage, n_files=3)
+    # base init writes + arrival staging are independent — overlap
+    # them (r16, guide §2.6)
+    _, _, n_staged = _par_actions(
+        lambda: _portable_bands(corpus).write.parquet(
+            f"{sroot}/bidx_base"),
+        lambda: _x2_postings(corpus).write.parquet(
+            f"{sroot}/bpost_base"),
+        lambda: _write_arrival_files(
+            spark, arrivals.select("doc_id", "text")
+                           .withColumn("arrival", F.col("doc_id") % 3),
+            stage, n_files=3))
 
     dedup_batch = _x2bc_make_batch(spark, out_dir)
 
@@ -4185,22 +4265,15 @@ def x2_band_compaction_stream(spark: SparkSession,
                     .unionByName(arrivals
                                  .filter(F.col("doc_id") % 3 == 2)
                                  .select("doc_id")))
-    # r15: set_eq consumes expected_bands twice (exceptAll both
-    # directions) — one eager materialization halves the independent
-    # re-banding inside the final action (CLAUDE.md ckpt rule);
-    # m_idx is a plain parquet union, cheap to re-read.
+    # r16: set equality is the single-pass weighted-group form
+    # (_multiset_eq), so expected_bands is consumed ONCE — the r15
+    # eager materialization (and the double re-banding it amortized)
+    # is gone; the independent re-banding now runs exactly once,
+    # inside the final action.
     expected_bands = _portable_bands(
-        d.join(expected_ids, "doc_id", "semi")) \
-        .localCheckpoint(eager=True)
+        d.join(expected_ids, "doc_id", "semi"))
     m_idx = spark.read.parquet(*_live_segments(
         sroot, "bidxc", "bidxi", f"{sroot}/bidx_base"))
-
-    def set_eq(a, b, name):
-        return (a.exceptAll(b).agg(F.count(F.lit(1)).alias("_x"))
-                 .crossJoin(b.exceptAll(a)
-                             .agg(F.count(F.lit(1)).alias("_y")))
-                 .select(((F.col("_x") == 0) & (F.col("_y") == 0))
-                         .alias(name)))
 
     jac6_mass = F.coalesce(
         F.sum(F.floor(F.col("jaccard") * 1000000.0 + F.lit(0.5))
@@ -4217,8 +4290,8 @@ def x2_band_compaction_stream(spark: SparkSession,
                 F.sum(F.when(~dup, 1).otherwise(0)).cast("long")
                  .alias("n_unique"),
                 jac6_mass.alias("jac6_mass"))
-            .crossJoin(set_eq(m_idx, expected_bands,
-                              "store_final_ok"))
+            .crossJoin(_multiset_eq(m_idx, expected_bands,
+                                    "store_final_ok"))
             .select("n_arrivals", "n_dups_b0", "n_dups_b1",
                     "n_dups_b2", "n_unique", "jac6_mass",
                     F.lit(bool(multi_batch_ok))
@@ -4265,11 +4338,37 @@ def _t40_make_batch(spark: SparkSession, out_dir: str):
     bucket = double_value_bucket(F.col("value"), 2.0)
 
     def monitor_batch(batch_df: DataFrame, batch_id: int) -> None:
-        banded = (batch_df.select("value")
-                          .withColumn("_qb", bucket)
-                          .localCheckpoint(eager=True))
-        if banded.isEmpty():
+        # r16 (guide §2.4): the store tree write IS the batch's
+        # materialization — ONE action on the raw batch lineage (the
+        # same single-source-read discipline the r15 eager
+        # localCheckpoint enforced, without paying checkpoint + a
+        # second write of the same rows); the band merge reads the
+        # committed tree back. The store is a per-batch PARTITIONED
+        # TREE (family ``store``, one plain-overwrite dir per batch)
+        # partitioned by the BAND GROUP ``_qbg`` (see _QB_GROUP —
+        # per-band dirs were 9-12 s of pure small-files commit per
+        # batch at sf0.1), sorted by ``_qb`` within each group file
+        # so row-group stats prune probes; idempotent under retry
+        # with PLAIN overwrite commit semantics. An all-empty batch
+        # decommits its (empty) tree and leaves no state — exactly
+        # the old isEmpty early-return, checked by FS listing (an
+        # empty partitionBy write lands no ``_qbg=*`` dirs), zero
+        # extra jobs.
+        store_dir = _sdir(sroot, "store", batch_id)
+        (batch_df.select("value")
+                 .withColumn("_qb", bucket)
+                 .withColumn("_qbg", _qb_group_col(F.col("_qb")))
+                 .repartition("_qbg")
+                 .sortWithinPartitions("_qb")
+                 .write.partitionBy("_qbg").mode("overwrite")
+                 .parquet(store_dir))
+        fs, jdir = _hfs(store_dir)
+        if not any(st.getPath().getName().startswith("_qbg=")
+                   for st in fs.listStatus(jdir)):
+            _decommit_rmtree(store_dir)
             return
+        banded = (spark.read.parquet(store_dir)
+                       .select("value", "_qb"))
         prev, ordinal = _monoid_prev(spark, sroot, "bands", batch_id)
         b_stats = (banded.groupBy("_qb")
                          .agg(F.count(F.lit(1)).alias("_bn"),
@@ -4284,18 +4383,6 @@ def _t40_make_batch(spark: SparkSession, out_dir: str):
         (_stamp_ord(merged, ordinal).coalesce(1)
          .write.mode("overwrite").parquet(
              _sdir(sroot, "bands", batch_id)))
-        # the store is a per-batch PARTITIONED TREE (family ``store``,
-        # one plain-overwrite dir per batch) partitioned by the BAND
-        # GROUP ``_qbg`` (see _QB_GROUP — per-band dirs were 9-12 s
-        # of pure small-files commit per batch at sf0.1), sorted by
-        # ``_qb`` within each group file so row-group stats prune
-        # probes; idempotent under retry with PLAIN overwrite commit
-        # semantics, no dynamic-partition-overwrite dependency.
-        (banded.withColumn("_qbg", _qb_group_col(F.col("_qb")))
-               .repartition("_qbg")
-               .sortWithinPartitions("_qb")
-               .write.partitionBy("_qbg").mode("overwrite")
-               .parquet(_sdir(sroot, "store", batch_id)))
         stats = (spark.read.parquet(_sdir(sroot, "bands", batch_id))
                       .drop("_ord"))
 
@@ -4507,23 +4594,22 @@ def _x2trig_make_batch(spark: SparkSession, out_dir: str):
         snap_post = spark.read.parquet(*_live_segments(
             sroot, "bpostc", "bposti", f"{sroot}/bpost_base",
             batch_id, include_current=False))
-        b_bands, b_post, verdicts, best = _x2_dedup_verdicts(
-            spark, batch_df, snap_idx, snap_post)
+        verdicts, _best = _x2_dedup_verdicts(
+            spark, batch_df, snap_idx, snap_post,
+            _sdir(sroot, "bidxi", batch_id),
+            _sdir(sroot, "bposti", batch_id))
         verdicts.write.mode("overwrite").parquet(
             _sdir(sroot, "verd", batch_id))
-        b_bands.write.mode("overwrite").parquet(
-            _sdir(sroot, "bidxi", batch_id))
-        b_post.write.mode("overwrite").parquet(
-            _sdir(sroot, "bposti", batch_id))
 
         # --- trigger evaluation (AFTER appends, the oracle's s{k}) —
-        # counts are control-plane reads of bounded metadata relations
-        n_arr = batch_df.count()
-        bstats = best.agg(
-            F.count(F.lit(1)).cast("long").alias("nd"),
-            F.coalesce(F.sum(F.floor(F.col("jac6") * 1000000.0
-                                     + F.lit(0.5)).cast("long")),
-                       F.lit(0)).cast("long").alias("mass")).first()
+        # counts are control-plane reads of bounded metadata
+        # relations, fused into ONE job (r16): the per-batch arrival/
+        # dup/mass counters read back the just-written verdict ledger
+        # (n_arr = its row count; nd/mass aggregate its non-null
+        # matches, which ARE the old ``best`` rows — one row per
+        # matched arrival), crossJoined with the uncompacted-debt
+        # count and the store size, where r15 paid four separate
+        # actions (count, first, ckpt+count, count).
         dup_all = (_read_family_upto(spark, sroot, "verd", batch_id)
                    .filter(F.col("verdict") == "dup_of_store")
                    .select("doc_id").distinct())
@@ -4531,40 +4617,57 @@ def _x2trig_make_batch(spark: SparkSession, out_dir: str):
                                     inclusive=False)
         uncomp_ids = (dup_all if removed is None else
                       dup_all.join(removed, "doc_id", "left_anti"))
-        uncomp_ids = uncomp_ids.localCheckpoint(eager=True)
-        n_uncomp = uncomp_ids.count()
         live_now = _live_segments(
             sroot, "bidxc", "bidxi", f"{sroot}/bidx_base",
             batch_id, include_current=True)
-        store_docs = (spark.read.parquet(*live_now)
-                           .select("doc_id").distinct().count())
+        srow = (spark.read.parquet(_sdir(sroot, "verd", batch_id))
+                .agg(F.count(F.lit(1)).cast("long").alias("na"),
+                     F.count("jaccard").cast("long").alias("nd"),
+                     F.coalesce(
+                         F.sum(F.floor(F.col("jaccard") * 1000000.0
+                                       + F.lit(0.5)).cast("long")),
+                         F.lit(0)).cast("long").alias("mass"))
+                .crossJoin(uncomp_ids.agg(
+                    F.count(F.lit(1)).cast("long").alias("nu")))
+                .crossJoin(spark.read.parquet(*live_now)
+                           .agg(F.count_distinct("doc_id")
+                                 .cast("long").alias("sd")))
+                .first())
+        n_arr, n_uncomp = int(srow["na"]), int(srow["nu"])
+        store_docs = int(srow["sd"])
         fired = (n_uncomp * _TRIG_COMPACT_DEN
                  >= store_docs * _TRIG_COMPACT_NUM)
         if fired:
-            old_idx = (spark.read.parquet(*live_now)
-                            .localCheckpoint(eager=True))
-            old_post = (spark.read.parquet(*_live_segments(
+            # uncomp_ids' lineage is a small ledger distinct — the
+            # three consumers below recompute it concurrently
+            # (overlapped writes, guide §2.6) instead of paying the
+            # r15 eager barriers on it and on old_idx/old_post (each
+            # of which had a single consumer)
+            old_idx = spark.read.parquet(*live_now)
+            old_post = spark.read.parquet(*_live_segments(
                 sroot, "bpostc", "bposti", f"{sroot}/bpost_base",
                 batch_id, include_current=True))
-                .localCheckpoint(eager=True))
-            old_idx.join(uncomp_ids, "doc_id", "left_anti") \
-                   .write.mode("overwrite").parquet(
-                       _sdir(sroot, "bidxc", batch_id))
-            old_post.join(uncomp_ids, "doc_id", "left_anti") \
-                    .write.mode("overwrite").parquet(
-                        _sdir(sroot, "bpostc", batch_id))
-            uncomp_ids.write.mode("overwrite").parquet(
-                _sdir(sroot, "rmv", batch_id))
+            _par_actions(
+                lambda: old_idx.join(uncomp_ids, "doc_id",
+                                     "left_anti")
+                        .write.mode("overwrite").parquet(
+                            _sdir(sroot, "bidxc", batch_id)),
+                lambda: old_post.join(uncomp_ids, "doc_id",
+                                      "left_anti")
+                        .write.mode("overwrite").parquet(
+                            _sdir(sroot, "bpostc", batch_id)),
+                lambda: uncomp_ids.write.mode("overwrite").parquet(
+                    _sdir(sroot, "rmv", batch_id)))
             store_docs = (spark.read.parquet(
                 _sdir(sroot, "bidxc", batch_id))
                 .select("doc_id").distinct().count())
         (spark.range(1).select(
             F.lit(ordinal).cast("long").alias("batch_id"),
             F.lit(n_arr).cast("long").alias("n_arrivals"),
-            F.lit(bstats["nd"]).cast("long").alias("n_dups"),
-            F.lit(n_arr - bstats["nd"]).cast("long")
+            F.lit(int(srow["nd"])).cast("long").alias("n_dups"),
+            F.lit(n_arr - int(srow["nd"])).cast("long")
              .alias("n_unique"),
-            F.lit(bstats["mass"]).cast("long").alias("jac6_mass"),
+            F.lit(int(srow["mass"])).cast("long").alias("jac6_mass"),
             F.lit(bool(fired)).alias("compaction_fired"),
             F.lit(store_docs).cast("long")
              .alias("store_docs_after"))
@@ -4779,13 +4882,17 @@ def x2_triggered_compaction_stream(spark: SparkSession,
     corpus = d.filter(F.col("doc_id") < 400)
     arrivals = d.filter(F.col("doc_id") >= 400)
 
-    _portable_bands(corpus).write.parquet(f"{sroot}/bidx_base")
-    _x2_postings(corpus).write.parquet(f"{sroot}/bpost_base")
-
-    n_staged = _write_arrival_files(
-        spark, arrivals.select("doc_id", "text")
-                       .withColumn("arrival", F.col("doc_id") % 3),
-        stage, n_files=3)
+    # base init writes + arrival staging are independent — overlap
+    # them (r16, guide §2.6)
+    _, _, n_staged = _par_actions(
+        lambda: _portable_bands(corpus).write.parquet(
+            f"{sroot}/bidx_base"),
+        lambda: _x2_postings(corpus).write.parquet(
+            f"{sroot}/bpost_base"),
+        lambda: _write_arrival_files(
+            spark, arrivals.select("doc_id", "text")
+                           .withColumn("arrival", F.col("doc_id") % 3),
+            stage, n_files=3))
 
     dedup_batch = _x2trig_make_batch(spark, out_dir)
 
@@ -5073,13 +5180,18 @@ def _t42_make_batch(spark: SparkSession, out_dir: str):
             prev.unionByName(cand)
                 .orderBy(F.col("rsv_key").desc(), "doc_id")
                 .limit(_RSV_K))
-        _stamp_ord(merged, ordinal).write.mode("overwrite").parquet(
-            _sdir(sroot, "rsv", batch_id))
-        (spark.read.parquet(_sdir(sroot, "rsv", batch_id))
-              .select(F.lit(ordinal).cast("long").alias("batch_id"),
-                      "doc_id", "rsv_key")
-              .write.mode("overwrite").parquet(
-                  _sdir(sroot, "res", batch_id)))
+        # r16 (guide §2.6): the result rows ARE the new reservoir plus
+        # the ordinal — write both families from the same deterministic
+        # lineage (top-k under a total order) as overlapped independent
+        # jobs instead of state write → read-back → result write.
+        _par_actions(
+            lambda: _stamp_ord(merged, ordinal).write.mode("overwrite")
+                    .parquet(_sdir(sroot, "rsv", batch_id)),
+            lambda: merged.select(F.lit(ordinal).cast("long")
+                                   .alias("batch_id"),
+                                  "doc_id", "rsv_key")
+                    .write.mode("overwrite").parquet(
+                        _sdir(sroot, "res", batch_id)))
         _vacuum_superseded(sroot, "rsv", batch_id)
 
     return rsv_batch
@@ -5227,16 +5339,20 @@ def _t43_make_batch(spark: SparkSession, out_dir: str):
                 (F.expr("coalesce(dc, 0) div 2")
                  + F.coalesce(F.col("bc"), F.lit(0)) * 8).alias("dc"),
                 F.coalesce(F.col("bn"), F.lit(0)).alias("n_batch")))
-        _stamp_ord(merged, ordinal).write.mode("overwrite").parquet(
-            _sdir(sroot, "dcy", batch_id))
-        (spark.read.parquet(_sdir(sroot, "dcy", batch_id))
-              .select(F.lit(ordinal).cast("long").alias("batch_id"),
-                      "event_type",
-                      F.col("dn").alias("decayed_n_x8"),
-                      F.col("dc").alias("decayed_cents_x8"),
-                      "n_batch")
-              .write.mode("overwrite").parquet(
-                  _sdir(sroot, "res", batch_id)))
+        # r16 (guide §2.6): state + result from the same deterministic
+        # lineage (bounded-key integer aggregates), overlapped, instead
+        # of state write → read-back → result write.
+        _par_actions(
+            lambda: _stamp_ord(merged, ordinal).write.mode("overwrite")
+                    .parquet(_sdir(sroot, "dcy", batch_id)),
+            lambda: merged.select(F.lit(ordinal).cast("long")
+                                   .alias("batch_id"),
+                                  "event_type",
+                                  F.col("dn").alias("decayed_n_x8"),
+                                  F.col("dc").alias("decayed_cents_x8"),
+                                  "n_batch")
+                    .write.mode("overwrite").parquet(
+                        _sdir(sroot, "res", batch_id)))
         _vacuum_superseded(sroot, "dcy", batch_id)
 
     return dcy_batch
@@ -5381,15 +5497,21 @@ def _t44_make_batch(spark: SparkSession, out_dir: str):
         merged = cand if prev is None else (
             prev.unionByName(cand).distinct()
                 .orderBy("u").limit(_DMON_K))
-        _stamp_ord(merged, ordinal).write.mode("overwrite").parquet(
-            _sdir(sroot, "kmv", batch_id))
-        (spark.read.parquet(_sdir(sroot, "kmv", batch_id))
-              .agg(F.count(F.lit(1)).cast("long").alias("n_sketch"),
-                   F.max("u").alias("u_max"))
-              .select(F.lit(ordinal).cast("long").alias("batch_id"),
-                      "n_sketch", "u_max")
-              .write.mode("overwrite").parquet(
-                  _sdir(sroot, "res", batch_id)))
+        # r16 (guide §2.6): state + result from the same deterministic
+        # lineage (k-min under a strict total order — `u` is distinct),
+        # overlapped, instead of state write → read-back → result write.
+        _par_actions(
+            lambda: _stamp_ord(merged, ordinal).write.mode("overwrite")
+                    .parquet(_sdir(sroot, "kmv", batch_id)),
+            lambda: merged
+                    .agg(F.count(F.lit(1)).cast("long")
+                          .alias("n_sketch"),
+                         F.max("u").alias("u_max"))
+                    .select(F.lit(ordinal).cast("long")
+                             .alias("batch_id"),
+                            "n_sketch", "u_max")
+                    .write.mode("overwrite").parquet(
+                        _sdir(sroot, "res", batch_id)))
         _vacuum_superseded(sroot, "kmv", batch_id)
 
     return dmon_batch
@@ -5646,9 +5768,6 @@ def _t45_make_batch(spark: SparkSession, out_dir: str):
             return
         prev, ordinal = _monoid_prev(spark, sroot, "mgs", batch_id)
         cum_dir = _latest_before(sroot, "cum", batch_id)
-        prev_cum = (0 if cum_dir is None else
-                    int(spark.read.parquet(cum_dir)
-                             .first()["s_cum"]))
         bc = (batch_df.select(F.explode(tokens_col("text"))
                               .alias("tok"))
                       .groupBy("tok")
@@ -5668,24 +5787,37 @@ def _t45_make_batch(spark: SparkSession, out_dir: str):
         thr = limited.agg(
             F.when(F.count(F.lit(1)) == _MGS_K + 1, F.min("w"))
              .otherwise(F.lit(0)).cast("long").alias("s"))
-        s_val = int(thr.first()["s"])
-        s_cum = prev_cum + s_val
+        # r16: the prior error-ledger read rides the threshold job as
+        # a crossJoin (one control-plane action instead of two)
+        if cum_dir is not None:
+            thr = thr.crossJoin(spark.read.parquet(cum_dir)
+                                     .select("s_cum"))
+        trow = thr.first()
+        s_val = int(trow["s"])
+        s_cum = (0 if cum_dir is None else int(trow["s_cum"])) + s_val
         pruned = (combined.filter(F.col("w") > F.lit(s_val))
                           .select("tok",
                                   (F.col("w") - F.lit(s_val))
                                   .alias("w")))
-        _stamp_ord(pruned, ordinal).write.mode("overwrite").parquet(
-            _sdir(sroot, "mgs", batch_id))
-        (spark.range(1)
-              .select(F.lit(s_cum).cast("long").alias("s_cum"))
-              .write.mode("overwrite").parquet(
-                  _sdir(sroot, "cum", batch_id)))
-        (spark.read.parquet(_sdir(sroot, "mgs", batch_id))
-              .select(F.lit(ordinal).cast("long").alias("batch_id"),
-                      "tok", F.col("w").alias("w_est"),
-                      F.lit(s_cum).cast("long").alias("s_cum"))
-              .write.mode("overwrite").parquet(
-                  _sdir(sroot, "res", batch_id)))
+        # r16 (guide §2.6): counters state, error ledger and result
+        # rows are three independent writes off the same checkpointed
+        # ``combined`` (pruned is a cheap deterministic filter of it)
+        # — overlap them instead of state write → read-back → result
+        # write.
+        _par_actions(
+            lambda: _stamp_ord(pruned, ordinal).write.mode("overwrite")
+                    .parquet(_sdir(sroot, "mgs", batch_id)),
+            lambda: spark.range(1)
+                    .select(F.lit(s_cum).cast("long").alias("s_cum"))
+                    .write.mode("overwrite").parquet(
+                        _sdir(sroot, "cum", batch_id)),
+            lambda: pruned
+                    .select(F.lit(ordinal).cast("long")
+                             .alias("batch_id"),
+                            "tok", F.col("w").alias("w_est"),
+                            F.lit(s_cum).cast("long").alias("s_cum"))
+                    .write.mode("overwrite").parquet(
+                        _sdir(sroot, "res", batch_id)))
         # the error ledger is latest-only state too — same vacuum
         _vacuum_superseded(sroot, "mgs", batch_id)
         _vacuum_superseded(sroot, "cum", batch_id)
@@ -5820,11 +5952,34 @@ def _t46_make_batch(spark: SparkSession, out_dir: str):
     bucket = double_value_bucket(F.col("value"), 2.0)
 
     def preq_batch(batch_df: DataFrame, batch_id: int) -> None:
-        banded = (batch_df.select("value")
-                          .withColumn("_qb", bucket)
-                          .localCheckpoint(eager=True))
-        if banded.isEmpty():
+        # r16 (guide §2.4, the t40 rewrite applied here): the store
+        # tree write is the batch's ONE materializing action (was:
+        # eager localCheckpoint + a second write of the same rows at
+        # the end); everything else reads the committed tree back.
+        # Landing the tree BEFORE the fence is judged cannot poison
+        # the fence: the fence resolves the STRICT prefix
+        # (inclusive=False — increments < batch_id only), so the
+        # batch's own tree is invisible to it by batch-id cutoff,
+        # exactly the property the same-batch replay drill pins (a
+        # retried batch's first attempt may ALREADY have written this
+        # tree — the kit was designed for that order). An all-empty
+        # batch decommits its empty tree and leaves no state (FS
+        # listing check — no ``_qbg=*`` dirs — zero extra jobs).
+        store_dir = _sdir(sroot, "store", batch_id)
+        (batch_df.select("value")
+                 .withColumn("_qb", bucket)
+                 .withColumn("_qbg", _qb_group_col(F.col("_qb")))
+                 .repartition("_qbg")
+                 .sortWithinPartitions("_qb")
+                 .write.partitionBy("_qbg").mode("overwrite")
+                 .parquet(store_dir))
+        fs, jdir = _hfs(store_dir)
+        if not any(st.getPath().getName().startswith("_qbg=")
+                   for st in fs.listStatus(jdir)):
+            _decommit_rmtree(store_dir)
             return
+        banded = (spark.read.parquet(store_dir)
+                       .select("value", "_qb"))
         prev, ordinal = _monoid_prev(spark, sroot, "bands", batch_id)
         if prev is None:
             row = banded.agg(
@@ -5861,19 +6016,29 @@ def _t46_make_batch(spark: SparkSession, out_dir: str):
 
             q = state_exact_quantiles(stats, store_for_bands,
                                       "value", [0.25, 0.75])
-            qr = q.first()
-            p25, p75 = qr["q0"], qr["q1"]
-            iqr = p75 - p25
-            hi, lo = p75 + 1.5 * iqr, p25 - 1.5 * iqr
-            row = banded.agg(
+            # r16: the fences ride into the flagging aggregation as a
+            # broadcast 1-row crossJoin instead of a separate
+            # ``q.first()`` action + literal re-entry — one fewer
+            # eager action per batch, same IEEE arithmetic in the
+            # same order ((q1−q0), ×1.5, +q1 / −q0 are the exact ops
+            # the driver-side floats performed), so the flag compares
+            # and the class-A rounding see bit-identical doubles.
+            iqr = F.col("q1") - F.col("q0")
+            fen = q.select(
+                round_half_up(F.col("q0"), 6).alias("_p25r"),
+                round_half_up(F.col("q1"), 6).alias("_p75r"),
+                (F.col("q1") + 1.5 * iqr).alias("_hi"),
+                (F.col("q0") - 1.5 * iqr).alias("_lo"))
+            row = (banded.crossJoin(F.broadcast(fen))
+                   .agg(
                 F.lit(ordinal).cast("long").alias("batch_id"),
                 F.count(F.lit(1)).cast("long").alias("n_arrivals"),
-                round_half_up(F.lit(float(p25)), 6).alias("p25_prior"),
-                round_half_up(F.lit(float(p75)), 6).alias("p75_prior"),
-                F.sum((F.col("value") > F.lit(float(hi)))
+                F.min("_p25r").alias("p25_prior"),
+                F.min("_p75r").alias("p75_prior"),
+                F.sum((F.col("value") > F.col("_hi"))
                        .cast("long")).alias("n_outliers_hi"),
-                F.sum((F.col("value") < F.lit(float(lo)))
-                       .cast("long")).alias("n_outliers_lo"))
+                F.sum((F.col("value") < F.col("_lo"))
+                       .cast("long")).alias("n_outliers_lo")))
         row.write.mode("overwrite").parquet(
             _sdir(sroot, "res", batch_id))
         # train AFTER test: merge the batch's bands into new state
@@ -5890,11 +6055,6 @@ def _t46_make_batch(spark: SparkSession, out_dir: str):
         (_stamp_ord(merged, ordinal).coalesce(1)
          .write.mode("overwrite").parquet(
              _sdir(sroot, "bands", batch_id)))
-        (banded.withColumn("_qbg", _qb_group_col(F.col("_qb")))
-               .repartition("_qbg")
-               .sortWithinPartitions("_qb")
-               .write.partitionBy("_qbg").mode("overwrite")
-               .parquet(_sdir(sroot, "store", batch_id)))
         # retention LAST: runs and snapshots cover only values
         # strictly before batch_id, exactly what a same-batch retry's
         # fence resolves
