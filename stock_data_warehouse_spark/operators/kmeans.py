@@ -114,11 +114,31 @@ def _centroids_values_df(spark, rows: list, schema_cols: list) -> DataFrame:
     unchanged. ``rows`` are tuples matching ``schema_cols`` =
     ``[(name, sql_type), ...]`` where the last column is the
     ``ARRAY<DOUBLE>`` centroid."""
+    if not rows:
+        # ADVICE r15: an empty VALUES body is a SQL parse error at
+        # plan-build time — name the real cause instead
+        raise ValueError(
+            "k-means produced no centroids to emit (empty training "
+            "relation, or every cell degenerated to zero members)")
+
     def lit(v, typ):
         if typ == "array<double>":
             return ("array(" + ",".join(
                 f"CAST('{float(x)!r}' AS DOUBLE)" for x in v) + ")")
-        return f"CAST({int(v)} AS {typ})"
+        # ADVICE r15: non-array columns (grp/cell) are emitted as
+        # integer literals; a string/decimal group key would silently
+        # truncate or raise an unnamed ValueError — fail loudly with
+        # the operator's actual requirement instead
+        try:
+            iv = int(v)
+            ok = iv == v
+        except (TypeError, ValueError):
+            ok = False
+        if not ok:
+            raise ValueError(
+                f"kmeans sampled mode requires integral group/cell "
+                f"keys; got {v!r} for a {typ} column")
+        return f"CAST({iv} AS {typ})"
 
     body = ",".join(
         "(" + ",".join(lit(v, t) for v, (_n, t) in zip(r, schema_cols))
@@ -167,7 +187,9 @@ def kmeans_fit_assign(vectors: DataFrame, id_col: str = "vec_id",
                       train_sample: int | None = None,
                       inertia_log: list | None = None,
                       centroids_log: list | None = None,
-                      assign: bool = True) -> DataFrame | None:
+                      assign: bool = True,
+                      sample_rows: list | None = None
+                      ) -> DataFrame | None:
     """Run ``n_iter`` Lloyd iterations from hash-min medoid seeds and
     return ``(id, cell, sq_dist)`` — every vector with its cluster
     under the final trained centroids and squared distance to it.
@@ -227,9 +249,20 @@ def kmeans_fit_assign(vectors: DataFrame, id_col: str = "vec_id",
     v = vectors.select(F.col(id_col).alias("id"),
                        F.col(vec_col).alias("e"))
     if train_sample is not None:
-        sample = [(r["id"], r["e"]) for r in
-                  v.orderBy(*_hash_order()).limit(train_sample)
-                   .collect()]
+        # sample_rows (r16, guide §2.4 — only with train_sample): the
+        # caller supplies the [(id, [float, ...]), ...] hash-order
+        # prefix itself instead of this function collecting it — for
+        # callers that train SEVERAL estimators off one train set
+        # (the IVF-PQ builders run a coarse trainer AND a grouped
+        # subspace trainer) and can serve every trainer from ONE
+        # TakeOrdered collect. Must be exactly the first train_sample
+        # rows of the (md5(id), id) order this function would have
+        # collected — equivalence pinned by tests/test_operators.py::
+        # test_kmeans_sample_rows_equivalence.
+        sample = (sample_rows if sample_rows is not None
+                  else [(r["id"], r["e"]) for r in
+                        v.orderBy(*_hash_order()).limit(train_sample)
+                         .collect()])
         cents, inertias = _local_lloyd(sample, k, n_iter)
         centroids = _centroids_values_df(
             spark, sorted(cents.items()),
@@ -291,6 +324,7 @@ def kmeans_fit_assign_grouped(vectors: DataFrame, group_col: str = "j",
                               train_sample: int | None = None,
                               inertia_log: list | None = None,
                               assign: bool = True,
+                              sample_rows: list | None = None,
                               ) -> tuple[DataFrame | None, DataFrame]:
     """Train an INDEPENDENT k-means codebook per group — all groups in
     the same jobs — and return ``(assigned, centroids)``:
@@ -341,12 +375,22 @@ def kmeans_fit_assign_grouped(vectors: DataFrame, group_col: str = "j",
                        F.col(vec_col).alias("e"))
     if train_sample is not None:
         grp_type = dict(v.dtypes)["grp"]
-        train_ids = (v.select("id").distinct()
-                      .orderBy(*_hash_order()).limit(train_sample))
-        rows = v.join(F.broadcast(train_ids), "id").collect()
+        # sample_rows (r16): caller-supplied [(grp, id, subvec), ...]
+        # for the SAME train_sample hash-min ids this branch would
+        # sample itself (the shared-id-universe property both forms
+        # rely on) — one collect serves every trainer of a composite
+        # index build. Equivalence pinned by tests/test_operators.py.
+        if sample_rows is not None:
+            rows = sample_rows
+        else:
+            train_ids = (v.select("id").distinct()
+                          .orderBy(*_hash_order())
+                          .limit(train_sample))
+            rows = [(r["grp"], r["id"], r["e"]) for r in
+                    v.join(F.broadcast(train_ids), "id").collect()]
         by_grp: dict = {}
-        for r in rows:
-            by_grp.setdefault(r["grp"], []).append((r["id"], r["e"]))
+        for g, i, e in rows:
+            by_grp.setdefault(g, []).append((i, e))
         # the SAME k hash-min ids seed every group (the shared-id-
         # universe property); _hash_key is the driver twin of the
         # distributed (md5(id), id) order

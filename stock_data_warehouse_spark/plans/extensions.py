@@ -4604,10 +4604,21 @@ def x3_ivfpq_learned(spark: SparkSession, sf_dir: str) -> DataFrame:
     # without re-training shorter twins.
     pq_log: list = []
     coarse_log: list = []
+    # r16 (guide §2.4): ONE TakeOrdered collect serves BOTH trainers —
+    # the grouped subspace sample is the driver-side slicing of the
+    # same hash-order prefix (identical doubles to F.slice; identical
+    # ids by the shared-id-universe property). The r15 form collected
+    # twice, the grouped one through an extra distinct+broadcast join.
+    pre = [(r["vec_id"], r["e"]) for r in
+           n.select("vec_id", "e")
+            .orderBy(F.md5(F.col("vec_id").cast("string")),
+                     F.col("vec_id"))
+            .limit(8 * max(K_COARSE, K_CODES)).collect()]
     coarse = kmeans_fit_assign(n, "vec_id", "e",
                                k=K_COARSE, n_iter=3,
                                train_sample=8 * K_COARSE,
-                               inertia_log=coarse_log)
+                               inertia_log=coarse_log,
+                               sample_rows=pre[:8 * K_COARSE])
     assigned = (n.join(coarse.select(F.col("id").alias("vec_id"),
                                      "cell"), "vec_id")
                  .select("vec_id", "e", "cell"))
@@ -4620,7 +4631,10 @@ def x3_ivfpq_learned(spark: SparkSession, sf_dir: str) -> DataFrame:
     # discipline (8·K ids, every subspace)
     enc3, cb = kmeans_fit_assign_grouped(
         sub, "j", "vec_id", "sv", k=K_CODES, n_iter=3,
-        train_sample=8 * K_CODES, inertia_log=pq_log)
+        train_sample=8 * K_CODES, inertia_log=pq_log,
+        sample_rows=[(j, i, list(ev[8 * j:8 * j + 8]))
+                     for i, ev in pre[:8 * K_CODES]
+                     for j in range(8)])
     codes = (enc3.select(F.col("id").alias("vec_id"),
                          F.col("grp").alias("j"),
                          F.col("cell").alias("code"))
@@ -4796,10 +4810,23 @@ def x3_ivfpq_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
           .filter(F.col("nrm") > 0))
 
     cent_log: list = []
+    # r16 (guide §2.4): one TakeOrdered collect serves the coarse
+    # trainer AND the raw-subspace PQ trainer (driver-side slicing of
+    # the same hash-order prefix — the x3_ivfpq_learned fusion); the
+    # RESIDUAL trainer keeps its own sampled collect, because its
+    # training vectors depend on the trained cells (rv = sv − cv) and
+    # its collect reads the already-checkpointed assignment, not the
+    # corpus.
+    pre = [(r["vec_id"], r["e"]) for r in
+           n.select("vec_id", "e")
+            .orderBy(F.md5(F.col("vec_id").cast("string")),
+                     F.col("vec_id"))
+            .limit(8 * max(K_COARSE, K_CODES)).collect()]
     coarse = kmeans_fit_assign(n, "vec_id", "e",
                                k=K_COARSE, n_iter=3,
                                train_sample=8 * K_COARSE,
-                               centroids_log=cent_log)
+                               centroids_log=cent_log,
+                               sample_rows=pre[:8 * K_COARSE])
     centroids = cent_log[0]                      # (cell, ce) — K rows
     assigned = (n.join(coarse.select(F.col("id").alias("vec_id"),
                                      "cell", "sq_dist"), "vec_id")
@@ -4819,7 +4846,10 @@ def x3_ivfpq_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     enc_raw, cb_raw = kmeans_fit_assign_grouped(
         sub, "j", "vec_id", "sv", k=K_CODES, n_iter=3,
-        train_sample=8 * K_CODES)
+        train_sample=8 * K_CODES,
+        sample_rows=[(j, i, list(ev[8 * j:8 * j + 8]))
+                     for i, ev in pre[:8 * K_CODES]
+                     for j in range(8)])
     enc_res, cb_res = kmeans_fit_assign_grouped(
         rsub, "j", "vec_id", "rv", k=K_CODES, n_iter=3,
         train_sample=8 * K_CODES)
@@ -5016,13 +5046,31 @@ def x3_ivf_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         ``encode_df`` (cell assignment via broadcast centroids so the
         encode set need not equal the training set). Returns
         (cells, codes, centroids, cb): cells = (vec_id, cell),
-        codes = (vec_id, j, code)."""
+        codes = (vec_id, j, code).
+
+        r16 (guide §2.4): ONE TakeOrdered collect of the hash-order
+        sample prefix serves BOTH trainers — the coarse sample is its
+        first 8·K_COARSE (id, e) rows verbatim, and the grouped
+        subspace sample is the driver-side slicing of its first
+        8·K_CODES ids (every id carries one subvector per subspace,
+        and ``F.slice(e, 8j+1, 8)`` is pure positional slicing, so
+        the Python slices are the identical doubles). The r15 form
+        collected twice, each a full scan + TakeOrdered over the
+        train relation (and the grouped one paid an extra
+        distinct + broadcast join)."""
+        n_pre = 8 * max(K_COARSE, K_CODES)
+        pre = [(r["vec_id"], r["e"]) for r in
+               train_df.select("vec_id", "e")
+                       .orderBy(F.md5(F.col("vec_id").cast("string")),
+                                F.col("vec_id"))
+                       .limit(n_pre).collect()]
         cent_log: list = []
         kmeans_fit_assign(train_df, "vec_id", "e",
                           k=K_COARSE, n_iter=3,
                           train_sample=8 * K_COARSE,
                           centroids_log=cent_log,
-                          assign=False)
+                          assign=False,
+                          sample_rows=pre[:8 * K_COARSE])
         cents = cent_log[0]
         cells = assign_cells(encode_df, cents)
         sub = subspaces(encode_df)
@@ -5030,10 +5078,13 @@ def x3_ivf_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         # discarded here — the encode set is assigned through
         # assign_cells/encode_pq against the frozen tables instead, so
         # the trainers now stop at the trained centroids/codebooks.
+        sub_rows = [(j, i, list(e[8 * j:8 * j + 8]))
+                    for i, e in pre[:8 * K_CODES]
+                    for j in range(8)]
         _enc, cb = kmeans_fit_assign_grouped(
             subspaces(train_df), "j", "vec_id", "sv",
             k=K_CODES, n_iter=3, train_sample=8 * K_CODES,
-            assign=False)
+            assign=False, sample_rows=sub_rows)
         codes = encode_pq(sub, cb)
         return cells, codes, cents, cb
 
@@ -5063,11 +5114,10 @@ def x3_ivf_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 2. ingest: arrivals assigned + encoded against the FROZEN index
     arr_cells = assign_cells(arr, cents)
     arr_codes = encode_pq(subspaces(arr), cb)
-    m_cells = ckpt(wh_cells.unionByName(arr_cells))
-    m_codes = ckpt(wh_codes.unionByName(arr_codes))
+    m_cells = wh_cells.unionByName(arr_cells)
+    m_codes = wh_codes.unionByName(arr_codes)
     # 3. the from-scratch referee: trained and encoded on everything
     s_cells, s_codes, _sc, s_cb = build_index(n, n)
-    s_cells, s_codes = ckpt(s_cells), ckpt(s_codes)
 
     q_ids = _hash_sample(n.select("vec_id"), N_QUERIES, _H_QUERY)
     qsub = (subspaces(n.join(F.broadcast(q_ids), "vec_id"))

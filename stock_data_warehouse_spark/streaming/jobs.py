@@ -3573,14 +3573,26 @@ def x3_ivf_ingest_stream(spark: SparkSession,
     # here — arrivals and warehouse are assigned through the frozen
     # assign_cells/encode_pq plans below; the trained (and already
     # checkpointed) centroid/codebook tables are all this path needs.
+    # r16 (guide §2.4): one TakeOrdered collect serves both trainers
+    # (the x3_ivf_ingest fusion — the grouped subspace sample is the
+    # driver-side slicing of the same hash-order prefix)
+    pre = [(r["vec_id"], r["e"]) for r in
+           wh.select("vec_id", "e")
+             .orderBy(F.md5(F.col("vec_id").cast("string")),
+                      F.col("vec_id"))
+             .limit(8 * max(K_COARSE, K_CODES)).collect()]
     kmeans_fit_assign(wh, "vec_id", "e", k=K_COARSE, n_iter=3,
                       train_sample=8 * K_COARSE,
-                      centroids_log=cent_log, assign=False)
+                      centroids_log=cent_log, assign=False,
+                      sample_rows=pre[:8 * K_COARSE])
     cents = cent_log[0]
     _enc, cb = kmeans_fit_assign_grouped(
         subspaces(wh), "j", "vec_id", "sv",
         k=K_CODES, n_iter=3, train_sample=8 * K_CODES,
-        assign=False)
+        assign=False,
+        sample_rows=[(j, i, list(ev[8 * j:8 * j + 8]))
+                     for i, ev in pre[:8 * K_CODES]
+                     for j in range(8)])
 
     def assign_cells(df):
         scored = (df.crossJoin(F.broadcast(cents))

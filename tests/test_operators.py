@@ -261,3 +261,53 @@ def test_values_df_roundtrips_literals(spark):
         "s string, i bigint, t string, b boolean, d double").collect()
     got = [tuple(r) for r in out]
     assert got == rows
+
+
+def test_kmeans_sample_rows_equivalence(spark):
+    """r16: ``sample_rows`` (the caller-supplied hash-order prefix
+    that lets one TakeOrdered collect serve both trainers of a
+    composite index build) must train BIT-IDENTICAL centroids to the
+    internal-collect path, for both the ungrouped and the grouped
+    trainer — including the driver-side subspace slicing the IVF-PQ
+    builders derive the grouped sample from."""
+    from stock_data_warehouse_spark.operators.kmeans import (
+        kmeans_fit_assign, kmeans_fit_assign_grouped,
+    )
+    from stock_data_warehouse_spark.sources.tables import load_table
+
+    SF = "/root/testdata/sf0.001"
+    e = load_table(spark, SF, "embeddings")
+    v = e.select("vec_id",
+                 F.transform("embedding",
+                             lambda x: x.cast("double")).alias("e"))
+    S, K = 48, 6
+
+    log_a, log_b = [], []
+    kmeans_fit_assign(v, "vec_id", "e", k=K, n_iter=3,
+                      train_sample=S, centroids_log=log_a,
+                      assign=False)
+    pre = [(r["vec_id"], r["e"]) for r in
+           v.orderBy(F.md5(F.col("vec_id").cast("string")),
+                     F.col("vec_id")).limit(S).collect()]
+    kmeans_fit_assign(v, "vec_id", "e", k=K, n_iter=3,
+                      train_sample=S, centroids_log=log_b,
+                      assign=False, sample_rows=pre)
+    rows_a = sorted(tuple(r) for r in log_a[0].collect())
+    rows_b = sorted(tuple(r) for r in log_b[0].collect())
+    assert rows_a == rows_b and rows_a
+
+    sub = v.select(
+        "vec_id",
+        F.posexplode(F.array(*[F.slice("e", 8 * j + 1, 8)
+                               for j in range(8)])).alias("j", "sv"))
+    _, cb_a = kmeans_fit_assign_grouped(
+        sub, "j", "vec_id", "sv", k=K, n_iter=3,
+        train_sample=S, assign=False)
+    sub_rows = [(j, i, list(vec[8 * j:8 * j + 8]))
+                for i, vec in pre for j in range(8)]
+    _, cb_b = kmeans_fit_assign_grouped(
+        sub, "j", "vec_id", "sv", k=K, n_iter=3,
+        train_sample=S, assign=False, sample_rows=sub_rows)
+    g_a = sorted(tuple(r) for r in cb_a.collect())
+    g_b = sorted(tuple(r) for r in cb_b.collect())
+    assert g_a == g_b and g_a
