@@ -59,3 +59,28 @@ def ckpt(df: DataFrame) -> DataFrame:
             f"unknown {CKPT_MODE_CONF}={mode!r} "
             "(expected 'local' or 'reliable')")
     return df.localCheckpoint()
+
+
+def ckpt_fused(df: DataFrame) -> DataFrame:
+    """Lineage truncation whose materialization FUSES into the
+    caller's own next action (r16, guide §2.4): iterative rounds that
+    checkpoint and then immediately run a control-flow aggregate over
+    the SAME rows (connected-components' changed-count, star
+    contraction's edge-set signature) paid two jobs per round —
+    an eager materialization plus the aggregate. A LAZY
+    ``localCheckpoint`` truncates lineage identically, but the first
+    action over it (the caller's aggregate) both computes the blocks
+    and answers the control query — one job per round. The caller
+    MUST run an action over the full relation before branching on it
+    (every current caller's convergence check is exactly that).
+
+    Under ``reliable`` mode this stays EAGER: a non-eager reliable
+    checkpoint recomputes the relation a second time for the
+    checkpoint file (Spark's documented behavior), which is the
+    opposite of the point — and the mode exists for multi-thousand-
+    round cluster trainers where the extra job per round is the
+    lesser cost."""
+    spark = df.sparkSession
+    if spark.conf.get(CKPT_MODE_CONF, "local") == "local":
+        return df.localCheckpoint(eager=False)
+    return ckpt(df)

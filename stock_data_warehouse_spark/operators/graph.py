@@ -34,7 +34,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .checkpoint import ckpt
+from .checkpoint import ckpt, ckpt_fused
 
 
 def connected_components(edges: DataFrame, src: str = "src",
@@ -66,12 +66,18 @@ def connected_components(edges: DataFrame, src: str = "src",
             "component", F.coalesce("nbr_component", "component"))
         # Carry the per-node changed flag through the checkpoint so the
         # convergence test is a filter-count over already-materialized
-        # rows — no extra new-vs-old join job per round.
-        stepped = ckpt(labels.join(nbr_min, "node", "left")
-                             .select("node",
-                                     new_component.alias("component"),
-                                     (new_component != F.col("component"))
-                                      .alias("_changed")))
+        # rows — no extra new-vs-old join job per round. r16: the
+        # checkpoint is LAZY (ckpt_fused) — the count below is the
+        # materializing job, so each round runs ONE job where r15 ran
+        # an eager materialization plus the count. The count scans the
+        # full relation (no limit/take), so every block lands exactly
+        # as the eager form left it.
+        stepped = ckpt_fused(
+            labels.join(nbr_min, "node", "left")
+                  .select("node",
+                          new_component.alias("component"),
+                          (new_component != F.col("component"))
+                           .alias("_changed")))
         changed = stepped.filter("_changed").count()  # control flow only
         labels = stepped.drop("_changed")
         if changed == 0:
@@ -153,7 +159,10 @@ def connected_components_contracting(edges: DataFrame, src: str = "src",
         # to m(u) = min(N(u)).
         nbr2 = e.groupBy("u").agg(F.min("v").alias("mv"))
         joined = e.join(nbr2, "u")
-        e = ckpt(canon(
+        # r16: lazy truncation (ckpt_fused) — the signature aggregate
+        # below is the materializing job, one job per round where r15
+        # ran an eager materialization plus the aggregate.
+        e = ckpt_fused(canon(
             joined.select(F.col("v").alias("u"),
                           F.col("mv").alias("v"))
                   .union(nbr2.select("u", F.col("mv").alias("v")))

@@ -35,6 +35,21 @@ _DEFAULTS: dict[str, str] = {
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
+    # r16 MEASURED AND REJECTED (VERDICT r15 item 7):
+    # spark.sql.adaptive.coalescePartitions.parallelismFirst=false —
+    # the Spark-documented production setting (coalesce to the
+    # advisory size instead of stopping at default parallelism) —
+    # ran the FULL bench at geomean 0.94x with 0.56–0.71x on ~a dozen
+    # compute-bound queries (a40, t27, t35, the x4 text family): at
+    # sf0.1 every shuffle is far below the 64 MB advisory, so AQE
+    # collapsed reduce stages to 1 task and serialized work that 32
+    # tasks genuinely parallelize (the reduce side here is CPU-bound
+    # expression work, not fetch-bound I/O). The 8-core advantage on
+    # sub-second queries is scheduling-floor noise worth ~0.1 s each,
+    # not a misconfiguration. At cluster scale the same flag is the
+    # right call ONLY when reducers are fetch-bound; leave the
+    # default (parallelism-first) and revisit with real 100 TB
+    # shuffle sizes.
     "spark.sql.session.timeZone": "UTC",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     # Files: keep scan partitions big enough to amortize task overhead
