@@ -4986,11 +4986,25 @@ def _t47_make_batch(spark: SparkSession, out_dir: str):
     bucket = double_value_bucket(F.col("value"), 2.0)
 
     def tiered_batch(batch_df: DataFrame, batch_id: int) -> None:
-        banded = (batch_df.select("value")
-                          .withColumn("_qb", bucket)
-                          .localCheckpoint(eager=True))
-        if banded.isEmpty():
+        # r16: the t40 rewrite (change 4) applied here too — the
+        # store-tree write is the batch's ONE materializing action,
+        # the band merge reads the committed tree back, and an
+        # all-empty batch decommits its empty tree by FS listing.
+        store_dir = _sdir(sroot, "store", batch_id)
+        (batch_df.select("value")
+                 .withColumn("_qb", bucket)
+                 .withColumn("_qbg", _qb_group_col(F.col("_qb")))
+                 .repartition("_qbg")
+                 .sortWithinPartitions("_qb")
+                 .write.partitionBy("_qbg").mode("overwrite")
+                 .parquet(store_dir))
+        fs, jdir = _hfs(store_dir)
+        if not any(st.getPath().getName().startswith("_qbg=")
+                   for st in fs.listStatus(jdir)):
+            _decommit_rmtree(store_dir)
             return
+        banded = (spark.read.parquet(store_dir)
+                       .select("value", "_qb"))
         prev, ordinal = _monoid_prev(spark, sroot, "bands", batch_id)
         b_stats = (banded.groupBy("_qb")
                          .agg(F.count(F.lit(1)).alias("_bn"),
@@ -5005,11 +5019,6 @@ def _t47_make_batch(spark: SparkSession, out_dir: str):
         (_stamp_ord(merged, ordinal).coalesce(1)
          .write.mode("overwrite").parquet(
              _sdir(sroot, "bands", batch_id)))
-        (banded.withColumn("_qbg", _qb_group_col(F.col("_qb")))
-               .repartition("_qbg")
-               .sortWithinPartitions("_qb")
-               .write.partitionBy("_qbg").mode("overwrite")
-               .parquet(_sdir(sroot, "store", batch_id)))
         _maybe_compact_store(spark, sroot, "store", "storec",
                              batch_id, run_threshold=_T47_RUN_T,
                              snap_threshold=_T47_SNAP_T)
